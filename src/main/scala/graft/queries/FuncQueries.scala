@@ -1,0 +1,422 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Scalar-function coverage — the reference's full function inventory
+  * (reference: src/validation/functions.js FUNCTION_SIGNATURES, plus the
+  * syntax.md wishlist: `||`, ILIKE, POSITION(x IN y), split family,
+  * TIMESTAMP casts, FILTER clause, aggregate windows).
+  *
+  * All queries use `selectExpr`/`expr` Columns — Catalyst-resolved, fully
+  * codegen'd; no UDFs except q_udf which demonstrates the UDF surface
+  * itself. Cross-engine float policy per SURVEY.md §5: transcendentals are
+  * ROUND(..,6); sums go through exact decimals; ROUND(x, n>0) on data
+  * doubles is avoided (tie-at-scale hazard differs across engines).
+  */
+object FuncQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- String functions (reference: src/expression/strings.js) -------
+    QueryDef("q_string_funcs",
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_name) AS lo,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  CAST(strlen(c_name) AS BIGINT) AS octets,
+        |  substr(c_name, 10, 5) AS sub,
+        |  trim('  x  ') AS trimmed, ltrim('  x') AS ltrimmed, rtrim('x  ') AS rtrimmed,
+        |  replace(c_name, 'Customer', 'Cust') AS repl,
+        |  left(c_name, 8) AS l8, right(c_name, 3) AS r3,
+        |  c_name || '-' || c_mktsegment AS cat,
+        |  concat(c_mktsegment, '!') AS cat2,
+        |  reverse(c_mktsegment) AS rev
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .selectExpr("c_custkey",
+            "upper(c_name) AS up", "lower(c_name) AS lo",
+            "CAST(length(c_name) AS BIGINT) AS len",
+            "CAST(octet_length(c_name) AS BIGINT) AS octets",
+            "substr(c_name, 10, 5) AS sub",
+            "trim('  x  ') AS trimmed", "ltrim('  x') AS ltrimmed", "rtrim('x  ') AS rtrimmed",
+            "replace(c_name, 'Customer', 'Cust') AS repl",
+            "left(c_name, 8) AS l8", "right(c_name, 3) AS r3",
+            "c_name || '-' || c_mktsegment AS cat",
+            "concat(c_mktsegment, '!') AS cat2",
+            "reverse(c_mktsegment) AS rev")
+          .orderBy("c_custkey")
+    },
+
+    // ---- Split / position family (syntax.md items 1 & 3) ---------------
+    QueryDef("q_string_funcs2",
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS color,
+        |  split_part(p_name, ' ', 2) AS noun,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+        |  CAST(instr(p_name, 'e') AS BIGINT) AS inst,
+        |  CAST(strpos(p_name, 'e') AS BIGINT) AS spos,
+        |  CAST(position('e' IN p_name) AS BIGINT) AS pos_in,
+        |  contains(p_name, 'red') AS has_red,
+        |  string_split(p_name, ' ') AS words
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "part").filter(col("p_partkey") < 100)
+          .selectExpr("p_partkey",
+            "split_part(p_name, ' ', 1) AS color",
+            "split_part(p_name, ' ', 2) AS noun",
+            "CAST(size(split(p_name, ' ')) AS BIGINT) AS n_words",
+            "CAST(instr(p_name, 'e') AS BIGINT) AS inst",
+            "CAST(position('e', p_name) AS BIGINT) AS spos",
+            "CAST(position('e' IN p_name) AS BIGINT) AS pos_in",
+            "contains(p_name, 'red') AS has_red",
+            "split(p_name, ' ') AS words")
+          .orderBy("p_partkey")
+    },
+
+    // ---- Regexp (reference: src/expression/regexp.js) -------------------
+    QueryDef("q_regex_funcs",
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+        |  regexp_matches(c_name, '[0-9]{9}') AS has9,
+        |  regexp_extract(c_name, '[A-Za-z]+') AS word
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") < 100)
+          .selectExpr("c_custkey",
+            "regexp_extract(c_name, '([0-9]+)', 1) AS digits",
+            "regexp_replace(c_name, '0+', '0') AS squeezed",
+            "c_name RLIKE '[0-9]{9}' AS has9",
+            "regexp_extract(c_name, '[A-Za-z]+', 0) AS word")
+          .orderBy("c_custkey")
+    },
+
+    // ---- Math (reference: src/expression/math.js) -----------------------
+    QueryDef("q_math_funcs",
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice) AS DOUBLE) AS fl,
+        |  CAST(ceiling(o_totalprice) AS DOUBLE) AS ce,
+        |  CAST(abs(o_totalprice - 250000) AS DOUBLE) AS ab,
+        |  CAST(sign(o_totalprice - 250000) AS DOUBLE) AS sg,
+        |  CAST(sqrt(o_totalprice) AS DOUBLE) AS sq,
+        |  CAST(mod(o_orderkey, 7) AS BIGINT) AS md,
+        |  CAST(power(mod(o_orderkey, 5), 2) AS DOUBLE) AS pw,
+        |  CAST(round(o_totalprice) AS DOUBLE) AS rd
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 500)
+          .selectExpr("o_orderkey",
+            "CAST(floor(o_totalprice) AS DOUBLE) AS fl",
+            "CAST(ceiling(o_totalprice) AS DOUBLE) AS ce",
+            "CAST(abs(o_totalprice - 250000) AS DOUBLE) AS ab",
+            "CAST(sign(o_totalprice - 250000) AS DOUBLE) AS sg",
+            "CAST(sqrt(o_totalprice) AS DOUBLE) AS sq",
+            "CAST(mod(o_orderkey, 7) AS BIGINT) AS md",
+            "CAST(power(mod(o_orderkey, 5), 2) AS DOUBLE) AS pw",
+            "CAST(round(o_totalprice) AS DOUBLE) AS rd")
+          .orderBy("o_orderkey")
+    },
+
+    QueryDef("q_trig_funcs",
+      """SELECT k,
+        |  round(sin(k), 6) AS sn, round(cos(k), 6) AS cs, round(tan(k), 6) AS tn,
+        |  round(asin(k / 10.0), 6) AS asn, round(acos(k / 10.0), 6) AS acs,
+        |  round(atan(k), 6) AS atn, round(atan2(k, 3), 6) AS at2,
+        |  round(exp(k), 6) AS ex, round(ln(k + 1), 6) AS lnn,
+        |  round(log10(k + 1), 6) AS lg,
+        |  round(degrees(k), 6) AS dg, round(radians(k), 6) AS rd,
+        |  CAST(pi() AS DOUBLE) AS p
+        |FROM (SELECT CAST(mod(o_orderkey, 10) AS BIGINT) AS k FROM orders WHERE o_orderkey < 20) t
+        |ORDER BY k""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 20)
+          .selectExpr("CAST(mod(o_orderkey, 10) AS BIGINT) AS k")
+          .selectExpr("k",
+            "round(sin(k), 6) AS sn", "round(cos(k), 6) AS cs", "round(tan(k), 6) AS tn",
+            "round(asin(k / 10.0), 6) AS asn", "round(acos(k / 10.0), 6) AS acs",
+            "round(atan(k), 6) AS atn", "round(atan2(k, 3), 6) AS at2",
+            "round(exp(k), 6) AS ex", "round(ln(k + 1), 6) AS lnn",
+            "round(log10(k + 1), 6) AS lg",
+            "round(degrees(k), 6) AS dg", "round(radians(k), 6) AS rd",
+            "CAST(pi() AS DOUBLE) AS p")
+          .orderBy("k")
+    },
+
+    // ---- Date/time (reference: src/expression/date.js) ------------------
+    QueryDef("q_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+        |  CAST(epoch(o_orderdate) AS DOUBLE) AS ep,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 300)
+          .selectExpr("o_orderkey",
+            "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+            "CAST(year(o_orderdate) AS BIGINT) AS y",
+            "CAST(month(o_orderdate) AS BIGINT) AS m",
+            "CAST(day(o_orderdate) AS BIGINT) AS d",
+            "CAST(dayofweek(o_orderdate) - 1 AS BIGINT) AS dow",
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE) / 1000000.0 AS ep",
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since")
+          .orderBy("o_orderkey")
+    },
+
+    // ---- INTERVAL arithmetic (reference: execute.interval.test.js) ------
+    QueryDef("q_interval",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 3 DAY AS plus3d,
+        |  o_orderdate - INTERVAL 2 HOUR AS minus2h,
+        |  o_orderdate + INTERVAL 1 MONTH AS plus1m
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 30 DAY
+        |ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(expr("o_orderdate < TIMESTAMP_NTZ '1995-01-01 00:00:00' + INTERVAL 30 DAY"))
+          .selectExpr("o_orderkey",
+            "o_orderdate + INTERVAL 3 DAY AS plus3d",
+            "o_orderdate - INTERVAL 2 HOUR AS minus2h",
+            "o_orderdate + INTERVAL 1 MONTH AS plus1m")
+          .orderBy("o_orderkey")
+    },
+
+    // ---- Nanosecond event timestamps, hourly rollup ---------------------
+    QueryDef("q_events_time",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |ORDER BY hour_bucket LIMIT 200""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_bucket"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total_value"))
+          .orderBy("hour_bucket")
+          .limit(200)
+    },
+
+    // ---- CAST surface (syntax.md item 5: TIMESTAMP casts) ---------------
+    QueryDef("q_cast",
+      """SELECT
+        |  CAST('42' AS BIGINT) AS i,
+        |  CAST('3.5' AS DOUBLE) AS d,
+        |  CAST(o_orderkey AS VARCHAR) AS s,
+        |  CAST(1 AS BOOLEAN) AS b1, CAST(0 AS BOOLEAN) AS b0,
+        |  CAST('2020-01-02 03:04:05' AS TIMESTAMP) AS ts,
+        |  CAST('2020-01-02' AS DATE) AS dt,
+        |  CAST(o_orderkey AS DOUBLE) AS kf
+        |FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 20)
+          .selectExpr(
+            "CAST('42' AS BIGINT) AS i",
+            "CAST('3.5' AS DOUBLE) AS d",
+            "CAST(o_orderkey AS STRING) AS s",
+            "CAST(1 AS BOOLEAN) AS b1", "CAST(0 AS BOOLEAN) AS b0",
+            "CAST('2020-01-02 03:04:05' AS TIMESTAMP_NTZ) AS ts",
+            "CAST('2020-01-02' AS DATE) AS dt",
+            "CAST(o_orderkey AS DOUBLE) AS kf")
+          .orderBy("s")
+    },
+
+    // ---- Conditional functions ------------------------------------------
+    QueryDef("q_conditional",
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg,
+        |  CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS pos_bal,
+        |  CAST(least(c_acctbal, 1000.0) AS DOUBLE) AS capped,
+        |  nullif(c_nationkey, c_nationkey) IS NULL AS always_true
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .selectExpr("c_custkey",
+            "coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg",
+            "CAST(greatest(c_acctbal, 0.0D) AS DOUBLE) AS pos_bal",
+            "CAST(least(c_acctbal, 1000.0D) AS DOUBLE) AS capped",
+            "nullif(c_nationkey, c_nationkey) IS NULL AS always_true")
+          .orderBy("c_custkey")
+    },
+
+    // ---- CASE / BETWEEN / IN / LIKE / ILIKE ------------------------------
+    QueryDef("q_case_between_in",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 'mid'
+        |       WHEN o_totalprice < 100000 THEN 'low' ELSE 'high' END AS bucket,
+        |  o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+        |  o_orderpriority LIKE '%HIGH%' AS has_high,
+        |  o_orderpriority ILIKE '%high%' AS has_high_i,
+        |  o_orderstatus IS NOT NULL AS nn
+        |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 300)
+          .selectExpr("o_orderkey",
+            "CASE WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 'mid' " +
+              "WHEN o_totalprice < 100000 THEN 'low' ELSE 'high' END AS bucket",
+            "o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent",
+            "o_orderpriority LIKE '%HIGH%' AS has_high",
+            "o_orderpriority ILIKE '%high%' AS has_high_i",
+            "o_orderstatus IS NOT NULL AS nn")
+          .orderBy("o_orderkey")
+    },
+
+    // ---- JSON functions (reference JSON_* family; arrows via extraction) -
+    QueryDef("q_json_funcs",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  json_valid(props) AS valid,
+        |  lower(json_type(props)) AS jtype,
+        |  json_keys(props) AS keys,
+        |  CAST(json_array_length('[1,2,3]') AS BIGINT) AS alen,
+        |  json_object('k', CAST(json_extract_string(props, '$.k') AS BIGINT))::VARCHAR AS rebuilt
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir).filter(col("event_id") < 100)
+          .selectExpr("event_id",
+            "CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val",
+            "get_json_object(props, '$') IS NOT NULL AS valid",
+            "CASE WHEN props LIKE '{%' THEN 'object' WHEN props LIKE '[%' THEN 'array' ELSE 'scalar' END AS jtype",
+            "json_object_keys(props) AS keys",
+            "CAST(json_array_length('[1,2,3]') AS BIGINT) AS alen",
+            "to_json(named_struct('k', CAST(get_json_object(props, '$.k') AS BIGINT))) AS rebuilt")
+          .orderBy("event_id")
+    },
+
+    // ---- Array functions --------------------------------------------------
+    QueryDef("q_array_funcs",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS first_val,
+        |  embedding[64] AS last_val,
+        |  CAST(list_position([10, 20, 30], 20) AS BIGINT) AS pos,
+        |  CAST(list_position([10, 20, 30], 99) AS BIGINT) AS pos_missing,
+        |  list_contains([1, 2, 3], 2) AS has2,
+        |  list_sort([3, 1, 2]) AS sorted_arr,
+        |  array_concat([1, 2], [3]) AS cat,
+        |  list_append([1, 2], 3) AS appended
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "embeddings").filter(col("vec_id") < 50)
+          .selectExpr("vec_id",
+            "CAST(size(embedding) AS BIGINT) AS dim",
+            "element_at(embedding, 1) AS first_val",
+            "element_at(embedding, 64) AS last_val",
+            "CAST(array_position(array(10, 20, 30), 20) AS BIGINT) AS pos",
+            "CAST(array_position(array(10, 20, 30), 99) AS BIGINT) AS pos_missing",
+            "array_contains(array(1, 2, 3), 2) AS has2",
+            "array_sort(array(3, 1, 2)) AS sorted_arr",
+            "concat(array(1, 2), array(3)) AS cat",
+            "array_append(array(1, 2), 3) AS appended")
+          .orderBy("vec_id")
+    },
+
+    // ---- Struct dot-access + ['key'] (reference: execute.dot.test.js) ----
+    QueryDef("q_struct_access",
+      """SELECT o_orderkey,
+        |  struct_pack(k := o_orderkey, price := o_totalprice) AS st,
+        |  struct_pack(k := o_orderkey, price := o_totalprice).price AS via_dot,
+        |  struct_pack(k := o_orderkey, price := o_totalprice)['k'] AS via_key
+        |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "orders").filter(col("o_orderkey") < 50)
+          .selectExpr("o_orderkey",
+            "named_struct('k', o_orderkey, 'price', o_totalprice) AS st",
+            "named_struct('k', o_orderkey, 'price', o_totalprice).price AS via_dot",
+            "named_struct('k', o_orderkey, 'price', o_totalprice)['k'] AS via_key")
+          .orderBy("o_orderkey")
+    },
+
+    // ---- Statistical aggregates ------------------------------------------
+    QueryDef("q_agg_stats",
+      """SELECT c_mktsegment,
+        |  round(stddev_samp(c_acctbal), 6) AS sd_samp,
+        |  round(stddev_pop(c_acctbal), 6) AS sd_pop,
+        |  round(median(c_acctbal), 6) AS med,
+        |  round(quantile_cont(c_acctbal, 0.25), 6) AS q25,
+        |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(
+            round(stddev_samp(col("c_acctbal")), 6).as("sd_samp"),
+            round(stddev_pop(col("c_acctbal")), 6).as("sd_pop"),
+            round(expr("median(c_acctbal)"), 6).as("med"),
+            round(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY c_acctbal)"), 6).as("q25"),
+            expr("CAST(count_if(c_acctbal < 0) AS BIGINT)").as("n_neg"))
+          .orderBy("c_mktsegment")
+    },
+
+    // APPROX_QUANTILE is approximate by construction — rows-only check.
+    QueryDef.rowsOnly("q_agg_approx") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.5)").as("approx_med"),
+            expr("approx_count_distinct(l_partkey)").as("approx_parts"))
+          .orderBy("l_returnflag")
+    },
+
+    // ---- Collecting aggregates (STRING_AGG / ARRAY_AGG / ANY_VALUE / MIN_BY)
+    QueryDef("q_agg_collect",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  list_sort(array_agg(n_name)) AS name_arr,
+        |  any_value(n_regionkey) AS anyv,
+        |  min_by(n_name, n_nationkey) AS first_name,
+        |  max_by(n_name, n_nationkey) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(
+            expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("names"),
+            sort_array(collect_list(col("n_name"))).as("name_arr"),
+            expr("any_value(n_regionkey)").as("anyv"),
+            expr("min_by(n_name, n_nationkey)").as("first_name"),
+            expr("max_by(n_name, n_nationkey)").as("last_name"))
+          .orderBy("n_regionkey")
+    },
+
+    // ---- FILTER (WHERE ...) aggregate clause ------------------------------
+    QueryDef("q_agg_filter",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)").as("n_big"),
+            expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE)").as("disc_rev"))
+          .orderBy("l_returnflag")
+    },
+
+    // ---- UDF surface (reference: async UDFs, README "AI_SCORE") ----------
+    // The UDF itself is arbitrary Scala; the oracle re-expresses its logic
+    // in SQL. Laziness-under-LIMIT comes from Catalyst pushdown instead of
+    // async cells.
+    QueryDef("q_udf",
+      """SELECT doc_id, CAST(mod(strlen(text), 97) AS BIGINT) AS score
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val score = udf((text: String) => (text.getBytes("UTF-8").length % 97).toLong)
+        t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), score(col("text")).as("score"))
+          .orderBy("doc_id")
+    }
+  )
+}

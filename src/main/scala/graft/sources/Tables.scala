@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table registry over the driver-generated parquet star schema.
   *
@@ -21,9 +22,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's vectorized reader rejects. We read them as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
+    * TIMESTAMP_NTZ — the same truncation DuckDB applies casting
+    * TIMESTAMP_NS → TIMESTAMP. `div` keeps the arithmetic in exact longs
+    * (a double division would lose precision above 2^53 ns).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
   /** Register every table as a temp view so `spark.sql` queries see the
     * same names the DuckDB oracle uses.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n => apply(spark, dir, n).createOrReplaceTempView(n) }
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
