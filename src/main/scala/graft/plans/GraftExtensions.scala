@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.spatial.SpatialExpressions
+import graft.functions.spatial.SpatialExpressions._
+
+/** Engine extension point: registers the ST_* spatial family (and future
+  * custom expressions) into Catalyst's FunctionRegistry.
+  *
+  * Install with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("st_geomfromtext"), info("st_geomfromtext"),
+      (args: Seq[Expression]) => StGeomFromText(args.head)))
+    ext.injectFunction((FunctionIdentifier("st_astext"), info("st_astext"),
+      (args: Seq[Expression]) => StAsText(args.head)))
+    ext.injectFunction((FunctionIdentifier("st_makeenvelope"), info("st_makeenvelope"),
+      (args: Seq[Expression]) => StMakeEnvelope(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((FunctionIdentifier("st_dwithin"), info("st_dwithin"),
+      (args: Seq[Expression]) => StDWithin(args(0), args(1), args(2))))
+    SpatialExpressions.predicateNames.foreach { name =>
+      ext.injectFunction((FunctionIdentifier(name), info(name),
+        (args: Seq[Expression]) => StPredicate(args(0), args(1), name)))
+    }
+  }
+}
