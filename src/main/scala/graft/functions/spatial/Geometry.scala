@@ -26,7 +26,7 @@ object Geom {
   final case class MultiPolygon(polys: IndexedSeq[IndexedSeq[IndexedSeq[Pt]]]) extends Geom
   final case class Collection(geoms: IndexedSeq[Geom]) extends Geom
 
-  /** Flatten Multi*/Collection into simple Point/LineString/Polygon parts. */
+  /** Flatten Multi- and Collection geometries into simple Point/LineString/Polygon parts. */
   def parts(g: Geom): IndexedSeq[Geom] = g match {
     case MultiPoint(ps)       => ps.map(Point.apply)
     case MultiLineString(ls)  => ls.map(LineString.apply)

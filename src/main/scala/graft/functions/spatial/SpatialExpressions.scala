@@ -26,11 +26,14 @@ object SpatialExpressions {
     case _              => null
   }
 
-  private val geomType = TypeCollection(BinaryType, StringType)
+  /** Numeric inputs arrive as whatever type the literal had; widen to Double. */
+  private[spatial] def toD(value: Any): Double = value match {
+    case d: java.lang.Number => d.doubleValue()
+    case _                   => Double.NaN
+  }
 
   case class StGeomFromText(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+      extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def prettyName: String = "st_geomfromtext"
@@ -42,8 +45,7 @@ object SpatialExpressions {
   }
 
   case class StAsText(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-    override def inputTypes: Seq[AbstractDataType] = Seq(geomType)
+      extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "st_astext"
@@ -56,18 +58,16 @@ object SpatialExpressions {
   }
 
   case class StMakeEnvelope(xmin: Expression, ymin: Expression, xmax: Expression, ymax: Expression)
-      extends QuaternaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends QuaternaryExpression with CodegenFallback {
     override def first: Expression = xmin
     override def second: Expression = ymin
     override def third: Expression = xmax
     override def fourth: Expression = ymax
-    override def inputTypes: Seq[AbstractDataType] = Seq.fill(4)(DoubleType)
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def prettyName: String = "st_makeenvelope"
     override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
-      val (x0, y0, x1, y1) = (a.asInstanceOf[Double], b.asInstanceOf[Double],
-        c.asInstanceOf[Double], d.asInstanceOf[Double])
+      val (x0, y0, x1, y1) = (toD(a), toD(b), toD(c), toD(d))
       GeomCodec.serialize(Geom.Polygon(IndexedSeq(IndexedSeq(
         Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0)))))
     }
@@ -80,8 +80,7 @@ object SpatialExpressions {
     * dispatched by name so the expression tree stays serialization-friendly.
     */
   case class StPredicate(left: Expression, right: Expression, predicate: String)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
-    override def inputTypes: Seq[AbstractDataType] = Seq(geomType, geomType)
+      extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = true
     override def prettyName: String = predicate
@@ -107,11 +106,10 @@ object SpatialExpressions {
   }
 
   case class StDWithin(left: Expression, right: Expression, distance: Expression)
-      extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends TernaryExpression with CodegenFallback {
     override def first: Expression = left
     override def second: Expression = right
     override def third: Expression = distance
-    override def inputTypes: Seq[AbstractDataType] = Seq(geomType, geomType, DoubleType)
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = true
     override def prettyName: String = "st_dwithin"
@@ -119,7 +117,7 @@ object SpatialExpressions {
       val a = SpatialExpressions.toGeom(l)
       val b = SpatialExpressions.toGeom(r)
       if (a == null || b == null) null
-      else Ops.dWithin(a, b, d.asInstanceOf[Double])
+      else Ops.dWithin(a, b, toD(d))
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression, d: Expression): StDWithin =

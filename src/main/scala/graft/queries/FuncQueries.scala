@@ -151,7 +151,7 @@ object FuncQueries {
     // ---- Date/time (reference: src/expression/date.js) ------------------
     QueryDef("q_date_funcs",
       """SELECT o_orderkey,
-        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
         |  CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(month(o_orderdate) AS BIGINT) AS m,
         |  CAST(day(o_orderdate) AS BIGINT) AS d,
@@ -162,7 +162,7 @@ object FuncQueries {
       (s, dir) =>
         t(s, dir, "orders").filter(col("o_orderkey") < 300)
           .selectExpr("o_orderkey",
-            "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+            "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month_start",
             "CAST(year(o_orderdate) AS BIGINT) AS y",
             "CAST(month(o_orderdate) AS BIGINT) AS m",
             "CAST(day(o_orderdate) AS BIGINT) AS d",
@@ -216,7 +216,7 @@ object FuncQueries {
         |  CAST(o_orderkey AS VARCHAR) AS s,
         |  CAST(1 AS BOOLEAN) AS b1, CAST(0 AS BOOLEAN) AS b0,
         |  CAST('2020-01-02 03:04:05' AS TIMESTAMP) AS ts,
-        |  CAST('2020-01-02' AS DATE) AS dt,
+        |  CAST(CAST('2020-01-02' AS DATE) AS VARCHAR) AS dt,
         |  CAST(o_orderkey AS DOUBLE) AS kf
         |FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey""".stripMargin) {
       (s, dir) =>
@@ -227,7 +227,7 @@ object FuncQueries {
             "CAST(o_orderkey AS STRING) AS s",
             "CAST(1 AS BOOLEAN) AS b1", "CAST(0 AS BOOLEAN) AS b0",
             "CAST('2020-01-02 03:04:05' AS TIMESTAMP_NTZ) AS ts",
-            "CAST('2020-01-02' AS DATE) AS dt",
+            "CAST(CAST('2020-01-02' AS DATE) AS STRING) AS dt",
             "CAST(o_orderkey AS DOUBLE) AS kf")
           .orderBy("s")
     },

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
 
-/** Spatial coverage (reference: src/spatial/*, test/execute/execute.spatial
+/** Spatial coverage (reference: src/spatial, test/execute/execute.spatial
   * .test.js). Points are derived from integer keys so every predicate has an
   * exact arithmetic oracle in plain SQL: a point lies in the diamond
   * POLYGON ((10 1, 15 6, 10 11, 5 6, 10 1)) iff |x-10|+|y-6| <= 5, in an
