@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Training-data pipeline operators over the `documents` table: exact and
+  * near deduplication (MinHash+LSH, SimHash, n-gram Jaccard) and text
+  * analysis (language-ID, quality scoring, token counting, fingerprints).
+  *
+  * Every query has an exact DuckDB oracle. The cross-engine contract is a
+  * shared deterministic 60-bit hash — the top 15 hex digits of md5 — which
+  * both engines compute identically, so signatures (not just aggregate
+  * shapes) are verified bit-for-bit.
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup groups on md5(text): the shuffle carries a 32-byte key,
+  *    never the document body.
+  *  - MinHash signatures are computed map-side per document (one pass,
+  *    no shuffle); the LSH band join shuffles only (band, 2 longs) keys,
+  *    O(docs x bands) small rows, never O(docs^2). Candidate verification
+  *    is per-bucket.
+  *  - All token/shingle work is Spark SQL higher-order functions — fully
+  *    Catalyst-planned, no UDFs, stays inside WholeStageCodegen.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Shared deterministic 60-bit positive hash: top 15 hex digits of md5. */
+  private def h60s(x: String) = s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
+  private def h60d(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
+  /** Word tokens (lowercased, whitespace split). */
+  private val toksS = """split(lower(trim(text)), '\\s+')"""
+  private val toksD = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+
+  /** 3-word shingles from a token array named `tk` (both engines 1-based
+    * via element_at / list index).
+    */
+  private val shS =
+    "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"
+  private val shD =
+    "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])"
+
+  /** MinHash value for seed `s` over shingle array `sh`. */
+  private def minhashS(seed: Int) =
+    s"array_min(transform(sh, g -> ${h60s(s"concat('$seed:', g)")}))"
+  private def minhashD(seed: Int) =
+    s"list_min(list_transform(sh, g -> ${h60d(s"concat('$seed:', g)")}))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Exact dedup: hash-groupBy keep-first ---------------------------
+    QueryDef("q_dedup_exact",
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("keep_id"),
+               count(lit(1)).cast("bigint").as("n_copies"))
+          .select("h", "keep_id", "n_copies")
+          .orderBy("keep_id")
+    },
+
+    // ---- MinHash signatures (8 seeds), verified bit-for-bit -------------
+    QueryDef("q_dedup_minhash", {
+      val sigs = (0 until 8).map(k => s"  ${minhashD(k)} AS s$k").mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 40
+         |), sh AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |)
+         |SELECT doc_id,
+         |$sigs
+         |FROM sh ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 40)
+        .selectExpr("doc_id", s"$toksS AS tk")
+        .filter(expr("size(tk) >= 3"))
+        .selectExpr("doc_id", s"$shS AS sh")
+        .selectExpr("doc_id" +: (0 until 8).map(k => s"${minhashS(k)} AS s$k"): _*)
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash + LSH banding: candidate pairs + Jaccard verify --------
+    // 8 seeds, 4 bands of 2 rows. Shuffle key is (band, s_lo, s_hi) only.
+    QueryDef("q_dedup_minhash_pairs", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents
+         |), shl AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), sig AS (
+         |  SELECT doc_id, sh, $sigs FROM shl
+         |), bands AS (
+         |  $bandSel
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.a_id, c.b_id,
+         |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+         |FROM cand c
+         |JOIN shl sa ON sa.doc_id = c.a_id
+         |JOIN shl sb ON sb.doc_id = c.b_id
+         |ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      val shingled = docs(s, dir)
+        .selectExpr("doc_id", s"$toksS AS tk")
+        .filter(expr("size(tk) >= 3"))
+        .selectExpr("doc_id", s"$shS AS sh")
+      val sig = shingled
+        .selectExpr(Seq("doc_id", "sh") ++ (0 until 8).map(k => s"${minhashS(k)} AS s$k"): _*)
+      val bands = sig.selectExpr("doc_id",
+        "stack(4, " + (0 until 4).map(b => s"$b, concat(s${2 * b}, ':', s${2 * b + 1})").mkString(", ") +
+          ") AS (band, bkey)")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          expr("a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"))
+        .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id")
+        .distinct()
+      cand.as("c")
+        .join(shingled.selectExpr("doc_id", "sh AS sha").as("sa"), expr("sa.doc_id = c.a_id"))
+        .join(shingled.selectExpr("doc_id", "sh AS shb").as("sb"), expr("sb.doc_id = c.b_id"))
+        .selectExpr("a_id", "b_id",
+          "round(CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb)), 6) AS jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- SimHash (16-bit, distinct-token votes) -------------------------
+    QueryDef("q_dedup_simhash",
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($toksD) AS dt
+         |  FROM documents WHERE doc_id < 60
+         |)
+         |SELECT doc_id,
+         |  list_sum(list_transform(range(0, 16), b ->
+         |    CASE WHEN list_sum(list_transform(dt, w ->
+         |           CASE WHEN (${h60d("w")} >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+         |         THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash16
+         |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).filter(col("doc_id") < 60)
+          .selectExpr("doc_id", s"array_distinct($toksS) AS dt")
+          .selectExpr("doc_id",
+            s"""CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+               |  acc + CASE WHEN aggregate(dt, 0, (a2, w) ->
+               |      a2 + CASE WHEN (${h60s("w")} >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+               |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash16""".stripMargin)
+          .orderBy("doc_id")
+    },
+
+    // ---- n-gram Jaccard, all pairs in a small window --------------------
+    QueryDef("q_dedup_jaccard",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 25
+         |), g AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin) {
+      (s, dir) =>
+        val g = docs(s, dir).filter(col("doc_id") < 25)
+          .selectExpr("doc_id", s"$toksS AS tk")
+          .filter(expr("size(tk) >= 3"))
+          .selectExpr("doc_id", s"$shS AS sh")
+        g.as("a").join(g.as("b"), expr("a.doc_id < b.doc_id"))
+          .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id",
+            "round(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) / size(array_union(a.sh, b.sh)), 6) AS jaccard")
+          .orderBy("a_id", "b_id")
+    },
+
+    // ---- Language ID: stopword-list voting ------------------------------
+    QueryDef("q_text_langid", {
+      val lists = Map(
+        "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "es" -> Seq("el", "la", "los", "y", "es", "en", "por", "con"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+        "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
+      def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val scoresD = lists.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"CAST(len(list_filter(tk, w -> list_contains(${arr(ws)}, w))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 120),
+         |s AS (SELECT doc_id,
+         |  $scoresD
+         |FROM t)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val lists = Map(
+        "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "es" -> Seq("el", "la", "los", "y", "es", "en", "por", "con"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+        "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
+      def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+      val scoreCols = lists.toSeq.sortBy(_._1).map { case (l, ws) =>
+        s"CAST(size(filter(tk, w -> array_contains(${arr(ws)}, w))) AS BIGINT) AS s_$l"
+      }
+      docs(s, dir).filter(col("doc_id") < 120)
+        .selectExpr("doc_id", s"$toksS AS tk")
+        .selectExpr("doc_id" +: scoreCols: _*)
+        .selectExpr("doc_id", "s_de", "s_en", "s_es", "s_fr", "s_zh",
+          """CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            |     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            |     WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted""".stripMargin)
+        .orderBy("doc_id")
+    },
+
+    // ---- Quality scoring: length / punct / stopword ratios --------------
+    QueryDef("q_text_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksD AS tk FROM documents WHERE doc_id < 150
+         |)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |        / length(text), 6) AS alpha_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |        / length(text), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(tk, w -> list_contains(['the','a','and','of','to','in','is','for'], w))) AS DOUBLE)
+         |        / len(tk), 6) AS stop_ratio,
+         |  round(0.4 * (CAST(len(list_filter(tk, w -> list_contains(['the','a','and','of','to','in','is','for'], w))) AS DOUBLE) / len(tk))
+         |      + 0.3 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+         |      + 0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 100.0), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).filter(col("doc_id") < 150)
+          .selectExpr("doc_id", "text", s"$toksS AS tk")
+          .selectExpr("doc_id",
+            "CAST(length(text) AS BIGINT) AS n_chars",
+            "CAST(size(tk) AS BIGINT) AS n_tokens",
+            "round(CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) / length(text), 6) AS alpha_ratio",
+            "round(CAST(length(regexp_replace(text, '[^.,!?;:]', '')) AS DOUBLE) / length(text), 6) AS punct_ratio",
+            "round(CAST(size(filter(tk, w -> array_contains(array('the','a','and','of','to','in','is','for'), w))) AS DOUBLE) / size(tk), 6) AS stop_ratio",
+            """round(0.4 * (CAST(size(filter(tk, w -> array_contains(array('the','a','and','of','to','in','is','for'), w))) AS DOUBLE) / size(tk))
+              |    + 0.3 * (CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) / length(text))
+              |    + 0.3 * least(1.0D, CAST(size(tk) AS DOUBLE) / 100.0D), 6) AS quality""".stripMargin)
+          .orderBy("doc_id")
+    },
+
+    // ---- Token counting: whitespace + regex tokenizers ------------------
+    QueryDef("q_text_tokens",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksD AS tk FROM documents WHERE doc_id < 150
+         |)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_re,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS ttr,
+         |  round(CAST(length(text) AS DOUBLE) / len(tk), 6) AS chars_per_tok
+         |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).filter(col("doc_id") < 150)
+          .selectExpr("doc_id", "text", s"$toksS AS tk")
+          .selectExpr("doc_id",
+            "CAST(size(tk) AS BIGINT) AS n_ws",
+            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS n_re",
+            "CAST(size(array_distinct(tk)) AS BIGINT) AS n_distinct",
+            "round(CAST(size(array_distinct(tk)) AS DOUBLE) / size(tk), 6) AS ttr",
+            "round(CAST(length(text) AS DOUBLE) / size(tk), 6) AS chars_per_tok")
+          .orderBy("doc_id")
+    },
+
+    // ---- Rolling-hash fingerprint (31-polynomial mod 1e9+7) -------------
+    QueryDef("q_text_fingerprint",
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp_full,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(substr(text, 1, 64), ''), c -> ord(c)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp_prefix
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).filter(col("doc_id") < 150)
+          .selectExpr("doc_id",
+            """aggregate(split(text, ''), CAST(0 AS BIGINT),
+              |  (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS fp_full""".stripMargin,
+            """aggregate(split(substr(text, 1, 64), ''), CAST(0 AS BIGINT),
+              |  (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS fp_prefix""".stripMargin)
+          .orderBy("doc_id")
+    }
+  )
+}

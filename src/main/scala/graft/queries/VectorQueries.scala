@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim FLOAT[]): cosine
+  * near-duplicate detection, brute-force ANN, LSH-bucketed ANN
+  * (random-hyperplane), and IVF-style coarse quantization.
+  *
+  * Cross-engine float policy: every dot product is a LEFT FOLD in index
+  * order on both engines (Spark `aggregate`, DuckDB `list_reduce`) over
+  * float-widened-to-double inputs, so the resulting doubles are
+  * bit-identical; `round(..., 6)` on top makes the oracle robust.
+  * Hyperplane signs come from the shared md5-based hash, so LSH buckets
+  * match exactly.
+  *
+  * Scale notes (100 TB):
+  *  - Brute-force ANN broadcasts the (tiny) query set; the corpus is never
+  *    shuffled — per-partition partial top-k, then a global top-k merge
+  *    (window over qid is AQE-coalesced; at scale swap for
+  *    TakeOrderedAndProject per query or a two-stage limit).
+  *  - LSH: bucket id is computed map-side; the join key is (bucket), so
+  *    candidate generation shuffles O(corpus) small rows, never O(n^2).
+  *  - IVF: the centroid table is tiny (one row per cell) and broadcast;
+  *    cell-restricted search prunes the corpus scan by the cell predicate.
+  */
+object VectorQueries {
+
+  /** Spark-side left-fold dot product over double arrays `a`,`b`. */
+  private def dotS(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** DuckDB-side identical left fold. */
+  private def dotD(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i])), (x, y) -> x + y)"
+
+  private def cosS(a: String, b: String) =
+    s"round(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})), 6)"
+  private def cosD(a: String, b: String) =
+    s"round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6)"
+
+  /** Shared hash bit for hyperplane p, dimension d (see PipelineQueries). */
+  private def planeS(p: Int) =
+    s"aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, d) -> acc + element_at(e, d) * (CASE WHEN (CAST(conv(substr(md5(concat('p:$p:', CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) & 1) = 1 THEN 1.0D ELSE -1.0D END))"
+  private def planeD(p: Int) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), d -> e[d] * (CASE WHEN ((('0x' || substr(md5(concat('p:$p:', CAST(d AS VARCHAR))), 1, 15))::BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"
+
+  private def vecsS(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e", "label")
+
+  private val vecsD =
+    "SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Embedding-cosine near-dup: all pairs in a window ---------------
+    QueryDef("q_dedup_cosine",
+      s"""WITH v AS ($vecsD)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${cosD("a.e", "b.e")} AS cs,
+         |  ${cosD("a.e", "b.e")} >= 0.8 AS is_dup
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id AND b.vec_id < 30
+         |ORDER BY a_id, b_id""".stripMargin) {
+      (s, dir) =>
+        val v = vecsS(s, dir)
+        v.as("a").join(v.as("b").filter(col("vec_id") < 30),
+            expr("a.vec_id < b.vec_id"))
+          .selectExpr("a.vec_id AS a_id", "b.vec_id AS b_id",
+            s"${cosS("a.e", "b.e")} AS cs",
+            s"${cosS("a.e", "b.e")} >= 0.8D AS is_dup")
+          .orderBy("a_id", "b_id")
+    },
+
+    // ---- ANN: brute-force cosine top-k ----------------------------------
+    QueryDef("q_ann_brute",
+      s"""WITH v AS ($vecsD),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |c AS (SELECT vec_id, e FROM v WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT qid, vec_id, ${cosD("qe", "e")} AS cs FROM q, c
+         |), ranked AS (
+         |  SELECT qid, vec_id, cs,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
+      (s, dir) =>
+        val v = vecsS(s, dir)
+        val q = v.filter(col("vec_id") < 5).selectExpr("vec_id AS qid", "e AS qe")
+        val c = v.filter(col("vec_id") >= 5).select("vec_id", "e")
+        c.join(broadcast(q))
+          .selectExpr("qid", "vec_id", s"${cosS("qe", "e")} AS cs")
+          .withColumn("rnk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
+          .filter(col("rnk") <= 3)
+          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
+          .orderBy("qid", "rnk")
+    },
+
+    // ---- ANN: random-hyperplane LSH buckets + in-bucket search ----------
+    QueryDef("q_ann_lsh", {
+      val bucketD = (0 until 4).map(p =>
+        s"(CASE WHEN ${planeD(p)} >= 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH v AS ($vecsD),
+         |hashed AS (SELECT vec_id, e, CAST($bucketD AS BIGINT) AS bucket FROM v),
+         |q AS (SELECT vec_id AS qid, e AS qe, bucket FROM hashed WHERE vec_id < 3),
+         |c AS (SELECT vec_id, e, bucket FROM hashed WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT qid, c.vec_id, ${cosD("qe", "c.e")} AS cs
+         |  FROM q JOIN c ON q.bucket = c.bucket
+         |), ranked AS (
+         |  SELECT qid, vec_id, cs,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
+         |FROM ranked WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+      // One spark.sql text mirroring the oracle: DataFrame-side composition
+      // of nested-lambda columns across a self-join trips Spark 4's
+      // attribute dedup (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); SQL CTE
+      // references re-expand with fresh attributes and plan cleanly.
+      val bucketS = (0 until 4).map(p =>
+        s"(CASE WHEN ${planeS(p)} >= 0D THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |hashed AS (SELECT vec_id, e, CAST($bucketS AS BIGINT) AS bucket FROM v),
+           |q AS (SELECT vec_id AS qid, e AS qe, bucket FROM hashed WHERE vec_id < 3),
+           |c AS (SELECT vec_id, e, bucket FROM hashed WHERE vec_id >= 5),
+           |scored AS (
+           |  SELECT /*+ BROADCAST(q) */ qid, c.vec_id, ${cosS("qe", "c.e")} AS cs
+           |  FROM q JOIN c ON q.bucket = c.bucket
+           |), ranked AS (
+           |  SELECT qid, vec_id, cs,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk
+           |  FROM scored
+           |)
+           |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
+           |FROM ranked WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin)
+    },
+
+    // ---- ANN: IVF-style coarse quantize (label cells, centroid probe) ---
+    QueryDef("q_ann_ivf",
+      s"""WITH v AS ($vecsD),
+         |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 5),
+         |flat AS (
+         |  SELECT label, generate_subscripts(e, 1) AS d, unnest(e) AS x FROM c
+         |), cent AS (
+         |  SELECT label, list(round(av, 6) ORDER BY d) AS ce
+         |  FROM (SELECT label, d, avg(x) AS av FROM flat GROUP BY label, d)
+         |  GROUP BY label
+         |), q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT qid, label, row_number() OVER (
+         |    PARTITION BY qid ORDER BY ${cosD("qe", "ce")} DESC, label) AS prnk
+         |  FROM q, cent
+         |), best AS (SELECT qid, label FROM probe WHERE prnk = 1),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, ${cosD("qe", "c.e")} AS cs
+         |  FROM q JOIN best ON q.qid = best.qid
+         |  JOIN c ON c.label = best.label
+         |), ranked AS (
+         |  SELECT qid, vec_id, cs, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk FROM scored
+         |)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
+      (s, dir) =>
+        val v = vecsS(s, dir)
+        val c = v.filter(col("vec_id") >= 5)
+        val cent = c.selectExpr("label", "posexplode(e) AS (d0, x)")
+          .groupBy("label", "d0").agg(avg("x").as("av"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(d0, av))), p -> round(p.av, 6)) AS ce"))
+        val q = v.filter(col("vec_id") < 5).selectExpr("vec_id AS qid", "e AS qe")
+        val best = q.join(broadcast(cent))
+          .withColumn("prnk", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(expr(cosS("qe", "ce")).desc, col("label"))))
+          .filter(col("prnk") === 1)
+          .select("qid", "label")
+        q.join(broadcast(best), "qid")
+          .join(c.selectExpr("vec_id", "e", "label AS clabel"), expr("clabel = label"))
+          .selectExpr("qid", "vec_id", s"${cosS("qe", "e")} AS cs")
+          .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
+          .filter(col("rnk") <= 3)
+          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
+          .orderBy("qid", "rnk")
+    }
+  )
+}
