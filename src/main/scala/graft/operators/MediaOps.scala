@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video payloads travel as opaque
+  * `binary` columns next to a typed metadata struct, and per-batch
+  * decode / feature-extract / resize / frame-sample run as `mapPartitions`
+  * over a typed Dataset.
+  *
+  * The codecs themselves are STUBS (no image/audio libraries in this
+  * environment): `decodeMeta` parses a deterministic 16-byte fake header
+  * and `sampleFrames` slices the payload at fixed strides. Everything
+  * Spark-side — schema, encoders, partition-batched iteration, the shape
+  * of the UDF-free pipeline — is real and tested.
+  *
+  * Scale notes (100 TB): payloads never pass through a shuffle — all media
+  * transforms are narrow (mapPartitions); only extracted metadata (small
+  * structs) flows into joins/aggregations downstream. Batch size per task
+  * is bounded by `spark.sql.files.maxPartitionBytes`, so executor memory
+  * holds one partition's worth of payload at a time, streamed by the
+  * iterator (never materialized as a list).
+  */
+object MediaOps {
+
+  /** A multimodal record: `payload` is the opaque blob. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  final case class MediaMeta(
+      width: Int, height: Int, sampleRate: Int, nChannels: Int, durationMs: Long)
+
+  final case class DecodedRow(
+      doc_id: Long, media_type: String, n_bytes: Long, meta: MediaMeta,
+      payload: Array[Byte])
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Deterministic fake header: the first 16 payload bytes define the
+    * metadata via arithmetic, standing in for a real codec header parse.
+    */
+  private[operators] def parseHeader(payload: Array[Byte]): MediaMeta = {
+    def b(i: Int): Int = if (i < payload.length) payload(i) & 0xff else 0
+    MediaMeta(
+      width = 16 * (1 + b(0) % 64),
+      height = 16 * (1 + b(1) % 48),
+      sampleRate = 8000 * (1 + b(2) % 6),
+      nChannels = 1 + b(3) % 2,
+      durationMs = payload.length.toLong * 4L)
+  }
+
+  /** Decode pass: iterator-in/iterator-out per partition — the real
+    * batch shape a native decoder binding would use (one codec context
+    * per partition, amortized over rows).
+    */
+  def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition "codec init" would go here
+      it.map { r =>
+        DecodedRow(r.doc_id, r.media_type, r.payload.length.toLong,
+          parseHeader(r.payload), r.payload)
+      }
+    }
+  }
+
+  /** Resize stub: halves dimensions, truncates payload proportionally. */
+  def resize(ds: Dataset[DecodedRow], maxSide: Int): Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val scale = math.max(1, math.max(r.meta.width, r.meta.height) / maxSide)
+        val m = r.meta.copy(width = r.meta.width / scale, height = r.meta.height / scale)
+        val keep = math.max(1, r.payload.length / (scale * scale))
+        DecodedRow(r.doc_id, r.media_type, r.n_bytes, m, r.payload.take(keep))
+      }
+    }
+  }
+
+  /** Frame sampling stub: every `stride` bytes becomes one "frame". */
+  def sampleFrames(ds: Dataset[DecodedRow], nFrames: Int): Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val n = math.min(nFrames, math.max(1, r.payload.length / 16))
+      (0 until n).iterator.map { i =>
+        val off = (r.payload.length.toLong * i / n).toInt
+        FrameRow(r.doc_id, i, r.payload.slice(off, math.min(off + 16, r.payload.length)))
+      }
+    }
+  }
+
+  /** Build a media table from `documents`: utf-8 payload + type by modulo
+    * (deterministic, so the DuckDB oracle can reproduce the arithmetic).
+    */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.selectExpr(
+      "doc_id",
+      "element_at(array('image', 'audio', 'video'), CAST(doc_id % 3 AS INT) + 1) AS media_type",
+      "encode(text, 'UTF-8') AS payload")
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. Pure Spark SQL
+  * expressions — narrow, codegen-friendly, no shuffle.
+  */
+object TextOps {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
+
+  private def tokensExpr(textCol: String) = s"split(lower(trim($textCol)), '\\\\s+')"
+
+  /** Stopword-vote language ID; adds `s_<lang>` scores and `predicted`. */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val withTk = df.withColumn("_tk", expr(tokensExpr(textCol)))
+    val scored = langs.foldLeft(withTk) { (d, l) =>
+      val arr = stopwords(l).map(w => s"'$w'").mkString("array(", ", ", ")")
+      d.withColumn(s"s_$l", expr(s"CAST(size(filter(_tk, w -> array_contains($arr, w))) AS BIGINT)"))
+    }
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    scored
+      .withColumn("predicted", expr(s"CASE $cases ELSE '${langs.last}' END"))
+      .drop("_tk")
+  }
+
+  /** Length/punctuation/stopword quality features + a combined score. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val stop = stopwords("en").take(8).map(w => s"'$w'").mkString("array(", ", ", ")")
+    df.withColumn("_tk", expr(tokensExpr(textCol)))
+      .withColumn("n_chars", expr(s"CAST(length($textCol) AS BIGINT)"))
+      .withColumn("n_tokens", expr("CAST(size(_tk) AS BIGINT)"))
+      .withColumn("alpha_ratio",
+        expr(s"CAST(length(regexp_replace($textCol, '[^a-z]', '')) AS DOUBLE) / length($textCol)"))
+      .withColumn("punct_ratio",
+        expr(s"CAST(length(regexp_replace($textCol, '[^.,!?;:]', '')) AS DOUBLE) / length($textCol)"))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(_tk, w -> array_contains($stop, w))) AS DOUBLE) / size(_tk)"))
+      .withColumn("quality",
+        expr("0.4 * stop_ratio + 0.3 * alpha_ratio + 0.3 * least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"))
+      .drop("_tk")
+  }
+
+  /** Whitespace + regex token counts and type-token ratio. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_tk", expr(tokensExpr(textCol)))
+      .withColumn("n_ws", expr("CAST(size(_tk) AS BIGINT)"))
+      .withColumn("n_re", expr(s"CAST(size(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)) AS BIGINT)"))
+      .withColumn("n_distinct", expr("CAST(size(array_distinct(_tk)) AS BIGINT)"))
+      .withColumn("ttr", expr("CAST(n_distinct AS DOUBLE) / n_ws"))
+      .drop("_tk")
+
+  /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
+  def fingerprint(textCol: Column): Column =
+    expr(s"aggregate(split(${textCol.toString}, ''), CAST(0 AS BIGINT), " +
+      "(h, c) -> (h * 31 + ascii(c)) % 1000000007)")
+}

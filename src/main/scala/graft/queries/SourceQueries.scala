@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.MediaOps
+import graft.sources.Tables
+
+/** Pluggable-source coverage (reference: src/backend/dataSource.js — any
+  * `AsyncDataSource` can feed the engine; here any `spark.read` format can)
+  * plus the multimodal pipeline query.
+  *
+  * The csv/json queries materialize a real csv/json copy of a parquet
+  * table in a scratch dir, read it back through the corresponding reader
+  * with an explicit schema, and aggregate — proving the engine is
+  * source-agnostic end to end. The oracle reads the original parquet, so
+  * the round-trip itself is under test.
+  */
+object SourceQueries {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_$name"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_csv_source",
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (s, dir) =>
+        val path = scratch("nation_csv")
+        Tables(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").csv(path)
+        s.read.option("header", "true")
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING")
+          .csv(path)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+               sum("n_nationkey").cast("bigint").as("key_sum"),
+               min("n_name").as("first_name"))
+          .orderBy("n_regionkey")
+    },
+
+    QueryDef("q_json_source",
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) {
+      (s, dir) =>
+        val path = scratch("nation_json")
+        Tables(s, dir, "nation").write.mode("overwrite").json(path)
+        s.read
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING")
+          .json(path)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+               sum("n_nationkey").cast("bigint").as("key_sum"),
+               min("n_name").as("first_name"))
+          .orderBy("n_regionkey")
+    },
+
+    // ---- Multimodal: binary payload + typed metadata through the real
+    // mapPartitions decode/resize/frame-sample plumbing (stubbed codecs;
+    // the oracle reproduces the stub arithmetic from the text bytes). ----
+    QueryDef("q_multimodal_meta",
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    strlen(text) AS len,
+        |    ascii(substr(text, 1, 1)) AS b0, ascii(substr(text, 2, 1)) AS b1,
+        |    ascii(substr(text, 3, 1)) AS b2, ascii(substr(text, 4, 1)) AS b3
+        |  FROM documents WHERE doc_id < 200
+        |), m AS (
+        |  SELECT doc_id, media_type, len,
+        |    16 * (1 + b0 % 64) AS width, 16 * (1 + b1 % 48) AS height,
+        |    8000 * (1 + b2 % 6) AS sample_rate, 1 + b3 % 2 AS n_channels
+        |  FROM t
+        |), r AS (
+        |  SELECT *, greatest(1, greatest(width, height) // 256) AS scale FROM m
+        |)
+        |SELECT doc_id, media_type,
+        |  CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(n_channels AS BIGINT) AS n_channels,
+        |  CAST(len * 4 AS BIGINT) AS duration_ms,
+        |  CAST(width // scale AS BIGINT) AS rs_width,
+        |  CAST(height // scale AS BIGINT) AS rs_height,
+        |  CAST(least(4, greatest(1, greatest(1, len // (scale * scale)) // 16)) AS BIGINT) AS n_frames
+        |FROM r ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val media = MediaOps.fromDocuments(
+          Tables(s, dir, "documents").filter(col("doc_id") < 200))
+        val decoded = MediaOps.decode(media)
+        val resized = MediaOps.resize(decoded, maxSide = 256)
+        val frames = MediaOps.sampleFrames(resized, nFrames = 4)
+          .groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_frames"))
+        decoded.toDF().as("d")
+          .join(resized.toDF().selectExpr(
+            "doc_id", "meta.width AS rs_width", "meta.height AS rs_height").as("r"), "doc_id")
+          .join(frames, "doc_id")
+          .selectExpr("doc_id", "media_type",
+            "n_bytes",
+            "CAST(meta.width AS BIGINT) AS width", "CAST(meta.height AS BIGINT) AS height",
+            "CAST(meta.sampleRate AS BIGINT) AS sample_rate",
+            "CAST(meta.nChannels AS BIGINT) AS n_channels",
+            "CAST(meta.durationMs AS BIGINT) AS duration_ms",
+            "CAST(rs_width AS BIGINT) AS rs_width",
+            "CAST(rs_height AS BIGINT) AS rs_height",
+            "n_frames")
+          .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection over planted duplicates (mirrors the semantics the
+  * oracle-checked queries verify bit-for-bit at sf0.01).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                          // exact dup of 0
+    (2L, base.replace("today", "tomorrow")),             // near dup of 0
+    (3L, "completely different words about spark query engines and shuffles here"),
+    (4L, "another unrelated document mentioning catalyst optimizer rules only now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per duplicate group") {
+    val groups = Dedup.exact(docs, Seq("text"), "doc_id").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.dropExact(docs, Seq("text"), "doc_id").count() == 4)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", k = 8, bands = 4, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val sh = Dedup.simhash64(docs, "text").select("doc_id", "simhash")
+    val h = sh.as[(Long, Long)].collect().toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(dist(0, 1) == 0)
+    assert(dist(0, 2) < dist(0, 3))
+    assert(dist(0, 2) < dist(0, 4))
+  }
+
+  test("cosine pairs finds identical embeddings within buckets") {
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("language id votes by stopword lists") {
+    val df = Seq(
+      (0L, "the cat is on the mat and the dog is in the house"),
+      (1L, "der hund ist nicht mit der katze und das ist gut"),
+      (2L, "le chat est dans la maison et le chien est pour une promenade")
+    ).toDF("doc_id", "text")
+    val out = TextOps.languageId(df, "text").select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(0L) == "en"); assert(out(1L) == "de"); assert(out(2L) == "fr")
+  }
+
+  test("quality and token stats produce sane ranges") {
+    val out = TextOps.tokenStats(TextOps.qualityScore(docs, "text"), "text")
+      .select("doc_id", "quality", "ttr", "n_ws", "n_re").collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("quality") > 0.0 && r.getAs[Double]("quality") <= 1.0)
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Long]("n_ws") == r.getAs[Long]("n_re"))
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.MediaOps
+import graft.operators.MediaOps.MediaRow
+
+/** Multimodal plumbing: schema, batch shape, deterministic stub codecs. */
+class MediaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRow(0L, "image", Array.fill[Byte](800)(65)),
+    MediaRow(1L, "audio", Array.tabulate[Byte](100)(i => (i % 127).toByte)),
+    MediaRow(2L, "video", Array.fill[Byte](40)(7))
+  ).toDS()
+
+  test("decode extracts typed metadata from binary payloads") {
+    val d = MediaOps.decode(media).collect().sortBy(_.doc_id)
+    assert(d.map(_.n_bytes).toSeq == Seq(800L, 100L, 40L))
+    assert(d(0).meta.width == 16 * (1 + 65 % 64))
+    assert(d(0).meta.durationMs == 3200L)
+    assert(d.forall(r => r.meta.nChannels >= 1 && r.meta.sampleRate >= 8000))
+  }
+
+  test("resize shrinks dimensions and payload deterministically") {
+    val r = MediaOps.resize(MediaOps.decode(media), maxSide = 16).collect().sortBy(_.doc_id)
+    r.foreach { x =>
+      assert(math.max(x.meta.width, x.meta.height) <= 16 * math.max(1, 48))
+      assert(x.payload.length >= 1)
+    }
+  }
+
+  test("frame sampling emits bounded frames with correct indices") {
+    val f = MediaOps.sampleFrames(MediaOps.decode(media), nFrames = 4).collect()
+    val byDoc = f.groupBy(_.doc_id)
+    assert(byDoc(0L).length == 4)
+    assert(byDoc(2L).length == math.min(4, 40 / 16))
+    byDoc.values.foreach(fr =>
+      assert(fr.map(_.frame_idx).sorted.toSeq == (0 until fr.length).toSeq))
+    assert(f.forall(_.frame.length <= 16))
+  }
+
+  test("payload transforms are narrow (no shuffle in the plan)") {
+    val plan = MediaOps.decode(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming coverage: watermarked windowed aggregation and
+  * custom stateful sessionization over a MemoryStream (reference is a
+  * streaming engine; this is the Spark-native analog — SURVEY.md §2.6).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch 0: the stateful operators' late-row filter drops
+  // rows at or below the initial watermark
+  private val base = 3600000L
+  private def ts(min: Int): Timestamp = new Timestamp(base + min * 60000L)
+
+  test("watermarked tumbling-window aggregation emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.windowedCounts(input.toDF(), watermark = "10 minutes", window = "5 minutes")
+      .writeStream.format("memory").queryName("win_agg").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 2.0),
+        Event(ts(3), 1L, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData(Event(ts(40), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .selectExpr("event_type", "n", "total").as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(ts(0), 1L, "click", 1.0), Event(ts(5), 1L, "click", 2.0),
+        Event(ts(8), 1L, "view", 3.0))
+      q.processAllAvailable()
+      // a later burst for the same user beyond the gap closes session 1
+      input.addData(Event(ts(60), 1L, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .selectExpr("user_id", "start_ms", "end_ms", "n_events", "total")
+        .as[(Long, Long, Long, Int, Double)].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head == ((1L, base, base + 8 * 60000L, 3, 6.0)))
+    } finally q.stop()
+  }
+}
