@@ -140,10 +140,13 @@ object CoreQueries {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin) {
       (s, dir) =>
+        // top-(limit+offset) then drop: plans as TakeOrderedAndProject
+        // (per-partition top-60 + driver merge) instead of a full global
+        // sort feeding a single-partition offset.
         t(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus")
           .orderBy("o_orderkey")
-          .offset(40).limit(20)
+          .limit(60).offset(40)
     },
 
     // ---- DISTINCT -----------------------------------------------------

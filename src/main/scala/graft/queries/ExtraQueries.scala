@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Round-2 coverage completion: set-op ALL variants, LATERAL, the
+  * remaining function aliases from the reference inventory
+  * (reference: src/validation/functions.js), the json_each table
+  * function, and the nondeterministic surface (current_date/time/
+  * timestamp, rand) as sanity-checkable outputs.
+  */
+object ExtraQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_intersect_all",
+      """SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 2000
+        |INTERSECT ALL SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "customer").filter(col("c_custkey") < 2000)
+          .select(col("c_nationkey").as("nk"))
+          .intersectAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+          .orderBy("nk")
+    },
+
+    QueryDef("q_except_all",
+      """SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 200
+        |EXCEPT ALL SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_nationkey").as("nk"))
+          .exceptAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+          .orderBy("nk")
+    },
+
+    // LATERAL correlated subquery in FROM (reference: NestedLoopJoin with
+    // LATERAL — src/execute/join.js; Spark plans it as a correlated join).
+    QueryDef("q_lateral",
+      """SELECT n.n_name, CAST(t.total AS DOUBLE) AS total
+        |FROM nation n, LATERAL (
+        |  SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM supplier WHERE s_nationkey = n.n_nationkey
+        |) t
+        |WHERE t.total IS NOT NULL
+        |ORDER BY n.n_name""".stripMargin) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT n.n_name, CAST(t.total AS DOUBLE) AS total
+            |FROM nation n, LATERAL (
+            |  SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |  FROM supplier WHERE s_nationkey = n.n_nationkey
+            |) t
+            |WHERE t.total IS NOT NULL
+            |ORDER BY n.n_name""".stripMargin)
+    },
+
+    // Function aliases the reference registry exposes beyond the primary
+    // names already covered (CEIL/POW/SUBSTRING/CARDINALITY/COT/COUNTIF/
+    // EXTRACT/REGEXP_SUBSTR).
+    QueryDef("q_func_aliases",
+      """SELECT o_orderkey,
+        |  CAST(ceil(o_totalprice) AS DOUBLE) AS ce,
+        |  CAST(pow(2, mod(o_orderkey, 5)) AS DOUBLE) AS pw,
+        |  substring(o_orderpriority, 1, 3) AS pri,
+        |  CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS card,
+        |  round(cot(1.0 + mod(o_orderkey, 3)), 6) AS ct,
+        |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+        |  regexp_extract(o_orderpriority, '[A-Z]+') AS word
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "orders").filter(col("o_orderkey") < 200)
+          .selectExpr("o_orderkey",
+            "CAST(ceil(o_totalprice) AS DOUBLE) AS ce",
+            "CAST(pow(2, mod(o_orderkey, 5)) AS DOUBLE) AS pw",
+            "substring(o_orderpriority, 1, 3) AS pri",
+            "CAST(cardinality(split(o_orderpriority, '-')) AS BIGINT) AS card",
+            "round(cot(1.0D + mod(o_orderkey, 3)), 6) AS ct",
+            "CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo",
+            "regexp_substr(o_orderpriority, '[A-Z]+') AS word")
+          .orderBy("o_orderkey")
+    },
+
+    // COUNTIF + json aggregate/query/each family.
+    QueryDef("q_json_more",
+      """WITH e AS (SELECT event_id, event_type, props FROM events WHERE event_id < 500)
+        |SELECT event_type,
+        |  CAST(count_if(event_id % 2 = 0) AS BIGINT) AS n_even,
+        |  to_json(list_sort(list(event_id))) AS ids_json,
+        |  min(json_extract_string(props, '$.k')) AS k_min
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "events").filter(col("event_id") < 500)
+          .groupBy("event_type")
+          .agg(
+            expr("CAST(count_if(event_id % 2 = 0) AS BIGINT) AS n_even"),
+            expr("to_json(array_sort(collect_list(event_id))) AS ids_json"),
+            expr("min(get_json_object(props, '$.k')) AS k_min"))
+          .orderBy("event_type")
+    },
+
+    // json_each analog: one row per key/value of a JSON object column.
+    QueryDef("q_json_each",
+      """SELECT event_id, k, json_extract_string(props, '$.' || k) AS v
+        |FROM (
+        |  SELECT event_id, props, unnest(json_keys(props)) AS k
+        |  FROM events WHERE event_id < 50
+        |) ORDER BY event_id, k""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "events").filter(col("event_id") < 50)
+          .selectExpr("event_id", "explode(from_json(props, 'map<string,string>')) AS (k, v)")
+          .orderBy("event_id", "k")
+    },
+
+    // Nondeterministic surface pinned to checkable booleans.
+    QueryDef("q_current",
+      """SELECT
+        |  year(current_date) >= 2026 AS cd_ok,
+        |  current_timestamp >= CAST(current_date AS TIMESTAMP) AS ct_ok,
+        |  current_time IS NOT NULL AS t_ok""".stripMargin) {
+      (s, _) =>
+        s.sql(
+          """SELECT
+            |  year(current_date) >= 2026 AS cd_ok,
+            |  current_timestamp() >= CAST(current_date AS TIMESTAMP) AS ct_ok,
+            |  date_format(current_timestamp(), 'HH:mm:ss') IS NOT NULL AS t_ok""".stripMargin)
+    },
+
+    // rand()/random() — value range sanity (rows-only would also pass, but
+    // the bounds are assertable cross-engine).
+    QueryDef("q_random",
+      """SELECT CAST(count(*) AS BIGINT) AS n_in_range FROM (
+        |  SELECT random() AS r FROM range(1000)
+        |) WHERE r >= 0 AND r < 1""".stripMargin) {
+      (s, _) =>
+        s.sql(
+          """SELECT CAST(count(*) AS BIGINT) AS n_in_range FROM (
+            |  SELECT rand() AS r FROM range(1000)
+            |) WHERE r >= 0 AND r < 1""".stripMargin)
+    },
+
+    // Remaining spatial predicate battery: equal-size axis-aligned boxes
+    // make every predicate an exact interval-arithmetic oracle (mirrors
+    // Ops semantics: intersects counts boundary contact; overlaps requires
+    // same dimension, intersection, and no containment/equality; touches
+    // requires boundary-only contact; crosses needs a dim-1 vs dim-2 pair
+    // whose interiors meet without containment).
+    QueryDef("q_spatial_predicates2",
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey % 20 AS DOUBLE) AS x0,
+        |    CAST(c_custkey % 13 AS DOUBLE) AS y0
+        |  FROM customer WHERE c_custkey < 500
+        |), r AS (
+        |  SELECT id, x0, y0,
+        |    greatest(x0, 5.0) AS ixl, least(x0 + 7, 12.0) AS ixh,
+        |    greatest(y0, 4.0) AS iyl, least(y0 + 5, 9.0) AS iyh
+        |  FROM p
+        |)
+        |SELECT id,
+        |  (ixl <= ixh AND iyl <= iyh) AS b_intersects,
+        |  (x0 = 5 AND y0 = 4) AS b_equals,
+        |  ((ixl <= ixh AND iyl <= iyh) AND NOT (x0 = 5 AND y0 = 4)) AS b_overlaps,
+        |  ((ixl <= ixh AND iyl <= iyh) AND NOT (ixl < ixh AND iyl < iyh)) AS b_touches,
+        |  (x0 = 5 AND y0 = 4) AS b_covers,
+        |  (x0 = 5 AND y0 = 4) AS b_coveredby,
+        |  (y0 + 2.5 > 4 AND y0 + 2.5 < 9 AND greatest(x0 - 1, 5.0) < least(x0 + 8, 12.0)) AS b_crosses
+        |FROM r ORDER BY id""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "customer").filter(col("c_custkey") < 500)
+          .selectExpr("c_custkey AS id",
+            "CAST(c_custkey % 20 AS DOUBLE) AS x0",
+            "CAST(c_custkey % 13 AS DOUBLE) AS y0")
+          .selectExpr("id",
+            "st_makeenvelope(x0, y0, x0 + 7, y0 + 5) AS b",
+            "st_makeenvelope(5.0D, 4.0D, 12.0D, 9.0D) AS a",
+            "st_geomfromtext(concat('LINESTRING (', x0 - 1, ' ', y0 + 2.5, ', ', x0 + 8, ' ', y0 + 2.5, ')')) AS l")
+          .selectExpr("id",
+            "st_intersects(a, b) AS b_intersects",
+            "st_equals(a, b) AS b_equals",
+            "st_overlaps(a, b) AS b_overlaps",
+            "st_touches(a, b) AS b_touches",
+            "st_covers(a, b) AS b_covers",
+            "st_coveredby(b, a) AS b_coveredby",
+            "st_crosses(l, a) AS b_crosses")
+          .orderBy("id")
+    }
+  )
+}

@@ -45,11 +45,21 @@ object PipelineQueries {
   private val shD =
     "list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])"
 
-  /** MinHash value for seed `s` over shingle array `sh`. */
+  /** MinHash via affine rehash: the md5-derived base hash is computed ONCE
+    * per shingle (column `hs`, reduced mod p = 2^31-1), then each of the k
+    * "hash functions" is a cheap exact-integer affine map (A_s*h + B_s) mod
+    * p — 8x fewer md5 evaluations than hashing per seed, identical
+    * minhash statistics, and still bit-exact across engines.
+    */
+  private val MinhashP = 2147483647L
+  private val MinhashA = Seq(1000003L, 1000033L, 1000037L, 1000039L,
+    1000081L, 1000099L, 1000117L, 1000121L)
   private def minhashS(seed: Int) =
-    s"array_min(transform(sh, g -> ${h60s(s"concat('$seed:', g)")}))"
+    s"array_min(transform(hs, h -> (${MinhashA(seed)} * h + ${seed * 7919 + 1}) % $MinhashP))"
   private def minhashD(seed: Int) =
-    s"list_min(list_transform(sh, g -> ${h60d(s"concat('$seed:', g)")}))"
+    s"list_min(list_transform(hs, h -> (${MinhashA(seed)} * h + ${seed * 7919 + 1}) % $MinhashP))"
+  private val hsS = s"transform(sh, g -> ${h60s("g")} % $MinhashP)"
+  private val hsD = s"list_transform(sh, g -> ${h60d("g")} % $MinhashP)"
 
   val all: Seq[QueryDef] = Seq(
 
@@ -74,15 +84,18 @@ object PipelineQueries {
          |  SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 40
          |), sh AS (
          |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), hsl AS (
+         |  SELECT doc_id, $hsD AS hs FROM sh
          |)
          |SELECT doc_id,
          |$sigs
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM hsl ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       docs(s, dir).filter(col("doc_id") < 40)
         .selectExpr("doc_id", s"$toksS AS tk")
         .filter(expr("size(tk) >= 3"))
         .selectExpr("doc_id", s"$shS AS sh")
+        .selectExpr("doc_id", s"$hsS AS hs")
         .selectExpr("doc_id" +: (0 until 8).map(k => s"${minhashS(k)} AS s$k"): _*)
         .orderBy("doc_id")
     },
@@ -99,7 +112,7 @@ object PipelineQueries {
          |), shl AS (
          |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
          |), sig AS (
-         |  SELECT doc_id, sh, $sigs FROM shl
+         |  SELECT doc_id, sh, $sigs FROM (SELECT doc_id, sh, $hsD AS hs FROM shl)
          |), bands AS (
          |  $bandSel
          |), cand AS (
@@ -120,6 +133,7 @@ object PipelineQueries {
         .filter(expr("size(tk) >= 3"))
         .selectExpr("doc_id", s"$shS AS sh")
       val sig = shingled
+        .selectExpr("doc_id", "sh", s"$hsS AS hs")
         .selectExpr(Seq("doc_id", "sh") ++ (0 until 8).map(k => s"${minhashS(k)} AS s$k"): _*)
       val bands = sig.selectExpr("doc_id",
         "stack(4, " + (0 until 4).map(b => s"$b, concat(s${2 * b}, ':', s${2 * b + 1})").mkString(", ") +

@@ -40,11 +40,26 @@ object VectorQueries {
   private def cosD(a: String, b: String) =
     s"round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6)"
 
-  /** Shared hash bit for hyperplane p, dimension d (see PipelineQueries). */
+  /** Hyperplane sign vectors, precomputed from the SAME md5 derivation the
+    * oracle would use (bit 0 of the 60-bit md5 hash of "p:<plane>:<dim>")
+    * and inlined as array literals on BOTH engines — the md5 runs once per
+    * plan, not once per row per dimension.
+    */
+  def planeSigns(p: Int, dims: Int = 64): Seq[Double] =
+    (1 to dims).map { d =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p:$p:$d".getBytes("UTF-8"))
+      val hex = digest.map(b => f"$b%02x").mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+    }
+  private def planeArrS(p: Int) =
+    planeSigns(p).map(v => s"${v}D").mkString("array(", ", ", ")")
+  private def planeArrD(p: Int) =
+    planeSigns(p).mkString("[", ", ", "]::DOUBLE[]")
   private def planeS(p: Int) =
-    s"aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, d) -> acc + element_at(e, d) * (CASE WHEN (CAST(conv(substr(md5(concat('p:$p:', CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) & 1) = 1 THEN 1.0D ELSE -1.0D END))"
+    s"aggregate(zip_with(e, ${planeArrS(p)}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
   private def planeD(p: Int) =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), d -> e[d] * (CASE WHEN ((('0x' || substr(md5(concat('p:$p:', CAST(d AS VARCHAR))), 1, 15))::BIGINT) & 1) = 1 THEN 1.0 ELSE -1.0 END))), (x, y) -> x + y)"
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), d -> e[d] * (${planeArrD(p)})[d])), (x, y) -> x + y)"
 
   private def vecsS(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
