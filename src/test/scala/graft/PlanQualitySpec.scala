@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** 100 TB-readiness assertions on the physical plans of headline queries:
+  * filters and projections must reach the parquet scan, small dimensions
+  * must broadcast, and narrow operators must not shuffle. These are the
+  * properties that decide whether a plan survives a 1000-executor scale-up.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  private def countShuffles(p: SparkPlan): Int = {
+    def walk(n: SparkPlan): Int = {
+      val self = n match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => 0
+      }
+      self + n.children.map(walk).sum
+    }
+    walk(p)
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val s = formatted("q_filter")
+    assert(s.contains("PushedFilters:") && s.contains("IsNotNull"), s.take(800))
+    val scanLine = s.linesIterator.find(_.contains("ReadSchema")).get
+    // the query touches a handful of lineitem columns, never all 16
+    assert(!scanLine.contains("l_comment"), scanLine)
+  }
+
+  test("small dimension joins broadcast instead of shuffling the fact side") {
+    assert(planOf("q_join_inner").contains("BroadcastHashJoin"))
+    assert(planOf("q_join_3way").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+    assert(planOf("q_limit_offset").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation does a map-side partial pass") {
+    val p = planOf("q_agg")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final")
+  }
+
+  test("minhash signature computation is a narrow pipeline (no shuffle)") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    // one shuffle allowed for the final ORDER BY, none for the signatures
+    val n = countShuffles(df.queryExecution.executedPlan)
+    assert(n <= 1, s"expected <=1 shuffle (order-by only), got $n")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    assert(planOf("q_ann_brute").contains("BroadcastNestedLoopJoin") ||
+      planOf("q_ann_brute").contains("BroadcastHashJoin"))
+  }
+
+  test("count(*) uses the parquet metadata fast path") {
+    val s = formatted("q_count_star")
+    assert(s.contains("LocalTableScan") || s.contains("RowCount") ||
+      !s.contains("FileScan"), s.take(500))
+  }
+}
