@@ -142,6 +142,57 @@ object ExtraQueries {
             |) WHERE r >= 0 AND r < 1""".stripMargin)
     },
 
+    // Batch sessionization (gaps-and-islands) — the oracle-checkable twin
+    // of streaming EventPipeline.sessionize, same 30-min gap semantics.
+    QueryDef("q_sessionize",
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sessionize.sessions(
+            Tables.events(s, dir), "user_id", "ts", "value",
+            gapSeconds = 1800, tieBreak = Seq("event_id"))
+          .selectExpr("user_id", "CAST(session_id AS BIGINT) AS session_id",
+            "session_start", "session_end", "n_events",
+            "CAST(total AS DOUBLE) AS total")
+          .orderBy("user_id", "session_id")
+    },
+
+    // Salted two-phase aggregation: skew-safe groupBy, same result as the
+    // plain GROUP BY oracle.
+    QueryDef("q_salted_agg",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(min(value) AS DOUBLE) AS vmin, CAST(max(value) AS DOUBLE) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        import graft.operators.Skew
+        val ev = Tables.events(s, dir)
+          .withColumn("value_d", expr("CAST(value AS DECIMAL(18,2))"))
+        Skew.saltedAggregate(ev, Seq("event_type"), salt = 8, Seq(
+            Skew.count2("n"), Skew.sum2("value_d", "total"),
+            Skew.min2("value", "vmin"), Skew.max2("value", "vmax")))
+          .selectExpr("event_type", "CAST(n AS BIGINT) AS n",
+            "CAST(total AS DOUBLE) AS total",
+            "CAST(vmin AS DOUBLE) AS vmin", "CAST(vmax AS DOUBLE) AS vmax")
+          .orderBy("event_type")
+    },
+
     // Remaining spatial predicate battery: equal-size axis-aligned boxes
     // make every predicate an exact interval-arithmetic oracle (mirrors
     // Ops semantics: intersects counts boundary contact; overlaps requires

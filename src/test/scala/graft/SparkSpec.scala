@@ -15,6 +15,8 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession.builder("graft-test", 4)
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
