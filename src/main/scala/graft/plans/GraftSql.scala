@@ -34,6 +34,7 @@ object GraftSql {
     "list_append" -> "array_append",
     "list_concat" -> "concat",
     "len" -> "size",
+    "unnest" -> "explode",
     "json_extract_string" -> "get_json_object")
 
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
