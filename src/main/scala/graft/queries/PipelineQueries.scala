@@ -138,7 +138,12 @@ object PipelineQueries {
       val bands = sig.selectExpr("doc_id",
         "stack(4, " + (0 until 4).map(b => s"$b, concat(s${2 * b}, ':', s${2 * b + 1})").mkString(", ") +
           ") AS (band, bkey)")
-      val cand = bands.as("a")
+      // materialize the (tiny: doc_id, band, 2-long key) band table so
+      // the md5 signature pass runs ONCE — a tree-shaped self-join would
+      // recompute it per side; at corpus scale the same role is played by
+      // checkpointing the signature table before the pair join
+      bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = bands.as("a").hint("shuffle_merge")
         .join(bands.as("b"),
           expr("a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"))
         .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id")
