@@ -35,6 +35,7 @@ object GraftSql {
     "list_concat" -> "concat",
     "len" -> "size",
     "unnest" -> "explode",
+    "countif" -> "count_if",
     "json_extract_string" -> "get_json_object")
 
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
@@ -57,6 +58,23 @@ object GraftSql {
     // epoch(x) → seconds since epoch as double
     s = raw"(?i)\bepoch\s*\(".r.replaceAllIn(s, "graft_epoch(")
 
+    // unit-form date_diff('day', a, b): reference semantics are calendar
+    // diff for YEAR/MONTH and truncated elapsed time for smaller units
+    // (reference: src/expression/date.js:110) — not Spark's datediff
+    s = raw"(?i)\b(date_diff|datediff)\s*\(\s*(?=')".r.replaceAllIn(s, "graft_datediff(")
+
+    // Postgres regexp operators: a ~ p / a !~ p / a NOT REGEXP p
+    s = raw"(?<=[\w'\)])\s+!~\s+".r.replaceAllIn(s, " NOT RLIKE ")
+    s = raw"(?<=[\w'\)])\s+~\s+(?=')".r.replaceAllIn(s, " RLIKE ")
+    s = raw"(?i)\bNOT\s+REGEXP\b".r.replaceAllIn(s, "NOT RLIKE")
+
+    // regexp_replace(..., 'g'): Spark replaces globally by default
+    s = raw"(?i)(regexp_replace\s*\([^()]*(?:\([^()]*\))?[^()]*),\s*'g'\s*\)".r
+      .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(m.group(1) + ")"))
+
+    // DuckDB SELECT * EXCLUDE (...) → Spark SELECT * EXCEPT (...)
+    s = raw"(?i)\*\s+EXCLUDE\s*\(".r.replaceAllIn(s, "* EXCEPT (")
+
     // regexp_matches(x, p) → x RLIKE p  (two-arg form only)
     s = raw"(?i)\bregexp_matches\s*\(([^,()]*(?:\([^()]*\))?[^,()]*),([^()]*(?:\([^()]*\))?[^()]*)\)".r
       .replaceAllIn(s, m => s"(${m.group(1)} RLIKE ${m.group(2)})")
@@ -75,11 +93,35 @@ object GraftSql {
   }
 
   /** SQL-callable helpers the rewrites target. */
-  def ensureHelpers(spark: SparkSession): Unit =
+  def ensureHelpers(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists("graft_epoch")) {
       spark.udf.register("graft_epoch",
         (ts: java.sql.Timestamp) => if (ts == null) null else {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
         })
     }
+    if (!spark.catalog.functionExists("graft_datediff")) {
+      spark.udf.register("graft_datediff",
+        (unit: String, a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+          if (unit == null || a == null || b == null) null
+          else {
+            val (ca, cb) = (java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC")),
+              java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC")))
+            ca.setTime(a); cb.setTime(b)
+            val ms = b.getTime - a.getTime
+            val out: java.lang.Long = unit.toUpperCase match {
+              case "YEAR" => (cb.get(java.util.Calendar.YEAR) - ca.get(java.util.Calendar.YEAR)).toLong
+              case "MONTH" =>
+                (cb.get(java.util.Calendar.YEAR) - ca.get(java.util.Calendar.YEAR)) * 12L +
+                  (cb.get(java.util.Calendar.MONTH) - ca.get(java.util.Calendar.MONTH))
+              case "DAY" => ms / 86400000L
+              case "HOUR" => ms / 3600000L
+              case "MINUTE" => ms / 60000L
+              case "SECOND" => ms / 1000L
+              case _ => null
+            }
+            out
+          })
+    }
+  }
 }

@@ -41,6 +41,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getAs[String]("ids") == "1")
   }
 
+  test("postgres regex operators and flags (syntax.md items)") {
+    Seq((1, "abc123"), (2, "xyz")).toDF("id", "s").createOrReplaceTempView("rx")
+    val rows = GraftSql.sql(spark,
+      """SELECT id, s ~ '[0-9]+' AS has_d, s !~ '[0-9]+' AS no_d,
+        |  regexp_replace(s, '[0-9]+', '#', 'g') AS repl
+        |FROM rx ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getBoolean(1) && !rows(0).getBoolean(2))
+    assert(rows(0).getString(3) == "abc#")
+    assert(!rows(1).getBoolean(1) && rows(1).getBoolean(2))
+    val ex = GraftSql.sql(spark, "SELECT * EXCLUDE (s) FROM rx ORDER BY id")
+    assert(ex.columns.toSeq == Seq("id"))
+  }
+
   test("epoch maps to unix seconds") {
     val r = GraftSql.sql(spark,
       "SELECT epoch(TIMESTAMP '1970-01-02 00:00:00') AS e").collect().head

@@ -197,6 +197,51 @@ class ReferenceParitySpec extends SparkSpec {
       Seq(Seq(2, "bob")))
   }
 
+  test("aggregates with FILTER / COUNTIF / ARRAY_AGG (execute.aggregate.test.js)") {
+    checkOrdered("SELECT COUNT(*) AS total, COUNT(manager_id) AS non_null FROM employees",
+      Seq(Seq(4, 3)))
+    checkOrdered("SELECT COUNTIF(active) AS active_count FROM users", Seq(Seq(4)))
+    checkOrdered("SELECT COUNTIF(age > 28) AS over_28 FROM users", Seq(Seq(3)))
+    checkOrdered(
+      "SELECT COUNT(*) FILTER (WHERE amount > 99) AS cnt, SUM(amount) FILTER (WHERE user_id = 1) AS s FROM orders",
+      Seq(Seq(3, 1050)))
+    checkOrdered("SELECT ARRAY_SORT(ARRAY_AGG(DISTINCT city)) AS cities FROM users",
+      Seq(Seq("""ArraySeq(LA, NYC)""")))
+    checkOrdered("SELECT COUNT(DISTINCT city) AS unique_cities FROM users", Seq(Seq(2)))
+    checkOrdered("SELECT AVG(age) AS a FROM users WHERE age > 100", Seq(Seq("<null>")))
+    checkOrdered("SELECT COUNT(*) AS cnt FROM users HAVING COUNT(*) > 10", Seq())
+  }
+
+  test("datetime and intervals (execute.datetime.test.js, execute.interval.test.js)") {
+    checkOrdered(
+      "SELECT CAST(TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 14 DAY AS STRING) AS d FROM users WHERE id = 1",
+      Seq(Seq("2025-01-15 00:00:00")))
+    checkOrdered(
+      "SELECT DATE_DIFF('day', TIMESTAMP '2025-01-01 12:00:00', TIMESTAMP '2025-01-03 11:00:00') AS d FROM users WHERE id = 1",
+      Seq(Seq(1)))
+    checkOrdered(
+      "SELECT DATE_DIFF('month', TIMESTAMP '2024-11-15 00:00:00', TIMESTAMP '2025-02-01 00:00:00') AS d FROM users WHERE id = 1",
+      Seq(Seq(3)))
+    checkOrdered(
+      "SELECT DATE_DIFF('hour', TIMESTAMP '2025-01-01 00:00:00', TIMESTAMP '2025-01-01 05:30:00') AS d FROM users WHERE id = 1",
+      Seq(Seq(5)))
+    checkOrdered(
+      "SELECT YEAR(TIMESTAMP '2025-06-15 10:30:00') AS y, MONTH(TIMESTAMP '2025-06-15 10:30:00') AS m, DATE_PART('day', TIMESTAMP '2025-06-15 10:30:00') AS dd FROM users WHERE id = 1",
+      Seq(Seq(2025, 6, 15)))
+  }
+
+  test("CTEs (execute.cte.test.js)") {
+    checkSet(
+      """WITH nyc AS (SELECT * FROM users WHERE city = 'NYC')
+        |SELECT name FROM nyc WHERE age >= 30""".stripMargin,
+      Seq(Seq("Alice"), Seq("Charlie"), Seq("Eve")))
+    checkSet(
+      """WITH a AS (SELECT id, age FROM users WHERE age > 27),
+        |     b AS (SELECT id FROM a WHERE age < 31)
+        |SELECT id FROM b""".stripMargin,
+      Seq(Seq(1), Seq(4), Seq(5)))
+  }
+
   test("json access (execute.json.test.js, execute.dot.test.js)") {
     Seq((1, """{"name": "widget", "specs": {"weight": 10}, "tags": ["a", "b"]}"""))
       .toDF("id", "doc").createOrReplaceTempView("jdocs")
