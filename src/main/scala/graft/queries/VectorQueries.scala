@@ -159,26 +159,34 @@ object VectorQueries {
            |FROM ranked WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin)
     },
 
-    // ---- ANN: IVF-style coarse quantize (label cells, centroid probe) ---
+    // ---- ANN: IVF coarse quantization with true nearest-centroid
+    // assignment: centroids seeded from labels, every corpus vector
+    // assigned to its nearest centroid, query probes its best cell only.
     QueryDef("q_ann_ivf",
       s"""WITH v AS ($vecsD),
          |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 5),
          |flat AS (
          |  SELECT label, generate_subscripts(e, 1) AS d, unnest(e) AS x FROM c
          |), cent AS (
-         |  SELECT label, list(round(av, 6) ORDER BY d) AS ce
+         |  SELECT label AS clabel, list(round(av, 6) ORDER BY d) AS ce
          |  FROM (SELECT label, d, avg(x) AS av FROM flat GROUP BY label, d)
          |  GROUP BY label
-         |), q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+         |), assign AS (
+         |  SELECT vec_id, e, clabel,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${cosD("e", "ce")} DESC, clabel) AS arnk
+         |  FROM c, cent
+         |), cells AS (SELECT vec_id, e, clabel AS cell FROM assign WHERE arnk = 1),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
          |probe AS (
-         |  SELECT qid, label, row_number() OVER (
-         |    PARTITION BY qid ORDER BY ${cosD("qe", "ce")} DESC, label) AS prnk
+         |  SELECT qid, qe, clabel,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosD("qe", "ce")} DESC, clabel) AS prnk
          |  FROM q, cent
-         |), best AS (SELECT qid, label FROM probe WHERE prnk = 1),
+         |), best AS (SELECT qid, qe, clabel AS cell FROM probe WHERE prnk = 1),
          |scored AS (
-         |  SELECT q.qid, c.vec_id, ${cosD("qe", "c.e")} AS cs
-         |  FROM q JOIN best ON q.qid = best.qid
-         |  JOIN c ON c.label = best.label
+         |  SELECT b.qid, k.vec_id, ${cosD("b.qe", "k.e")} AS cs
+         |  FROM best b JOIN cells k ON k.cell = b.cell
          |), ranked AS (
          |  SELECT qid, vec_id, cs, row_number() OVER (
          |    PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk FROM scored
@@ -186,26 +194,40 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
       (s, dir) =>
-        val v = vecsS(s, dir)
-        val c = v.filter(col("vec_id") >= 5)
-        val cent = c.selectExpr("label", "posexplode(e) AS (d0, x)")
-          .groupBy("label", "d0").agg(avg("x").as("av"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(d0, av))), p -> round(p.av, 6)) AS ce"))
-        val q = v.filter(col("vec_id") < 5).selectExpr("vec_id AS qid", "e AS qe")
-        val best = q.join(broadcast(cent))
-          .withColumn("prnk", row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy("qid").orderBy(expr(cosS("qe", "ce")).desc, col("label"))))
-          .filter(col("prnk") === 1)
-          .select("qid", "label")
-        q.join(broadcast(best), "qid")
-          .join(c.selectExpr("vec_id", "e", "label AS clabel"), expr("clabel = label"))
-          .selectExpr("qid", "vec_id", s"${cosS("qe", "e")} AS cs")
-          .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
-          .filter(col("rnk") <= 3)
-          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
-          .orderBy("qid", "rnk")
+        // one spark.sql text (CTE re-expansion — see q_ann_lsh note)
+        Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+        s.sql(
+          s"""WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label FROM embeddings),
+             |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 5),
+             |flat AS (
+             |  SELECT label, d, x FROM c LATERAL VIEW posexplode(e) t AS d, x
+             |), cent AS (
+             |  SELECT label AS clabel,
+             |    transform(array_sort(collect_list(struct(d, av))), p -> round(p.av, 6)) AS ce
+             |  FROM (SELECT label, d, avg(x) AS av FROM flat GROUP BY label, d)
+             |  GROUP BY label
+             |), assign AS (
+             |  SELECT vec_id, e, clabel,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY ${cosS("e", "ce")} DESC, clabel) AS arnk
+             |  FROM c, cent
+             |), cells AS (SELECT vec_id, e, clabel AS cell FROM assign WHERE arnk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |probe AS (
+             |  SELECT qid, qe, clabel,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY ${cosS("qe", "ce")} DESC, clabel) AS prnk
+             |  FROM q, cent
+             |), best AS (SELECT qid, qe, clabel AS cell FROM probe WHERE prnk = 1),
+             |scored AS (
+             |  SELECT /*+ BROADCAST(b) */ b.qid, k.vec_id, ${cosS("b.qe", "k.e")} AS cs
+             |  FROM best b JOIN cells k ON k.cell = b.cell
+             |), ranked AS (
+             |  SELECT qid, vec_id, cs, row_number() OVER (
+             |    PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk FROM scored
+             |)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
+             |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)
     }
   )
 }

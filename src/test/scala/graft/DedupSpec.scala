@@ -34,6 +34,12 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
   }
 
+  test("dropNearDuplicates keeps one survivor per near-dup cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L)) // 1 exact-dups 0; 2 near-dups 0
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val sh = Dedup.simhash64(docs, "text").select("doc_id", "simhash")
     val h = sh.as[(Long, Long)].collect().toMap
