@@ -30,5 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name),
         (args: Seq[Expression]) => StPredicate(args(0), args(1), name)))
     }
+    ext.injectFunction((FunctionIdentifier("graft_rolling_hash"), info("graft_rolling_hash"),
+      (args: Seq[Expression]) => graft.functions.text.RollingHash(args.head)))
   }
 }

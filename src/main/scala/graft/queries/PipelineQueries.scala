@@ -315,12 +315,12 @@ object PipelineQueries {
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fp_prefix
         |FROM t ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
+        // native codegen'd expression (functions/text/RollingHash) — same
+        // value as the SQL fold, no per-char array materialization
         docs(s, dir).filter(col("doc_id") < 150)
           .selectExpr("doc_id",
-            """aggregate(split(text, ''), CAST(0 AS BIGINT),
-              |  (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS fp_full""".stripMargin,
-            """aggregate(split(substr(text, 1, 64), ''), CAST(0 AS BIGINT),
-              |  (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS fp_prefix""".stripMargin)
+            "graft_rolling_hash(text) AS fp_full",
+            "graft_rolling_hash(substr(text, 1, 64)) AS fp_prefix")
           .orderBy("doc_id")
     }
   )

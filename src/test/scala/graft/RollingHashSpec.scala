@@ -1,0 +1,26 @@
+package graft
+
+/** Native fingerprint expression: equals the SQL fold and stays inside
+  * whole-stage codegen.
+  */
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the SQL aggregate formulation") {
+    val df = Seq("hello world", "", "a", "Spark Engine 42!").toDF("t")
+    val rows = df.selectExpr(
+      "graft_rolling_hash(t) AS native",
+      """aggregate(split(t, ''), CAST(0 AS BIGINT),
+        |  (h, c) -> (h * 31 + ascii(c)) % 1000000007) AS sql""".stripMargin)
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, s) => assert(n == s) }
+  }
+
+  test("participates in whole-stage codegen") {
+    val df = spark.range(100).selectExpr("graft_rolling_hash(CAST(id AS STRING)) AS h")
+    // "*(n)" prefixes mark operators compiled into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_rolling_hash"), plan.take(500))
+    assert(df.collect().length == 100)
+  }
+}

@@ -43,6 +43,36 @@ class SpatialSpec extends SparkSpec {
     assert(!Ops.dWithin(g("POINT (0 0)"), g("POINT (3 4)"), 4.9))
   }
 
+  test("point relations mirror reference pointRelations.test.js") {
+    val square = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val squareWithHole = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert(Ops.containsProperly(square, g("POINT (2 2)")))            // INSIDE
+    assert(!Ops.intersects(square, g("POINT (12 5)")))                // OUTSIDE
+    assert(Ops.contains(square, g("POINT (0 5)")) &&
+      !Ops.containsProperly(square, g("POINT (0 5)")))                // BOUNDARY (exterior ring)
+    assert(!Ops.contains(squareWithHole, g("POINT (5 5)")))           // inside the hole = OUTSIDE
+    assert(Ops.contains(squareWithHole, g("POINT (3 5)")) &&
+      !Ops.containsProperly(squareWithHole, g("POINT (3 5)")))        // hole boundary = BOUNDARY
+    val path = g("LINESTRING (0 0, 10 0, 10 10)")
+    assert(Ops.intersects(path, g("POINT (5 0)")))                    // on segment
+    assert(!Ops.intersects(path, g("POINT (5 1)")))                   // off the line
+    assert(Ops.touches(path, g("POINT (0 0)")))                       // endpoint = BOUNDARY
+    assert(!Ops.touches(path, g("POINT (5 0)")))                      // interior point ≠ touches
+  }
+
+  test("geometry equality mirrors reference equality.test.js") {
+    assert(Ops.geomEquals(g("POINT (1 2)"), g("POINT (1 2)")))
+    assert(!Ops.geomEquals(g("POINT (1 2)"), g("POINT (2 1)")))
+    assert(!Ops.geomEquals(g("POINT (1 2)"), g("LINESTRING (1 2, 3 4)")))
+    assert(Ops.geomEquals(g("LINESTRING (0 0, 1 1, 2 2)"), g("LINESTRING (2 2, 1 1, 0 0)"))) // reversed
+    assert(!Ops.geomEquals(g("LINESTRING (0 0, 1 1)"), g("LINESTRING (0 0, 1 1, 2 2)")))
+    assert(Ops.geomEquals( // ring rotation
+      g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      g("POLYGON ((4 0, 4 4, 0 4, 0 0, 4 0))")))
+    assert(Ops.geomEquals( // multipoint order-insensitive
+      g("MULTIPOINT ((1 2), (3 4))"), g("MULTIPOINT ((3 4), (1 2))")))
+  }
+
   test("ST_ expressions work end-to-end in SQL with constant folding") {
     val df = spark.sql(
       "SELECT st_contains(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), st_geomfromtext('POINT (2 2)')) AS c")
