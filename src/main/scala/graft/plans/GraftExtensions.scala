@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectFunction((FunctionIdentifier("graft_rolling_hash"), info("graft_rolling_hash"),
       (args: Seq[Expression]) => graft.functions.text.RollingHash(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hash60"), info("graft_hash60"),
+      (args: Seq[Expression]) => graft.functions.text.Hash60(args.head)))
   }
 }

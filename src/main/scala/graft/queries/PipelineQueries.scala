@@ -29,8 +29,11 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Shared deterministic 60-bit positive hash: top 15 hex digits of md5. */
-  private def h60s(x: String) = s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT)"
+  /** Shared deterministic 60-bit positive hash: top 15 hex digits of md5.
+    * Spark side uses the native codegen'd expression (functions/text/Hash60)
+    * — same value, no hex-string round-trip.
+    */
+  private def h60s(x: String) = s"graft_hash60($x)"
   private def h60d(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
 
   /** Word tokens (lowercased, whitespace split). */

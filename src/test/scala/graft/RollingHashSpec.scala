@@ -16,6 +16,15 @@ class RollingHashSpec extends SparkSpec {
     rows.foreach { case (n, s) => assert(n == s) }
   }
 
+  test("graft_hash60 equals the md5 hex-substring formulation") {
+    val df = Seq("a", "", "hello world", "shingle one two", "日本語テキスト").toDF("t")
+    val rows = df.selectExpr(
+      "graft_hash60(t) AS native",
+      "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) AS sql")
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, s) => assert(n == s) }
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(100).selectExpr("graft_rolling_hash(CAST(id AS STRING)) AS h")
     // "*(n)" prefixes mark operators compiled into a WholeStageCodegen stage
