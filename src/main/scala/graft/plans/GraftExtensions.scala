@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.RollingHash(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_hash60"), info("graft_hash60"),
       (args: Seq[Expression]) => graft.functions.text.Hash60(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (args: Seq[Expression]) => graft.functions.vector.DotProduct(args(0), args(1))))
   }
 }

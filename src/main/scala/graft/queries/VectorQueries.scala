@@ -28,9 +28,11 @@ import graft.sources.Tables
   */
 object VectorQueries {
 
-  /** Spark-side left-fold dot product over double arrays `a`,`b`. */
-  private def dotS(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Spark-side dot product: native codegen'd left fold (functions/vector/
+    * DotProduct) — bit-identical to the aggregate(zip_with(...)) fold the
+    * oracle mirrors, minus the interpreted lambdas.
+    */
+  private def dotS(a: String, b: String) = s"graft_dot($a, $b)"
   /** DuckDB-side identical left fold. */
   private def dotD(a: String, b: String) =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i])), (x, y) -> x + y)"
@@ -103,11 +105,15 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
       (s, dir) =>
+        // norms precomputed per vector (FP-identical to inline sqrt(dot)):
+        // the pair loop then does ONE dot product instead of three
         val v = vecsS(s, dir)
-        val q = v.filter(col("vec_id") < 5).selectExpr("vec_id AS qid", "e AS qe")
-        val c = v.filter(col("vec_id") >= 5).select("vec_id", "e")
+        val q = v.filter(col("vec_id") < 5)
+          .selectExpr("vec_id AS qid", "e AS qe", s"sqrt(${dotS("e", "e")}) AS qn")
+        val c = v.filter(col("vec_id") >= 5)
+          .selectExpr("vec_id", "e", s"sqrt(${dotS("e", "e")}) AS cn")
         c.join(broadcast(q))
-          .selectExpr("qid", "vec_id", s"${cosS("qe", "e")} AS cs")
+          .selectExpr("qid", "vec_id", s"round(${dotS("qe", "e")} / (qn * cn), 6) AS cs")
           .withColumn("rnk",
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
@@ -206,21 +212,23 @@ object VectorQueries {
              |    transform(array_sort(collect_list(struct(d, av))), p -> round(p.av, 6)) AS ce
              |  FROM (SELECT label, d, avg(x) AS av FROM flat GROUP BY label, d)
              |  GROUP BY label
-             |), assign AS (
-             |  SELECT vec_id, e, clabel,
+             |), cn AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm, clabel0 FROM (SELECT vec_id, e, label AS clabel0 FROM c)),
+             |centn AS (SELECT clabel, ce, sqrt(${dotS("ce", "ce")}) AS cnrm FROM cent),
+             |assign AS (
+             |  SELECT vec_id, e, nrm, clabel,
              |    row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY ${cosS("e", "ce")} DESC, clabel) AS arnk
-             |  FROM c, cent
-             |), cells AS (SELECT vec_id, e, clabel AS cell FROM assign WHERE arnk = 1),
-             |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+             |      ORDER BY round(${dotS("e", "ce")} / (nrm * cnrm), 6) DESC, clabel) AS arnk
+             |  FROM cn, centn
+             |), cells AS (SELECT vec_id, e, nrm, clabel AS cell FROM assign WHERE arnk = 1),
+             |q AS (SELECT vec_id AS qid, e AS qe, sqrt(${dotS("e", "e")}) AS qn FROM v WHERE vec_id < 5),
              |probe AS (
-             |  SELECT qid, qe, clabel,
+             |  SELECT qid, qe, qn, clabel,
              |    row_number() OVER (PARTITION BY qid
-             |      ORDER BY ${cosS("qe", "ce")} DESC, clabel) AS prnk
-             |  FROM q, cent
-             |), best AS (SELECT qid, qe, clabel AS cell FROM probe WHERE prnk = 1),
+             |      ORDER BY round(${dotS("qe", "ce")} / (qn * cnrm), 6) DESC, clabel) AS prnk
+             |  FROM q, centn
+             |), best AS (SELECT qid, qe, qn, clabel AS cell FROM probe WHERE prnk = 1),
              |scored AS (
-             |  SELECT /*+ BROADCAST(b) */ b.qid, k.vec_id, ${cosS("b.qe", "k.e")} AS cs
+             |  SELECT /*+ BROADCAST(b) */ b.qid, k.vec_id, round(${dotS("b.qe", "k.e")} / (b.qn * k.nrm), 6) AS cs
              |  FROM best b JOIN cells k ON k.cell = b.cell
              |), ranked AS (
              |  SELECT qid, vec_id, cs, row_number() OVER (
