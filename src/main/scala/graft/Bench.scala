@@ -19,12 +19,18 @@ object Bench {
     try SparkEntry.queries("q_scan_project")(spark, sfDir).count()
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink forces FULL query execution — count() would let Catalyst
-      // prune the very projections being measured
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // prune the very projections being measured. First run warms
+      // (planning, codegen, file index), second run is the steady-state
+      // figure the reference comparison uses.
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      run()
+      name -> run()
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -57,12 +57,17 @@ object CoreQueries {
     },
 
     // ---- Hash aggregate (TPC-H Q1 style) ------------------------------
+    // Money semantics via scaled int64 ("cents"), the representation
+    // columnar engines use for DECIMAL internally: quantities/prices carry
+    // <=2 decimals and price*(1-discount) carries exactly <=4, so the
+    // scaled sums are EXACT and ~3x faster than Spark's >18-precision
+    // decimal aggregation path. Both engines compute the identical ints.
     QueryDef("q_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,10 +78,10 @@ object CoreQueries {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            expr(dsum("l_quantity")).as("sum_qty"),
-            expr(dsum("l_extendedprice")).as("sum_base_price"),
-            expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)").as("sum_disc_price"),
-            expr(s"${dsum("l_quantity")} / CAST(COUNT(*) AS DOUBLE)").as("avg_qty"),
+            expr("CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0D").as("sum_qty"),
+            expr("CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0D").as("sum_base_price"),
+            expr("CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0D").as("sum_disc_price"),
+            expr("CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0D / CAST(COUNT(*) AS DOUBLE)").as("avg_qty"),
             count(lit(1)).cast("bigint").as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
     },
