@@ -15,7 +15,7 @@ object AnalyticsQueries {
 
     QueryDef("q_rollup",
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem
@@ -25,7 +25,7 @@ object AnalyticsQueries {
         Tables.registerAll(s, dir)
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+            |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty,
             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
             |FROM lineitem
