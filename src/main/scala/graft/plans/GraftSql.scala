@@ -75,6 +75,12 @@ object GraftSql {
     // DuckDB SELECT * EXCLUDE (...) → Spark SELECT * EXCEPT (...)
     s = raw"(?i)\*\s+EXCLUDE\s*\(".r.replaceAllIn(s, "* EXCEPT (")
 
+    // two-arg regexp_extract returns the WHOLE match in the reference
+    // dialect; Spark defaults to capture group 1 — pin group 0
+    s = raw"(?i)\bregexp_extract\s*\(([^,()]+),\s*('[^']*')\)".r
+      .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
+        s"regexp_extract(${m.group(1)}, ${m.group(2)}, 0)"))
+
     // regexp_matches(x, p) → x RLIKE p  (two-arg form only)
     s = raw"(?i)\bregexp_matches\s*\(([^,()]*(?:\([^()]*\))?[^,()]*),([^()]*(?:\([^()]*\))?[^()]*)\)".r
       .replaceAllIn(s, m => s"(${m.group(1)} RLIKE ${m.group(2)})")

@@ -242,6 +242,30 @@ class ReferenceParitySpec extends SparkSpec {
       Seq(Seq(1), Seq(4), Seq(5)))
   }
 
+  test("regex functions (execute.regex.test.js)") {
+    Seq((1, "abc 123 def 456", "ABC-123"), (2, "no digits here", "XYZ-789"))
+      .toDF("id", "text", "code").createOrReplaceTempView("rdata")
+    checkOrdered("SELECT REGEXP_SUBSTR(text, '[0-9]+') AS num FROM rdata ORDER BY id",
+      Seq(Seq("123"), Seq("<null>")))
+    checkOrdered("SELECT REGEXP_EXTRACT(text, '[0-9]+') AS num FROM rdata WHERE id = 1",
+      Seq(Seq("123")))
+    checkOrdered("SELECT REGEXP_MATCHES(text, '[0-9]+') AS has_num FROM rdata ORDER BY id",
+      Seq(Seq(true), Seq(false)))
+    checkSet("SELECT code FROM rdata WHERE REGEXP_MATCHES(code, '^ABC')",
+      Seq(Seq("ABC-123")))
+    checkOrdered("SELECT REGEXP_REPLACE(text, '[0-9]+', '#', 'g') AS r FROM rdata WHERE id = 1",
+      Seq(Seq("abc # def #")))
+  }
+
+  test("string edge cases (execute.strings.test.js)") {
+    // negative SUBSTR start counts from the end (DuckDB semantics)
+    checkOrdered("SELECT SUBSTR(name, -3) AS tail FROM susers WHERE id = 1", Seq(Seq("ice")))
+    // POSITION not-found returns 0
+    checkOrdered("SELECT POSITION('z' IN name) AS p FROM susers WHERE id = 2", Seq(Seq(0)))
+    // || propagates NULL
+    checkOrdered("SELECT name || NULL AS c FROM susers WHERE id = 1", Seq(Seq("<null>")))
+  }
+
   test("json access (execute.json.test.js, execute.dot.test.js)") {
     Seq((1, """{"name": "widget", "specs": {"weight": 10}, "tags": ["a", "b"]}"""))
       .toDF("id", "doc").createOrReplaceTempView("jdocs")
