@@ -17,25 +17,36 @@ object Bench {
     // otherwise land on whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q_scan_project")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // a failed query is REPORTED and excluded, never silently timed as a
+    // near-zero success
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces FULL query execution — count() would let Catalyst
       // prune the very projections being measured. First run warms
       // (planning, codegen, file index), second run is the steady-state
       // figure the reference comparison uses.
-      def run(): Double = {
+      def run(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            None
+        }
       }
       run()
       name -> run()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    results.collect { case (n, None) => n }.foreach(failed += _)
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

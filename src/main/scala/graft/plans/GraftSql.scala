@@ -15,17 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Rewrites:
   *  - JSON arrows: `x -> 'k'` / `x ->> 'k'` / `x -> i` (chainable) to
-  *    `get_json_object` paths.
-  *  - Function renames: string_split/str_split → split,
-  *    strlen/octet_length(utf8) → octet_length, list_* → array_*,
-  *    regexp_matches → rlike, epoch(x) → unix seconds, json_each-free
-  *    json_extract → get_json_object.
+  *    `get_json_object` paths — skipped inside higher-order-function
+  *    lambdas (`list_transform(xs, x -> 'p' || x)` is left alone).
+  *  - `SELECT DISTINCT ON (k) ...` → row_number window + `__rn = 1`.
+  *  - `struct_pack(k := v)` → `named_struct('k', v)`; `struct_extract`.
+  *  - `json_group_array` / `json_group_object` aggregates.
+  *  - `x GLOB 'pat'` → `x RLIKE '^…$'` (glob→regex on the literal).
+  *  - `TYPEOF` → DuckDB-style type names over Spark `typeof`.
+  *  - Function renames: string_split/str_split → split, strlen →
+  *    octet_length, list_* → array_*, `list(x)` → collect_list,
+  *    regexp_split_to_array → split, regexp_split_to_table →
+  *    explode(split(..)), charindex → position, to_timestamp →
+  *    timestamp_seconds, strftime → %-format helper, json_query →
+  *    get_json_object, regexp_matches → RLIKE, epoch(x) → unix seconds.
   */
 object GraftSql {
 
   private val renames: Seq[(String, String)] = Seq(
     "string_split" -> "split",
     "str_split" -> "split",
+    "regexp_split_to_array" -> "split",
     "strlen" -> "octet_length",
     "list_value" -> "array",
     "list_contains" -> "array_contains",
@@ -33,27 +42,283 @@ object GraftSql {
     "list_sort" -> "array_sort",
     "list_append" -> "array_append",
     "list_concat" -> "concat",
+    "list" -> "collect_list",
     "len" -> "size",
     "unnest" -> "explode",
     "countif" -> "count_if",
+    "charindex" -> "position",
+    "to_timestamp" -> "timestamp_seconds",
+    "strftime" -> "graft_strftime",
+    "json_query" -> "get_json_object",
     "json_extract_string" -> "get_json_object")
+
+  /** Index of the `)` matching the `(` at `open` (skips quoted strings),
+    * or -1 when unbalanced.
+    */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split an argument list at top-level commas (quotes/parens/brackets
+    * respected).
+    */
+  private def splitTopLevel(args: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < args.length) {
+      val c = args.charAt(i)
+      c match {
+        case '\'' =>
+          cur.append(c); i += 1
+          while (i < args.length && args.charAt(i) != '\'') { cur.append(args.charAt(i)); i += 1 }
+          if (i < args.length) cur.append('\'')
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty || args.trim.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Rewrite every `fname(args)` call via `f(splitArgs)` — paren-aware, so
+    * nested calls and commas inside arguments are handled; inner
+    * occurrences of `fname` are rewritten on subsequent passes.
+    */
+  private def rewriteCall(sql: String, fname: String, f: Seq[String] => String): String = {
+    val pat = raw"(?i)\b$fname\s*\(".r
+    var s = sql
+    var guard = 0
+    var m = pat.findFirstMatchIn(s)
+    while (m.isDefined && guard < 1000) {
+      val open = m.get.end - 1
+      val close = matchParen(s, open)
+      if (close < 0) return s
+      val args = splitTopLevel(s.substring(open + 1, close))
+      s = s.substring(0, m.get.start) + f(args) + s.substring(close + 1)
+      guard += 1
+      m = pat.findFirstMatchIn(s)
+    }
+    s
+  }
+
+  /** Higher-order functions whose second/third argument is a lambda — a
+    * `x -> 'p'` inside one of these is a lambda body, NOT a JSON access.
+    * Both dialect (list_*) and Spark spellings, since arrows rewrite first.
+    */
+  private val hofNames = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort", "sort_array",
+    "list_transform", "list_filter", "list_reduce", "list_aggregate",
+    "list_sort", "any_match", "all_match", "none_match")
+
+  /** Name of the innermost function call enclosing position `pos`, if any
+    * (backward scan, quote- and paren-aware).
+    */
+  private def enclosingCallName(s: String, pos: Int): Option[String] = {
+    var depth = 0
+    var i = pos - 1
+    while (i >= 0) {
+      s.charAt(i) match {
+        case '\'' =>
+          i -= 1
+          while (i >= 0 && s.charAt(i) != '\'') i -= 1
+        case ')' => depth += 1
+        case '(' =>
+          if (depth == 0) {
+            var j = i - 1
+            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+            val end = j
+            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+            val name = s.substring(j + 1, end + 1)
+            return if (name.nonEmpty) Some(name.toLowerCase) else None
+          } else depth -= 1
+        case _ =>
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Glob pattern → anchored regex (`*` → `.*`, `?` → `.`, classes kept,
+    * regex metacharacters escaped).
+    */
+  private def globToRegex(g: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val j = g.indexOf(']', i + 1)
+          if (j < 0) sb.append("\\[") else { sb.append(g.substring(i, j + 1)); i = j }
+        case c if "\\.^$+{}()|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** `SELECT DISTINCT ON (k, ...) proj FROM ... [ORDER BY o] [LIMIT n]` →
+    * row_number() over (PARTITION BY k ORDER BY o) + keep rank 1
+    * (Postgres semantics: first row per key in ORDER BY order). Handles
+    * the single top-level SELECT shape; ORDER BY columns must be
+    * selectable from the base relation.
+    */
+  private def rewriteDistinctOn(sql: String): String = {
+    val head = raw"(?is)^(\s*SELECT\s+)DISTINCT\s+ON\s*\(".r
+    head.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchParen(sql, open)
+        if (close < 0) return sql
+        val onCols = sql.substring(open + 1, close).trim
+        val rest = sql.substring(close + 1)
+        // top-level clause positions in `rest` (subqueries sit inside parens)
+        def topLevelIdx(pat: scala.util.matching.Regex): Option[Int] = {
+          var i = 0
+          var depth = 0
+          var found = -1
+          while (i < rest.length) {
+            rest.charAt(i) match {
+              case '\'' =>
+                i += 1
+                while (i < rest.length && rest.charAt(i) != '\'') i += 1
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+                if (depth == 0) pat.findPrefixMatchOf(rest.substring(i)).foreach(_ => found = i)
+            }
+            i += 1
+          }
+          if (found >= 0) Some(found) else None
+        }
+        val fromIdx = {
+          var i = 0
+          var depth = 0
+          var found = -1
+          while (i < rest.length && found < 0) {
+            rest.charAt(i) match {
+              case '\'' =>
+                i += 1
+                while (i < rest.length && rest.charAt(i) != '\'') i += 1
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+                if (depth == 0 && raw"(?is)^\bFROM\b".r.findPrefixMatchOf(rest.substring(i)).isDefined)
+                  found = i
+            }
+            i += 1
+          }
+          found
+        }
+        if (fromIdx < 0) return sql
+        val orderIdx = topLevelIdx(raw"(?is)^\bORDER\s+BY\b".r)
+        val (body, tail) = orderIdx match {
+          case Some(oi) => (rest.substring(0, oi), rest.substring(oi))
+          case None => (rest, "")
+        }
+        val windowOrder = orderIdx match {
+          case Some(oi) =>
+            val afterOrder = rest.substring(oi).replaceFirst(raw"(?is)^ORDER\s+BY\s*", "")
+            // strip a trailing LIMIT/OFFSET from the window order list
+            raw"(?is)\b(LIMIT|OFFSET)\b.*$$".r.replaceFirstIn(afterOrder, "").trim
+          case None => onCols
+        }
+        val proj = body.substring(0, fromIdx)
+        val fromPart = body.substring(fromIdx)
+        s"SELECT * EXCEPT (__rn) FROM (${m.group(1)}$proj, row_number() OVER (PARTITION BY $onCols ORDER BY $windowOrder) AS __rn $fromPart) __distinct_on WHERE __rn = 1 $tail"
+    }
+  }
 
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
   def rewrite(sqlText: String): String = {
     var s = sqlText
 
+    // DISTINCT ON first — it restructures the statement skeleton
+    s = rewriteDistinctOn(s)
+
     // ->> / -> json access chains (j -> 'a' ->> 0 ...) collapse into ONE
     // get_json_object with a combined path — both more efficient (one
     // parse of the document) and regex-tractable (no nested parens).
+    // Guard: an arrow whose innermost enclosing call is a higher-order
+    // function is a lambda body (list_transform(xs, x -> 'p' || x)), not
+    // JSON access — left untouched.
     val chain = raw"([A-Za-z_][A-Za-z0-9_\.]*)((?:\s*->>?\s*(?:'[^']*'|\d+))+)".r
     val step = raw"->>?\s*('([^']*)'|(\d+))".r
-    s = chain.replaceAllIn(s, m => {
-      val path = step.findAllMatchIn(m.group(2)).map { st =>
-        if (st.group(2) != null) s".${st.group(2)}" else s"[${st.group(3)}]"
-      }.mkString
-      scala.util.matching.Regex.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$$$path')")
+    s = chain.replaceSomeIn(s, m => {
+      if (enclosingCallName(m.source.toString, m.start).exists(hofNames.contains)) None
+      else {
+        val path = step.findAllMatchIn(m.group(2)).map { st =>
+          if (st.group(2) != null) s".${st.group(2)}" else s"[${st.group(3)}]"
+        }.mkString
+        Some(scala.util.matching.Regex.quoteReplacement(
+          s"get_json_object(${m.group(1)}, '$$$path')"))
+      }
     })
+
+    // struct_pack(k := v, ...) → named_struct('k', v, ...)
+    s = rewriteCall(s, "struct_pack", args => {
+      val kv = args.map { a =>
+        val parts = a.split(":=", 2)
+        if (parts.length == 2) s"'${parts(0).trim}', ${parts(1).trim}" else a
+      }
+      s"named_struct(${kv.mkString(", ")})"
+    })
+
+    // struct_extract(st, 'k') → (st).k  (literal keys — the dialect form)
+    s = rewriteCall(s, "struct_extract", args =>
+      if (args.length == 2 && args(1).startsWith("'") && args(1).endsWith("'"))
+        s"(${args(0)}).${args(1).stripPrefix("'").stripSuffix("'")}"
+      else s"struct_extract_unsupported(${args.mkString(", ")})")
+
+    // JSON aggregate builders
+    s = rewriteCall(s, "json_group_array", args =>
+      s"to_json(collect_list(${args.mkString(", ")}))")
+    s = rewriteCall(s, "json_group_object", args =>
+      if (args.length == 2)
+        s"to_json(map_from_arrays(collect_list(${args(0)}), collect_list(${args(1)})))"
+      else s"json_group_object_unsupported(${args.mkString(", ")})")
+
+    // regexp_split_to_table(x, p) → explode(split(x, p))
+    s = rewriteCall(s, "regexp_split_to_table", args =>
+      s"explode(split(${args.mkString(", ")}))")
+
+    // TYPEOF → DuckDB-style names over Spark typeof (placeholder avoids
+    // rescanning our own output)
+    s = rewriteCall(s, "typeof", args => {
+      val t = s"upper(__typeof__(${args.mkString(", ")}))"
+      s"(CASE WHEN $t = 'STRING' THEN 'VARCHAR' ELSE $t END)"
+    })
+    s = s.replace("__typeof__(", "typeof(")
+
+    // x GLOB 'pat' → x RLIKE '^…$'
+    s = raw"(?i)\bGLOB\s*'([^']*)'".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(s"RLIKE '${globToRegex(m.group(1))}'"))
 
     // epoch(x) → seconds since epoch as double
     s = raw"(?i)\bepoch\s*\(".r.replaceAllIn(s, "graft_epoch(")
@@ -105,6 +370,36 @@ object GraftSql {
         (ts: java.sql.Timestamp) => if (ts == null) null else {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
         })
+    }
+    if (!spark.catalog.functionExists("graft_strftime")) {
+      spark.udf.register("graft_strftime",
+        (ts: java.sql.Timestamp, fmt: String) =>
+          if (ts == null || fmt == null) null
+          else {
+            val dt = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+            val sb = new StringBuilder
+            var i = 0
+            while (i < fmt.length) {
+              val c = fmt.charAt(i)
+              if (c == '%' && i + 1 < fmt.length) {
+                fmt.charAt(i + 1) match {
+                  case 'Y' => sb.append(f"${dt.getYear}%04d")
+                  case 'y' => sb.append(f"${dt.getYear % 100}%02d")
+                  case 'm' => sb.append(f"${dt.getMonthValue}%02d")
+                  case 'd' => sb.append(f"${dt.getDayOfMonth}%02d")
+                  case 'H' => sb.append(f"${dt.getHour}%02d")
+                  case 'M' => sb.append(f"${dt.getMinute}%02d")
+                  case 'S' => sb.append(f"${dt.getSecond}%02d")
+                  case 'f' => sb.append(f"${dt.getNano / 1000}%06d")
+                  case 'j' => sb.append(f"${dt.getDayOfYear}%03d")
+                  case '%' => sb.append('%')
+                  case other => sb.append('%').append(other)
+                }
+                i += 2
+              } else { sb.append(c); i += 1 }
+            }
+            sb.toString
+          })
     }
     if (!spark.catalog.functionExists("graft_datediff")) {
       spark.udf.register("graft_datediff",

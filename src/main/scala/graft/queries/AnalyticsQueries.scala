@@ -87,6 +87,15 @@ object AnalyticsQueries {
             |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // RANGE-frame running sum. The naive form — an UNPARTITIONED
+    // `ORDER BY k RANGE 10 PRECEDING` window — plans as a single-partition
+    // Window that serializes the whole table through one task at scale.
+    // A bounded RANGE frame only ever looks `width` back, so it
+    // re-expresses exactly as a PARTITIONED window over value buckets of
+    // size B >= width: every row is sent to its home bucket plus the next
+    // one (boundary spill-in), each bucket computes the same frame locally
+    // with all frame members present, and only home-bucket rows are kept.
+    // Scales: max(buckets) parallelism, no single-partition window.
     QueryDef("q_window_range",
       """SELECT o_orderkey,
         |  CAST(sum(CAST(o_orderkey AS BIGINT)) OVER (
@@ -95,10 +104,20 @@ object AnalyticsQueries {
       (s, dir) =>
         Tables.registerAll(s, dir)
         s.sql(
-          """SELECT o_orderkey,
-            |  CAST(sum(CAST(o_orderkey AS BIGINT)) OVER (
-            |    ORDER BY o_orderkey RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
-            |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)
+          """WITH base AS (
+            |  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders WHERE o_orderkey < 500
+            |), spread AS (
+            |  SELECT k, CAST(floor(k / 100) AS BIGINT) + b AS bucket
+            |  FROM base LATERAL VIEW explode(array(0, 1)) t AS b
+            |), w AS (
+            |  SELECT k, bucket,
+            |    sum(k) OVER (PARTITION BY bucket ORDER BY k
+            |      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS rsum
+            |  FROM spread
+            |)
+            |SELECT k AS o_orderkey, CAST(rsum AS BIGINT) AS rsum
+            |FROM w WHERE bucket = CAST(floor(k / 100) AS BIGINT)
+            |ORDER BY o_orderkey""".stripMargin)
     },
 
     // PIVOT: Spark's relational pivot vs a CASE-based oracle (the portable

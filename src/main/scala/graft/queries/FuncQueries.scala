@@ -63,7 +63,7 @@ object FuncQueries {
         |  CAST(strpos(p_name, 'e') AS BIGINT) AS spos,
         |  CAST(position('e' IN p_name) AS BIGINT) AS pos_in,
         |  contains(p_name, 'red') AS has_red,
-        |  string_split(p_name, ' ') AS words
+        |  to_json(string_split(p_name, ' '))::VARCHAR AS words
         |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin) {
       (s, dir) =>
         t(s, dir, "part").filter(col("p_partkey") < 100)
@@ -75,7 +75,9 @@ object FuncQueries {
             "CAST(position('e', p_name) AS BIGINT) AS spos",
             "CAST(position('e' IN p_name) AS BIGINT) AS pos_in",
             "contains(p_name, 'red') AS has_red",
-            "split(p_name, ' ') AS words")
+            // complex columns ship as canonical JSON text: the driver's
+            // pandas comparator can't sort/hash raw arrays or structs
+            "to_json(split(p_name, ' ')) AS words")
           .orderBy("p_partkey")
     },
 
@@ -278,7 +280,7 @@ object FuncQueries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  json_valid(props) AS valid,
         |  lower(json_type(props)) AS jtype,
-        |  json_keys(props) AS keys,
+        |  to_json(json_keys(props))::VARCHAR AS keys,
         |  CAST(json_array_length('[1,2,3]') AS BIGINT) AS alen,
         |  json_object('k', CAST(json_extract_string(props, '$.k') AS BIGINT))::VARCHAR AS rebuilt
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) {
@@ -288,7 +290,7 @@ object FuncQueries {
             "CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val",
             "get_json_object(props, '$') IS NOT NULL AS valid",
             "CASE WHEN props LIKE '{%' THEN 'object' WHEN props LIKE '[%' THEN 'array' ELSE 'scalar' END AS jtype",
-            "json_object_keys(props) AS keys",
+            "to_json(json_object_keys(props)) AS keys",
             "CAST(json_array_length('[1,2,3]') AS BIGINT) AS alen",
             "to_json(named_struct('k', CAST(get_json_object(props, '$.k') AS BIGINT))) AS rebuilt")
           .orderBy("event_id")
@@ -303,9 +305,9 @@ object FuncQueries {
         |  CAST(list_position([10, 20, 30], 20) AS BIGINT) AS pos,
         |  CAST(list_position([10, 20, 30], 99) AS BIGINT) AS pos_missing,
         |  list_contains([1, 2, 3], 2) AS has2,
-        |  list_sort([3, 1, 2]) AS sorted_arr,
-        |  array_concat([1, 2], [3]) AS cat,
-        |  list_append([1, 2], 3) AS appended
+        |  to_json(list_sort([3, 1, 2]))::VARCHAR AS sorted_arr,
+        |  to_json(array_concat([1, 2], [3]))::VARCHAR AS cat,
+        |  to_json(list_append([1, 2], 3))::VARCHAR AS appended
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin) {
       (s, dir) =>
         t(s, dir, "embeddings").filter(col("vec_id") < 50)
@@ -316,23 +318,26 @@ object FuncQueries {
             "CAST(array_position(array(10, 20, 30), 20) AS BIGINT) AS pos",
             "CAST(array_position(array(10, 20, 30), 99) AS BIGINT) AS pos_missing",
             "array_contains(array(1, 2, 3), 2) AS has2",
-            "array_sort(array(3, 1, 2)) AS sorted_arr",
-            "concat(array(1, 2), array(3)) AS cat",
-            "array_append(array(1, 2), 3) AS appended")
+            "to_json(array_sort(array(3, 1, 2))) AS sorted_arr",
+            "to_json(concat(array(1, 2), array(3))) AS cat",
+            "to_json(array_append(array(1, 2), 3)) AS appended")
           .orderBy("vec_id")
     },
 
     // ---- Struct dot-access + ['key'] (reference: execute.dot.test.js) ----
     QueryDef("q_struct_access",
       """SELECT o_orderkey,
-        |  struct_pack(k := o_orderkey, price := o_totalprice) AS st,
+        |  to_json(struct_pack(k := o_orderkey, price := CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR))::VARCHAR AS st,
         |  struct_pack(k := o_orderkey, price := o_totalprice).price AS via_dot,
         |  struct_pack(k := o_orderkey, price := o_totalprice)['k'] AS via_key
         |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin) {
       (s, dir) =>
+        // struct column ships as JSON text (driver comparator can't hash
+        // raw structs); price is decimal-stringified so the JSON payload is
+        // float-format-proof cross-engine
         t(s, dir, "orders").filter(col("o_orderkey") < 50)
           .selectExpr("o_orderkey",
-            "named_struct('k', o_orderkey, 'price', o_totalprice) AS st",
+            "to_json(named_struct('k', o_orderkey, 'price', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING))) AS st",
             "named_struct('k', o_orderkey, 'price', o_totalprice).price AS via_dot",
             "named_struct('k', o_orderkey, 'price', o_totalprice)['k'] AS via_key")
           .orderBy("o_orderkey")
@@ -359,13 +364,27 @@ object FuncQueries {
           .orderBy("c_mktsegment")
     },
 
-    // APPROX_QUANTILE is approximate by construction — rows-only check.
-    QueryDef.rowsOnly("q_agg_approx") {
+    // APPROX_QUANTILE / APPROX_COUNT_DISTINCT are approximate by
+    // construction, so the cross-engine contract is BOUNDS, not values:
+    // Spark checks its own sketches against its own exact answers and
+    // emits booleans; the oracle asserts the same bounds hold (trivially
+    // TRUE on the exact engine). A hash match means every sketch landed
+    // inside its guaranteed error envelope.
+    QueryDef("q_agg_approx",
+      """SELECT l_returnflag, TRUE AS med_ok, TRUE AS parts_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(expr("approx_percentile(l_extendedprice, 0.5)").as("approx_med"),
-            expr("approx_count_distinct(l_partkey)").as("approx_parts"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5)").as("am"),
+            expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY l_extendedprice)").as("p45"),
+            expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY l_extendedprice)").as("p55"),
+            expr("approx_count_distinct(l_partkey, 0.01)").as("ac"),
+            countDistinct(col("l_partkey")).as("exd"))
+          .selectExpr("l_returnflag",
+            "am BETWEEN p45 AND p55 AS med_ok",
+            "ac BETWEEN CAST(0.95 * exd AS BIGINT) AND CAST(1.05 * exd AS BIGINT) AS parts_ok")
           .orderBy("l_returnflag")
     },
 
@@ -373,7 +392,7 @@ object FuncQueries {
     QueryDef("q_agg_collect",
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS names,
-        |  list_sort(array_agg(n_name)) AS name_arr,
+        |  to_json(list_sort(array_agg(n_name)))::VARCHAR AS name_arr,
         |  any_value(n_regionkey) AS anyv,
         |  min_by(n_name, n_nationkey) AS first_name,
         |  max_by(n_name, n_nationkey) AS last_name
@@ -383,7 +402,7 @@ object FuncQueries {
           .groupBy("n_regionkey")
           .agg(
             expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("names"),
-            sort_array(collect_list(col("n_name"))).as("name_arr"),
+            to_json(sort_array(collect_list(col("n_name")))).as("name_arr"),
             expr("any_value(n_regionkey)").as("anyv"),
             expr("min_by(n_name, n_nationkey)").as("first_name"),
             expr("max_by(n_name, n_nationkey)").as("last_name"))

@@ -18,9 +18,10 @@ import graft.sources.Tables
   *
   * Scale notes (100 TB):
   *  - Brute-force ANN broadcasts the (tiny) query set; the corpus is never
-  *    shuffled — per-partition partial top-k, then a global top-k merge
-  *    (window over qid is AQE-coalesced; at scale swap for
-  *    TakeOrderedAndProject per query or a two-stage limit).
+  *    shuffled — `TopK.perKey` runs a narrow per-partition partial top-k
+  *    (sortWithinPartitions + first-k-per-key, no exchange), then merges
+  *    the ≤ partitions×Q×k survivors. No qid-partitioned shuffle of the
+  *    scored corpus anywhere.
   *  - LSH: bucket id is computed map-side; the join key is (bucket), so
   *    candidate generation shuffles O(corpus) small rows, never O(n^2).
   *  - IVF: the centroid table is tiny (one row per cell) and broadcast;
@@ -106,18 +107,19 @@ object VectorQueries {
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
       (s, dir) =>
         // norms precomputed per vector (FP-identical to inline sqrt(dot)):
-        // the pair loop then does ONE dot product instead of three
+        // the pair loop then does ONE dot product instead of three.
+        // The top-k merge is TopK.perKey (partial per-partition top-k then
+        // a tiny per-qid merge) — NOT a row_number window over qid, which
+        // would shuffle every scored row into |Q| reducer partitions.
         val v = vecsS(s, dir)
         val q = v.filter(col("vec_id") < 5)
           .selectExpr("vec_id AS qid", "e AS qe", s"sqrt(${dotS("e", "e")}) AS qn")
         val c = v.filter(col("vec_id") >= 5)
           .selectExpr("vec_id", "e", s"sqrt(${dotS("e", "e")}) AS cn")
-        c.join(broadcast(q))
+        val scored = c.join(broadcast(q))
           .selectExpr("qid", "vec_id", s"round(${dotS("qe", "e")} / (qn * cn), 6) AS cs")
-          .withColumn("rnk",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
-          .filter(col("rnk") <= 3)
+        graft.operators.TopK.perKey(scored, Seq("qid"),
+            Seq(col("cs").desc, col("vec_id").asc), 3)
           .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
           .orderBy("qid", "rnk")
     },
@@ -148,21 +150,20 @@ object VectorQueries {
       val bucketS = (0 until 4).map(p =>
         s"(CASE WHEN ${planeS(p)} >= 0D THEN ${1 << p} ELSE 0 END)").mkString(" + ")
       Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-      s.sql(
+      // SQL text up to the candidate scores (CTE re-expansion — see note
+      // above); the top-k merge is the scale-safe TopK.perKey, not a
+      // qid-partitioned window
+      val scored = s.sql(
         s"""WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
            |hashed AS (SELECT vec_id, e, CAST($bucketS AS BIGINT) AS bucket FROM v),
            |q AS (SELECT vec_id AS qid, e AS qe, bucket FROM hashed WHERE vec_id < 3),
-           |c AS (SELECT vec_id, e, bucket FROM hashed WHERE vec_id >= 5),
-           |scored AS (
-           |  SELECT /*+ BROADCAST(q) */ qid, c.vec_id, ${cosS("qe", "c.e")} AS cs
-           |  FROM q JOIN c ON q.bucket = c.bucket
-           |), ranked AS (
-           |  SELECT qid, vec_id, cs,
-           |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk
-           |  FROM scored
-           |)
-           |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
-           |FROM ranked WHERE rnk <= 2 ORDER BY qid, rnk""".stripMargin)
+           |c AS (SELECT vec_id, e, bucket FROM hashed WHERE vec_id >= 5)
+           |SELECT /*+ BROADCAST(q) */ qid, c.vec_id, ${cosS("qe", "c.e")} AS cs
+           |FROM q JOIN c ON q.bucket = c.bucket""".stripMargin)
+      graft.operators.TopK.perKey(scored, Seq("qid"),
+          Seq(col("cs").desc, col("vec_id").asc), 2)
+        .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
+        .orderBy("qid", "rnk")
     },
 
     // ---- ANN: IVF coarse quantization with true nearest-centroid
@@ -200,9 +201,10 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
       (s, dir) =>
-        // one spark.sql text (CTE re-expansion — see q_ann_lsh note)
+        // one spark.sql text (CTE re-expansion — see q_ann_lsh note) up to
+        // the in-cell candidate scores; the final merge is TopK.perKey
         Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-        s.sql(
+        val scored = s.sql(
           s"""WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label FROM embeddings),
              |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 5),
              |flat AS (
@@ -226,16 +228,13 @@ object VectorQueries {
              |    row_number() OVER (PARTITION BY qid
              |      ORDER BY round(${dotS("qe", "ce")} / (qn * cnrm), 6) DESC, clabel) AS prnk
              |  FROM q, centn
-             |), best AS (SELECT qid, qe, qn, clabel AS cell FROM probe WHERE prnk = 1),
-             |scored AS (
-             |  SELECT /*+ BROADCAST(b) */ b.qid, k.vec_id, round(${dotS("b.qe", "k.e")} / (b.qn * k.nrm), 6) AS cs
-             |  FROM best b JOIN cells k ON k.cell = b.cell
-             |), ranked AS (
-             |  SELECT qid, vec_id, cs, row_number() OVER (
-             |    PARTITION BY qid ORDER BY cs DESC, vec_id) AS rnk FROM scored
-             |)
-             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
-             |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)
+             |), best AS (SELECT qid, qe, qn, clabel AS cell FROM probe WHERE prnk = 1)
+             |SELECT /*+ BROADCAST(b) */ b.qid, k.vec_id, round(${dotS("b.qe", "k.e")} / (b.qn * k.nrm), 6) AS cs
+             |FROM best b JOIN cells k ON k.cell = b.cell""".stripMargin)
+        graft.operators.TopK.perKey(scored, Seq("qid"),
+            Seq(col("cs").desc, col("vec_id").asc), 3)
+          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
+          .orderBy("qid", "rnk")
     }
   )
 }
