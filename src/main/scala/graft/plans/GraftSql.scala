@@ -42,6 +42,8 @@ object GraftSql {
     "list_sort" -> "array_sort",
     "list_append" -> "array_append",
     "list_concat" -> "concat",
+    "list_transform" -> "transform",
+    "list_filter" -> "filter",
     "list" -> "collect_list",
     "len" -> "size",
     "unnest" -> "explode",
@@ -312,7 +314,7 @@ object GraftSql {
     // rescanning our own output)
     s = rewriteCall(s, "typeof", args => {
       val t = s"upper(__typeof__(${args.mkString(", ")}))"
-      s"(CASE WHEN $t = 'STRING' THEN 'VARCHAR' ELSE $t END)"
+      s"(CASE $t WHEN 'STRING' THEN 'VARCHAR' WHEN 'INT' THEN 'INTEGER' ELSE $t END)"
     })
     s = s.replace("__typeof__(", "typeof(")
 

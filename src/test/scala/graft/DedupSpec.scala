@@ -60,6 +60,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("banded cosine LSH keeps recall for near-identical (not equal) vectors") {
+    // small perturbation: sign bits may flip in SOME bands; candidate
+    // generation only needs ONE agreeing band (the multi-probe property
+    // a single 2^planes bucket key does not have)
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(7) += 0.05f; near(23) -= 0.05f
+    val vecs = Seq(
+      (0L, base), (1L, near),
+      (2L, Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bucket cap drops degenerate hot buckets instead of going quadratic") {
+    // 40 identical boilerplate docs (identical signatures → one hot LSH
+    // bucket in EVERY band) + 2 distinct near-dups: with maxBucket=10 the
+    // boilerplate bucket (40 > 10) is dropped from candidate generation,
+    // the small pair is still found
+    val boiler = (0 until 40).map(i =>
+      (100L + i, "standard legal boilerplate disclaimer text repeated verbatim everywhere"))
+    val docs2 = (boiler ++ Seq(
+      (0L, base), (1L, base.replace("today", "tomorrow"))
+    )).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(docs2, "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.4, maxBucket = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 1L)), "small-bucket pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L || b >= 100L },
+      "hot-bucket members must be excluded by the cap")
+    // and without the cap the boilerplate pairs ARE found (cap is the only
+    // thing standing between the hot bucket and O(n^2))
+    val uncapped = Dedup.minhashLsh(docs2, "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists { case (a, b) => a >= 100L && b >= 100L })
+  }
+
   test("language id votes by stopword lists") {
     val df = Seq(
       (0L, "the cat is on the mat and the dog is in the house"),

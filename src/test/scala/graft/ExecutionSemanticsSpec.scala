@@ -1,0 +1,142 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Execution-model semantics the reference guarantees through its cell
+  * scheduler, delivered here by Spark's execution machinery:
+  *  - expensive expressions under LIMIT evaluate lazily (reference:
+  *    test/execute/expensive.test.js counts evaluations);
+  *  - a running query can be aborted (reference: test/execute/abort.test.js
+  *    — Spark's native job-group cancellation);
+  *  - skew handling keeps per-task input bounded (SURVEY §4 scale claims:
+  *    salting for repartition-by-key pipelines, AQE for skewed joins).
+  */
+object ExecutionSemanticsSpec {
+  // static singleton: task closures are serialized even in local mode, so
+  // an instance field would be incremented on a deserialized copy
+  val udfCalls = new AtomicInteger(0)
+}
+
+class ExecutionSemanticsSpec extends SparkSpec {
+
+  test("expensive UDF under LIMIT evaluates at most LIMIT times") {
+    ExecutionSemanticsSpec.udfCalls.set(0)
+    val expensive = udf { (x: Long) =>
+      ExecutionSemanticsSpec.udfCalls.incrementAndGet(); x * 2
+    }
+    val out = spark.range(0, 10000, 1, 1)
+      .select(expensive(col("id")).as("y"))
+      .limit(5)
+      .collect()
+    assert(out.length == 5)
+    val calls = ExecutionSemanticsSpec.udfCalls.get()
+    assert(calls <= 5, s"UDF evaluated $calls times for LIMIT 5 — limit not pushed")
+  }
+
+  test("a running query can be cancelled mid-flight (abort semantics)") {
+    val sc = spark.sparkContext
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val slow = udf { (x: Long) => Thread.sleep(20); x }
+    val fut = Future {
+      // job group is thread-local: set it on the executing thread.
+      // sum(y) forces the UDF column (count() would prune it away and
+      // finish instantly) — ~10 s of work if never cancelled.
+      sc.setJobGroup("graft-abort-test", "cancellable query", interruptOnCancel = true)
+      spark.range(0, 2000, 1, 4).select(slow(col("id")).as("y"))
+        .agg(sum("y")).collect()
+    }
+    Thread.sleep(1500) // let the job actually start
+    sc.cancelJobGroup("graft-abort-test")
+    val res = scala.util.Try(Await.result(fut, Duration(60, "s")))
+    assert(res.isFailure, "cancelled query should fail, not run to completion")
+    sc.clearJobGroup()
+  }
+
+  /** Max records any single task read from a shuffle during `action`. */
+  private def maxTaskShuffleRead(action: => Unit): Long = {
+    val maxRecords = new AtomicLong(0)
+    @volatile var jobDone = false
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          maxRecords.updateAndGet(m => math.max(m, t.taskMetrics.shuffleReadMetrics.recordsRead))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = jobDone = true
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // the listener bus is ordered: once jobEnd arrives, all taskEnds did
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!jobDone && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    maxRecords.get()
+  }
+
+  test("salting bounds the hot-key task in a repartition-by-key pipeline") {
+    // 50k rows, 98% on one key: any repartition(key) downstream — grouped
+    // writes, mapGroups — funnels the hot key through ONE task; salting
+    // splits it across `salt` subtasks. Assert the measured per-task bound.
+    // 32 salts over 16 partitions: even with hash collisions no partition
+    // collects more than a few subkeys
+    val salt = 32
+    val skewed = spark.range(50000)
+      .selectExpr("CASE WHEN id % 100 < 98 THEN 'hot' ELSE concat('k', id % 7) END AS k",
+        "id AS v")
+    // explicit numPartitions: user-specified repartitions are exempt from
+    // AQE coalescing, which would otherwise merge everything into one task
+    // at this toy size and mask the skew
+    val plainMax = maxTaskShuffleRead {
+      skewed.repartition(16, col("k")).write.format("noop").mode("overwrite").save()
+    }
+    val saltedMax = maxTaskShuffleRead {
+      skewed.withColumn("_salt", pmod(hash(col("v")), lit(salt)))
+        .repartition(16, col("k"), col("_salt"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(plainMax >= 40000L, s"expected a hot task near 49k records, got $plainMax")
+    assert(saltedMax <= plainMax / 4,
+      s"salting should cut the max task input ~${salt}x: plain=$plainMax salted=$saltedMax")
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val fact = spark.range(200000)
+        .selectExpr("CASE WHEN id % 100 < 95 THEN 0L ELSE id % 50 END AS k",
+          "repeat('x', 32) AS pad")
+      val dim = spark.range(50).selectExpr("id AS k", "concat('d', id) AS name")
+      val joined = fact.join(dim, "k")
+      // collect() runs joined's OWN QueryExecution, so its adaptive plan
+      // is finalized (a noop write would execute a separate copy)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skew-split:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

@@ -59,4 +59,123 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT epoch(TIMESTAMP '1970-01-02 00:00:00') AS e").collect().head
     assert(r.getAs[Double]("e") == 86400.0)
   }
+
+  test("json arrows inside HOF lambdas are left alone (no false rewrite)") {
+    assert(GraftSql.rewrite("SELECT list_transform(xs, x -> 'p' || x) FROM t")
+      == "SELECT transform(xs, x -> 'p' || x) FROM t")
+    assert(GraftSql.rewrite("SELECT transform(xs, x -> 0) FROM t")
+      == "SELECT transform(xs, x -> 0) FROM t")
+    // ...while a JSON arrow passed to a NON-HOF call still rewrites
+    assert(GraftSql.rewrite("SELECT lower(j -> 'a') FROM t")
+      == "SELECT lower(get_json_object(j, '$.a')) FROM t")
+    // and executes: lambda bodies starting with a literal work end to end
+    Seq((1L, "a b")).toDF("id", "s").createOrReplaceTempView("hof_t")
+    val r = GraftSql.sql(spark,
+      "SELECT list_transform(string_split(s, ' '), x -> 'p' || x) AS xs FROM hof_t")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("pa", "pb"))
+  }
+
+  test("struct_pack / struct_extract rewrite and run (incl. nested)") {
+    assert(GraftSql.rewrite("SELECT struct_pack(k := 1, v := 'a') AS st")
+      == "SELECT named_struct('k', 1, 'v', 'a') AS st")
+    assert(GraftSql.rewrite("SELECT struct_extract(struct_extract(x, 'a'), 'b')")
+      == "SELECT ((x).a).b")
+    Seq((1L, 2.5)).toDF("k", "p").createOrReplaceTempView("sp_t")
+    val r = GraftSql.sql(spark,
+      """SELECT struct_pack(k := k, price := p) AS st,
+        |  struct_pack(k := k, price := p).price AS via_dot,
+        |  struct_extract(struct_pack(k := k, price := p), 'k') AS via_ext
+        |FROM sp_t""".stripMargin).collect().head
+    assert(r.getAs[Double]("via_dot") == 2.5)
+    assert(r.getAs[Long]("via_ext") == 1L)
+    // the q_struct_access oracle's own dialect SQL must run through the
+    // front-end (VERDICT gap: its struct_pack was previously unrunnable)
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val st = GraftSql.sql(spark,
+      """SELECT o_orderkey,
+        |  struct_pack(k := o_orderkey, price := o_totalprice) AS st
+        |FROM orders ORDER BY o_orderkey LIMIT 3""".stripMargin).collect()
+    assert(st.length == 3 && st.head.getStruct(1).getAs[Long]("k") == st.head.getAs[Long]("o_orderkey"))
+  }
+
+  test("json_group_array / json_group_object / list() aggregates") {
+    // single sorted input partition → deterministic collect order; object
+    // keys are distinct within each group (duplicate JSON keys are
+    // undefined in both engines)
+    Seq(("g1", "a", 1L), ("g1", "b", 2L), ("g2", "c", 3L)).toDF("g", "k", "v")
+      .coalesce(1).sortWithinPartitions("v").createOrReplaceTempView("jg_t")
+    val rows = GraftSql.sql(spark,
+      """SELECT g, json_group_array(v) AS ja, json_group_object(k, v) AS jo,
+        |  list(v) AS vs
+        |FROM jg_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows(0).getAs[String]("ja") == "[1,2]")
+    assert(rows(1).getAs[String]("ja") == "[3]")
+    assert(rows(0).getAs[String]("jo") == """{"a":1,"b":2}""")
+    assert(rows(1).getAs[String]("jo") == """{"c":3}""")
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("vs")).sorted == Seq(1L, 2L))
+  }
+
+  test("regexp_split_to_array / regexp_split_to_table / charindex") {
+    Seq(("a1b22c", 0)).toDF("s", "z").createOrReplaceTempView("rs_t")
+    val r = GraftSql.sql(spark,
+      "SELECT regexp_split_to_array(s, '[0-9]+') AS parts FROM rs_t").collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    val tbl = GraftSql.sql(spark,
+      "SELECT regexp_split_to_table('x,y,z', ',') AS part").collect().map(_.getString(0))
+    assert(tbl.toSeq == Seq("x", "y", "z"))
+    val ci = GraftSql.sql(spark,
+      "SELECT charindex('b', 'abc') AS i, charindex('q', 'abc') AS missing").collect().head
+    assert(ci.getAs[Int]("i") == 2 && ci.getAs[Int]("missing") == 0)
+  }
+
+  test("to_timestamp / strftime") {
+    val r = GraftSql.sql(spark,
+      """SELECT CAST(to_timestamp(86400) AS STRING) AS ts,
+        |  strftime(TIMESTAMP '2020-03-04 05:06:07', '%Y-%m-%d %H:%M:%S') AS f,
+        |  strftime(TIMESTAMP '2020-03-04 05:06:07', '%j %% %y') AS f2""".stripMargin)
+      .collect().head
+    assert(r.getAs[String]("ts") == "1970-01-02 00:00:00")
+    assert(r.getAs[String]("f") == "2020-03-04 05:06:07")
+    assert(r.getAs[String]("f2") == "064 % 20")
+  }
+
+  test("TYPEOF returns dialect type names") {
+    val r = GraftSql.sql(spark,
+      "SELECT typeof(42) AS i, typeof('x') AS s, typeof(1.5D) AS d, typeof(CAST(1 AS BIGINT)) AS b")
+      .collect().head
+    assert(r.getAs[String]("i") == "INTEGER")
+    assert(r.getAs[String]("s") == "VARCHAR")
+    assert(r.getAs[String]("d") == "DOUBLE")
+    assert(r.getAs[String]("b") == "BIGINT")
+  }
+
+  test("DISTINCT ON keeps the first row per key in ORDER BY order") {
+    Seq(("a", 1L, "x"), ("a", 3L, "y"), ("b", 2L, "z"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("don_t")
+    val rows = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, v, tag FROM don_t ORDER BY k, v DESC").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      == Seq(("a", 3L, "y"), ("b", 2L, "z")))
+    // no ORDER BY: one arbitrary-but-single row per key
+    val n = GraftSql.sql(spark, "SELECT DISTINCT ON (k) k, v FROM don_t").collect()
+    assert(n.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("GLOB translates to an anchored regex") {
+    Seq(("alpha.txt", 1), ("beta.dat", 2), ("a1c", 3)).toDF("s", "id")
+      .createOrReplaceTempView("glob_t")
+    val rows = GraftSql.sql(spark,
+      """SELECT id, s GLOB 'a*.txt' AS t1, s GLOB 'a?c' AS t2, s GLOB '*[0-9]*' AS t3
+        |FROM glob_t ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getBoolean(1) && !rows(0).getBoolean(2) && !rows(0).getBoolean(3))
+    assert(!rows(1).getBoolean(1) && !rows(1).getBoolean(2) && !rows(1).getBoolean(3))
+    assert(!rows(2).getBoolean(1) && rows(2).getBoolean(2) && rows(2).getBoolean(3))
+  }
+
+  test("json_query maps to get_json_object") {
+    val r = GraftSql.sql(spark,
+      """SELECT json_query('{"a": {"b": 7}}', '$.a') AS frag""").collect().head
+    assert(r.getAs[String]("frag") == """{"b":7}""")
+  }
 }

@@ -76,4 +76,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.contains("LocalTableScan") || s.contains("RowCount") ||
       !s.contains("FileScan"), s.take(500))
   }
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    def walk(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: AdaptiveSparkPlanExec => n +: walk(a.executedPlan)
+      case _ => n +: n.children.flatMap(walk)
+    }
+    walk(p)
+  }
+
+  test("no query plans an unpartitioned window (single-task at scale)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      collectNodes(plan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned Window (whole table through one task at scale) in: $offenders")
+  }
+
+  test("ANN top-k merge is two-stage: narrow partial pass, tiny key merge") {
+    // the scored corpus must NOT be hash-partitioned by qid (|Q| reducers
+    // forever); TopK.perKey sorts within partitions (no exchange), filters
+    // to <= keys*k rows per partition via mapPartitions, and only then
+    // exchanges the survivors
+    for (q <- Seq("q_ann_brute", "q_ann_lsh")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val nodes = collectNodes(plan).map(_.nodeName)
+      assert(nodes.exists(_.contains("MapPartitions")), s"$q: no partial top-k pass: $nodes")
+      val shuffles = countShuffles(plan)
+      assert(shuffles <= 2, s"$q: expected <=2 shuffles (key merge + order-by), got $shuffles")
+    }
+  }
 }
