@@ -374,16 +374,26 @@ object FuncQueries {
       """SELECT l_returnflag, TRUE AS med_ok, TRUE AS parts_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            expr("approx_percentile(l_extendedprice, 0.5)").as("am"),
-            expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY l_extendedprice)").as("p45"),
-            expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY l_extendedprice)").as("p55"),
-            expr("approx_count_distinct(l_partkey, 0.01)").as("ac"),
-            countDistinct(col("l_partkey")).as("exd"))
+        // bounds come from an INDEPENDENT sketch (rank error ±1/accuracy ≈
+        // exact at this envelope width), not an exact percentile — Spark's
+        // exact Percentile buffers every value per group. The sketch agg
+        // and the exact COUNT(DISTINCT) run as SEPARATE aggregations
+        // joined on the 3-row group key: a combined agg plans the distinct
+        // rewrite (partial keys = (flag, partkey)), which would build a
+        // percentile buffer per partkey group — 20x the whole suite's
+        // cost. The default-accuracy median (rank ±1e-4) must land inside
+        // the [p45, p55] envelope; the distinct sketch (rsd 1%) inside
+        // ±5% of the exact distinct count.
+        val li = t(s, dir, "lineitem")
+        val sketches = li.groupBy("l_returnflag").agg(
+          expr("approx_percentile(l_extendedprice, 0.5)").as("am"),
+          expr("approx_percentile(l_extendedprice, array(0.45, 0.55))").as("bounds"),
+          expr("approx_count_distinct(l_partkey, 0.01)").as("ac"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exd"))
+        sketches.join(exact, "l_returnflag")
           .selectExpr("l_returnflag",
-            "am BETWEEN p45 AND p55 AS med_ok",
+            "am BETWEEN bounds[0] AND bounds[1] AS med_ok",
             "ac BETWEEN CAST(0.95 * exd AS BIGINT) AND CAST(1.05 * exd AS BIGINT) AS parts_ok")
           .orderBy("l_returnflag")
     },

@@ -159,6 +159,47 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- End-to-end near-dedup policy: exact dedup, then drop every
+    // doc that near-duplicates a lower-id survivor (Dedup.dropNearDuplicates
+    // — the standard corpus-dedup pipeline, oracle-checked end to end).
+    QueryDef("q_dedup_drop", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), d AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)
+         |), t AS (
+         |  SELECT doc_id, $toksD AS tk FROM d
+         |), shl AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), sig AS (
+         |  SELECT doc_id, $sigs FROM (SELECT doc_id, $hsD AS hs FROM shl)
+         |), bands AS (
+         |  $bandSel
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), losers AS (
+         |  SELECT DISTINCT c.b_id AS doc_id
+         |  FROM cand c
+         |  JOIN shl sa ON sa.doc_id = c.a_id
+         |  JOIN shl sb ON sb.doc_id = c.b_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |)
+         |SELECT doc_id FROM d WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Dedup.dropNearDuplicates(docs(s, dir), "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash (16-bit, distinct-token votes) -------------------------
     QueryDef("q_dedup_simhash",
       s"""WITH t AS (
