@@ -469,9 +469,22 @@ object CoreQueries {
         |) x WHERE rn <= 5
         |ORDER BY l_returnflag, rn""".stripMargin) {
       (s, dir) =>
+        // scale-safe top-N-per-key: TopK.perKey prefilters to the exact
+        // top-5 rows per flag with a NARROW partial pass (no shuffle of
+        // the fact table into |flags| reducer groups); the ranking window
+        // then runs over <= partitions*flags*5 survivors. Exactness: the
+        // window ordering key (quantity, orderkey, linenumber) is unique,
+        // so rank/dense_rank computed on the reduced set equal the
+        // full-table values.
+        val ord = Seq(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        val reduced = graft.operators.TopK.perKey(
+            t(s, dir, "lineitem")
+              .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+            Seq("l_returnflag"), ord, 5, rankCol = "_pk")
+          .drop("_pk")
         val w = Window.partitionBy("l_returnflag")
           .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
-        t(s, dir, "lineitem")
+        reduced
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             row_number().over(w).cast("bigint").as("rn"),
             rank().over(w).cast("bigint").as("rnk"),

@@ -34,6 +34,39 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`/
+    * `dropExact` for ingest pipelines (the same capability a batch corpus
+    * dedup provides, applied at the door). State is bounded by the
+    * watermark horizon: a key is remembered only until the watermark
+    * passes it, so state tracks the in-flight window, not history.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream interval join: pair every `a` event with
+    * the `b` events of the same user arriving within `withinMinutes`
+    * after it. Both sides are watermarked and the join condition bounds
+    * `b_ts` relative to `a_ts`, so each side's buffered state is evicted
+    * once the watermark passes the interval — bounded state, no
+    * unbounded buffering (the capability the reference's single-stream
+    * model has no analog for).
+    */
+  def correlated(a: DataFrame, b: DataFrame, withinMinutes: Int = 10): DataFrame = {
+    val w = s"$withinMinutes minutes"
+    val l = a.withWatermark("ts", w)
+      .select(col("user_id"), col("ts").as("a_ts"),
+        col("event_type").as("a_type"), col("value").as("a_value"))
+    val r = b.withWatermark("ts", w)
+      .select(col("user_id").as("r_uid"), col("ts").as("b_ts"),
+        col("event_type").as("b_type"), col("value").as("b_value"))
+    l.join(r, expr(
+        s"user_id = r_uid AND b_ts BETWEEN a_ts AND a_ts + INTERVAL $withinMinutes MINUTES"))
+      .drop("r_uid")
+  }
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total: Double)

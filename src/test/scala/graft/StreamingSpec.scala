@@ -39,6 +39,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.dedupStream(input.toDF(), Seq("user_id", "event_type"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(ts(1), 1L, "click", 1.0), Event(ts(1), 1L, "click", 1.0), // in-batch dup
+        Event(ts(2), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon → suppressed
+      input.addData(Event(ts(3), 1L, "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .selectExpr("user_id", "event_type").as[(Long, String)].collect().toSeq
+      assert(rows.sorted == Seq((1L, "click"), (2L, "click")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events within the window, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventPipeline.correlated(clicks.toDF(), views.toDF(), withinMinutes = 10)
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(ts(0), 1L, "click", 1.0), Event(ts(0), 2L, "click", 2.0))
+      views.addData(
+        Event(ts(5), 1L, "view", 5.0),   // within 10 min of user 1's click
+        Event(ts(30), 2L, "view", 6.0))  // outside user 2's window
+      q.processAllAvailable()
+      val rows = spark.table("correlated")
+        .selectExpr("user_id", "a_type", "b_type", "b_value")
+        .as[(Long, String, String, Double)].collect().toSeq
+      assert(rows == Seq((1L, "click", "view", 5.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
