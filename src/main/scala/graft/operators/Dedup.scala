@@ -129,7 +129,11 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // the exact-dedup survivor set feeds the LSH signature pass, the
+    // Jaccard verify join-backs, and the final anti-join — persist it so
+    // the groupBy+semi-join runs once (at corpus scale: checkpoint)
     val exactKept = dropExact(df, Seq(textCol), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = minhashLsh(exactKept, idCol, textCol, k, bands, threshold)
       .select(col("b_id").as(idCol)).distinct()
     exactKept.join(losers, Seq(idCol), "left_anti")

@@ -273,4 +273,35 @@ class ReferenceParitySpec extends SparkSpec {
       "SELECT doc ->> 'name' AS n, doc -> 'specs' ->> 'weight' AS w, doc -> 'tags' ->> 0 AS t FROM jdocs",
       Seq(Seq("widget", 10, "a")))
   }
+
+  test("error semantics (execute.errors.test.js)") {
+    // analysis-time errors fail fast with a descriptive exception, like
+    // the reference's validation layer (reference: src/validation)
+    def fails(sql: String, mustMention: String*): Unit = {
+      val e = intercept[Exception](GraftSql.sql(spark, sql).collect())
+      val msg = e.getMessage.toUpperCase
+      assert(mustMention.exists(m => msg.contains(m.toUpperCase)),
+        s"\nSQL: $sql\nexpected one of $mustMention in: ${e.getMessage.take(300)}")
+    }
+    // table not found
+    fails("SELECT * FROM nonexistent_table_xyz", "NONEXISTENT_TABLE_XYZ")
+    fails("SELECT u.id FROM users u JOIN no_such_orders o ON u.id = o.user_id",
+      "NO_SUCH_ORDERS")
+    // unknown column
+    fails("SELECT not_a_column FROM users", "NOT_A_COLUMN")
+    // wrong argument count (reference: UPPER(name, age) etc.)
+    fails("SELECT UPPER(name, age) FROM users", "PARAMETER", "ARGUMENT")
+    fails("SELECT LOWER(name, age) FROM users", "PARAMETER", "ARGUMENT")
+    // unknown function
+    fails("SELECT NO_SUCH_FUNCTION(name) FROM users", "UNRESOLVED_ROUTINE", "NOT")
+    // invalid CAST target type
+    fails("SELECT CAST(age AS NOTATYPE) FROM users", "NOTATYPE", "PARSE", "DATATYPE")
+    // invalid INTERVAL unit (reference: FORTNIGHT)
+    fails("SELECT CURRENT_DATE + INTERVAL 1 FORTNIGHT FROM users", "FORTNIGHT", "PARSE", "INTERVAL")
+    // malformed-DATA cells differ deliberately: the reference throws with
+    // a row number mid-stream; Spark's permissive JSON access yields NULL
+    // (a 100 TB scan should not abort on one bad document) — pin that
+    Seq((1, "{bad json")).toDF("id", "doc").createOrReplaceTempView("badjson")
+    checkOrdered("SELECT doc ->> 'a' AS v FROM badjson", Seq(Seq("<null>")))
+  }
 }
