@@ -201,10 +201,14 @@ object VectorQueries {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cs
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) {
       (s, dir) =>
-        // one spark.sql text (CTE re-expansion — see q_ann_lsh note) up to
-        // the in-cell candidate scores; the final merge is TopK.perKey
+        // one spark.sql text per stage (CTE re-expansion — see q_ann_lsh
+        // note). The centroid table is computed ONCE and persisted — a CTE
+        // would be inlined and the posexplode+two-level aggregate would run
+        // twice (corpus assignment AND query probe); at scale this is the
+        // "train coarse quantizer once, broadcast it" shape. The final
+        // merge is TopK.perKey.
         Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-        val scored = s.sql(
+        val centn = s.sql(
           s"""WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label FROM embeddings),
              |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 5),
              |flat AS (
@@ -214,8 +218,15 @@ object VectorQueries {
              |    transform(array_sort(collect_list(struct(d, av))), p -> round(p.av, 6)) AS ce
              |  FROM (SELECT label, d, avg(x) AS av FROM flat GROUP BY label, d)
              |  GROUP BY label
-             |), cn AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm, clabel0 FROM (SELECT vec_id, e, label AS clabel0 FROM c)),
-             |centn AS (SELECT clabel, ce, sqrt(${dotS("ce", "ce")}) AS cnrm FROM cent),
+             |)
+             |SELECT clabel, ce, sqrt(${dotS("ce", "ce")}) AS cnrm FROM cent""".stripMargin)
+        centn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        centn.createOrReplaceTempView("graft_ivf_centn")
+        val scored = s.sql(
+          s"""WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e, label FROM embeddings),
+             |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 5),
+             |cn AS (SELECT vec_id, e, sqrt(${dotS("e", "e")}) AS nrm, clabel0 FROM (SELECT vec_id, e, label AS clabel0 FROM c)),
+             |centn AS (SELECT /*+ BROADCAST */ clabel, ce, cnrm FROM graft_ivf_centn),
              |assign AS (
              |  SELECT vec_id, e, nrm, clabel,
              |    row_number() OVER (PARTITION BY vec_id
