@@ -45,6 +45,7 @@ object GraftSql {
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list" -> "collect_list",
+    "list_length" -> "size",
     "len" -> "size",
     "unnest" -> "explode",
     "countif" -> "count_if",
@@ -52,6 +53,7 @@ object GraftSql {
     "to_timestamp" -> "timestamp_seconds",
     "strftime" -> "graft_strftime",
     "json_query" -> "get_json_object",
+    "json_value" -> "get_json_object",
     "json_extract_string" -> "get_json_object")
 
   /** Index of the `)` matching the `(` at `open` (skips quoted strings),
@@ -298,8 +300,10 @@ object GraftSql {
         s"(${args(0)}).${args(1).stripPrefix("'").stripSuffix("'")}"
       else s"struct_extract_unsupported(${args.mkString(", ")})")
 
-    // JSON aggregate builders
+    // JSON aggregate builders (json_arrayagg is the reference's alias)
     s = rewriteCall(s, "json_group_array", args =>
+      s"to_json(collect_list(${args.mkString(", ")}))")
+    s = rewriteCall(s, "json_arrayagg", args =>
       s"to_json(collect_list(${args.mkString(", ")}))")
     s = rewriteCall(s, "json_group_object", args =>
       if (args.length == 2)

@@ -178,4 +178,17 @@ class GraftSqlSpec extends SparkSpec {
       """SELECT json_query('{"a": {"b": 7}}', '$.a') AS frag""").collect().head
     assert(r.getAs[String]("frag") == """{"b":7}""")
   }
+
+  test("reference aliases: JSON_VALUE / JSON_ARRAYAGG / LIST_LENGTH") {
+    Seq((1L, """{"a": 7}""", "x y z")).toDF("id", "j", "s")
+      .createOrReplaceTempView("alias_t")
+    val r = GraftSql.sql(spark,
+      """SELECT json_value(j, '$.a') AS jv,
+        |  list_length(string_split(s, ' ')) AS ll,
+        |  json_arrayagg(id) AS ja
+        |FROM alias_t GROUP BY j, s""".stripMargin).collect().head
+    assert(r.getAs[String]("jv") == "7")
+    assert(r.getAs[Int]("ll") == 3)
+    assert(r.getAs[String]("ja") == "[1]")
+  }
 }
