@@ -322,6 +322,13 @@ object GraftSql {
     })
     s = s.replace("__typeof__(", "typeof(")
 
+    // DAYOFWEEK / WEEKDAY: reference maps both to date_part('dow') —
+    // Sunday=0 (syntax.md item 13); Spark's dayofweek is Sunday=1
+    // (placeholder avoids rescanning our own output)
+    for (f <- Seq("dayofweek", "weekday"))
+      s = rewriteCall(s, f, args => s"(__dow__(${args.mkString(", ")}) - 1)")
+    s = s.replace("__dow__(", "dayofweek(")
+
     // x GLOB 'pat' → x RLIKE '^…$'
     s = raw"(?i)\bGLOB\s*'([^']*)'".r.replaceAllIn(s, m =>
       scala.util.matching.Regex.quoteReplacement(s"RLIKE '${globToRegex(m.group(1))}'"))

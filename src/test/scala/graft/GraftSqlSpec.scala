@@ -179,6 +179,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[String]("frag") == """{"b":7}""")
   }
 
+  test("numeric array indexing is 0-based (reference JS semantics)") {
+    // syntax.md item 2: col[0], col[0].field — Spark SQL arrays are
+    // 0-based, exactly the reference's JS semantics; pin it
+    Seq((1L, Seq("a", "b"), Seq((10L, "x"), (20L, "y"))))
+      .toDF("id", "arr", "st_arr").createOrReplaceTempView("idx_t")
+    val r = GraftSql.sql(spark,
+      "SELECT arr[0] AS first, arr[1] AS second, st_arr[1]._1 AS nested FROM idx_t")
+      .collect().head
+    assert(r.getAs[String]("first") == "a")
+    assert(r.getAs[String]("second") == "b")
+    assert(r.getAs[Long]("nested") == 20L)
+  }
+
+  test("DAYOFWEEK / WEEKDAY follow date_part('dow') with Sunday = 0") {
+    // 2020-01-05 was a Sunday
+    val r = GraftSql.sql(spark,
+      """SELECT dayofweek(DATE '2020-01-05') AS sun,
+        |  weekday(DATE '2020-01-06') AS mon,
+        |  char(65) AS a
+        |FROM (SELECT 1)""".stripMargin).collect().head
+    assert(r.getAs[Int]("sun") == 0)
+    assert(r.getAs[Int]("mon") == 1)
+    assert(r.getAs[String]("a") == "A")
+  }
+
   test("reference aliases: JSON_VALUE / JSON_ARRAYAGG / LIST_LENGTH") {
     Seq((1L, """{"a": 7}""", "x y z")).toDF("id", "j", "s")
       .createOrReplaceTempView("alias_t")
