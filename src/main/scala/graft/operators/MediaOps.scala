@@ -88,6 +88,30 @@ object MediaOps {
     }
   }
 
+  final case class EmbeddedRow(doc_id: Long, media_type: String, embedding: Array[Float])
+
+  /** Feature-extract stub: a `dims`-dim L2-normalized byte histogram
+    * stands in for a real vision/audio encoder. The output schema matches
+    * the `embeddings` table (Array[Float]), so it feeds straight into the
+    * similarity surface (`Dedup.cosinePairs`, the ANN queries). Narrow
+    * pass; at scale the per-partition init is where the model/session
+    * handle lives.
+    */
+  def embed(ds: Dataset[DecodedRow], dims: Int = 64): Dataset[EmbeddedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition "encoder init" would go here
+      it.map { r =>
+        val h = new Array[Float](dims)
+        r.payload.foreach(b => h((b & 0xff) % dims) += 1f)
+        var ss = 0.0
+        h.foreach(x => ss += x.toDouble * x)
+        val n = math.sqrt(ss).toFloat
+        EmbeddedRow(r.doc_id, r.media_type, if (n == 0f) h else h.map(_ / n))
+      }
+    }
+  }
+
   /** Build a media table from `documents`: utf-8 payload + type by modulo
     * (deterministic, so the DuckDB oracle can reproduce the arithmetic).
     */

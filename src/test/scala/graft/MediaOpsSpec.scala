@@ -43,4 +43,26 @@ class MediaOpsSpec extends SparkSpec {
     val plan = MediaOps.decode(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("feature-extract embeds payloads and feeds the similarity surface") {
+    // two identical payloads + one different: the 64-dim embeddings are
+    // unit-norm, deterministic, and flow straight into cosinePairs
+    val dup = Seq(
+      MediaRow(0L, "image", Array.tabulate[Byte](300)(i => (i % 90).toByte)),
+      MediaRow(1L, "image", Array.tabulate[Byte](300)(i => (i % 90).toByte)),
+      MediaRow(2L, "image", Array.tabulate[Byte](200)(i => ((i * 7) % 113).toByte))
+    ).toDS()
+    val emb = MediaOps.embed(MediaOps.decode(dup)).collect().sortBy(_.doc_id)
+    assert(emb.forall(_.embedding.length == 64))
+    emb.foreach { e =>
+      val norm = math.sqrt(e.embedding.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"not unit-norm: $norm")
+    }
+    assert(emb(0).embedding.toSeq == emb(1).embedding.toSeq)
+    val pairs = graft.operators.Dedup.cosinePairs(
+        MediaOps.embed(MediaOps.decode(dup)).toDF(), "doc_id", "embedding",
+        threshold = 0.999)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
 }
