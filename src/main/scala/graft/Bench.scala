@@ -20,7 +20,6 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // a failed query is REPORTED and excluded, never silently timed as a
     // near-zero success
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces FULL query execution — count() would let Catalyst
       // prune the very projections being measured. First run warms
@@ -40,7 +39,7 @@ object Bench {
       run()
       name -> run()
     }
-    results.collect { case (n, None) => n }.foreach(failed += _)
+    val failed = results.collect { case (n, None) => n }
     val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0

@@ -104,11 +104,14 @@ object Dedup {
       val key = (0 until rows).map(r => s"s${b * rows + r}").mkString("concat_ws(':', ", ", ", ")")
       s"$b, $key"
     }.mkString(", ")
-    val bandsDf = capBuckets(
-      sig.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)"), maxBucket)
-    // persist: the band table is tiny (id, band, key) and the self-join
-    // would otherwise recompute the signature pass per side
-    bandsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the PRE-cap band table: capBuckets reads it twice (sizes +
+    // join-back) and the self-join twice more — without the cache each
+    // read would recompute the minhash signature scan over every document.
+    // (Deliberately not unpersisted: the table is tiny (id, band, key) and
+    // Spark's LRU storage eviction reclaims it under pressure.)
+    val rawBands = sig.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)")
+    rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = capBuckets(rawBands, maxBucket)
     val cand = bandsDf.as("a").hint("shuffle_merge")
       .join(bandsDf.as("b"),
         expr(s"a.band = b.band AND a.bkey = b.bkey AND a.$idCol < b.$idCol"))
@@ -183,11 +186,11 @@ object Dedup {
     }.mkString(", ")
     val hashed = df.selectExpr(s"$idCol", s"$e AS ev")
       .selectExpr(idCol, "ev", "sqrt(graft_dot(ev, ev)) AS nrm")
-    val banded = capBuckets(
-      hashed.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)"), maxBucket)
-    // persist: tiny (id, band, bkey) table; avoids recomputing the
-    // signature pass on both sides of the self-join
-    banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the PRE-cap band table (see minhashLsh: capBuckets + the
+    // self-join read it four times; tiny rows, LRU-reclaimed)
+    val rawBands = hashed.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)")
+    rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(rawBands, maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         expr(s"a.band = b.band AND a.bkey = b.bkey AND a.$idCol < b.$idCol"))

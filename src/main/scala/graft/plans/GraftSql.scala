@@ -177,7 +177,14 @@ object GraftSql {
         case '?' => sb.append('.')
         case '[' =>
           val j = g.indexOf(']', i + 1)
-          if (j < 0) sb.append("\\[") else { sb.append(g.substring(i, j + 1)); i = j }
+          if (j < 0) sb.append("\\[")
+          else {
+            // glob negation is [!...]; regex spells it [^...]
+            val body = g.substring(i + 1, j)
+            val cls = if (body.startsWith("!")) "^" + body.drop(1) else body
+            sb.append('[').append(cls).append(']')
+            i = j
+          }
         case c if "\\.^$+{}()|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
         case c => sb.append(c)
       }
@@ -253,9 +260,34 @@ object GraftSql {
             raw"(?is)\b(LIMIT|OFFSET)\b.*$$".r.replaceFirstIn(afterOrder, "").trim
           case None => onCols
         }
+        // limit/offset after the ORDER BY still applies post-dedup
+        val limitTail = orderIdx match {
+          case Some(oi) =>
+            raw"(?is)\b(LIMIT|OFFSET)\b.*$$".r.findFirstIn(rest.substring(oi)).getOrElse("")
+          case None => ""
+        }
         val proj = body.substring(0, fromIdx)
         val fromPart = body.substring(fromIdx)
-        s"SELECT * EXCEPT (__rn) FROM (${m.group(1)}$proj, row_number() OVER (PARTITION BY $onCols ORDER BY $windowOrder) AS __rn $fromPart) __distinct_on WHERE __rn = 1 $tail"
+        // ORDER BY expressions may reference base-table columns absent from
+        // the projection (the idiomatic Postgres shape: SELECT DISTINCT ON
+        // (k) payload ... ORDER BY k, ts DESC) — project each ordering
+        // expression into the inner query under a reserved alias, order the
+        // outer query by the aliases, then EXCEPT them away.
+        val dirRe = raw"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$$".r
+        val ordItems = splitTopLevel(windowOrder).zipWithIndex.map { case (item, i) =>
+          item match {
+            case dirRe(e, dir) => (e.trim, dir.trim, s"__ord$i")
+            case _ => (item, "", s"__ord$i")
+          }
+        }
+        val innerExtras = ordItems.map { case (e, _, a) => s"$e AS $a" }.mkString(", ")
+        val outerOrder =
+          if (tail.isEmpty) ""
+          else "ORDER BY " + ordItems.map { case (_, d, a) => s"$a $d".trim }.mkString(", ")
+        val except = ("__rn" +: ordItems.map(_._3)).mkString(", ")
+        s"SELECT * EXCEPT ($except) FROM (${m.group(1)}$proj, $innerExtras, " +
+          s"row_number() OVER (PARTITION BY $onCols ORDER BY $windowOrder) AS __rn $fromPart) " +
+          s"__distinct_on WHERE __rn = 1 $outerOrder $limitTail"
     }
   }
 
@@ -315,7 +347,8 @@ object GraftSql {
       s"explode(split(${args.mkString(", ")}))")
 
     // TYPEOF → DuckDB-style names over Spark typeof (placeholder avoids
-    // rescanning our own output)
+    // rescanning our own output; the doubled upper(typeof(..)) is free —
+    // typeof is foldable, so Catalyst constant-folds it at analysis time)
     s = rewriteCall(s, "typeof", args => {
       val t = s"upper(__typeof__(${args.mkString(", ")}))"
       s"(CASE $t WHEN 'STRING' THEN 'VARCHAR' WHEN 'INT' THEN 'INTEGER' ELSE $t END)"
@@ -385,11 +418,15 @@ object GraftSql {
         })
     }
     if (!spark.catalog.functionExists("graft_strftime")) {
+      // format in the SESSION time zone so %H agrees with CAST(ts AS
+      // STRING)/date_format in any environment, not just UTC JVMs
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
       spark.udf.register("graft_strftime",
         (ts: java.sql.Timestamp, fmt: String) =>
           if (ts == null || fmt == null) null
           else {
-            val dt = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+            val dt = ts.toInstant.atZone(zone)
             val sb = new StringBuilder
             var i = 0
             while (i < fmt.length) {

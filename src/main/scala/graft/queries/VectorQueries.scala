@@ -220,6 +220,7 @@ object VectorQueries {
              |  GROUP BY label
              |)
              |SELECT clabel, ce, sqrt(${dotS("ce", "ce")}) AS cnrm FROM cent""".stripMargin)
+        // deliberately not unpersisted: one tiny row per label, LRU-evicted
         centn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         centn.createOrReplaceTempView("graft_ivf_centn")
         val scored = s.sql(

@@ -58,22 +58,41 @@ class ExecutionSemanticsSpec extends SparkSpec {
     sc.clearJobGroup()
   }
 
-  /** Max records any single task read from a shuffle during `action`. */
+  /** Max records any single task read from a shuffle during `action`.
+    * An AQE action runs MULTIPLE jobs (shuffle-map stage, then the reduce
+    * job whose tasks do the shuffle read), so the drain waits until the
+    * event stream is quiescent — every observed job ended AND no new
+    * events for a settle window — not just for the first JobEnd.
+    */
   private def maxTaskShuffleRead(action: => Unit): Long = {
     val maxRecords = new AtomicLong(0)
-    @volatile var jobDone = false
+    val events = new AtomicLong(0)
+    val jobsStarted = new AtomicInteger(0)
+    val jobsEnded = new AtomicInteger(0)
     val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobsStarted.incrementAndGet(); events.incrementAndGet()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         if (t.taskMetrics != null)
           maxRecords.updateAndGet(m => math.max(m, t.taskMetrics.shuffleReadMetrics.recordsRead))
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = jobDone = true
+        events.incrementAndGet()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        jobsEnded.incrementAndGet(); events.incrementAndGet()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       action
-      // the listener bus is ordered: once jobEnd arrives, all taskEnds did
-      val deadline = System.nanoTime() + 10_000_000_000L
-      while (!jobDone && System.nanoTime() < deadline) Thread.sleep(50)
+      val deadline = System.nanoTime() + 15_000_000_000L
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        val before = events.get()
+        Thread.sleep(300)
+        settled = events.get() == before && jobsStarted.get() > 0 &&
+          jobsEnded.get() == jobsStarted.get()
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
     maxRecords.get()
   }

@@ -160,6 +160,11 @@ class GraftSqlSpec extends SparkSpec {
     // no ORDER BY: one arbitrary-but-single row per key
     val n = GraftSql.sql(spark, "SELECT DISTINCT ON (k) k, v FROM don_t").collect()
     assert(n.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // the idiomatic Postgres shape: projection does NOT include the
+    // ON/ORDER BY columns — they resolve against the base table
+    val p = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) tag FROM don_t ORDER BY k, v DESC").collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("y", "z"))
   }
 
   test("GLOB translates to an anchored regex") {
@@ -171,6 +176,10 @@ class GraftSqlSpec extends SparkSpec {
     assert(rows(0).getBoolean(1) && !rows(0).getBoolean(2) && !rows(0).getBoolean(3))
     assert(!rows(1).getBoolean(1) && !rows(1).getBoolean(2) && !rows(1).getBoolean(3))
     assert(!rows(2).getBoolean(1) && rows(2).getBoolean(2) && rows(2).getBoolean(3))
+    // negated class [!...] means "any char except"
+    val neg = GraftSql.sql(spark,
+      "SELECT 'abc' GLOB '[!x]bc' AS t1, 'xbc' GLOB '[!x]bc' AS t2").collect().head
+    assert(neg.getBoolean(0) && !neg.getBoolean(1))
   }
 
   test("json_query maps to get_json_object") {
