@@ -38,4 +38,26 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    // the other half of the 100 TB layout story: a time-partitioned table
+    // (the standard events/documents layout) must turn a date predicate
+    // into PartitionFilters — touching 1 of N directories, not a
+    // full-table scan filtered afterwards
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+    spark.range(3000)
+      .selectExpr("id", "CAST(date_add(DATE '2024-01-01', CAST(id % 30 AS INT)) AS STRING) AS day",
+        "CAST(id AS DOUBLE) * 1.5 AS value")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir).filter("day = '2024-01-07'").selectExpr("sum(value)")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scanLine = formatted.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("2024-01-07"), s"date predicate not pushed to partitions:\n$scanLine")
+    assert(q.collect().head.getDouble(0) > 0)
+    // the scan reads exactly one of the 30 day-directories
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scanned.contains("PushedFilters: [IsNotNull(day)"),
+      "day must be a partition column, not a data filter")
+  }
 }
