@@ -249,8 +249,12 @@ object GraftSql {
         }
         if (fromIdx < 0) return sql
         val orderIdx = topLevelIdx(raw"(?is)^\bORDER\s+BY\b".r)
-        val (body, tail) = orderIdx match {
-          case Some(oi) => (rest.substring(0, oi), rest.substring(oi))
+        // a top-level LIMIT/OFFSET applies AFTER dedup even when there is
+        // no ORDER BY — it must leave the inner body either way
+        val limitIdx = topLevelIdx(raw"(?is)^\b(LIMIT|OFFSET)\b".r)
+        val cutIdx = Seq(orderIdx, limitIdx).flatten.minOption
+        val (body, tail) = cutIdx match {
+          case Some(ci) => (rest.substring(0, ci), rest.substring(ci))
           case None => (rest, "")
         }
         val windowOrder = orderIdx match {
@@ -260,12 +264,7 @@ object GraftSql {
             raw"(?is)\b(LIMIT|OFFSET)\b.*$$".r.replaceFirstIn(afterOrder, "").trim
           case None => onCols
         }
-        // limit/offset after the ORDER BY still applies post-dedup
-        val limitTail = orderIdx match {
-          case Some(oi) =>
-            raw"(?is)\b(LIMIT|OFFSET)\b.*$$".r.findFirstIn(rest.substring(oi)).getOrElse("")
-          case None => ""
-        }
+        val limitTail = limitIdx.map(rest.substring).getOrElse("")
         val proj = body.substring(0, fromIdx)
         val fromPart = body.substring(fromIdx)
         // ORDER BY expressions may reference base-table columns absent from
@@ -282,7 +281,7 @@ object GraftSql {
         }
         val innerExtras = ordItems.map { case (e, _, a) => s"$e AS $a" }.mkString(", ")
         val outerOrder =
-          if (tail.isEmpty) ""
+          if (orderIdx.isEmpty) ""
           else "ORDER BY " + ordItems.map { case (_, d, a) => s"$a $d".trim }.mkString(", ")
         val except = ("__rn" +: ordItems.map(_._3)).mkString(", ")
         s"SELECT * EXCEPT ($except) FROM (${m.group(1)}$proj, $innerExtras, " +

@@ -165,6 +165,14 @@ class GraftSqlSpec extends SparkSpec {
     val p = GraftSql.sql(spark,
       "SELECT DISTINCT ON (k) tag FROM don_t ORDER BY k, v DESC").collect()
     assert(p.map(_.getString(0)).toSeq == Seq("y", "z"))
+    // ORDER BY ... LIMIT applies AFTER dedup
+    val lim = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY k, v DESC LIMIT 1").collect()
+    assert(lim.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L)))
+    // LIMIT with no ORDER BY also applies after dedup (1 of the 2 keys)
+    val lim2 = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, v FROM don_t LIMIT 1").collect()
+    assert(lim2.length == 1)
   }
 
   test("GLOB translates to an anchored regex") {
