@@ -89,27 +89,44 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped (see [[capBuckets]]) so
     * adversarial skew cannot make a single bucket quadratic.
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-                 maxBucket: Int = 100000): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val shingled = df
-      .withColumn("tk", tokens(textCol))
+  /** Word-shingle table `(idCol, sh)` — the exact-verify input. */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("tk", tokens(textCol))
       .filter(expr("size(tk) >= 3"))
       .withColumn("sh", shingles("tk"))
       .select(idCol, "sh")
+
+  private def sigBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
     val sig = minhashSignature(shingled, "sh", k)
     val bandExprs = (0 until bands).map { b =>
       val key = (0 until rows).map(r => s"s${b * rows + r}").mkString("concat_ws(':', ", ", ", ")")
       s"$b, $key"
     }.mkString(", ")
+    sig.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)")
+  }
+
+  /** The persistent LSH index of a corpus: one `(idCol, band, bkey)` row
+    * per document per band. Write it out once per corpus snapshot
+    * (ideally bucketed by (band, bkey)); every incoming batch then dedups
+    * against it via [[minhashLshAgainst]] without recomputing corpus
+    * signatures or joining the corpus to itself.
+    */
+  def bandTable(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, bands: Int = 4): DataFrame =
+    sigBands(shingleTable(df, idCol, textCol), idCol, k, bands)
+
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                 maxBucket: Int = 100000): DataFrame = {
+    val shingled = shingleTable(df, idCol, textCol)
     // persist the PRE-cap band table: capBuckets reads it twice (sizes +
     // join-back) and the self-join twice more — without the cache each
     // read would recompute the minhash signature scan over every document.
     // (Deliberately not unpersisted: the table is tiny (id, band, key) and
     // Spark's LRU storage eviction reclaims it under pressure.)
-    val rawBands = sig.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)")
+    val rawBands = sigBands(shingled, idCol, k, bands)
     rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = capBuckets(rawBands, maxBucket)
     val cand = bandsDf.as("a").hint("shuffle_merge")
@@ -123,6 +140,55 @@ object Dedup {
       .selectExpr("a_id", "b_id",
         "CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb)) AS jaccard")
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup pairs: NEW batch vs an EXISTING corpus — the
+    * production ingest shape (dedup today's crawl against the 100 TB
+    * corpus). Candidates come from newBands ⋈ corpusBands on (band, bkey):
+    * the corpus is never self-joined and, when `corpusBands` is a saved
+    * [[bandTable]], never re-hashed. Verification joins shingles back for
+    * candidate ids only (at scale: random access to corpus text by id).
+    * Corpus-side buckets over `maxBucket` are dropped (see [[capBuckets]]).
+    * Returns (new_id, corpus_id, jaccard).
+    */
+  def minhashLshAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                        maxBucket: Int = 100000): DataFrame = {
+    val newSh = shingleTable(newDf, idCol, textCol)
+    val corpusSh = shingleTable(corpusDf, idCol, textCol)
+    val newBands = sigBands(newSh, idCol, k, bands)
+    val corpusBands = capBuckets(
+      sigBands(corpusSh, idCol, k, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      maxBucket)
+    val cand = newBands.as("n")
+      .join(corpusBands.as("c"), expr("n.band = c.band AND n.bkey = c.bkey"))
+      .selectExpr(s"n.$idCol AS new_id", s"c.$idCol AS corpus_id")
+      .distinct()
+    cand.as("p")
+      .join(newSh.selectExpr(s"$idCol AS n_key", "sh AS shn"), expr("n_key = new_id"))
+      .join(corpusSh.selectExpr(s"$idCol AS c_key", "sh AS shc"), expr("c_key = corpus_id"))
+      .selectExpr("new_id", "corpus_id",
+        "CAST(size(array_intersect(shn, shc)) AS DOUBLE) / size(array_union(shn, shc)) AS jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Ingest filter: drop every new document that exactly or nearly
+    * duplicates the EXISTING corpus. Does NOT dedup the new batch against
+    * itself — compose with [[dropNearDuplicates]] for that.
+    */
+  def dropNearDuplicatesAgainst(newDf: DataFrame, corpusDf: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                                maxBucket: Int = 100000): DataFrame = {
+    val corpusHashes = corpusDf.select(md5(col(textCol)).as("_h")).distinct()
+    val fresh = newDf.withColumn("_h", md5(col(textCol)))
+      .join(corpusHashes, Seq("_h"), "left_anti").drop("_h")
+    val losers = minhashLshAgainst(fresh, corpusDf, idCol, textCol,
+        k, bands, threshold, maxBucket)
+      .select(col("new_id").as(idCol)).distinct()
+    fresh.join(losers, Seq(idCol), "left_anti")
   }
 
   /** End-to-end near-dedup: drop every document that near-duplicates a

@@ -159,6 +159,49 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- Incremental dedup: new batch vs existing corpus (the ingest
+    // shape — candidates from newBands ⋈ corpusBands, NO corpus self-join;
+    // operator Dedup.minhashLshAgainst / dropNearDuplicatesAgainst).
+    QueryDef("q_dedup_incremental", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      def bandSel(src: String) = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents
+         |), shl AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), sig AS (
+         |  SELECT doc_id, $sigs FROM (SELECT doc_id, $hsD AS hs FROM shl)
+         |), sig_new AS (SELECT * FROM sig WHERE doc_id >= 250),
+         |sig_corpus AS (SELECT * FROM sig WHERE doc_id < 250),
+         |bands_new AS (
+         |  ${bandSel("sig_new")}
+         |), bands_corpus AS (
+         |  ${bandSel("sig_corpus")}
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bands_new n JOIN bands_corpus c
+         |    ON n.band = c.band AND n.bkey = c.bkey
+         |)
+         |SELECT p.new_id, p.corpus_id,
+         |  round(CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+         |        / len(list_distinct(sn.sh || sc.sh)), 6) AS jaccard
+         |FROM cand p
+         |JOIN shl sn ON sn.doc_id = p.new_id
+         |JOIN shl sc ON sc.doc_id = p.corpus_id
+         |WHERE CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+         |      / len(list_distinct(sn.sh || sc.sh)) >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Dedup.minhashLshAgainst(
+          d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+          "doc_id", "text", k = 8, bands = 4, threshold = 0.5)
+        .selectExpr("new_id", "corpus_id", "round(jaccard, 6) AS jaccard")
+        .orderBy("new_id", "corpus_id")
+    },
+
     // ---- End-to-end near-dedup policy: exact dedup, then drop every
     // doc that near-duplicates a lower-id survivor (Dedup.dropNearDuplicates
     // — the standard corpus-dedup pipeline, oracle-checked end to end).

@@ -75,6 +75,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("incremental dedup filters a new batch against the corpus only") {
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base),                                   // exact dup of corpus 0
+      (101L, base.replace("today", "tomorrow")),      // near dup of corpus 0
+      (102L, "a genuinely fresh document with entirely new content and words inside"),
+      // near-dups WITHIN the batch — must both survive (only-vs-corpus)
+      (103L, "twin sentences of unusual phrasing appearing twice in one batch now"),
+      (104L, "twin sentences of unusual phrasing appearing twice in one batch today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshAgainst(incoming, corpus, "doc_id", "text",
+        threshold = 0.4)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 0L)) && pairs.contains((101L, 0L)))
+    assert(!pairs.exists { case (n, _) => n >= 102L })
+    val kept = Dedup.dropNearDuplicatesAgainst(incoming, corpus, "doc_id", "text",
+        threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 103L, 104L))
+  }
+
   test("bucket cap drops degenerate hot buckets instead of going quadratic") {
     // 40 identical boilerplate docs (identical signatures → one hot LSH
     // bucket in EVERY band) + 2 distinct near-dups: with maxBucket=10 the
