@@ -83,12 +83,6 @@ object Dedup {
     bandsDf.join(sizes, Seq("band", "bkey")).drop("_bucket_n")
   }
 
-  /** MinHash + LSH near-duplicate pairs: `k` hashes in `bands` bands,
-    * candidates from band-bucket equality, verified with exact shingle
-    * Jaccard >= `threshold`. Input needs an id column and a text column.
-    * Buckets larger than `maxBucket` are dropped (see [[capBuckets]]) so
-    * adversarial skew cannot make a single bucket quadratic.
-    */
   /** Word-shingle table `(idCol, sh)` — the exact-verify input. */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("tk", tokens(textCol))
@@ -117,6 +111,12 @@ object Dedup {
                 k: Int = 8, bands: Int = 4): DataFrame =
     sigBands(shingleTable(df, idCol, textCol), idCol, k, bands)
 
+  /** MinHash + LSH near-duplicate pairs: `k` hashes in `bands` bands,
+    * candidates from band-bucket equality, verified with exact shingle
+    * Jaccard >= `threshold`. Input needs an id column and a text column.
+    * Buckets larger than `maxBucket` are dropped (see [[capBuckets]]) so
+    * adversarial skew cannot make a single bucket quadratic.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
                  maxBucket: Int = 100000): DataFrame = {
@@ -124,8 +124,11 @@ object Dedup {
     // persist the PRE-cap band table: capBuckets reads it twice (sizes +
     // join-back) and the self-join twice more — without the cache each
     // read would recompute the minhash signature scan over every document.
-    // (Deliberately not unpersisted: the table is tiny (id, band, key) and
-    // Spark's LRU storage eviction reclaims it under pressure.)
+    // Not unpersisted here (the rows are tiny and the plan is still lazy);
+    // note the disk tier of MEMORY_AND_DISK outlives memory pressure, so
+    // a long-lived session running repeated batches should unpersist /
+    // spark.catalog.clearCache() between them — or save bandTable() to
+    // storage and skip recomputation entirely.
     val rawBands = sigBands(shingled, idCol, k, bands)
     rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = capBuckets(rawBands, maxBucket)
@@ -252,8 +255,8 @@ object Dedup {
     }.mkString(", ")
     val hashed = df.selectExpr(s"$idCol", s"$e AS ev")
       .selectExpr(idCol, "ev", "sqrt(graft_dot(ev, ev)) AS nrm")
-    // persist the PRE-cap band table (see minhashLsh: capBuckets + the
-    // self-join read it four times; tiny rows, LRU-reclaimed)
+    // persist the PRE-cap band table (see minhashLsh for the read count
+    // and the cache-lifetime caveat)
     val rawBands = hashed.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)")
     rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(rawBands, maxBucket)

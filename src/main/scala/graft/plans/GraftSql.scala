@@ -105,23 +105,43 @@ object GraftSql {
     out.result()
   }
 
+  /** True when `pos` sits inside a single-quoted SQL string literal
+    * (quote parity; DuckDB-style doubled '' counts as two, preserving
+    * parity correctly).
+    */
+  private def inLiteral(s: String, pos: Int): Boolean = {
+    var i = 0
+    var quotes = 0
+    while (i < pos) { if (s.charAt(i) == '\'') quotes += 1; i += 1 }
+    quotes % 2 == 1
+  }
+
   /** Rewrite every `fname(args)` call via `f(splitArgs)` — paren-aware, so
     * nested calls and commas inside arguments are handled; inner
-    * occurrences of `fname` are rewritten on subsequent passes.
+    * occurrences of `fname` are rewritten on subsequent passes; matches
+    * inside string literals are left alone.
     */
   private def rewriteCall(sql: String, fname: String, f: Seq[String] => String): String = {
     val pat = raw"(?i)\b$fname\s*\(".r
     var s = sql
     var guard = 0
-    var m = pat.findFirstMatchIn(s)
-    while (m.isDefined && guard < 1000) {
-      val open = m.get.end - 1
-      val close = matchParen(s, open)
-      if (close < 0) return s
-      val args = splitTopLevel(s.substring(open + 1, close))
-      s = s.substring(0, m.get.start) + f(args) + s.substring(close + 1)
+    var searchFrom = 0
+    while (guard < 1000) {
+      pat.findFirstMatchIn(s.substring(searchFrom)) match {
+        case None => return s
+        case Some(m0) =>
+          val start = searchFrom + m0.start
+          val open = searchFrom + m0.end - 1
+          if (inLiteral(s, start)) searchFrom = open + 1
+          else {
+            val close = matchParen(s, open)
+            if (close < 0) return s
+            val args = splitTopLevel(s.substring(open + 1, close))
+            s = s.substring(0, start) + f(args) + s.substring(close + 1)
+            searchFrom = 0
+          }
+      }
       guard += 1
-      m = pat.findFirstMatchIn(s)
     }
     s
   }
@@ -137,10 +157,11 @@ object GraftSql {
     "list_transform", "list_filter", "list_reduce", "list_aggregate",
     "list_sort", "any_match", "all_match", "none_match")
 
-  /** Name of the innermost function call enclosing position `pos`, if any
-    * (backward scan, quote- and paren-aware).
+  /** Name of the innermost function call enclosing position `pos` and the
+    * index of its opening paren, if any (backward scan, quote- and
+    * paren-aware).
     */
-  private def enclosingCallName(s: String, pos: Int): Option[String] = {
+  private def enclosingCall(s: String, pos: Int): Option[(String, Int)] = {
     var depth = 0
     var i = pos - 1
     while (i >= 0) {
@@ -156,7 +177,7 @@ object GraftSql {
             val end = j
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
             val name = s.substring(j + 1, end + 1)
-            return if (name.nonEmpty) Some(name.toLowerCase) else None
+            return if (name.nonEmpty) Some((name.toLowerCase, i)) else None
           } else depth -= 1
         case _ =>
       }
@@ -164,6 +185,22 @@ object GraftSql {
     }
     None
   }
+
+  /** An arrow under a `filter`/`exists` call is only a lambda when that
+    * call is the HOF form, not SQL `FILTER (WHERE ...)` / `EXISTS
+    * (SELECT ...)` — those open with a keyword, a lambda never does.
+    */
+  private def isHofContext(s: String, pos: Int): Boolean =
+    enclosingCall(s, pos) match {
+      case Some((name, open)) if hofNames.contains(name) =>
+        if (name == "filter" || name == "exists") {
+          var j = open + 1
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          val word = s.drop(j).takeWhile(c => c.isLetter).toLowerCase
+          word != "where" && word != "select"
+        } else true
+      case _ => false
+    }
 
   /** Glob pattern → anchored regex (`*` → `.*`, `?` → `.`, classes kept,
     * regex metacharacters escaped).
@@ -209,11 +246,13 @@ object GraftSql {
         if (close < 0) return sql
         val onCols = sql.substring(open + 1, close).trim
         val rest = sql.substring(close + 1)
-        // top-level clause positions in `rest` (subqueries sit inside parens)
+        // FIRST top-level occurrence of a keyword in `rest` — subqueries
+        // sit inside parens, string literals are skipped, and a true word
+        // boundary is enforced on the left (prefix-matching a substring
+        // would otherwise match 'offset' inside 'ts_offset')
         def topLevelIdx(pat: scala.util.matching.Regex): Option[Int] = {
           var i = 0
           var depth = 0
-          var found = -1
           while (i < rest.length) {
             rest.charAt(i) match {
               case '\'' =>
@@ -221,42 +260,28 @@ object GraftSql {
                 while (i < rest.length && rest.charAt(i) != '\'') i += 1
               case '(' => depth += 1
               case ')' => depth -= 1
-              case _ =>
-                if (depth == 0) pat.findPrefixMatchOf(rest.substring(i)).foreach(_ => found = i)
+              case c =>
+                val boundary = i == 0 || {
+                  val p = rest.charAt(i - 1); !(p.isLetterOrDigit || p == '_')
+                }
+                if (depth == 0 && boundary && c.isLetter &&
+                    pat.findPrefixMatchOf(rest.substring(i)).isDefined)
+                  return Some(i)
             }
             i += 1
           }
-          if (found >= 0) Some(found) else None
+          None
         }
-        val fromIdx = {
-          var i = 0
-          var depth = 0
-          var found = -1
-          while (i < rest.length && found < 0) {
-            rest.charAt(i) match {
-              case '\'' =>
-                i += 1
-                while (i < rest.length && rest.charAt(i) != '\'') i += 1
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case _ =>
-                if (depth == 0 && raw"(?is)^\bFROM\b".r.findPrefixMatchOf(rest.substring(i)).isDefined)
-                  found = i
-            }
-            i += 1
-          }
-          found
-        }
-        if (fromIdx < 0) return sql
-        val orderIdx = topLevelIdx(raw"(?is)^\bORDER\s+BY\b".r)
+        val fromIdxOpt = topLevelIdx(raw"(?is)^FROM\b".r)
+        if (fromIdxOpt.isEmpty) return sql
+        val fromIdx = fromIdxOpt.get
+        val orderIdx = topLevelIdx(raw"(?is)^ORDER\s+BY\b".r)
         // a top-level LIMIT/OFFSET applies AFTER dedup even when there is
         // no ORDER BY — it must leave the inner body either way
-        val limitIdx = topLevelIdx(raw"(?is)^\b(LIMIT|OFFSET)\b".r)
+        val limitIdx = topLevelIdx(raw"(?is)^(LIMIT|OFFSET)\b".r)
         val cutIdx = Seq(orderIdx, limitIdx).flatten.minOption
-        val (body, tail) = cutIdx match {
-          case Some(ci) => (rest.substring(0, ci), rest.substring(ci))
-          case None => (rest, "")
-        }
+        if (cutIdx.exists(_ <= fromIdx)) return sql
+        val body = cutIdx.map(rest.substring(0, _)).getOrElse(rest)
         val windowOrder = orderIdx match {
           case Some(oi) =>
             val afterOrder = rest.substring(oi).replaceFirst(raw"(?is)^ORDER\s+BY\s*", "")
@@ -271,21 +296,41 @@ object GraftSql {
         // the projection (the idiomatic Postgres shape: SELECT DISTINCT ON
         // (k) payload ... ORDER BY k, ts DESC) — project each ordering
         // expression into the inner query under a reserved alias, order the
-        // outer query by the aliases, then EXCEPT them away.
+        // outer query by the aliases, then EXCEPT them away. Select-list
+        // ALIASES and ORDINALS in the ORDER BY are resolved to their
+        // underlying projection expressions first (a window cannot
+        // reference a lateral alias, and ordinals inside OVER() would be
+        // constants).
+        val projItems = splitTopLevel(proj)
+        val aliasRe = raw"(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+        val aliasMap = projItems.collect { case aliasRe(e, a) => a.toLowerCase -> e.trim }.toMap
+        def baseExpr(item: String): String = item match {
+          case aliasRe(e, _) => e.trim
+          case other => other.trim
+        }
+        def resolveOrd(e: String): String = {
+          val t = e.trim
+          if (t.forall(_.isDigit) && t.nonEmpty) {
+            val n = t.toInt
+            if (n >= 1 && n <= projItems.length) baseExpr(projItems(n - 1)) else t
+          } else aliasMap.getOrElse(t.toLowerCase, t)
+        }
         val dirRe = raw"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$$".r
         val ordItems = splitTopLevel(windowOrder).zipWithIndex.map { case (item, i) =>
           item match {
-            case dirRe(e, dir) => (e.trim, dir.trim, s"__ord$i")
-            case _ => (item, "", s"__ord$i")
+            case dirRe(e, dir) => (resolveOrd(e), dir.trim, s"__ord$i")
+            case _ => (resolveOrd(item), "", s"__ord$i")
           }
         }
+        val resolvedWindowOrder = ordItems.map { case (e, d, _) => s"$e $d".trim }.mkString(", ")
+        val resolvedOn = splitTopLevel(onCols).map(resolveOrd).mkString(", ")
         val innerExtras = ordItems.map { case (e, _, a) => s"$e AS $a" }.mkString(", ")
         val outerOrder =
           if (orderIdx.isEmpty) ""
           else "ORDER BY " + ordItems.map { case (_, d, a) => s"$a $d".trim }.mkString(", ")
         val except = ("__rn" +: ordItems.map(_._3)).mkString(", ")
         s"SELECT * EXCEPT ($except) FROM (${m.group(1)}$proj, $innerExtras, " +
-          s"row_number() OVER (PARTITION BY $onCols ORDER BY $windowOrder) AS __rn $fromPart) " +
+          s"row_number() OVER (PARTITION BY $resolvedOn ORDER BY $resolvedWindowOrder) AS __rn $fromPart) " +
           s"__distinct_on WHERE __rn = 1 $outerOrder $limitTail"
     }
   }
@@ -306,7 +351,8 @@ object GraftSql {
     val chain = raw"([A-Za-z_][A-Za-z0-9_\.]*)((?:\s*->>?\s*(?:'[^']*'|\d+))+)".r
     val step = raw"->>?\s*('([^']*)'|(\d+))".r
     s = chain.replaceSomeIn(s, m => {
-      if (enclosingCallName(m.source.toString, m.start).exists(hofNames.contains)) None
+      if (inLiteral(m.source.toString, m.start) ||
+          isHofContext(m.source.toString, m.start)) None
       else {
         val path = step.findAllMatchIn(m.group(2)).map { st =>
           if (st.group(2) != null) s".${st.group(2)}" else s"[${st.group(3)}]"
@@ -361,9 +407,11 @@ object GraftSql {
       s = rewriteCall(s, f, args => s"(__dow__(${args.mkString(", ")}) - 1)")
     s = s.replace("__dow__(", "dayofweek(")
 
-    // x GLOB 'pat' → x RLIKE '^…$'
-    s = raw"(?i)\bGLOB\s*'([^']*)'".r.replaceAllIn(s, m =>
-      scala.util.matching.Regex.quoteReplacement(s"RLIKE '${globToRegex(m.group(1))}'"))
+    // x GLOB 'pat' → x RLIKE '^…$' (not inside string literals)
+    s = raw"(?i)\bGLOB\s*'([^']*)'".r.replaceSomeIn(s, m =>
+      if (inLiteral(m.source.toString, m.start)) None
+      else Some(scala.util.matching.Regex.quoteReplacement(
+        s"RLIKE '${globToRegex(m.group(1))}'")))
 
     // epoch(x) → seconds since epoch as double
     s = raw"(?i)\bepoch\s*\(".r.replaceAllIn(s, "graft_epoch(")
@@ -396,7 +444,8 @@ object GraftSql {
       .replaceAllIn(s, m => s"(${m.group(1)} RLIKE ${m.group(2)})")
 
     renames.foldLeft(s) { case (acc, (from, to)) =>
-      raw"(?i)\b$from\s*\(".r.replaceAllIn(acc, s"$to(")
+      raw"(?i)\b$from\s*\(".r.replaceSomeIn(acc, m =>
+        if (inLiteral(m.source.toString, m.start)) None else Some(s"$to("))
     }
   }
 

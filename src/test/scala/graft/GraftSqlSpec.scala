@@ -173,6 +173,49 @@ class GraftSqlSpec extends SparkSpec {
     val lim2 = GraftSql.sql(spark,
       "SELECT DISTINCT ON (k) k, v FROM don_t LIMIT 1").collect()
     assert(lim2.length == 1)
+    // LIMIT + OFFSET both survive and apply post-dedup
+    val lo = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY k, v DESC LIMIT 1 OFFSET 1").collect()
+    assert(lo.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 2L)))
+    // ORDER BY on a select-list ALIAS and by ORDINAL resolve to the
+    // underlying expressions (a window can't use lateral aliases/ordinals)
+    val al = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, v * 10 AS score FROM don_t ORDER BY k, score DESC").collect()
+    assert(al.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 30L), ("b", 20L)))
+    val ord = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, v FROM don_t ORDER BY 1, 2 DESC").collect()
+    assert(ord.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
+    // identifiers CONTAINING keyword substrings don't confuse the surgery
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "ts_offset").createOrReplaceTempView("kw_t")
+    val kw = GraftSql.sql(spark,
+      "SELECT DISTINCT ON (k) k, ts_offset FROM kw_t ORDER BY k, ts_offset").collect()
+    assert(kw.length == 2)
+  }
+
+  test("arrows rewrite inside SQL FILTER (WHERE ...) and EXISTS (SELECT ...)") {
+    // 'filter'/'exists' are HOF names AND SQL constructs — only the HOF
+    // form carries lambdas; the SQL forms must still get arrow rewriting
+    Seq((1L, """{"k": 1}"""), (2L, """{"k": 2}""")).toDF("id", "props")
+      .createOrReplaceTempView("fw_t")
+    val r = GraftSql.sql(spark,
+      "SELECT count(*) FILTER (WHERE props ->> 'k' = '1') AS n FROM fw_t").collect().head
+    assert(r.getAs[Long]("n") == 1L)
+    val e = GraftSql.sql(spark,
+      """SELECT id FROM fw_t t WHERE EXISTS (
+        |  SELECT 1 FROM fw_t u WHERE u.props ->> 'k' = '2' AND u.id = t.id)
+        |ORDER BY id""".stripMargin).collect()
+    assert(e.map(_.getLong(0)).toSeq == Seq(2L))
+    // ...while the HOF spelling of filter keeps its lambda untouched
+    assert(GraftSql.rewrite("SELECT filter(xs, x -> 5) FROM t")
+      == "SELECT filter(xs, x -> 5) FROM t")
+  }
+
+  test("rewrites leave string literals alone") {
+    val r = GraftSql.sql(spark,
+      """SELECT 'use strlen( and list( here' AS a,
+        |  'x GLOB ''a*'' stays' AS b""".stripMargin).collect().head
+    assert(r.getString(0) == "use strlen( and list( here")
+    assert(r.getString(1) == "x GLOB 'a*' stays")
   }
 
   test("GLOB translates to an anchored regex") {
