@@ -111,6 +111,67 @@ object Dedup {
                 k: Int = 8, bands: Int = 4): DataFrame =
     sigBands(shingleTable(df, idCol, textCol), idCol, k, bands)
 
+  /** Write the [[bandTable]] of a corpus as a bucketed + sorted catalog
+    * table — the persistent LSH index layout for repeated ingest. A
+    * bucketed scan exposes `hashpartitioning(band, bkey, buckets)`, so
+    * every future batch-vs-corpus candidate join plans with an Exchange
+    * on the BATCH side only: the corpus index is read in place, never
+    * re-hashed and never shuffled, no matter how many batches arrive.
+    * (BucketingSpec pins the shuffle-free corpus side.)
+    */
+  def saveBandTable(corpus: DataFrame, idCol: String, textCol: String,
+                    table: String, buckets: Int = 64,
+                    k: Int = 8, bands: Int = 4): Unit =
+    bandTable(corpus, idCol, textCol, k, bands)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .saveAsTable(table)
+
+  /** LSH candidate pairs of a new batch against a saved corpus band table
+    * (usually `spark.table(...)` over a [[saveBandTable]] output).
+    * Returns distinct `(new_id, corpus_id)`. Only the batch is shingled
+    * and hashed; the corpus-side bucket cap (groupBy + join-back on the
+    * bucket keys) rides the bucketed partitioning shuffle-free too.
+    */
+  def candidatesAgainstBands(newDf: DataFrame, corpusBands: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 8, bands: Int = 4,
+                             maxBucket: Int = 100000): DataFrame = {
+    val newBands = sigBands(shingleTable(newDf, idCol, textCol), idCol, k, bands)
+    newBands.as("n")
+      .join(capBuckets(corpusBands, maxBucket).as("c"),
+        expr("n.band = c.band AND n.bkey = c.bkey"))
+      .selectExpr(s"n.$idCol AS new_id", s"c.$idCol AS corpus_id")
+      .distinct()
+  }
+
+  /** Incremental near-dup pairs vs a corpus whose band table was saved
+    * with [[saveBandTable]]: candidates come from the bucketed index
+    * (no corpus re-hash), and corpus TEXT is shingled only for the docs
+    * that actually appear as candidates — a semi-join-first lookup, not
+    * a corpus scan-and-shingle. Returns (new_id, corpus_id, jaccard).
+    */
+  def minhashLshAgainstSaved(newDf: DataFrame, corpusDf: DataFrame,
+                             corpusBands: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                             maxBucket: Int = 100000): DataFrame = {
+    val cand = candidatesAgainstBands(newDf, corpusBands, idCol, textCol,
+        k, bands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newSh = shingleTable(newDf, idCol, textCol)
+    val hitIds = cand.select(col("corpus_id").as(idCol)).distinct()
+    val corpusSh = shingleTable(
+      corpusDf.join(hitIds, Seq(idCol), "left_semi"), idCol, textCol)
+    cand.as("p")
+      .join(newSh.selectExpr(s"$idCol AS n_key", "sh AS shn"), expr("n_key = new_id"))
+      .join(corpusSh.selectExpr(s"$idCol AS c_key", "sh AS shc"), expr("c_key = corpus_id"))
+      .selectExpr("new_id", "corpus_id",
+        "CAST(size(array_intersect(shn, shc)) AS DOUBLE) / size(array_union(shn, shc)) AS jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash + LSH near-duplicate pairs: `k` hashes in `bands` bands,
     * candidates from band-bucket equality, verified with exact shingle
     * Jaccard >= `threshold`. Input needs an id column and a text column.

@@ -65,4 +65,26 @@ object TextOps {
   def fingerprint(textCol: Column): Column =
     expr(s"aggregate(split(${textCol.toString}, ''), CAST(0 AS BIGINT), " +
       "(h, c) -> (h * 31 + ascii(c)) % 1000000007)")
+
+  /** Split documents into fixed-`size` character chunks whose starts are
+    * `size - overlap` apart, so consecutive chunks share `overlap` chars
+    * of context — the standard context-window prep for embedding /
+    * training pipelines. Adds `chunk_id` (0-based BIGINT) and `chunk`.
+    *
+    * One narrow generate: a doc of length L yields
+    * `1 + floor(max(L-1, 0) / stride)` rows, each a substring computed at
+    * the row — no shuffle, stays inside WholeStageCodegen, and at corpus
+    * scale the explode fan-out is bounded by total text volume, not row
+    * count, so partition sizing follows bytes scanned.
+    */
+  def chunk(df: DataFrame, textCol: String,
+            size: Int = 120, overlap: Int = 20): DataFrame = {
+    require(overlap >= 0 && size > overlap, "need size > overlap >= 0")
+    val stride = size - overlap
+    df.withColumn("chunk_id",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+          s"greatest(CAST(length($textCol) AS BIGINT) - 1, CAST(0 AS BIGINT)) div $stride)")))
+      .withColumn("chunk",
+        expr(s"substring($textCol, CAST(1 + chunk_id * $stride AS INT), $size)"))
+  }
 }

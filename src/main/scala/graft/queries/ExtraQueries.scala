@@ -238,6 +238,30 @@ object ExtraQueries {
             "st_coveredby(b, a) AS b_coveredby",
             "st_crosses(l, a) AS b_crosses")
           .orderBy("id")
+    },
+
+    // ORDER BY resolution edge cases the reference pins in
+    // test/execute/execute.orderby.test.js: GROUP BY ordinal, ordering by
+    // an aggregate expression that is NOT in the select list, and an
+    // ordinal tiebreaker — visible through the hash because LIMIT makes
+    // the ordering semantic, not cosmetic.
+    QueryDef("q_orderby_edge",
+      """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) DESC, 1
+        |LIMIT 3""".stripMargin) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS cnt,
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            |FROM orders
+            |GROUP BY 1
+            |ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) DESC, 1
+            |LIMIT 3""".stripMargin)
+      }
     }
   )
 }

@@ -390,6 +390,25 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Document chunking: fixed-size windows with overlap -------------
+    // (operator TextOps.chunk — context-window prep for embedding /
+    // training pipelines; one narrow explode per doc, no shuffle)
+    QueryDef("q_text_chunk",
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, i AS chunk_id,
+        |  substr(text, CAST(1 + i * 100 AS INT), 120) AS chunk,
+        |  CAST(length(substr(text, CAST(1 + i * 100 AS INT), 120)) AS BIGINT) AS n_chars
+        |FROM t, unnest(range(0, greatest(length(text) - 1, 0) // 100 + 1)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.chunk(
+            docs(s, dir).filter(col("doc_id") < 120).select("doc_id", "text"),
+            "text", size = 120, overlap = 20)
+          .selectExpr("doc_id", "chunk_id", "chunk",
+            "CAST(length(chunk) AS BIGINT) AS n_chars")
+          .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- Rolling-hash fingerprint (31-polynomial mod 1e9+7) -------------
     QueryDef("q_text_fingerprint",
       """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)

@@ -67,6 +67,28 @@ object EventPipeline {
       .drop("r_uid")
   }
 
+  final case class DocEvent(ts: Timestamp, doc_id: Long, text: String)
+
+  /** Streaming training-data ingest: quality-gate, language-ID, and
+    * exact-dedup a document stream at the door — the streaming
+    * composition of the batch TextOps/Dedup operators. Scoring and
+    * language ID are stateless narrow expressions; the only stateful
+    * operator is the watermark-bounded dedup keyed on the text digest,
+    * so state is one 32-byte key per in-flight document and is evicted
+    * as the watermark advances — never a full-history dedup set.
+    */
+  def documentIngest(docs: DataFrame, minQuality: Double = 0.2,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val scored = graft.operators.TextOps.qualityScore(docs, "text")
+    val withLang = graft.operators.TextOps.languageId(scored, "text")
+    withLang
+      .filter(col("quality") >= minQuality)
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .select("ts", "doc_id", "text", "predicted", "quality", "digest")
+  }
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total: Double)

@@ -39,6 +39,62 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("saved corpus band table: ingest candidates shuffle only the batch") {
+    // the repeated-ingest shape at 100 TB — the corpus LSH index is
+    // bucketed by the join key (Dedup.saveBandTable), so each arriving
+    // batch shuffles its OWN bands to the bucket layout while every
+    // corpus-side step (bucket-cap groupBy, cap join-back, candidate
+    // join) rides the bucketed partitioning with zero exchanges
+    import graft.operators.Dedup
+    val corpus = spark.range(400).selectExpr("id AS doc_id",
+      s"concat_ws(' ', 'alpha', concat('b', id % 7), concat('c', id % 5), " +
+        "concat('d', id % 3), concat('e', id % 11), concat('f', id % 13), 'tail') AS text")
+    val batch = spark.range(400, 450).selectExpr("id AS doc_id",
+      s"concat_ws(' ', 'alpha', concat('b', id % 7), concat('c', id % 5), " +
+        "concat('d', id % 3), concat('e', id % 11), concat('f', id % 13), 'tail') AS text")
+    Dedup.saveBandTable(corpus, "doc_id", "text", "bk_corpus_bands", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // broadcast off so the join keys matter; AQE off so the executed plan
+    // is a plain tree the walker below can traverse (query stages hide
+    // their subtrees from `children`)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cand = Dedup.candidatesAgainstBands(
+        batch, spark.table("bk_corpus_bands"), "doc_id", "text")
+      assert(cand.count() > 0)
+      val root = cand.queryExecution.executedPlan
+      val fmt = cand.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(fmt.contains("bk_corpus_bands"),
+        "expected the bucketed corpus scan in the plan:\n" + fmt.take(1200))
+      assert(fmt.contains("Bucketed: true"),
+        "corpus scan must be a bucketed read:\n" + fmt.take(2000))
+      // the join's corpus-side input must be exchange-free: the bucketed
+      // scan IS the partitioning. (The batch side and the post-join
+      // distinct still shuffle — those are proportional to the batch and
+      // to the candidate set, not to the corpus.)
+      def findJoin(n: SparkPlan): Option[SparkPlan] = n match {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Some(j)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => Some(j)
+        case _ => n.children.flatMap(findJoin).headOption
+      }
+      val join = findJoin(root).getOrElse(
+        fail("expected a shuffled join in the candidate plan:\n" + root.toString.take(1500)))
+      val corpusSide = join.children.find(_.toString.contains("bk_corpus_bands")).getOrElse(
+        fail("no join input scans the corpus band table:\n" + join.toString.take(1500)))
+      def shuffleCount(n: SparkPlan): Int =
+        (if (n.isInstanceOf[ShuffleExchangeExec]) 1 else 0) + n.children.map(shuffleCount).sum
+      assert(shuffleCount(corpusSide) == 0,
+        "corpus band table must not be shuffled below the join:\n" + corpusSide.toString.take(2500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bk_corpus_bands")
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     // the other half of the 100 TB layout story: a time-partitioned table
     // (the standard events/documents layout) must turn a date predicate

@@ -99,6 +99,30 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(102L, 103L, 104L))
   }
 
+  test("saved band-table path finds the same incremental pairs as the direct path") {
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base),
+      (101L, base.replace("today", "tomorrow")),
+      (102L, "a genuinely fresh document with entirely new content and words inside")
+    ).toDF("doc_id", "text")
+    Dedup.saveBandTable(corpus, "doc_id", "text", "dd_saved_bands", buckets = 4)
+    try {
+      val saved = Dedup.minhashLshAgainstSaved(
+          incoming, corpus, spark.table("dd_saved_bands"), "doc_id", "text",
+          threshold = 0.4)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val direct = Dedup.minhashLshAgainst(incoming, corpus, "doc_id", "text",
+          threshold = 0.4)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(saved == direct && saved.contains((100L, 0L)) && saved.contains((101L, 0L)),
+        s"saved=$saved direct=$direct")
+    } finally spark.sql("DROP TABLE IF EXISTS dd_saved_bands")
+  }
+
   test("bucket cap drops degenerate hot buckets instead of going quadratic") {
     // 40 identical boilerplate docs (identical signatures → one hot LSH
     // bucket in EVERY band) + 2 distinct near-dups: with maxBucket=10 the

@@ -48,6 +48,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf("q_join_3way").contains("BroadcastHashJoin"))
   }
 
+  test("hash-join build side lands on the smaller table regardless of join order") {
+    // mirror of reference test/execute/joinMemory.test.js: the reference
+    // swaps the hash-table build side to the smaller input; Spark's
+    // analog is broadcasting the smaller side whichever side of the join
+    // it appears on (BuildRight when the dim is on the right, BuildLeft
+    // when it is on the left)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val dimRight = orders.join(nation,
+      orders("o_custkey") % 25 === nation("n_nationkey"))
+    val dimLeft = nation.join(orders,
+      nation("n_nationkey") === orders("o_custkey") % 25)
+    val pRight = dimRight.queryExecution.executedPlan.toString
+    val pLeft = dimLeft.queryExecution.executedPlan.toString
+    assert(pRight.contains("BroadcastHashJoin") && pRight.contains("BuildRight"), pRight.take(900))
+    assert(pLeft.contains("BroadcastHashJoin") && pLeft.contains("BuildLeft"), pLeft.take(900))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
     assert(planOf("q_limit_offset").contains("TakeOrderedAndProject"))

@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming document ingest gates quality, tags language, dedups at the door") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventPipeline.DocEvent]
+    val q = EventPipeline.documentIngest(input.toDF(), minQuality = 0.2)
+      .writeStream.format("memory").queryName("doc_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventPipeline.DocEvent(ts(1), 1L, "the cat is on the mat and the dog is in the house"),
+        EventPipeline.DocEvent(ts(1), 2L, "%%% ### !!!"), // junk: fails the quality gate
+        EventPipeline.DocEvent(ts(2), 3L, "el gato es grande y la casa es bonita en el sol"))
+      q.processAllAvailable()
+      // cross-batch duplicate text (new doc_id) → suppressed by digest
+      input.addData(
+        EventPipeline.DocEvent(ts(3), 4L, "the cat is on the mat and the dog is in the house"))
+      q.processAllAvailable()
+      val rows = spark.table("doc_ingest")
+        .selectExpr("doc_id", "predicted").as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(1L, 3L), s"got $rows")
+      assert(rows(1L) == "en" && rows(3L) == "es", s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
