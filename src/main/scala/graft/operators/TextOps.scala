@@ -87,4 +87,25 @@ object TextOps {
       .withColumn("chunk",
         expr(s"substring($textCol, CAST(1 + chunk_id * $stride AS INT), $size)"))
   }
+
+  /** Token-bounded chunking — [[chunk]]'s twin where the window is `size`
+    * whitespace tokens (the unit LLM context budgets are written in)
+    * instead of characters, consecutive windows sharing `overlap` tokens.
+    * Adds `chunk_id`, `chunk` (tokens re-joined with single spaces) and
+    * `n_tok`. Same scale shape: narrow explode, no shuffle.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String,
+                    size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && size > overlap, "need size > overlap >= 0")
+    val stride = size - overlap
+    df.withColumn("_tk", expr(tokensExpr(textCol)))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+          s"greatest(CAST(size(_tk) AS BIGINT) - 1, CAST(0 AS BIGINT)) div $stride)")))
+      .withColumn("chunk",
+        expr(s"concat_ws(' ', slice(_tk, CAST(1 + chunk_id * $stride AS INT), $size))"))
+      .withColumn("n_tok",
+        expr(s"CAST(size(slice(_tk, CAST(1 + chunk_id * $stride AS INT), $size)) AS BIGINT)"))
+      .drop("_tk")
+  }
 }

@@ -398,6 +398,31 @@ object FuncQueries {
           .orderBy("l_returnflag")
     },
 
+    // ---- Frequent-items sketch (heavy hitters) --------------------------
+    // Same bounds-not-values contract as q_agg_approx: the single-pass
+    // frequent-items sketch guarantees every item with frequency >
+    // support*n survives, so the check is "each EXACT heavy hitter is
+    // covered by the sketch" — booleans both engines can assert. The
+    // sketch itself is O(1/support) entries (7 here) regardless of data
+    // size: the legitimate tiny-driver-result shape at any scale.
+    QueryDef("q_agg_freq",
+      """WITH h AS (
+        |  SELECT o_orderpriority AS item, count(*) AS n FROM orders GROUP BY 1
+        |), tot AS (SELECT count(*) AS t FROM orders)
+        |SELECT item, TRUE AS covered FROM h, tot
+        |WHERE n > 0.15 * t ORDER BY item""".stripMargin) {
+      (s, dir) =>
+        val d = t(s, dir, "orders")
+        val sketch = d.stat.freqItems(Seq("o_orderpriority"), 0.15)
+        d.groupBy(col("o_orderpriority").as("item")).agg(count(lit(1)).as("n"))
+          .crossJoin(d.select(count(lit(1)).as("t")))
+          .filter(col("n") > col("t") * 0.15)
+          .crossJoin(broadcast(sketch))
+          .selectExpr("item",
+            "array_contains(o_orderpriority_freqItems, item) AS covered")
+          .orderBy("item")
+    },
+
     // ---- Collecting aggregates (STRING_AGG / ARRAY_AGG / ANY_VALUE / MIN_BY)
     QueryDef("q_agg_collect",
       """SELECT n_regionkey,

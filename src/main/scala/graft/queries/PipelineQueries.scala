@@ -409,6 +409,24 @@ object PipelineQueries {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- Token-bounded chunking (TextOps.chunkByTokens) -----------------
+    QueryDef("q_text_chunk_tokens",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 120
+         |)
+         |SELECT doc_id, i AS chunk_id,
+         |  array_to_string(list_slice(tk, CAST(1 + i * 24 AS INT), CAST(i * 24 + 32 AS INT)), ' ') AS chunk,
+         |  CAST(len(list_slice(tk, CAST(1 + i * 24 AS INT), CAST(i * 24 + 32 AS INT))) AS BIGINT) AS n_tok
+         |FROM t, unnest(range(0, greatest(len(tk) - 1, 0) // 24 + 1)) AS u(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.chunkByTokens(
+            docs(s, dir).filter(col("doc_id") < 120).select("doc_id", "text"),
+            "text", size = 32, overlap = 8)
+          .select("doc_id", "chunk_id", "chunk", "n_tok")
+          .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- Rolling-hash fingerprint (31-polynomial mod 1e9+7) -------------
     QueryDef("q_text_fingerprint",
       """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)

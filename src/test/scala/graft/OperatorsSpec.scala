@@ -38,6 +38,39 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("chunking covers every character once per stride, edges included") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a" * 250),   // 3 chunks at stride 100
+      (2L, "b" * 100),   // exactly one window
+      (3L, "c"),         // shorter than one window
+      (4L, "")           // empty text still yields one (empty) chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, "text", size = 120, overlap = 20)
+      .selectExpr("doc_id", "chunk_id", "length(chunk) AS n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(
+      (1L, 0L, 120), (1L, 1L, 120), (1L, 2L, 50),
+      (2L, 0L, 100), (3L, 0L, 1), (4L, 0L, 0)), s"got $out")
+    // overlap: chunk i's last `overlap` chars == chunk i+1's first ones
+    val two = TextOps.chunk(Seq((9L, ('a' to 'z').mkString * 10)).toDF("doc_id", "text"),
+        "text", size = 120, overlap = 20)
+      .orderBy("chunk_id").selectExpr("chunk").as[String].collect()
+    assert(two(0).takeRight(20) == two(1).take(20))
+  }
+
+  test("token chunking windows the token array with carried overlap") {
+    import graft.operators.TextOps
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val rows = TextOps.chunkByTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", size = 32, overlap = 8)
+      .orderBy("chunk_id").selectExpr("chunk", "n_tok").as[(String, Long)].collect()
+    // 50 tokens, stride 24: windows at 1..32, 25..50, 49..50
+    assert(rows.map(_._2).toSeq == Seq(32L, 26L, 2L), rows.mkString("; "))
+    assert(rows(0)._1.split(" ").takeRight(8).toSeq == rows(1)._1.split(" ").take(8).toSeq)
+    assert(rows(1)._1.endsWith("w50") && rows(2)._1 == "w49 w50")
+  }
+
   test("registered graft functions are SQL-callable") {
     GraftFunctions.register(spark)
     val r = spark.sql(
