@@ -240,6 +240,52 @@ object ExtraQueries {
           .orderBy("id")
     },
 
+    // ---- As-of join (operator AsOfJoin.asof): each click matched to the
+    // latest view at-or-before it per user. Oracle is DuckDB's native
+    // ASOF LEFT JOIN (inclusive >= semantics, same tie rule).
+    QueryDef("q_asof_join",
+      """WITH l AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |)
+        |SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us, round(r.v, 6) AS asof_v
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, ts_us""".stripMargin) {
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("v"))
+        graft.operators.AsOfJoin.asof(clicks, views, Seq("user_id"), "ts", "ts", Seq("v"))
+          .selectExpr("user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+            "round(asof_v, 6) AS asof_v")
+          .orderBy("user_id", "ts_us")
+      }
+    },
+
+    // ---- Range join (operator RangeJoin.within): interval predicate as a
+    // bucketed equi-join + residual, never a nested-loop range probe.
+    QueryDef("q_range_join",
+      """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM customer c JOIN part p
+        |  ON p.p_retailprice BETWEEN c.c_acctbal - 50 AND c.c_acctbal + 50
+        |WHERE c.c_custkey < 300
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer").filter(col("c_custkey") < 300)
+          .select("c_custkey", "c_acctbal")
+        val part = Tables(s, dir, "part").select("p_partkey", "p_retailprice")
+        graft.operators.RangeJoin.within(cust, part,
+            "c_acctbal", "p_retailprice", -50, 50)
+          .groupBy("c_custkey").agg(count(lit(1)).cast("bigint").as("n"))
+          .orderBy("c_custkey")
+      }
+    },
+
     // ORDER BY resolution edge cases the reference pins in
     // test/execute/execute.orderby.test.js: GROUP BY ordinal, ordering by
     // an aggregate expression that is NOT in the select list, and an

@@ -71,6 +71,36 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1)._1.endsWith("w50") && rows(2)._1 == "w49 w50")
   }
 
+  test("as-of join matches latest at-or-before row per key, left-outer") {
+    import graft.operators.AsOfJoin
+    val trades = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 7L))
+      .toDF("k", "ts")
+    val q2 = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 99L, 9.0)).toDF("k", "ts", "px")
+    val out = AsOfJoin.asof(trades, q2, Seq("k"), "ts", "ts", Seq("px"))
+      .select("k", "ts", "asof_px").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out == Set(
+      (1L, 10L, Some(1.0)),  // tie at ts=10 matches (inclusive)
+      (1L, 20L, Some(2.0)),  // latest of the two earlier quotes
+      (1L, 5L, None),        // before the first quote → NULL
+      (2L, 7L, None)), s"got $out")         // key 2's quote is later → NULL
+  }
+
+  test("range join equals the naive inequality join") {
+    import graft.operators.RangeJoin
+    val l = Seq((1L, 0.0), (2L, 100.0), (3L, -250.0)).toDF("lid", "lv")
+    val r = Seq((10L, -60.0), (11L, 49.9), (12L, 50.0), (13L, 149.0), (14L, -200.0))
+      .toDF("rid", "rv")
+    val fast = RangeJoin.within(l, r, "lv", "rv", -50, 50)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = l.crossJoin(r)
+      .filter($"rv".between($"lv" - 50, $"lv" + 50))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(fast == naive, s"fast=$fast naive=$naive")
+    assert(fast == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L), (3L, 14L)))
+  }
+
   test("registered graft functions are SQL-callable") {
     GraftFunctions.register(spark)
     val r = spark.sql(

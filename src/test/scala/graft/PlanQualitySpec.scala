@@ -66,6 +66,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(pLeft.contains("BroadcastHashJoin") && pLeft.contains("BuildLeft"), pLeft.take(900))
   }
 
+  test("range and as-of joins avoid nested-loop range probes") {
+    // the whole point of RangeJoin.within / AsOfJoin.asof: an interval or
+    // as-of predicate must become a bucketed equi-join / merge window,
+    // not BroadcastNestedLoopJoin (a per-row range scan at scale)
+    val p1 = planOf("q_range_join")
+    assert(!p1.contains("BroadcastNestedLoop") && !p1.contains("CartesianProduct"), p1.take(900))
+    val p2 = planOf("q_asof_join")
+    assert(!p2.contains("BroadcastNestedLoop") && !p2.contains("CartesianProduct"), p2.take(900))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
     assert(planOf("q_limit_offset").contains("TakeOrderedAndProject"))
