@@ -427,6 +427,22 @@ object PipelineQueries {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- Deterministic train/test hash split (Sampling.hashSplit) -------
+    // assignment is a pure function of the id (shared graft_hash60), so
+    // the fold is reproducible across engines, runs, and re-shards —
+    // verified row-for-row, not just by fold sizes
+    QueryDef("q_split",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${h60d("CAST(doc_id AS VARCHAR)")} % 10 < 1
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sampling.hashSplit(
+            docs(s, dir).filter(col("doc_id") < 200).select("doc_id"),
+            "doc_id", folds = 10, testFolds = 1)
+          .orderBy("doc_id")
+    },
+
     // ---- Rolling-hash fingerprint (31-polynomial mod 1e9+7) -------------
     QueryDef("q_text_fingerprint",
       """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)

@@ -101,6 +101,22 @@ class OperatorsSpec extends SparkSpec {
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L), (3L, 14L)))
   }
 
+  test("hash split is a pure function of the id — stable under re-partitioning") {
+    import graft.operators.Sampling
+    val ids = spark.range(1000).selectExpr("id AS doc_id")
+    val a = Sampling.hashSplit(ids, "doc_id").orderBy("doc_id")
+      .selectExpr("split").as[String].collect().toSeq
+    val b = Sampling.hashSplit(ids.repartition(7), "doc_id").orderBy("doc_id")
+      .selectExpr("split").as[String].collect().toSeq
+    assert(a == b)
+    val nTest = a.count(_ == "test")
+    assert(nTest > 50 && nTest < 150, s"10% split wildly off: $nTest/1000")
+    // folds partition the id space completely and disjointly
+    val folds = Sampling.fold(ids, "doc_id").groupBy("fold").count()
+      .as[(Int, Long)].collect().toMap
+    assert(folds.keySet == (0 until 10).toSet && folds.values.sum == 1000L)
+  }
+
   test("registered graft functions are SQL-callable") {
     GraftFunctions.register(spark)
     val r = spark.sql(
