@@ -88,6 +88,26 @@ object TextOps {
         expr(s"substring($textCol, CAST(1 + chunk_id * $stride AS INT), $size)"))
   }
 
+  /** TF-IDF over whitespace tokens: term frequency per (doc, token),
+    * document frequency per token, `tfidf = tf * ln(n_docs / df)`.
+    * Returns one row per (doc, token) with `tf`, `df`, `n_docs`, `tfidf`.
+    *
+    * Scale shape: two standard aggregations — shuffle on (doc, token)
+    * then on token — plus a broadcast of the single-row corpus count;
+    * no all-pairs, no collect. The token explode is bounded by text
+    * volume, like [[chunk]].
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(expr(tokensExpr(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("bigint").as("df"))
+    val total = tf.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", expr("tf * ln(CAST(n_docs AS DOUBLE) / df)"))
+  }
+
   /** Token-bounded chunking — [[chunk]]'s twin where the window is `size`
     * whitespace tokens (the unit LLM context budgets are written in)
     * instead of characters, consecutive windows sharing `overlap` tokens.

@@ -427,6 +427,42 @@ object PipelineQueries {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- TF-IDF: top-3 characteristic terms per document ----------------
+    // (operator TextOps.tfidf — tf per (doc, token), df per token,
+    // tf * ln(n_docs / df); ranked per doc with a token tiebreak)
+    QueryDef("q_text_tfidf",
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toksD) AS token
+         |  FROM documents WHERE doc_id < 50
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+         |), dfq AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+         |), scored AS (
+         |  SELECT doc_id, token, tf,
+         |    round(tf * ln(n_docs / df), 6) AS tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * ln(n_docs / df) DESC, token) AS rn
+         |  FROM tf JOIN dfq USING (token), n
+         |)
+         |SELECT doc_id, token, tf, tfidf FROM scored WHERE rn <= 3
+         |ORDER BY doc_id, token""".stripMargin) {
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.operators.TextOps.tfidf(
+          docs(s, dir).filter(col("doc_id") < 50), "doc_id", "text")
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(expr("tf * ln(CAST(n_docs AS DOUBLE) / df)").desc, col("token"))))
+          .filter(col("rn") <= 3)
+          .selectExpr("doc_id", "token", "tf", "round(tfidf, 6) AS tfidf")
+          .orderBy("doc_id", "token")
+      }
+    },
+
     // ---- Deterministic train/test hash split (Sampling.hashSplit) -------
     // assignment is a pure function of the id (shared graft_hash60), so
     // the fold is reproducible across engines, runs, and re-shards —

@@ -247,6 +247,33 @@ object VectorQueries {
             Seq(col("cs").desc, col("vec_id").asc), 3)
           .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "cs")
           .orderBy("qid", "rnk")
+    },
+
+    // ---- Per-label centroids (operator Vectors.centroids) ---------------
+    // the distributed work — an element-wise aggregate over n×dim values
+    // — is verified through the EXACT scaled-int64 sums (associative, so
+    // independent of partial-agg order on both engines); the division by
+    // (scale × n) is scalar arithmetic the oracle leaves out because a
+    // mean landing exactly on a decimal rounding boundary (integer sum /
+    // small n does that often) rounds differently per engine
+    QueryDef("q_embed_centroid",
+      """WITH t AS (
+        |  SELECT label, i,
+        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS sv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |), c AS (
+        |  SELECT label, i, CAST(count(*) AS BIGINT) AS n, sum(sv) AS ssum
+        |  FROM t GROUP BY 1, 2
+        |)
+        |SELECT label, max(n) AS n_vecs,
+        |  string_agg(CAST(ssum AS VARCHAR), ',' ORDER BY i) AS centroid_micro
+        |FROM c GROUP BY label ORDER BY label""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Vectors.centroidSums(
+            Tables(s, dir, "embeddings"), "label", "embedding")
+          .selectExpr("label", "CAST(n_vecs AS BIGINT) AS n_vecs",
+            "concat_ws(',', transform(sums, v -> CAST(v AS STRING))) AS centroid_micro")
+          .orderBy("label")
     }
   )
 }

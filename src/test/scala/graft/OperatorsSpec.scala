@@ -117,6 +117,21 @@ class OperatorsSpec extends SparkSpec {
     assert(folds.keySet == (0 until 10).toSet && folds.values.sum == 1000L)
   }
 
+  test("centroids average element-wise and ignore partitioning") {
+    import graft.operators.Vectors
+    val vecs = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 6.0f)),
+      (2, Array(10.0f, 0.0f))).toDF("label", "embedding")
+    val out = Vectors.centroids(vecs, "label", "embedding")
+      .selectExpr("label", "n_vecs", "centroid[0] AS c0", "centroid[1] AS c1")
+      .as[(Int, Long, Double, Double)].collect().toSet
+    assert(out == Set((1, 2L, 2.0, 4.0), (2, 1L, 10.0, 0.0)), s"got $out")
+    val repart = Vectors.centroids(vecs.repartition(5), "label", "embedding")
+      .selectExpr("label", "centroid[0]", "centroid[1]")
+      .as[(Int, Double, Double)].collect().toSet
+    assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
+  }
+
   test("registered graft functions are SQL-callable") {
     GraftFunctions.register(spark)
     val r = spark.sql(
