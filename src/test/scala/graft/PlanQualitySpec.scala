@@ -125,6 +125,40 @@ class PlanQualitySpec extends SparkSpec {
       s"unpartitioned Window (whole table through one task at scale) in: $offenders")
   }
 
+  test("no query plans a cartesian or nested-loop join except the declared ones") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Whitelist, each after manual plan review — every entry nests a loop
+    // over a side that is O(1)-bounded BY CONSTRUCTION (broadcast scalar /
+    // tiny dim) or is an explicitly-windowed small demo whose scalable
+    // twin is a separate operator:
+    //   q_join_cross        — IS a cross join (the capability under test)
+    //   q_dedup_jaccard     — all-pairs verify bounded to doc_id < 25;
+    //                         scalable path = Dedup.minhashLsh
+    //   q_dedup_cosine      — all-pairs demo bounded to vec_id < 30;
+    //                         scalable path = Dedup.cosinePairs (banded)
+    //   q_ann_brute/q_ann_ivf — corpus × BROADCAST query/centroid set (≤5
+    //                         rows); the corpus side never shuffles
+    //   q_spatial_join      — points × BROADCAST 4-cell grid predicate join
+    //   q_agg_freq/q_text_tfidf — cross join with a 1-row broadcast total
+    //   q_join_residual/q_lateral/q_subquery_scalar — decorrelated scalar
+    //                         aggregates, broadcast single rows
+    val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
+      "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
+      "q_lateral", "q_join_residual", "q_subquery_scalar",
+      "q_values", "q_current", "q_random")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        collectNodes(plan).collect {
+          case _: BroadcastNestedLoopJoinExec => name
+          case _: CartesianProductExec => name
+        }
+      }.distinct
+    assert(offenders.isEmpty,
+      s"cartesian/nested-loop join (range-probe at scale) in: $offenders")
+  }
+
   test("ANN top-k merge is two-stage: narrow partial pass, tiny key merge") {
     // the scored corpus must NOT be hash-partitioned by qid (|Q| reducers
     // forever); TopK.perKey sorts within partitions (no exchange), filters
