@@ -54,7 +54,11 @@ object GraftSql {
     "strftime" -> "graft_strftime",
     "json_query" -> "get_json_object",
     "json_value" -> "get_json_object",
-    "json_extract_string" -> "get_json_object")
+    "json_extract_string" -> "get_json_object",
+    "array_to_string" -> "array_join",
+    "list_min" -> "array_min",
+    "list_max" -> "array_max",
+    "ord" -> "ascii")
 
   /** Index of the `)` matching the `(` at `open` (skips quoted strings),
     * or -1 when unbalanced.
@@ -390,6 +394,12 @@ object GraftSql {
     // regexp_split_to_table(x, p) → explode(split(x, p))
     s = rewriteCall(s, "regexp_split_to_table", args =>
       s"explode(split(${args.mkString(", ")}))")
+
+    // list_slice(l, a, b) [1-based inclusive ends] → slice(l, a, b - a + 1)
+    s = rewriteCall(s, "list_slice", args =>
+      if (args.length == 3)
+        s"slice(${args(0)}, ${args(1)}, (${args(2)}) - (${args(1)}) + 1)"
+      else s"list_slice_unsupported(${args.mkString(", ")})")
 
     // TYPEOF → DuckDB-style names over Spark typeof (placeholder avoids
     // rescanning our own output; the doubled upper(typeof(..)) is free —

@@ -276,4 +276,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Int]("ll") == 3)
     assert(r.getAs[String]("ja") == "[1]")
   }
+
+  test("list_slice / array_to_string / list_min / ord translate and run") {
+    // list_slice's inclusive 1-based end becomes slice's length argument
+    assert(GraftSql.rewrite("SELECT list_slice(xs, 2, 5) FROM t")
+      == "SELECT slice(xs, 2, (5) - (2) + 1) FROM t")
+    Seq((1L, "a b c d e")).toDF("id", "s").createOrReplaceTempView("slice_t")
+    val r = GraftSql.sql(spark,
+      """SELECT array_to_string(list_slice(string_split(s, ' '), 2, 4), '-') AS mid,
+        |  list_min(list_transform(string_split(s, ' '), x -> ord(x))) AS lo
+        |FROM slice_t""".stripMargin).collect().head
+    assert(r.getAs[String]("mid") == "b-c-d")
+    assert(r.getAs[Int]("lo") == 'a'.toInt)
+  }
 }

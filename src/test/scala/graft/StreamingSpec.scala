@@ -103,6 +103,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch ingest drops near-dups against the saved corpus index") {
+    // the full ingest story: micro-batches arrive as a stream, candidates
+    // come from the BUCKETED on-disk LSH index (Dedup.saveBandTable), and
+    // only survivors leave the sink — batch operators composed under
+    // Structured Streaming via foreachBatch
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base),
+      (1L, "completely different words about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    Dedup.saveBandTable(corpus, "doc_id", "text", "st_corpus_bands", buckets = 4)
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[EventPipeline.DocEvent]
+    val q = input.toDF().select("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val losers = Dedup.minhashLshAgainstSaved(
+            batch, corpus, spark.table("st_corpus_bands"),
+            "doc_id", "text", threshold = 0.4)
+          .selectExpr("new_id AS doc_id").distinct()
+        val kept = batch.join(losers, Seq("doc_id"), "left_anti")
+        survivors.synchronized {
+          survivors ++= kept.select("doc_id").as[Long].collect()
+        }
+        () // foreachBatch needs a Unit-typed lambda to pick the Scala overload
+      }
+      .start()
+    try {
+      input.addData(
+        EventPipeline.DocEvent(ts(1), 100L, base),                               // near/exact dup of corpus 0
+        EventPipeline.DocEvent(ts(1), 101L, base.replace("today", "tomorrow")),  // near dup of corpus 0
+        EventPipeline.DocEvent(ts(2), 102L, "a genuinely fresh document with entirely new content and words inside"))
+      q.processAllAvailable()
+      input.addData(
+        EventPipeline.DocEvent(ts(3), 103L, "another brand new text that matches nothing in the corpus at all"))
+      q.processAllAvailable()
+      assert(survivors.sorted == Seq(102L, 103L), s"got $survivors")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS st_corpus_bands")
+    }
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
