@@ -108,6 +108,30 @@ object TextOps {
       .withColumn("tfidf", expr("tf * ln(CAST(n_docs AS DOUBLE) / df)"))
   }
 
+  /** Greedy sequence packing: assign documents to fixed-token-budget
+    * bins (the batch-prep step before pretraining). Documents are walked
+    * in `orderCol` order within a shard and a document starts a new bin
+    * when the running token total would pass `budget` — expressed as a
+    * running-sum window, so the packing is deterministic and
+    * reproducible. `shardCol` partitions the walk (packing is inherently
+    * sequential; sharding bounds each sequential walk to one partition's
+    * worth of rows — the scale knob). Adds `bin` (per-shard 0-based).
+    *
+    * Greedy-by-running-total admits small overflow slack per bin versus
+    * bin-packing optimal; that is the standard trade every production
+    * packer makes for a single streaming pass.
+    */
+  def packBins(df: DataFrame, tokensCol: String, orderCol: String,
+               shardCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin",
+        expr(s"CAST(floor((_cum - $tokensCol) / $budget) AS BIGINT)"))
+      .drop("_cum")
+  }
+
   /** Token-bounded chunking — [[chunk]]'s twin where the window is `size`
     * whitespace tokens (the unit LLM context budgets are written in)
     * instead of characters, consecutive windows sharing `overlap` tokens.

@@ -463,6 +463,31 @@ object PipelineQueries {
       }
     },
 
+    // ---- Sequence packing into token-budget bins (TextOps.packBins) -----
+    // running-sum window partitioned by shard: deterministic greedy
+    // packing, one sequential walk per shard (the scale knob)
+    QueryDef("q_text_pack",
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, CAST(len($toksD) AS BIGINT) AS n_tok
+         |  FROM documents WHERE doc_id < 400
+         |), c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST(floor((cum - n_tok) / 200) AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.packBins(
+            docs(s, dir).filter(col("doc_id") < 400)
+              .selectExpr("doc_id", "doc_id % 8 AS shard",
+                s"CAST(size($toksS) AS BIGINT) AS n_tok"),
+            "n_tok", "doc_id", "shard", budget = 200)
+          .select("doc_id", "shard", "n_tok", "bin")
+          .orderBy("doc_id")
+    },
+
     // ---- Deterministic train/test hash split (Sampling.hashSplit) -------
     // assignment is a pure function of the id (shared graft_hash60), so
     // the fold is reproducible across engines, runs, and re-shards —

@@ -132,6 +132,20 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("packBins walks docs in order and opens a bin when the budget would pass") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, 0, 80L), (2L, 0, 90L), (3L, 0, 50L), (4L, 0, 100L), // cum 80,170,220,320
+      (5L, 1, 250L), (6L, 1, 10L)                               // oversized doc owns bin 0
+    ).toDF("doc_id", "shard", "n_tok")
+    val out = TextOps.packBins(docs, "n_tok", "doc_id", "shard", budget = 200)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // bin = tokens BEFORE the doc div budget: doc 3 starts at 170 → bin 0;
+    // doc 4 starts at 220 → bin 1; oversized doc 5 fills bin 0, doc 6 → bin 1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 1L),
+      s"got $out")
+  }
+
   test("registered graft functions are SQL-callable") {
     GraftFunctions.register(spark)
     val r = spark.sql(
