@@ -108,6 +108,29 @@ object TextOps {
       .withColumn("tfidf", expr("tf * ln(CAST(n_docs AS DOUBLE) / df)"))
   }
 
+  /** PII scrubbing: replace emails, phone-shaped numbers, and long digit
+    * runs (ids/SSNs/cards) with type tokens. The patterns stay inside the
+    * regex subset Java regex and RE2 share (no lookaround, no
+    * backreferences) so the scrub is reproducible across engines.
+    * Order matters and is fixed: emails first (their local part would
+    * otherwise be half-eaten by the digit-run rule), then phones, then
+    * bare digit runs. Narrow, codegen'd, no shuffle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  // a phone must contain at least one separator — a bare digit run is an
+  // id/SSN/card and belongs to DigitsRe (no lookaround, so the separator
+  // requirement is structural: digits, separator, tail)
+  val PhoneRe = "\\+?[0-9][0-9]*[ ()-][0-9 ()-]{4,}[0-9]"
+  val DigitsRe = "[0-9]{9,}"
+
+  def redact(df: DataFrame, textCol: String, out: String = "redacted"): DataFrame =
+    df.withColumn(out,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<email>"),
+          PhoneRe, "<phone>"),
+        DigitsRe, "<digits>"))
+
   /** Greedy sequence packing: assign documents to fixed-token-budget
     * bins (the batch-prep step before pretraining). Documents are walked
     * in `orderCol` order within a shard and a document starts a new bin

@@ -463,6 +463,38 @@ object PipelineQueries {
       }
     },
 
+    // ---- PII scrubbing (TextOps.redact) ---------------------------------
+    // the synthetic corpus carries no PII, so the query PLANTS
+    // deterministic PII built from columns and checks the scrub: emails,
+    // phone-shaped numbers, long digit runs → type tokens. Patterns stay
+    // inside the Java-regex ∩ RE2 subset so both engines agree.
+    QueryDef("q_text_redact",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    concat('reach user', doc_id, ' at u', doc_id, '@mail-', source, '.com ',
+        |           'or +1 555 02', doc_id % 100, ' id ', 900000000 + doc_id * 17, ' ',
+        |           substr(text, 1, 40)) AS msg
+        |  FROM documents WHERE doc_id < 150
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |      '\+?[0-9][0-9]*[ ()-][0-9 ()-]{4,}[0-9]', '<phone>', 'g'),
+        |    '[0-9]{9,}', '<digits>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.redact(
+            docs(s, dir).filter(col("doc_id") < 150)
+              .selectExpr("doc_id",
+                """concat('reach user', doc_id, ' at u', doc_id, '@mail-', source, '.com ',
+                  |'or +1 555 02', doc_id % 100, ' id ', 900000000 + doc_id * 17, ' ',
+                  |substr(text, 1, 40)) AS msg""".stripMargin),
+            "msg")
+          .select("doc_id", "redacted")
+          .orderBy("doc_id")
+    },
+
     // ---- Sequence packing into token-budget bins (TextOps.packBins) -----
     // running-sum window partitioned by shard: deterministic greedy
     // packing, one sequential walk per shard (the scale knob)

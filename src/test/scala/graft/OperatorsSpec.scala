@@ -146,6 +146,22 @@ class OperatorsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("redact scrubs emails before digit runs, leaves clean text alone") {
+    import graft.operators.TextOps
+    val msgs = Seq(
+      (1L, "mail a123456789@x.org now"),       // email wins over the digit run inside it
+      (2L, "call +1 (415) 555-0100 today"),
+      (3L, "acct 123456789012 closed"),
+      (4L, "a plain sentence with no pii")
+    ).toDF("id", "msg")
+    val out = TextOps.redact(msgs, "msg").select("id", "redacted")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <email> now", out(1L))
+    assert(out(2L) == "call <phone> today", out(2L))
+    assert(out(3L) == "acct <digits> closed", out(3L))
+    assert(out(4L) == "a plain sentence with no pii")
+  }
+
   test("registered graft functions are SQL-callable") {
     GraftFunctions.register(spark)
     val r = spark.sql(
