@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.Hash60(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
       (args: Seq[Expression]) => graft.functions.vector.DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_entropy"), info("graft_entropy"),
+      (args: Seq[Expression]) => graft.functions.text.Entropy(args.head)))
   }
 }

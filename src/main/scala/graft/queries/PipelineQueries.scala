@@ -463,6 +463,33 @@ object PipelineQueries {
       }
     },
 
+    // ---- Char-entropy quality signal (native graft_entropy) -------------
+    // Shannon entropy over codepoints, folded in ascending-codepoint
+    // order with p * (ln p / ln 2) per term on BOTH engines — the native
+    // expression and DuckDB's sorted-distinct list fold produce the same
+    // double bit-for-bit before rounding
+    QueryDef("q_text_entropy",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, '') AS cs
+        |  FROM documents WHERE doc_id < 150
+        |), d AS (
+        |  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS ds FROM t
+        |)
+        |SELECT doc_id,
+        |  round(-(list_reduce(list_prepend(0.0::DOUBLE, list_transform(ds, c ->
+        |    (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs)) *
+        |    (ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs)) / ln(2)))),
+        |    (a, b) -> a + b)), 6) AS h_chars,
+        |  CAST(len(ds) AS BIGINT) AS n_chars_distinct
+        |FROM d ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).filter(col("doc_id") < 150)
+          .selectExpr("doc_id",
+            "round(graft_entropy(text), 6) AS h_chars",
+            "CAST(size(array_distinct(split(text, ''))) AS BIGINT) AS n_chars_distinct")
+          .orderBy("doc_id")
+    },
+
     // ---- PII scrubbing (TextOps.redact) ---------------------------------
     // the synthetic corpus carries no PII, so the query PLANTS
     // deterministic PII built from columns and checks the scrub: emails,

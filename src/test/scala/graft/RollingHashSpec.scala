@@ -25,6 +25,21 @@ class RollingHashSpec extends SparkSpec {
     rows.foreach { case (n, s) => assert(n == s) }
   }
 
+  test("graft_entropy equals the sorted-distinct SQL fold and known values") {
+    val df = Seq("aaaa", "ab", "abcd", "hello world", "日本語日本語").toDF("t")
+    val rows = df.selectExpr(
+      "graft_entropy(t) AS native",
+      """-aggregate(array_sort(array_distinct(split(t, ''))), CAST(0 AS DOUBLE),
+        |  (acc, c) -> acc +
+        |    (CAST(size(filter(split(t, ''), x -> x = c)) AS DOUBLE) / size(split(t, ''))) *
+        |    (ln(CAST(size(filter(split(t, ''), x -> x = c)) AS DOUBLE) / size(split(t, ''))) / ln(2))) AS sql""".stripMargin)
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, s) => assert(n == s, s"native $n != sql $s") }
+    val known = Seq("aaaa" -> 0.0, "ab" -> 1.0, "abcd" -> 2.0).toDF("t", "want")
+      .selectExpr("graft_entropy(t) AS got", "want").as[(Double, Double)].collect()
+    known.foreach { case (got, want) => assert(got == want) }
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(100).selectExpr("graft_rolling_hash(CAST(id AS STRING)) AS h")
     // "*(n)" prefixes mark operators compiled into a WholeStageCodegen stage
