@@ -272,6 +272,51 @@ object Dedup {
     exactKept.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate-cluster identification: connected components over a
+    * near-dup pair graph, labeling every member with the MINIMUM doc id
+    * of its component (the canonical representative).
+    *
+    * Algorithm is min-label propagation — each round every vertex takes
+    * the smallest label among itself and its neighbors — which converges
+    * in O(component diameter) rounds. That is the scale-correct choice:
+    * a transitive-closure join (the tempting one-shot formulation)
+    * materializes O(n²) reachability pairs per component, while each
+    * propagation round here is one shuffle of (vertex, label) pairs.
+    * Near-dup components are shallow (duplicates of a common source), so
+    * rounds stay in the low single digits; `maxIter` bounds the loop and
+    * the per-round `count` action is the convergence check.
+    *
+    * Input: pairs with columns `a_id`, `b_id` (e.g. [[minhashLsh]]
+    * output). Output: `(id, cluster)` for every id in some pair.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.selectExpr("a_id AS src", "b_id AS dst")
+      .union(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster"))
+      val next = labels.select("id", "cluster").union(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(lvl)
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster").as("old")).as("o"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over distinct tokens of `textCol`. */
   def simhash64(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     df.withColumn("_dt", array_distinct(tokens(textCol)))

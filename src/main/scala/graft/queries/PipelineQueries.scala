@@ -159,6 +159,52 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- Duplicate clusters: connected components over the LSH pair
+    // graph (operator Dedup.duplicateClusters — min-label propagation,
+    // O(diameter) rounds of (vertex, label) shuffles; the oracle takes
+    // the recursive-CTE transitive closure DuckDB can afford at sf0.01)
+    QueryDef("q_dedup_clusters", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents
+         |), shl AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), sig AS (
+         |  SELECT doc_id, $sigs FROM (SELECT doc_id, $hsD AS hs FROM shl)
+         |), bands AS (
+         |  $bandSel
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN shl sa ON sa.doc_id = c.a_id
+         |  JOIN shl sb ON sb.doc_id = c.b_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS id, min(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      val pairs = graft.operators.Dedup.minhashLsh(
+        docs(s, dir), "doc_id", "text", k = 8, bands = 4, threshold = 0.5)
+      graft.operators.Dedup.duplicateClusters(pairs.select("a_id", "b_id"))
+        .select("id", "cluster")
+        .orderBy("id")
+    },
+
     // ---- Incremental dedup: new batch vs existing corpus (the ingest
     // shape — candidates from newBands ⋈ corpusBands, NO corpus self-join;
     // operator Dedup.minhashLshAgainst / dropNearDuplicatesAgainst).

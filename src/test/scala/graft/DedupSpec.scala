@@ -123,6 +123,17 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dd_saved_bands")
   }
 
+  test("duplicateClusters labels chained components with the minimum id") {
+    // a path graph 1-2-3-4 plus an isolated pair (10, 11): label
+    // propagation needs multiple rounds to carry 1 down the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)),
+      s"got $got")
+  }
+
   test("bucket cap drops degenerate hot buckets instead of going quadratic") {
     // 40 identical boilerplate docs (identical signatures → one hot LSH
     // bucket in EVERY band) + 2 distinct near-dups: with maxBucket=10 the
