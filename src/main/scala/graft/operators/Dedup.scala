@@ -291,8 +291,13 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.selectExpr("a_id AS src", "b_id AS dst")
-      .union(pairs.selectExpr("b_id AS src", "a_id AS dst"))
+    // materialize the pair source ONCE before fanning it into both union
+    // branches: an unpersisted `pairs` would re-run its (LSH) lineage per
+    // branch, doubling the most expensive stage of the whole operator
+    val p = pairs.persist(lvl)
+    p.count()
+    val edges = p.selectExpr("a_id AS src", "b_id AS dst")
+      .union(p.selectExpr("b_id AS src", "a_id AS dst"))
       .distinct()
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -314,6 +319,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
