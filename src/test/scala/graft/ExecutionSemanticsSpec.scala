@@ -158,4 +158,45 @@ class ExecutionSemanticsSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("RangeJoin's bucket key inherits AQE skew splitting on a hot value axis") {
+    // value-axis skew (95% of left rows share one value) becomes BUCKET
+    // KEY skew in RangeJoin.within — i.e. ordinary join-key skew, which
+    // AQE's skew-join splits. This is the claim that a skewed interval
+    // join needs no bespoke handling beyond the bucketing rewrite.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000).selectExpr(
+        "id AS lid",
+        "CASE WHEN id % 100 < 95 THEN 500.0 ELSE CAST(id % 1000 AS DOUBLE) END AS lv",
+        "repeat('x', 32) AS pad")
+      val right = spark.range(2000).selectExpr("id AS rid", "CAST(id AS DOUBLE) AS rv")
+      val agg = graft.operators.RangeJoin.within(left, right, "lv", "rv", -0.5, 0.5)
+        .agg(count(lit(1)).as("n"))
+      val n = agg.collect().head.getLong(0)
+      assert(n > 0)
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not skew-split the hot range bucket:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
