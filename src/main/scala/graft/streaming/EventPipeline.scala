@@ -67,6 +67,15 @@ object EventPipeline {
       .drop("r_uid")
   }
 
+  /** Stream-static enrichment: join a stream against a (small) static
+    * dimension. The static side is broadcast to every micro-batch — no
+    * stream state, no watermark needed, and the dim can be swapped by
+    * re-reading it per batch (foreachBatch) when it changes. Left join
+    * keeps events whose key has no dim row yet.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class DocEvent(ts: Timestamp, doc_id: Long, text: String)
 
   /** Streaming training-data ingest: quality-gate, language-ID, and

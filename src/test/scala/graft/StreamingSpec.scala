@@ -103,6 +103,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich broadcasts the dim and keeps unmatched events") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventPipeline.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(ts(1), 1L, "click", 1.0),
+        Event(ts(2), 3L, "view", 2.0)) // no dim row → tier NULL
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .selectExpr("user_id", "event_type", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, "click", Some("gold")), (3L, "view", None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest drops near-dups against the saved corpus index") {
     // the full ingest story: micro-batches arrive as a stream, candidates
     // come from the BUCKETED on-disk LSH index (Dedup.saveBandTable), and
