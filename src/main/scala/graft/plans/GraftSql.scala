@@ -467,6 +467,43 @@ object GraftSql {
     spark.sql(rewrite(sqlText))
   }
 
+  /** The physical tables a query reads, first-seen order, CTE names
+    * excluded scope-aware (a WITH inside a subquery doesn't shadow the
+    * outer scope, and sibling CTEs can reference earlier ones) — the
+    * host-tooling surface the reference exposes as `extractTables`
+    * (reference: src/parse/extractTables.js) so a host knows which
+    * sources to wire before executing. Built on Spark's parser: walk the
+    * unresolved plan, children before expression subqueries (FROM tables
+    * report before SELECT-list subquery tables).
+    */
+  def tables(spark: SparkSession, sqlText: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(plan: LogicalPlan, scope: Set[String]): Unit = plan match {
+      case w: UnresolvedWith =>
+        var s = scope
+        w.cteRelations.foreach { case (name, body, _) =>
+          walk(body, s)
+          s = s + name.toLowerCase
+        }
+        walk(w.child, s)
+      case r: UnresolvedRelation =>
+        val parts = r.multipartIdentifier
+        if (!(parts.length == 1 && scope.contains(parts.head.toLowerCase)))
+          out += parts.mkString(".")
+      case other =>
+        other.children.foreach(walk(_, scope))
+        other.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression => walk(sq.plan, scope)
+          case _ => ()
+        })
+    }
+    walk(spark.sessionState.sqlParser.parsePlan(rewrite(sqlText)), Set.empty)
+    out.toSeq
+  }
+
   /** SQL-callable helpers the rewrites target. */
   def ensureHelpers(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists("graft_epoch")) {

@@ -277,6 +277,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[String]("ja") == "[1]")
   }
 
+  test("tables() mirrors the reference extractTables semantics") {
+    def t(sql: String) = GraftSql.tables(spark, sql)
+    assert(t("SELECT * FROM users") == Seq("users"))
+    assert(t("SELECT * FROM a JOIN b ON a.id = b.aid LEFT JOIN c ON c.bid = b.id")
+      == Seq("a", "b", "c"))
+    assert(t("SELECT * FROM a x JOIN a y ON x.id = y.parent_id") == Seq("a"))
+    assert(t("SELECT * FROM (SELECT id FROM inner_t) sub") == Seq("inner_t"))
+    assert(t("SELECT * FROM a WHERE a.id IN (SELECT b_id FROM b)") == Seq("a", "b"))
+    assert(t("SELECT * FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.aid = a.id)")
+      == Seq("a", "b"))
+    assert(t("SELECT (SELECT MAX(x) FROM b) AS m FROM a") == Seq("a", "b"))
+    assert(t("SELECT id FROM a UNION ALL SELECT id FROM b") == Seq("a", "b"))
+    assert(t("SELECT id FROM a INTERSECT SELECT id FROM b EXCEPT SELECT id FROM c")
+      == Seq("a", "b", "c"))
+    // CTE names are not tables; sibling CTEs may reference earlier ones
+    assert(t("WITH cte AS (SELECT * FROM users) SELECT * FROM cte") == Seq("users"))
+    assert(t("WITH foo AS (SELECT * FROM users), bar AS (SELECT * FROM foo) SELECT * FROM bar")
+      == Seq("users"))
+    assert(t("WITH Cte AS (SELECT * FROM users) SELECT * FROM CTE") == Seq("users"))
+    assert(t("WITH outer_cte AS (WITH inner_cte AS (SELECT * FROM users) SELECT * FROM inner_cte) SELECT * FROM outer_cte")
+      == Seq("users"))
+    // a CTE inside a subquery does not shadow the outer scope
+    assert(t("SELECT * FROM users WHERE EXISTS (WITH users AS (SELECT * FROM other) SELECT * FROM users)")
+      == Seq("users", "other"))
+    assert(t("SELECT * FROM a JOIN b ON a.id = (SELECT MAX(x) FROM c)")
+      == Seq("a", "b", "c"))
+    assert(t("SELECT CASE WHEN x IN (SELECT y FROM b) THEN 1 ELSE (SELECT z FROM c) END FROM a")
+      == Seq("a", "b", "c"))
+    assert(t("SELECT COUNT(*) FILTER (WHERE id IN (SELECT id FROM b)) FROM a")
+      == Seq("a", "b"))
+  }
+
   test("list_slice / array_to_string / list_min / ord translate and run") {
     // list_slice's inclusive 1-based end becomes slice's length argument
     assert(GraftSql.rewrite("SELECT list_slice(xs, 2, 5) FROM t")
