@@ -12,6 +12,16 @@ import graft.sources.Tables
   */
 object ExtraQueries {
 
+  /** One dialect string, two engines (see q_dialect). */
+  val dialectText: String =
+    """SELECT c_custkey AS id,
+      |  list_min(list_transform(string_split(c_name, ' '), x -> length(x) :: BIGINT)) AS min_seg,
+      |  (c_acctbal :: DOUBLE) AS bal,
+      |  CASE WHEN c_mktsegment ILIKE 'b%' THEN 1 ELSE 0 END AS is_b
+      |FROM customer
+      |WHERE position('1' IN c_name) > 0
+      |ORDER BY id LIMIT 100""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_intersect_all",
@@ -283,6 +293,18 @@ object ExtraQueries {
             "c_acctbal", "p_retailprice", -50, 50)
           .groupBy("c_custkey").agg(count(lit(1)).cast("bigint").as("n"))
           .orderBy("c_custkey")
+      }
+    },
+
+    // ---- Dialect front-end in the driver gate: ONE SQL text -------------
+    // the same DuckDB-flavored string runs through GraftSql.sql on Spark
+    // and VERBATIM in the oracle — list_* renames, `::` casts (incl.
+    // inside a HOF lambda), ILIKE, POSITION-IN all translated, zero
+    // per-engine edits
+    QueryDef("q_dialect", ExtraQueries.dialectText) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sql(s, ExtraQueries.dialectText)
       }
     },
 
