@@ -296,6 +296,35 @@ object ExtraQueries {
       }
     },
 
+    // ---- Data profiling (operator Profile.summarize): one scan ----------
+    QueryDef("q_profile",
+      """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        |  SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max_val
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+        |  FROM customer
+        |) ORDER BY col_name""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Profile.summarize(
+            Tables(s, dir, "customer"), Seq("c_custkey", "c_mktsegment", "c_name"))
+          .withColumnRenamed("column", "col_name")
+          .orderBy("col_name")
+    },
+
     // ---- Dialect front-end in the driver gate: ONE SQL text -------------
     // the same DuckDB-flavored string runs through GraftSql.sql on Spark
     // and VERBATIM in the oracle — list_* renames, `::` casts (incl.
