@@ -303,17 +303,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(lvl)
-    var changed = 1L
+    // convergence check: labels only ever DECREASE (min of neighbors), so
+    // an unchanged label-sum means a fixpoint — one cheap aggregate per
+    // round instead of a join-and-count against the previous labels.
+    // DECIMAL sum: id sums at corpus scale overflow int64.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var converged = false
+    while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("cluster"))
       val next = labels.select("id", "cluster").union(prop)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .persist(lvl)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster").as("old")).as("o"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       i += 1
