@@ -90,12 +90,18 @@ object EventPipeline {
                      watermark: String = "10 minutes"): DataFrame = {
     val scored = graft.operators.TextOps.qualityScore(docs, "text")
     val withLang = graft.operators.TextOps.languageId(scored, "text")
-    withLang
-      .filter(col("quality") >= minQuality)
-      .withColumn("digest", md5(col("text")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("digest")
-      .select("ts", "doc_id", "text", "predicted", "quality", "digest")
+    // dedup on the digest of the ORIGINAL text (two docs differing only
+    // in their PII are still near-identical training text — but exact
+    // dedup must not conflate them, so scrub after keying), then ship
+    // the scrubbed form
+    graft.operators.TextOps.redact(
+        withLang
+          .filter(col("quality") >= minQuality)
+          .withColumn("digest", md5(col("text")))
+          .withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark("digest"),
+        "text")
+      .select("ts", "doc_id", "text", "redacted", "predicted", "quality", "digest")
   }
 
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)

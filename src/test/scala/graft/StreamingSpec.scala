@@ -90,7 +90,9 @@ class StreamingSpec extends SparkSpec {
       input.addData(
         EventPipeline.DocEvent(ts(1), 1L, "the cat is on the mat and the dog is in the house"),
         EventPipeline.DocEvent(ts(1), 2L, "%%% ### !!!"), // junk: fails the quality gate
-        EventPipeline.DocEvent(ts(2), 3L, "el gato es grande y la casa es bonita en el sol"))
+        EventPipeline.DocEvent(ts(2), 3L, "el gato es grande y la casa es bonita en el sol"),
+        EventPipeline.DocEvent(ts(2), 5L,
+          "write to the mail of bob@corp.example and the dog is in the cold house today"))
       q.processAllAvailable()
       // cross-batch duplicate text (new doc_id) → suppressed by digest
       input.addData(
@@ -98,8 +100,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("doc_ingest")
         .selectExpr("doc_id", "predicted").as[(Long, String)].collect().toMap
-      assert(rows.keySet == Set(1L, 3L), s"got $rows")
+      assert(rows.keySet == Set(1L, 3L, 5L), s"got $rows")
       assert(rows(1L) == "en" && rows(3L) == "es", s"got $rows")
+      // PII is scrubbed at the door
+      val red = spark.table("doc_ingest").filter("doc_id = 5")
+        .selectExpr("redacted").as[String].collect().head
+      assert(red.contains("<email>") && !red.contains("bob@corp.example"), red)
     } finally q.stop()
   }
 
