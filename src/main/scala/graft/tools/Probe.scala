@@ -7,19 +7,17 @@ import graft.GraftSession
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get("probe", 4)
-    try {
-      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      events.printSchema()
-      events.show(3, truncate = false)
-    } catch { case e: Throwable => println(s"EVENTS READ FAILED: ${e.getMessage.take(300)}") }
-    spark.sql("SELECT typeof(CAST('2020-01-01' AS TIMESTAMP)) t1, typeof(TIMESTAMP '2020-01-01') t2").show(false)
-    spark.sql("SELECT split_part('a,b,c', ',', 2) sp, position('b' IN 'abc') pos, contains('abc','b') c").show(false)
-    spark.sql("SELECT regexp_extract('foo123bar', '([0-9]+)', 1) re, 'foo123' RLIKE '[0-9]+' rl").show(false)
-    spark.sql("SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM VALUES ('b'),('a') AS t(x)").show(false)
-    spark.sql("SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY x) FROM VALUES (1.0),(2.0),(3.0),(4.0) AS t(x)").show(false)
-    spark.sql("SELECT json_object_keys('{\"a\":1,\"b\":2}') k, json_array_length('[1,2,3]') l").show(false)
-    spark.sql("SELECT to_json(named_struct('k', 87)) j").show(false)
+    val spark = GraftSession.get("probe", 8)
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Dedup.minhashLsh(
+      docs, "doc_id", "text", k = 8, bands = 4, threshold = 0.5)
+    val nPairs = pairs.count()
+    val t1 = System.nanoTime()
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs.select("a_id", "b_id"))
+    val nC = clusters.count()
+    val t2 = System.nanoTime()
+    println(f"PROBE pairs=$nPairs (${(t1 - t0) / 1e9}%.2f s) clustered=$nC (${(t2 - t1) / 1e9}%.2f s)")
     spark.stop()
   }
 }
