@@ -467,6 +467,18 @@ object GraftSql {
     spark.sql(rewrite(sqlText))
   }
 
+  /** Static upper bound on the result's row count, when one is derivable
+    * from the query alone — the reference's `maxRows` surface (its host
+    * UI sizes result pagination with it; reference:
+    * test/execute/numRows.test.js). Catalyst derives it through LIMIT,
+    * VALUES, single-row aggregates, joins and unions of bounded inputs;
+    * an unbounded scan yields None. Analysis only — nothing executes.
+    */
+  def maxRows(spark: SparkSession, sqlText: String): Option[Long] = {
+    ensureHelpers(spark)
+    spark.sql(rewrite(sqlText)).queryExecution.analyzed.maxRows
+  }
+
   /** The physical tables a query reads, first-seen order, CTE names
     * excluded scope-aware (a WITH inside a subquery doesn't shadow the
     * outer scope, and sibling CTEs can reference earlier ones) — the

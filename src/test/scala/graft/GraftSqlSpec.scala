@@ -277,6 +277,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[String]("ja") == "[1]")
   }
 
+  test("maxRows mirrors the reference's static result bounds") {
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").createOrReplaceTempView("mr_t")
+    def m(sql: String) = GraftSql.maxRows(spark, sql)
+    assert(m("SELECT * FROM mr_t LIMIT 2").contains(2L))
+    assert(m("SELECT * FROM mr_t LIMIT 10 OFFSET 2").contains(10L)) // bound, not exact
+    assert(m("VALUES (1), (2), (3)").contains(3L))
+    assert(m("SELECT count(*) FROM mr_t").contains(1L))   // scalar agg is 1 row
+    assert(m("SELECT * FROM mr_t").isEmpty)               // unbounded scan
+    // bounds compose through unions of bounded branches
+    assert(m("SELECT 1 AS x UNION ALL SELECT 2").contains(2L))
+  }
+
   test("tables() mirrors the reference extractTables semantics") {
     def t(sql: String) = GraftSql.tables(spark, sql)
     assert(t("SELECT * FROM users") == Seq("users"))
