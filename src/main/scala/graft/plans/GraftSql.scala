@@ -467,6 +467,24 @@ object GraftSql {
     spark.sql(rewrite(sqlText))
   }
 
+  /** Validate a query without executing it — the reference's
+    * parse/validation error surface (reference: src/validation/
+    * parseErrors.js + functions.js signature checks), which hosts run on
+    * user SQL before committing to execution. Parse + analyze only (no
+    * jobs): unknown tables/columns, arity and type errors all surface
+    * here as `Left(message)`.
+    */
+  def validate(spark: SparkSession, sqlText: String): Either[String, Unit] =
+    try {
+      ensureHelpers(spark)
+      spark.sql(rewrite(sqlText)).queryExecution.analyzed
+      Right(())
+    } catch {
+      // ParseException extends AnalysisException, so one case covers
+      // both syntax and semantic errors
+      case e: org.apache.spark.sql.AnalysisException => Left(e.getMessage)
+    }
+
   /** Static upper bound on the result's row count, when one is derivable
     * from the query alone — the reference's `maxRows` surface (its host
     * UI sizes result pagination with it; reference:

@@ -277,6 +277,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[String]("ja") == "[1]")
   }
 
+  test("validate reports analysis errors without executing anything") {
+    Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("val_t")
+    assert(GraftSql.validate(spark, "SELECT id FROM val_t").isRight)
+    // dialect forms validate too (rewrite runs before analysis)
+    assert(GraftSql.validate(spark, "SELECT len(string_split(s, ' ')) FROM val_t").isRight)
+    val missingTable = GraftSql.validate(spark, "SELECT * FROM no_such_table")
+    assert(missingTable.isLeft && missingTable.left.exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")),
+      missingTable)
+    val missingCol = GraftSql.validate(spark, "SELECT nope FROM val_t")
+    assert(missingCol.isLeft && missingCol.left.exists(_.contains("UNRESOLVED_COLUMN")), missingCol)
+    val badArity = GraftSql.validate(spark, "SELECT upper(s, s) FROM val_t")
+    assert(badArity.isLeft, badArity)
+    val badSyntax = GraftSql.validate(spark, "SELECT FROM WHERE")
+    assert(badSyntax.isLeft, badSyntax)
+  }
+
   test("maxRows mirrors the reference's static result bounds") {
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").createOrReplaceTempView("mr_t")
     def m(sql: String) = GraftSql.maxRows(spark, sql)
