@@ -131,18 +131,22 @@ object TextOps {
           PhoneRe, "<phone>"),
         DigitsRe, "<digits>"))
 
-  /** Greedy sequence packing: assign documents to fixed-token-budget
-    * bins (the batch-prep step before pretraining). Documents are walked
-    * in `orderCol` order within a shard and a document starts a new bin
-    * when the running token total would pass `budget` — expressed as a
-    * running-sum window, so the packing is deterministic and
-    * reproducible. `shardCol` partitions the walk (packing is inherently
-    * sequential; sharding bounds each sequential walk to one partition's
-    * worth of rows — the scale knob). Adds `bin` (per-shard 0-based).
+  /** Sequence packing by offset windows: assign documents to
+    * fixed-token-budget bins (the batch-prep step before pretraining).
+    * Documents are walked in `orderCol` order within a shard; each
+    * document's bin is its START offset in the shard's concatenated
+    * token stream divided by `budget` (`floor((cum - tokens) / budget)`)
+    * — a single running-sum window, deterministic and reproducible.
+    * Consequences callers sizing training batches must know: a bin can
+    * OVERFLOW the budget by up to one document (a document that starts
+    * inside a window is wholly assigned to it), and a document larger
+    * than `budget` occupies its start window while shifting later
+    * documents past the windows it spans (those bin ids are skipped).
+    * Bins are token-offset windows, not greedy closed-at-budget groups.
     *
-    * Greedy-by-running-total admits small overflow slack per bin versus
-    * bin-packing optimal; that is the standard trade every production
-    * packer makes for a single streaming pass.
+    * `shardCol` partitions the walk (packing is inherently sequential;
+    * sharding bounds each sequential walk to one partition's worth of
+    * rows — the scale knob). Adds `bin` (per-shard 0-based).
     */
   def packBins(df: DataFrame, tokensCol: String, orderCol: String,
                shardCol: String, budget: Int): DataFrame = {

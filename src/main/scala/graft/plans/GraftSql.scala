@@ -315,8 +315,13 @@ object GraftSql {
         def resolveOrd(e: String): String = {
           val t = e.trim
           if (t.forall(_.isDigit) && t.nonEmpty) {
-            val n = t.toInt
-            if (n >= 1 && n <= projItems.length) baseExpr(projItems(n - 1)) else t
+            // toIntOption: an ordinal wider than Int (ORDER BY 9999999999999)
+            // must fall through as a plain literal for the analyzer to
+            // reject, not crash the rewriter with NumberFormatException
+            t.toIntOption match {
+              case Some(n) if n >= 1 && n <= projItems.length => baseExpr(projItems(n - 1))
+              case _ => t
+            }
           } else aliasMap.getOrElse(t.toLowerCase, t)
         }
         val dirRe = raw"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$$".r
@@ -483,6 +488,11 @@ object GraftSql {
       // ParseException extends AnalysisException, so one case covers
       // both syntax and semantic errors
       case e: org.apache.spark.sql.AnalysisException => Left(e.getMessage)
+      // the pre-parse dialect rewrites are regex surgery over untrusted
+      // SQL text — any failure there is a validation failure, never a
+      // crash of the host-facing surface
+      case scala.util.control.NonFatal(e) =>
+        Left(s"invalid query: ${e.getMessage}")
     }
 
   /** Static upper bound on the result's row count, when one is derivable

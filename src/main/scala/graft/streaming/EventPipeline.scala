@@ -93,7 +93,9 @@ object EventPipeline {
     // dedup on the digest of the ORIGINAL text (two docs differing only
     // in their PII are still near-identical training text — but exact
     // dedup must not conflate them, so scrub after keying), then ship
-    // the scrubbed form
+    // ONLY the scrubbed form: the raw `text` column is dropped here so a
+    // sink writing this stream cannot persist unscrubbed PII by default
+    // (the digest already preserves the dedup key)
     graft.operators.TextOps.redact(
         withLang
           .filter(col("quality") >= minQuality)
@@ -101,7 +103,7 @@ object EventPipeline {
           .withWatermark("ts", watermark)
           .dropDuplicatesWithinWatermark("digest"),
         "text")
-      .select("ts", "doc_id", "text", "redacted", "predicted", "quality", "digest")
+      .select("ts", "doc_id", "redacted", "predicted", "quality", "digest")
   }
 
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)

@@ -293,6 +293,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(badSyntax.isLeft, badSyntax)
   }
 
+  test("validate never throws on adversarial rewrite inputs") {
+    Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("val_t")
+    // an ORDER BY ordinal wider than Int once crashed the DISTINCT ON
+    // rewriter with NumberFormatException before analysis could run —
+    // every such input must come back as Either, never an exception
+    val hugeOrd = GraftSql.validate(spark,
+      "SELECT DISTINCT ON (id) id FROM val_t ORDER BY 9999999999999")
+    assert(hugeOrd.isLeft || hugeOrd.isRight) // total: no throw
+    // (a bigint ORDER BY literal is outside orderByOrdinal's Int range, so
+    // Spark legally orders by a constant — Right is the correct verdict;
+    // the defect being pinned was the rewriter crashing before analysis)
+    val hugeOrdPlain = GraftSql.validate(spark, "SELECT id FROM val_t ORDER BY 9999999999999")
+    assert(hugeOrdPlain.isLeft || hugeOrdPlain.isRight)
+    // in-range ordinals still resolve through the rewriter
+    assert(GraftSql.validate(spark,
+      "SELECT DISTINCT ON (id) id, s FROM val_t ORDER BY 1, 2 DESC").isRight)
+  }
+
   test("maxRows mirrors the reference's static result bounds") {
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").createOrReplaceTempView("mr_t")
     def m(sql: String) = GraftSql.maxRows(spark, sql)

@@ -87,6 +87,25 @@ class OperatorsSpec extends SparkSpec {
       (2L, 7L, None)), s"got $out")         // key 2's quote is later → NULL
   }
 
+  test("as-of join carries a matched row's NULL instead of leaking older values") {
+    import graft.operators.AsOfJoin
+    // key 1: quote at ts=10 has px=1.0, quote at ts=15 has px=NULL.
+    // A trade at ts=20 matches the ts=15 quote — its NULL must be
+    // carried, NOT skipped in favor of the older 1.0 (the match is on
+    // time, never on value presence).
+    val trades = Seq((1L, 20L), (1L, 12L)).toDF("k", "ts")
+    val q2 = Seq((1L, 10L, Some(1.0)), (1L, 15L, None))
+      .toDF("k", "ts", "px")
+    val out = AsOfJoin.asof(trades, q2, Seq("k"), "ts", "ts", Seq("px"))
+      .select("k", "ts", "asof_px").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out == Set(
+      (1L, 20L, None),       // matched quote exists but its px is NULL
+      (1L, 12L, Some(1.0))), // matched the ts=10 quote normally
+      s"got $out")
+  }
+
   test("range join equals the naive inequality join") {
     import graft.operators.RangeJoin
     val l = Seq((1L, 0.0), (2L, 100.0), (3L, -250.0)).toDF("lid", "lv")
