@@ -30,4 +30,48 @@ object Sampling {
       .withColumn(out,
         expr(s"CASE WHEN _fold < $testFolds THEN 'test' ELSE 'train' END"))
       .drop("_fold")
+
+  /** `graft_hash60` is uniform on [0, 2^60): a row passes rate `r` iff
+    * its hash lands below `r * 2^60`. Thresholds are exact BIGINTs so
+    * the same literal can drive any engine's filter.
+    */
+  private val HashSpace = BigDecimal(1152921504606846976L) // 2^60
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (BigDecimal(rate) * HashSpace).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g.
+    * up-weight low-resource languages, down-weight a crawler source),
+    * with membership still a pure function of the id — the same row is
+    * kept or dropped regardless of partitioning, run, or engine, and a
+    * re-run over a grown corpus keeps every previously-kept row.
+    * `rates` maps stratum value → keep fraction; strata not listed use
+    * `defaultRate`. Narrow, codegen'd, no shuffle — this is the sampler
+    * that reshapes a 100 TB corpus's domain mix in one scan.
+    */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+                 rates: Map[String, Double],
+                 defaultRate: Double = 1.0): DataFrame = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN CAST(${rateThreshold(r)} AS BIGINT)"
+    }.mkString(" ")
+    df.filter(expr(
+      s"graft_hash60(CAST($idCol AS STRING)) < " +
+        s"CASE $strataCol $cases ELSE CAST(${rateThreshold(defaultRate)} AS BIGINT) END"))
+  }
+
+  /** Deterministic k-per-key sample: the k rows with the SMALLEST id
+    * hashes in each key group — a reproducible stand-in for per-key
+    * reservoir sampling (same sample every run/engine; adding rows to a
+    * group only ever swaps the largest-hash member out). The merge is
+    * [[TopK.perKey]], so the scored input is never hash-partitioned
+    * into one reducer per key. Adds `rnk` (1-based within key).
+    */
+  def perKeySample(df: DataFrame, keyCols: Seq[String], idCol: String,
+                   k: Int): DataFrame =
+    TopK.perKey(
+        df.withColumn("_skh", expr(s"graft_hash60(CAST($idCol AS STRING))")),
+        keyCols, Seq(org.apache.spark.sql.functions.col("_skh").asc), k)
+      .drop("_skh")
 }

@@ -165,6 +165,51 @@ object TextOps {
     * Adds `chunk_id`, `chunk` (tokens re-joined with single spaces) and
     * `n_tok`. Same scale shape: narrow explode, no shuffle.
     */
+  /** Repetition signals — the repetitiousness quality filters
+    * large-scale corpus cleaning applies before pretraining (the
+    * Gopher/MassiveText rules family): a document dominated by one
+    * repeated phrase or a small vocabulary is boilerplate, not prose.
+    * Adds per document:
+    *  - `n_tok`           token count
+    *  - `dup_token_frac`  1 − distinct/total tokens (vocabulary collapse)
+    *  - `top_bigram_n`    occurrences of the most frequent word bigram
+    *  - `top_bigram_frac` that count over all bigram slots
+    *
+    * The whole computation is higher-order functions over the per-row
+    * token array (sort the bigrams, diff the run boundaries) — narrow,
+    * codegen'd, ZERO shuffle: the alternative explode→groupBy(doc,
+    * bigram) formulation shuffles the entire token stream, which at
+    * 100 TB is the corpus itself. Per-row cost is O(tokens·log tokens);
+    * documents are bounded (chunk first if not).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = df
+      .withColumn("_tk", expr(tokensExpr(textCol)))
+      // guard: sequence(1, 0) counts DOWN in Spark, so short docs must
+      // short-circuit to an empty bigram list before any element_at
+      .withColumn("_bg", expr(
+        "IF(size(_tk) < 2, array(), " +
+          "transform(sequence(1, size(_tk) - 1), " +
+          "i -> concat_ws(' ', element_at(_tk, i), element_at(_tk, i + 1))))"))
+      .withColumn("_s", expr("array_sort(_bg)"))
+      // run-length encode the sorted bigrams: starts = positions whose
+      // value differs from the previous; run lengths = start-to-start gaps
+      .withColumn("_starts", expr(
+        "IF(size(_s) = 0, array(), " +
+          "filter(sequence(1, size(_s)), i -> i = 1 OR element_at(_s, i) != element_at(_s, i - 1)))"))
+      .withColumn("_top", expr(
+        "CAST(IF(size(_s) = 0, 0, array_max(zip_with(_starts, " +
+          "concat(slice(_starts, 2, size(_starts) - 1), array(size(_s) + 1)), " +
+          "(a, b) -> b - a))) AS BIGINT)"))
+    d.select(col(idCol),
+      expr("CAST(size(_tk) AS BIGINT)").as("n_tok"),
+      expr("round(1D - CAST(size(array_distinct(_tk)) AS DOUBLE) / size(_tk), 6)")
+        .as("dup_token_frac"),
+      col("_top").as("top_bigram_n"),
+      expr("round(IF(size(_s) = 0, 0D, CAST(_top AS DOUBLE) / size(_s)), 6)")
+        .as("top_bigram_frac"))
+  }
+
   def chunkByTokens(df: DataFrame, textCol: String,
                     size: Int = 32, overlap: Int = 8): DataFrame = {
     require(overlap >= 0 && size > overlap, "need size > overlap >= 0")

@@ -609,6 +609,71 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Stratified deterministic sampling (Sampling.stratified) --------
+    // per-stratum keep rates with membership a pure function of the id:
+    // the exact BIGINT thresholds (rate * 2^60) drive both engines, so
+    // the sampled row SET matches row-for-row, not just by size
+    QueryDef("q_sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60d("CAST(doc_id AS VARCHAR)")} <
+         |  CASE lang WHEN 'en' THEN CAST(576460752303423488 AS BIGINT)
+         |            WHEN 'zh' THEN CAST(288230376151711744 AS BIGINT)
+         |            ELSE CAST(144115188075855872 AS BIGINT) END
+         |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sampling.stratified(
+            docs(s, dir).select("doc_id", "lang"),
+            "lang", "doc_id",
+            Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.125)
+          .orderBy("doc_id")
+    },
+
+    // ---- Deterministic k-per-key sample (Sampling.perKeySample) ---------
+    // the k smallest id-hashes per group: reproducible "reservoir"
+    // sampling whose merge is TopK.perKey — the scored input is never
+    // hash-partitioned into one reducer per key (the |keys| ceiling a
+    // row_number window merge would impose at cluster scale)
+    QueryDef("q_sample_per_key",
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ${h60d("CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk) AS INT) AS rnk
+         |  FROM h)
+         |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sampling.perKeySample(
+            docs(s, dir).select("doc_id", "lang"), Seq("lang"), "doc_id", k = 5)
+          .select("doc_id", "lang", "rnk")
+          .orderBy("lang", "rnk")
+    },
+
+    // ---- Repetition signals (TextOps.repetitionSignals) -----------------
+    // Gopher-style repetitiousness filters. The Spark side is pure
+    // higher-order functions over the token array (sorted-run-length,
+    // ZERO shuffle); the oracle proves the same numbers via the explode
+    // + groupBy formulation — two independent algorithms, one answer
+    QueryDef("q_text_repetition",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        |  FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |    CAST(sum(n) AS BIGINT) AS nb FROM c GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |  round(1.0::DOUBLE - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS dup_token_frac,
+        |  g.top_bigram_n,
+        |  round(CAST(g.top_bigram_n AS DOUBLE) / nb, 6) AS top_bigram_frac
+        |FROM t JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.repetitionSignals(
+            docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
     // ---- Rolling-hash fingerprint (31-polynomial mod 1e9+7) -------------
     QueryDef("q_text_fingerprint",
       """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)

@@ -136,6 +136,59 @@ class OperatorsSpec extends SparkSpec {
     assert(folds.keySet == (0 until 10).toSet && folds.values.sum == 1000L)
   }
 
+  test("stratified sampling keeps per-stratum rates and grows monotonically") {
+    import graft.operators.Sampling
+    val rows = spark.range(4000)
+      .selectExpr("id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS st")
+    val kept = Sampling.stratified(rows, "st", "doc_id", Map("a" -> 0.5, "b" -> 0.1))
+    val byStratum = kept.groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(byStratum("a") > 800 && byStratum("a") < 1200, byStratum.toString) // ~1000 of 2000
+    assert(byStratum("b") > 120 && byStratum("b") < 280, byStratum.toString)  // ~200 of 2000
+    // membership is a pure function of the id: raising a rate only ADDS
+    // rows, never swaps any out (the property that makes re-runs over a
+    // grown corpus reproducible)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val wider = Sampling.stratified(rows, "st", "doc_id", Map("a" -> 0.8, "b" -> 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(wider))
+    // and partitioning is irrelevant
+    val reshuffled = Sampling.stratified(rows.repartition(13), "st", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.1)).select("doc_id").as[Long].collect().toSet
+    assert(reshuffled == keptIds)
+  }
+
+  test("per-key sample takes the k smallest hashes — stable as the group grows") {
+    import graft.operators.Sampling
+    val small = spark.range(100).selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS k")
+    val s1 = Sampling.perKeySample(small, Seq("k"), "doc_id", k = 4)
+      .select("k", "doc_id").as[(String, Long)].collect().toSet
+    assert(s1.groupBy(_._1).forall(_._2.size == 4), s1.toString)
+    // growing a group can only swap members out for smaller-hash rows:
+    // the new sample per key is drawn from old sample ∪ new rows
+    val grown = spark.range(200).selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS k")
+    val s2 = Sampling.perKeySample(grown, Seq("k"), "doc_id", k = 4)
+      .select("k", "doc_id").as[(String, Long)].collect().toSet
+    assert(s2.forall { case (k, id) => id >= 100 || s1.contains((k, id)) }, s2.toString)
+  }
+
+  test("repetition signals count the dominant bigram via sorted run lengths") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "spam spam spam spam eggs"),   // "spam spam" x3 of 4 bigrams
+      (2L, "all words here are unique"),  // every bigram once
+      (3L, "one"),                        // sub-bigram doc: no bigrams
+      (4L, "go go go go")                 // one token repeated
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .selectExpr("n_tok", "dup_token_frac", "top_bigram_n", "top_bigram_frac")
+      .as[(Long, Double, Long, Double)].collect().toSeq
+    assert(out(0) == ((5L, 0.6, 3L, 0.75)), out(0).toString)
+    assert(out(1) == ((5L, 0.0, 1L, 0.25)), out(1).toString)
+    assert(out(2) == ((1L, 0.0, 0L, 0.0)), out(2).toString)
+    assert(out(3) == ((4L, 0.75, 3L, 1.0)), out(3).toString)
+  }
+
   test("centroids average element-wise and ignore partitioning") {
     import graft.operators.Vectors
     val vecs = Seq(
