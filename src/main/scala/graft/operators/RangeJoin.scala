@@ -31,4 +31,32 @@ object RangeJoin {
       .filter(col(rightVal).between(col(leftVal) + lo, col(leftVal) + hi))
       .drop("_b")
   }
+
+  /** Interval OVERLAP join: pairs whose intervals `[lStart, lEnd]` and
+    * `[rStart, rEnd]` intersect (inclusive ends). Same bucketed-equi-join
+    * idea as [[within]], generalized to intervals on BOTH sides: each row
+    * explodes to every bucket its interval spans, candidates come from
+    * bucket equality, the exact overlap predicate runs as a residual —
+    * and each true pair survives in exactly ONE bucket (the one holding
+    * `greatest(lStart, rStart)`, the overlap's left edge), so no
+    * DISTINCT pass is needed to dedup multi-bucket matches. Shuffle is
+    * O(rows × spanned buckets) small keys; pick `bucketWidth` near the
+    * typical interval length so that factor stays ~2 (a too-small width
+    * multiplies the fan-out, a too-large one degrades candidate
+    * selectivity — the usual interval-index trade).
+    */
+  def overlaps(left: DataFrame, right: DataFrame,
+               lStart: String, lEnd: String, rStart: String, rEnd: String,
+               bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "need bucketWidth > 0")
+    val w = bucketWidth
+    def bucketed(df: DataFrame, s: String, e: String) = df.withColumn("_b",
+      explode(expr(
+        s"sequence(CAST(floor($s / $w) AS BIGINT), CAST(floor($e / $w) AS BIGINT))")))
+    bucketed(left, lStart, lEnd)
+      .join(bucketed(right, rStart, rEnd), Seq("_b"))
+      .filter(expr(s"$lStart <= $rEnd AND $rStart <= $lEnd"))
+      .filter(expr(s"_b = CAST(floor(greatest($lStart, $rStart) / $w) AS BIGINT)"))
+      .drop("_b")
+  }
 }

@@ -296,6 +296,38 @@ object ExtraQueries {
       }
     },
 
+    // ---- Interval OVERLAP join (operator RangeJoin.overlaps): intervals
+    // on BOTH sides, bucketed equi-join + residual, each true pair kept in
+    // exactly one bucket (the overlap's left edge) so no dedup pass.
+    // Oracle is the naive cross predicate — two algorithms, one answer.
+    QueryDef("q_interval_overlap",
+      """WITH l AS (
+        |  SELECT o_orderkey AS lid, o_custkey % 500 AS ls,
+        |    o_custkey % 500 + o_orderkey % 20 AS le
+        |  FROM orders WHERE o_orderkey < 2000
+        |), r AS (
+        |  SELECT o_orderkey AS rid, o_custkey % 500 AS rs,
+        |    o_custkey % 500 + o_orderkey % 15 AS re
+        |  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+        |)
+        |SELECT lid, rid FROM l, r
+        |WHERE ls <= re AND rs <= le
+        |ORDER BY lid, rid""".stripMargin) {
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val l = o.filter(col("o_orderkey") < 2000)
+          .selectExpr("o_orderkey AS lid", "o_custkey % 500 AS ls",
+            "o_custkey % 500 + o_orderkey % 20 AS le")
+        val r = o.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+          .selectExpr("o_orderkey AS rid", "o_custkey % 500 AS rs",
+            "o_custkey % 500 + o_orderkey % 15 AS re")
+        graft.operators.RangeJoin.overlaps(l, r, "ls", "le", "rs", "re",
+            bucketWidth = 16.0)
+          .select("lid", "rid")
+          .orderBy("lid", "rid")
+      }
+    },
+
     // ---- Data profiling (operator Profile.summarize): one scan ----------
     QueryDef("q_profile",
       """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (

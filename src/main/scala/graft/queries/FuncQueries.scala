@@ -423,6 +423,38 @@ object FuncQueries {
           .orderBy("item")
     },
 
+    // ---- Mergeable HLL sketches (Datasketches surface) ------------------
+    // approx_count_distinct answers one query; hll_sketch_agg produces a
+    // MERGEABLE binary sketch — the primitive that lets 1000 executors
+    // (or 1000 daily partitions) each build partial sketches that union
+    // into the global cardinality without re-reading data. Checked two
+    // ways, same bounds-boolean contract as q_agg_approx: the one-pass
+    // estimate lands within ±5% of the exact distinct count, and so does
+    // the estimate from UNIONING 8 shard-level sketches (the union takes
+    // its own sparse/dense path through Datasketches, so it need not be
+    // bit-identical to the one-pass sketch — measured here: 1991 vs
+    // 2006-2019 vs exact 2000 — but it must keep the error contract).
+    QueryDef("q_agg_hll",
+      """SELECT l_returnflag, TRUE AS est_ok, TRUE AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val li = t(s, dir, "lineitem")
+        val whole = li.groupBy("l_returnflag")
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"))
+        val merged = li.withColumn("shard", expr("pmod(l_orderkey, 8)"))
+          .groupBy("l_returnflag", "shard")
+          .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+          .groupBy("l_returnflag")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_m"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("exd"))
+        whole.join(merged, "l_returnflag").join(exact, "l_returnflag")
+          .selectExpr("l_returnflag",
+            "est BETWEEN CAST(0.95 * exd AS BIGINT) AND CAST(1.05 * exd AS BIGINT) AS est_ok",
+            "est_m BETWEEN CAST(0.95 * exd AS BIGINT) AND CAST(1.05 * exd AS BIGINT) AS merge_ok")
+          .orderBy("l_returnflag")
+    },
+
     // ---- Collecting aggregates (STRING_AGG / ARRAY_AGG / ANY_VALUE / MIN_BY)
     QueryDef("q_agg_collect",
       """SELECT n_regionkey,

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/** Storage layout: the read-side savings must be OBSERVABLE, not
+  * claimed — partition pruning in the scan node, file skipping via
+  * which files actually produce rows, compaction via file counts.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_layout_$tag").resolve("t").toString
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect() // finalize any adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      .getOrElse(plan)
+    unwrapped.collectFirst { case s: FileSourceScanExec => s }.get
+  }
+
+  test("partitioned write prunes directories at the scan, one file per value") {
+    val docs = spark.range(400)
+      .selectExpr("id AS doc_id", "CASE id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'es' ELSE 'fr' END AS lang")
+    val dir = tmpDir("part")
+    Layout.partitionedWrite(docs, dir, Seq("lang"))
+
+    val read = spark.read.parquet(dir).filter($"lang" === "en")
+    val scan = scanOf(read)
+    // the lang predicate must be a PARTITION filter (directory pruning),
+    // not a data filter evaluated after opening every file
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"no partition filter in ${scan.partitionFilters}")
+    assert(read.count() == 100)
+    // and only the lang=en directory's files are touched
+    val files = read.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.mkString(", "))
+    // repartition-by-partition-cols holds the file count to one per value
+    assert(files.length == 1, s"expected 1 file for lang=en, got ${files.length}")
+  }
+
+  test("sorted write gives disjoint per-file ranges and range scans touch one file") {
+    val rows = spark.range(10000).selectExpr("id", "id % 97 AS payload")
+    val dir = tmpDir("sorted")
+    Layout.sortedWrite(rows, dir, Seq("id"), numFiles = 8)
+
+    val all = spark.read.parquet(dir)
+    // per-file min/max ranges must not overlap — that is what parquet
+    // footer stats skip on
+    val ranges = all.groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length == 8, s"expected 8 files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2, s"overlap: $hi1 >= $lo2")
+      case _ =>
+    }
+    // a selective range predicate produces rows from exactly one file
+    val hit = all.filter($"id" >= 100 && $"id" <= 120)
+    assert(hit.count() == 21)
+    val touched = hit.select(input_file_name()).distinct().count()
+    assert(touched == 1, s"range scan produced rows from $touched files")
+    // and the predicate is pushed to the scan for row-group skipping
+    val scan = scanOf(hit)
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(id,100)"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("compaction folds a small-file explosion toward the target size") {
+    val rows = spark.range(20000).selectExpr("id", "CAST(id AS STRING) AS s")
+    val dir = tmpDir("compact")
+    // simulate an over-parallel ingest: 40 tiny files
+    rows.repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val filesBefore = before.select(input_file_name()).distinct().count()
+    assert(filesBefore == 40L)
+    val sum0 = before.agg(sum("id")).as[Long].head()
+
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(nBefore == 40 && nAfter < 10, s"compacted $nBefore -> $nAfter")
+    // contents identical after the rewrite
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 20000 && after.agg(sum("id")).as[Long].head() == sum0)
+  }
+}

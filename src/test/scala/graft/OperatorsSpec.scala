@@ -120,6 +120,23 @@ class OperatorsSpec extends SparkSpec {
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L), (3L, 14L)))
   }
 
+  test("interval overlap join equals the naive cross predicate, no duplicate pairs") {
+    import graft.operators.RangeJoin
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 100L), (3L, 200L, 205L), (4L, 50L, 50L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 9L, 12L), (11L, 90L, 210L), (12L, 300L, 310L), (13L, 50L, 50L))
+      .toDF("rid", "rs", "re")
+    // deliberately small bucket width: long intervals span MANY buckets,
+    // exercising the exactly-one-surviving-bucket dedup guard
+    val fast = RangeJoin.overlaps(l, r, "ls", "le", "rs", "re", bucketWidth = 4.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val naive = l.join(r, expr("ls <= re AND rs <= le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(fast.sorted == naive.sorted, s"fast=$fast naive=$naive")
+    assert(fast.size == fast.toSet.size, "duplicate pairs emitted")
+    assert(fast.toSet.contains((4L, 13L)), "point-interval inclusive touch missed")
+  }
+
   test("hash split is a pure function of the id — stable under re-partitioning") {
     import graft.operators.Sampling
     val ids = spark.range(1000).selectExpr("id AS doc_id")
