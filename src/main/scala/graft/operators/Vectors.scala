@@ -35,6 +35,38 @@ object Vectors {
     * form the cross-engine oracle checks — while the division into a
     * mean is left to the caller's precision policy.
     */
+  /** Symmetric per-vector int8 quantization: `q[i] = round(v[i] * 127 /
+    * max|v|)`, carried with the per-vector scale `q_scale = max|v|`.
+    * This is the standard 4× memory/IO lever for embedding columns at
+    * corpus scale — a 100 TB float32 embedding table becomes 25 TB, and
+    * ANN scoring on int8 dot products reconstructs approximate cosine
+    * via `dot(qa, qb) · (sa/127) · (sb/127)`. Rounding is the explicit
+    * `floor(x + 0.5)` form so any engine computing the same expression
+    * produces bit-identical codes (library `round` half-even vs
+    * half-away choices would diverge). Dequantization error per element
+    * is ≤ q_scale/254 + float eps. Adds `q_scale` (DOUBLE) and `q8`
+    * (ARRAY<INT> in [-127, 127]). Narrow, codegen'd, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("q_scale",
+        expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("q8", expr(
+        s"IF(q_scale = 0D, transform($embCol, x -> 0), " +
+          s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / q_scale + CAST(0.5 AS DOUBLE)) AS INT)))"))
+
+  /** Inverse of [[quantizeInt8]]: approximate float reconstruction. */
+  def dequantizeInt8(df: DataFrame, q8Col: String = "q8",
+                     scaleCol: String = "q_scale", out: String = "emb_approx"): DataFrame =
+    df.withColumn(out,
+      expr(s"transform($q8Col, q -> CAST(q AS DOUBLE) * $scaleCol / CAST(127 AS DOUBLE))"))
+
+  /** The exact-arithmetic core of [[centroids]]: per-(label, position)
+    * scaled-int64 sums, reassembled into one `sums` array per label
+    * (plus `n_vecs`). Exposed separately because the integer sums are
+    * reproducible bit-for-bit across engines and partitionings — the
+    * form the cross-engine oracle checks — while the division into a
+    * mean is left to the caller's precision policy.
+    */
   def centroidSums(df: DataFrame, labelCol: String, embCol: String,
                    scale: Long = 1000000L): DataFrame = {
     val ex = df

@@ -81,6 +81,31 @@ object FuncQueries {
           .orderBy("p_partkey")
     },
 
+    // ---- String distance (fuzzy matching surface) -----------------------
+    // classic Levenshtein in both engines — identical integers. The
+    // thresholded Spark form (levenshtein(a, b, t) = -1 past t) is the
+    // one to use at scale: it abandons a row's DP early, turning the
+    // worst case from O(len^2) per pair into O(len*t).
+    QueryDef("q_string_distance",
+      """SELECT p1.p_partkey AS a_key, p2.p_partkey AS b_key,
+        |  CAST(levenshtein(p1.p_name, p2.p_name) AS INT) AS dist,
+        |  CAST(CASE WHEN levenshtein(p1.p_name, p2.p_name) <= 5
+        |       THEN levenshtein(p1.p_name, p2.p_name) ELSE -1 END AS INT) AS dist_capped
+        |FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+        |WHERE p1.p_partkey < 100 ORDER BY a_key""".stripMargin) {
+      (s, dir) => {
+        val p = t(s, dir, "part").select("p_partkey", "p_name")
+        val p1 = p.filter(col("p_partkey") < 100)
+          .selectExpr("p_partkey AS a_key", "p_name AS a_name")
+        val p2 = p.selectExpr("p_partkey AS b_key", "p_name AS b_name")
+        p1.join(p2, expr("b_key = a_key + 1"))
+          .selectExpr("a_key", "b_key",
+            "CAST(levenshtein(a_name, b_name) AS INT) AS dist",
+            "CAST(levenshtein(a_name, b_name, 5) AS INT) AS dist_capped")
+          .orderBy("a_key")
+      }
+    },
+
     // ---- Regexp (reference: src/expression/regexp.js) -------------------
     QueryDef("q_regex_funcs",
       """SELECT c_custkey,

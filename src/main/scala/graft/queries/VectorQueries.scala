@@ -274,6 +274,43 @@ object VectorQueries {
           .selectExpr("label", "CAST(n_vecs AS BIGINT) AS n_vecs",
             "concat_ws(',', transform(sums, v -> CAST(v AS STRING))) AS centroid_micro")
           .orderBy("label")
+    },
+
+    // ---- Int8 embedding quantization (Vectors.quantizeInt8) -------------
+    // the 4x memory/IO lever for embedding columns at corpus scale. The
+    // explicit floor(x+0.5) rounding makes the codes bit-identical on any
+    // engine evaluating the same expression — verified code-for-code via
+    // to_json, plus a reconstruction-error bound both engines assert
+    QueryDef("q_embed_quantize",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS q_scale,
+        |    embedding
+        |  FROM embeddings WHERE vec_id < 200
+        |), c AS (
+        |  SELECT vec_id, q_scale,
+        |    CASE WHEN q_scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(x::DOUBLE * CAST(127 AS DOUBLE) / q_scale + CAST(0.5 AS DOUBLE)) AS INT))
+        |    END AS q8,
+        |    embedding
+        |  FROM q
+        |)
+        |SELECT vec_id, round(q_scale, 6) AS q_scale_r, to_json(q8)::VARCHAR AS q8_json,
+        |  list_max(list_transform(range(1, len(q8) + 1),
+        |    i -> abs(q8[CAST(i AS INT)]::DOUBLE * q_scale / CAST(127 AS DOUBLE)
+        |             - embedding[CAST(i AS INT)]::DOUBLE)))
+        |    <= q_scale / CAST(254 AS DOUBLE) + CAST(0.000001 AS DOUBLE) AS err_ok
+        |FROM c ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Vectors.quantizeInt8(
+            Tables(s, dir, "embeddings").filter(col("vec_id") < 200), "embedding")
+          .selectExpr("vec_id", "round(q_scale, 6) AS q_scale_r",
+            "to_json(q8) AS q8_json",
+            """array_max(zip_with(q8, embedding,
+              |  (q, x) -> abs(CAST(q AS DOUBLE) * q_scale / CAST(127 AS DOUBLE) - CAST(x AS DOUBLE))))
+              |  <= q_scale / CAST(254 AS DOUBLE) + CAST(0.000001 AS DOUBLE) AS err_ok""".stripMargin)
+          .orderBy("vec_id")
     }
   )
 }

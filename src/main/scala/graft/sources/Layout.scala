@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Storage-layout operators: how a 100 TB table should land on disk so
   * every later scan reads as little of it as possible. The reference
@@ -60,6 +60,45 @@ object Layout {
     require(numFiles >= 1, "numFiles must be >= 1")
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Z-order (Morton) clustered write: interleave the bits of two
+    * range-normalized columns and range-partition + sort on the
+    * interleaved value. Where [[sortedWrite]] gives file skipping on ONE
+    * column's predicates, z-ordering preserves locality in BOTH — a box
+    * or strip predicate on either column touches O(√files) files instead
+    * of all of them, which is the layout you want when a 100 TB table is
+    * queried by (date, user), (lat, lon), or (source, language) alike.
+    *
+    * Normalization bounds come from one tiny min/max aggregate (4
+    * scalars to the driver — same cost class as AQE's stats collection).
+    * The z-value is a single codegen'd arithmetic expression; layout
+    * work is one range shuffle, same as any sorted write.
+    */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1 && bits >= 1 && bits <= 31, "need numFiles>=1, bits in [1,31]")
+    val r = df.agg(
+      org.apache.spark.sql.functions.min(col(colA)), org.apache.spark.sql.functions.max(col(colA)),
+      org.apache.spark.sql.functions.min(col(colB)), org.apache.spark.sql.functions.max(col(colB))).head()
+    val (loA, hiA, loB, hiB) =
+      (r.get(0).toString.toDouble, r.get(1).toString.toDouble,
+        r.get(2).toString.toDouble, r.get(3).toString.toDouble)
+    val levels = (1L << bits) - 1
+    def norm(c: String, lo: Double, hi: Double): String =
+      if (hi <= lo) "CAST(0 AS BIGINT)"
+      else s"CAST(floor((CAST($c AS DOUBLE) - $lo) / (${hi - lo}) * $levels) AS BIGINT)"
+    val interleave = (0 until bits).flatMap { i =>
+      Seq(s"shiftleft(shiftright(_za, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright(_zb, $i) & 1, ${2 * i + 1})")
+    }.mkString(" + ")
+    df.withColumn("_za", expr(norm(colA, loA, hiA)))
+      .withColumn("_zb", expr(norm(colB, loB, hiB)))
+      .withColumn("_z", expr(interleave))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_za", "_zb", "_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

@@ -73,6 +73,27 @@ class LayoutSpec extends SparkSpec {
       scan.metadata("PushedFilters"))
   }
 
+  test("z-order write bounds file fan-out for predicates on EITHER column") {
+    // 100x100 grid: a single-column sort would give perfect skipping on
+    // that column and none on the other; z-order must bound both
+    val grid = spark.range(10000).selectExpr("id % 100 AS x", "id DIV 100 AS y")
+    val dir = tmpDir("zorder")
+    Layout.zorderWrite(grid, dir, "x", "y", numFiles = 16, bits = 8)
+    val all = spark.read.parquet(dir)
+    assert(all.count() == 10000)
+    val totalFiles = all.select(input_file_name()).distinct().count()
+    assert(totalFiles == 16L, s"expected 16 files, got $totalFiles")
+    def filesTouched(pred: String): Long =
+      all.filter(pred).select(input_file_name()).distinct().count()
+    // strips along each axis: each must touch a minority of files
+    // (a plain x-sort would send the y-strip to ALL 16)
+    assert(filesTouched("x >= 10 AND x <= 19") <= 8, "x-strip fan-out too wide")
+    assert(filesTouched("y >= 10 AND y <= 19") <= 8, "y-strip fan-out too wide")
+    // a 1% box should land in very few z-blocks
+    assert(filesTouched("x >= 10 AND x <= 19 AND y >= 10 AND y <= 19") <= 3,
+      "box fan-out too wide")
+  }
+
   test("compaction folds a small-file explosion toward the target size") {
     val rows = spark.range(20000).selectExpr("id", "CAST(id AS STRING) AS s")
     val dir = tmpDir("compact")

@@ -159,6 +159,38 @@ class PlanQualitySpec extends SparkSpec {
       s"cartesian/nested-loop join (range-probe at scale) in: $offenders")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact scan") {
+    // at cluster scale a selective dimension filter should reach the fact
+    // side BEFORE the join shuffle as a runtime bloom filter — rows that
+    // cannot match never leave the scan stage. The size thresholds exist
+    // for real clusters, so drop them to demonstrate the mechanism at
+    // test scale, then restore.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set(keys(0), "1000MB")
+      conf.set(keys(1), "0")
+      // runtime filters only apply to shuffle joins — a broadcast join
+      // already prunes at the probe — so force the shuffle-join shape a
+      // fact-to-fact join has at scale
+      conf.set(keys(2), "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val joined = li.join(
+        orders.filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        li("l_orderkey") === orders("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("ANN top-k merge is two-stage: narrow partial pass, tiny key merge") {
     // the scored corpus must NOT be hash-partitioned by qid (|Q| reducers
     // forever); TopK.perKey sorts within partitions (no exchange), filters
