@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group feature scaling for ML data prep: z-score and min-max
+  * normalization computed with one partial-combining aggregate per
+  * group, broadcast back onto the rows. No window over the full table
+  * (a `avg(...) OVER (PARTITION BY g)` window would sort and buffer
+  * every row per group; the agg+join shape is two narrow passes and the
+  * group-stats side is tiny — broadcastable at any corpus size so long
+  * as the GROUP count, not the row count, stays modest).
+  */
+object Features {
+
+  /** Adds `<value>_z` (z-score, sample stddev) and `<value>_mm`
+    * (min-max to [0,1]) per `keys` group. Constant groups (stddev 0 or
+    * min=max) produce 0 for both — a defined value, not NULL/NaN, so
+    * downstream models see a constant feature rather than holes.
+    */
+  def standardize(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      avg(col(valueCol)).as("_mu"),
+      stddev_samp(col(valueCol)).as("_sd"),
+      min(col(valueCol)).as("_mn"),
+      max(col(valueCol)).as("_mx"))
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${valueCol}_z",
+        expr(s"IF(_sd IS NULL OR _sd = 0D, 0D, (CAST($valueCol AS DOUBLE) - _mu) / _sd)"))
+      .withColumn(s"${valueCol}_mm",
+        expr(s"IF(_mx = _mn, 0D, (CAST($valueCol AS DOUBLE) - _mn) / (CAST(_mx AS DOUBLE) - _mn))"))
+      .drop("_mu", "_sd", "_mn", "_mx")
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turn irregular observations into a
+  * fixed-step grid per key with last-observation-carried-forward — the
+  * feature-engineering step that precedes any window model over event
+  * data (and the batch analog of a streaming state store snapshot).
+  */
+object TimeSeries {
+
+  /** Resample `df` onto a `step`-spaced grid per key, carrying each
+    * value column forward from the latest observation at-or-before the
+    * grid instant (LOCF). `tsCol` must be a numeric epoch column (pass
+    * unix micros for timestamps); the grid starts at the first multiple
+    * of `step` at-or-after each key's first observation — integer
+    * ceiling arithmetic, because `ceil(x / step) * step` through doubles
+    * is not exact above 2^53 and epoch-micros values live there.
+    *
+    * Physically: a tiny per-key min/max aggregate, a narrow grid
+    * explode, then [[AsOfJoin.asof]]'s union-merge (one shuffle on the
+    * key + one sort) — never a per-grid-point range probe. Rows per key
+    * are span/step grid points; pick `step` accordingly.
+    *
+    * Keys with multiple observations at the same instant must be
+    * pre-aggregated (same contract as [[AsOfJoin.asof]]).
+    */
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String,
+               step: Long, valueCols: Seq[String]): DataFrame = {
+    require(step > 0, "step must be positive")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
+    val grid = bounds
+      .withColumn(tsCol, explode(expr(
+        s"sequence(((_lo + ${step - 1}) div $step) * $step, _hi, $step)")))
+      .drop("_lo", "_hi")
+    AsOfJoin.asof(grid, df, keys, tsCol, tsCol, valueCols)
+  }
+}

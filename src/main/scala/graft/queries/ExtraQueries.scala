@@ -328,6 +328,65 @@ object ExtraQueries {
       }
     },
 
+    // ---- Time-series resample + LOCF (operator TimeSeries.resample) -----
+    // irregular events onto an hourly grid per user, carrying the latest
+    // value forward. Grid alignment is integer ceiling arithmetic (epoch
+    // micros exceed 2^53 — a double round-trip would misalign grids).
+    // Oracle: DuckDB generate_series + native ASOF LEFT JOIN.
+    QueryDef("q_ts_resample",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, max(value) AS v
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id, min(tu) AS lo, max(tu) AS hi FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(((lo + 3599999999) // 3600000000) * 3600000000,
+        |                           hi, 3600000000)) AS tu
+        |  FROM b
+        |)
+        |SELECT g.user_id AS user_id, g.tu AS tu, round(e.v, 6) AS v_locf
+        |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.tu >= e.tu
+        |ORDER BY user_id, tu""".stripMargin) {
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("user_id") < 20)
+          .withColumn("tu", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .groupBy("user_id", "tu").agg(max("value").as("v"))
+        graft.operators.TimeSeries.resample(e, Seq("user_id"), "tu",
+            step = 3600000000L, valueCols = Seq("v"))
+          .selectExpr("user_id", "tu", "round(asof_v, 6) AS v_locf")
+          .orderBy("user_id", "tu")
+      }
+    },
+
+    // ---- Per-group feature scaling (operator Features.standardize) ------
+    // z-score + min-max per group via one partial agg broadcast back —
+    // never an avg(...) OVER (PARTITION BY g) window that would buffer
+    // every row per group
+    QueryDef("q_feature_scale",
+      """WITH s AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS mu, stddev_samp(l_quantity) AS sd,
+        |    min(l_quantity) AS mn, max(l_quantity) AS mx
+        |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(CASE WHEN sd IS NULL OR sd = 0 THEN 0
+        |        ELSE (l.l_quantity::DOUBLE - mu) / sd END, 6) AS qz,
+        |  round(CASE WHEN mx = mn THEN 0
+        |        ELSE (l.l_quantity::DOUBLE - mn) / (mx::DOUBLE - mn) END, 6) AS qmm
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |WHERE l.l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Features.standardize(
+            Tables(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+              .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+            Seq("l_returnflag"), "l_quantity")
+          .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+            "round(l_quantity_z, 6) AS qz", "round(l_quantity_mm, 6) AS qmm")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- Data profiling (operator Profile.summarize): one scan ----------
     QueryDef("q_profile",
       """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (

@@ -206,6 +206,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ((4L, 0.75, 3L, 1.0)), out(3).toString)
   }
 
+  test("resample fills an aligned grid per key with last observation carried forward") {
+    import graft.operators.TimeSeries
+    val obs = Seq(
+      (1L, 95L, 10.0), (1L, 130L, 20.0), (1L, 340L, 30.0), // key 1: span 95..340
+      (2L, 200L, 5.0)                                      // key 2: single point
+    ).toDF("k", "tu", "v")
+    val out = TimeSeries.resample(obs, Seq("k"), "tu", step = 100L, Seq("v"))
+      .select("k", "tu", "asof_v").as[(Long, Long, Double)].collect().toSet
+    // key 1 grid starts at 100 (first multiple of step >= 95), each point
+    // carries the latest at-or-before value; key 2 grid is just t=200
+    assert(out == Set(
+      (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 20.0),
+      (2L, 200L, 5.0)), s"got $out")
+  }
+
+  test("standardize yields defined zeros for constant groups, unit scaling otherwise") {
+    import graft.operators.Features
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "x")
+    val out = Features.standardize(rows, Seq("g"), "x")
+      .select("g", "x", "x_z", "x_mm").as[(String, Double, Double, Double)]
+      .collect().toSet
+    assert(out.contains(("a", 1.0, -1.0, 0.0)) && out.contains(("a", 3.0, 1.0, 1.0)))
+    assert(out.contains(("a", 2.0, 0.0, 0.5)))
+    // constant group: stddev 0 and min=max must produce 0, never NaN/NULL
+    assert(out.filter(_._1 == "b").forall(r => r._3 == 0.0 && r._4 == 0.0), out.toString)
+  }
+
   test("centroids average element-wise and ignore partitioning") {
     import graft.operators.Vectors
     val vecs = Seq(
