@@ -90,7 +90,7 @@ object Dedup {
       .withColumn("sh", shingles("tk"))
       .select(idCol, "sh")
 
-  private def sigBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  private[operators] def sigBands(shingled: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignature(shingled, "sh", k)

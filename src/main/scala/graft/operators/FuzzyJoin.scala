@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (approximate-string) join for record linkage: match rows of
+  * two tables whose string keys are within an edit-distance budget —
+  * names, titles, addresses spelled slightly differently across
+  * sources. The naive formulation is a cross join with `levenshtein`
+  * on every pair; this operator is the scalable two-stage shape:
+  *
+  *  1. CANDIDATES from character-n-gram MinHash LSH — the same banded
+  *     signature machinery document dedup uses ([[Dedup]]), over char
+  *     shingles (edit-distance-local features: one edit disturbs at
+  *     most n shingles) instead of word shingles. Shuffle is
+  *     O(rows × bands) small keys; similar strings collide in a band.
+  *  2. VERIFY with thresholded `levenshtein(a, b, maxDist)` — the
+  *     early-abandon form costs O(len · maxDist) per candidate, not
+  *     O(len²), and only candidates pay it.
+  *
+  * Like every LSH path this trades recall for scale: a pair must agree
+  * on ONE full band to be considered. Raise `bands` (or lower `k`) for
+  * higher recall at more candidates; the exact-verify step keeps
+  * precision at 1.
+  */
+object FuzzyJoin {
+
+  /** Character n-gram shingles of a trimmed, lowercased string (strings
+    * shorter than `n` yield themselves as a single shingle). */
+  private[operators] def charShingles(c: String, n: Int): String =
+    s"transform(sequence(1, greatest(length(lower(trim($c))) - ${n - 1}, 1)), " +
+      s"i -> substr(lower(trim($c)), i, $n))"
+
+  /** Pairs `(leftId, rightId, dist)` with `levenshtein(leftCol,
+    * rightCol) <= maxDist`, candidate-pruned by char-n-gram LSH.
+    */
+  def byEditDistance(left: DataFrame, right: DataFrame,
+                     leftId: String, leftCol: String,
+                     rightId: String, rightCol: String,
+                     maxDist: Int, k: Int = 8, bands: Int = 4,
+                     ngram: Int = 2): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val lsh = Dedup.sigBands(
+      left.withColumn("sh", expr(charShingles(leftCol, ngram))).select(leftId, "sh"),
+      leftId, k, bands)
+    val rsh = Dedup.sigBands(
+      right.withColumn("sh", expr(charShingles(rightCol, ngram))).select(rightId, "sh"),
+      rightId, k, bands)
+    val cand = lsh.join(rsh, Seq("band", "bkey"))
+      .select(leftId, rightId).distinct()
+    cand
+      .join(left.select(leftId, leftCol), Seq(leftId))
+      .join(right.select(rightId, rightCol), Seq(rightId))
+      .withColumn("dist", expr(s"levenshtein($leftCol, $rightCol, $maxDist)"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col(leftId), col(rightId), col("dist").cast("int").as("dist"))
+  }
+}

@@ -39,4 +39,25 @@ object Skew {
            aggs.tail.map(a => a.combine(a.name)): _*)
     combined
   }
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets a salt
+    * in [0, salt), the right side replicates `salt`-fold (explode of a
+    * constant range — cheap when the right side is the smaller one), and
+    * the join key becomes (key, salt) — a hot key's rows now land on
+    * `salt` reducers instead of one. Inner join, same result set as
+    * `left.join(right, keys)`.
+    *
+    * Prefer AQE's skew-join split where it applies (sort-merge joins in
+    * batch); this explicit form is for when it does not — streaming
+    * micro-batch joins, or a deliberately hash-partitioned pipeline
+    * whose partitioning must survive the join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val l = left.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val r = right.withColumn("_salt", explode(expr(s"sequence(0, ${salt - 1})")))
+    l.join(r, keys :+ "_salt").drop("_salt")
+  }
 }

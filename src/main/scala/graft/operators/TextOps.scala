@@ -131,6 +131,19 @@ object TextOps {
           PhoneRe, "<phone>"),
         DigitsRe, "<digits>"))
 
+  /** Keyed pseudonymization: replace an identifier with a salted SHA-256
+    * digest — referential integrity survives (equal ids map to equal
+    * tokens, so joins and groupBys still work) while the raw identifier
+    * does not. The salt is the secret: without it the token space cannot
+    * be re-derived by hashing candidate ids (which is exactly the attack
+    * unsalted hashes fall to). This is tokenization for analytics, NOT
+    * encryption — there is no detokenize; keep the salt out of the data
+    * lake. Narrow, codegen'd, no shuffle.
+    */
+  def pseudonymize(df: DataFrame, idCol: String, salt: String,
+                   out: String = "pseudo_id"): DataFrame =
+    df.withColumn(out, sha2(concat(lit(salt), col(idCol).cast("string")), 256))
+
   /** Sequence packing by offset windows: assign documents to
     * fixed-token-budget bins (the batch-prep step before pretraining).
     * Documents are walked in `orderCol` order within a shard; each

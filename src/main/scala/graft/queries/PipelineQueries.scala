@@ -609,6 +609,53 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Fuzzy join (FuzzyJoin.byEditDistance): record linkage ----------
+    // char-2gram MinHash LSH candidates + thresholded levenshtein verify,
+    // never the cross join. The oracle mirrors the same signature math
+    // (shared graft_hash60 contract) and the same band keys, so the
+    // CANDIDATE SET — not just the verified pairs — agrees cross-engine.
+    QueryDef("q_fuzzy_join", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      def bandSel(tbl: String, id: String) = (0 until 4).map(b =>
+        s"SELECT $id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM $tbl")
+        .mkString(" UNION ALL ")
+      s"""WITH l AS (
+         |  SELECT p_partkey AS a_key, p_name AS a_name FROM part WHERE p_partkey < 300
+         |), r AS (
+         |  SELECT p_partkey AS b_key, p_name AS b_name FROM part
+         |  WHERE p_partkey >= 300 AND p_partkey < 600
+         |), lsh AS (
+         |  SELECT a_key, list_transform(range(1, greatest(len(lower(trim(a_name))) - 1, 1) + 1),
+         |    i -> substr(lower(trim(a_name)), i, 2)) AS sh FROM l
+         |), rsh AS (
+         |  SELECT b_key, list_transform(range(1, greatest(len(lower(trim(b_name))) - 1, 1) + 1),
+         |    i -> substr(lower(trim(b_name)), i, 2)) AS sh FROM r
+         |), l_sig AS (
+         |  SELECT a_key, $sigs FROM (SELECT a_key, $hsD AS hs FROM lsh)
+         |), r_sig AS (
+         |  SELECT b_key, $sigs FROM (SELECT b_key, $hsD AS hs FROM rsh)
+         |), l_bands AS (${bandSel("l_sig", "a_key")}),
+         |r_bands AS (${bandSel("r_sig", "b_key")}),
+         |cand AS (
+         |  SELECT DISTINCT a_key, b_key
+         |  FROM l_bands a JOIN r_bands b ON a.band = b.band AND a.bkey = b.bkey
+         |)
+         |SELECT c.a_key AS a_key, c.b_key AS b_key,
+         |  CAST(levenshtein(l.a_name, r.b_name) AS INT) AS dist
+         |FROM cand c JOIN l ON l.a_key = c.a_key JOIN r ON r.b_key = c.b_key
+         |WHERE levenshtein(l.a_name, r.b_name) <= 4
+         |ORDER BY c.a_key, c.b_key""".stripMargin
+    }) { (s, dir) => {
+      val p = Tables(s, dir, "part")
+      val l = p.filter(col("p_partkey") < 300)
+        .selectExpr("p_partkey AS a_key", "p_name AS a_name")
+      val r = p.filter(col("p_partkey") >= 300 && col("p_partkey") < 600)
+        .selectExpr("p_partkey AS b_key", "p_name AS b_name")
+      graft.operators.FuzzyJoin.byEditDistance(l, r,
+          "a_key", "a_name", "b_key", "b_name", maxDist = 4)
+        .orderBy("a_key", "b_key")
+    }},
+
     // ---- Stratified deterministic sampling (Sampling.stratified) --------
     // per-stratum keep rates with membership a pure function of the id:
     // the exact BIGINT thresholds (rate * 2^60) drive both engines, so
@@ -671,6 +718,20 @@ object PipelineQueries {
       (s, dir) =>
         graft.operators.TextOps.repetitionSignals(
             docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // ---- Keyed pseudonymization (TextOps.pseudonymize) ------------------
+    // salted SHA-256 tokenization: joins/groupBys keep working on the
+    // token while the raw id never leaves; equal inputs ⇒ equal tokens is
+    // exactly what the cross-engine hash match verifies
+    QueryDef("q_text_pseudonym",
+      """SELECT doc_id, sha256('pepper-2026:' || CAST(doc_id AS VARCHAR)) AS pseudo_id
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.pseudonymize(
+            docs(s, dir).filter(col("doc_id") < 100).select("doc_id"),
+            "doc_id", salt = "pepper-2026:")
           .orderBy("doc_id")
     },
 

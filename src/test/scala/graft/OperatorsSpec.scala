@@ -38,6 +38,27 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("salted join equals the plain join and splits the hot key") {
+    import graft.operators.Skew
+    // 98% of left rows share one key — the plain join funnels them
+    // through a single reducer partition
+    val left = spark.range(5000)
+      .selectExpr("IF(id % 50 = 0, id % 7, 999L) AS k", "id AS lv")
+    val right = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), salt = 8)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() == plain.count())
+    val a = salted.selectExpr("k", "lv", "rv").as[(Long, Long, String)].collect().toSet
+    val b = plain.selectExpr("k", "lv", "rv").as[(Long, Long, String)].collect().toSet
+    assert(a == b)
+    // the salting expression actually spreads the hot key's rows over
+    // multiple (key, salt) groups — the property that splits the reducer
+    val saltSpread = left
+      .withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(8)))
+      .filter("k = 999").select("_salt").distinct().count()
+    assert(saltSpread > 1, s"hot key landed on $saltSpread salt group(s)")
+  }
+
   test("chunking covers every character once per stride, edges included") {
     import graft.operators.TextOps
     val docs = Seq(
@@ -118,6 +139,25 @@ class OperatorsSpec extends SparkSpec {
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(fast == naive, s"fast=$fast naive=$naive")
     assert(fast == Set((1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L), (3L, 14L)))
+  }
+
+  test("fuzzy join links planted typos, never a pair past the distance budget") {
+    import graft.operators.FuzzyJoin
+    val l = Seq((1L, "jonathan smith"), (2L, "maria garcia"), (3L, "wei chen"))
+      .toDF("a_key", "a_name")
+    val r = Seq((10L, "jonathon smith"), (11L, "maria garcia"), (12L, "completely different"),
+        (13L, "wie chen"))
+      .toDF("b_key", "b_name")
+    val out = FuzzyJoin.byEditDistance(l, r, "a_key", "a_name", "b_key", "b_name",
+        maxDist = 2)
+      .select("a_key", "b_key", "dist").as[(Long, Long, Int)].collect().toSet
+    // the typo'd variants (1 sub, exact, 1 transposition = 2 edits) all link
+    assert(out.contains((1L, 10L, 1)), out.toString)
+    assert(out.contains((2L, 11L, 0)), out.toString)
+    assert(out.contains((3L, 13L, 2)), out.toString)
+    // precision 1: nothing past the budget survives the verify stage
+    assert(out.forall(_._3 <= 2), out.toString)
+    assert(!out.exists(_._2 == 12L), out.toString)
   }
 
   test("interval overlap join equals the naive cross predicate, no duplicate pairs") {
