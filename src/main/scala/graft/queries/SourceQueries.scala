@@ -59,6 +59,37 @@ object SourceQueries {
           .orderBy("n_regionkey")
     },
 
+    // ---- Multimodal -> embedding: the binary payload flows through the
+    // mapPartitions encoder stub into the SAME Array[Float] shape the
+    // embeddings table uses — the full media-to-similarity pipeline. The
+    // oracle reproduces the encoder's integer byte histogram from the
+    // text chars independently (payload is utf-8 of ASCII text here, so
+    // byte == codepoint); the exact counts are recovered from the
+    // L2-normalized output via total-bytes / sum(e) — which also proves
+    // the normalization is consistent. norm_ok asserts |"e"|_2 = 1.
+    QueryDef("q_multimodal_embed",
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), ch -> ord(ch) % 64) AS codes
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT doc_id,
+        |  to_json(list_transform(range(0, 64),
+        |    k -> CAST(len(list_filter(codes, c -> c = k)) AS INT)))::VARCHAR AS hist_json,
+        |  TRUE AS norm_ok
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        val emb = MediaOps.embed(MediaOps.decode(MediaOps.fromDocuments(docs)), dims = 64)
+        emb.toDF()
+          .join(docs.selectExpr("doc_id", "length(text) AS tl"), "doc_id")
+          .withColumn("esum", expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
+          .selectExpr("doc_id",
+            "to_json(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * tl / esum) AS INT))) AS hist_json",
+            "abs(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) - 1D) < 1E-5 AS norm_ok")
+          .orderBy("doc_id")
+      }
+    },
+
     // ---- Multimodal: binary payload + typed metadata through the real
     // mapPartitions decode/resize/frame-sample plumbing (stubbed codecs;
     // the oracle reproduces the stub arithmetic from the text bytes). ----
