@@ -76,6 +76,46 @@ object EventPipeline {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Incremental distinct-count rollup: per-key HLL sketches maintained
+    * across micro-batches under foreachBatch. Each batch aggregates its
+    * OWN rows into per-key sketches (O(batch) work), unions them with
+    * the persisted sketch state, and swaps the state atomically through
+    * a staging directory — answering "distinct ids per key so far"
+    * without ever re-reading history. This is the streaming face of the
+    * mergeable-sketch property `q_agg_hll` verifies in batch: state per
+    * key is one fixed-size sketch, regardless of how many ids or
+    * batches flowed through. Read the answer with [[sketchEstimates]].
+    */
+  def sketchRollup(events: DataFrame, keyCol: String, idCol: String,
+                   statePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchSk = batch.groupBy(col(keyCol))
+          .agg(expr(s"hll_sketch_agg($idCol)").as("sk"))
+        val hPath = new org.apache.hadoop.fs.Path(statePath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(hPath))
+            spark.read.parquet(statePath).unionByName(batchSk)
+              .groupBy(col(keyCol)).agg(expr("hll_union_agg(sk)").as("sk"))
+          else batchSk
+        val staging = new org.apache.hadoop.fs.Path(statePath + "_staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(hPath, true)
+        fs.rename(staging, hPath)
+        ()
+      }
+      .start()
+  }
+
+  /** Current per-key approximate distinct counts from a [[sketchRollup]]
+    * state directory. */
+  def sketchEstimates(spark: org.apache.spark.sql.SparkSession, statePath: String,
+                      keyCol: String): DataFrame =
+    spark.read.parquet(statePath)
+      .selectExpr(keyCol, "hll_sketch_estimate(sk) AS approx_distinct")
+
   final case class DocEvent(ts: Timestamp, doc_id: Long, text: String)
 
   /** Streaming training-data ingest: quality-gate, language-ID, and

@@ -164,6 +164,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch rollup accumulates distinct counts across batches without history") {
+    implicit val sqlCtx = spark.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_hll_state")
+      .resolve("state").toString
+    val input = MemoryStream[Event]
+    val q = EventPipeline.sketchRollup(input.toDF(), "event_type", "user_id", statePath)
+    try {
+      input.addData(
+        Event(ts(1), 1L, "click", 0), Event(ts(1), 2L, "click", 0),
+        Event(ts(1), 1L, "view", 0))
+      q.processAllAvailable()
+      // second batch: one repeat user (must not double-count), two new
+      input.addData(
+        Event(ts(2), 1L, "click", 0), Event(ts(2), 3L, "click", 0),
+        Event(ts(2), 9L, "view", 0))
+      q.processAllAvailable()
+      val est = EventPipeline.sketchEstimates(spark, statePath, "event_type")
+        .as[(String, Long)].collect().toMap
+      // HLL is exact at these cardinalities (sparse mode)
+      assert(est == Map("click" -> 3L, "view" -> 2L), est.toString)
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest drops near-dups against the saved corpus index") {
     // the full ingest story: micro-batches arrive as a stream, candidates
     // come from the BUCKETED on-disk LSH index (Dedup.saveBandTable), and
