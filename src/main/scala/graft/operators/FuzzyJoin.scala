@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * Like every LSH path this trades recall for scale: a pair must agree
   * on ONE full band to be considered. Raise `bands` (or lower `k`) for
   * higher recall at more candidates; the exact-verify step keeps
-  * precision at 1.
+  * precision at 1. Recall degrades on VERY short strings — one edit in
+  * an m-char string removes up to n of its m−n+1 shingles, so a 1-edit
+  * pair of 3-char strings has bigram Jaccard 1/3 and usually no band
+  * agreement. Below ~2·maxDist·ngram chars, candidate-generate by exact
+  * key instead (the cross join is cheap precisely when keys are short
+  * and deduplicated).
   */
 object FuzzyJoin {
 

@@ -32,9 +32,13 @@ object TimeSeries {
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
     val grid = bounds
+      // a key whose span holds no aligned instant (start > hi) must yield
+      // an empty grid, not a SparkIllegalArgumentException — sequence()
+      // throws on start > stop with a positive step
+      .withColumn("_start", expr(s"((_lo + ${step - 1}) div $step) * $step"))
       .withColumn(tsCol, explode(expr(
-        s"sequence(((_lo + ${step - 1}) div $step) * $step, _hi, $step)")))
-      .drop("_lo", "_hi")
+        s"IF(_start > _hi, array(), sequence(_start, _hi, $step))")))
+      .drop("_lo", "_hi", "_start")
     AsOfJoin.asof(grid, df, keys, tsCol, tsCol, valueCols)
   }
 }
