@@ -507,6 +507,18 @@ object GraftSql {
     spark.sql(rewrite(sqlText)).queryExecution.analyzed.maxRows
   }
 
+  /** The optimized logical plan as text — the reference's `planSql`
+    * surface (hosts introspect the plan BEFORE executing: is the filter
+    * pushed down, did the LIMIT fold into the sort, how many sources).
+    * Catalyst's optimized plan is the honest analog of the reference's
+    * post-pushdown logical nodes (reference: src/plan/plan.js). Parse +
+    * analyze + optimize only — no jobs run.
+    */
+  def plan(spark: SparkSession, sqlText: String): String = {
+    ensureHelpers(spark)
+    spark.sql(rewrite(sqlText)).queryExecution.optimizedPlan.treeString.trim
+  }
+
   /** The physical tables a query reads, first-seen order, CTE names
     * excluded scope-aware (a WITH inside a subquery doesn't shadow the
     * outer scope, and sibling CTEs can reference earlier ones) — the

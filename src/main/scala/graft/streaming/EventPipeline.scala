@@ -54,7 +54,8 @@ object EventPipeline {
     * unbounded buffering (the capability the reference's single-stream
     * model has no analog for).
     */
-  def correlated(a: DataFrame, b: DataFrame, withinMinutes: Int = 10): DataFrame = {
+  def correlated(a: DataFrame, b: DataFrame, withinMinutes: Int = 10,
+                 joinType: String = "inner"): DataFrame = {
     val w = s"$withinMinutes minutes"
     val l = a.withWatermark("ts", w)
       .select(col("user_id"), col("ts").as("a_ts"),
@@ -62,8 +63,14 @@ object EventPipeline {
     val r = b.withWatermark("ts", w)
       .select(col("user_id").as("r_uid"), col("ts").as("b_ts"),
         col("event_type").as("b_type"), col("value").as("b_value"))
+    // joinType "left_outer": an `a` event with no `b` inside its interval
+    // still emits (with NULL b columns) — but only once the watermark has
+    // passed the interval's end, because only then is "no match" final.
+    // The same time bound that evicts state is what makes outer rows
+    // emittable at all: unbounded outer stream joins cannot exist.
     l.join(r, expr(
-        s"user_id = r_uid AND b_ts BETWEEN a_ts AND a_ts + INTERVAL $withinMinutes MINUTES"))
+        s"user_id = r_uid AND b_ts BETWEEN a_ts AND a_ts + INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .drop("r_uid")
   }
 

@@ -311,6 +311,23 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT DISTINCT ON (id) id, s FROM val_t ORDER BY 1, 2 DESC").isRight)
   }
 
+  test("plan exposes the optimized logical plan without executing") {
+    // a file-backed table (a local Seq view would be constant-folded into
+    // a LocalRelation wholesale, hiding the plan shape under test)
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("pl_t")
+    // pushdown is visible: the filter sits against the relation, constant
+    // arithmetic is folded away
+    val p = GraftSql.plan(spark,
+      "SELECT p_partkey + (1 + 1) AS x FROM pl_t WHERE p_partkey > 1")
+    assert(p.contains("Filter"), p)
+    assert(p.contains("+ 2"), s"constant folding not visible:\n$p")
+    assert(!p.contains("1 + 1"), p)
+    // a VALUES-only query optimizes to a LocalRelation — no scan at all
+    val v = GraftSql.plan(spark, "SELECT 2 * 3 AS six")
+    assert(v.contains("LocalRelation") || v.contains("OneRowRelation"), v)
+  }
+
   test("maxRows mirrors the reference's static result bounds") {
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s").createOrReplaceTempView("mr_t")
     def m(sql: String) = GraftSql.maxRows(spark, sql)

@@ -164,6 +164,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched rows once the interval is final") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventPipeline.correlated(clicks.toDF(), views.toDF(),
+        withinMinutes = 10, joinType = "left_outer")
+      .writeStream.format("memory").queryName("outer_correlated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(Event(ts(0), 1L, "click", 1.0), Event(ts(0), 2L, "click", 2.0))
+      views.addData(Event(ts(5), 1L, "view", 5.0)) // match for user 1 only
+      q.processAllAvailable()
+      // push both watermarks far past user 2's interval so its
+      // no-match verdict becomes final and the NULL-padded row emits
+      clicks.addData(Event(ts(60), 9L, "click", 0.0))
+      views.addData(Event(ts(60), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("outer_correlated")
+        .filter("user_id IN (1, 2)")
+        .selectExpr("user_id", "b_type IS NULL AS unmatched")
+        .as[(Long, Boolean)].collect().toSet
+      assert(rows == Set((1L, false), (2L, true)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sketch rollup accumulates distinct counts across batches without history") {
     implicit val sqlCtx = spark.sqlContext
     val statePath = java.nio.file.Files.createTempDirectory("graft_hll_state")
