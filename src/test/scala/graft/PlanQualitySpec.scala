@@ -48,6 +48,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf("q_join_3way").contains("BroadcastHashJoin"))
   }
 
+  test("round-4 operators keep their scan pushdown and narrow shapes") {
+    // repetition signals: doc_id predicate reaches the parquet scan and
+    // the signal math introduces NO shuffle beyond the final ORDER BY
+    val rep = formatted("q_text_repetition")
+    assert(rep.contains("PushedFilters:") && rep.contains("LessThan(doc_id,200)"),
+      rep.take(900))
+    val repPlan = SparkEntry.queries("q_text_repetition")(spark, dir)
+      .queryExecution.executedPlan
+    assert(countShuffles(repPlan) <= 1, s"expected <=1 shuffle, got:\n$repPlan")
+    // stratified sampling is a pure scan+filter: zero shuffles before sort
+    val strat = SparkEntry.queries("q_sample_stratified")(spark, dir)
+      .queryExecution.executedPlan
+    assert(countShuffles(strat) <= 1, strat.toString)
+    // quantization is narrow over the embeddings scan
+    val quant = formatted("q_embed_quantize")
+    assert(quant.contains("PushedFilters:") && quant.contains("LessThan(vec_id,200)"),
+      quant.take(900))
+    // feature scaling broadcasts the tiny per-group stats back
+    assert(planOf("q_feature_scale").contains("BroadcastHashJoin"),
+      planOf("q_feature_scale").take(900))
+  }
+
   test("hash-join build side lands on the smaller table regardless of join order") {
     // mirror of reference test/execute/joinMemory.test.js: the reference
     // swaps the hash-table build side to the smaller input; Spark's
