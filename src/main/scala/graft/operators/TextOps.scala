@@ -61,6 +61,30 @@ object TextOps {
       .withColumn("ttr", expr("CAST(n_distinct AS DOUBLE) / n_ws"))
       .drop("_tk")
 
+  /** GPT-2-style pre-tokenizer pattern (the "BPE-ish" token unit LLM
+    * context budgets approximate): contractions, space-prefixed letter
+    * runs, space-prefixed digit runs, space-prefixed punctuation runs,
+    * whitespace runs. Stays in the Java-regex ∩ RE2 subset — the real
+    * GPT-2 pattern's trailing `\s+(?!\S)` lookahead is dropped (RE2 has
+    * no lookahead), which only changes how runs of spaces BETWEEN tokens
+    * split, not the token count of normal prose.
+    */
+  val BpeRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokenization: adds `bpe` (the token array, whitespace
+    * runs excluded) and `n_bpe`. A far better context-budget estimate
+    * than whitespace words — punctuation, contractions, and numbers
+    * count as the separate tokens a real BPE vocabulary makes them.
+    * Narrow, codegen'd, no shuffle.
+    */
+  def bpeTokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("bpe",
+        filter(
+          regexp_extract_all(col(textCol), lit(BpeRe), lit(0)),
+          t => trim(t) =!= lit("")))
+      .withColumn("n_bpe", expr("CAST(size(bpe) AS BIGINT)"))
+
   /** 31-polynomial rolling hash mod 1e9+7 of a string column. */
   def fingerprint(textCol: Column): Column =
     expr(s"aggregate(split(${textCol.toString}, ''), CAST(0 AS BIGINT), " +

@@ -721,6 +721,26 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- BPE-ish pre-tokenization (TextOps.bpeTokens) -------------------
+    // the GPT-2 pre-tokenizer pattern in the Java-regex ∩ RE2 subset, so
+    // both engines split identically; counts AND the first tokens are
+    // compared (to_json), not just aggregate sizes
+    QueryDef("q_text_bpe",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+        |    t -> trim(t) != '')) AS BIGINT) AS n_bpe,
+        |  to_json(list_filter(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+        |    t -> trim(t) != '')[1:8])::VARCHAR AS head_json
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.bpeTokens(
+            docs(s, dir).filter(col("doc_id") < 150), "text")
+          .selectExpr("doc_id", "n_bpe", "to_json(slice(bpe, 1, 8)) AS head_json")
+          .orderBy("doc_id")
+    },
+
     // ---- Keyed pseudonymization (TextOps.pseudonymize) ------------------
     // salted SHA-256 tokenization: joins/groupBys keep working on the
     // token while the raw id never leaves; equal inputs ⇒ equal tokens is

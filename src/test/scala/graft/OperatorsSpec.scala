@@ -303,6 +303,20 @@ class OperatorsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("BPE-ish tokenization splits contractions, numbers, and punctuation") {
+    import graft.operators.TextOps
+    val out = TextOps.bpeTokens(
+        Seq((1L, "I'm ready, 42 dogs!"), (2L, "")).toDF("doc_id", "text"), "text")
+      .orderBy("doc_id").selectExpr("bpe", "n_bpe")
+      .as[(Seq[String], Long)].collect().toSeq
+    // the GPT-2 pre-tokenizer unit: contraction 'm separate, leading
+    // space attached to the following word, punctuation its own token
+    assert(out(0)._1 == Seq("I", "'m", " ready", ",", " 42", " dogs", "!"),
+      out(0)._1.mkString("|"))
+    assert(out(0)._2 == 7L)
+    assert(out(1) == ((Seq.empty[String], 0L)), out(1).toString)
+  }
+
   test("redact scrubs emails before digit runs, leaves clean text alone") {
     import graft.operators.TextOps
     val msgs = Seq(
