@@ -315,9 +315,35 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("cluster"))
-      val next = labels.select("id", "cluster").union(prop)
+      val propagated = labels.select("id", "cluster").union(prop)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(lvl)
+      // Pointer jumping (path shortcutting): also adopt my LABEL's label —
+      // a label is always a vertex id in the same component, so the hop
+      // composes the label graph with itself and propagation distance
+      // DOUBLES per round: long chains converge in O(log diameter)
+      // rounds instead of O(diameter). The extra equi-join is not free,
+      // so it stays off while the graph is behaving like the common case
+      // (near-dup clusters converge in 2 rounds flat) and engages only
+      // once round 3 proves there are long chains — adaptive: typical
+      // corpora never pay for it, adversarial chain graphs get the
+      // logarithmic collapse that matters when every round is a full
+      // shuffle barrier on a 1000-executor cluster.
+      val hopped =
+        if (i < 2) propagated
+        else {
+          val byId = propagated.selectExpr("id AS pid", "cluster AS pcluster")
+          propagated.join(byId, propagated("cluster") === byId("pid"), "left")
+            .select(propagated("id"),
+              least(propagated("cluster"),
+                coalesce(col("pcluster"), propagated("cluster"))).as("cluster"))
+        }
+      // localCheckpoint, not persist: the loop stacks joins on top of the
+      // previous round's plan (and the jump references `propagated` twice),
+      // so without lineage truncation the analyzed plan DOUBLES per round
+      // and the driver OOMs just rendering/optimizing it by round ~12.
+      // Checkpointing cuts each round to a LogicalRDD of the materialized
+      // labels — driver-side plan work stays O(1) per round.
+      val next = hopped.localCheckpoint(eager = true)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

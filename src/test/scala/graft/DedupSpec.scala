@@ -134,6 +134,18 @@ class DedupSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("duplicateClusters collapses a long chain in logarithmic rounds") {
+    // a 200-vertex path graph has diameter 199: plain min-label
+    // propagation needs ~200 rounds, pointer jumping needs ~log2(200)+2.
+    // maxIter = 14 only converges if the shortcutting actually engages.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(chain, maxIter = 14)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L),
+      s"chain not fully collapsed: ${got.filter(_._2 != 0L).take(5).mkString(", ")}")
+  }
+
   test("bucket cap drops degenerate hot buckets instead of going quadratic") {
     // 40 identical boilerplate docs (identical signatures → one hot LSH
     // bucket in EVERY band) + 2 distinct near-dups: with maxBucket=10 the
