@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance operators for a continuously refreshed corpus:
+  * upsert (MERGE), delete, and a changed/new/unchanged delta classifier.
+  * The reference exposes these through its mutable-table surface
+  * (reference: src/sql/update.js, test/execute/update.test.js); on Spark
+  * the same semantics are a pure transformation producing the next table
+  * version — the shape every lakehouse MERGE compiles to underneath.
+  *
+  * Scale shape (100 TB target, GB-scale daily updates): every operator is
+  * ONE equi-join on the key between target and updates. The small updates
+  * side broadcasts (AQE picks this up from its actual size); the target is
+  * never shuffled in that case — each target partition is scanned once,
+  * matched against the broadcast keys map-side, and rewritten. When both
+  * sides are large it degrades gracefully to a single shuffle-hash join on
+  * the key — still one shuffle of each side, never a cross product, and
+  * AQE's skew splitting applies. No collect, no window, no global sort.
+  */
+object Merge {
+
+  private def requireSameColumns(target: DataFrame, updates: DataFrame): Unit =
+    require(target.columns.toSeq == updates.columns.toSeq,
+      s"target/updates schemas differ: ${target.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+
+  /** MERGE semantics: rows of `updates` replace target rows with the same
+    * key; update rows with no target match are inserted. Equivalent to
+    * `MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *` with last-writer-wins on the update side.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    requireSameColumns(target, updates)
+    target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Anti-delete: drop target rows whose key appears in `tombstones`
+    * (a keys-only frame) — GDPR/right-to-be-forgotten over a corpus as
+    * one anti-join.
+    */
+  def delete(target: DataFrame, tombstones: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(tombstones.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Classify `updates` against `target` into `inserted` (key absent from
+    * target) / `changed` (key present, any non-key column differs) /
+    * `unchanged` — the CDC delta a downstream incremental pipeline (e.g.
+    * re-embedding only changed documents) consumes. NULL-safe comparison:
+    * NULL -> NULL counts as unchanged.
+    */
+  def delta(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    requireSameColumns(target, updates)
+    val payload = target.columns.filterNot(keys.contains)
+    val t = target.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("_t_payload"): _*)
+    val same = payload
+      .map(c => col("_t_payload")(c) <=> col(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    updates.join(t, keys, "left")
+      .withColumn("change_kind",
+        when(col("_t_payload").isNull, "inserted")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .drop("_t_payload")
+  }
+}

@@ -261,4 +261,71 @@ object TextOps {
         expr(s"CAST(size(slice(_tk, CAST(1 + chunk_id * $stride AS INT), $size)) AS BIGINT)"))
       .drop("_tk")
   }
+
+  /** Distinct word-`n`-gram 60-bit hashes per row: `(idCol, gram_hash)`.
+    * Grams and hashes are computed map-side in one narrow pass (no
+    * shuffle); docs shorter than `n` tokens contribute nothing.
+    */
+  def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), expr(tokensExpr(textCol)).as("_tk"))
+      .where(expr(s"size(_tk) >= $n"))
+      .select(col(idCol),
+        explode(expr(
+          s"""array_distinct(transform(sequence(1, size(_tk) - $n + 1),
+             |  i -> graft_hash60(array_join(slice(_tk, i, $n), ' '))))""".stripMargin))
+          .as("gram_hash"))
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    * flag every corpus document sharing at least `minHits` distinct
+    * word-`n`-grams with the benchmark set `bench`.
+    *
+    * Returns `(idCol, n_hit_grams, contaminated)` for every corpus row.
+    *
+    * Scale shape (100 TB corpus, small benchmark): the benchmark's gram
+    * hashes are distinct'd and BROADCAST; corpus grams are generated and
+    * hashed map-side, matched against the broadcast set with a map-side
+    * semi-join, and only the surviving (doc, gram) hits — bounded by the
+    * contamination volume, not the corpus — reach the counting shuffle.
+    * The corpus text itself is never shuffled, and clean documents (the
+    * overwhelming majority) never leave their input partition.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 13, minHits: Int = 1): DataFrame = {
+    require(n >= 1 && minHits >= 1, "need n >= 1 and minHits >= 1")
+    val benchGrams = ngramHashes(bench.select(lit(1L).as("_bid"), col(benchTextCol)),
+        "_bid", benchTextCol, n)
+      .select("gram_hash").distinct()
+    val hits = ngramHashes(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), "gram_hash")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(idCol)
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Out-of-vocabulary rate against a closed vocabulary — the C4/Gopher
+    * "junk token" quality filter. `vocab` is a one-column DataFrame of
+    * allowed tokens; adds `n_tok`, `n_oov`, `oov_rate`.
+    *
+    * Scale shape: the vocabulary (bounded — a real BPE vocab is ~50k
+    * entries) is collapsed to a single array and broadcast via a
+    * broadcast nested-loop join of ONE row; scoring is then a pure
+    * higher-order-function filter per document — zero shuffle, the
+    * corpus never moves.
+    */
+  def oovRate(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
+    val vocabArr = vocab.toDF("_w").agg(sort_array(collect_set(col("_w"))).as("_vocab"))
+    df.join(broadcast(vocabArr))
+      .withColumn("_tk", expr(tokensExpr(textCol)))
+      .withColumn("n_tok", expr("CAST(size(_tk) AS BIGINT)"))
+      .withColumn("n_oov",
+        expr("CAST(size(filter(_tk, t -> NOT array_contains(_vocab, t))) AS BIGINT)"))
+      .withColumn("oov_rate",
+        expr("round(CAST(n_oov AS DOUBLE) / greatest(n_tok, CAST(1 AS BIGINT)), 6)"))
+      .drop("_tk", "_vocab")
+  }
 }

@@ -450,6 +450,79 @@ object ExtraQueries {
             |ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) DESC, 1
             |LIMIT 3""".stripMargin)
       }
+    },
+
+    // ---- MERGE / upsert (operators/Merge.upsert) ------------------------
+    // the incremental-corpus refresh: updates replace matched target rows,
+    // unmatched updates insert. ONE anti-join on the key (updates side
+    // broadcasts when small) + union — never a window, never a collect
+    QueryDef("q_merge_upsert",
+      """WITH t AS (SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name || ' *v2' AS c_name,
+        |    CAST(bal + 1000 AS DECIMAL(18,2)) AS bal FROM t WHERE c_custkey % 50 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+        |    CAST(0 AS DECIMAL(18,2)) FROM t WHERE c_custkey <= 5),
+        |merged AS (
+        |  SELECT * FROM t WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal
+        |FROM merged ORDER BY c_custkey""".stripMargin) {
+      (s, dir) => {
+        val t = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        val upd = t.filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey"), concat(col("c_name"), lit(" *v2")).as("c_name"),
+            (col("bal") + 1000).cast("decimal(18,2)").as("bal"))
+          .unionByName(t.filter(col("c_custkey") <= 5)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)").as("bal")))
+        graft.operators.Merge.upsert(t, upd, Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("bal").cast("double").as("bal"))
+          .orderBy("c_custkey")
+      }
+    },
+
+    // ---- CDC delta classification (operators/Merge.delta) ---------------
+    // inserted / changed / unchanged per update row — what an incremental
+    // pipeline consumes to re-embed only what actually changed. NULL-safe
+    // payload compare through one struct, one left join
+    QueryDef("q_merge_delta",
+      """WITH t AS (SELECT c_custkey, c_name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name || ' *v2' AS c_name,
+        |    CAST(bal + 1000 AS DECIMAL(18,2)) AS bal FROM t WHERE c_custkey % 50 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, bal FROM t
+        |    WHERE c_custkey % 7 = 0 AND c_custkey % 50 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+        |    CAST(0 AS DECIMAL(18,2)) FROM t WHERE c_custkey <= 5)
+        |SELECT u.c_custkey,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+        |       WHEN u.c_name = t.c_name AND u.bal = t.bal THEN 'unchanged'
+        |       ELSE 'changed' END AS change_kind
+        |FROM upd u LEFT JOIN t ON u.c_custkey = t.c_custkey
+        |ORDER BY u.c_custkey""".stripMargin) {
+      (s, dir) => {
+        val t = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        val upd = t.filter(col("c_custkey") % 50 === 0)
+          .select(col("c_custkey"), concat(col("c_name"), lit(" *v2")).as("c_name"),
+            (col("bal") + 1000).cast("decimal(18,2)").as("bal"))
+          .unionByName(t.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 50 =!= 0))
+          .unionByName(t.filter(col("c_custkey") <= 5)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)").as("bal")))
+        graft.operators.Merge.delta(t, upd, Seq("c_custkey"))
+          .select("c_custkey", "change_kind")
+          .orderBy("c_custkey")
+      }
     }
   )
 }

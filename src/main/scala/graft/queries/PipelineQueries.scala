@@ -774,6 +774,64 @@ object PipelineQueries {
             "graft_rolling_hash(text) AS fp_full",
             "graft_rolling_hash(substr(text, 1, 64)) AS fp_prefix")
           .orderBy("doc_id")
+    },
+
+    // ---- Benchmark decontamination (TextOps.decontaminate) --------------
+    // the GPT-3/PaLM n-gram overlap check: flag corpus docs sharing any
+    // word-5-gram with the benchmark slice. Corpus grams are hashed
+    // map-side and matched against the BROADCAST benchmark gram set —
+    // only actual hits reach a shuffle; clean docs never move
+    QueryDef("q_text_decontam",
+      s"""WITH tk AS (SELECT doc_id, $toksD AS tk FROM documents),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 3),
+        |    i -> ${h60d("array_to_string(tk[i:i+4], ' ')")}))) AS gram_hash
+        |  FROM tk WHERE doc_id % 97 = 0 AND len(tk) >= 5),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 3),
+        |    i -> ${h60d("array_to_string(tk[i:i+4], ' ')")}))) AS gram_hash
+        |  FROM tk WHERE doc_id % 97 <> 0 AND len(tk) >= 5),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        |  FROM cg JOIN bg USING (gram_hash) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+        |  coalesce(h.n_hit_grams, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.TextOps.decontaminate(
+            d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+            d.filter(col("doc_id") % 97 === 0), "text", n = 5)
+          .orderBy("doc_id")
+      }
+    },
+
+    // ---- OOV-rate quality filter (TextOps.oovRate) ----------------------
+    // fraction of tokens outside a closed vocabulary (here: the corpus
+    // top-10 by frequency, tie-broken lexically). The vocab collapses to
+    // ONE broadcast array row; scoring is a pure HOF filter — zero
+    // shuffle over the corpus
+    QueryDef("q_text_oov",
+      s"""WITH d AS (SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 200),
+        |w AS (SELECT unnest(tk) AS w FROM d),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 10)),
+        |va AS (SELECT list(w ORDER BY w) AS vb FROM v)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(len(list_filter(tk, t -> NOT list_contains(vb, t))) AS BIGINT) AS n_oov,
+        |  round(CAST(len(list_filter(tk, t -> NOT list_contains(vb, t))) AS DOUBLE)
+        |    / greatest(len(tk), 1), 6) AS oov_rate
+        |FROM d, va ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("doc_id") < 200)
+        val vocab = d.select(explode(expr(toksS)).as("w"))
+          .groupBy("w").count()
+          .orderBy(col("count").desc, col("w")).limit(10)
+          .select("w")
+        graft.operators.TextOps.oovRate(d, "text", vocab)
+          .select("doc_id", "n_tok", "n_oov", "oov_rate")
+          .orderBy("doc_id")
+      }
     }
   )
 }

@@ -340,4 +340,55 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("s") == 5L)
     assert(r.getAs[Long]("f") == ((('a' * 31L + 'b') % 1000000007L * 31 + 'c') % 1000000007L))
   }
+
+  test("upsert replaces matched keys, inserts new ones, keeps the rest") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val updates = Seq((2L, "b2", 99.0), (9L, "i", 1.0)).toDF("id", "name", "v")
+    val out = operators.Merge.upsert(target, updates, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (9L, "i", 1.0)))
+  }
+
+  test("delta classifies inserted/changed/unchanged with NULL-safe compare") {
+    val target = Seq((1L, Option("a")), (2L, None), (3L, Option("c")))
+      .toDF("id", "name")
+    val updates = Seq(
+      (1L, Option("a")),   // unchanged
+      (2L, Option.empty[String]), // NULL -> NULL is unchanged, not changed
+      (3L, Option("C")),   // changed
+      (4L, Option("d"))    // inserted
+    ).toDF("id", "name")
+    val kinds = operators.Merge.delta(target, updates, Seq("id"))
+      .select("id", "change_kind").as[(Long, String)].collect().toMap
+    assert(kinds == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "inserted"))
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 5-gram
+      (2L, "one two three four five six"),         // clean
+      (3L, "alpha beta gamma"),                    // shorter than n: never flagged
+      (4L, "x alpha beta gamma delta epsilon y")   // bench 5-gram mid-string
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon" -> 1).toDF("btext", "junk")
+    val out = TextOps.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("oovRate scores tokens outside the vocabulary") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "x y z q"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("w")
+    val out = TextOps.oovRate(docs, "text", vocab)
+      .select("doc_id", "n_oov", "oov_rate").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 0.5)))
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(3L) == ((4L, 1.0)))
+  }
 }

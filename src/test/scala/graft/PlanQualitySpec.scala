@@ -162,11 +162,14 @@ class PlanQualitySpec extends SparkSpec {
     //                         rows); the corpus side never shuffles
     //   q_spatial_join      — points × BROADCAST 4-cell grid predicate join
     //   q_agg_freq/q_text_tfidf — cross join with a 1-row broadcast total
+    //   q_text_oov           — the vocabulary collapses to ONE broadcast
+    //                         array row crossed onto the corpus; scoring
+    //                         itself is a narrow HOF filter
     //   q_join_residual/q_lateral/q_subquery_scalar — decorrelated scalar
     //                         aggregates, broadcast single rows
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
-      "q_lateral", "q_join_residual", "q_subquery_scalar",
+      "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
