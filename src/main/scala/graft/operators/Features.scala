@@ -31,4 +31,31 @@ object Features {
         expr(s"IF(_mx = _mn, 0D, (CAST($valueCol AS DOUBLE) - _mn) / (CAST(_mx AS DOUBLE) - _mn))"))
       .drop("_mu", "_sd", "_mn", "_mx")
   }
+
+  /** Winsorize (clip) `valueCol` to its per-group [`lo`, `hi`] quantiles —
+    * the standard outlier-robust prep before scaling. Adds
+    * `<value>_w` (clipped, rounded to 6 decimals). Bounds are rounded to
+    * 6 decimals BEFORE clipping so the contract is engine-portable: any
+    * system computing the same linearly-interpolated quantiles produces
+    * identical output.
+    *
+    * `exact = true` uses the exact interpolated percentile — the group's
+    * values pass through one aggregation buffer, fine while groups fit an
+    * executor. At 100 TB with huge groups set `exact = false`: a fixed-size
+    * mergeable quantile sketch (approx_percentile) replaces the exact agg,
+    * same two-pass agg+broadcast-join shape, bounded memory at any scale.
+    */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                lo: Double = 0.05, hi: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, "need 0 <= lo <= hi <= 1")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      expr(s"round($pct(CAST($valueCol AS DOUBLE), $lo), 6)").as("_plo"),
+      expr(s"round($pct(CAST($valueCol AS DOUBLE), $hi), 6)").as("_phi"))
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${valueCol}_w",
+        expr(s"round(least(greatest(CAST($valueCol AS DOUBLE), _plo), _phi), 6)"))
+      .drop("_plo", "_phi")
+  }
 }

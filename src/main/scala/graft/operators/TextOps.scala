@@ -307,6 +307,39 @@ object TextOps {
         (coalesce(col("n_hit_grams"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** URL canonicalization — the dedup key for web-crawl corpora (the
+    * first dedup pass on any crawl is by normalized URL, before any
+    * content hashing). Adds `out` with: scheme and host lowercased,
+    * leading `www.` and scheme-default port stripped, duplicate slashes
+    * collapsed, trailing slash dropped (bare host becomes `/`),
+    * tracking params (`utm_*`, `fbclid`) removed, remaining query params
+    * sorted, fragment dropped. Pure narrow regex/HOF expressions in the
+    * Java-regex ∩ RE2 subset — zero shuffle, codegen'd, and character
+    * classes (`[?]`, `[.]`) instead of backslash escapes so the same
+    * pattern text runs on any engine.
+    */
+  def normalizeUrl(df: DataFrame, urlCol: String, out: String = "url_norm"): DataFrame = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)([?][^#]*)?([#].*)?$"
+    df.withColumn("_sch", expr(s"lower(regexp_extract($urlCol, '$re', 1))"))
+      .withColumn("_h0",
+        expr(s"regexp_replace(lower(regexp_extract($urlCol, '$re', 2)), '^www[.]', '')"))
+      .withColumn("_host", expr(
+        """CASE WHEN _sch = 'https' THEN regexp_replace(_h0, ':443$', '')
+          |     WHEN _sch = 'http'  THEN regexp_replace(_h0, ':80$', '')
+          |     ELSE _h0 END""".stripMargin))
+      .withColumn("_p0", expr(
+        s"regexp_replace(regexp_replace(regexp_extract($urlCol, '$re', 3), '/{2,}', '/'), '/$$', '')"))
+      .withColumn("_qs", expr(
+        s"""array_join(array_sort(filter(split(substr(regexp_extract($urlCol, '$re', 4), 2), '&'),
+           |  p -> p != '' AND substr(p, 1, 4) != 'utm_' AND substr(p, 1, 7) != 'fbclid=')), '&')"""
+          .stripMargin))
+      .withColumn(out, expr(
+        """concat(_sch, '://', _host,
+          |  CASE WHEN _p0 = '' THEN '/' ELSE _p0 END,
+          |  CASE WHEN _qs = '' THEN '' ELSE concat('?', _qs) END)""".stripMargin))
+      .drop("_sch", "_h0", "_host", "_p0", "_qs")
+  }
+
   /** Out-of-vocabulary rate against a closed vocabulary — the C4/Gopher
     * "junk token" quality filter. `vocab` is a one-column DataFrame of
     * allowed tokens; adds `n_tok`, `n_oov`, `oov_rate`.

@@ -387,6 +387,32 @@ object ExtraQueries {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ---- Winsorized clipping (operator Features.winsorize) --------------
+    // per-group [p5, p95] quantile clip, bounds rounded to 6dp so any
+    // engine computing the same interpolated quantiles agrees exactly;
+    // same agg + broadcast-join shape as standardize (never a window)
+    QueryDef("q_feature_winsorize",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice::DOUBLE, 0.05), 6) AS plo,
+        |    round(quantile_cont(l_extendedprice::DOUBLE, 0.95), 6) AS phi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(least(greatest(l.l_extendedprice::DOUBLE, plo), phi), 6) AS price_w
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |WHERE l.l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Features.winsorize(
+            Tables(s, dir, "lineitem")
+              .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+            Seq("l_returnflag"), "l_extendedprice")
+          .filter(col("l_orderkey") < 1000)
+          .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice_w AS price_w")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- Data profiling (operator Profile.summarize): one scan ----------
     QueryDef("q_profile",
       """SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (

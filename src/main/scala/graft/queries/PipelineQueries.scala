@@ -40,6 +40,21 @@ object PipelineQueries {
   private val toksS = """split(lower(trim(text)), '\\s+')"""
   private val toksD = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 
+  /** Deterministic synthetic URL from doc_id (mixed case, www, default
+    * ports, doubled slashes, tracking params, a no-query slice, fragment).
+    * ONE expression string that parses identically in Spark SQL and
+    * DuckDB (`||`, CASE, CAST AS STRING, `%`).
+    */
+  val urlExpr: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example' ELSE 'http://example' END || " +
+    "CAST(doc_id % 7 AS STRING) || " +
+    "CASE WHEN doc_id % 2 = 0 THEN '.COM:443' ELSE '.com:80' END || " +
+    "'//Path' || CAST(doc_id % 13 AS STRING) || " +
+    "CASE WHEN doc_id % 3 = 0 THEN '//' WHEN doc_id % 3 = 1 THEN '/' ELSE '' END || " +
+    "CASE WHEN doc_id % 11 = 0 THEN '' ELSE " +
+    "'?utm_source=x&b=' || CAST(doc_id % 4 AS STRING) || '&a=' || CAST(doc_id % 5 AS STRING) END " +
+    "|| '#s'"
+
   /** 3-word shingles from a token array named `tk` (both engines 1-based
     * via element_at / list index).
     */
@@ -802,6 +817,47 @@ object PipelineQueries {
         graft.operators.TextOps.decontaminate(
             d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
             d.filter(col("doc_id") % 97 === 0), "text", n = 5)
+          .orderBy("doc_id")
+      }
+    },
+
+    // ---- URL canonicalization (TextOps.normalizeUrl) --------------------
+    // the first dedup key of any web-crawl corpus. URLs are planted
+    // deterministically from doc_id (mixed case, www, default ports,
+    // doubled slashes, tracking params, fragments, a no-query slice);
+    // the oracle re-implements the normalization independently in
+    // DuckDB's regex/list dialect (note: DuckDB regexp_replace needs the
+    // explicit 'g' flag where Spark replaces all matches by default, and
+    // returns NULL where Spark returns '' for a non-participating group)
+    QueryDef("q_url_normalize", {
+      val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)([?][^#]*)?([#].*)?$"
+      s"""WITH u AS (SELECT doc_id, ${PipelineQueries.urlExpr} AS url
+        |  FROM documents WHERE doc_id < 150),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '$re', 1)) AS sch,
+        |  regexp_replace(lower(regexp_extract(url, '$re', 2)), '^www[.]', '') AS h0,
+        |  regexp_replace(regexp_replace(regexp_extract(url, '$re', 3),
+        |    '/{2,}', '/', 'g'), '/$$', '') AS p0,
+        |  coalesce(regexp_extract(url, '$re', 4), '') AS q
+        |FROM u),
+        |p2 AS (SELECT doc_id, url, sch,
+        |  CASE WHEN sch = 'https' THEN regexp_replace(h0, ':443$$', '')
+        |       WHEN sch = 'http'  THEN regexp_replace(h0, ':80$$', '') ELSE h0 END AS host,
+        |  p0,
+        |  coalesce(array_to_string(list_sort(list_filter(string_split(substr(q, 2), '&'),
+        |    pp -> pp != '' AND substr(pp, 1, 4) != 'utm_' AND substr(pp, 1, 7) != 'fbclid=')),
+        |    '&'), '') AS qs
+        |FROM p)
+        |SELECT doc_id, url, sch || '://' || host ||
+        |  CASE WHEN p0 = '' THEN '/' ELSE p0 END ||
+        |  CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm
+        |FROM p2 ORDER BY doc_id""".stripMargin
+    }) {
+      (s, dir) => {
+        val u = docs(s, dir).filter(col("doc_id") < 150)
+          .selectExpr("doc_id", s"${PipelineQueries.urlExpr} AS url")
+        graft.operators.TextOps.normalizeUrl(u, "url")
+          .select("doc_id", "url", "url_norm")
           .orderBy("doc_id")
       }
     },

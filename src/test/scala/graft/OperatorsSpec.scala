@@ -379,6 +379,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("winsorize clips to per-group quantile bounds; constant group is identity") {
+    import graft.operators.Features
+    val df = (1 to 100).map(i => ("g", i.toDouble))
+      .++(Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)))
+      .toDF("k", "v")
+    val out = Features.winsorize(df, Seq("k"), "v", lo = 0.10, hi = 0.90)
+      .select("k", "v", "v_w").as[(String, Double, Double)].collect()
+    val g = out.filter(_._1 == "g")
+    // p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert(g.forall { case (_, _, w) => w >= 10.9 && w <= 90.1 })
+    assert(g.count { case (_, v, w) => v != w } == 20, "10 clipped each tail")
+    assert(out.filter(_._1 == "c").forall { case (_, v, w) => v == w })
+  }
+
+  test("normalizeUrl canonicalizes scheme, host, port, path, params, fragment") {
+    import graft.operators.TextOps
+    val urls = Seq(
+      1L -> "HTTPS://WWW.Example.COM:443//Path//?utm_source=x&b=2&a=1#frag",
+      2L -> "http://example.com:80/",
+      3L -> "https://example.com",
+      4L -> "https://host.com/a/b/?fbclid=abc",
+      5L -> "https://host.com/a//b?z=9&y=8&utm_medium=m",
+      6L -> "https://example.com:8443/keep:port"
+    ).toDF("id", "url")
+    val out = TextOps.normalizeUrl(urls, "url")
+      .select("id", "url_norm").as[(Long, String)].collect().toMap
+    assert(out(1L) == "https://example.com/Path?a=1&b=2")
+    assert(out(2L) == "http://example.com/")
+    assert(out(3L) == "https://example.com/")
+    assert(out(4L) == "https://host.com/a/b")
+    assert(out(5L) == "https://host.com/a/b?y=8&z=9")
+    assert(out(6L) == "https://example.com:8443/keep:port", out(6L))
+  }
+
   test("oovRate scores tokens outside the vocabulary") {
     import graft.operators.TextOps
     val docs = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "x y z q"))
