@@ -356,6 +356,42 @@ object Dedup {
     labels
   }
 
+  /** Asymmetric containment pairs: `C(A -> B) = |grams(A) ∩ grams(B)| /
+    * |grams(A)|` over distinct word-`n`-grams — the sub-document overlap
+    * signal Jaccard misses (a short doc embedded verbatim inside a long
+    * one has low Jaccard but containment ~1). Returns
+    * `(a_id, b_id, shared, containment)` for ordered pairs with
+    * `containment >= threshold`.
+    *
+    * Scale shape: an inverted gram index, never all-pairs. Each doc's
+    * distinct gram hashes are computed map-side (TextOps.ngramHashes);
+    * the candidate join is a self-equi-join on `gram_hash`, so a gram in
+    * d docs contributes d^2 pair rows — bounded by dropping grams with
+    * document frequency above `maxDf` (boilerplate grams carry no
+    * containment signal; same reasoning as the LSH bucket cap). The
+    * denominator |grams(A)| stays the PRE-cap count, so the cap can only
+    * underestimate containment, never inflate it.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 1000): DataFrame = {
+    val g = TextOps.ngramHashes(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = g.groupBy(idCol).agg(count(lit(1)).as("_a_grams"))
+    val rareGrams = g.groupBy("gram_hash").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("gram_hash")
+    val gf = g.join(rareGrams, "gram_hash")
+    val shared = gf.select(col(idCol).as("a_id"), col("gram_hash"))
+      .join(gf.select(col(idCol).as("b_id"), col("gram_hash")), "gram_hash")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    shared.join(sizes.withColumnRenamed(idCol, "a_id"), "a_id")
+      .withColumn("containment",
+        expr("round(CAST(shared AS DOUBLE) / _a_grams, 6)"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "shared", "containment")
+  }
+
   /** 64-bit SimHash over distinct tokens of `textCol`. */
   def simhash64(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     df.withColumn("_dt", array_distinct(tokens(textCol)))

@@ -821,6 +821,50 @@ object PipelineQueries {
       }
     },
 
+    // ---- Containment dedup (Dedup.containmentPairs) ---------------------
+    // asymmetric sub-document overlap: |grams(A) ∩ grams(B)| / |grams(A)|
+    // catches a short doc embedded verbatim in a long one (low Jaccard,
+    // containment ~1). Child docs are planted as 15-token prefixes of
+    // long parents; the pair join is an inverted gram index with a
+    // document-frequency cap, never all-pairs
+    QueryDef("q_dedup_containment",
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |kids AS (SELECT doc_id + 10000 AS doc_id,
+        |    array_to_string(($toksD)[1:15], ' ') AS text
+        |  FROM base WHERE len($toksD) >= 18),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM kids),
+        |t AS (SELECT doc_id, $toksD AS tk FROM corpus),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1),
+        |    i -> ${h60d("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")}))) AS gram_hash
+        |  FROM t WHERE len(tk) >= 3),
+        |sizes AS (SELECT doc_id AS a_id, CAST(count(*) AS BIGINT) AS a_grams
+        |  FROM g GROUP BY 1),
+        |rare AS (SELECT gram_hash FROM (
+        |  SELECT gram_hash, count(*) AS c FROM g GROUP BY 1) WHERE c <= 50),
+        |gf AS (SELECT g.* FROM g JOIN rare USING (gram_hash)),
+        |sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM gf a JOIN gf b USING (gram_hash)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT sh.a_id, sh.b_id, sh.shared,
+        |  round(CAST(sh.shared AS DOUBLE) / s.a_grams, 6) AS containment
+        |FROM sh JOIN sizes s ON sh.a_id = s.a_id
+        |WHERE round(CAST(sh.shared AS DOUBLE) / s.a_grams, 6) >= 0.8
+        |ORDER BY sh.a_id, sh.b_id""".stripMargin) {
+      (s, dir) => {
+        val base = docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+        val kids = base.withColumn("_tk", expr(toksS))
+          .filter(expr("size(_tk) >= 18"))
+          .selectExpr("doc_id + 10000 AS doc_id",
+            "array_join(slice(_tk, 1, 15), ' ') AS text")
+        graft.operators.Dedup.containmentPairs(
+            base.unionByName(kids), "doc_id", "text",
+            n = 3, threshold = 0.8, maxDf = 50)
+          .orderBy("a_id", "b_id")
+      }
+    },
+
     // ---- URL canonicalization (TextOps.normalizeUrl) --------------------
     // the first dedup key of any web-crawl corpus. URLs are planted
     // deterministically from doc_id (mixed case, www, default ports,

@@ -146,6 +146,33 @@ class DedupSpec extends SparkSpec {
       s"chain not fully collapsed: ${got.filter(_._2 != 0L).take(5).mkString(", ")}")
   }
 
+  test("containmentPairs flags the embedded doc, not the reverse direction") {
+    // doc 2 is a verbatim sub-span of doc 1: containment(2 -> 1) = 1.0,
+    // containment(1 -> 2) is low; doc 3 is unrelated
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "gamma delta epsilon zeta eta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("a_id", "b_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((2L, 1L)), out.mkString(", "))
+    assert(out.head._3 == 1.0)
+  }
+
+  test("containmentPairs df-cap drops boilerplate grams but never inflates containment") {
+    // one gram shared by every doc (df = 5 > maxDf 3) is excluded from
+    // the index: the pair sharing ONLY boilerplate finds no candidates
+    val boiler = "all rights reserved"
+    val corpus = (1 to 5).map(i => (i.toLong, s"doc number $i unique words here $boiler"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.isEmpty, out.mkString(", "))
+  }
+
   test("bucket cap drops degenerate hot buckets instead of going quadratic") {
     // 40 identical boilerplate docs (identical signatures → one hot LSH
     // bucket in EVERY band) + 2 distinct near-dups: with maxBucket=10 the
