@@ -313,7 +313,10 @@ object TextOps {
     * leading `www.` and scheme-default port stripped, duplicate slashes
     * collapsed, trailing slash dropped (bare host becomes `/`),
     * tracking params (`utm_*`, `fbclid`) removed, remaining query params
-    * sorted, fragment dropped. Pure narrow regex/HOF expressions in the
+    * sorted, fragment dropped. Input that does not parse as
+    * `scheme://host...` yields NULL (filter or quarantine upstream)
+    * rather than a garbage canonical form that could alias distinct
+    * inputs. Pure narrow regex/HOF expressions in the
     * Java-regex ∩ RE2 subset — zero shuffle, codegen'd, and character
     * classes (`[?]`, `[.]`) instead of backslash escapes so the same
     * pattern text runs on any engine.
@@ -334,9 +337,10 @@ object TextOps {
            |  p -> p != '' AND substr(p, 1, 4) != 'utm_' AND substr(p, 1, 7) != 'fbclid=')), '&')"""
           .stripMargin))
       .withColumn(out, expr(
-        """concat(_sch, '://', _host,
+        """CASE WHEN _sch = '' OR _host = '' THEN NULL
+          |ELSE concat(_sch, '://', _host,
           |  CASE WHEN _p0 = '' THEN '/' ELSE _p0 END,
-          |  CASE WHEN _qs = '' THEN '' ELSE concat('?', _qs) END)""".stripMargin))
+          |  CASE WHEN _qs = '' THEN '' ELSE concat('?', _qs) END) END""".stripMargin))
       .drop("_sch", "_h0", "_host", "_p0", "_qs")
   }
 

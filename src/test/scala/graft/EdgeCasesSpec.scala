@@ -93,4 +93,41 @@ class EdgeCasesSpec extends SparkSpec {
     // stddev_samp of 1 row is NULL → defined 0; min=max → 0
     assert(out == ((0.0, 0.0)), out.toString)
   }
+
+  test("winsorize on a 1-row group is identity") {
+    val one = Seq(("a", 5.0)).toDF("g", "x")
+    val out = Features.winsorize(one, Seq("g"), "x")
+      .selectExpr("x_w").as[Double].collect().head
+    assert(out == 5.0)
+  }
+
+  test("normalizeUrl yields NULL for non-URL input, not a garbage form") {
+    val rows = Seq((1L, "not a url"), (2L, ""), (3L, "ftp://ok.example/x"))
+      .toDF("id", "url")
+    val out = TextOps.normalizeUrl(rows, "url")
+      .select("id", "url_norm").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).contains("ftp://ok.example/x"))
+  }
+
+  test("decontaminate against an empty or too-short benchmark flags nothing") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("id", "btext")
+    val out = TextOps.decontaminate(corpus, "doc_id", "text",
+        emptyBench, "btext", n = 5)
+      .select("contaminated").as[Boolean].collect()
+    assert(out.toSeq == Seq(false))
+    val shortBench = Seq((1L, "alpha beta")).toDF("id", "btext") // < n tokens
+    val out2 = TextOps.decontaminate(corpus, "doc_id", "text",
+        shortBench, "btext", n = 5)
+      .select("contaminated").as[Boolean].collect()
+    assert(out2.toSeq == Seq(false))
+  }
+
+  test("containmentPairs on empty and single-doc corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(empty, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(one, "doc_id", "text").count() == 0)
+  }
 }

@@ -350,6 +350,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (9L, "i", 1.0)))
   }
 
+  test("delete drops exactly the tombstoned keys") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val tombstones = Seq((2L, "ignored"), (9L, "absent")).toDF("id", "x")
+    val out = operators.Merge.delete(target, tombstones, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (3L, "c")))
+  }
+
   test("delta classifies inserted/changed/unchanged with NULL-safe compare") {
     val target = Seq((1L, Option("a")), (2L, None), (3L, Option("c")))
       .toDF("id", "name")
