@@ -558,6 +558,13 @@ object GraftSql {
 
   /** SQL-callable helpers the rewrites target. */
   def ensureHelpers(spark: SparkSession): Unit = {
+    // the reference dialect (like DuckDB/Postgres) reads "..." as an
+    // IDENTIFIER — required for columns with dots in their names
+    // (reference: test/execute/execute.dot.test.js). Spark's default
+    // reads it as a string literal, which would silently select the
+    // literal text instead of the column; ANSI mode is on by default in
+    // Spark 4 so this conf flips the parse.
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     if (!spark.catalog.functionExists("graft_epoch")) {
       spark.udf.register("graft_epoch",
         (ts: java.sql.Timestamp) => if (ts == null) null else {

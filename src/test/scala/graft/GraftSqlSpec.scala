@@ -384,4 +384,18 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[String]("mid") == "b-c-d")
     assert(r.getAs[Int]("lo") == 'a'.toInt)
   }
+
+  test("double-quoted identifiers select dotted columns, not string literals") {
+    // reference: test/execute/execute.dot.test.js — "user.name" is the
+    // COLUMN named user.name, never the nested field and never a string
+    Seq((1L, "Alice", 30), (2L, "Bob", 25))
+      .toDF("id", "user.name", "user.age")
+      .createOrReplaceTempView("dotted_t")
+    val r = GraftSql.sql(spark,
+      """SELECT "user.name" AS n, "user.age" + 1 AS a
+        |FROM dotted_t WHERE "user.age" > 26""".stripMargin).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("n") == "Alice")
+    assert(r.head.getAs[Int]("a") == 31)
+  }
 }
