@@ -123,6 +123,47 @@ object EventPipeline {
     spark.read.parquet(statePath)
       .selectExpr(keyCol, "hll_sketch_estimate(sk) AS approx_distinct")
 
+  /** Streaming MERGE: maintain a continuously-upserted corpus snapshot
+    * from an update stream — `Merge.upsert` applied per micro-batch via
+    * foreachBatch with the same staging-dir atomic swap as
+    * [[sketchRollup]] (readers always see a complete snapshot, a crash
+    * between batches leaves the previous snapshot intact and the
+    * checkpoint replays the batch). Within a batch the row with the
+    * highest `orderCol` wins per key (`max_by`) — a DETERMINISTIC pick,
+    * so a replayed micro-batch produces the identical snapshot
+    * (idempotent recovery); `last` without an ordering would not. The
+    * per-batch cost is ONE key equi-join of snapshot × batch: the batch
+    * side broadcasts, the snapshot is scanned once and rewritten — at
+    * cluster scale partition the snapshot by a key hash and rewrite only
+    * the partitions the batch touches.
+    */
+  def streamingUpsert(updates: DataFrame, keys: Seq[String], orderCol: String,
+                      snapshotPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = updates.sparkSession
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val payload = batch.columns.filterNot(keys.contains)
+        val dedupedBatch = batch
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(struct(payload.map(col): _*), col(orderCol)).as("_p"))
+          .select(keys.map(col) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
+        val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(hPath))
+            graft.operators.Merge.upsert(
+              spark.read.parquet(snapshotPath).select(dedupedBatch.columns.map(col): _*),
+              dedupedBatch, keys)
+          else dedupedBatch
+        val staging = new org.apache.hadoop.fs.Path(snapshotPath + "_staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(hPath, true)
+        fs.rename(staging, hPath)
+        ()
+      }
+      .start()
+  }
+
   final case class DocEvent(ts: Timestamp, doc_id: Long, text: String)
 
   /** Streaming training-data ingest: quality-gate, language-ID, and

@@ -212,6 +212,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert maintains a corpus snapshot; highest version wins, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapPath = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("snapshot").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q = EventPipeline.streamingUpsert(
+      input.toDF().toDF("doc_id", "ver", "text"), Seq("doc_id"), "ver", snapPath)
+    try {
+      input.addData((1L, 1L, "one v1"), (2L, 1L, "two v1"))
+      q.processAllAvailable()
+      // batch 2: update doc 2, insert doc 3 with an in-batch conflict —
+      // the higher ver must win deterministically
+      input.addData((2L, 2L, "two v2"), (3L, 2L, "three v2"), (3L, 1L, "three v1"))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(snapPath)
+        .select("doc_id", "ver", "text").as[(Long, Long, String)].collect().toSet
+      assert(snap == Set((1L, 1L, "one v1"), (2L, 2L, "two v2"), (3L, 2L, "three v2")),
+        snap.toString)
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest drops near-dups against the saved corpus index") {
     // the full ingest story: micro-batches arrive as a stream, candidates
     // come from the BUCKETED on-disk LSH index (Dedup.saveBandTable), and
