@@ -61,6 +61,36 @@ object Sampling {
         s"CASE $strataCol $cases ELSE CAST(${rateThreshold(defaultRate)} AS BIGINT) END"))
   }
 
+  /** Per-row weighted deterministic sampling: row `i` with weight
+    * `w_i ∈ [0,1]` is kept iff `hash(id) < w_i * 2^60` — the
+    * quality-weighted corpus downsampler (keep probability proportional
+    * to a quality score), still a pure function of the id: reproducible
+    * across runs/engines, monotone in the weight (raising a row's score
+    * never drops a previously-kept row). Weights outside [0,1] clamp.
+    * Narrow, codegen'd, no shuffle.
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: String): DataFrame =
+    df.filter(expr(
+      s"CAST(graft_hash60(CAST($idCol AS STRING)) AS DOUBLE) < " +
+        s"least(greatest(CAST($weightCol AS DOUBLE), 0D), 1D) * 1152921504606846976D"))
+
+  /** Deterministic corpus shuffle: a stable pseudo-random global order
+    * from `hash(seed || id)` — the training-order shuffle every epoch
+    * needs, reproducible given the seed and independent of input
+    * partitioning; different seeds give independent orders. The sort is
+    * a range-partitioned exchange (Spark's distributed sort), never a
+    * single task; at write time pair with `Layout.partitionedWrite` or
+    * a sharded sink to keep the order materialized.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+                           keepKeyAs: Option[String] = None): DataFrame = {
+    val k = keepKeyAs.getOrElse("_shuf")
+    val sorted = df.withColumn(k,
+        expr(s"graft_hash60(concat('$seed:', CAST($idCol AS STRING)))"))
+      .orderBy(col(k), col(idCol))
+    if (keepKeyAs.isEmpty) sorted.drop(k) else sorted
+  }
+
   /** Deterministic k-per-key sample: the k rows with the SMALLEST id
     * hashes in each key group — a reproducible stand-in for per-key
     * reservoir sampling (same sample every run/engine; adding rows to a

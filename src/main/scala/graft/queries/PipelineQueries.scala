@@ -690,6 +690,42 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Weighted deterministic sampling (Sampling.weighted) ------------
+    // keep probability proportional to a per-row quality weight, still a
+    // pure function of the id: the kept SET matches row-for-row across
+    // engines, and raising a weight never drops a previously-kept row
+    QueryDef("q_sample_weighted",
+      s"""SELECT doc_id, round(CAST(doc_id % 10 AS DOUBLE) / 10.0, 6) AS w
+         |FROM documents
+         |WHERE CAST(${h60d("CAST(doc_id AS VARCHAR)")} AS DOUBLE) <
+         |  least(greatest(CAST(doc_id % 10 AS DOUBLE) / 10.0, CAST(0 AS DOUBLE)),
+         |    CAST(1 AS DOUBLE)) * CAST(1152921504606846976 AS DOUBLE)
+         |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sampling.weighted(
+            docs(s, dir).selectExpr("doc_id",
+              "round(CAST(doc_id % 10 AS DOUBLE) / 10.0, 6) AS w"),
+            "doc_id", "w")
+          .orderBy("doc_id")
+    },
+
+    // ---- Deterministic corpus shuffle (Sampling.deterministicShuffle) ---
+    // stable pseudo-random training order from hash(seed || id):
+    // reproducible given the seed, independent of partitioning, a
+    // different order per seed. LIMIT makes the order hash-visible (the
+    // selected set IS the order's head); the plan is a distributed
+    // TakeOrdered, never a single-task sort
+    QueryDef("q_sample_shuffle",
+      s"""SELECT doc_id, ${h60d("'ep1:' || CAST(doc_id AS VARCHAR)")} AS sk
+         |FROM documents
+         |ORDER BY sk, doc_id LIMIT 25""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Sampling.deterministicShuffle(
+            docs(s, dir).select("doc_id"), "doc_id", "ep1",
+            keepKeyAs = Some("sk"))
+          .limit(25)
+    },
+
     // ---- Deterministic k-per-key sample (Sampling.perKeySample) ---------
     // the k smallest id-hashes per group: reproducible "reservoir"
     // sampling whose merge is TopK.perKey — the scored input is never

@@ -387,6 +387,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("weighted sampling is monotone in the weight and deterministic") {
+    import graft.operators.Sampling
+    val base = spark.range(2000).selectExpr("id", "0.3D AS w")
+    val kept1 = Sampling.weighted(base, "id", "w").select("id").as[Long].collect().toSet
+    val kept2 = Sampling.weighted(base, "id", "w").select("id").as[Long].collect().toSet
+    assert(kept1 == kept2, "same run twice must keep the same set")
+    assert(math.abs(kept1.size - 600) < 120, s"~30% of 2000, got ${kept1.size}")
+    val raised = Sampling.weighted(
+      spark.range(2000).selectExpr("id", "0.6D AS w"), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(kept1.subsetOf(raised), "raising the weight must never drop a kept row")
+    // weight 0 keeps nothing, weight 1 (and clamped >1) keeps everything
+    assert(Sampling.weighted(spark.range(50).selectExpr("id", "0.0D AS w"), "id", "w").count() == 0)
+    assert(Sampling.weighted(spark.range(50).selectExpr("id", "1.5D AS w"), "id", "w").count() == 50)
+  }
+
+  test("deterministic shuffle: same seed same order, different seed different order") {
+    import graft.operators.Sampling
+    val df = spark.range(500).toDF("id")
+    val o1 = Sampling.deterministicShuffle(df, "id", "epoch1").as[Long].collect().toSeq
+    val o1b = Sampling.deterministicShuffle(df.repartition(7), "id", "epoch1")
+      .as[Long].collect().toSeq
+    val o2 = Sampling.deterministicShuffle(df, "id", "epoch2").as[Long].collect().toSeq
+    assert(o1 == o1b, "order must not depend on input partitioning")
+    assert(o1 != o2, "different seeds must give different orders")
+    assert(o1.sorted == (0L until 500L), "shuffle is a permutation")
+  }
+
   test("winsorize clips to per-group quantile bounds; constant group is identity") {
     import graft.operators.Features
     val df = (1 to 100).map(i => ("g", i.toDouble))
