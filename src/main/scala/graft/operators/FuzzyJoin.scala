@@ -60,4 +60,32 @@ object FuzzyJoin {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col(leftId), col(rightId), col("dist").cast("int").as("dist"))
   }
+
+  /** Entity resolution: cluster rows of ONE table whose `nameCol` values
+    * are within `maxDist` edits (transitively — A~B and B~C put A,B,C in
+    * one entity even when A and C differ by 2·maxDist) and assign every
+    * row its cluster's minimum id as `canonical_id`. Rows in no fuzzy
+    * pair are their own canonical. The composition is
+    * [[byEditDistance]] self-join (LSH candidates + thresholded verify)
+    * → [[Dedup.duplicateClusters]] (pointer-jumped min-label
+    * propagation) → one left join back — every stage is the scalable
+    * shape, no cross join, no driver-side closure.
+    */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+                      maxDist: Int = 2, k: Int = 8, bands: Int = 4,
+                      ngram: Int = 2): DataFrame = {
+    val pairs = byEditDistance(
+        df.select(col(idCol).as("a_key"), col(nameCol).as("a_name")),
+        df.select(col(idCol).as("b_key"), col(nameCol).as("b_name")),
+        "a_key", "a_name", "b_key", "b_name", maxDist, k, bands, ngram)
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key").as("a_id"), col("b_key").as("b_id"))
+    // rename before the join-back: the caller's id column may itself be
+    // named "id"/"cluster" and must not collide with the label frame
+    val labels = Dedup.duplicateClusters(pairs)
+      .select(col("id").as("_er_id"), col("cluster").as("_er_cluster"))
+    df.join(labels, df(idCol) === col("_er_id"), "left")
+      .withColumn("canonical_id", coalesce(col("_er_cluster"), df(idCol)))
+      .drop("_er_id", "_er_cluster")
+  }
 }

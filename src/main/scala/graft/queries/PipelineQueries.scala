@@ -671,6 +671,65 @@ object PipelineQueries {
         .orderBy("a_key", "b_key")
     }},
 
+    // ---- Entity resolution (FuzzyJoin.resolveEntities) ------------------
+    // fuzzy self-pairs (char-2gram LSH + levenshtein<=2 verify) →
+    // connected components → min-id canonical per entity. Two typo
+    // variants are planted per part name (leading char dropped; char
+    // appended) so real 3-row entities exist, including the transitive
+    // dist-2 edge between the two variants. The oracle mirrors the
+    // candidate signature math AND closes over the pair graph with a
+    // recursive CTE — two independent algorithms, one canonical map
+    QueryDef("q_entity_resolve", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT pid, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT p_partkey AS pid, p_name AS name FROM part WHERE p_partkey < 120
+         |), corpus AS (
+         |  SELECT pid, name FROM base
+         |  UNION ALL SELECT pid + 100000, substr(name, 2) FROM base
+         |  UNION ALL SELECT pid + 200000, name || 'x' FROM base
+         |), shl AS (
+         |  SELECT pid, list_transform(range(1, greatest(len(lower(trim(name))) - 1, 1) + 1),
+         |    i -> substr(lower(trim(name)), i, 2)) AS sh FROM corpus
+         |), sig AS (
+         |  SELECT pid, $sigs FROM (SELECT pid, $hsD AS hs FROM shl)
+         |), bands AS (
+         |  $bandSel
+         |), cand AS (
+         |  SELECT DISTINCT a.pid AS a_id, b.pid AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.pid < b.pid
+         |), pairs AS (
+         |  SELECT c.a_id, c.b_id FROM cand c
+         |  JOIN corpus ca ON ca.pid = c.a_id
+         |  JOIN corpus cb ON cb.pid = c.b_id
+         |  WHERE levenshtein(ca.name, cb.name) <= 2
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), lab AS (
+         |  SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src
+         |)
+         |SELECT c.pid, coalesce(l.cluster, c.pid) AS canonical_id
+         |FROM corpus c LEFT JOIN lab l ON c.pid = l.id
+         |ORDER BY c.pid""".stripMargin
+    }) { (s, dir) => {
+      val base = Tables(s, dir, "part").filter(col("p_partkey") < 120)
+        .selectExpr("p_partkey AS pid", "p_name AS name")
+      val corpus = base
+        .unionByName(base.selectExpr("pid + 100000 AS pid", "substr(name, 2) AS name"))
+        .unionByName(base.selectExpr("pid + 200000 AS pid", "name || 'x' AS name"))
+      graft.operators.FuzzyJoin.resolveEntities(corpus, "pid", "name", maxDist = 2)
+        .select("pid", "canonical_id")
+        .orderBy("pid")
+    }},
+
     // ---- Stratified deterministic sampling (Sampling.stratified) --------
     // per-stratum keep rates with membership a pure function of the id:
     // the exact BIGINT thresholds (rate * 2^60) drive both engines, so

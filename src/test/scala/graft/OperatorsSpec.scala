@@ -387,6 +387,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("resolveEntities clusters transitively and picks the min id as canonical") {
+    import graft.operators.FuzzyJoin
+    val rows = Seq(
+      (5L, "alpha bravo charlie"),
+      (2L, "alpha bravo charlee"),   // dist 2 from 5
+      (7L, "alpha bravo charleee"),  // dist 1 from 2, dist 3 from 5: transitive only
+      (9L, "completely different")
+    ).toDF("id", "name")
+    val out = FuzzyJoin.resolveEntities(rows, "id", "name", maxDist = 2)
+      .select("id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(5L -> 2L, 2L -> 2L, 7L -> 2L, 9L -> 9L), out.toString)
+  }
+
   test("weighted sampling is monotone in the weight and deterministic") {
     import graft.operators.Sampling
     val base = spark.range(2000).selectExpr("id", "0.3D AS w")
