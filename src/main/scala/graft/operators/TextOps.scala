@@ -266,6 +266,18 @@ object TextOps {
     * Grams and hashes are computed map-side in one narrow pass (no
     * shuffle); docs shorter than `n` tokens contribute nothing.
     */
+  /** SQL expression for the distinct word-`n`-gram 60-bit hash ARRAY of
+    * `textCol` (empty array below `n` tokens) — the row-local form the
+    * streaming decontamination gate filters on without exploding.
+    */
+  private[graft] def ngramHashArrayExpr(textCol: String, n: Int): String = {
+    val tk = tokensExpr(textCol)
+    s"""CASE WHEN size($tk) >= $n THEN
+       |  array_distinct(transform(sequence(1, size($tk) - $n + 1),
+       |    i -> graft_hash60(array_join(slice($tk, i, $n), ' '))))
+       |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+  }
+
   def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), expr(tokensExpr(textCol)).as("_tk"))
       .where(expr(s"size(_tk) >= $n"))

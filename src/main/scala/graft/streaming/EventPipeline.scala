@@ -123,6 +123,28 @@ object EventPipeline {
     spark.read.parquet(statePath)
       .selectExpr(keyCol, "hll_sketch_estimate(sk) AS approx_distinct")
 
+  /** Streaming decontamination gate: drop stream documents sharing any
+    * word-`n`-gram with a static benchmark — the batch
+    * `TextOps.decontaminate` check applied at the ingest door.
+    * `benchGramHashes` is a one-column static frame of benchmark gram
+    * hashes (`TextOps.ngramHashes(bench, ...).select("gram_hash")`),
+    * collapsed to ONE broadcast array row; each stream row computes its
+    * own gram-hash array locally and passes iff none lands in the set.
+    * Fully STATELESS (no explode→aggregate round trip, no watermark, no
+    * state store): benchmark suites are bounded, so the per-row membership
+    * scan is against a fixed small array.
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          benchGramHashes: DataFrame, n: Int = 13): DataFrame = {
+    val benchArr = benchGramHashes.toDF("_g")
+      .agg(sort_array(collect_set(col("_g"))).as("_bench"))
+    docs.join(broadcast(benchArr))
+      .withColumn("_grams",
+        expr(graft.operators.TextOps.ngramHashArrayExpr(textCol, n)))
+      .filter(expr("size(filter(_grams, g -> array_contains(_bench, g))) = 0"))
+      .drop("_grams", "_bench")
+  }
+
   /** Streaming MERGE: maintain a continuously-upserted corpus snapshot
     * from an update stream — `Merge.upsert` applied per micro-batch via
     * foreachBatch with the same staging-dir atomic swap as

@@ -121,6 +121,18 @@ class PlanQualitySpec extends SparkSpec {
       planOf("q_ann_brute").contains("BroadcastHashJoin"))
   }
 
+  test("decontamination broadcasts the benchmark gram set onto the corpus") {
+    // the corpus side must meet the benchmark grams in a broadcast hash
+    // join — a shuffled join here would move every corpus gram at scale
+    assert(planOf("q_text_decontam").contains("BroadcastHashJoin"),
+      planOf("q_text_decontam").take(900))
+  }
+
+  test("deterministic shuffle's LIMIT head plans as TakeOrdered, not a global sort") {
+    assert(planOf("q_sample_shuffle").contains("TakeOrderedAndProject"),
+      planOf("q_sample_shuffle").take(900))
+  }
+
   test("count(*) uses the parquet metadata fast path") {
     val s = formatted("q_count_star")
     assert(s.contains("LocalTableScan") || s.contains("RowCount") ||

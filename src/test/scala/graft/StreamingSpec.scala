@@ -212,6 +212,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops only benchmark-overlapping docs, statelessly") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val benchGrams = TextOps.ngramHashes(bench, "id", "text", 5)
+      .select("gram_hash").distinct()
+    val input = MemoryStream[EventPipeline.DocEvent]
+    val sink = EventPipeline.decontaminateStream(
+        input.toDF(), "text", benchGrams, n = 5)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventPipeline.DocEvent(ts(1), 1L, "x alpha beta gamma delta epsilon y"), // contaminated
+        EventPipeline.DocEvent(ts(1), 2L, "one two three four five six"),        // clean
+        EventPipeline.DocEvent(ts(1), 3L, "alpha beta"))                         // < n tokens: kept
+      sink.processAllAvailable()
+      val kept = spark.table("decontam_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L), kept.toString)
+    } finally sink.stop()
+  }
+
   test("streaming upsert maintains a corpus snapshot; highest version wins, replays idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val snapPath = java.nio.file.Files.createTempDirectory("graft_upsert")
