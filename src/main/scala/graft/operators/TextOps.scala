@@ -319,6 +319,27 @@ object TextOps {
         (coalesce(col("n_hit_grams"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Keyword-in-context (KWIC) snippet extraction — the concordance
+    * view corpus QA uses to eyeball how a term is used before filtering
+    * on it. One row per occurrence of `term` (exact token match):
+    * `(idCol, pos, snippet)` where `pos` is the 0-based token offset and
+    * `snippet` is the surrounding `window` tokens each side. One narrow
+    * posexplode + filter — fan-out is bounded by occurrence count, no
+    * shuffle, stays in codegen.
+    */
+  def snippets(df: DataFrame, idCol: String, textCol: String,
+               term: String, window: Int = 3): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    df.withColumn("_tk", expr(tokensExpr(textCol)))
+      .select(col(idCol), col("_tk"), posexplode(col("_tk")).as(Seq("pos", "_w")))
+      .filter(col("_w") === lit(term))
+      .withColumn("snippet", expr(
+        s"""array_join(slice(_tk, greatest(pos + 1 - $window, 1),
+           |  least(pos + 1 + $window, size(_tk)) - greatest(pos + 1 - $window, 1) + 1), ' ')"""
+          .stripMargin))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("snippet"))
+  }
+
   /** URL canonicalization — the dedup key for web-crawl corpora (the
     * first dedup pass on any crawl is by normalized URL, before any
     * content hashing). Adds `out` with: scheme and host lowercased,

@@ -671,6 +671,24 @@ object PipelineQueries {
         .orderBy("a_key", "b_key")
     }},
 
+    // ---- KWIC snippets (TextOps.snippets) -------------------------------
+    // one row per occurrence of the term with its +/-3-token context —
+    // the concordance view for corpus QA. Narrow posexplode + filter;
+    // fan-out bounded by occurrence count, zero shuffle
+    QueryDef("q_text_snippets",
+      s"""WITH t AS (SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM t),
+        |m AS (SELECT doc_id, tk, pos FROM p WHERE tk[pos] = 'data')
+        |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+        |  array_to_string(tk[greatest(pos - 3, 1):least(pos + 3, len(tk))], ' ') AS snippet
+        |FROM m ORDER BY doc_id, pos""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.snippets(
+            docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
+            term = "data", window = 3)
+          .orderBy("doc_id", "pos")
+    },
+
     // ---- Entity resolution (FuzzyJoin.resolveEntities) ------------------
     // fuzzy self-pairs (char-2gram LSH + levenshtein<=2 verify) →
     // connected components → min-id canonical per entity. Two typo

@@ -126,4 +126,28 @@ object Layout {
     fs.rename(staging, hPath)
     (before.length, dataFiles(hPath).length)
   }
+
+  /** Write `df` as `shards` training shards (`_shard=k/` directories) in
+    * a deterministic pseudo-random order. The shuffle key is
+    * `hash(seed‖id)` (the Sampling.deterministicShuffle key); shard
+    * membership is the key's EXACT equal-width bucket of the 2^60 hash
+    * space — a pure function of (seed, id), NOT a sampled range split,
+    * so re-running over any input partitioning rebuilds identical shard
+    * membership and within-shard order, and each epoch's seed gives an
+    * independent permutation. Rows are clustered per shard and sorted by
+    * the key inside each writer: one sorted file per shard directory,
+    * `shards` parallel writers, never a single task.
+    */
+  def shardedExport(df: DataFrame, idCol: String, path: String,
+                    shards: Int, seed: String): Unit = {
+    require(shards > 0, "shards must be > 0")
+    val width = (1152921504606846976L + shards - 1) / shards // ceil(2^60 / shards)
+    df.withColumn("_shard_key",
+        expr(s"graft_hash60(concat('$seed:', CAST($idCol AS STRING)))"))
+      .withColumn("_shard", expr(s"CAST(_shard_key DIV $width AS INT)"))
+      .repartition(shards, col("_shard"))
+      .sortWithinPartitions(col("_shard"), col("_shard_key"))
+      .drop("_shard_key")
+      .write.partitionBy("_shard").mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -110,4 +110,38 @@ class LayoutSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
     assert(after.count() == 20000 && after.agg(sum("id")).as[Long].head() == sum0)
   }
+
+  test("sharded export: deterministic membership, one file per shard, seed-independent orders") {
+    val df = spark.range(2000).toDF("id")
+    val d1 = tmpDir("shard1"); val d2 = tmpDir("shard2"); val d3 = tmpDir("shard3")
+    Layout.shardedExport(df, "id", d1, shards = 8, seed = "ep1")
+    // different input partitioning must rebuild identical membership
+    Layout.shardedExport(df.repartition(13), "id", d2, shards = 8, seed = "ep1")
+    Layout.shardedExport(df, "id", d3, shards = 8, seed = "ep2")
+    def membership(d: String): Map[Long, Int] =
+      spark.read.parquet(d).select(col("id"), col("_shard"))
+        .as[(Long, Int)].collect().toMap
+    val m1 = membership(d1)
+    assert(m1.keySet.size == 2000)
+    assert(m1.values.toSet.size == 8, s"expected 8 shards, got ${m1.values.toSet}")
+    assert(m1 == membership(d2), "membership must not depend on input partitioning")
+    assert(m1 != membership(d3), "a different seed must reshuffle")
+    // one data file per shard directory
+    val shardDirs = new java.io.File(d1).listFiles().filter(_.getName.startsWith("_shard="))
+    assert(shardDirs.length == 8)
+    assert(shardDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "each shard must be exactly one file")
+  }
+
+  test("schema evolution: mergeSchema unions parquet files written with different columns") {
+    val dir = tmpDir("evolve")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(dir + "/v1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(dir + "/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir + "/v1", dir + "/v2")
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val rows = merged.select("id", "name", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))))
+  }
 }
