@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Incremental-maintenance operators for a continuously refreshed corpus:
   * upsert (MERGE), delete, and a changed/new/unchanged delta classifier.
-  * The reference exposes these through its mutable-table surface
-  * (reference: src/sql/update.js, test/execute/update.test.js); on Spark
-  * the same semantics are a pure transformation producing the next table
-  * version — the shape every lakehouse MERGE compiles to underneath.
+  * The reference engine's tables are immutable query inputs — it has no
+  * UPDATE/MERGE surface — so this is pipeline surface beyond the
+  * reference (SURVEY §2.5 family): on Spark the same semantics are a
+  * pure transformation producing the next table version — the shape
+  * every lakehouse MERGE compiles to underneath.
   *
   * Scale shape (100 TB target, GB-scale daily updates): every operator is
   * ONE equi-join on the key between target and updates. The small updates
@@ -28,12 +29,35 @@ object Merge {
   /** MERGE semantics: rows of `updates` replace target rows with the same
     * key; update rows with no target match are inserted. Equivalent to
     * `MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-    * INSERT *` with last-writer-wins on the update side.
+    * INSERT *`. PRECONDITION: `updates` carries at most one row per key —
+    * duplicate-keyed update rows are ALL retained verbatim (this overload
+    * does not pick a winner). When updates may collide on the key, use
+    * the `orderCol` overload below, which resolves each key to the row
+    * with the highest `orderCol` before merging.
     */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     requireSameColumns(target, updates)
     target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
+  }
+
+  /** [[upsert]] with last-writer-wins on the update side: duplicate-keyed
+    * update rows resolve to the one with the highest `orderCol` (a
+    * version / event-time column) via `max_by` — a DETERMINISTIC pick,
+    * the same rule [[graft.streaming.EventPipeline.streamingUpsert]]
+    * applies per micro-batch. One extra partial+final aggregate on the
+    * (small) updates side; the target-side cost is unchanged.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             orderCol: String): DataFrame = {
+    requireSameColumns(target, updates)
+    val payload = updates.columns.filterNot(keys.contains)
+    val deduped = updates
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(orderCol)).as("_p"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
+      .select(updates.columns.map(col): _*)
+    upsert(target, deduped, keys)
   }
 
   /** Anti-delete: drop target rows whose key appears in `tombstones`

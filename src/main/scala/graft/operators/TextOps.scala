@@ -196,12 +196,6 @@ object TextOps {
       .drop("_cum")
   }
 
-  /** Token-bounded chunking — [[chunk]]'s twin where the window is `size`
-    * whitespace tokens (the unit LLM context budgets are written in)
-    * instead of characters, consecutive windows sharing `overlap` tokens.
-    * Adds `chunk_id`, `chunk` (tokens re-joined with single spaces) and
-    * `n_tok`. Same scale shape: narrow explode, no shuffle.
-    */
   /** Repetition signals — the repetitiousness quality filters
     * large-scale corpus cleaning applies before pretraining (the
     * Gopher/MassiveText rules family): a document dominated by one
@@ -247,6 +241,12 @@ object TextOps {
         .as("top_bigram_frac"))
   }
 
+  /** Token-bounded chunking — [[chunk]]'s twin where the window is `size`
+    * whitespace tokens (the unit LLM context budgets are written in)
+    * instead of characters, consecutive windows sharing `overlap` tokens.
+    * Adds `chunk_id`, `chunk` (tokens re-joined with single spaces) and
+    * `n_tok`. Same scale shape: narrow explode, no shuffle.
+    */
   def chunkByTokens(df: DataFrame, textCol: String,
                     size: Int = 32, overlap: Int = 8): DataFrame = {
     require(overlap >= 0 && size > overlap, "need size > overlap >= 0")

@@ -35,7 +35,15 @@ object TimeSeries {
       // a key whose span holds no aligned instant (start > hi) must yield
       // an empty grid, not a SparkIllegalArgumentException — sequence()
       // throws on start > stop with a positive step
-      .withColumn("_start", expr(s"((_lo + ${step - 1}) div $step) * $step"))
+      //
+      // grid start = ceil(_lo / step) * step. Spark's `div` truncates
+      // toward zero, which IS the ceiling for negative _lo (pre-epoch
+      // timestamps) and the floor for positive _lo — so add 1 only in
+      // the positive-with-remainder case. The (_lo + step - 1) form
+      // would be wrong for _lo < 0: lo=-15, step=10 gives 0, not -10,
+      // silently dropping valid grid instants.
+      .withColumn("_start", expr(
+        s"((_lo div $step) + IF(_lo % $step != 0 AND _lo > 0, 1, 0)) * $step"))
       .withColumn(tsCol, explode(expr(
         s"IF(_start > _hi, array(), sequence(_start, _hi, $step))")))
       .drop("_lo", "_hi", "_start")

@@ -28,13 +28,6 @@ object Vectors {
         expr(s"transform(sums, s -> CAST(s AS DOUBLE) / $scale / n_vecs)"))
       .drop("sums")
 
-  /** The exact-arithmetic core of [[centroids]]: per-(label, position)
-    * scaled-int64 sums, reassembled into one `sums` array per label
-    * (plus `n_vecs`). Exposed separately because the integer sums are
-    * reproducible bit-for-bit across engines and partitionings — the
-    * form the cross-engine oracle checks — while the division into a
-    * mean is left to the caller's precision policy.
-    */
   /** Symmetric per-vector int8 quantization: `q[i] = round(v[i] * 127 /
     * max|v|)`, carried with the per-vector scale `q_scale = max|v|`.
     * This is the standard 4× memory/IO lever for embedding columns at

@@ -105,26 +105,59 @@ object Layout {
   /** Compact a parquet directory's files toward `targetBytes` each:
     * reads the current layout, computes the file count from the ACTUAL
     * on-disk bytes (never a row-count guess — compression ratios vary
-    * wildly), rewrites through a staging directory, then atomically
-    * swaps. The staging hop matters: Spark plans lazily, so overwriting
-    * a directory while reading it would delete the input before the
-    * first task runs. Returns (filesBefore, filesAfter).
+    * wildly), rewrites through a staging directory, then publishes via
+    * [[AtomicSwap]] (rename-aside: a crash at any point leaves a
+    * complete recoverable copy — the naive delete-then-rename has a
+    * window that loses both). The staging hop matters on its own: Spark
+    * plans lazily, so overwriting a directory while reading it would
+    * delete the input before the first task runs.
+    *
+    * Hive-partitioned layouts ([[partitionedWrite]] output) are detected
+    * by their `col=value` subdirectories and rewritten WITH
+    * `partitionBy` on the inferred partition columns, preserving the
+    * pruning layout — flattening them would silently turn partition
+    * directories into data columns and destroy pruning. Each partition
+    * value keeps its own files; the output file count is
+    * bytes-proportional across the whole table. Returns
+    * (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be > 0")
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: Path) =
-      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val before = dataFiles(hPath)
+    AtomicSwap.recover(fs, hPath)
+    // Walk the tree: leaf data files + the partition-column chain, if any
+    // (hive layout = nested `name=value` directories).
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s)
+        else Nil
+      }
+    def partitionChain(p: Path): Seq[String] = {
+      val dirs = fs.listStatus(p).filter(_.isDirectory)
+        .filter(_.getPath.getName.contains("="))
+      if (dirs.isEmpty) Nil
+      else dirs.head.getPath.getName.takeWhile(_ != '=') +: partitionChain(dirs.head.getPath)
+    }
+    val before = walk(hPath)
+    val partCols = partitionChain(hPath)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val staging = new Path(path + "_compacting")
-    spark.read.parquet(path).repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(hPath, true)
-    fs.rename(staging, hPath)
-    (before.length, dataFiles(hPath).length)
+    val staging = AtomicSwap.stagingOf(hPath)
+    if (partCols.isEmpty)
+      spark.read.parquet(path).repartition(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    else {
+      // One writer task per partition value (plus byte-proportional
+      // sub-splits when values are larger than targetBytes) — the same
+      // anti-small-file clustering partitionedWrite applies.
+      val leafDirs = before.map(_.getPath.getParent).distinct.length
+      val subSplits = math.max(1, math.ceil(nOut.toDouble / math.max(1, leafDirs)).toInt)
+      partitionedWrite(spark.read.parquet(path), staging.toString, partCols, subSplits)
+    }
+    AtomicSwap.commit(fs, hPath)
+    (before.length, walk(hPath).length)
   }
 
   /** Write `df` as `shards` training shards (`_shard=k/` directories) in

@@ -86,12 +86,15 @@ object EventPipeline {
   /** Incremental distinct-count rollup: per-key HLL sketches maintained
     * across micro-batches under foreachBatch. Each batch aggregates its
     * OWN rows into per-key sketches (O(batch) work), unions them with
-    * the persisted sketch state, and swaps the state atomically through
-    * a staging directory — answering "distinct ids per key so far"
-    * without ever re-reading history. This is the streaming face of the
-    * mergeable-sketch property `q_agg_hll` verifies in batch: state per
-    * key is one fixed-size sketch, regardless of how many ids or
-    * batches flowed through. Read the answer with [[sketchEstimates]].
+    * the persisted sketch state, and publishes the new state via
+    * [[graft.sources.AtomicSwap]] (rename-aside, crash-safe at every
+    * intermediate point — a naive delete-then-rename would lose the
+    * whole accumulated state to a crash inside the swap) — answering
+    * "distinct ids per key so far" without ever re-reading history.
+    * This is the streaming face of the mergeable-sketch property
+    * `q_agg_hll` verifies in batch: state per key is one fixed-size
+    * sketch, regardless of how many ids or batches flowed through. Read
+    * the answer with [[sketchEstimates]].
     */
   def sketchRollup(events: DataFrame, keyCol: String, idCol: String,
                    statePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -102,26 +105,32 @@ object EventPipeline {
           .agg(expr(s"hll_sketch_agg($idCol)").as("sk"))
         val hPath = new org.apache.hadoop.fs.Path(statePath)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.sources.AtomicSwap.recover(fs, hPath)
         val merged =
           if (fs.exists(hPath))
             spark.read.parquet(statePath).unionByName(batchSk)
               .groupBy(col(keyCol)).agg(expr("hll_union_agg(sk)").as("sk"))
           else batchSk
-        val staging = new org.apache.hadoop.fs.Path(statePath + "_staging")
+        val staging = graft.sources.AtomicSwap.stagingOf(hPath)
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(hPath, true)
-        fs.rename(staging, hPath)
+        graft.sources.AtomicSwap.commit(fs, hPath)
         ()
       }
       .start()
   }
 
   /** Current per-key approximate distinct counts from a [[sketchRollup]]
-    * state directory. */
+    * state directory. Runs [[graft.sources.AtomicSwap.recover]] first so
+    * a read issued right after a crashed swap still sees a complete
+    * snapshot instead of a missing directory. */
   def sketchEstimates(spark: org.apache.spark.sql.SparkSession, statePath: String,
-                      keyCol: String): DataFrame =
+                      keyCol: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicSwap.recover(fs, hPath)
     spark.read.parquet(statePath)
       .selectExpr(keyCol, "hll_sketch_estimate(sk) AS approx_distinct")
+  }
 
   /** Streaming decontamination gate: drop stream documents sharing any
     * word-`n`-gram with a static benchmark — the batch
@@ -147,10 +156,11 @@ object EventPipeline {
 
   /** Streaming MERGE: maintain a continuously-upserted corpus snapshot
     * from an update stream — `Merge.upsert` applied per micro-batch via
-    * foreachBatch with the same staging-dir atomic swap as
-    * [[sketchRollup]] (readers always see a complete snapshot, a crash
-    * between batches leaves the previous snapshot intact and the
-    * checkpoint replays the batch). Within a batch the row with the
+    * foreachBatch with the same [[graft.sources.AtomicSwap]] rename-aside
+    * publication as [[sketchRollup]] (readers that recover() first always
+    * see a complete snapshot; a crash anywhere — including inside the
+    * swap — leaves a recoverable copy and the checkpoint replays the
+    * batch). Within a batch the row with the
     * highest `orderCol` wins per key (`max_by`) — a DETERMINISTIC pick,
     * so a replayed micro-batch produces the identical snapshot
     * (idempotent recovery); `last` without an ordering would not. The
@@ -171,16 +181,16 @@ object EventPipeline {
           .select(keys.map(col) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
         val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.sources.AtomicSwap.recover(fs, hPath)
         val merged =
           if (fs.exists(hPath))
             graft.operators.Merge.upsert(
               spark.read.parquet(snapshotPath).select(dedupedBatch.columns.map(col): _*),
               dedupedBatch, keys)
           else dedupedBatch
-        val staging = new org.apache.hadoop.fs.Path(snapshotPath + "_staging")
+        val staging = graft.sources.AtomicSwap.stagingOf(hPath)
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(hPath, true)
-        fs.rename(staging, hPath)
+        graft.sources.AtomicSwap.commit(fs, hPath)
         ()
       }
       .start()

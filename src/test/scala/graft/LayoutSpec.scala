@@ -111,6 +111,74 @@ class LayoutSpec extends SparkSpec {
     assert(after.count() == 20000 && after.agg(sum("id")).as[Long].head() == sum0)
   }
 
+  test("compaction of a hive-partitioned dir preserves the pruning layout") {
+    val docs = spark.range(4000)
+      .selectExpr("id", "CASE id % 2 WHEN 0 THEN 'en' ELSE 'de' END AS lang")
+    val dir = tmpDir("compact_part")
+    // over-parallel partitioned ingest: many files per lang=... dir
+    docs.repartition(20).write.partitionBy("lang").parquet(dir)
+    val sum0 = spark.read.parquet(dir).agg(sum("id")).as[Long].head()
+
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetBytes = 16L * 1024 * 1024)
+    assert(nBefore == 40 && nAfter <= 2, s"compacted $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).filter($"lang" === "en")
+    // partition column survives as a PARTITION (directory pruning), not
+    // a flattened data column
+    assert(scanOf(after).partitionFilters.exists(_.toString.contains("lang")),
+      "compact flattened the partition layout")
+    assert(after.count() == 2000)
+    assert(spark.read.parquet(dir).agg(sum("id")).as[Long].head() == sum0)
+  }
+
+  test("AtomicSwap: every interrupted-commit state recovers to a complete copy") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.AtomicSwap
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeDir(p: Path, tag: String): Unit =
+      Seq(tag).toDF("v").write.mode("overwrite").parquet(p.toString)
+    def readTag(p: Path): String =
+      spark.read.parquet(p.toString).as[String].head()
+
+    // normal publish: staging replaces live, leftovers cleared
+    val live = new Path(tmpDir("swap") + "/state")
+    writeDir(live, "v1")
+    writeDir(AtomicSwap.stagingOf(live), "v2")
+    AtomicSwap.commit(fs, live)
+    assert(readTag(live) == "v2")
+    assert(!fs.exists(AtomicSwap.stagingOf(live)) && !fs.exists(new Path(live + "_old")))
+
+    // crash after rename(live, old) but before rename(staging, live):
+    // live missing, old + complete staging present -> finish the publish
+    val l2 = new Path(tmpDir("swap2") + "/state")
+    writeDir(new Path(l2 + "_old"), "v1")
+    writeDir(AtomicSwap.stagingOf(l2), "v2")
+    AtomicSwap.recover(fs, l2)
+    assert(readTag(l2) == "v2" && !fs.exists(new Path(l2 + "_old")))
+
+    // crash mid-write of a NON-first staging after old was renamed is
+    // impossible (commit requires complete staging), but a crash that
+    // removed staging leaves old only -> roll back
+    val l3 = new Path(tmpDir("swap3") + "/state")
+    writeDir(new Path(l3 + "_old"), "v1")
+    AtomicSwap.recover(fs, l3)
+    assert(readTag(l3) == "v1")
+
+    // incomplete first-ever staging (no live, no old) -> dropped
+    val l4 = new Path(tmpDir("swap4") + "/state")
+    writeDir(AtomicSwap.stagingOf(l4), "partial")
+    AtomicSwap.recover(fs, l4)
+    assert(!fs.exists(l4) && !fs.exists(AtomicSwap.stagingOf(l4)))
+
+    // live intact with stale leftovers -> leftovers cleared, live kept
+    val l5 = new Path(tmpDir("swap5") + "/state")
+    writeDir(l5, "v3")
+    writeDir(AtomicSwap.stagingOf(l5), "junk")
+    writeDir(new Path(l5 + "_old"), "junk")
+    AtomicSwap.recover(fs, l5)
+    assert(readTag(l5) == "v3")
+    assert(!fs.exists(AtomicSwap.stagingOf(l5)) && !fs.exists(new Path(l5 + "_old")))
+  }
+
   test("sharded export: deterministic membership, one file per shard, seed-independent orders") {
     val df = spark.range(2000).toDF("id")
     val d1 = tmpDir("shard1"); val d2 = tmpDir("shard2"); val d3 = tmpDir("shard3")

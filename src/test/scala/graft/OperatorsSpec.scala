@@ -261,6 +261,22 @@ class OperatorsSpec extends SparkSpec {
       (2L, 200L, 5.0)), s"got $out")
   }
 
+  test("resample grid-start is exact for pre-epoch (negative) timestamps") {
+    import graft.operators.TimeSeries
+    // lo=-15: ceil(-15/10)*10 = -10. Truncating division's (lo+step-1)
+    // form would start the grid at 0 and drop -10 entirely.
+    val obs = Seq((1L, -15L, 1.0), (1L, 12L, 2.0)).toDF("k", "tu", "v")
+    val out = TimeSeries.resample(obs, Seq("k"), "tu", step = 10L, Seq("v"))
+      .select("tu", "asof_v").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(-10L, 0L, 10L), s"got ${out.keySet}")
+    assert(out(-10L) == 1.0 && out(0L) == 1.0 && out(10L) == 1.0)
+    // aligned negative lo stays put
+    val aligned = Seq((1L, -20L, 1.0), (1L, -1L, 2.0)).toDF("k", "tu", "v")
+    val ks = TimeSeries.resample(aligned, Seq("k"), "tu", 10L, Seq("v"))
+      .select("tu").as[Long].collect().toSet
+    assert(ks == Set(-20L, -10L), s"got $ks")
+  }
+
   test("standardize yields defined zeros for constant groups, unit scaling otherwise") {
     import graft.operators.Features
     val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0))
@@ -348,6 +364,17 @@ class OperatorsSpec extends SparkSpec {
     val out = operators.Merge.upsert(target, updates, Seq("id"))
       .as[(Long, String, Double)].collect().toSet
     assert(out == Set((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (9L, "i", 1.0)))
+  }
+
+  test("upsert with orderCol resolves duplicate-keyed updates to the newest row") {
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "ver")
+    val updates = Seq(
+      (2L, "b_old", 21L), (2L, "b_new", 25L), // colliding updates: ver 25 wins
+      (9L, "i", 1L)
+    ).toDF("id", "name", "ver")
+    val out = operators.Merge.upsert(target, updates, Seq("id"), "ver")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "a", 10L), (2L, "b_new", 25L), (9L, "i", 1L)), s"got $out")
   }
 
   test("delete drops exactly the tombstoned keys") {
