@@ -67,6 +67,41 @@ object Merge {
   def delete(target: DataFrame, tombstones: DataFrame, keys: Seq[String]): DataFrame =
     target.join(tombstones.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** Build a slowly-changing-dimension Type-2 history from a change log:
+    * each input row is an observation `(keys..., payload..., tsCol)`;
+    * output rows carry `effective_from` (the observation time),
+    * `effective_to` (the NEXT version's start, NULL while open) and
+    * `is_current`. Consecutive observations with an identical payload are
+    * collapsed (NULL-safe compare) — only a CHANGE opens a new version,
+    * so replaying the same state twice never forks history.
+    *
+    * `tieBreak` columns make the per-key ordering total when `tsCol`
+    * ties (e.g. an event id); they are excluded from the change compare.
+    *
+    * Scale shape: two windows, both partitioned by the key — per-key
+    * history streams through one task per key, never the whole table;
+    * key-count parallelism is exactly the dimension's cardinality, which
+    * is what any SCD2 MERGE materializes per key anyway. No join, no
+    * collect.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = changes.columns.filterNot((keys :+ tsCol).contains).filterNot(tieBreak.contains)
+    require(payload.nonEmpty, "scd2 needs at least one tracked payload column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val cur = struct(payload.map(col): _*)
+    changes
+      .withColumn("_prev", lag(cur, 1).over(w))
+      // NULL-safe: a change is "first observation" or "payload differs"
+      .filter(col("_prev").isNull || !(col("_prev") <=> cur))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("_prev")
+  }
+
   /** Classify `updates` against `target` into `inserted` (key absent from
     * target) / `changed` (key present, any non-key column differs) /
     * `unchanged` — the CDC delta a downstream incremental pipeline (e.g.
