@@ -91,6 +91,36 @@ object Sampling {
     if (keepKeyAs.isEmpty) sorted.drop(k) else sorted
   }
 
+  /** Dataset-mixture sampling WITH oversampling: per-stratum rates may
+    * exceed 1 (epoch-style up-weighting of scarce domains — rate 2.3
+    * replicates every row twice and a deterministic 30% of rows a third
+    * time). Each output row carries a 0-based `copy` index. Rates are
+    * held as exact parts-per-million so the fractional draw is an
+    * integer compare on the shared hash — reproducible across
+    * runs/engines/partitionings, and monotone: raising a stratum's rate
+    * never removes an existing (row, copy).
+    *
+    * Narrow: one codegen'd explode whose fan-out is the rate itself —
+    * no shuffle, no join; downstream shuffles see the post-mix size,
+    * which is exactly what the mixture weights promised.
+    */
+  def mixture(df: DataFrame, strataCol: String, idCol: String,
+              rates: Map[String, Double], defaultRate: Double = 1.0,
+              seed: String = "mix", out: String = "copy"): DataFrame = {
+    def ppm(r: Double): Long = {
+      require(r >= 0.0, s"rate must be >= 0, got $r")
+      math.round(r * 1e6)
+    }
+    val cases = rates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN '$k' THEN CAST(${ppm(r)} AS BIGINT)"
+    }.mkString(" ")
+    val rppm = s"(CASE $strataCol $cases ELSE CAST(${ppm(defaultRate)} AS BIGINT) END)"
+    val h = s"(graft_hash60(concat('$seed:', CAST($idCol AS STRING))) % 1000000)"
+    val copies = s"(($rppm div 1000000) + IF($h < ($rppm % 1000000), 1, 0))"
+    df.withColumn(out, explode(expr(
+      s"IF($copies <= 0, array(), sequence(CAST(0 AS BIGINT), CAST($copies - 1 AS BIGINT)))")))
+  }
+
   /** Deterministic k-per-key sample: the k rows with the SMALLEST id
     * hashes in each key group — a reproducible stand-in for per-key
     * reservoir sampling (same sample every run/engine; adding rows to a

@@ -49,4 +49,50 @@ object TimeSeries {
       .drop("_lo", "_hi", "_start")
     AsOfJoin.asof(grid, df, keys, tsCol, tsCol, valueCols)
   }
+
+  /** Trailing time-window aggregates per key: for every row, the sum and
+    * count of `valueCol` over [t - back, t] of the SAME key — the
+    * rate/rolling-metric primitive (trailing 10-minute spend, events per
+    * user per hour, ...). `tsCol` must be a numeric epoch column and
+    * `valueCol` an exact integer (caller scales money to cents), so the
+    * rolling sum is order-independent and engine-portable.
+    *
+    * One window, PARTITIONED BY the key with a value-RANGE frame — each
+    * key streams through its own task; no unpartitioned window, no
+    * self-join range probe (the naive `e1 ⋈ e2 ON t BETWEEN ...`
+    * formulation this replaces is a quadratic nested loop at scale).
+    */
+  def trailing(df: DataFrame, keys: Seq[String], tsCol: String,
+               valueCol: String, back: Long,
+               prefix: String = "roll"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(back >= 0, "trailing window must look backward")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol)).rangeBetween(-back, 0)
+    df.withColumn(s"${prefix}_sum", sum(col(valueCol)).over(w))
+      .withColumn(s"${prefix}_cnt", count(lit(1)).over(w))
+  }
+
+  /** Fixed-horizon exponentially-decayed signal: for every row,
+    * Σ_{j<terms} value[t-j] · 0.5^j over the `terms` most recent rows of
+    * the key (missing history counts 0). Decay 1/2 is EXACTLY
+    * representable, and each term is one lag() multiply — the whole
+    * value is a single left-associated expression tree per row, so two
+    * engines produce bit-identical doubles (no sum-order ambiguity, the
+    * trap an unbounded EWMA recurrence has). `orderCols` must be a total
+    * order within the key; window is key-partitioned.
+    */
+  def decayed(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+              valueCol: String, terms: Int = 6,
+              out: String = "decayed"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms >= 1 && terms <= 32, "terms must be in [1,32]")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val v = (0 until terms)
+      .map(j => coalesce(lag(col(valueCol), j).over(w), lit(0L)).cast("double") *
+        lit(math.pow(0.5, j)))
+      .reduce(_ + _)
+    df.withColumn(out, v)
+  }
 }

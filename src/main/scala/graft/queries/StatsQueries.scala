@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.Merge
+import graft.operators.{Merge, Sampling, TimeSeries}
 import graft.sources.Tables
 
 /** Round-5 statistical / warehouse surface: correlation & regression
@@ -157,6 +157,67 @@ object StatsQueries {
           col("effective_to").cast("timestamp_ntz").as("effective_to"),
           col("is_current"))
         .orderBy("user_id", "effective_from", "event_type")
+    },
+
+    QueryDef("q_ts_rolling",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 40)
+        |SELECT user_id, event_id,
+        |  CAST(sum(cents) OVER wr AS DOUBLE) / 100.0 AS roll_sum_10m,
+        |  CAST(count(*) OVER wr AS BIGINT) AS roll_cnt_10m,
+        |  (CAST(coalesce(lag(cents, 0) OVER wo, 0) AS DOUBLE) * 1.0
+        |     + CAST(coalesce(lag(cents, 1) OVER wo, 0) AS DOUBLE) * 0.5
+        |     + CAST(coalesce(lag(cents, 2) OVER wo, 0) AS DOUBLE) * 0.25
+        |     + CAST(coalesce(lag(cents, 3) OVER wo, 0) AS DOUBLE) * 0.125
+        |     + CAST(coalesce(lag(cents, 4) OVER wo, 0) AS DOUBLE) * 0.0625
+        |     + CAST(coalesce(lag(cents, 5) OVER wo, 0) AS DOUBLE) * 0.03125) AS decayed_cents
+        |FROM e
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY tus RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+        |       wo AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val rolled = TimeSeries.trailing(e, Seq("user_id"), "tus", "cents",
+        back = 600000000L)
+      TimeSeries.decayed(rolled, Seq("user_id"), Seq("tus", "event_id"),
+          "cents", terms = 6)
+        .select(col("user_id"), col("event_id"),
+          (col("roll_sum").cast("double") / 100.0).as("roll_sum_10m"),
+          col("roll_cnt").cast("bigint").as("roll_cnt_10m"),
+          // cents · 2^-j terms are exact multiples of 2^-5 well under
+          // 2^53 — the sum is bit-exact on both engines, NO rounding
+          // (a /100 + round(...,6) lands on decimal .5 boundaries where
+          // engines' rounding modes disagree)
+          col("decayed").as("decayed_cents"))
+        .orderBy("user_id", "event_id")
+    },
+
+    QueryDef("q_sample_mixture",
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    (CASE lang WHEN 'de' THEN 1000000 WHEN 'en' THEN 2500000
+        |               WHEN 'zh' THEN 1750000 ELSE 400000 END) AS rppm,
+        |    (('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    (rppm // 1000000) + (CASE WHEN h < (rppm % 1000000) THEN 1 ELSE 0 END) AS copies
+        |  FROM m)
+        |SELECT doc_id, lang, copy FROM (
+        |  SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy FROM c
+        |) t ORDER BY doc_id, copy""".stripMargin) { (s, dir) =>
+      Sampling.mixture(
+          Tables(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          rates = Map("en" -> 2.5, "zh" -> 1.75, "de" -> 1.0),
+          defaultRate = 0.4, seed = "mix1")
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
     }
   )
 }
