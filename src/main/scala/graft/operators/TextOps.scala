@@ -132,6 +132,46 @@ object TextOps {
       .withColumn("tfidf", expr("tf * ln(CAST(n_docs AS DOUBLE) / df)"))
   }
 
+  /** BM25 relevance of each document for a bag of query `terms` — the
+    * ranked-retrieval upgrade of [[tfidf]] (tf saturation via k1, length
+    * normalization via b). Returns (idCol, bm25) for documents matching
+    * at least one term.
+    *
+    * Cross-engine determinism: tf/df/dl/N are exact integers; each
+    * per-(doc, term) partial score is one closed-form double expression
+    * rounded into a scaled BIGINT (micro-units), and the final per-doc
+    * score is a SUM of those integers — so the result cannot depend on
+    * the order terms are added in.
+    *
+    * Scale shape: the terms filter prunes the exploded token stream
+    * map-side (only query-term hits shuffle); df and the 1-row corpus
+    * stats broadcast. Cost is O(matching tokens), never O(corpus).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val dl = df.select(col(idCol),
+      expr(s"size(filter(${tokensExpr(textCol)}, x -> x <> ''))").as("dl"))
+    val toks = df.select(col(idCol), explode(expr(tokensExpr(textCol))).as("term"))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val tf = toks.filter(expr(s"term IN ($termList)"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum("dl").cast("double").as("sdl"))
+    tf.join(dl, idCol)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_s6", expr(
+        s"CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * " +
+          s"(CAST(tf AS DOUBLE) * ${k1 + 1.0}) / " +
+          s"(CAST(tf AS DOUBLE) + $k1 * (1 - $b + $b * CAST(dl AS DOUBLE) / (sdl / n))) " +
+          s"* 1000000) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg((sum("_s6").cast("double") / 1000000.0).as("bm25"))
+  }
+
   /** PII scrubbing: replace emails, phone-shaped numbers, and long digit
     * runs (ids/SSNs/cards) with type tokens. The patterns stay inside the
     * regex subset Java regex and RE2 share (no lookaround, no

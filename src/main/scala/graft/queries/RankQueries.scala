@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{Graph, TextOps}
+import graft.sources.Tables
+
+/** Round-5 ranking / windowing surface: iterative PageRank (exact
+  * integer arithmetic), BM25 ranked retrieval, and hopping event-time
+  * windows (the batch twin of the streaming sliding window).
+  */
+object RankQueries {
+
+  /** Deterministic directed graph derived from lineitem (part→supplier
+    * modulo classes). Same text both engines.
+    */
+  private val edgesSql =
+    """SELECT DISTINCT l_partkey % 60 AS src, l_suppkey % 40 AS dst
+      |FROM lineitem
+      |WHERE l_orderkey < 4000 AND (l_partkey % 60) <> (l_suppkey % 40)""".stripMargin
+
+  /** DuckDB oracle: the pageRank recurrence unrolled as chained CTEs —
+    * same BIGINT arithmetic ([[Graph.pageRank]]), `//` for `div` (all
+    * values positive, so floor == truncate).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + ((850 * COALESCE(s.insum, 0)) // 1000) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r // d.outdeg) AS insum
+         |    FROM pr${i - 1} p
+         |    JOIN outdeg d ON p.node = d.src
+         |    JOIN edges e ON e.src = p.node
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$steps
+       |SELECT node, r AS rank_ppm FROM pr$iters ORDER BY node""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_pagerank", pageRankOracle(5)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val edges = s.sql(edgesSql)
+      Graph.pageRank(edges, iters = 5)
+        .select(col("node"), col("r").as("rank_ppm"))
+        .orderBy("node")
+    },
+
+    QueryDef("q_text_bm25",
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS dl
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE term IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n))) * 1000000) AS BIGINT) AS s6
+        |  FROM tf t JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      TextOps.bm25(Tables(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "merge", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)
+    },
+
+    QueryDef("q_window_hop",
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS t, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT make_timestamp(epoch_us(t) - (epoch_us(t) % 300000000)) AS w_start, cents FROM e
+        |  UNION ALL
+        |  SELECT make_timestamp(epoch_us(t) - (epoch_us(t) % 300000000) - 300000000) AS w_start, cents FROM e)
+        |SELECT w_start, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+        |FROM b GROUP BY w_start ORDER BY w_start""".stripMargin) { (s, dir) =>
+      // Spark's NATIVE hopping window (10 min wide, 5 min slide): each
+      // event lands in exactly width/slide = 2 epoch-aligned windows —
+      // the oracle enumerates those two starts arithmetically.
+      Tables.events(s, dir)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          (sum("cents").cast("double") / 100.0).as("total"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("n"), col("total"))
+        .orderBy("w_start")
+    }
+  )
+}
