@@ -179,10 +179,12 @@ class PlanQualitySpec extends SparkSpec {
     //                         itself is a narrow HOF filter
     //   q_join_residual/q_lateral/q_subquery_scalar — decorrelated scalar
     //                         aggregates, broadcast single rows
+    //   q_vocab/q_text_bm25  — cross join with a 1-row broadcast corpus
+    //                         total / stats row (same shape as q_text_tfidf)
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
-      "q_values", "q_current", "q_random")
+      "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Graph, Merge, Sampling, TextOps, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: SCD2 history, integer PageRank, mixture
+  * oversampling, trailing/decayed time-series signals, BM25.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+
+  test("scd2 collapses consecutive duplicates and opens/closes versions") {
+    val changes = Seq(
+      (1L, "a", ts(0), 1L), (1L, "a", ts(10), 2L), // duplicate: no new version
+      (1L, "b", ts(20), 3L), (1L, "b", ts(30), 4L),
+      (1L, "a", ts(40), 5L),                        // back to a: NEW version
+      (2L, "x", ts(5), 6L)
+    ).toDF("k", "state", "t", "seq")
+    val hist = Merge.scd2(changes, Seq("k"), "t", tieBreak = Seq("seq"))
+      .select("k", "state", "effective_from", "effective_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    assert(hist == Set(
+      (1L, "a", ts(0), Some(ts(20)), false),
+      (1L, "b", ts(20), Some(ts(40)), false),
+      (1L, "a", ts(40), None, true),
+      (2L, "x", ts(5), None, true)))
+  }
+
+  test("scd2 is idempotent under state replay (same snapshot twice)") {
+    val once = Seq((1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L)).toDF("k", "state", "t", "seq")
+    val replayed = Seq(
+      (1L, "a", ts(0), 1L), (1L, "a", ts(5), 9L), // replay of unchanged state
+      (1L, "b", ts(10), 2L), (1L, "b", ts(15), 9L)
+    ).toDF("k", "state", "t", "seq")
+    val a = Merge.scd2(once, Seq("k"), "t", Seq("seq"))
+      .select("k", "state", "effective_from", "effective_to").collect().map(_.toSeq).toSet
+    val b = Merge.scd2(replayed, Seq("k"), "t", Seq("seq"))
+      .select("k", "state", "effective_from", "effective_to").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("pageRank matches the hand-computed integer recurrence") {
+    // A(1)->B(2), B->A, A->C(3); C dangling. Two iterations by hand:
+    //   r1: A=1_000_000, B=C=575_000
+    //   r2: A=150_000 + 850*575_000/1000 = 638_750, B=C=575_000
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L))
+  }
+
+  test("pageRank is invariant under input partitioning") {
+    val edges = spark.range(500)
+      .selectExpr("id % 37 AS src", "(id * 7) % 31 AS dst")
+      .filter("src <> dst")
+    val a = Graph.pageRank(edges, iters = 3).collect().map(_.toSeq).toSet
+    val b = Graph.pageRank(edges.repartition(13), iters = 3).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("mixture oversampling: deterministic, monotone, exact integer copies") {
+    val docs = spark.range(1000)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS st")
+    def pairs(rates: Map[String, Double]) =
+      Sampling.mixture(docs, "st", "id", rates, defaultRate = 0.0)
+        .select("id", "copy").as[(Long, Long)].collect().toSet
+    val base = pairs(Map("a" -> 1.5, "b" -> 0.25))
+    // every 'a' row keeps at least its floor copy; 'b' keeps about a quarter
+    assert(base.count(_._2 == 0L) >= 500)
+    // deterministic under repartitioning
+    val repart = Sampling.mixture(docs.repartition(17), "st", "id",
+        Map("a" -> 1.5, "b" -> 0.25), defaultRate = 0.0)
+      .select("id", "copy").as[(Long, Long)].collect().toSet
+    assert(base == repart)
+    // monotone: raising a rate never drops an existing (row, copy)
+    val raised = pairs(Map("a" -> 1.9, "b" -> 0.5))
+    assert(base.subsetOf(raised))
+    // fractional rate keeps close to the expected share of single copies
+    val bCnt = base.count { case (id, _) => id % 2 == 1 }
+    assert(bCnt > 85 && bCnt < 165, s"b kept $bCnt of 500 at rate 0.25")
+  }
+
+  test("trailing range window and fixed-horizon decay match hand math") {
+    val rows = Seq((1L, 0L, 10L), (1L, 100L, 20L), (1L, 200L, 40L))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.decayed(
+        TimeSeries.trailing(rows, Seq("k"), "t", "v", back = 150L),
+        Seq("k"), Seq("t"), "v", terms = 2, out = "d")
+      .select("t", "roll_sum", "roll_cnt", "d")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 10L, 1L, 10.0),           // only itself in range; decay = v
+      (100L, 30L, 2L, 25.0),         // 20 + 0.5*10
+      (200L, 60L, 2L, 50.0)))        // 40 + 0.5*20; t=0 out of range
+  }
+
+  test("bm25 ranks higher tf above lower tf at equal length") {
+    val docs = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val scores = TextOps.bm25(docs, "doc_id", "text", Seq("x"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet == Set(1L, 2L))      // doc 3 matches no term
+    assert(scores(1L) > scores(2L))           // tf 2 beats tf 1
+    assert(scores.values.forall(_ > 0.0))
+  }
+}
