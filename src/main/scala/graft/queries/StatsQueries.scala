@@ -31,15 +31,20 @@ object StatsQueries {
 
   /** Moment sums as exact decimals, closed forms in identical doubles. */
   private val corrSql =
-    """WITH sums AS (
+    """WITH xy AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS x,
+      |    CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS y
+      |  FROM lineitem),
+      |sums AS (
       |  SELECT l_returnflag,
       |    CAST(count(*) AS DOUBLE) AS n,
-      |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0)) * CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) AS syy,
-      |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0)) * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS DOUBLE) AS sxy
-      |  FROM lineitem GROUP BY l_returnflag),
+      |    CAST(sum(x) AS DOUBLE) AS sx,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy
+      |  FROM xy GROUP BY l_returnflag),
       |d AS (
       |  SELECT l_returnflag, n, sx, sy,
       |    (n * sxy - sx * sy) AS cxy,
@@ -69,26 +74,51 @@ object StatsQueries {
 
   /** Ordered-step conversion funnel view -> click -> purchase: each stage
     * requires an event STRICTLY AFTER the previous stage's first hit.
+    *
+    * Shape note: ONE LINEAR pipeline — per-user first-view, left-join
+    * clicks, left-join purchases, then a single global count row
+    * unpivoted. The tempting per-stage `UNION ALL SELECT count(*) FROM
+    * sK` re-references each CTE, and Spark INLINES CTEs — that
+    * formulation re-scans the event table ~6x (measured 4.9 s vs ~1 s
+    * at sf0.1). Every stage here is referenced exactly once; each scan
+    * pushes its event_type filter into the parquet reader.
     */
   private val funnelSql =
-    """WITH s1 AS (
+    """WITH v AS (
       |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
       |  FROM events WHERE event_type = 'view' GROUP BY user_id),
-      |s2 AS (
-      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
-      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
-      |  GROUP BY e.user_id),
-      |s3 AS (
-      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
-      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
-      |  GROUP BY e.user_id)
-      |SELECT stage, users FROM (
-      |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
-      |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
-      |  UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3
-      |) f ORDER BY stage""".stripMargin
+      |vc AS (
+      |  SELECT v.user_id, v.t1,
+      |    min(CASE WHEN c.event_type = 'click' AND CAST(c.ts AS TIMESTAMP) > v.t1
+      |             THEN CAST(c.ts AS TIMESTAMP) END) AS t2
+      |  FROM v LEFT JOIN events c
+      |    ON v.user_id = c.user_id AND c.event_type = 'click'
+      |  GROUP BY v.user_id, v.t1),
+      |vcp AS (
+      |  SELECT vc.user_id, vc.t1, vc.t2,
+      |    min(CASE WHEN vc.t2 IS NOT NULL AND p.event_type = 'purchase'
+      |                  AND CAST(p.ts AS TIMESTAMP) > vc.t2
+      |             THEN CAST(p.ts AS TIMESTAMP) END) AS t3
+      |  FROM vc LEFT JOIN events p
+      |    ON vc.user_id = p.user_id AND p.event_type = 'purchase'
+      |  GROUP BY vc.user_id, vc.t1, vc.t2)
+      |SELECT CAST(count(t1) AS BIGINT) AS n1,
+      |       CAST(count(t2) AS BIGINT) AS n2,
+      |       CAST(count(t3) AS BIGINT) AS n3
+      |FROM vcp""".stripMargin
+
+  /** The DuckDB oracle unpivots the single count row; Spark uses
+    * stack() for the same (DuckDB lacks stack, Spark re-runs a
+    * 3x-referenced CTE — each engine gets the form that is
+    * single-pass FOR IT).
+    */
+  private val funnelOracle =
+    s"""WITH counts AS ($funnelSql)
+       |SELECT stage, users FROM (
+       |  SELECT '1_view' AS stage, n1 AS users FROM counts
+       |  UNION ALL SELECT '2_click', n2 FROM counts
+       |  UNION ALL SELECT '3_purchase', n3 FROM counts
+       |) f ORDER BY stage""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -127,9 +157,11 @@ object StatsQueries {
           |ORDER BY cnt DESC, token LIMIT 25""".stripMargin)
     },
 
-    QueryDef("q_funnel", funnelSql) { (s, dir) =>
+    QueryDef("q_funnel", funnelOracle) { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(funnelSql)
+        .selectExpr("stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3) AS (stage, users)")
+        .orderBy("stage")
     },
 
     QueryDef("q_scd2",
