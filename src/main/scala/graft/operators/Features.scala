@@ -45,6 +45,27 @@ object Features {
     * mergeable quantile sketch (approx_percentile) replaces the exact agg,
     * same two-pass agg+broadcast-join shape, bounded memory at any scale.
     */
+  /** Per-group equal-frequency (quantile) binning: rows of each key
+    * group are assigned to `bins` rank-based buckets — the categorical
+    * encoding of a skewed numeric feature (each bin carries ~equal row
+    * count, unlike equi-width histograms). `orderCols` must be a TOTAL
+    * order within the group (include a unique id as tiebreak): ntile on
+    * a non-total order is free to break ties differently per run/engine,
+    * and determinism is the whole contract here.
+    *
+    * One window, partitioned by the key — scale-safe for any key whose
+    * group fits a task, which is the same contract every per-group rank
+    * statistic has.
+    */
+  def quantileBin(df: DataFrame, keys: Seq[String],
+                  orderCols: Seq[org.apache.spark.sql.Column], bins: Int,
+                  out: String = "bin"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, "need at least 2 bins")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(out, ntile(bins).over(w).cast("bigint"))
+  }
+
   def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
                 lo: Double = 0.05, hi: Double = 0.95,
                 exact: Boolean = true): DataFrame = {

@@ -132,6 +132,34 @@ object TextOps {
       .withColumn("tfidf", expr("tf * ln(CAST(n_docs AS DOUBLE) / df)"))
   }
 
+  /** Bigram language-model counts: c(w1,w2) per adjacent token pair and
+    * the conditional probability p(w2|w1) = c(w1,w2) / Σ_w c(w1,w) —
+    * the n-gram LM statistic (KenLM-style counts, perplexity-proxy
+    * filters, next-token diversity signals).
+    *
+    * The pair extraction is a NARROW array transform per document (no
+    * positional self-join, no shuffle until the count aggregate); the
+    * denominator is the sum of bigram counts sharing w1, so p sums to 1
+    * per context by construction. Counts are exact integers, p is one
+    * integer division — engine-portable.
+    */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val pairs = df
+      .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+      .select(explode(expr(
+        // try_element_at: the final token has no successor (NULL, filtered)
+        "filter(transform(_tk, (x, i) -> named_struct('w1', x, 'w2', try_element_at(_tk, i + 2))), s -> s.w2 IS NOT NULL)"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).cast("bigint").as("c12"))
+    val uni = big.groupBy("w1").agg(sum("c12").cast("bigint").as("c1"))
+    big.join(uni, "w1")
+      // one IEEE division of two exact integers — bit-identical on any
+      // engine, NO rounding (a round() could land on a decimal .5
+      // boundary where engines' rounding modes disagree)
+      .withColumn("p", col("c12").cast("double") / col("c1").cast("double"))
+  }
+
   /** BM25 relevance of each document for a bag of query `terms` — the
     * ranked-retrieval upgrade of [[tfidf]] (tf saturation via k1, length
     * normalization via b). Returns (idCol, bm25) for documents matching

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Graph, TextOps}
+import graft.operators.{Features, Graph, TextOps}
 import graft.sources.Tables
 
 /** Round-5 ranking / windowing surface: iterative PageRank (exact
@@ -103,6 +103,41 @@ object RankQueries {
         .select(col("window.start").cast("timestamp_ntz").as("w_start"),
           col("n"), col("total"))
         .orderBy("w_start")
+    },
+
+    QueryDef("q_feature_bin",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(ntile(8) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bin
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Features.quantileBin(
+          Tables(s, dir, "lineitem")
+            .filter(col("l_orderkey") < 2000)
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          keys = Seq("l_returnflag"),
+          orderCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          bins = 8)
+        .orderBy("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q_text_bigram",
+      """WITH lists AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |idx AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lists),
+        |pairs AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM idx),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY w1, w2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1)
+        |SELECT big.w1, big.w2, big.c12,
+        |  CAST(big.c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE) AS p
+        |FROM big JOIN uni ON big.w1 = uni.w1
+        |ORDER BY c12 DESC, big.w1, big.w2 LIMIT 50""".stripMargin) { (s, dir) =>
+      // Spark side: NARROW array-transform pair extraction (no positional
+      // self-join — the oracle's join formulation is the cross-check)
+      TextOps.bigramModel(Tables(s, dir, "documents"), "text")
+        .select("w1", "w2", "c12", "p")
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(50)
     }
   )
 }

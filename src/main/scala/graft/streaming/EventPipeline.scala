@@ -34,6 +34,22 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
 
+  /** Sliding (hopping) windowed aggregation — the streaming twin of the
+    * batch `q_window_hop` query: each event contributes to width/slide
+    * overlapping windows, watermark finalizes each window exactly once.
+    * State per key is width/slide concurrent windows, bounded by the
+    * watermark horizon.
+    */
+  def slidingCounts(events: DataFrame,
+                    watermark: String = "10 minutes",
+                    width: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("win_start"), col("n"), col("total"))
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`/
     * `dropExact` for ingest pipelines (the same capability a batch corpus
     * dedup provides, applied at the door). State is bounded by the

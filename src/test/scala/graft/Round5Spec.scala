@@ -99,6 +99,59 @@ class Round5Spec extends SparkSpec {
       (200L, 60L, 2L, 50.0)))        // 40 + 0.5*20; t=0 out of range
   }
 
+  test("quantileBin gives ~equal-count bins and is a pure function of the order") {
+    val df = spark.range(800).selectExpr("id % 2 AS k", "CAST(id AS DOUBLE) AS v", "id")
+    val binned = graft.operators.Features.quantileBin(
+      df, Seq("k"), Seq(col("v"), col("id")), bins = 4)
+    val sizes = binned.groupBy("k", "bin").count()
+      .as[(Long, Long, Long)].collect().toSet
+    // 400 rows per key over 4 bins = exactly 100 each
+    assert(sizes == (for (k <- 0 to 1; b <- 1 to 4) yield (k.toLong, b.toLong, 100L)).toSet)
+    val again = graft.operators.Features.quantileBin(
+        df.repartition(7), Seq("k"), Seq(col("v"), col("id")), bins = 4)
+      .select("id", "bin").as[(Long, Long)].collect().toSet
+    assert(again == binned.select("id", "bin").as[(Long, Long)].collect().toSet)
+  }
+
+  test("bigramModel: conditional probabilities sum to 1 per context") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val m = TextOps.bigramModel(docs, "text")
+      .as[(String, String, Long, Long, Double)].collect()
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    val counts = m.map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    val byW1 = m.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    byW1.foreach { case (w1, s) => assert(math.abs(s - 1.0) < 1e-12, s"p(.|$w1) sums to $s") }
+  }
+
+  test("streaming sliding windows emit each event into width/slide windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventPipeline
+    import graft.streaming.EventPipeline.Event
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+    val input = MemoryStream[Event]
+    val q = EventPipeline.slidingCounts(input.toDF(), watermark = "10 minutes",
+        width = "10 minutes", slide = "5 minutes")
+      .writeStream.format("memory").queryName("slide_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(6), 2L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(60), 3L, "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("slide_agg")
+        .selectExpr("CAST(win_start AS LONG) AS s", "n", "total")
+        .as[(Long, Long, Double)].collect().map { case (s, n, t) => s -> (n, t) }.toMap
+      val m = 60L // epoch seconds per minute
+      // windows: [55,65): event@61 only; [60,70): both; [65,75): event@66 only
+      assert(rows(55 * m) == (1L, 1.0))
+      assert(rows(60 * m) == (2L, 3.0))
+      assert(rows(65 * m) == (1L, 2.0))
+    } finally q.stop()
+  }
+
   test("bm25 ranks higher tf above lower tf at equal length") {
     val docs = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z z"))
       .toDF("doc_id", "text")
