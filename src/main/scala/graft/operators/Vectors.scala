@@ -40,6 +40,36 @@ object Vectors {
     * is ≤ q_scale/254 + float eps. Adds `q_scale` (DOUBLE) and `q8`
     * (ARRAY<INT> in [-127, 127]). Narrow, codegen'd, no shuffle.
     */
+  /** SemDeDup-style semantic deduplication: within each cluster, a
+    * vector is dropped iff a SMALLER-id cluster-mate sits at cosine ≥
+    * `tau` — the same greedy keep-first policy as
+    * [[Dedup.dropNearDuplicates]], here over embedding geometry instead
+    * of text shingles. `clusterCol` is the coarse partition (a corpus
+    * label, or nearest-centroid cell from [[centroids]] — the IVF
+    * assignment shape); `vecCol` must be DOUBLE[] (cast float embeddings
+    * first). Cosines are rounded at 6dp BEFORE the threshold compare so
+    * the kept set is engine-portable.
+    *
+    * Scale shape: the pair join is an EQUI-join on the cluster id —
+    * in-cluster quadratic, cross-cluster zero, the SemDeDup contract
+    * (clusters bound the candidate sets). For unclustered corpora or
+    * degenerate cluster sizes, the banded-LSH path
+    * ([[Dedup.cosinePairs]] with maxBucket) is the guard rail.
+    */
+  def semanticDedup(df: DataFrame, clusterCol: String, idCol: String,
+                    vecCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("_c"), col(idCol).as("_ida"),
+      col(vecCol).as("_va"))
+    val b = df.select(col(clusterCol).as("_c"), col(idCol).as("_idb"),
+      col(vecCol).as("_vb"))
+    val drops = a.join(b, "_c")
+      .filter(col("_ida") < col("_idb"))
+      .filter(expr(
+        s"round(graft_dot(_va, _vb) / (sqrt(graft_dot(_va, _va)) * sqrt(graft_dot(_vb, _vb))), 6) >= $tau"))
+      .select(col("_idb").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
     df.withColumn("q_scale",
         expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))

@@ -138,6 +138,30 @@ object RankQueries {
         .select("w1", "w2", "c12", "p")
         .orderBy(col("c12").desc, col("w1"), col("w2"))
         .limit(50)
+    },
+
+    QueryDef("q_inverted_index",
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, token FROM t0 WHERE token <> '')
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+        |  to_json(list_sort(list(doc_id))[1:50])::VARCHAR AS postings_head
+        |FROM tok GROUP BY token
+        |ORDER BY n_docs DESC, token LIMIT 40""".stripMargin) { (s, dir) =>
+      // inverted-index build: posting lists per token. The emitted list
+      // is CAPPED at 50 ids (a stopword's full posting list is df-sized;
+      // real indexes shard it) — the cap is explicit in the column name.
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("split(lower(trim(text)), '\\\\s+')")).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .groupBy("token")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          to_json(slice(sort_array(collect_list(col("doc_id"))), 1, 50)).as("postings_head"))
+        .orderBy(col("n_docs").desc, col("token"))
+        .limit(40)
     }
   )
 }

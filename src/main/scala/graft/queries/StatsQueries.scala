@@ -229,6 +229,50 @@ object StatsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    QueryDef("q_ts_anomaly",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 40),
+        |w AS (
+        |  SELECT user_id, event_id, cents,
+        |    count(*) OVER wr AS n,
+        |    sum(cents) OVER wr AS s1,
+        |    sum(cents * cents) OVER wr AS s2
+        |  FROM e
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY tus RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)),
+        |z2 AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN n >= 2 AND (n * s2 - s1 * s1) > 0 THEN
+        |      round(CAST(n * cents - s1 AS DOUBLE) /
+        |        sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))), 6)
+        |    END AS z
+        |  FROM w)
+        |SELECT user_id, event_id, z, (abs(z) > 2.0) AS is_anomaly
+        |FROM z2 ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      // trailing z-score anomaly flag: both moments come from the SAME
+      // key-partitioned RANGE window (exact integer sums), the z closed
+      // form is one shared IEEE expression tree
+      val e = Tables.events(s, dir)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("cents2", expr("cents * cents"))
+      val m1 = TimeSeries.trailing(e, Seq("user_id"), "tus", "cents",
+        back = 600000000L, prefix = "r1")
+      val m2 = TimeSeries.trailing(m1, Seq("user_id"), "tus", "cents2",
+        back = 600000000L, prefix = "r2")
+      m2.withColumn("z", expr(
+          """CASE WHEN r1_cnt >= 2 AND (r1_cnt * r2_sum - r1_sum * r1_sum) > 0 THEN
+            |  round(CAST(r1_cnt * cents - r1_sum AS DOUBLE) /
+            |    sqrt(CAST(r1_cnt * r2_sum - r1_sum * r1_sum AS DOUBLE) * (CAST(r1_cnt AS DOUBLE) / (CAST(r1_cnt AS DOUBLE) - 1.0))), 6)
+            |END""".stripMargin))
+        .select(col("user_id"), col("event_id"), col("z"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+        .orderBy("user_id", "event_id")
+    },
+
     QueryDef("q_sample_mixture",
       """WITH m AS (
         |  SELECT doc_id, lang,

@@ -311,6 +311,26 @@ object VectorQueries {
               |  (q, x) -> abs(CAST(q AS DOUBLE) * q_scale / CAST(127 AS DOUBLE) - CAST(x AS DOUBLE))))
               |  <= q_scale / CAST(254 AS DOUBLE) + CAST(0.000001 AS DOUBLE) AS err_ok""".stripMargin)
           .orderBy("vec_id")
+    },
+
+    // ---- SemDeDup: semantic dedup within coarse clusters ----------------
+    QueryDef("q_dedup_semantic",
+      s"""WITH v AS ($vecsD),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS drop_id
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosD("a.e", "b.e")} >= 0.85),
+         |kept AS (
+         |  SELECT v.vec_id, v.label FROM v
+         |  LEFT JOIN drops ON v.vec_id = drops.drop_id
+         |  WHERE drops.drop_id IS NULL)
+         |SELECT vec_id, label FROM kept ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+        graft.operators.Vectors.semanticDedup(
+            vecsS(s, dir), clusterCol = "label", idCol = "vec_id",
+            vecCol = "e", tau = 0.85)
+          .select("vec_id", "label")
+          .orderBy("vec_id")
     }
   )
 }

@@ -152,6 +152,17 @@ class Round5Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedup drops the larger-id near-twin only within a cluster") {
+    val rows = Seq(
+      (1L, 0, Array(1.0, 0.0)), (2L, 0, Array(0.999, 0.01)), // near-twins, same cluster
+      (3L, 1, Array(1.0, 0.0)),                              // twin of 1 but OTHER cluster
+      (4L, 0, Array(0.0, 1.0))                               // orthogonal, same cluster
+    ).toDF("vec_id", "cl", "e")
+    val kept = graft.operators.Vectors.semanticDedup(rows, "cl", "vec_id", "e", tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L)) // 2 dropped: 1 is its smaller-id cluster-mate
+  }
+
   test("bm25 ranks higher tf above lower tf at equal length") {
     val docs = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z z"))
       .toDF("doc_id", "text")
