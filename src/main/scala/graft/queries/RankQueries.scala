@@ -140,6 +140,84 @@ object RankQueries {
         .limit(50)
     },
 
+    QueryDef("q_hybrid_search", {
+      val cos = VectorQueries.cosD("e", "qe")
+      s"""WITH dl AS (
+         |  SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE term IN ('spark', 'merge', 'vector')
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n))) * 1000000) AS BIGINT) AS s6
+         |  FROM tf t JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+         |lex AS (
+         |  SELECT doc_id, CAST(sum(s6) AS DOUBLE) / 1000000.0 AS bm25
+         |  FROM scored GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lexr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r1
+         |  FROM lex),
+         |vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |qv AS (SELECT e AS qe FROM vv WHERE vec_id = 0),
+         |vscored AS (SELECT vec_id, $cos AS cs FROM vv, qv WHERE vec_id > 0),
+         |vtop AS (SELECT vec_id, cs FROM vscored ORDER BY cs DESC, vec_id LIMIT 20),
+         |vr AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS r2
+         |  FROM vtop),
+         |f AS (
+         |  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.r1, v.r2
+         |  FROM lexr l FULL JOIN vr v ON l.doc_id = v.vec_id)
+         |SELECT doc_id, r1, r2,
+         |  (COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + r1 AS DOUBLE), CAST(0 AS DOUBLE))
+         |   + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + r2 AS DOUBLE), CAST(0 AS DOUBLE))) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    }) { (s, dir) =>
+      // Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25) and
+      // a vector (cosine vs query vec 0) ranking of the same corpus —
+      // the retrieval-augmented curation shape. Both channels are top-20
+      // TakeOrdered heads; ranks within a head come from a tiny
+      // broadcast self-join count over those <=20 rows (row_number over
+      // a single-query head would be an unpartitioned window — the plan
+      // sweep forbids that shape everywhere, no exceptions).
+      def rankHead(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+                   idCol: String, out: String) = {
+        val a = df.select(col(scoreCol).as("_sa"), col(idCol).as("_ia"))
+        val b = df.select(col(scoreCol).as("_sb"), col(idCol).as("_ib"))
+        a.join(b,
+            col("_sb") > col("_sa") ||
+              (col("_sb") === col("_sa") && col("_ib") < col("_ia")), "left")
+          .groupBy("_ia").agg((count(col("_ib")) + 1).cast("bigint").as(out))
+          .withColumnRenamed("_ia", idCol)
+      }
+      val lex = TextOps.bm25(Tables(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "merge", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val lexr = rankHead(lex, "bm25", "doc_id", "r1")
+      val v = Tables(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      val qv = v.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      val vtop = v.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
+        .selectExpr("vec_id",
+          "round(graft_dot(e, qe) / (sqrt(graft_dot(e, e)) * sqrt(graft_dot(qe, qe))), 6) AS cs")
+        .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      val vr = rankHead(vtop, "cs", "vec_id", "r2")
+        .withColumnRenamed("vec_id", "doc_id")
+      lexr.join(vr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r1"), col("r2"),
+          (coalesce(lit(1.0) / (lit(60) + col("r1")).cast("double"), lit(0.0).cast("double")) +
+            coalesce(lit(1.0) / (lit(60) + col("r2")).cast("double"), lit(0.0).cast("double"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
     QueryDef("q_inverted_index",
       """WITH t0 AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

@@ -229,6 +229,56 @@ object StatsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    QueryDef("q_chisq",
+      """WITH o AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        |  FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rtot FROM o GROUP BY lang),
+        |ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ctot FROM o GROUP BY source),
+        |n AS (SELECT CAST(sum(obs) AS DOUBLE) AS nn FROM o),
+        |grid AS (SELECT rt.lang, rt.rtot, ct.source, ct.ctot FROM rt CROSS JOIN ct),
+        |cells AS (
+        |  SELECT CAST(coalesce(o.obs, 0) AS DOUBLE) AS od,
+        |    (CAST(g.rtot AS DOUBLE) * CAST(g.ctot AS DOUBLE)) / n.nn AS e
+        |  FROM grid g
+        |  LEFT JOIN o ON g.lang = o.lang AND g.source = o.source
+        |  CROSS JOIN n),
+        |terms AS (
+        |  SELECT CAST(round(((od - e) * (od - e) / e) * 1000000) AS BIGINT) AS t6
+        |  FROM cells),
+        |dims AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc)
+        |SELECT CAST(sum(t6) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2,
+        |  (SELECT (nr - 1) * (nc - 1) FROM dims) AS dof
+        |FROM terms""".stripMargin) { (s, dir) =>
+      // chi-square independence of lang x source. Per-cell terms are one
+      // shared IEEE tree over exact counts, scaled into BIGINT
+      // micro-units BEFORE the sum (cell order can't perturb the total).
+      // The contingency table `o` is ONE scan, persisted — four CTE
+      // references would otherwise re-scan documents four times
+      // (the q_funnel lesson); the oracle keeps the CTE form.
+      val o = Tables(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("obs"))
+      o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rt = o.groupBy("lang").agg(sum("obs").cast("bigint").as("rtot"))
+      val ct = o.groupBy("source").agg(sum("obs").cast("bigint").as("ctot"))
+      val n = o.agg(sum("obs").cast("double").as("nn"))
+      val cells = rt.crossJoin(ct)
+        .join(o, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(n))
+        .selectExpr("CAST(coalesce(obs, 0) AS DOUBLE) AS od",
+          "(CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)) / nn AS e")
+      val dims = rt.agg(count(lit(1)).cast("bigint").as("nr"))
+        .crossJoin(ct.agg(count(lit(1)).cast("bigint").as("nc")))
+      cells
+        .selectExpr("CAST(round(((od - e) * (od - e) / e) * 1000000) AS BIGINT) AS t6")
+        .agg(expr("CAST(sum(t6) AS DOUBLE) / CAST(1000000 AS DOUBLE)").as("chi2"))
+        .crossJoin(broadcast(dims))
+        .selectExpr("chi2", "(nr - 1) * (nc - 1) AS dof")
+    },
+
     QueryDef("q_ts_anomaly",
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

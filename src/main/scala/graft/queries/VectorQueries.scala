@@ -35,12 +35,12 @@ object VectorQueries {
     */
   private def dotS(a: String, b: String) = s"graft_dot($a, $b)"
   /** DuckDB-side identical left fold. */
-  private def dotD(a: String, b: String) =
+  private[queries] def dotD(a: String, b: String) =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i])), (x, y) -> x + y)"
 
   private def cosS(a: String, b: String) =
     s"round(${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)})), 6)"
-  private def cosD(a: String, b: String) =
+  private[queries] def cosD(a: String, b: String) =
     s"round(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})), 6)"
 
   /** Hyperplane sign vectors, precomputed from the SAME md5 derivation the
@@ -68,7 +68,7 @@ object VectorQueries {
     Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e", "label")
 
-  private val vecsD =
+  private[queries] val vecsD =
     "SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings"
 
   val all: Seq[QueryDef] = Seq(

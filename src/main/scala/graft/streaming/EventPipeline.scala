@@ -34,6 +34,24 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
 
+  /** Gap-based session aggregation via Spark's NATIVE session_window —
+    * the declarative twin of [[sessionize]] (which demonstrates the
+    * custom-state route through flatMapGroupsWithState). Prefer this
+    * form when the per-session result is an aggregate Catalyst can
+    * express: state is managed by the engine, merges are codegen'd, and
+    * the watermark closes sessions exactly once.
+    */
+  def sessionWindows(events: DataFrame,
+                     watermark: String = "10 minutes",
+                     gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total"))
+
   /** Sliding (hopping) windowed aggregation — the streaming twin of the
     * batch `q_window_hop` query: each event contributes to width/slide
     * overlapping windows, watermark finalizes each window exactly once.

@@ -181,10 +181,16 @@ class PlanQualitySpec extends SparkSpec {
     //                         aggregates, broadcast single rows
     //   q_vocab/q_text_bm25  — cross join with a 1-row broadcast corpus
     //                         total / stats row (same shape as q_text_tfidf)
+    //   q_chisq              — contingency grid: cross join of two SMALL
+    //                         AGGREGATED frames (|langs| x |sources|) +
+    //                         1-row broadcast total/dof rows
+    //   q_hybrid_search      — 1-row broadcast query vector + the bm25
+    //                         1-row stats row
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
-      "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25")
+      "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
+      "q_chisq", "q_hybrid_search")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

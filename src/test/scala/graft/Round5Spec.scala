@@ -163,6 +163,33 @@ class Round5Spec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L)) // 2 dropped: 1 is its smaller-id cluster-mate
   }
 
+  test("native session_window streams gap-based sessions like the custom operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventPipeline
+    import graft.streaming.EventPipeline.Event
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+    val input = MemoryStream[Event]
+    val q = EventPipeline.sessionWindows(input.toDF(), watermark = "10 minutes",
+        gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(ts(0), 1L, "click", 1.0), Event(ts(5), 1L, "click", 2.0), // one session
+        Event(ts(2), 2L, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(60), 3L, "click", 0.0)) // watermark closes them
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .selectExpr("user_id", "n_events", "total")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 3.0))) // merged gap-session for user 1
+      assert(rows.contains((2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("bm25 ranks higher tf above lower tf at equal length") {
     val docs = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z z"))
       .toDF("doc_id", "text")
