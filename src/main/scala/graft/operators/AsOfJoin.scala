@@ -41,26 +41,79 @@ object AsOfJoin {
     *                  output as `asof_<name>`. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           valueCols: Seq[String]): DataFrame = {
+           valueCols: Seq[String]): DataFrame =
+    merge(left, right, keys, leftTs, rightTs, valueCols, forward = false)
+
+  /** Forward as-of: match every left row to the EARLIEST right row with
+    * `rightTs >= leftTs` (inclusive) — the "next observation" lookup
+    * (next fill after an order, next heartbeat after a probe). Same
+    * union-merge shape as [[asof]], mirrored: `first(ignoreNulls)` over
+    * the FOLLOWING frame, with left rows sorting before right rows at
+    * equal ts so an exact-ts right row is inside the frame.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  valueCols: Seq[String]): DataFrame =
+    merge(left, right, keys, leftTs, rightTs, valueCols, forward = true)
+
+  /** Bounded-staleness as-of (the feature-store freshness contract): a
+    * backward match is kept only while `leftTs - rightTs <= maxAge`;
+    * staler matches degrade to no-match (all carried values NULL).
+    * `leftTs`/`rightTs` must be NUMERIC epoch columns — staleness is an
+    * integer subtraction (cast timestamps to unix micros first).
+    */
+  def asofWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String,
+                 valueCols: Seq[String], maxAge: Long): DataFrame = {
+    require(maxAge >= 0, "maxAge must be non-negative")
     val carried = valueCols.map(v => s"asof_$v")
+    val withMts = merge(left, right, keys, leftTs, rightTs, valueCols,
+      forward = false, keepMatchedTs = true)
+    val fresh = col("_asof_mts").isNotNull &&
+      (col(leftTs) - col("_asof_mts")) <= maxAge
+    carried.foldLeft(withMts) { (d, c) =>
+        d.withColumn(c, when(fresh, col(c)))
+      }
+      .drop("_asof_mts")
+  }
+
+  private def merge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String, valueCols: Seq[String],
+                    forward: Boolean,
+                    keepMatchedTs: Boolean = false): DataFrame = {
+    val carried = valueCols.map(v => s"asof_$v")
+    // backward: right rows sort BEFORE left at equal ts (side r=0 < l=1)
+    // so `last` over the preceding frame sees the tie — and mirrored for
+    // forward (side l=0 < r=1, `first` over the following frame)
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn("_ats", col(leftTs))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(lSide))
+    val payloadFields =
+      valueCols.zip(carried).map { case (v, c) => col(v).as(c) } ++
+        (if (keepMatchedTs) Seq(col(rightTs).as("_asof_mts")) else Nil)
     val r = right.select(
         keys.map(col) ++ Seq(
           col(rightTs).as("_ats"),
-          struct(valueCols.zip(carried).map { case (v, c) => col(v).as(c) }: _*)
-            .as("_asof_payload")): _*)
-      .withColumn("_side", lit(0))
+          struct(payloadFields: _*).as("_asof_payload")): _*)
+      .withColumn("_side", lit(rSide))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ats").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = u.withColumn(
-      "_asof_payload", last(col("_asof_payload"), ignoreNulls = true).over(w))
-    val extracted = carried.foldLeft(matched) { (d, c) =>
+    val matched =
+      if (forward)
+        u.withColumn("_asof_payload",
+          first(col("_asof_payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        u.withColumn("_asof_payload",
+          last(col("_asof_payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val outFields = carried ++ (if (keepMatchedTs) Seq("_asof_mts") else Nil)
+    val extracted = outFields.foldLeft(matched) { (d, c) =>
       d.withColumn(c, col("_asof_payload").getField(c))
     }
-    extracted.filter(col("_side") === 1).drop("_side", "_ats", "_asof_payload")
+    extracted.filter(col("_side") === lit(lSide))
+      .drop("_side", "_ats", "_asof_payload")
   }
 }

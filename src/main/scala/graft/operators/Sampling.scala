@@ -50,11 +50,16 @@ object Sampling {
     * `defaultRate`. Narrow, codegen'd, no shuffle — this is the sampler
     * that reshapes a 100 TB corpus's domain mix in one scan.
     */
+  /** SQL string literal from a stratum key — doubles embedded quotes so
+    * a key like `O'Brien` can't break (or inject into) the CASE text.
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def stratified(df: DataFrame, strataCol: String, idCol: String,
                  rates: Map[String, Double],
                  defaultRate: Double = 1.0): DataFrame = {
     val cases = rates.toSeq.sortBy(_._1).map { case (k, r) =>
-      s"WHEN '$k' THEN CAST(${rateThreshold(r)} AS BIGINT)"
+      s"WHEN ${sqlLit(k)} THEN CAST(${rateThreshold(r)} AS BIGINT)"
     }.mkString(" ")
     df.filter(expr(
       s"graft_hash60(CAST($idCol AS STRING)) < " +
@@ -86,7 +91,7 @@ object Sampling {
                            keepKeyAs: Option[String] = None): DataFrame = {
     val k = keepKeyAs.getOrElse("_shuf")
     val sorted = df.withColumn(k,
-        expr(s"graft_hash60(concat('$seed:', CAST($idCol AS STRING)))"))
+        expr(s"graft_hash60(concat(${sqlLit(seed + ":")}, CAST($idCol AS STRING)))"))
       .orderBy(col(k), col(idCol))
     if (keepKeyAs.isEmpty) sorted.drop(k) else sorted
   }
@@ -112,10 +117,10 @@ object Sampling {
       math.round(r * 1e6)
     }
     val cases = rates.toSeq.sortBy(_._1).map { case (k, r) =>
-      s"WHEN '$k' THEN CAST(${ppm(r)} AS BIGINT)"
+      s"WHEN ${sqlLit(k)} THEN CAST(${ppm(r)} AS BIGINT)"
     }.mkString(" ")
     val rppm = s"(CASE $strataCol $cases ELSE CAST(${ppm(defaultRate)} AS BIGINT) END)"
-    val h = s"(graft_hash60(concat('$seed:', CAST($idCol AS STRING))) % 1000000)"
+    val h = s"(graft_hash60(concat(${sqlLit(seed + ":")}, CAST($idCol AS STRING))) % 1000000)"
     val copies = s"(($rppm div 1000000) + IF($h < ($rppm % 1000000), 1, 0))"
     df.withColumn(out, explode(expr(
       s"IF($copies <= 0, array(), sequence(CAST(0 AS BIGINT), CAST($copies - 1 AS BIGINT)))")))

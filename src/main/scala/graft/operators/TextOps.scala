@@ -181,7 +181,7 @@ object TextOps {
     val dl = df.select(col(idCol),
       expr(s"size(filter(${tokensExpr(textCol)}, x -> x <> ''))").as("dl"))
     val toks = df.select(col(idCol), explode(expr(tokensExpr(textCol))).as("term"))
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val termList = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     val tf = toks.filter(expr(s"term IN ($termList)"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("bigint").as("tf"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Merge, Sampling, TimeSeries}
+import graft.operators.{AsOfJoin, Merge, Sampling, TimeSeries}
 import graft.sources.Tables
 
 /** Round-5 statistical / warehouse surface: correlation & regression
@@ -227,6 +227,72 @@ object StatsQueries {
           // engines' rounding modes disagree)
           col("decayed").as("decayed_cents"))
         .orderBy("user_id", "event_id")
+    },
+
+    QueryDef("q_asof_forward",
+      """WITH l0 AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS lt
+        |  FROM events WHERE event_type = 'view' AND user_id < 20),
+        |r0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS rt,
+        |    min(CAST(round(value * 100) AS BIGINT)) AS rval
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 20
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |m AS (
+        |  SELECT l0.event_id, min(r0.rt) AS mt
+        |  FROM l0 JOIN r0 ON l0.user_id = r0.user_id AND r0.rt >= l0.lt
+        |  GROUP BY l0.event_id)
+        |SELECT l0.event_id, l0.user_id, l0.lt,
+        |  m.mt AS matched_ts, r2.rval AS rval
+        |FROM l0
+        |LEFT JOIN m ON l0.event_id = m.event_id
+        |LEFT JOIN r0 r2 ON r2.user_id = l0.user_id AND r2.rt = m.mt
+        |ORDER BY l0.event_id""".stripMargin) { (s, dir) =>
+      // forward as-of: next purchase at-or-after each view. The oracle is
+      // the naive inequality-join + min formulation (fine in DuckDB at
+      // oracle scale); the Spark side is the union-merge operator — one
+      // shuffle + one sort, never a range probe.
+      val ev = Tables.events(s, dir).filter(col("user_id") < 20)
+      val l0 = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts").as("lt"))
+      val r0 = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("rt"))
+        .agg(expr("min(CAST(round(value * 100) AS BIGINT))").as("rval"))
+      AsOfJoin.asofForward(l0, r0, Seq("user_id"), "lt", "rt", Seq("rt", "rval"))
+        .select(col("event_id"), col("user_id"),
+          col("lt").cast("timestamp_ntz").as("lt"),
+          col("asof_rt").cast("timestamp_ntz").as("matched_ts"),
+          col("asof_rval").as("rval"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_skew_profile",
+      """WITH k AS (
+        |  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS tot, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM k)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / tot AS share, n_keys, max_cnt
+        |FROM k CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 15""".stripMargin) { (s, dir) =>
+      // join-key skew diagnostic: the heaviest keys and their share of
+      // the table — what you run BEFORE choosing salting/AQE settings.
+      // One partial+final count by key, PERSISTED (the key table feeds
+      // both the stats row and the head — a twice-referenced CTE would
+      // re-scan the fact table); head is TakeOrdered, stats broadcast.
+      val k = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t = k.agg(sum("cnt").cast("double").as("tot"),
+        count(lit(1)).cast("bigint").as("n_keys"),
+        max("cnt").cast("bigint").as("max_cnt"))
+      k.crossJoin(broadcast(t))
+        .selectExpr("key", "cnt", "CAST(cnt AS DOUBLE) / tot AS share",
+          "n_keys", "max_cnt")
+        .orderBy(col("cnt").desc, col("key")).limit(15)
     },
 
     QueryDef("q_chisq",

@@ -186,11 +186,13 @@ class PlanQualitySpec extends SparkSpec {
     //                         1-row broadcast total/dof rows
     //   q_hybrid_search      — 1-row broadcast query vector + the bm25
     //                         1-row stats row
+    //   q_skew_profile       — 1-row broadcast stats row onto the
+    //                         persisted per-key counts
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
-      "q_chisq", "q_hybrid_search")
+      "q_chisq", "q_hybrid_search", "q_skew_profile")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -99,6 +99,31 @@ class Round5Spec extends SparkSpec {
       (200L, 60L, 2L, 50.0)))        // 40 + 0.5*20; t=0 out of range
   }
 
+  test("asofForward matches the earliest at-or-after right row, inclusive") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 30L, 300L)).toDF("k", "rt", "v")
+    val out = graft.operators.AsOfJoin
+      .asofForward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "a" -> Some(100L), // exact tie matches (inclusive)
+      "b" -> Some(300L), // next at-or-after 20 is 30
+      "c" -> None,       // nothing after 35
+      "d" -> None))      // key 2 has no right rows
+  }
+
+  test("asofWithin degrades stale matches to no-match") {
+    val left = Seq((1L, 100L, "x"), (1L, 250L, "y")).toDF("k", "lt", "tag")
+    val right = Seq((1L, 90L, 9L)).toDF("k", "rt", "v")
+    val out = graft.operators.AsOfJoin
+      .asofWithin(left, right, Seq("k"), "lt", "rt", Seq("v"), maxAge = 50L)
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "x" -> Some(9L), // 10 old, within 50
+      "y" -> None))    // 160 old, degraded
+  }
+
   test("quantileBin gives ~equal-count bins and is a pure function of the order") {
     val df = spark.range(800).selectExpr("id % 2 AS k", "CAST(id AS DOUBLE) AS v", "id")
     val binned = graft.operators.Features.quantileBin(
