@@ -67,6 +67,42 @@ object Merge {
   def delete(target: DataFrame, tombstones: DataFrame, keys: Seq[String]): DataFrame =
     target.join(tombstones.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** Incremental aggregate maintenance: merge a new batch's per-key
+    * partial aggregates into a running state table WITHOUT re-reading
+    * history — the batch analog of
+    * [[graft.streaming.EventPipeline.sketchRollup]] for exact metrics.
+    * Both frames carry `keys` + identical metric columns; the result has
+    * one row per key with metrics merged element-wise. `ops` selects the
+    * merge per metric — "sum" (default; counts ARE sums), "min", or
+    * "max". Only metrics with an associative+commutative merge belong
+    * here (avg = merged sum / merged count downstream; distinct counts
+    * ride the HLL sketch path).
+    *
+    * ONE full-outer equi-join on the key: the small delta side
+    * broadcasts, the state table is never shuffled in that case — the
+    * same scale contract as [[upsert]].
+    */
+  def mergeAggregates(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                      ops: Map[String, String] = Map.empty): DataFrame = {
+    requireSameColumns(state, delta)
+    val metrics = state.columns.filterNot(keys.contains)
+    val badOps = ops.filterNot { case (c, o) =>
+      metrics.contains(c) && Seq("sum", "min", "max").contains(o) }
+    require(badOps.isEmpty, s"unknown metric/op: $badOps")
+    val s = state.select(keys.map(col) ++ metrics.map(c => col(c).as(s"_s_$c")): _*)
+    val d = delta.select(keys.map(col) ++ metrics.map(c => col(c).as(s"_d_$c")): _*)
+    val merged = metrics.map { c =>
+      (ops.getOrElse(c, "sum") match {
+        // least/greatest skip NULLs, which is exactly "absent side"
+        case "min" => least(col(s"_s_$c"), col(s"_d_$c"))
+        case "max" => greatest(col(s"_s_$c"), col(s"_d_$c"))
+        case _ => coalesce(col(s"_s_$c"), lit(0)) + coalesce(col(s"_d_$c"), lit(0))
+      }).as(c)
+    }
+    s.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ merged: _*)
+  }
+
   /** Build a slowly-changing-dimension Type-2 history from a change log:
     * each input row is an observation `(keys..., payload..., tsCol)`;
     * output rows carry `effective_from` (the observation time),

@@ -218,6 +218,48 @@ object RankQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     },
 
+    QueryDef("q_quality_ensemble",
+      """WITH sig AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok_cnt,
+        |    len(list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''))) AS dis_cnt,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ('the', 'a'))) AS stop_cnt
+        |  FROM documents),
+        |scored AS (
+        |  SELECT source,
+        |    ((400000 * dis_cnt) // tok_cnt)
+        |      + ((300000 * stop_cnt) // tok_cnt)
+        |      + ((300000 * CASE WHEN tok_cnt < 60 THEN tok_cnt ELSE 60 END) // 60) AS score6
+        |  FROM sig WHERE tok_cnt > 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS avg_score
+        |FROM scored GROUP BY source
+        |ORDER BY avg_score DESC, source""".stripMargin) { (s, dir) =>
+      // composed quality score (vocabulary diversity + stopword share +
+      // length credit), entirely in INTEGER micro-units via integer
+      // division — per-doc scores are exact, so the per-source average
+      // is partial-agg-order independent. One narrow projection + one
+      // hash aggregate; at 100 TB this is a single scan.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH sig AS (
+          |  SELECT doc_id, source,
+          |    size(filter(split(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok_cnt,
+          |    size(array_distinct(filter(split(lower(trim(text)), '\\s+'), x -> x <> ''))) AS dis_cnt,
+          |    size(filter(split(lower(trim(text)), '\\s+'), x -> x IN ('the', 'a'))) AS stop_cnt
+          |  FROM documents),
+          |scored AS (
+          |  SELECT source,
+          |    ((400000 * dis_cnt) div tok_cnt)
+          |      + ((300000 * stop_cnt) div tok_cnt)
+          |      + ((300000 * CASE WHEN tok_cnt < 60 THEN tok_cnt ELSE 60 END) div 60) AS score6
+          |  FROM sig WHERE tok_cnt > 0)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(score6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS avg_score
+          |FROM scored GROUP BY source
+          |ORDER BY avg_score DESC, source""".stripMargin)
+    },
+
     QueryDef("q_inverted_index",
       """WITH t0 AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

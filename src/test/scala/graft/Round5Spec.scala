@@ -44,6 +44,23 @@ class Round5Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mergeAggregates over batches equals the one-shot aggregate") {
+    val all = spark.range(5000).selectExpr("id % 37 AS k", "id AS v")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        count(lit(1)).as("n"), sum("v").as("total"),
+        min("v").as("vmin"), max("v").as("vmax"))
+    val batches = Seq(
+      all.filter("id < 1500"), all.filter("id >= 1500 AND id < 1501"), // 1-row batch
+      all.filter("id >= 1501"))
+    val ops = Map("vmin" -> "min", "vmax" -> "max")
+    val incremental = batches.map(aggOf).reduce(
+      (s, d) => Merge.mergeAggregates(s, d, Seq("k"), ops))
+    val oneShot = aggOf(all)
+    assert(incremental.orderBy("k").collect().map(_.toSeq).toSeq ==
+      oneShot.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
+
   test("pageRank matches the hand-computed integer recurrence") {
     // A(1)->B(2), B->A, A->C(3); C dangling. Two iterations by hand:
     //   r1: A=1_000_000, B=C=575_000
