@@ -74,12 +74,24 @@ object FuzzyJoin {
   def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
                       maxDist: Int = 2, k: Int = 8, bands: Int = 4,
                       ngram: Int = 2): DataFrame = {
-    val pairs = byEditDistance(
-        df.select(col(idCol).as("a_key"), col(nameCol).as("a_name")),
-        df.select(col(idCol).as("b_key"), col(nameCol).as("b_name")),
-        "a_key", "a_name", "b_key", "b_name", maxDist, k, bands, ngram)
-      .filter(col("a_key") < col("b_key"))
-      .select(col("a_key").as("a_id"), col("b_key").as("b_id"))
+    // self-match via ONE sigBands frame aliased to both join sides (the
+    // subplans are identical, so the band-join's two shuffles collapse
+    // into one ReusedExchange) — byEditDistance with differently-named
+    // left/right projections would shingle+hash the table twice
+    val base = df.select(col(idCol).as("_er_key"), col(nameCol).as("_er_name"))
+    val sig = Dedup.sigBands(
+      base.withColumn("sh", expr(charShingles("_er_name", ngram)))
+        .select("_er_key", "sh"),
+      "_er_key", k, bands)
+    val cand = sig.as("A").join(sig.as("B"),
+        expr("A.band = B.band AND A.bkey = B.bkey AND A._er_key < B._er_key"))
+      .select(col("A._er_key").as("a_id"), col("B._er_key").as("b_id"))
+      .distinct()
+    val pairs = cand
+      .join(base.select(col("_er_key").as("a_id"), col("_er_name").as("a_name")), "a_id")
+      .join(base.select(col("_er_key").as("b_id"), col("_er_name").as("b_name")), "b_id")
+      .filter(expr(s"levenshtein(a_name, b_name, $maxDist) BETWEEN 0 AND $maxDist"))
+      .select(col("a_id"), col("b_id"))
     // rename before the join-back: the caller's id column may itself be
     // named "id"/"cluster" and must not collide with the label frame
     val labels = Dedup.duplicateClusters(pairs)

@@ -61,9 +61,11 @@ object Sampling {
     val cases = rates.toSeq.sortBy(_._1).map { case (k, r) =>
       s"WHEN ${sqlLit(k)} THEN CAST(${rateThreshold(r)} AS BIGINT)"
     }.mkString(" ")
-    df.filter(expr(
-      s"graft_hash60(CAST($idCol AS STRING)) < " +
-        s"CASE $strataCol $cases ELSE CAST(${rateThreshold(defaultRate)} AS BIGINT) END"))
+    // empty rates = default rate everywhere (a zero-arm CASE won't parse)
+    val threshold =
+      if (rates.isEmpty) s"CAST(${rateThreshold(defaultRate)} AS BIGINT)"
+      else s"CASE $strataCol $cases ELSE CAST(${rateThreshold(defaultRate)} AS BIGINT) END"
+    df.filter(expr(s"graft_hash60(CAST($idCol AS STRING)) < $threshold"))
   }
 
   /** Per-row weighted deterministic sampling: row `i` with weight
@@ -119,7 +121,11 @@ object Sampling {
     val cases = rates.toSeq.sortBy(_._1).map { case (k, r) =>
       s"WHEN ${sqlLit(k)} THEN CAST(${ppm(r)} AS BIGINT)"
     }.mkString(" ")
-    val rppm = s"(CASE $strataCol $cases ELSE CAST(${ppm(defaultRate)} AS BIGINT) END)"
+    // an empty rates map means "default everywhere" — a CASE with no
+    // WHEN arms does not parse
+    val rppm =
+      if (rates.isEmpty) s"CAST(${ppm(defaultRate)} AS BIGINT)"
+      else s"(CASE $strataCol $cases ELSE CAST(${ppm(defaultRate)} AS BIGINT) END)"
     val h = s"(graft_hash60(concat(${sqlLit(seed + ":")}, CAST($idCol AS STRING))) % 1000000)"
     val copies = s"(($rppm div 1000000) + IF($h < ($rppm % 1000000), 1, 0))"
     df.withColumn(out, explode(expr(

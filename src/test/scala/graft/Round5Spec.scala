@@ -116,6 +116,61 @@ class Round5Spec extends SparkSpec {
       (200L, 60L, 2L, 50.0)))        // 40 + 0.5*20; t=0 out of range
   }
 
+  test("asofForward equals the naive inequality-join formulation on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "lt", "lid")
+    // unique (k, rt) per right row so "earliest" is unambiguous
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(5).toLong, i * 7L % 997, i * 100L)).toDF("k", "rt", "v")
+      .groupBy("k", "rt").agg(min("v").as("v"))
+    val op = graft.operators.AsOfJoin
+      .asofForward(left, right, Seq("k"), "lt", "rt", Seq("rt", "v"))
+      .select("lid", "asof_rt", "asof_v")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    val naive = {
+      left.createOrReplaceTempView("__l")
+      right.createOrReplaceTempView("__r")
+      spark.sql(
+        """SELECT l.lid, m.mt, r2.v
+          |FROM __l l
+          |LEFT JOIN (
+          |  SELECT l2.lid, min(r.rt) AS mt FROM __l l2
+          |  JOIN __r r ON l2.k = r.k AND r.rt >= l2.lt GROUP BY l2.lid) m
+          |  ON l.lid = m.lid
+          |LEFT JOIN __r r2 ON r2.k = l.k AND r2.rt = m.mt""".stripMargin)
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+    }
+    assert(op == naive)
+  }
+
+  test("round-5 operators tolerate degenerate input") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bigramModel(emptyDocs, "text").count() == 0)
+    assert(TextOps.bm25(emptyDocs, "doc_id", "text", Seq("x")).count() == 0)
+    // single-token docs produce no bigrams
+    assert(TextOps.bigramModel(Seq((1L, "solo")).toDF("doc_id", "text"), "text").count() == 0)
+    // empty edge set: no nodes, no ranks, no failure
+    assert(graft.operators.Graph.pageRank(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    // scd2 single observation: one open current version
+    val one = Merge.scd2(Seq((1L, "a", ts(0), 1L)).toDF("k", "s", "t", "q"),
+      Seq("k"), "t", Seq("q")).collect()
+    assert(one.length == 1 && one.head.getAs[Boolean]("is_current"))
+    // mixture rate 0 everywhere drops everything (empty rates map =
+    // default everywhere — was a zero-arm CASE parse error)
+    assert(Sampling.mixture(Seq((1L, "a")).toDF("id", "st"), "st", "id",
+      Map.empty, defaultRate = 0.0).count() == 0)
+    // stratified with an empty rates map had the same zero-arm CASE bug
+    assert(Sampling.stratified(Seq((1L, "a")).toDF("id", "st"), "st", "id",
+      Map.empty, defaultRate = 1.0).count() == 1)
+    // trailing/decayed on an empty frame
+    val emptyTs = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
+    assert(TimeSeries.decayed(
+      TimeSeries.trailing(emptyTs, Seq("k"), "t", "v", 10L),
+      Seq("k"), Seq("t"), "v").count() == 0)
+  }
+
   test("asofForward matches the earliest at-or-after right row, inclusive") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
       .toDF("k", "lt", "tag")
