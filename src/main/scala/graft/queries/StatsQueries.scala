@@ -266,6 +266,45 @@ object StatsQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_attribution",
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS rtus,
+        |    max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |m AS (
+        |  SELECT p.event_id, max(c.rtus) AS mt
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.rtus <= p.tus AND p.tus - c.rtus <= 1800000000
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, c2.click_id, p.tus - m.mt AS age_us
+        |FROM p
+        |LEFT JOIN m ON p.event_id = m.event_id
+        |LEFT JOIN c c2 ON c2.user_id = p.user_id AND c2.rtus = m.mt
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      // last-touch attribution: each purchase credits the LATEST click
+      // within 30 minutes — AsOfJoin.asofWithin end to end ("latest
+      // within maxAge" == "latest overall, degraded when stale", since
+      // anything older than the latest is staler). Oracle is the naive
+      // bounded inequality join.
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("rtus"))
+        .agg(max("event_id").as("click_id"))
+      AsOfJoin.asofWithin(p, c, Seq("user_id"), "tus", "rtus",
+          Seq("rtus", "click_id"), maxAge = 1800000000L)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          (col("tus") - col("asof_rtus")).as("age_us"))
+        .orderBy("event_id")
+    },
+
     QueryDef("q_skew_profile",
       """WITH k AS (
         |  SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
