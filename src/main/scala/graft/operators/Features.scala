@@ -32,6 +32,27 @@ object Features {
       .drop("_mu", "_sd", "_mn", "_mx")
   }
 
+  /** Robust scaling: `(x − median) / IQR` per group — the outlier-immune
+    * alternative to z-scores (mean and stddev both move with every
+    * outlier; median and IQR don't). Adds `<value>_r`, rounded to 6
+    * decimals; constant groups (IQR 0) produce 0 like [[standardize]].
+    * Median/quartiles are rounded to 6dp BEFORE the transform — the
+    * same engine-portable bounds contract as [[winsorize]], with the
+    * same exact-vs-sketch scale switch.
+    */
+  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String,
+                  exact: Boolean = true): DataFrame = {
+    val q = if (exact) "percentile" else "approx_percentile"
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      expr(s"round($q(CAST($valueCol AS DOUBLE), 0.5), 6)").as("_med"),
+      expr(s"round($q(CAST($valueCol AS DOUBLE), 0.25), 6)").as("_q1"),
+      expr(s"round($q(CAST($valueCol AS DOUBLE), 0.75), 6)").as("_q3"))
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${valueCol}_r",
+        expr(s"IF(_q3 = _q1, 0D, round((CAST($valueCol AS DOUBLE) - _med) / (_q3 - _q1), 6))"))
+      .drop("_med", "_q1", "_q3")
+  }
+
   /** Winsorize (clip) `valueCol` to its per-group [`lo`, `hi`] quantiles —
     * the standard outlier-robust prep before scaling. Adds
     * `<value>_w` (clipped, rounded to 6 decimals). Bounds are rounded to

@@ -132,6 +132,23 @@ object TextOps {
       .withColumn("tfidf", expr("tf * ln(CAST(n_docs AS DOUBLE) / df)"))
   }
 
+  /** Token-budget truncation: keep the first `maxTokens` whitespace
+    * tokens of a document — the cheap context-window guard applied
+    * before tokenizer-exact packing ([[packBins]] budgets what THIS
+    * truncates). Adds `<out>` (re-joined text), `n_tokens_kept`, and
+    * `was_truncated`. Narrow, codegen'd, no shuffle.
+    */
+  def truncateTokens(df: DataFrame, textCol: String, maxTokens: Int,
+                     out: String = "truncated_text"): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+      .withColumn(out, expr(s"array_join(slice(_tk, 1, $maxTokens), ' ')"))
+      .withColumn("n_tokens_kept",
+        expr(s"CAST(least(size(_tk), $maxTokens) AS BIGINT)"))
+      .withColumn("was_truncated", expr(s"size(_tk) > $maxTokens"))
+      .drop("_tk")
+  }
+
   /** Bigram language-model counts: c(w1,w2) per adjacent token pair and
     * the conditional probability p(w2|w1) = c(w1,w2) / Σ_w c(w1,w) —
     * the n-gram LM statistic (KenLM-style counts, perplexity-proxy

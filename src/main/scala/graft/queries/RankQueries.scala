@@ -218,6 +218,63 @@ object RankQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     },
 
+    QueryDef("q_text_truncate",
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id,
+        |  array_to_string(tk[1:40], ' ') AS truncated_text,
+        |  CAST(least(len(tk), 40) AS BIGINT) AS n_tokens_kept,
+        |  len(tk) > 40 AS was_truncated
+        |FROM l ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.truncateTokens(
+          Tables(s, dir, "documents").filter(col("doc_id") < 120), "text", 40)
+        .select("doc_id", "truncated_text", "n_tokens_kept", "was_truncated")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_text_spans",
+      """WITH lists AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]*ar[a-z]*') AS l
+        |  FROM documents WHERE doc_id < 100),
+        |idx AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM lists)
+        |SELECT doc_id, CAST(i AS BIGINT) AS idx, l[i] AS m
+        |FROM idx ORDER BY doc_id, idx""".stripMargin) { (s, dir) =>
+      // structured span extraction: every regex match as its own row
+      // with its per-document occurrence index (narrow posexplode)
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(lower(text), '[a-z]*ar[a-z]*', 0)"))
+            .as(Seq("pos", "m")))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("idx"), col("m"))
+        .orderBy("doc_id", "idx")
+    },
+
+    QueryDef("q_feature_robust",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS med,
+        |    round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |    round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  CASE WHEN q3 = q1 THEN CAST(0 AS DOUBLE)
+        |       ELSE round((CAST(l_extendedprice AS DOUBLE) - med) / (q3 - q1), 6)
+        |  END AS l_extendedprice_r
+        |FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+        |WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      // robust (median/IQR) scaling — outlier-immune standardization;
+      // stats computed over the FULL group, applied to the probed subset
+      Features.robustScale(
+          Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+        .filter(col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice_r")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     QueryDef("q_quality_ensemble",
       """WITH sig AS (
         |  SELECT doc_id, source,
