@@ -132,6 +132,28 @@ object Sampling {
       s"IF($copies <= 0, array(), sequence(CAST(0 AS BIGINT), CAST($copies - 1 AS BIGINT)))")))
   }
 
+  /** Class-balanced downsampling: every stratum keeps exactly
+    * min-stratum-count rows — the smallest class survives whole, larger
+    * classes keep their lowest-hash members (deterministic, and a grown
+    * majority class never evicts previously-kept rows of other strata).
+    * The balanced-classification prep step.
+    *
+    * Physically: a per-stratum rank window (key-partitioned) and a
+    * 1-row broadcast min-count — one shuffle on the stratum, the same
+    * shape as any per-group rank statistic.
+    */
+  def balanced(df: DataFrame, strataCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(expr(s"graft_hash60(CAST($idCol AS STRING))"), col(idCol))
+    val minc = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_c"))
+      .agg(min("_c").as("_minc"))
+    df.withColumn("_rnk", row_number().over(w))
+      .crossJoin(broadcast(minc))
+      .filter(col("_rnk") <= col("_minc"))
+      .drop("_rnk", "_minc")
+  }
+
   /** Deterministic k-per-key sample: the k rows with the SMALLEST id
     * hashes in each key group — a reproducible stand-in for per-key
     * reservoir sampling (same sample every run/engine; adding rows to a

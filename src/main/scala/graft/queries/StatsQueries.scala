@@ -428,6 +428,25 @@ object StatsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    QueryDef("q_sample_balanced",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        |  FROM h),
+        |m AS (
+        |  SELECT CAST(min(c) AS BIGINT) AS minc
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY lang) t)
+        |SELECT doc_id, lang FROM r CROSS JOIN m
+        |WHERE rnk <= minc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.balanced(Tables(s, dir, "documents"), "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     QueryDef("q_sample_mixture",
       """WITH m AS (
         |  SELECT doc_id, lang,

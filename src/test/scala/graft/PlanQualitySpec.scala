@@ -192,7 +192,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
-      "q_chisq", "q_hybrid_search", "q_skew_profile")
+      "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

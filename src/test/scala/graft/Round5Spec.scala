@@ -44,6 +44,20 @@ class Round5Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("balanced sampling equalizes strata to the smallest class") {
+    val df = spark.range(900).selectExpr("id",
+      "CASE WHEN id % 9 = 0 THEN 'rare' WHEN id % 2 = 0 THEN 'mid' ELSE 'big' END AS st")
+    val out = Sampling.balanced(df, "st", "id")
+    val sizes = out.groupBy("st").count().as[(String, Long)].collect().toMap
+    val minc = df.groupBy("st").count().agg(org.apache.spark.sql.functions.min("count"))
+      .as[Long].head()
+    assert(sizes.values.toSet == Set(minc), sizes.toString)
+    // deterministic under repartitioning
+    val again = Sampling.balanced(df.repartition(11), "st", "id")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("mergeAggregates over batches equals the one-shot aggregate") {
     val all = spark.range(5000).selectExpr("id % 37 AS k", "id AS v")
     def aggOf(df: org.apache.spark.sql.DataFrame) =
