@@ -43,10 +43,14 @@ object Features {
   def robustScale(df: DataFrame, keys: Seq[String], valueCol: String,
                   exact: Boolean = true): DataFrame = {
     val q = if (exact) "percentile" else "approx_percentile"
-    val stats = df.groupBy(keys.map(col): _*).agg(
-      expr(s"round($q(CAST($valueCol AS DOUBLE), 0.5), 6)").as("_med"),
-      expr(s"round($q(CAST($valueCol AS DOUBLE), 0.25), 6)").as("_q1"),
-      expr(s"round($q(CAST($valueCol AS DOUBLE), 0.75), 6)").as("_q3"))
+    // ONE percentile buffer for all three quantiles — separate calls
+    // each hold the group's values again (3x agg memory and merge cost;
+    // measured 7.7 s vs 2.8 s on sf0.1 lineitem)
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(expr(
+        s"transform($q(CAST($valueCol AS DOUBLE), array(0.25D, 0.5D, 0.75D)), v -> round(v, 6))")
+        .as("_qs"))
+      .selectExpr(keys :+ "_qs[0] AS _q1" :+ "_qs[1] AS _med" :+ "_qs[2] AS _q3": _*)
     df.join(broadcast(stats), keys)
       .withColumn(s"${valueCol}_r",
         expr(s"IF(_q3 = _q1, 0D, round((CAST($valueCol AS DOUBLE) - _med) / (_q3 - _q1), 6))"))
@@ -92,9 +96,12 @@ object Features {
                 exact: Boolean = true): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo <= hi, "need 0 <= lo <= hi <= 1")
     val pct = if (exact) "percentile" else "approx_percentile"
-    val stats = df.groupBy(keys.map(col): _*).agg(
-      expr(s"round($pct(CAST($valueCol AS DOUBLE), $lo), 6)").as("_plo"),
-      expr(s"round($pct(CAST($valueCol AS DOUBLE), $hi), 6)").as("_phi"))
+    // one shared percentile buffer for both bounds (see robustScale)
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(expr(
+        s"transform($pct(CAST($valueCol AS DOUBLE), array(${lo}D, ${hi}D)), v -> round(v, 6))")
+        .as("_ps"))
+      .selectExpr(keys :+ "_ps[0] AS _plo" :+ "_ps[1] AS _phi": _*)
     df.join(broadcast(stats), keys)
       .withColumn(s"${valueCol}_w",
         expr(s"round(least(greatest(CAST($valueCol AS DOUBLE), _plo), _phi), 6)"))
