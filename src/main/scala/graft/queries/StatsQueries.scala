@@ -428,6 +428,95 @@ object StatsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    QueryDef("q_ts_gaps",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE user_id < 60),
+        |d AS (
+        |  SELECT user_id, event_id, tus,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS nxt
+        |  FROM e)
+        |SELECT user_id, event_id, tus AS gap_start_us, nxt - tus AS gap_us
+        |FROM d WHERE nxt IS NOT NULL AND nxt - tus > 1800000000
+        |ORDER BY user_id, gap_start_us, event_id""".stripMargin) { (s, dir) =>
+      // missing-data report: spans over 30 minutes with no events per
+      // user — pure integer window arithmetic, key-partitioned
+      val e = Tables.events(s, dir).filter(col("user_id") < 60)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      e.withColumn("nxt", lead(col("tus"), 1).over(w))
+        .filter(col("nxt").isNotNull && (col("nxt") - col("tus")) > 1800000000L)
+        .select(col("user_id"), col("event_id"),
+          col("tus").as("gap_start_us"), (col("nxt") - col("tus")).as("gap_us"))
+        .orderBy("user_id", "gap_start_us", "event_id")
+    },
+
+    QueryDef("q_ts_twap",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 60),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur
+        |  FROM e)
+        |SELECT user_id, CAST(count(dur) AS BIGINT) AS n_spans,
+        |  CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0 AS twap
+        |FROM d WHERE dur IS NOT NULL AND dur > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      // time-weighted average: each sample weighted by how long it was
+      // current (duration to the next sample). Integer cent x micro
+      // products sum exactly per key; ONE division at the end.
+      val e = Tables.events(s, dir).filter(col("user_id") < 60)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      e.withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("dur").isNotNull && col("dur") > 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_spans"),
+          expr("CAST(sum(cents * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) / 100.0").as("twap"))
+        .orderBy("user_id")
+    },
+
+    QueryDef("q_retention",
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |  FROM events)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+        |  CAST((epoch_us(a.wk) - epoch_us(f.cohort)) // 604800000000 AS BIGINT) AS week_n,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY f.cohort, week_n
+        |ORDER BY cohort, week_n""".stripMargin) { (s, dir) =>
+      // cohort retention: users grouped by first-seen week, counted per
+      // active week offset. Two aggregates + one equi-join on user_id
+      // (the cohort frame is per-user tiny and broadcasts). Week
+      // arithmetic in exact epoch integers — both engines truncate
+      // weeks to Monday 00:00, so offsets are exact multiples.
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH f AS (
+          |  SELECT user_id, min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort
+          |  FROM events GROUP BY user_id),
+          |a AS (
+          |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+          |  FROM events)
+          |SELECT CAST(f.cohort AS TIMESTAMP_NTZ) AS cohort,
+          |  CAST((unix_micros(a.wk) - unix_micros(f.cohort)) div 604800000000 AS BIGINT) AS week_n,
+          |  CAST(count(*) AS BIGINT) AS active_users
+          |FROM f JOIN a ON f.user_id = a.user_id
+          |GROUP BY f.cohort, week_n
+          |ORDER BY cohort, week_n""".stripMargin)
+    },
+
     QueryDef("q_sample_balanced",
       """WITH h AS (
         |  SELECT doc_id, lang,
