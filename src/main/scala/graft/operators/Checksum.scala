@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Order-independent table fingerprint for data contracts: verify that
+  * two copies of a dataset (another engine, another cluster, yesterday's
+  * snapshot re-derived) hold EXACTLY the same rows without moving either
+  * copy — compare one (n_rows, fp) pair.
+  */
+object Checksum {
+
+  /** One-row frame `(n_rows, fp)`: fp is the exact decimal SUM of the
+    * shared 60-bit hash of each row's `'|'`-joined column values — a
+    * commutative combine, so the fingerprint is identical under ANY
+    * partitioning, row order, or engine. Collision odds for a corrupted
+    * copy are ~n²/2⁶¹ (birthday bound on the summed space).
+    *
+    * `cols` must be STRING-valued (callers cast: integers/strings are
+    * portable as-is; floats/timestamps must first be cast to an exact
+    * representation — cents, epoch micros — because engines do NOT
+    * format doubles identically). NULLs: concat_ws skips nulls, so
+    * (NULL,'x') and ('x',NULL) would collide — guard nullable columns
+    * with an explicit sentinel cast first. One narrow scan + a scalar
+    * aggregate; nothing shuffles but partial sums.
+    */
+  def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val joined = cols.mkString("concat_ws('|', ", ", ", ")")
+    df.agg(
+      count(lit(1)).cast("bigint").as("n_rows"),
+      expr(s"CAST(sum(CAST(graft_hash60($joined) AS DECIMAL(38,0))) AS STRING)")
+        .as("fp"))
+  }
+}

@@ -428,6 +428,55 @@ object StatsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    QueryDef("q_checksum",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+        |    || '|' || l_returnflag || '|' || CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+        |  ), 1, 15))::BIGINT) AS VARCHAR) AS fp
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      // order-independent table fingerprint: the SAME (n_rows, fp) pair
+      // from both engines IS the cross-engine data contract — floats
+      // enter as exact cents, everything else as portable strings
+      graft.operators.Checksum.fingerprint(
+        Tables(s, dir, "lineitem").selectExpr(
+          "CAST(l_orderkey AS STRING) AS c1",
+          "CAST(l_linenumber AS STRING) AS c2",
+          "l_returnflag AS c3",
+          "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS STRING) AS c4"),
+        Seq("c1", "c2", "c3", "c4"))
+    },
+
+    QueryDef("q_topn_others",
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY source),
+        |top AS (SELECT source, cnt FROM c ORDER BY cnt DESC, source LIMIT 5),
+        |others AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS ocnt FROM c
+        |  WHERE source NOT IN (SELECT source FROM top))
+        |SELECT source, cnt FROM (
+        |  SELECT source, cnt, 0 AS grp FROM top
+        |  UNION ALL
+        |  SELECT 'other' AS source, ocnt AS cnt, 1 AS grp FROM others WHERE ocnt IS NOT NULL
+        |) u ORDER BY grp, cnt DESC, source""".stripMargin) { (s, dir) =>
+      // BI top-N + "others" rollup: the head is a TakeOrdered over the
+      // aggregated counts; the tail folds into one row via an anti-join
+      // (never ranked row-by-row). The counts frame is persisted — it
+      // feeds the head AND the tail.
+      val c = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).cast("bigint").as("cnt"))
+      c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = c.orderBy(col("cnt").desc, col("source")).limit(5)
+      val others = c.join(top.select("source"), Seq("source"), "left_anti")
+        .agg(sum("cnt").cast("bigint").as("cnt"))
+        .filter(col("cnt").isNotNull)
+        .select(lit("other").as("source"), col("cnt"), lit(1).as("grp"))
+      top.withColumn("grp", lit(0)).unionByName(others)
+        .orderBy(col("grp"), col("cnt").desc, col("source"))
+        .select("source", "cnt")
+    },
+
     QueryDef("q_ts_gaps",
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus

@@ -44,6 +44,21 @@ class Round5Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fingerprint is partitioning-invariant and detects a changed row") {
+    val df = spark.range(2000).selectExpr("CAST(id AS STRING) AS a",
+      "CAST(id % 7 AS STRING) AS b")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Checksum.fingerprint(d, Seq("a", "b"))
+        .as[(Long, String)].head()
+    val base = fp(df)
+    assert(fp(df.repartition(13)) == base)           // order/partitioning independent
+    val corrupted = spark.range(2000).selectExpr(
+      "CAST(id AS STRING) AS a",
+      "CAST(CASE WHEN id = 1234 THEN 99 ELSE id % 7 END AS STRING) AS b")
+    val bad = fp(corrupted)
+    assert(bad._1 == base._1 && bad._2 != base._2)   // same count, different fp
+  }
+
   test("balanced sampling equalizes strata to the smallest class") {
     val df = spark.range(900).selectExpr("id",
       "CASE WHEN id % 9 = 0 THEN 'rare' WHEN id % 2 = 0 THEN 'mid' ELSE 'big' END AS st")
