@@ -428,6 +428,60 @@ object StatsQueries {
         .orderBy("user_id", "event_id")
     },
 
+    QueryDef("q_ab_test",
+      """WITH assign AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 400 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT variant,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(converted) AS DOUBLE) AS k
+        |  FROM assign GROUP BY variant),
+        |wide AS (
+        |  SELECT
+        |    (SELECT n FROM arms WHERE variant = 0) AS n0,
+        |    (SELECT k FROM arms WHERE variant = 0) AS k0,
+        |    (SELECT n FROM arms WHERE variant = 1) AS n1,
+        |    (SELECT k FROM arms WHERE variant = 1) AS k1)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+        |  round(k0 / n0 - k1 / n1, 6) AS lift,
+        |  CASE WHEN (k0 + k1) = 0 OR (k0 + k1) = (n0 + n1) THEN CAST(NULL AS DOUBLE) ELSE
+        |  round((k0 / n0 - k1 / n1) /
+        |    sqrt(((k0 + k1) / (n0 + n1)) * (1.0 - (k0 + k1) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)), 6)
+        |  END AS z
+        |FROM wide""".stripMargin) { (s, dir) =>
+      // two-proportion z-test (A/B significance): per-user conversion by
+      // a deterministic variant split; counts are exact, the z closed
+      // form is one shared IEEE tree over them
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH assign AS (
+          |  SELECT user_id, user_id % 2 AS variant,
+          |    max(CASE WHEN event_type = 'purchase' AND value > 400 THEN 1 ELSE 0 END) AS converted
+          |  FROM events GROUP BY user_id),
+          |arms AS (
+          |  SELECT variant,
+          |    CAST(count(*) AS DOUBLE) AS n,
+          |    CAST(sum(converted) AS DOUBLE) AS k
+          |  FROM assign GROUP BY variant),
+          |wide AS (
+          |  SELECT
+          |    (SELECT n FROM arms WHERE variant = 0) AS n0,
+          |    (SELECT k FROM arms WHERE variant = 0) AS k0,
+          |    (SELECT n FROM arms WHERE variant = 1) AS n1,
+          |    (SELECT k FROM arms WHERE variant = 1) AS k1)
+          |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
+          |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+          |  round(k0 / n0 - k1 / n1, 6) AS lift,
+          |  CASE WHEN (k0 + k1) = 0 OR (k0 + k1) = (n0 + n1) THEN CAST(NULL AS DOUBLE) ELSE
+          |  round((k0 / n0 - k1 / n1) /
+          |    sqrt(((k0 + k1) / (n0 + n1)) * (1.0 - (k0 + k1) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)), 6)
+          |  END AS z
+          |FROM wide""".stripMargin)
+    },
+
     QueryDef("q_checksum",
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(('0x' || substr(md5(
