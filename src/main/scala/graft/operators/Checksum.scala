@@ -13,8 +13,10 @@ object Checksum {
   /** One-row frame `(n_rows, fp)`: fp is the exact decimal SUM of the
     * shared 60-bit hash of each row's `'|'`-joined column values — a
     * commutative combine, so the fingerprint is identical under ANY
-    * partitioning, row order, or engine. Collision odds for a corrupted
-    * copy are ~n²/2⁶¹ (birthday bound on the summed space).
+    * partitioning, row order, or engine. A single changed row alters the
+    * sum unless the replacement row's hash equals the original's
+    * (~2⁻⁶⁰); multi-row corruptions can in principle cancel, so this is
+    * a copy check, not a cryptographic commitment.
     *
     * `cols` must be STRING-valued (callers cast: integers/strings are
     * portable as-is; floats/timestamps must first be cast to an exact

@@ -440,10 +440,11 @@ object StatsQueries {
         |  FROM assign GROUP BY variant),
         |wide AS (
         |  SELECT
-        |    (SELECT n FROM arms WHERE variant = 0) AS n0,
-        |    (SELECT k FROM arms WHERE variant = 0) AS k0,
-        |    (SELECT n FROM arms WHERE variant = 1) AS n1,
-        |    (SELECT k FROM arms WHERE variant = 1) AS k1)
+        |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    max(CASE WHEN variant = 0 THEN k END) AS k0,
+        |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    max(CASE WHEN variant = 1 THEN k END) AS k1
+        |  FROM arms)
         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
         |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
         |  round(k0 / n0 - k1 / n1, 6) AS lift,
@@ -468,10 +469,11 @@ object StatsQueries {
           |  FROM assign GROUP BY variant),
           |wide AS (
           |  SELECT
-          |    (SELECT n FROM arms WHERE variant = 0) AS n0,
-          |    (SELECT k FROM arms WHERE variant = 0) AS k0,
-          |    (SELECT n FROM arms WHERE variant = 1) AS n1,
-          |    (SELECT k FROM arms WHERE variant = 1) AS k1)
+          |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+          |    max(CASE WHEN variant = 0 THEN k END) AS k0,
+          |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+          |    max(CASE WHEN variant = 1 THEN k END) AS k1
+          |  FROM arms)
           |SELECT CAST(n0 AS BIGINT) AS n0, CAST(k0 AS BIGINT) AS k0,
           |  CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
           |  round(k0 / n0 - k1 / n1, 6) AS lift,
