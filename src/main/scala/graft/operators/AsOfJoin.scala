@@ -50,6 +50,10 @@ object AsOfJoin {
     * union-merge shape as [[asof]], mirrored: `first(ignoreNulls)` over
     * the FOLLOWING frame, with left rows sorting before right rows at
     * equal ts so an exact-ts right row is inside the frame.
+    *
+    * The object-level precondition applies with the same force here:
+    * duplicate right rows at one (key, ts) make "earliest" ambiguous and
+    * the carried payload partitioning-dependent — pre-aggregate them.
     */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   leftTs: String, rightTs: String,

@@ -31,7 +31,10 @@ object Checksum {
     val joined = cols.mkString("concat_ws('|', ", ", ", ")")
     df.agg(
       count(lit(1)).cast("bigint").as("n_rows"),
-      expr(s"CAST(sum(CAST(graft_hash60($joined) AS DECIMAL(38,0))) AS STRING)")
+      // coalesce: an empty table must fingerprint as '0', not NULL —
+      // a NULL fp makes the equality check between two empty copies
+      // evaluate to NULL instead of TRUE
+      expr(s"CAST(coalesce(sum(CAST(graft_hash60($joined) AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS STRING)")
         .as("fp"))
   }
 }

@@ -70,6 +70,23 @@ object Features {
     * mergeable quantile sketch (approx_percentile) replaces the exact agg,
     * same two-pass agg+broadcast-join shape, bounded memory at any scale.
     */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                lo: Double = 0.05, hi: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, "need 0 <= lo <= hi <= 1")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    // one shared percentile buffer for both bounds (see robustScale)
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(expr(
+        s"transform($pct(CAST($valueCol AS DOUBLE), array(${lo}D, ${hi}D)), v -> round(v, 6))")
+        .as("_ps"))
+      .selectExpr(keys :+ "_ps[0] AS _plo" :+ "_ps[1] AS _phi": _*)
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${valueCol}_w",
+        expr(s"round(least(greatest(CAST($valueCol AS DOUBLE), _plo), _phi), 6)"))
+      .drop("_plo", "_phi")
+  }
+
   /** Per-group equal-frequency (quantile) binning: rows of each key
     * group are assigned to `bins` rank-based buckets — the categorical
     * encoding of a skewed numeric feature (each bin carries ~equal row
@@ -89,22 +106,5 @@ object Features {
     require(bins >= 2, "need at least 2 bins")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     df.withColumn(out, ntile(bins).over(w).cast("bigint"))
-  }
-
-  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
-                lo: Double = 0.05, hi: Double = 0.95,
-                exact: Boolean = true): DataFrame = {
-    require(lo >= 0 && hi <= 1 && lo <= hi, "need 0 <= lo <= hi <= 1")
-    val pct = if (exact) "percentile" else "approx_percentile"
-    // one shared percentile buffer for both bounds (see robustScale)
-    val stats = df.groupBy(keys.map(col): _*)
-      .agg(expr(
-        s"transform($pct(CAST($valueCol AS DOUBLE), array(${lo}D, ${hi}D)), v -> round(v, 6))")
-        .as("_ps"))
-      .selectExpr(keys :+ "_ps[0] AS _plo" :+ "_ps[1] AS _phi": _*)
-    df.join(broadcast(stats), keys)
-      .withColumn(s"${valueCol}_w",
-        expr(s"round(least(greatest(CAST($valueCol AS DOUBLE), _plo), _phi), 6)"))
-      .drop("_plo", "_phi")
   }
 }

@@ -96,7 +96,10 @@ object Merge {
         // least/greatest skip NULLs, which is exactly "absent side"
         case "min" => least(col(s"_s_$c"), col(s"_d_$c"))
         case "max" => greatest(col(s"_s_$c"), col(s"_d_$c"))
-        case _ => coalesce(col(s"_s_$c"), lit(0)) + coalesce(col(s"_d_$c"), lit(0))
+        // sum merge must stay NULL when BOTH sides are NULL — a key whose
+        // values are all NULL aggregates to NULL in one shot, and
+        // coalescing it to 0 would silently turn "no data" into "total 0"
+        case _ => coalesce(col(s"_s_$c") + col(s"_d_$c"), col(s"_s_$c"), col(s"_d_$c"))
       }).as(c)
     }
     s.join(d, keys, "full_outer")

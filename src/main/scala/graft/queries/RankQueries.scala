@@ -307,9 +307,9 @@ object RankQueries {
           |  FROM documents),
           |scored AS (
           |  SELECT source,
-          |    ((400000 * dis_cnt) div tok_cnt)
-          |      + ((300000 * stop_cnt) div tok_cnt)
-          |      + ((300000 * CASE WHEN tok_cnt < 60 THEN tok_cnt ELSE 60 END) div 60) AS score6
+          |    ((400000 * CAST(dis_cnt AS BIGINT)) div CAST(tok_cnt AS BIGINT))
+          |      + ((300000 * CAST(stop_cnt AS BIGINT)) div CAST(tok_cnt AS BIGINT))
+          |      + ((300000 * CAST(CASE WHEN tok_cnt < 60 THEN tok_cnt ELSE 60 END AS BIGINT)) div 60) AS score6
           |  FROM sig WHERE tok_cnt > 0)
           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(score6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS avg_score

@@ -179,7 +179,7 @@ object StatsQueries {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM kept
-        |ORDER BY user_id, effective_from, event_type""".stripMargin) { (s, dir) =>
+        |ORDER BY user_id, effective_from, event_type, effective_to""".stripMargin) { (s, dir) =>
       val changes = Tables.events(s, dir)
         .filter(col("user_id") < 30)
         .select("user_id", "event_type", "ts", "event_id")
@@ -188,7 +188,11 @@ object StatsQueries {
           col("effective_from").cast("timestamp_ntz").as("effective_from"),
           col("effective_to").cast("timestamp_ntz").as("effective_to"),
           col("is_current"))
-        .orderBy("user_id", "effective_from", "event_type")
+        // effective_to completes the total order: two kept versions can
+        // share (user, from, type) when observations collide on the
+        // microsecond, and only the tieBreak column (dropped here)
+        // distinguishes them otherwise
+        .orderBy("user_id", "effective_from", "event_type", "effective_to")
     },
 
     QueryDef("q_ts_rolling",
@@ -324,6 +328,7 @@ object StatsQueries {
       val k = Tables(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("key"))
         .agg(count(lit(1)).cast("bigint").as("cnt"))
+      // deliberately not unpersisted: one row per key, LRU-evicted
       k.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = k.agg(sum("cnt").cast("double").as("tot"),
         count(lit(1)).cast("bigint").as("n_keys"),
@@ -366,6 +371,7 @@ object StatsQueries {
       val o = Tables(s, dir, "documents")
         .groupBy("lang", "source")
         .agg(count(lit(1)).cast("bigint").as("obs"))
+      // deliberately not unpersisted: |langs x sources| rows, LRU-evicted
       o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rt = o.groupBy("lang").agg(sum("obs").cast("bigint").as("rtot"))
       val ct = o.groupBy("source").agg(sum("obs").cast("bigint").as("ctot"))
@@ -522,6 +528,7 @@ object StatsQueries {
       // feeds the head AND the tail.
       val c = Tables(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).cast("bigint").as("cnt"))
+      // deliberately not unpersisted: one row per source, LRU-evicted
       c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top = c.orderBy(col("cnt").desc, col("source")).limit(5)
       val others = c.join(top.select("source"), Seq("source"), "left_anti")

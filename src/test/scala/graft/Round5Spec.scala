@@ -57,6 +57,10 @@ class Round5Spec extends SparkSpec {
       "CAST(CASE WHEN id = 1234 THEN 99 ELSE id % 7 END AS STRING) AS b")
     val bad = fp(corrupted)
     assert(bad._1 == base._1 && bad._2 != base._2)   // same count, different fp
+    // empty tables fingerprint as (0, "0") — NULL would make the
+    // equality check between two empty copies indeterminate
+    val empty = fp(df.filter("a = 'nope'"))
+    assert(empty == (0L, "0"))
   }
 
   test("balanced sampling equalizes strata to the smallest class") {
@@ -88,6 +92,15 @@ class Round5Spec extends SparkSpec {
     val oneShot = aggOf(all)
     assert(incremental.orderBy("k").collect().map(_.toSeq).toSeq ==
       oneShot.orderBy("k").collect().map(_.toSeq).toSeq)
+    // a key whose values are ALL NULL must merge to NULL, not 0 — the
+    // one-shot sum over no values is NULL ("no data" != "total 0")
+    val nullA = Seq((1L, Option.empty[Long]), (2L, Some(5L))).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("total"))
+    val nullB = Seq((1L, Option.empty[Long])).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("total"))
+    val merged = Merge.mergeAggregates(nullA, nullB, Seq("k"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(merged == Map(1L -> None, 2L -> Some(5L)))
   }
 
   test("pageRank matches the hand-computed integer recurrence") {
