@@ -28,18 +28,6 @@ object Vectors {
         expr(s"transform(sums, s -> CAST(s AS DOUBLE) / $scale / n_vecs)"))
       .drop("sums")
 
-  /** Symmetric per-vector int8 quantization: `q[i] = round(v[i] * 127 /
-    * max|v|)`, carried with the per-vector scale `q_scale = max|v|`.
-    * This is the standard 4× memory/IO lever for embedding columns at
-    * corpus scale — a 100 TB float32 embedding table becomes 25 TB, and
-    * ANN scoring on int8 dot products reconstructs approximate cosine
-    * via `dot(qa, qb) · (sa/127) · (sb/127)`. Rounding is the explicit
-    * `floor(x + 0.5)` form so any engine computing the same expression
-    * produces bit-identical codes (library `round` half-even vs
-    * half-away choices would diverge). Dequantization error per element
-    * is ≤ q_scale/254 + float eps. Adds `q_scale` (DOUBLE) and `q8`
-    * (ARRAY<INT> in [-127, 127]). Narrow, codegen'd, no shuffle.
-    */
   /** SemDeDup-style semantic deduplication: within each cluster, a
     * vector is dropped iff a SMALLER-id cluster-mate sits at cosine ≥
     * `tau` — the same greedy keep-first policy as
@@ -70,6 +58,18 @@ object Vectors {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Symmetric per-vector int8 quantization: `q[i] = round(v[i] * 127 /
+    * max|v|)`, carried with the per-vector scale `q_scale = max|v|`.
+    * This is the standard 4× memory/IO lever for embedding columns at
+    * corpus scale — a 100 TB float32 embedding table becomes 25 TB, and
+    * ANN scoring on int8 dot products reconstructs approximate cosine
+    * via `dot(qa, qb) · (sa/127) · (sb/127)`. Rounding is the explicit
+    * `floor(x + 0.5)` form so any engine computing the same expression
+    * produces bit-identical codes (library `round` half-even vs
+    * half-away choices would diverge). Dequantization error per element
+    * is ≤ q_scale/254 + float eps. Adds `q_scale` (DOUBLE) and `q8`
+    * (ARRAY<INT> in [-127, 127]). Narrow, codegen'd, no shuffle.
+    */
   def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
     df.withColumn("q_scale",
         expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
