@@ -83,6 +83,72 @@ object Vectors {
     df.withColumn(out,
       expr(s"transform($q8Col, q -> CAST(q AS DOUBLE) * $scaleCol / CAST(127 AS DOUBLE))"))
 
+  /** Assignments + centroids from [[Vectors.kmeans]]. Both frames are
+    * lazy plans; `centroids` is always ≤ k rows.
+    */
+  final case class KMeans(assignments: DataFrame, centroids: DataFrame)
+
+  /** Lloyd's k-means over an embedding column with EXACT integer
+    * arithmetic — the clustering primitive between [[centroids]] (means
+    * of GIVEN labels) and [[semanticDedup]] (dedup within GIVEN
+    * clusters): here the labels themselves are learned. This is the
+    * coarse-quantizer trainer for IVF ANN and the partitioner SemDeDup
+    * assumes exists.
+    *
+    * Determinism contract (the pagerank trick applied to clustering —
+    * see [[Graph.pageRank]]): embeddings are quantized to micro-units
+    * (`round(v·scale) + offset`, `offset` chosen so every coordinate is
+    * non-negative and BIGINT division below truncates identically on
+    * any engine), distances are BIGINT sums of squared diffs, centroid
+    * updates are BIGINT floor-means (`sum div n`), and assignment
+    * tie-breaks on (distance, cid). Every intermediate is an integer,
+    * so the clustering is bit-identical under ANY partitioning,
+    * partial-agg order, or engine. Seeds are the `k` lowest-id vectors;
+    * cluster ids are the seed ids (arbitrary stable labels, no
+    * rank-relabeling pass). Clusters that lose all members disappear —
+    * standard Lloyd, documented rather than patched.
+    *
+    * Scale shape, per iteration: assignment is corpus × BROADCAST
+    * centroid set (≤ k rows — the corpus never shuffles for it), update
+    * is the [[centroidSums]] shape (posexplode → partial-combining agg
+    * on (cid, pos): the shuffle carries one row per (cid, pos) per map
+    * partition, never the vectors). `iters` is fixed and small; lineage
+    * stays linear, no checkpoint needed at these depths.
+    */
+  def kmeans(df: DataFrame, idCol: String, embCol: String,
+             k: Int = 4, iters: Int = 2,
+             scale: Long = 1000000L, offset: Long = 1000000L): KMeans = {
+    require(k >= 1 && iters >= 1 && iters <= 10, "need k >= 1, iters in [1,10]")
+    val q = df.select(col(idCol).as("vid"),
+      expr(s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) + $offset)")
+        .as("qe"))
+    var cents = q.orderBy("vid").limit(k)
+      .select(col("vid").as("cid"), col("qe").as("ce"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      // min(struct) carries the vector through the argmin so no second
+      // join back onto the corpus is needed; (d, cid) is unique per vid
+      // so qe is never reached by the lexicographic compare
+      assigned = q.crossJoin(broadcast(cents))
+        .withColumn("d", expr(
+          "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .groupBy("vid")
+        .agg(min(struct(col("d"), col("cid"), col("qe"))).as("m"))
+        .select(col("vid"), col("m.cid").as("cid"), col("m.qe").as("qe"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .groupBy("cid")
+        .agg(max("n").as("n"),
+          collect_list(struct(col("pos"), col("sv"))).as("ps"))
+        .select(col("cid"),
+          expr("transform(array_sort(ps), x -> x.sv div n)").as("ce"))
+    }
+    KMeans(assigned.select("vid", "cid"), cents)
+  }
+
   /** The exact-arithmetic core of [[centroids]]: per-(label, position)
     * scaled-int64 sums, reassembled into one `sums` array per label
     * (plus `n_vecs`). Exposed separately because the integer sums are

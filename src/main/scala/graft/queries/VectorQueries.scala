@@ -331,6 +331,59 @@ object VectorQueries {
             vecCol = "e", tau = 0.85)
           .select("vec_id", "label")
           .orderBy("vec_id")
+    },
+
+    // ---- k-means (operator Vectors.kmeans): integer-exact Lloyd ---------
+    // the learned-label clustering primitive (IVF coarse-quantizer
+    // training). Same determinism scheme as q_pagerank: micro-unit
+    // BIGINT coordinates (offset keeps them non-negative so integer
+    // division truncates identically on both engines), BIGINT squared
+    // distances, floor-mean centroid updates, (distance, cid)
+    // tie-breaks. The oracle unrolls the two Lloyd rounds as CTEs and
+    // must agree on every assignment to reproduce the per-cluster
+    // member counts, id sums, and centroid-coordinate sums.
+    QueryDef("q_kmeans", {
+      def distD(v: String, c: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), " +
+          s"i -> ($v.qe[CAST(i AS INT)] - $c.ce[CAST(i AS INT)]) * " +
+          s"($v.qe[CAST(i AS INT)] - $c.ce[CAST(i AS INT)]))), (x, y) -> x + y)"
+      def assignD(vecs: String, cents: String) =
+        s"""SELECT vid, qe, min([d, cid])[2] AS cid FROM (
+           |    SELECT v.vid, v.qe, c.cid, ${distD("v", "c")} AS d
+           |    FROM $vecs v CROSS JOIN $cents c)
+           |  GROUP BY vid, qe""".stripMargin
+      def updateD(assigned: String) =
+        s"""SELECT cid, list(CAST(sv // n AS BIGINT) ORDER BY i) AS ce FROM (
+           |    SELECT a.cid, i, count(*) AS n, sum(a.qe[CAST(i AS INT)]) AS sv
+           |    FROM $assigned a, unnest(range(1, 65)) AS u(i)
+           |    GROUP BY 1, 2)
+           |  GROUP BY cid""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS vid,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT) + 1000000) AS qe
+         |  FROM embeddings),
+         |c0 AS (SELECT vid AS cid, qe AS ce FROM q ORDER BY vid LIMIT 4),
+         |a1 AS (${assignD("q", "c0")}),
+         |c1 AS (${updateD("a1")}),
+         |a2 AS (${assignD("q", "c1")}),
+         |c2 AS (${updateD("a2")})
+         |SELECT s.cid, s.n_members, s.id_sum, c.csum
+         |FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |        CAST(sum(vid) AS BIGINT) AS id_sum FROM a2 GROUP BY cid) s
+         |JOIN (SELECT cid, CAST(list_reduce(ce, (x, y) -> x + y) AS BIGINT) AS csum
+         |      FROM c2) c USING (cid)
+         |ORDER BY cid""".stripMargin
+    }) {
+      (s, dir) =>
+        val r = graft.operators.Vectors.kmeans(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)
+        val stats = r.assignments.groupBy("cid")
+          .agg(expr("CAST(count(*) AS BIGINT)").as("n_members"),
+            expr("CAST(sum(vid) AS BIGINT)").as("id_sum"))
+        val cs = r.centroids.selectExpr("cid",
+          "aggregate(ce, CAST(0 AS BIGINT), (x, y) -> x + y) AS csum")
+        stats.join(cs, "cid").orderBy("cid")
     }
   )
 }

@@ -305,6 +305,25 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("kmeans separates two blobs in two Lloyd rounds and ignores partitioning") {
+    import graft.operators.Vectors
+    // both seeds (the two lowest ids) sit inside blob A — round 1 must
+    // split the corpus along the seeds, round 2 must converge on the blobs
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(0.9f, 1.0f)), (5L, Array(1.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val r = Vectors.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val got = r.assignments.as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+      s"got $got")
+    assert(r.centroids.count() == 2)
+    // integer arithmetic ⇒ identical clustering under any partitioning
+    val re = Vectors.kmeans(vecs.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 2).assignments.as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
   test("packBins walks docs in order and opens a bin when the budget would pass") {
     import graft.operators.TextOps
     val docs = Seq(

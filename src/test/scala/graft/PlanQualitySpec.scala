@@ -188,11 +188,15 @@ class PlanQualitySpec extends SparkSpec {
     //                         1-row stats row
     //   q_skew_profile       — 1-row broadcast stats row onto the
     //                         persisted per-key counts
+    //   q_kmeans             — corpus × BROADCAST centroid set (≤ k rows,
+    //                         same shape as q_ann_ivf); the corpus side
+    //                         never shuffles for assignment
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
-      "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced")
+      "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced",
+      "q_kmeans")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
