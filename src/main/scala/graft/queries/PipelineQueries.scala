@@ -1045,6 +1045,72 @@ object PipelineQueries {
           .select("doc_id", "n_tok", "n_oov", "oov_rate")
           .orderBy("doc_id")
       }
+    },
+
+    // ---- KMV sketch corpus overlap (operator Sketches.kmv) --------------
+    // bottom-256 distinct-hash sketches of the two corpus halves'
+    // 3-shingle sets, merged into union + intersection ESTIMATES. The
+    // sketch is a pure function of the input set (k smallest distinct
+    // hashes — no RNG), so both engines build identical sketches and
+    // identical estimates; the _ok booleans additionally assert the
+    // estimates land within ±20% of the exact overlap both engines
+    // compute on the side (1/√256 ≈ 6% expected error).
+    QueryDef("q_sketch_overlap",
+      s"""WITH d AS (SELECT doc_id, $toksD AS tk FROM documents),
+         |items AS (
+         |  SELECT DISTINCT doc_id % 2 AS side, ${h60d("g")} AS h
+         |  FROM (SELECT doc_id, unnest($shD) AS g FROM d WHERE len(tk) >= 3)),
+         |ska AS (SELECT list(h ORDER BY h) AS a
+         |  FROM (SELECT h FROM items WHERE side = 0 ORDER BY h LIMIT 256)),
+         |skb AS (SELECT list(h ORDER BY h) AS b
+         |  FROM (SELECT h FROM items WHERE side = 1 ORDER BY h LIMIT 256)),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_union,
+         |    CAST(count(*) FILTER (WHERE mn = 0 AND mx = 1) AS BIGINT) AS n_inter
+         |  FROM (SELECT h, min(side) AS mn, max(side) AS mx FROM items GROUP BY h)),
+         |m1 AS (SELECT a, b, n_union, n_inter,
+         |    list_sort(list_distinct(list_concat(a, b)))[1:256] AS m
+         |  FROM ska, skb, ex),
+         |m2 AS (SELECT n_union, n_inter, m,
+         |    CASE WHEN len(m) < 256 THEN CAST(len(m) AS BIGINT)
+         |         ELSE CAST(floor(CAST(255 AS DOUBLE) * 1152921504606846976
+         |                         / CAST(m[256] AS DOUBLE)) AS BIGINT) END AS est_union,
+         |    CAST(len(list_filter(m, v -> list_contains(a, v) AND list_contains(b, v)))
+         |      AS BIGINT) AS kmv_common
+         |  FROM m1)
+         |SELECT est_union, n_union,
+         |  5 * abs(est_union - n_union) <= n_union AS union_ok,
+         |  kmv_common,
+         |  CAST(floor(CAST(kmv_common AS DOUBLE) * est_union / len(m)) AS BIGINT) AS est_inter,
+         |  n_inter,
+         |  5 * abs(CAST(floor(CAST(kmv_common AS DOUBLE) * est_union / len(m)) AS BIGINT)
+         |          - n_inter) <= n_inter AS inter_ok
+         |FROM m2""".stripMargin) {
+      (s, dir) => {
+        import graft.operators.Sketches
+        val items = graft.operators.TextOps
+          .ngramHashes(docs(s, dir), "doc_id", "text", 3)
+          .select(expr("doc_id % 2").as("side"), col("gram_hash").as("h"))
+        val ska = Sketches.kmv(items.filter(col("side") === 0), "h", 256)
+          .withColumnRenamed("kmv", "a")
+        val skb = Sketches.kmv(items.filter(col("side") === 1), "h", 256)
+          .withColumnRenamed("kmv", "b")
+        val exact = items.distinct()
+          .groupBy("h").agg(min("side").as("mn"), max("side").as("mx"))
+          .agg(expr("CAST(count(*) AS BIGINT)").as("n_union"),
+            expr("CAST(count_if(mn = 0 AND mx = 1) AS BIGINT)").as("n_inter"))
+        ska.crossJoin(skb).crossJoin(exact)
+          .selectExpr("a", "b", "n_union", "n_inter",
+            s"${Sketches.mergeExpr("a", "b", 256)} AS m")
+          .selectExpr("n_union", "n_inter", "m",
+            s"${Sketches.estimateExpr("m", 256)} AS est_union",
+            "CAST(size(filter(m, v -> array_contains(a, v) AND array_contains(b, v))) AS BIGINT) AS kmv_common")
+          .selectExpr("est_union", "n_union",
+            "5 * abs(est_union - n_union) <= n_union AS union_ok",
+            "kmv_common",
+            "CAST(floor(CAST(kmv_common AS DOUBLE) * est_union / size(m)) AS BIGINT) AS est_inter",
+            "n_inter",
+            "5 * abs(CAST(floor(CAST(kmv_common AS DOUBLE) * est_union / size(m)) AS BIGINT) - n_inter) <= n_inter AS inter_ok")
+      }
     }
   )
 }

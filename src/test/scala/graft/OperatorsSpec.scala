@@ -305,6 +305,29 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("kmv sketches merge exactly and estimate within the 1/sqrt(k) envelope") {
+    import graft.operators.Sketches
+    val a = (1L to 3000L).map(i => Tuple1(s"a$i")).toDF("x")
+      .selectExpr("graft_hash60(x) AS h")
+    val b = (2000L to 6000L).map(i => Tuple1(s"a$i")).toDF("x")
+      .selectExpr("graft_hash60(x) AS h")
+    val k = 256
+    def arr(df: org.apache.spark.sql.DataFrame) =
+      df.as[Seq[Long]].head
+    val ska = arr(Sketches.kmv(a, "h", k).select("kmv"))
+    val skb = arr(Sketches.kmv(b, "h", k).select("kmv"))
+    // merge law: merging two shard sketches IS the union's sketch
+    val skU = arr(Sketches.kmv(a.union(b), "h", k).select("kmv"))
+    val merged = (ska ++ skb).distinct.sorted.take(k)
+    assert(merged == skU)
+    // pure function of the SET: partitioning cannot change it
+    assert(arr(Sketches.kmv(a.repartition(13), "h", k).select("kmv")) == ska)
+    // estimator inside a generous 4/sqrt(k) = 25% envelope (|union| = 6000)
+    val est = Sketches.kmv(a.union(b), "h", k)
+      .selectExpr(Sketches.estimateExpr("kmv", k) + " AS e").as[Long].head
+    assert(math.abs(est - 6000L) <= 1500, s"est $est")
+  }
+
   test("kmeans separates two blobs in two Lloyd rounds and ignores partitioning") {
     import graft.operators.Vectors
     // both seeds (the two lowest ids) sit inside blob A — round 1 must
