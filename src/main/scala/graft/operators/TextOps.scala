@@ -177,6 +177,41 @@ object TextOps {
       .withColumn("p", col("c12").cast("double") / col("c1").cast("double"))
   }
 
+  /** Per-document surprisal against a [[bigramModel]] — the LM-based
+    * quality/novelty signal (KenLM-style perplexity filters) in EXACT
+    * integer form. Each bigram occurrence scores
+    * `floor(log2(c1 / c12))` "surprisal bits", computed WITHOUT libm as
+    * `length(bin(c1 div c12)) - 1` (for integers `2^k ≤ a/b < 2^(k+1)`
+    * implies `2^k ≤ a div b < 2^(k+1)`, so the binary length of the
+    * integer quotient IS the floor-log — a log2() call could disagree
+    * in the last ulp across engines). A perfectly-predicted bigram
+    * (c12 = c1) scores 0 bits; a one-off in a rich context scores
+    * log2(c1) bits. Returns per doc: `n_bg` (bigram occurrences),
+    * `bits_sum`, `novel_n` (occurrences of corpus-unique bigrams), and
+    * `avg_bits` = bits_sum / n_bg (one IEEE division of two exact
+    * integers — no rounding). Documents under two tokens are absent.
+    *
+    * Scale shape: one narrow bigram explode over the scored docs, one
+    * equi-join onto the model keyed (w1, w2), one partial+final
+    * per-doc aggregate. Nothing quadratic, no window.
+    */
+  def surprisal(df: DataFrame, idCol: String, textCol: String,
+                model: DataFrame): DataFrame = {
+    val occ = df
+      .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+      .select(col(idCol), explode(expr(
+        "filter(transform(_tk, (x, i) -> named_struct('w1', x, 'w2', try_element_at(_tk, i + 2))), s -> s.w2 IS NOT NULL)"))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    occ.join(model.select("w1", "w2", "c12", "c1"), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_bg"),
+        expr("CAST(sum(length(bin(c1 div c12)) - 1) AS BIGINT)").as("bits_sum"),
+        expr("CAST(count_if(c12 = 1) AS BIGINT)").as("novel_n"))
+      .withColumn("avg_bits",
+        col("bits_sum").cast("double") / col("n_bg").cast("double"))
+  }
+
   /** BM25 relevance of each document for a bag of query `terms` — the
     * ranked-retrieval upgrade of [[tfidf]] (tf saturation via k1, length
     * normalization via b). Returns (idCol, bm25) for documents matching

@@ -339,6 +339,39 @@ object RankQueries {
           to_json(slice(sort_array(collect_list(col("doc_id"))), 1, 50)).as("postings_head"))
         .orderBy(col("n_docs").desc, col("token"))
         .limit(40)
+    },
+
+    // ---- Bigram-LM surprisal scoring (TextOps.surprisal) ----------------
+    // the perplexity-proxy quality/novelty filter: each bigram occurrence
+    // scores floor(log2(c1/c12)) bits, computed as length(bin(c1 div
+    // c12)) - 1 — pure INTEGER arithmetic (a libm log2 could differ in
+    // the last ulp across engines); avg_bits is one IEEE division of two
+    // exact integers. Model from the FULL corpus, scores for a doc
+    // window.
+    QueryDef("q_lm_surprisal",
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tk)),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM occ GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |j AS (
+        |  SELECT o.doc_id, b.c12, u.c1
+        |  FROM occ o JOIN big b USING (w1, w2) JOIN uni u USING (w1)
+        |  WHERE o.doc_id < 300)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bg,
+        |  CAST(sum(length(bin(c1 // c12)) - 1) AS BIGINT) AS bits_sum,
+        |  CAST(count(*) FILTER (WHERE c12 = 1) AS BIGINT) AS novel_n,
+        |  CAST(sum(length(bin(c1 // c12)) - 1) AS DOUBLE) / count(*) AS avg_bits
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val corpus = Tables(s, dir, "documents")
+      TextOps.surprisal(corpus.filter(col("doc_id") < 300), "doc_id", "text",
+          TextOps.bigramModel(corpus, "text"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -305,6 +305,19 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("surprisal counts integer bits, flags corpus-unique bigrams, skips short docs") {
+    import graft.operators.TextOps
+    val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    // model: c(a,b)=2 c(b,a)=1 c(a,c)=1; c1(a)=3 c1(b)=1
+    val out = TextOps.surprisal(corpus, "doc_id", "text",
+        TextOps.bigramModel(corpus, "text"))
+      .select("doc_id", "n_bg", "bits_sum", "novel_n", "avg_bits")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // d1: (a,b)x2 at 3 div 2 = 1 -> 0 bits; (b,a) at 1 div 1 -> 0 bits, unique
+    // d2: (a,c) at 3 div 1 = 3 -> 1 bit, unique; d3: no bigrams -> absent
+    assert(out == Set((1L, 3L, 0L, 1L, 0.0), (2L, 1L, 1L, 1L, 1.0)), s"got $out")
+  }
+
   test("kmv sketches merge exactly and estimate within the 1/sqrt(k) envelope") {
     import graft.operators.Sketches
     val a = (1L to 3000L).map(i => Tuple1(s"a$i")).toDF("x")
