@@ -50,6 +50,63 @@ object TimeSeries {
     AsOfJoin.asof(grid, df, keys, tsCol, tsCol, valueCols)
   }
 
+  /** [[resample]]'s linear twin: resample onto the `step` grid per key,
+    * interpolating each grid instant between its neighboring
+    * observations instead of carrying the last one forward. `valueCol`
+    * must be an exact INTEGER column (caller scales money to cents) so
+    * both interpolation endpoints are engine-exact; the interpolated
+    * value `v0 + (v1-v0)·(t-t0)/(t1-t0)` is then ONE fixed-shape IEEE
+    * expression over exact integers — bit-identical on any engine, no
+    * rounding step. A grid instant sitting exactly on an observation
+    * returns that observation; the instant at the key's last
+    * observation (where no strictly-later neighbor exists) likewise.
+    * Grid bounds and alignment are [[resample]]'s integer-ceiling
+    * arithmetic; the same duplicate-(key, ts) precondition applies.
+    *
+    * Physically ONE pass: grid and observation rows union-merge through
+    * a single key-partitioned sort, where a PRECEDING-frame `last`
+    * finds (t0, v0) and a strictly-FOLLOWING-frame `first` finds
+    * (t1, v1) — two frames over one Exchange+Sort, never a per-instant
+    * range probe and never a second shuffle.
+    */
+  def interpolate(df: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String, step: Long,
+                  out: String = "v_lin"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(step > 0, "step must be positive")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
+    val grid = bounds
+      .withColumn("_start", expr(
+        s"((_lo div $step) + IF(_lo % $step != 0 AND _lo > 0, 1, 0)) * $step"))
+      .withColumn(tsCol, explode(expr(
+        s"IF(_start > _hi, array(), sequence(_start, _hi, $step))")))
+      .drop("_lo", "_hi", "_start")
+      .withColumn("_side", lit(1))
+    // observations sort BEFORE grid instants at equal ts (side 0 < 1):
+    // the preceding frame then sees an exact-ts observation (inclusive
+    // t0) while the following frame does not (strictly-later t1)
+    val obs = df
+      .select(keys.map(col) :+ col(tsCol) :+ col(valueCol).as("_v"): _*)
+      .withColumn("_side", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+    grid.unionByName(obs, allowMissingColumns = true)
+      .withColumn("_pay", when(col("_side") === 0,
+        struct(col(tsCol).as("_t"), col("_v").as("_vv"))))
+      .withColumn("_p", last(col("_pay"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", first(col("_pay"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("_side") === 1)
+      .withColumn(out, expr(
+        s"CASE WHEN _n IS NULL OR _p._t = $tsCol THEN CAST(_p._vv AS DOUBLE) " +
+          "ELSE CAST(_p._vv AS DOUBLE) + " +
+          "(CAST(_n._vv AS DOUBLE) - CAST(_p._vv AS DOUBLE)) * " +
+          s"(CAST($tsCol - _p._t AS DOUBLE) / CAST(_n._t - _p._t AS DOUBLE)) END"))
+      .select(keys.map(col) :+ col(tsCol) :+ col(out): _*)
+  }
+
   /** Trailing time-window aggregates per key: for every row, the sum and
     * count of `valueCol` over [t - back, t] of the SAME key — the
     * rate/rolling-metric primitive (trailing 10-minute spend, events per

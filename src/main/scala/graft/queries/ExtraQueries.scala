@@ -359,6 +359,50 @@ object ExtraQueries {
       }
     },
 
+    // ---- Time-series linear interpolation (TimeSeries.interpolate) ------
+    // the resample grid with straight-line values between neighboring
+    // observations: endpoints are exact integer cents, the interpolation
+    // is ONE fixed-shape IEEE expression over them (no rounding), so any
+    // engine evaluating the same tree produces identical doubles.
+    // Oracle: two native ASOF joins (backward-inclusive for t0,
+    // strictly-forward for t1) against the generate_series grid.
+    QueryDef("q_ts_interpolate",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        |    CAST(round(max(value) * 100) AS BIGINT) AS vc
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id, min(tu) AS lo, max(tu) AS hi FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(((lo + 3599999999) // 3600000000) * 3600000000,
+        |                           hi, 3600000000)) AS tu
+        |  FROM b
+        |), p AS (
+        |  SELECT g.user_id, g.tu, e.tu AS pt, e.vc AS pv
+        |  FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.tu >= e.tu
+        |), n AS (
+        |  SELECT g.user_id, g.tu, e.tu AS nt, e.vc AS nv
+        |  FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.tu < e.tu
+        |)
+        |SELECT p.user_id AS user_id, p.tu AS tu,
+        |  CASE WHEN nt IS NULL OR pt = p.tu THEN CAST(pv AS DOUBLE)
+        |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+        |      (CAST(p.tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS v_lin
+        |FROM p JOIN n ON p.user_id = n.user_id AND p.tu = n.tu
+        |ORDER BY user_id, tu""".stripMargin) {
+      (s, dir) => {
+        val e = Tables.events(s, dir).filter(col("user_id") < 20)
+          .withColumn("tu", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .groupBy("user_id", "tu")
+          .agg(expr("CAST(round(max(value) * 100) AS BIGINT)").as("vc"))
+        graft.operators.TimeSeries.interpolate(e, Seq("user_id"), "tu",
+            "vc", step = 3600000000L)
+          .select("user_id", "tu", "v_lin")
+          .orderBy("user_id", "tu")
+      }
+    },
+
     // ---- Per-group feature scaling (operator Features.standardize) ------
     // z-score + min-max per group via one partial agg broadcast back —
     // never an avg(...) OVER (PARTITION BY g) window that would buffer

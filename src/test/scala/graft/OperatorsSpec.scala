@@ -305,6 +305,21 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("interpolate draws the line between neighbors, honors exact hits and negative grids") {
+    import graft.operators.TimeSeries
+    val obs = Seq(
+      ("u1", 5L, 10L), ("u1", 25L, 40L),   // midpoints on the 10-grid
+      ("u2", 10L, 7L), ("u2", 20L, 9L),    // observations exactly on-grid
+      ("u3", -15L, 2L), ("u3", -5L, 4L)    // pre-epoch: grid must start at -10
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.interpolate(obs, Seq("k"), "t", "v", step = 10L)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("u1", 10L, 17.5), ("u1", 20L, 32.5),
+      ("u2", 10L, 7.0), ("u2", 20L, 9.0),
+      ("u3", -10L, 3.0)), s"got $out")
+  }
+
   test("surprisal counts integer bits, flags corpus-unique bigrams, skips short docs") {
     import graft.operators.TextOps
     val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
