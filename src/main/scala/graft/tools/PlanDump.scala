@@ -39,7 +39,11 @@ object PlanDump {
     "q_pagerank" -> "integer PageRank round: ranks equi-join onto edges + partial+final sum by dst — the Pregel message shape, BIGINT-exact",
     "q_ts_rolling" -> "trailing window metrics: key-partitioned RANGE frame over numeric epochs — per-key streaming pass, no self-join range probe",
     "q_scd2" -> "SCD2 history: key-partitioned windows (lag collapse + lead close) — dimension history streams per key",
-    "q_hybrid_search" -> "hybrid RRF: two top-20 TakeOrdered heads (lexical + vector), tiny broadcast rank self-joins, full-outer fuse")
+    "q_hybrid_search" -> "hybrid RRF: two top-20 TakeOrdered heads (lexical + vector), tiny broadcast rank self-joins, full-outer fuse",
+    "q_kmeans" -> "integer k-means round: corpus × BROADCAST ≤k centroids for assignment, centroidSums partial-agg shape for the update — corpus never shuffles",
+    "q_sketch_overlap" -> "KMV sketches: distinct-hash shuffle then TakeOrderedAndProject bottom-k per side (the per-partition-then-merge IS the sketch merge); estimates on one-row arrays",
+    "q_lm_surprisal" -> "LM surprisal: narrow bigram explode, equi-join onto the model keyed (w1,w2), partial+final per-doc agg — integer bin() bits, no window",
+    "q_ts_interpolate" -> "linear interpolation: grid + observations union-merge through ONE key-partitioned sort; preceding last() finds t0, strictly-following first() finds t1 — two frames, one Exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)
