@@ -98,6 +98,37 @@ object Sampling {
     if (keepKeyAs.isEmpty) sorted.drop(k) else sorted
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * every row draws `k` pseudo-random partner ids from the corpus id
+    * domain via the shared hash — `neg = hash60(seed:id:j) mod n`, with
+    * a self-draw shifted to the next id — so the pairing is
+    * reproducible across runs/engines/partitionings, and different
+    * seeds give independent negative sets (fresh negatives per epoch).
+    * Adds `j` (0-based draw index) and `neg_id`.
+    *
+    * PRECONDITION: `idCol` is dense on [0, n) (the post-split/packing
+    * corpus shape; densify with [[graft.operators.PositionalJoin]]'s
+    * zipWithIndex pass otherwise) — a sparse domain would silently bias
+    * draws toward gaps' neighbors. `n` comes from a ONE-ROW broadcast
+    * count, so the draw itself is a narrow codegen'd explode: no
+    * shuffle until the caller joins payloads onto `neg_id` (one
+    * equi-join, the shape every contrastive-batch builder needs
+    * anyway).
+    */
+  def negatives(df: DataFrame, idCol: String, k: Int,
+                seed: String): DataFrame = {
+    require(k >= 1 && k <= 1000, "need k in [1,1000]")
+    val n1 = df.agg(count(lit(1)).cast("bigint").as("_n"))
+    val h = s"graft_hash60(concat(${sqlLit(seed + ":")}, " +
+      s"CAST($idCol AS STRING), ':', CAST(j AS STRING)))"
+    df.crossJoin(broadcast(n1))
+      .select(col("*"), explode(expr(
+        s"transform(transform(sequence(0, ${k - 1}), j -> named_struct('j', CAST(j AS BIGINT), 'c', $h % _n)), " +
+          s"s -> named_struct('j', s.j, 'neg_id', IF(s.c = $idCol, (s.c + 1) % _n, s.c)))")).as("_neg"))
+      .select(col("*"), col("_neg.j").as("j"), col("_neg.neg_id").as("neg_id"))
+      .drop("_neg", "_n")
+  }
+
   /** Dataset-mixture sampling WITH oversampling: per-stratum rates may
     * exceed 1 (epoch-style up-weighting of scarce domains — rate 2.3
     * replicates every row twice and a deterministic 30% of rows a third

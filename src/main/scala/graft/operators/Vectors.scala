@@ -83,6 +83,48 @@ object Vectors {
     df.withColumn(out,
       expr(s"transform($q8Col, q -> CAST(q AS DOUBLE) * $scaleCol / CAST(127 AS DOUBLE))"))
 
+  /** Deterministic ±1 signs for random-projection row `j` over `dims`
+    * input dimensions: bit 0 of the md5 of `"rp:<j>:<d>"` — the same
+    * shared-md5 derivation as the ANN hyperplanes (VectorQueries
+    * .planeSigns), under a distinct seed namespace so projection rows
+    * never alias LSH planes. Computed once per PLAN and inlined as an
+    * array literal, never per row.
+    */
+  def projectSigns(j: Int, dims: Int = 64): Seq[Long] =
+    (1 to dims).map { d =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$d".getBytes("UTF-8"))
+      if ((digest(0) & 1) == 1) 1L else -1L
+    }
+
+  /** Random ±1 (Achlioptas/JL-style) projection of an embedding column
+    * to `outDims` dimensions, in EXACT integer arithmetic: coordinates
+    * quantize to micro-unit BIGINTs (the [[kmeans]] scheme, sans
+    * offset — signs make negatives unavoidable and no division ever
+    * happens), each output dimension is a BIGINT sum of signed
+    * micro-coordinates, so the projection is bit-identical on any
+    * engine/partitioning — no float fold-order question at all. Output
+    * column `proj` is ARRAY<BIGINT> in micro-units (divide by `scale`
+    * for the real-valued projection; E‖proj‖² = outDims·‖v‖²·scale²).
+    *
+    * This is the 4-8× dimensionality lever in front of ANN / clustering
+    * at corpus scale: project once (narrow, codegen'd, zero shuffle),
+    * then every downstream distance costs outDims multiplies instead
+    * of dims.
+    */
+  def randomProject(df: DataFrame, embCol: String, outDims: Int = 8,
+                    dims: Int = 64, scale: Long = 1000000L): DataFrame = {
+    require(outDims >= 1 && outDims <= dims, "need 1 <= outDims <= dims")
+    val rows = (0 until outDims).map { j =>
+      val arr = projectSigns(j, dims).mkString("array(", "L, ", "L)")
+      s"aggregate(zip_with(_rpq, $arr, (x, s) -> x * s), CAST(0 AS BIGINT), (a, v) -> a + v)"
+    }
+    df.withColumn("_rpq",
+        expr(s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"))
+      .withColumn("proj", expr(rows.mkString("array(", ", ", ")")))
+      .drop("_rpq")
+  }
+
   /** Assignments + centroids from [[Vectors.kmeans]]. Both frames are
     * lazy plans; `centroids` is always ≤ k rows.
     */

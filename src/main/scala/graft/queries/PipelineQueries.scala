@@ -1047,6 +1047,38 @@ object PipelineQueries {
       }
     },
 
+    // ---- Negative sampling (operator Sampling.negatives) ----------------
+    // k deterministic contrastive partners per document: neg =
+    // hash60(seed:id:j) mod n, self-draws shifted to the next id. The
+    // corpus size n is a ONE-ROW broadcast; the draw is a narrow
+    // explode; the payload attach is one equi-join on neg_id (verified
+    // here by carrying the partner's md5).
+    QueryDef("q_sample_negatives",
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cand AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS j, n,
+         |    ${h60d("'ep1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} % n AS c
+         |  FROM documents, nn, unnest(range(0, 4)) AS u(j)
+         |  WHERE doc_id < 300),
+         |neg AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN c = doc_id THEN (c + 1) % n ELSE c END AS neg_id
+         |  FROM cand)
+         |SELECT g.doc_id AS doc_id, g.j AS j, g.neg_id AS neg_id,
+         |  md5(t.text) AS neg_md5
+         |FROM neg g JOIN documents t ON t.doc_id = g.neg_id
+         |ORDER BY doc_id, j""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.Sampling
+          .negatives(d.select("doc_id"), "doc_id", k = 4, seed = "ep1")
+          .filter(col("doc_id") < 300)
+          .join(d.selectExpr("doc_id AS neg_id", "md5(text) AS neg_md5"), "neg_id")
+          .select("doc_id", "j", "neg_id", "neg_md5")
+          .orderBy("doc_id", "j")
+      }
+    },
+
     // ---- KMV sketch corpus overlap (operator Sketches.kmv) --------------
     // bottom-256 distinct-hash sketches of the two corpus halves'
     // 3-shingle sets, merged into union + intersection ESTIMATES. The

@@ -333,6 +333,36 @@ object VectorQueries {
           .orderBy("vec_id")
     },
 
+    // ---- Random ±1 projection (Vectors.randomProject) -------------------
+    // JL-style dimensionality reduction 64 → 8 in EXACT integer
+    // arithmetic: micro-unit BIGINT coordinates, each output dim a
+    // BIGINT sum of signed coordinates — no float fold order anywhere.
+    // Signs come from the shared md5 derivation ("rp:<j>:<d>", bit 0 of
+    // the first digest byte), inlined as literals on BOTH engines.
+    QueryDef("q_embed_project", {
+      val dims = (0 until 8).map { j =>
+        val arr = graft.operators.Vectors.projectSigns(j)
+          .mkString("[", ", ", "]")
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, 65), i -> qe[i] * ($arr)[i])), (a, v) -> a + v)"
+      }.mkString(",\n         |    ")
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings WHERE vec_id < 200)
+         |SELECT vec_id, to_json([
+         |    $dims
+         |  ])::VARCHAR AS proj_json
+         |FROM q ORDER BY vec_id""".stripMargin
+    }) {
+      (s, dir) =>
+        graft.operators.Vectors.randomProject(
+            Tables(s, dir, "embeddings").filter(col("vec_id") < 200),
+            "embedding", outDims = 8)
+          .selectExpr("vec_id", "to_json(proj) AS proj_json")
+          .orderBy("vec_id")
+    },
+
     // ---- k-means (operator Vectors.kmeans): integer-exact Lloyd ---------
     // the learned-label clustering primitive (IVF coarse-quantizer
     // training). Same determinism scheme as q_pagerank: micro-unit

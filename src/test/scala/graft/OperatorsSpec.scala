@@ -305,6 +305,39 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("randomProject sums signed micro-coordinates exactly") {
+    import graft.operators.Vectors
+    val df = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Vectors.randomProject(df, "embedding", outDims = 2, dims = 2)
+      .selectExpr("vec_id", "proj[0]", "proj[1]")
+      .as[(Long, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    def exp(v: Seq[Long], j: Int) =
+      Vectors.projectSigns(j, 2).zip(v).map { case (s, x) => s * x }.sum
+    assert(out(1L) == (exp(Seq(500000L, -250000L), 0), exp(Seq(500000L, -250000L), 1)))
+    assert(out(2L) == (exp(Seq(1000000L, 1000000L), 0), exp(Seq(1000000L, 1000000L), 1)))
+  }
+
+  test("negatives draws k in-domain non-self partners, reproducibly") {
+    import graft.operators.{Sampling}
+    import graft.functions.text.Hash60
+    val n = 10L
+    val df = (0L until n).map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.negatives(df, "doc_id", k = 2, seed = "t")
+      .select("doc_id", "j", "neg_id").as[(Long, Long, Long)].collect().toSet
+    assert(out.size == 20)
+    assert(out.forall { case (id, _, neg) => neg >= 0 && neg < n && neg != id })
+    // matches the published derivation hash60("t:<id>:<j>") mod n, self-shifted
+    val expected = (for (id <- 0L until n; j <- 0L until 2L) yield {
+      val c = Hash60.hash(s"t:$id:$j".getBytes("UTF-8")) % n
+      (id, j, if (c == id) (c + 1) % n else c)
+    }).toSet
+    assert(out == expected)
+    val re = Sampling.negatives(df.repartition(5), "doc_id", k = 2, seed = "t")
+      .select("doc_id", "j", "neg_id").as[(Long, Long, Long)].collect().toSet
+    assert(re == out)
+  }
+
   test("interpolate draws the line between neighbors, honors exact hits and negative grids") {
     import graft.operators.TimeSeries
     val obs = Seq(

@@ -195,12 +195,14 @@ class PlanQualitySpec extends SparkSpec {
     //                         arrays + the exact-count row) cross-joined;
     //                         the corpus reduces via distinct+TakeOrdered
     //                         before any of them
+    //   q_sample_negatives   — 1-row broadcast corpus-count row crossed
+    //                         onto the ids before the narrow draw explode
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
       "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced",
-      "q_kmeans", "q_sketch_overlap")
+      "q_kmeans", "q_sketch_overlap", "q_sample_negatives")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
