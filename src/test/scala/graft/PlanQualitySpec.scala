@@ -159,6 +159,21 @@ class PlanQualitySpec extends SparkSpec {
       s"unpartitioned Window (whole table through one task at scale) in: $offenders")
   }
 
+  test("tpch classics: pushed filters, broadcast dims, TakeOrdered heads") {
+    // Q3: the segment/date predicates reach the scans; the top-10 head is
+    // a distributed TakeOrderedAndProject, never a global sort
+    val q3 = formatted("q_tpch_q3")
+    assert(q3.contains("TakeOrderedAndProject"), q3.take(900))
+    assert(q3.contains("PushedFilters:") &&
+      q3.contains("EqualTo(c_mktsegment,BUILDING)"), q3.take(1500))
+    // Q5: the ≤25-row ASIA nation dim joins as a broadcast hash join
+    assert(planOf("q_tpch_q5").contains("BroadcastHashJoin"))
+    // Q10: top-20 head is TakeOrdered; the returnflag filter is pushed
+    val q10 = formatted("q_tpch_q10")
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(900))
+    assert(q10.contains("EqualTo(l_returnflag,R)"), q10.take(1500))
+  }
+
   test("no query plans a cartesian or nested-loop join except the declared ones") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // Whitelist, each after manual plan review — every entry nests a loop
