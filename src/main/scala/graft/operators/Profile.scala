@@ -31,4 +31,37 @@ object Profile {
         s"stack(${cols.length}, $stackArgs) AS (column, n_null, n_distinct, min_val, max_val)")
       .select("column", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
+
+  /** One declarative data-quality constraint: `pass` and `observed` are
+    * AGGREGATE SQL expressions over the checked frame's columns —
+    * `pass` must be boolean (the verdict), `observed` is the evidence
+    * value reported alongside it (any type; stringified).
+    */
+  final case class Check(name: String, pass: String, observed: String)
+
+  /** Deequ-style constraint validation in ONE pass: every rule's
+    * verdict AND evidence aggregate in a single `agg` over one scan of
+    * the data (rule-by-rule evaluation would re-scan the table per
+    * rule — at 100 TB the scan IS the cost), then the wide 1-row result
+    * stacks to one `(check_name, pass, observed)` row per rule — the
+    * gate-an-ingest / fail-a-pipeline-run primitive on top of
+    * [[summarize]]'s open-ended profiling.
+    *
+    * Completeness, uniqueness, ranges, domain membership, and row-count
+    * floors all express as plain aggregate pairs, e.g.
+    * `Check("unique_id", "count(DISTINCT id) = count(id)",
+    * "count(id) - count(DISTINCT id)")`.
+    */
+  def checks(df: DataFrame, rules: Seq[Check]): DataFrame = {
+    require(rules.nonEmpty, "need at least one check")
+    val aggs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(expr(r.pass).as(s"_p$i"),
+        expr(s"CAST((${r.observed}) AS STRING)").as(s"_o$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.name}', _p$i, _o$i" }.mkString(", ")
+    row.selectExpr(
+      s"stack(${rules.length}, $stackArgs) AS (check_name, pass, observed)")
+  }
 }

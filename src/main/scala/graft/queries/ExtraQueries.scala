@@ -486,6 +486,50 @@ object ExtraQueries {
           .orderBy("col_name")
     },
 
+    // ---- Data-quality constraint gate (operator Profile.checks) ---------
+    // Deequ-style declarative rules — completeness, uniqueness, range,
+    // domain membership, row-count floor — ALL evaluated in one
+    // aggregate pass (rule-by-rule evaluation re-scans the table per
+    // rule). Numeric evidence is emitted as integers (cents for the
+    // range rule): raw double stringification differs across engines.
+    QueryDef("q_quality_checks",
+      """WITH a AS (
+        |  SELECT count(*) AS n, count(c_custkey) AS nk,
+        |    count(DISTINCT c_custkey) AS nd,
+        |    CAST(round(min(c_acctbal) * 100) AS BIGINT) AS mn_c,
+        |    CAST(round(max(c_acctbal) * 100) AS BIGINT) AS mx_c,
+        |    count(*) FILTER (WHERE c_mktsegment NOT IN ('MACHINERY',
+        |      'HOUSEHOLD', 'BUILDING', 'FURNITURE', 'AUTOMOBILE')) AS bad_seg
+        |  FROM customer)
+        |SELECT 'acctbal_range' AS check_name, mn_c >= -100000 AND mx_c <= 1000000 AS pass,
+        |  CAST(mn_c AS VARCHAR) AS observed FROM a
+        |UNION ALL SELECT 'complete_custkey', nk = n, CAST(n - nk AS VARCHAR) FROM a
+        |UNION ALL SELECT 'min_rows', n >= 1000, CAST(n AS VARCHAR) FROM a
+        |UNION ALL SELECT 'segment_domain', bad_seg = 0, CAST(bad_seg AS VARCHAR) FROM a
+        |UNION ALL SELECT 'unique_custkey', nd = nk, CAST(nk - nd AS VARCHAR) FROM a
+        |ORDER BY check_name""".stripMargin) {
+      (s, dir) => {
+        import graft.operators.Profile.Check
+        graft.operators.Profile.checks(Tables(s, dir, "customer"), Seq(
+            Check("acctbal_range",
+              "CAST(round(min(c_acctbal) * 100) AS BIGINT) >= -100000 AND " +
+                "CAST(round(max(c_acctbal) * 100) AS BIGINT) <= 1000000",
+              "CAST(round(min(c_acctbal) * 100) AS BIGINT)"),
+            Check("complete_custkey", "count(c_custkey) = count(*)",
+              "count(*) - count(c_custkey)"),
+            Check("min_rows", "count(*) >= 1000", "count(*)"),
+            Check("segment_domain",
+              "count_if(c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD', " +
+                "'BUILDING', 'FURNITURE', 'AUTOMOBILE')) = 0",
+              "count_if(c_mktsegment NOT IN ('MACHINERY', 'HOUSEHOLD', " +
+                "'BUILDING', 'FURNITURE', 'AUTOMOBILE'))"),
+            Check("unique_custkey",
+              "count(DISTINCT c_custkey) = count(c_custkey)",
+              "count(c_custkey) - count(DISTINCT c_custkey)")))
+          .orderBy("check_name")
+      }
+    },
+
     // ---- Dialect front-end in the driver gate: ONE SQL text -------------
     // the same DuckDB-flavored string runs through GraftSql.sql on Spark
     // and VERBATIM in the oracle — list_* renames, `::` casts (incl.

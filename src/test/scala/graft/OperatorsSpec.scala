@@ -305,6 +305,31 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("checks reports per-rule verdicts with evidence from one scan") {
+    import graft.operators.Profile
+    import graft.operators.Profile.Check
+    val d = Seq((1L, "a"), (2L, "b"), (2L, "zz"), (3L, null))
+      .toDF("id", "seg")
+    val out = Profile.checks(d, Seq(
+        Check("complete_seg", "count(seg) = count(*)", "count(*) - count(seg)"),
+        Check("unique_id", "count(DISTINCT id) = count(id)",
+          "count(id) - count(DISTINCT id)"),
+        Check("seg_domain", "count_if(seg NOT IN ('a', 'b')) = 0",
+          "count_if(seg NOT IN ('a', 'b'))"),
+        Check("min_rows", "count(*) >= 2", "count(*)")))
+      .as[(String, Boolean, String)].collect().toSet
+    assert(out == Set(
+      ("complete_seg", false, "1"),
+      ("unique_id", false, "1"),
+      ("seg_domain", false, "1"),
+      ("min_rows", true, "4")), s"got $out")
+    // all four rules ride ONE aggregate over one scan of the input
+    val plan = Profile.checks(d, Seq(Check("a", "count(*) >= 0", "count(*)"),
+        Check("b", "count(*) < 10", "count(*)")))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length - 1 == 1, plan)
+  }
+
   test("randomProject sums signed micro-coordinates exactly") {
     import graft.operators.Vectors
     val df = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(1.0f, 1.0f)))
