@@ -135,6 +135,35 @@ object AnalyticsQueries {
           .agg(sum("q"))
           .selectExpr("l_returnflag", "CAST(F AS DOUBLE) AS F", "CAST(O AS DOUBLE) AS O")
           .orderBy("l_returnflag")
+    },
+
+    // ---- UNPIVOT / melt: q_pivot's inverse -------------------------------
+    // wide measure columns to long (measure, value) rows via the native
+    // Dataset.unpivot (plans as a narrow Expand — no shuffle, no join);
+    // measures are exact integers (cents / ppm) so values hash identically.
+    QueryDef("q_unpivot",
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 1000000) AS BIGINT) AS disc_ppm
+        |  FROM lineitem WHERE l_orderkey < 300)
+        |SELECT l_orderkey, l_linenumber, 'disc_ppm' AS measure, disc_ppm AS v FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price_c', price_c FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'qty_c', qty_c FROM b
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+          .selectExpr("l_orderkey", "l_linenumber",
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+            "CAST(round(l_discount * 1000000) AS BIGINT) AS disc_ppm")
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("qty_c"), col("price_c"), col("disc_ppm")),
+            "measure", "v")
+          .orderBy("l_orderkey", "l_linenumber", "measure")
     }
   )
 }
