@@ -41,6 +41,27 @@ object SourceQueries {
           .orderBy("n_regionkey")
     },
 
+    // ORC is the third columnar format the engine reads natively (no
+    // connector jar — spark-sql ships it); same write→read-back→aggregate
+    // round-trip contract as the csv/json sources. Avro is the one
+    // format NOT covered: the spark-avro connector is an external module
+    // absent from this environment.
+    QueryDef("q_orc_source",
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+        |  min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) {
+      (s, dir) =>
+        val path = scratch("supplier_orc")
+        Tables(s, dir, "supplier").write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+               sum("s_suppkey").cast("bigint").as("key_sum"),
+               min("s_name").as("first_name"))
+          .orderBy("s_nationkey")
+    },
+
     QueryDef("q_json_source",
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
