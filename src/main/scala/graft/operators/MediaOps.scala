@@ -112,6 +112,46 @@ object MediaOps {
     }
   }
 
+  /** Perceptual blockhash over a decoded payload: 60 bits, bit `j` set
+    * iff block `j`'s mean byte value exceeds the payload's global mean
+    * — the classic blockhash/aHash shape (on real images this runs over
+    * decoded luma; here over the stub payload, same plumbing). Byte at
+    * offset `p` belongs to block `p·60 div len`, and the mean compare
+    * is cross-multiplied (`blockSum·len > totalSum·blockLen`) so the
+    * whole hash is EXACT integer arithmetic — bit-identical on any
+    * engine. 60 bits keeps the value positive in an int64 (and matches
+    * the engine's 60-bit hash identity). Empty payloads hash to 0.
+    *
+    * Near-dup usage: hamming distance over these (the
+    * [[Dedup.simhash64]] pattern) buckets visually-similar media —
+    * resize/recompress variants survive where exact digests break.
+    * Narrow per-row pass, no shuffle.
+    */
+  def phash60(ds: Dataset[DecodedRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val p = r.payload
+      val len = p.length.toLong
+      val bs = new Array[Long](60)
+      val bl = new Array[Long](60)
+      var total = 0L
+      var i = 0
+      while (i < p.length) {
+        val j = ((i.toLong * 60L) / len).toInt
+        val v = (p(i) & 0xff).toLong
+        bs(j) += v; bl(j) += 1L; total += v
+        i += 1
+      }
+      var h = 0L
+      var j = 0
+      while (j < 60) {
+        if (len > 0 && bs(j) * len > total * bl(j)) h |= (1L << j)
+        j += 1
+      }
+      (r.doc_id, h)
+    }.toDF("doc_id", "phash")
+  }
+
   /** Build a media table from `documents`: utf-8 payload + type by modulo
     * (deterministic, so the DuckDB oracle can reproduce the arithmetic).
     */

@@ -114,6 +114,44 @@ object SourceQueries {
     // ---- Multimodal: binary payload + typed metadata through the real
     // mapPartitions decode/resize/frame-sample plumbing (stubbed codecs;
     // the oracle reproduces the stub arithmetic from the text bytes). ----
+    // ---- Perceptual blockhash (MediaOps.phash60) -------------------------
+    // 60-bit block-mean hash of each payload in exact integer arithmetic
+    // (cross-multiplied mean compares); the near-dup key for media
+    // columns, hamming-matched like simhash. The oracle rebuilds the
+    // byte stream from the ascii codes (payload = utf-8 of ASCII text).
+    QueryDef("q_multimodal_phash",
+      """WITH t AS (
+        |  SELECT doc_id, text, strlen(text) AS len
+        |  FROM documents WHERE doc_id < 200 AND strlen(text) > 0),
+        |by AS (
+        |  SELECT doc_id, len,
+        |    CAST(((i - 1) * 60) // len AS INT) AS j,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+        |  FROM t, unnest(range(1, len + 1)) AS u(i)),
+        |blocks AS (
+        |  SELECT doc_id, len, j, sum(v) AS bs, count(*) AS bl
+        |  FROM by GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(v) AS total FROM by GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id,
+        |    sum(CASE WHEN b.bs * b.len > t2.total * b.bl
+        |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS phash
+        |  FROM blocks b JOIN tot t2 USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, CAST(phash AS BIGINT) AS phash,
+        |  CAST(bit_count(CAST(phash AS BIGINT)) AS INT) AS n_bits
+        |FROM bits ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        import s.implicits._
+        val media = MediaOps.fromDocuments(
+          Tables(s, dir, "documents").filter(col("doc_id") < 200))
+        MediaOps.phash60(MediaOps.decode(media)
+            .filter(r => r.payload.nonEmpty))
+          .selectExpr("doc_id", "phash",
+            "CAST(bit_count(phash) AS INT) AS n_bits")
+          .orderBy("doc_id")
+      }
+    },
+
     QueryDef("q_multimodal_meta",
       """WITH t AS (
         |  SELECT doc_id, text,

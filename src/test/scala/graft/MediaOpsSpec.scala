@@ -39,6 +39,20 @@ class MediaOpsSpec extends SparkSpec {
     assert(f.forall(_.frame.length <= 16))
   }
 
+  test("phash60 sets block bits above the mean, exactly and reproducibly") {
+    val rows = Seq(
+      MediaRow(0L, "image", Array[Byte](0, 100)), // only block 30 above mean
+      MediaRow(1L, "image", Array.fill[Byte](64)(9)), // constant: no bit set
+      MediaRow(2L, "image", Array[Byte](0, 100)), // exact dup of 0
+      MediaRow(3L, "image", Array.emptyByteArray)
+    ).toDS()
+    val h = MediaOps.phash60(MediaOps.decode(rows))
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == (1L << 30), s"got ${h(0L)}")
+    assert(h(1L) == 0L && h(3L) == 0L)
+    assert(h(2L) == h(0L)) // identical payloads collide — the dedup key
+  }
+
   test("payload transforms are narrow (no shuffle in the plan)") {
     val plan = MediaOps.decode(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
