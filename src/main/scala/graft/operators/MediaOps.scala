@@ -131,6 +131,13 @@ object MediaOps {
     import ds.sparkSession.implicits._
     ds.map { r =>
       val p = r.payload
+      // the cross-multiplied compare below is bounded by 255·len², which
+      // must stay inside int64 — beyond ~150 MB the products would wrap
+      // and silently corrupt hash bits, so fail loudly instead (payloads
+      // that size should be frame-sampled/resized first anyway)
+      require(p.length <= 150000000,
+        s"phash60 payload too large (${p.length} bytes > 150 MB): " +
+          "downsample first (resize/sampleFrames)")
       val len = p.length.toLong
       val bs = new Array[Long](60)
       val bl = new Array[Long](60)

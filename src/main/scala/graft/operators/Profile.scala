@@ -60,7 +60,8 @@ object Profile {
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.zipWithIndex
-      .map { case (r, i) => s"'${r.name}', _p$i, _o$i" }.mkString(", ")
+      .map { case (r, i) => s"'${r.name.replace("'", "''")}', _p$i, _o$i" }
+      .mkString(", ")
     row.selectExpr(
       s"stack(${rules.length}, $stackArgs) AS (check_name, pass, observed)")
   }

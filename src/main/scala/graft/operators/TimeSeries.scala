@@ -26,28 +26,35 @@ object TimeSeries {
     * Keys with multiple observations at the same instant must be
     * pre-aggregated (same contract as [[AsOfJoin.asof]]).
     */
-  def resample(df: DataFrame, keys: Seq[String], tsCol: String,
-               step: Long, valueCols: Seq[String]): DataFrame = {
-    require(step > 0, "step must be positive")
-    val bounds = df.groupBy(keys.map(col): _*)
+  /** The `step`-aligned grid spanning each key's [min, max] of `tsCol`
+    * — the shared first stage of [[resample]] and [[interpolate]].
+    *
+    * A key whose span holds no aligned instant (start > hi) must yield
+    * an empty grid, not a SparkIllegalArgumentException — sequence()
+    * throws on start > stop with a positive step.
+    *
+    * Grid start = ceil(_lo / step) * step. Spark's `div` truncates
+    * toward zero, which IS the ceiling for negative _lo (pre-epoch
+    * timestamps) and the floor for positive _lo — so add 1 only in
+    * the positive-with-remainder case. The (_lo + step - 1) form
+    * would be wrong for _lo < 0: lo=-15, step=10 gives 0, not -10,
+    * silently dropping valid grid instants.
+    */
+  private def gridOf(df: DataFrame, keys: Seq[String], tsCol: String,
+                     step: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
-    val grid = bounds
-      // a key whose span holds no aligned instant (start > hi) must yield
-      // an empty grid, not a SparkIllegalArgumentException — sequence()
-      // throws on start > stop with a positive step
-      //
-      // grid start = ceil(_lo / step) * step. Spark's `div` truncates
-      // toward zero, which IS the ceiling for negative _lo (pre-epoch
-      // timestamps) and the floor for positive _lo — so add 1 only in
-      // the positive-with-remainder case. The (_lo + step - 1) form
-      // would be wrong for _lo < 0: lo=-15, step=10 gives 0, not -10,
-      // silently dropping valid grid instants.
       .withColumn("_start", expr(
         s"((_lo div $step) + IF(_lo % $step != 0 AND _lo > 0, 1, 0)) * $step"))
       .withColumn(tsCol, explode(expr(
         s"IF(_start > _hi, array(), sequence(_start, _hi, $step))")))
       .drop("_lo", "_hi", "_start")
-    AsOfJoin.asof(grid, df, keys, tsCol, tsCol, valueCols)
+
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String,
+               step: Long, valueCols: Seq[String]): DataFrame = {
+    require(step > 0, "step must be positive")
+    AsOfJoin.asof(gridOf(df, keys, tsCol, step), df, keys, tsCol, tsCol,
+      valueCols)
   }
 
   /** [[resample]]'s linear twin: resample onto the `step` grid per key,
@@ -74,15 +81,7 @@ object TimeSeries {
                   out: String = "v_lin"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(step > 0, "step must be positive")
-    val bounds = df.groupBy(keys.map(col): _*)
-      .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))
-    val grid = bounds
-      .withColumn("_start", expr(
-        s"((_lo div $step) + IF(_lo % $step != 0 AND _lo > 0, 1, 0)) * $step"))
-      .withColumn(tsCol, explode(expr(
-        s"IF(_start > _hi, array(), sequence(_start, _hi, $step))")))
-      .drop("_lo", "_hi", "_start")
-      .withColumn("_side", lit(1))
+    val grid = gridOf(df, keys, tsCol, step).withColumn("_side", lit(1))
     // observations sort BEFORE grid instants at equal ts (side 0 < 1):
     // the preceding frame then sees an exact-ts observation (inclusive
     // t0) while the following frame does not (strictly-later t1)

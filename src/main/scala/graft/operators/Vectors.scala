@@ -119,8 +119,13 @@ object Vectors {
       val arr = projectSigns(j, dims).mkString("array(", "L, ", "L)")
       s"aggregate(zip_with(_rpq, $arr, (x, s) -> x * s), CAST(0 AS BIGINT), (a, v) -> a + v)"
     }
-    df.withColumn("_rpq",
-        expr(s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"))
+    // a length mismatch would zip_with-pad with NULLs and fold whole
+    // output dimensions to NULL — poisoning downstream distances
+    // silently, so reject the row loudly instead
+    df.withColumn("_rpq", expr(
+        s"IF(size($embCol) = $dims, " +
+          s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT)), " +
+          s"raise_error(concat('randomProject: expected $dims dims, got ', CAST(size($embCol) AS STRING))))"))
       .withColumn("proj", expr(rows.mkString("array(", ", ", ")")))
       .drop("_rpq")
   }
@@ -139,9 +144,12 @@ object Vectors {
     *
     * Determinism contract (the pagerank trick applied to clustering —
     * see [[Graph.pageRank]]): embeddings are quantized to micro-units
-    * (`round(v·scale) + offset`, `offset` chosen so every coordinate is
-    * non-negative and BIGINT division below truncates identically on
-    * any engine), distances are BIGINT sums of squared diffs, centroid
+    * (`round(v·scale) + offset`; Spark's `div` and DuckDB's `//` both
+    * truncate toward zero — verified, `-7 // 2 = -3` — so negatives
+    * are already portable between THESE engines, and the offset is
+    * defense-in-depth for floor-division engines plus a guard that
+    * keeps every coordinate in the embeddings' verified range
+    * non-negative), distances are BIGINT sums of squared diffs, centroid
     * updates are BIGINT floor-means (`sum div n`), and assignment
     * tie-breaks on (distance, cid). Every intermediate is an integer,
     * so the clustering is bit-identical under ANY partitioning,

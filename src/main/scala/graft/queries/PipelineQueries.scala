@@ -1119,14 +1119,20 @@ object PipelineQueries {
          |FROM m2""".stripMargin) {
       (s, dir) => {
         import graft.operators.Sketches
+        // the tokenize+shingle+hash pass is the expensive stage; three
+        // unpersisted consumers (two sketches + the exact side) would
+        // re-run it three times (the q_funnel CTE re-inlining trap) —
+        // materialize the reduced distinct (side, h) set ONCE
         val items = graft.operators.TextOps
           .ngramHashes(docs(s, dir), "doc_id", "text", 3)
           .select(expr("doc_id % 2").as("side"), col("gram_hash").as("h"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ska = Sketches.kmv(items.filter(col("side") === 0), "h", 256)
           .withColumnRenamed("kmv", "a")
         val skb = Sketches.kmv(items.filter(col("side") === 1), "h", 256)
           .withColumnRenamed("kmv", "b")
-        val exact = items.distinct()
+        val exact = items
           .groupBy("h").agg(min("side").as("mn"), max("side").as("mx"))
           .agg(expr("CAST(count(*) AS BIGINT)").as("n_union"),
             expr("CAST(count_if(mn = 0 AND mx = 1) AS BIGINT)").as("n_inter"))
