@@ -123,6 +123,19 @@ object Merge {
     * is what any SCD2 MERGE materializes per key anyway. No join, no
     * collect.
     */
+  /** Point-in-time read over an [[scd2]] history: the version of each
+    * key that was effective at instant `at` — rows with
+    * `effective_from <= at < effective_to` (open `effective_to` = still
+    * current). This is the feature-store "as-of training time" read and
+    * the time-travel SELECT a versioned lakehouse table offers, as a
+    * pure filter: no join, no window, fully pushdown-able (on an
+    * effective_from-partitioned layout the scan prunes to old
+    * partitions).
+    */
+  def snapshotAt(history: DataFrame, at: org.apache.spark.sql.Column): DataFrame =
+    history.filter(col("effective_from") <= at &&
+      (col("effective_to").isNull || col("effective_to") > at))
+
   def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
            tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

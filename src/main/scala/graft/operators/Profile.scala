@@ -32,6 +32,35 @@ object Profile {
       .select("column", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
 
+  /** Snapshot-to-snapshot drift report: [[summarize]] both frames (one
+    * scan each), join per column, and flag the distribution shifts that
+    * page an ingest on-call — null-rate moves beyond 5 points, distinct-
+    * per-row rate moves beyond ±20% relative, min/max boundary changes.
+    * Every flag is a CROSS-MULTIPLIED integer compare (e.g.
+    * `20·|nullA·rowsB − nullB·rowsA| > rowsA·rowsB` is
+    * `|nullRateA − nullRateB| > 0.05` without a division) — exact on
+    * any engine, no float thresholds. Columns must avoid raw DOUBLE
+    * min/max evidence (stringification differs across engines); profile
+    * integer/string columns or pre-scale to cents.
+    */
+  def drift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val sa = summarize(a, cols).select(
+      col("column"), col("n_rows").as("n_a"), col("n_null").as("null_a"),
+      col("n_distinct").as("nd_a"), col("min_val").as("min_a"),
+      col("max_val").as("max_a"))
+    val sb = summarize(b, cols).select(
+      col("column"), col("n_rows").as("n_b"), col("n_null").as("null_b"),
+      col("n_distinct").as("nd_b"), col("min_val").as("min_b"),
+      col("max_val").as("max_b"))
+    sa.join(sb, "column")
+      .withColumn("null_drift",
+        expr("20 * abs(null_a * n_b - null_b * n_a) > n_a * n_b"))
+      .withColumn("distinct_drift",
+        expr("5 * abs(nd_a * n_b - nd_b * n_a) > nd_b * n_a"))
+      .withColumn("range_changed",
+        expr("min_a <> min_b OR max_a <> max_b"))
+  }
+
   /** One declarative data-quality constraint: `pass` and `observed` are
     * AGGREGATE SQL expressions over the checked frame's columns —
     * `pass` must be boolean (the verdict), `observed` is the evidence

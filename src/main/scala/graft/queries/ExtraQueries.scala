@@ -486,6 +486,51 @@ object ExtraQueries {
           .orderBy("col_name")
     },
 
+    // ---- Snapshot drift report (operator Profile.drift) -----------------
+    // week-1 vs week-4 event windows profiled (one scan each) and joined
+    // per column; drift flags are cross-multiplied INTEGER compares
+    // (null-rate ±5 points, distinct-per-row ±20% relative) — exact on
+    // both engines, no float thresholds, no division.
+    QueryDef("q_profile_drift", {
+      def side(w: String, sfx: String) =
+        s"""SELECT 'event_type' AS cn, CAST(count(*) AS BIGINT) AS n_$sfx,
+           |    CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS null_$sfx,
+           |    CAST(count(DISTINCT event_type) AS BIGINT) AS nd_$sfx,
+           |    CAST(min(event_type) AS VARCHAR) AS min_$sfx,
+           |    CAST(max(event_type) AS VARCHAR) AS max_$sfx
+           |  FROM $w
+           |  UNION ALL
+           |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+           |    CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+           |    CAST(count(DISTINCT user_id) AS BIGINT),
+           |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+           |  FROM $w""".stripMargin
+      s"""WITH w1 AS (SELECT user_id, event_type FROM events
+         |  WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+         |w2 AS (SELECT user_id, event_type FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'),
+         |sa AS (${side("w1", "a")}),
+         |sb AS (${side("w2", "b")})
+         |SELECT sa.cn AS col_name, n_a, null_a, nd_a, n_b, null_b, nd_b,
+         |  20 * abs(null_a * n_b - null_b * n_a) > n_a * n_b AS null_drift,
+         |  5 * abs(nd_a * n_b - nd_b * n_a) > nd_b * n_a AS distinct_drift,
+         |  min_a <> min_b OR max_a <> max_b AS range_changed
+         |FROM sa JOIN sb ON sa.cn = sb.cn ORDER BY col_name""".stripMargin
+    }) {
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w1 = e.filter(col("ts") < expr("TIMESTAMP '2024-01-08 00:00:00'"))
+          .select("user_id", "event_type")
+        val w2 = e.filter(col("ts") >= expr("TIMESTAMP '2024-01-22 00:00:00'"))
+          .select("user_id", "event_type")
+        graft.operators.Profile.drift(w1, w2, Seq("event_type", "user_id"))
+          .withColumnRenamed("column", "col_name")
+          .select("col_name", "n_a", "null_a", "nd_a", "n_b", "null_b",
+            "nd_b", "null_drift", "distinct_drift", "range_changed")
+          .orderBy("col_name")
+      }
+    },
+
     // ---- Data-quality constraint gate (operator Profile.checks) ---------
     // Deequ-style declarative rules — completeness, uniqueness, range,
     // domain membership, row-count floor — ALL evaluated in one

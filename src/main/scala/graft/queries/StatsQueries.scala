@@ -201,6 +201,41 @@ object StatsQueries {
         .orderBy("user_id", "effective_from", "event_type", "effective_to")
     },
 
+    // ---- SCD2 time travel (operator Merge.snapshotAt) --------------------
+    // the point-in-time read over the q_scd2 history: each user's state
+    // as of 2024-01-15 noon — a pure filter over the history (no join,
+    // no window), the feature-store as-of-training-time contract.
+    QueryDef("q_scd2_asof",
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE user_id < 30),
+        |d AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM c),
+        |kept AS (
+        |  SELECT user_id, event_type, ts, event_id FROM d
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+        |  FROM kept)
+        |SELECT user_id, event_type, effective_from
+        |FROM hist
+        |WHERE effective_from <= TIMESTAMP '2024-01-15 12:00:00'
+        |  AND (effective_to IS NULL OR effective_to > TIMESTAMP '2024-01-15 12:00:00')
+        |ORDER BY user_id, event_type, effective_from""".stripMargin) { (s, dir) =>
+      val changes = Tables.events(s, dir)
+        .filter(col("user_id") < 30)
+        .select("user_id", "event_type", "ts", "event_id")
+      Merge.snapshotAt(
+          Merge.scd2(changes, Seq("user_id"), "ts", tieBreak = Seq("event_id")),
+          expr("TIMESTAMP '2024-01-15 12:00:00'"))
+        .select(col("user_id"), col("event_type"),
+          col("effective_from").cast("timestamp_ntz").as("effective_from"))
+        .orderBy("user_id", "event_type", "effective_from")
+    },
+
     QueryDef("q_ts_rolling",
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

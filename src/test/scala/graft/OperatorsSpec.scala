@@ -305,6 +305,39 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("snapshotAt reads the version effective at the instant, inclusive of from") {
+    import graft.operators.Merge
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+    val changes = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(20), 2L), (2L, "x", ts(30), 3L)
+    ).toDF("k", "state", "t", "seq")
+    val hist = Merge.scd2(changes, Seq("k"), "t", tieBreak = Seq("seq"))
+    def at(min: Int) =
+      Merge.snapshotAt(hist, lit(ts(min)))
+        .select("k", "state").as[(Long, String)].collect().toSet
+    assert(at(10) == Set((1L, "a")))
+    assert(at(20) == Set((1L, "b")))          // boundary: from is inclusive
+    assert(at(40) == Set((1L, "b"), (2L, "x"))) // open current versions
+    assert(at(-5) == Set.empty)
+  }
+
+  test("drift flags null-rate and distinct-rate shifts with integer compares") {
+    import graft.operators.Profile
+    val a = Seq.tabulate(100)(i => (i.toLong, "t")).toDF("id", "ty")
+    // b: 10% nulls in ty (null_drift), ids all distinct (no distinct drift)
+    val b = Seq.tabulate(100)(i =>
+      (i.toLong, if (i % 10 == 0) null else "t")).toDF("id", "ty")
+    val out = Profile.drift(a, b, Seq("id", "ty"))
+      .select("column", "null_drift", "distinct_drift", "range_changed")
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // nulls appeared (10 points > 5) but distinct count stays 1 on both
+    // sides (DISTINCT ignores nulls) and min/max are unchanged
+    assert(out("ty") == ((true, false, false)), s"got ${out("ty")}")
+    assert(out("id") == ((false, false, false)), s"got ${out("id")}")
+  }
+
   test("checks reports per-rule verdicts with evidence from one scan") {
     import graft.operators.Profile
     import graft.operators.Profile.Check
