@@ -1047,6 +1047,88 @@ object PipelineQueries {
       }
     },
 
+    // ---- END-TO-END training-data pipeline (the flagship composition) ---
+    // quality gate → exact dedup → LSH near-dup drop → benchmark
+    // decontamination, each stage one of the verified operators, chained
+    // over ONE corpus pass per stage. The report row per stage carries
+    // the surviving count AND an order-independent membership
+    // fingerprint (sum of bounded per-id hashes) — the oracle must agree
+    // on the exact SET of survivors at every stage, not just totals.
+    QueryDef("q_pipeline_e2e", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      val fp = s"CAST(sum(${h60d("CAST(doc_id AS VARCHAR)")} % 1000000000000) AS BIGINT)"
+      s"""WITH tk0 AS (SELECT doc_id, text, $toksD AS tk FROM documents),
+         |s1 AS (SELECT doc_id, text, tk FROM tk0
+         |  WHERE len(list_filter(tk, x -> x <> '')) >= 8 AND strlen(text) >= 40),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+         |s2 AS (SELECT doc_id, text, tk FROM s1
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |shl AS (SELECT doc_id, $shD AS sh FROM s2 WHERE len(tk) >= 3),
+         |sig AS (SELECT doc_id, $sigs FROM (SELECT doc_id, $hsD AS hs FROM shl)),
+         |bands AS ($bandSel),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |losers AS (
+         |  SELECT DISTINCT c.b_id AS doc_id FROM cand c
+         |  JOIN shl sa ON sa.doc_id = c.a_id
+         |  JOIN shl sb ON sb.doc_id = c.b_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)) >= 0.5),
+         |s3 AS (SELECT doc_id, text, tk FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, len(tk) - 3),
+         |    i -> ${h60d("array_to_string(tk[i:i+4], ' ')")}))) AS gram_hash
+         |  FROM tk0 WHERE doc_id % 97 = 0 AND len(tk) >= 5),
+         |hits AS (SELECT DISTINCT s.doc_id
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(tk) - 3),
+         |      i -> ${h60d("array_to_string(tk[i:i+4], ' ')")}))) AS gram_hash
+         |    FROM s3 WHERE len(tk) >= 5) s
+         |  JOIN bg USING (gram_hash)),
+         |s4 AS (SELECT doc_id FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+         |SELECT stage, n, fp FROM (
+         |  SELECT 'a_input' AS stage, CAST(count(*) AS BIGINT) AS n, $fp AS fp FROM documents
+         |  UNION ALL SELECT 'b_quality', CAST(count(*) AS BIGINT), $fp FROM s1
+         |  UNION ALL SELECT 'c_exact', CAST(count(*) AS BIGINT), $fp FROM s2
+         |  UNION ALL SELECT 'd_neardup', CAST(count(*) AS BIGINT), $fp FROM s3
+         |  UNION ALL SELECT 'e_decontam', CAST(count(*) AS BIGINT), $fp FROM s4
+         |) ORDER BY stage""".stripMargin
+    }) { (s, dir) => {
+      import graft.operators.{Dedup, TextOps}
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // each stage is counted AND feeds the next — persist every frame so
+      // the per-stage report aggregates never re-run upstream lineage
+      val input = docs(s, dir)
+      val s1 = input.filter(expr(
+        s"size(filter($toksS, x -> x <> '')) >= 8 AND length(text) >= 40"))
+        .persist(lvl)
+      val s2 = Dedup.dropExact(s1, Seq("text"), "doc_id").persist(lvl)
+      val s3 = Dedup.dropNearDuplicates(s2, "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.5).persist(lvl)
+      val bench = input.filter(col("doc_id") % 97 === 0)
+      val s4 = s3.join(
+        TextOps.decontaminate(s3, "doc_id", "text", bench, "text", n = 5)
+          .filter(col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      def rpt(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("bigint").as("n"),
+            expr("CAST(sum(graft_hash60(CAST(doc_id AS STRING)) % 1000000000000) AS BIGINT)").as("fp"))
+          .select(lit(stage).as("stage"), col("n"), col("fp"))
+      rpt("a_input", input)
+        .unionByName(rpt("b_quality", s1))
+        .unionByName(rpt("c_exact", s2))
+        .unionByName(rpt("d_neardup", s3))
+        .unionByName(rpt("e_decontam", s4))
+        .orderBy("stage")
+    }},
+
     // ---- Negative sampling (operator Sampling.negatives) ----------------
     // k deterministic contrastive partners per document: neg =
     // hash60(seed:id:j) mod n, self-draws shifted to the next id. The
