@@ -87,6 +87,35 @@ object Features {
       .drop("_plo", "_phi")
   }
 
+  /** Per-group WEIGHTED median: the smallest value whose cumulative
+    * weight reaches half the group's total — the robust center of a
+    * weighted distribution (revenue-weighted price points, token-
+    * weighted quality medians). `valueCol` and `weightCol` must be
+    * exact integers (caller scales to cents): the cumulative sum, the
+    * doubled-compare `2·cum >= total`, and the final min are then all
+    * integer arithmetic — no interpolation, no rounding, identical on
+    * any engine.
+    *
+    * Scale shape: ONE key-partitioned window pass (ordered by value +
+    * `tieBreak` for a total order), the per-key totals broadcast back,
+    * and a tiny final min per key. No global sort, no self-join.
+    */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                     weightCol: String, tieBreak: Seq[String],
+                     out: String = "wmedian"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((valueCol +: tieBreak).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.groupBy(keys.map(col): _*)
+      .agg(sum(col(weightCol)).cast("bigint").as("_tw"))
+    df.withColumn("_cum", sum(col(weightCol)).over(w).cast("bigint"))
+      .join(broadcast(tot), keys)
+      .filter(expr(s"2 * _cum >= _tw"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as(out))
+  }
+
   /** Per-group equal-frequency (quantile) binning: rows of each key
     * group are assigned to `bins` rank-based buckets — the categorical
     * encoding of a skewed numeric feature (each bin carries ~equal row

@@ -30,6 +30,30 @@ object Graph {
     * is fixed and small (rank weights converge geometrically); lineage
     * is linear in iters, no checkpoint needed at these depths.
     */
+  /** Triangle enumeration over an UNDIRECTED edge set — the clustering-
+    * coefficient / community-density primitive. Input edges are
+    * canonicalized to distinct `(a < b)` pairs; each triangle
+    * `a < b < c` is emitted exactly once via the node-iterator join
+    * chain `e(a,b) ⋈ e(b,c) ⋈ e(a,c)` — the ordering constraint is
+    * what kills the 6× double-counting AND keeps every join an
+    * equi-join (two shuffles on node keys, never an all-pairs probe).
+    * Skewed hubs are AQE's skew-split problem, not a plan change.
+    *
+    * The canonical edge frame is persisted: it feeds three join sides.
+    */
+  def triangles(edges: DataFrame, src: String = "src",
+                dst: String = "dst"): DataFrame = {
+    val e = edges
+      .selectExpr(s"least($src, $dst) AS a", s"greatest($src, $dst) AS b")
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+      .join(e.as("e3"),
+        col("ta") === col("e3.a") && col("tc") === col("e3.b"), "left_semi")
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                src: String = "src", dst: String = "dst"): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1,20]")

@@ -341,6 +341,75 @@ object RankQueries {
         .limit(40)
     },
 
+    // ---- Triangle counting (Graph.triangles) -----------------------------
+    // clustering-coefficient primitive over a synthetic 60-node graph
+    // derived from orders: canonical a<b edges, node-iterator join chain
+    // a<b<c (each triangle once, every join an equi-join). One summary
+    // row: nodes, edges, triangles.
+    QueryDef("q_triangles",
+      """WITH e AS (
+        |  SELECT DISTINCT least(o_custkey % 60, (o_custkey + o_orderkey) % 60) AS a,
+        |    greatest(o_custkey % 60, (o_custkey + o_orderkey) % 60) AS b
+        |  FROM orders
+        |  WHERE least(o_custkey % 60, (o_custkey + o_orderkey) % 60)
+        |     <> greatest(o_custkey % 60, (o_custkey + o_orderkey) % 60)),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+        |nodes AS (SELECT DISTINCT a AS v FROM e UNION SELECT DISTINCT b FROM e)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin) {
+      (s, dir) => {
+        val e = Tables(s, dir, "orders").selectExpr(
+          "o_custkey % 60 AS src", "(o_custkey + o_orderkey) % 60 AS dst")
+        val tri = graft.operators.Graph.triangles(e)
+          .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+        val canon = e.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+          .filter(col("a") =!= col("b")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = canon
+          .select(col("a").as("v")).union(canon.select(col("b"))).distinct()
+          .agg(count(lit(1)).cast("bigint").as("n_nodes"))
+          .crossJoin(canon.agg(count(lit(1)).cast("bigint").as("n_edges")))
+        stats.crossJoin(tri)
+          .select("n_nodes", "n_edges", "n_triangles")
+      }
+    },
+
+    // ---- Weighted median (Features.weightedMedian) -----------------------
+    // revenue-weighted quantity median per returnflag: cumulative-weight
+    // crossing in pure integer arithmetic (cents, doubled compare) — no
+    // interpolation, no float thresholds. One key-partitioned window +
+    // broadcast totals.
+    QueryDef("q_weighted_median",
+      """WITH b AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w_c
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |c AS (
+        |  SELECT l_returnflag, qty_c,
+        |    CAST(sum(w_c) OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty_c, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM b),
+        |t AS (SELECT l_returnflag, CAST(sum(w_c) AS BIGINT) AS tw FROM b GROUP BY 1)
+        |SELECT c.l_returnflag, min(qty_c) AS wmedian_c
+        |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+        |WHERE 2 * cum >= tw
+        |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin) { (s, dir) =>
+      Features.weightedMedian(
+          Tables(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+            .selectExpr("l_returnflag", "l_orderkey", "l_linenumber",
+              "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c",
+              "CAST(round(l_extendedprice * 100) AS BIGINT) AS w_c"),
+          keys = Seq("l_returnflag"), valueCol = "qty_c", weightCol = "w_c",
+          tieBreak = Seq("l_orderkey", "l_linenumber"), out = "wmedian_c")
+        .orderBy("l_returnflag")
+    },
+
     // ---- Bigram-LM surprisal scoring (TextOps.surprisal) ----------------
     // the perplexity-proxy quality/novelty filter: each bigram occurrence
     // scores floor(log2(c1/c12)) bits, computed as length(bin(c1 div

@@ -305,6 +305,26 @@ class OperatorsSpec extends SparkSpec {
     assert(repart == Set((1, 2.0, 4.0), (2, 10.0, 0.0)))
   }
 
+  test("weightedMedian crosses half the total weight, lower-median on ties") {
+    import graft.operators.Features
+    val d = Seq(
+      ("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 10L, 3L), // heavy tail wins
+      ("h", 1L, 1L, 4L), ("h", 2L, 1L, 5L)                       // even split: lower
+    ).toDF("k", "v", "w", "tb")
+    val out = Features.weightedMedian(d, Seq("k"), "v", "w", Seq("tb"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("g" -> 3L, "h" -> 1L), s"got $out")
+  }
+
+  test("triangles canonicalizes duplicates/reversals and counts each once") {
+    import graft.operators.Graph
+    val edges = Seq(
+      (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), // one triangle + tail
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L) // K4: 4 triangles
+    ).toDF("src", "dst")
+    assert(Graph.triangles(edges).count() == 5)
+  }
+
   test("snapshotAt reads the version effective at the instant, inclusive of from") {
     import graft.operators.Merge
     import java.sql.Timestamp

@@ -212,12 +212,15 @@ class PlanQualitySpec extends SparkSpec {
     //                         before any of them
     //   q_sample_negatives   — 1-row broadcast corpus-count row crossed
     //                         onto the ids before the narrow draw explode
+    //   q_triangles          — three ONE-ROW summary aggregates (nodes,
+    //                         edges, triangles) cross-joined at the end;
+    //                         the triangle chain itself is equi-joins
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
       "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced",
-      "q_kmeans", "q_sketch_overlap", "q_sample_negatives")
+      "q_kmeans", "q_sketch_overlap", "q_sample_negatives", "q_triangles")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
