@@ -43,7 +43,10 @@ object PlanDump {
     "q_kmeans" -> "integer k-means round: corpus × BROADCAST ≤k centroids for assignment, centroidSums partial-agg shape for the update — corpus never shuffles",
     "q_sketch_overlap" -> "KMV sketches: distinct-hash shuffle then TakeOrderedAndProject bottom-k per side (the per-partition-then-merge IS the sketch merge); estimates on one-row arrays",
     "q_lm_surprisal" -> "LM surprisal: narrow bigram explode, equi-join onto the model keyed (w1,w2), partial+final per-doc agg — integer bin() bits, no window",
-    "q_ts_interpolate" -> "linear interpolation: grid + observations union-merge through ONE key-partitioned sort; preceding last() finds t0, strictly-following first() finds t1 — two frames, one Exchange")
+    "q_ts_interpolate" -> "linear interpolation: grid + observations union-merge through ONE key-partitioned sort; preceding last() finds t0, strictly-following first() finds t1 — two frames, one Exchange",
+    "q_tpch_q3" -> "TPC-H Q3: pushed segment/date filters, fact-fact shuffle once, TakeOrderedAndProject head",
+    "q_pipeline_e2e" -> "end-to-end pipeline: persisted stage frames (quality/exact/LSH/decontam) so per-stage reports never re-run upstream lineage; broadcast benchmark grams",
+    "q_weighted_median" -> "weighted median: one key-partitioned cumulative window + broadcast per-key totals — no global sort, no self-join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)
