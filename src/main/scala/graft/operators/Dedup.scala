@@ -259,14 +259,23 @@ object Dedup {
     * lower-id survivor (greedy keep-first over the LSH candidate pairs —
     * the standard corpus-dedup policy; exact duplicates are removed first
     * so near-dup pairs only arbitrate genuinely distinct texts).
+    *
+    * `assumeExactDeduped = true` skips the internal exact pass AND its
+    * cache when the caller has already exact-deduped (and, if staged,
+    * persisted) the input — a pipeline that reports the exact stage
+    * separately would otherwise pay the md5-groupBy + semi-join twice
+    * and hold two identical cached frames.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                         k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                         k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                         assumeExactDeduped: Boolean = false): DataFrame = {
     // the exact-dedup survivor set feeds the LSH signature pass, the
     // Jaccard verify join-backs, and the final anti-join — persist it so
     // the groupBy+semi-join runs once (at corpus scale: checkpoint)
-    val exactKept = dropExact(df, Seq(textCol), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKept =
+      if (assumeExactDeduped) df
+      else dropExact(df, Seq(textCol), idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = minhashLsh(exactKept, idCol, textCol, k, bands, threshold)
       .select(col("b_id").as(idCol)).distinct()
     exactKept.join(losers, Seq(idCol), "left_anti")

@@ -107,10 +107,16 @@ object Features {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((valueCol +: tieBreak).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the totals join back NULL-SAFELY (`<=>`): a plain equi-join on the
+    // keys would reject NULL = NULL and silently drop the whole
+    // NULL-key group — the 'unknown' bucket a caller pivoting on an
+    // optional dimension still expects a median for
     val tot = df.groupBy(keys.map(col): _*)
       .agg(sum(col(weightCol)).cast("bigint").as("_tw"))
+      .select(keys.map(k => col(k).as(s"_tk_$k")) :+ col("_tw"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_tk_$k")).reduce(_ && _)
     df.withColumn("_cum", sum(col(weightCol)).over(w).cast("bigint"))
-      .join(broadcast(tot), keys)
+      .join(broadcast(tot), cond)
       .filter(expr(s"2 * _cum >= _tw"))
       .groupBy(keys.map(col): _*)
       .agg(min(col(valueCol)).as(out))

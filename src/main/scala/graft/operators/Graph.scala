@@ -42,17 +42,30 @@ object Graph {
     * The canonical edge frame is persisted: it feeds three join sides.
     */
   def triangles(edges: DataFrame, src: String = "src",
-                dst: String = "dst"): DataFrame = {
-    val e = edges
+                dst: String = "dst"): DataFrame =
+    trianglesCanonical(canonicalEdges(edges, src, dst))
+
+  /** The canonical undirected edge set — distinct `(a < b)` pairs,
+    * self-loops dropped, PERSISTED (it feeds three join sides in
+    * [[trianglesCanonical]], and callers computing node/edge stats
+    * alongside should reuse this one frame instead of re-canonicalizing).
+    */
+  def canonicalEdges(edges: DataFrame, src: String = "src",
+                     dst: String = "dst"): DataFrame =
+    edges
       .selectExpr(s"least($src, $dst) AS a", s"greatest($src, $dst) AS b")
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[triangles]] over an ALREADY-canonical `(a, b)` edge frame (from
+    * [[canonicalEdges]]) — each triangle `a < b < c` exactly once.
+    */
+  def trianglesCanonical(e: DataFrame): DataFrame =
     e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
       .join(e.as("e3"),
         col("ta") === col("e3.a") && col("tc") === col("e3.b"), "left_semi")
-  }
 
   def pageRank(edges: DataFrame, iters: Int = 5,
                src: String = "src", dst: String = "dst"): DataFrame = {

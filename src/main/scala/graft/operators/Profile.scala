@@ -52,13 +52,26 @@ object Profile {
       col("column"), col("n_rows").as("n_b"), col("n_null").as("null_b"),
       col("n_distinct").as("nd_b"), col("min_val").as("min_b"),
       col("max_val").as("max_b"))
+    // cross-multiplies run in DECIMAL(38,0): BIGINT products overflow
+    // around 3e9 rows per side (ANSI mode raises, non-ANSI silently
+    // flips the verdict) and billion-row snapshots are the normal case
+    // for this operator. An EMPTY side is itself the drift: the rate
+    // compares are vacuously false at n=0, so guard explicitly — and
+    // min/max of an all-NULL column is NULL, where `<>` would return
+    // NULL and a downstream filter would silently swallow the alarm, so
+    // the range compare is null-safe (`<=>`).
+    val dec = "CAST(%s AS DECIMAL(38,0))"
     sa.join(sb, "column")
-      .withColumn("null_drift",
-        expr("20 * abs(null_a * n_b - null_b * n_a) > n_a * n_b"))
-      .withColumn("distinct_drift",
-        expr("5 * abs(nd_a * n_b - nd_b * n_a) > nd_b * n_a"))
+      .withColumn("null_drift", expr(
+        "IF(n_a = 0 OR n_b = 0, n_a <> n_b, " +
+          s"20 * abs(${dec.format("null_a")} * n_b - ${dec.format("null_b")} * n_a) " +
+          s"> ${dec.format("n_a")} * n_b)"))
+      .withColumn("distinct_drift", expr(
+        "IF(n_a = 0 OR n_b = 0, n_a <> n_b, " +
+          s"5 * abs(${dec.format("nd_a")} * n_b - ${dec.format("nd_b")} * n_a) " +
+          s"> ${dec.format("nd_b")} * n_a)"))
       .withColumn("range_changed",
-        expr("min_a <> min_b OR max_a <> max_b"))
+        expr("NOT (min_a <=> min_b AND max_a <=> max_b)"))
   }
 
   /** One declarative data-quality constraint: `pass` and `observed` are

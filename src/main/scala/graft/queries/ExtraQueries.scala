@@ -512,9 +512,14 @@ object ExtraQueries {
          |sa AS (${side("w1", "a")}),
          |sb AS (${side("w2", "b")})
          |SELECT sa.cn AS col_name, n_a, null_a, nd_a, n_b, null_b, nd_b,
-         |  20 * abs(null_a * n_b - null_b * n_a) > n_a * n_b AS null_drift,
-         |  5 * abs(nd_a * n_b - nd_b * n_a) > nd_b * n_a AS distinct_drift,
-         |  min_a <> min_b OR max_a <> max_b AS range_changed
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN n_a <> n_b
+         |    ELSE 20 * abs(CAST(null_a AS HUGEINT) * n_b - CAST(null_b AS HUGEINT) * n_a)
+         |         > CAST(n_a AS HUGEINT) * n_b END AS null_drift,
+         |  CASE WHEN n_a = 0 OR n_b = 0 THEN n_a <> n_b
+         |    ELSE 5 * abs(CAST(nd_a AS HUGEINT) * n_b - CAST(nd_b AS HUGEINT) * n_a)
+         |         > CAST(nd_b AS HUGEINT) * n_a END AS distinct_drift,
+         |  NOT (min_a IS NOT DISTINCT FROM min_b
+         |       AND max_a IS NOT DISTINCT FROM max_b) AS range_changed
          |FROM sa JOIN sb ON sa.cn = sb.cn ORDER BY col_name""".stripMargin
     }) {
       (s, dir) => {

@@ -1062,7 +1062,7 @@ object PipelineQueries {
       val fp = s"CAST(sum(${h60d("CAST(doc_id AS VARCHAR)")} % 1000000000000) AS BIGINT)"
       s"""WITH tk0 AS (SELECT doc_id, text, $toksD AS tk FROM documents),
          |s1 AS (SELECT doc_id, text, tk FROM tk0
-         |  WHERE len(list_filter(tk, x -> x <> '')) >= 8 AND strlen(text) >= 40),
+         |  WHERE len(list_filter(tk, x -> x <> '')) >= 8 AND length(text) >= 40),
          |keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
          |s2 AS (SELECT doc_id, text, tk FROM s1
          |  WHERE doc_id IN (SELECT doc_id FROM keep)),
@@ -1110,8 +1110,12 @@ object PipelineQueries {
         s"size(filter($toksS, x -> x <> '')) >= 8 AND length(text) >= 40"))
         .persist(lvl)
       val s2 = Dedup.dropExact(s1, Seq("text"), "doc_id").persist(lvl)
+      // s2 is already exact-deduped AND persisted — skip the operator's
+      // internal exact pass (it would re-run the md5 groupBy and cache a
+      // second identical frame)
       val s3 = Dedup.dropNearDuplicates(s2, "doc_id", "text",
-        k = 8, bands = 4, threshold = 0.5).persist(lvl)
+        k = 8, bands = 4, threshold = 0.5, assumeExactDeduped = true)
+        .persist(lvl)
       val bench = input.filter(col("doc_id") % 97 === 0)
       val s4 = s3.join(
         TextOps.decontaminate(s3, "doc_id", "text", bench, "text", n = 5)

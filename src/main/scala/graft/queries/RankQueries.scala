@@ -362,13 +362,14 @@ object RankQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
         |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles""".stripMargin) {
       (s, dir) => {
+        import graft.operators.Graph
         val e = Tables(s, dir, "orders").selectExpr(
           "o_custkey % 60 AS src", "(o_custkey + o_orderkey) % 60 AS dst")
-        val tri = graft.operators.Graph.triangles(e)
+        // ONE persisted canonical frame feeds the triangle chain AND the
+        // node/edge stats — re-canonicalizing would scan orders twice
+        val canon = Graph.canonicalEdges(e)
+        val tri = Graph.trianglesCanonical(canon)
           .agg(count(lit(1)).cast("bigint").as("n_triangles"))
-        val canon = e.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
-          .filter(col("a") =!= col("b")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stats = canon
           .select(col("a").as("v")).union(canon.select(col("b"))).distinct()
           .agg(count(lit(1)).cast("bigint").as("n_nodes"))

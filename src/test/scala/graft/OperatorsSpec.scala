@@ -356,6 +356,16 @@ class OperatorsSpec extends SparkSpec {
     // sides (DISTINCT ignores nulls) and min/max are unchanged
     assert(out("ty") == ((true, false, false)), s"got ${out("ty")}")
     assert(out("id") == ((false, false, false)), s"got ${out("id")}")
+    // empty snapshot IS the drift; all-NULL min/max must flag (not NULL
+    // through <> and get swallowed by a downstream filter)
+    val empt = Profile.drift(a, a.filter(lit(false)), Seq("ty"))
+      .select("null_drift", "distinct_drift", "range_changed")
+      .as[(Boolean, Boolean, Boolean)].head()
+    assert(empt == ((true, true, true)), s"got $empt")
+    val nulled = Profile.drift(a,
+        a.withColumn("ty", lit(null).cast("string")), Seq("ty"))
+      .select("range_changed").as[Boolean].head()
+    assert(nulled, "populated -> all-NULL must flag range_changed")
   }
 
   test("checks reports per-rule verdicts with evidence from one scan") {
