@@ -379,6 +379,39 @@ object RankQueries {
       }
     },
 
+    // ---- Connected components (Dedup.duplicateClusters) ------------------
+    // the graph trio's third member (pagerank = importance, triangles =
+    // density, components = membership) on the same orders-derived
+    // 60-node graph: pointer-jumped min-label propagation on Spark, a
+    // recursive reachability CTE on the oracle — two different exact
+    // algorithms that must agree on every label.
+    QueryDef("q_components",
+      """WITH e AS (
+        |  SELECT DISTINCT least(o_custkey % 60, (o_custkey + o_orderkey) % 60) AS a,
+        |    greatest(o_custkey % 60, (o_custkey + o_orderkey) % 60) AS b
+        |  FROM orders
+        |  WHERE least(o_custkey % 60, (o_custkey + o_orderkey) % 60)
+        |     <> greatest(o_custkey % 60, (o_custkey + o_orderkey) % 60)),
+        |und AS (SELECT a AS v, b AS w FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT v FROM und),
+        |r AS (
+        |  WITH RECURSIVE reach(v, l) AS (
+        |    SELECT v, v AS l FROM nodes
+        |    UNION
+        |    SELECT u.w AS v, reach.l FROM reach JOIN und u ON u.v = reach.v)
+        |  SELECT v, min(l) AS cluster FROM reach GROUP BY v)
+        |SELECT v, cluster FROM r ORDER BY v""".stripMargin) {
+      (s, dir) => {
+        val e = Tables(s, dir, "orders").selectExpr(
+          "o_custkey % 60 AS src", "(o_custkey + o_orderkey) % 60 AS dst")
+        val pairs = graft.operators.Graph.canonicalEdges(e)
+          .selectExpr("a AS a_id", "b AS b_id")
+        graft.operators.Dedup.duplicateClusters(pairs)
+          .selectExpr("id AS v", "cluster")
+          .orderBy("v")
+      }
+    },
+
     // ---- Weighted median (Features.weightedMedian) -----------------------
     // revenue-weighted quantity median per returnflag: cumulative-weight
     // crossing in pure integer arithmetic (cents, doubled compare) — no
