@@ -255,6 +255,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch quality gate blocks a bad micro-batch and passes clean ones") {
+    // ingest monitoring composed from the batch operator: every
+    // micro-batch runs Profile.checks (ONE aggregate pass) and only
+    // batches with zero failing rules reach the sink — the
+    // fail-the-pipeline-run contract under Structured Streaming
+    import graft.operators.Profile
+    import graft.operators.Profile.Check
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      Check("complete_text", "count(text) = count(*)", "count(*) - count(text)"),
+      Check("unique_id", "count(DISTINCT doc_id) = count(doc_id)",
+        "count(doc_id) - count(DISTINCT doc_id)"))
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val rejectedRules = scala.collection.mutable.ArrayBuffer[String]()
+    val input = MemoryStream[EventPipeline.DocEvent]
+    val q = input.toDF().select("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val failing = Profile.checks(batch, rules)
+          .filter("NOT pass").select("check_name").as[String].collect()
+        if (failing.isEmpty)
+          accepted.synchronized {
+            accepted ++= batch.select("doc_id").as[Long].collect()
+          }
+        else rejectedRules.synchronized { rejectedRules ++= failing }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        EventPipeline.DocEvent(ts(1), 1L, "clean document one"),
+        EventPipeline.DocEvent(ts(1), 2L, "clean document two"))
+      q.processAllAvailable()
+      input.addData(
+        EventPipeline.DocEvent(ts(2), 3L, "fine"),
+        EventPipeline.DocEvent(ts(2), 3L, null)) // dup id AND a null text
+      q.processAllAvailable()
+      assert(accepted.sorted == Seq(1L, 2L), s"got $accepted")
+      assert(rejectedRules.sorted == Seq("complete_text", "unique_id"),
+        s"got $rejectedRules")
+    } finally {
+      q.stop()
+    }
+  }
+
   test("foreachBatch ingest drops near-dups against the saved corpus index") {
     // the full ingest story: micro-batches arrive as a stream, candidates
     // come from the BUCKETED on-disk LSH index (Dedup.saveBandTable), and
