@@ -201,6 +201,28 @@ object StatsQueries {
         .orderBy("user_id", "effective_from", "event_type", "effective_to")
     },
 
+    // ---- Deterministic per-group MODE -------------------------------------
+    // the most frequent value per group with an explicit (count, value)
+    // tie-break — built-in mode() returns an ARBITRARY tie winner on
+    // both engines, so the deterministic two-level aggregate is the
+    // engine-portable form (and the scalable one: partial counts
+    // combine map-side, no value buffering).
+    QueryDef("q_agg_mode",
+      """WITH c AS (
+        |  SELECT o_orderpriority AS g, o_custkey % 25 AS v,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT g, max([n, v])[2] AS mode_v, max(n) AS mode_n
+        |FROM c GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .selectExpr("o_orderpriority AS g", "o_custkey % 25 AS v")
+        .groupBy("g", "v").agg(count(lit(1)).cast("bigint").as("n"))
+        .groupBy("g")
+        .agg(expr("max_by(v, struct(n, v))").as("mode_v"),
+          max("n").as("mode_n"))
+        .orderBy("g")
+    },
+
     // ---- SCD2 time travel (operator Merge.snapshotAt) --------------------
     // the point-in-time read over the q_scd2 history: each user's state
     // as of 2024-01-15 noon — a pure filter over the history (no join,
