@@ -201,6 +201,42 @@ object StatsQueries {
         .orderBy("user_id", "effective_from", "event_type", "effective_to")
     },
 
+    // ---- Discrete percentile (PERCENTILE_DISC analog) ----------------------
+    // the value at rank ceil(p·n) per group — an ACTUAL data value, no
+    // interpolation, so the whole computation is integer arithmetic
+    // (cents, integer ceiling) on both engines. One key-partitioned
+    // rank window + broadcast group counts; same scale shape as
+    // weightedMedian.
+    QueryDef("q_percentile_disc",
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |r AS (
+        |  SELECT g, v, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM b),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g)
+        |SELECT r.g, max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_c,
+        |  max(n) AS n
+        |FROM r JOIN c ON r.g = c.g
+        |GROUP BY r.g ORDER BY r.g""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .selectExpr("l_returnflag AS g", "l_orderkey", "l_linenumber",
+          "CAST(round(l_quantity * 100) AS BIGINT) AS v")
+      val w = Window.partitionBy("g")
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      val cnt = b.groupBy("g").agg(count(lit(1)).cast("bigint").as("n"))
+        .withColumnRenamed("g", "_g")
+      b.withColumn("rn", row_number().over(w).cast("bigint"))
+        .join(broadcast(cnt), col("g") === col("_g"))
+        .groupBy("g")
+        .agg(expr("max(CASE WHEN rn = (9 * n + 9) div 10 THEN v END)").as("p90_c"),
+          max("n").as("n"))
+        .orderBy("g")
+    },
+
     // ---- Deterministic per-group MODE -------------------------------------
     // the most frequent value per group with an explicit (count, value)
     // tie-break — built-in mode() returns an ARBITRARY tie winner on
