@@ -21,14 +21,19 @@ object Checksum {
     * `cols` must be STRING-valued (callers cast: integers/strings are
     * portable as-is; floats/timestamps must first be cast to an exact
     * representation — cents, epoch micros — because engines do NOT
-    * format doubles identically). NULLs: concat_ws skips nulls, so
-    * (NULL,'x') and ('x',NULL) would collide — guard nullable columns
-    * with an explicit sentinel cast first. One narrow scan + a scalar
-    * aggregate; nothing shuffles but partial sums.
+    * format doubles identically). Each value is LENGTH-PREFIXED
+    * (`len:value`) before joining on '|', so a separator character
+    * inside a value cannot alias a column boundary — ('a|b','c') and
+    * ('a','b|c') hash differently. NULLs: concat_ws skips nulls, so
+    * (NULL,'x') and ('x',NULL) would still collide — guard nullable
+    * columns with an explicit sentinel cast first. One narrow scan + a
+    * scalar aggregate; nothing shuffles but partial sums.
     */
   def fingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
-    val joined = cols.mkString("concat_ws('|', ", ", ", ")")
+    val joined = cols
+      .map(c => s"concat(CAST(length($c) AS STRING), ':', $c)")
+      .mkString("concat_ws('|', ", ", ", ")")
     df.agg(
       count(lit(1)).cast("bigint").as("n_rows"),
       // coalesce: an empty table must fingerprint as '0', not NULL —

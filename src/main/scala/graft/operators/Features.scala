@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** Attach a per-group stats frame back onto the rows NULL-SAFELY
+    * (`<=>`) — the same contract as [[weightedMedian]]: a plain
+    * equi-join on the keys rejects NULL = NULL and silently drops every
+    * row of a NULL-key group, the 'unknown' bucket a caller scaling an
+    * optional dimension still expects output for. Empty `keys` = global
+    * stats, attached as a broadcast cross join (one stats row).
+    */
+  private def attachStats(df: DataFrame, stats: DataFrame,
+                          keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) df.crossJoin(broadcast(stats))
+    else {
+      val renamed = stats.select(
+        keys.map(k => col(k).as(s"_sk_$k")) ++
+          stats.columns.filterNot(keys.contains).map(col): _*)
+      val cond = keys.map(k => col(k) <=> col(s"_sk_$k")).reduce(_ && _)
+      df.join(broadcast(renamed), cond).drop(keys.map(k => s"_sk_$k"): _*)
+    }
+
   /** Adds `<value>_z` (z-score, sample stddev) and `<value>_mm`
     * (min-max to [0,1]) per `keys` group. Constant groups (stddev 0 or
     * min=max) produce 0 for both — a defined value, not NULL/NaN, so
@@ -24,7 +42,7 @@ object Features {
       stddev_samp(col(valueCol)).as("_sd"),
       min(col(valueCol)).as("_mn"),
       max(col(valueCol)).as("_mx"))
-    df.join(broadcast(stats), keys)
+    attachStats(df, stats, keys)
       .withColumn(s"${valueCol}_z",
         expr(s"IF(_sd IS NULL OR _sd = 0D, 0D, (CAST($valueCol AS DOUBLE) - _mu) / _sd)"))
       .withColumn(s"${valueCol}_mm",
@@ -51,7 +69,7 @@ object Features {
         s"transform($q(CAST($valueCol AS DOUBLE), array(0.25D, 0.5D, 0.75D)), v -> round(v, 6))")
         .as("_qs"))
       .selectExpr(keys :+ "_qs[0] AS _q1" :+ "_qs[1] AS _med" :+ "_qs[2] AS _q3": _*)
-    df.join(broadcast(stats), keys)
+    attachStats(df, stats, keys)
       .withColumn(s"${valueCol}_r",
         expr(s"IF(_q3 = _q1, 0D, round((CAST($valueCol AS DOUBLE) - _med) / (_q3 - _q1), 6))"))
       .drop("_med", "_q1", "_q3")
@@ -81,7 +99,7 @@ object Features {
         s"transform($pct(CAST($valueCol AS DOUBLE), array(${lo}D, ${hi}D)), v -> round(v, 6))")
         .as("_ps"))
       .selectExpr(keys :+ "_ps[0] AS _plo" :+ "_ps[1] AS _phi": _*)
-    df.join(broadcast(stats), keys)
+    attachStats(df, stats, keys)
       .withColumn(s"${valueCol}_w",
         expr(s"round(least(greatest(CAST($valueCol AS DOUBLE), _plo), _phi), 6)"))
       .drop("_plo", "_phi")

@@ -113,12 +113,20 @@ object Sampling {
     * count, so the draw itself is a narrow codegen'd explode: no
     * shuffle until the caller joins payloads onto `neg_id` (one
     * equi-join, the shape every contrastive-batch builder needs
-    * anyway).
+    * anyway). A 1-row corpus fails loudly at runtime (its only "next
+    * id" under the self-draw shift is itself, so the non-self contract
+    * is unsatisfiable); an empty corpus yields empty output.
     */
   def negatives(df: DataFrame, idCol: String, k: Int,
                 seed: String): DataFrame = {
     require(k >= 1 && k <= 1000, "need k in [1,1000]")
+    // data-dependent precondition ⇒ raise_error-in-IF, not require():
+    // with n=1 the shift (c+1)%n returns the row's own id, silently
+    // violating the non-self contract. n=0 passes — no rows draw.
     val n1 = df.agg(count(lit(1)).cast("bigint").as("_n"))
+      .select(expr(
+        "IF(_n <> 1, _n, raise_error('negatives: 1-row corpus has no non-self partner'))")
+        .as("_n"))
     val h = s"graft_hash60(concat(${sqlLit(seed + ":")}, " +
       s"CAST($idCol AS STRING), ':', CAST(j AS STRING)))"
     df.crossJoin(broadcast(n1))

@@ -40,22 +40,39 @@ object Vectors {
     *
     * Scale shape: the pair join is an EQUI-join on the cluster id —
     * in-cluster quadratic, cross-cluster zero, the SemDeDup contract
-    * (clusters bound the candidate sets). For unclustered corpora or
-    * degenerate cluster sizes, the banded-LSH path
-    * ([[Dedup.cosinePairs]] with maxBucket) is the guard rail.
+    * (clusters bound the candidate sets). `maxCluster` enforces that
+    * contract the same way [[Dedup.minhashLsh]]'s `maxBucket` does:
+    * clusters larger than the cap are EXCLUDED from the pair join (their
+    * rows pass through un-deduped), so a degenerate clustering (k-means
+    * collapse, a constant cluster column) can never go silently O(n²).
+    * The number of bypassed rows is observable at runtime via the
+    * `graft_semantic_dedup` observation (metric `oversized_rows`); route
+    * oversized clusters through [[Dedup.cosinePairs]] if they must still
+    * be deduped.
     */
   def semanticDedup(df: DataFrame, clusterCol: String, idCol: String,
-                    vecCol: String, tau: Double): DataFrame = {
-    val a = df.select(col(clusterCol).as("_c"), col(idCol).as("_ida"),
+                    vecCol: String, tau: Double,
+                    maxCluster: Int = 10000): DataFrame = {
+    require(maxCluster >= 1, "maxCluster must be positive")
+    // one row per cluster — tiny next to the corpus; equi-joined back on
+    // the cluster id so every row learns its cluster's size
+    val sizes = df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("_csz"))
+    val tagged = df.join(sizes, Seq(clusterCol))
+      .observe("graft_semantic_dedup",
+        sum(when(col("_csz") > maxCluster, 1L).otherwise(0L))
+          .as("oversized_rows"))
+    val eligible = tagged.filter(col("_csz") <= maxCluster)
+    val a = eligible.select(col(clusterCol).as("_c"), col(idCol).as("_ida"),
       col(vecCol).as("_va"))
-    val b = df.select(col(clusterCol).as("_c"), col(idCol).as("_idb"),
+    val b = eligible.select(col(clusterCol).as("_c"), col(idCol).as("_idb"),
       col(vecCol).as("_vb"))
     val drops = a.join(b, "_c")
       .filter(col("_ida") < col("_idb"))
       .filter(expr(
         s"round(graft_dot(_va, _vb) / (sqrt(graft_dot(_va, _va)) * sqrt(graft_dot(_vb, _vb))), 6) >= $tau"))
       .select(col("_idb").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    tagged.drop("_csz").join(drops, Seq(idCol), "left_anti")
   }
 
   /** Symmetric per-vector int8 quantization: `q[i] = round(v[i] * 127 /
@@ -179,10 +196,18 @@ object Vectors {
       // min(struct) carries the vector through the argmin so no second
       // join back onto the corpus is needed; (d, cid) is unique per vid
       // so qe is never reached by the lexicographic compare
+      // ragged-input guard: zip_with pads the shorter array with NULLs,
+      // which would corrupt centroids/assignments SILENTLY. Every vector
+      // meets every centroid here, so a size compare at the distance is
+      // a complete check — mismatches fail loudly (randomProject's
+      // raise_error contract, made data-dependent: no dims param needed)
       assigned = q.crossJoin(broadcast(cents))
         .withColumn("d", expr(
-          "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+          "IF(size(qe) = size(ce), " +
+            "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v), " +
+            "raise_error(concat('kmeans: ragged embeddings — vector size ', " +
+            "CAST(size(qe) AS STRING), ' vs centroid size ', CAST(size(ce) AS STRING))))"))
         .groupBy("vid")
         .agg(min(struct(col("d"), col("cid"), col("qe"))).as("m"))
         .select(col("vid"), col("m.cid").as("cid"), col("m.qe").as("qe"))

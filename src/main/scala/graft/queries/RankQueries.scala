@@ -326,17 +326,28 @@ object RankQueries {
         |  to_json(list_sort(list(doc_id))[1:50])::VARCHAR AS postings_head
         |FROM tok GROUP BY token
         |ORDER BY n_docs DESC, token LIMIT 40""".stripMargin) { (s, dir) =>
-      // inverted-index build: posting lists per token. The emitted list
-      // is CAPPED at 50 ids (a stopword's full posting list is df-sized;
-      // real indexes shard it) — the cap is explicit in the column name.
-      Tables(s, dir, "documents")
+      // inverted-index build: posting lists per token, head CAPPED at 50
+      // ids. The cap is applied BEFORE any collect_list: TopK.perKey
+      // rank-filters to the 50 smallest doc_ids per token first, so a
+      // stopword's df-sized posting list never materializes in an
+      // aggregation buffer — the collect_list input is ≤ 50 rows/token by
+      // construction. n_docs comes from a separate count aggregate whose
+      // buffer is O(1) (map-side partial combine). One persisted token
+      // frame feeds both branches (one scan of documents).
+      import graft.operators.TopK
+      val tok = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr("split(lower(trim(text)), '\\\\s+')")).as("token"))
         .filter(col("token") =!= "")
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = tok.groupBy("token")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      val heads = TopK.perKey(tok, Seq("token"), Seq(col("doc_id")), 50)
         .groupBy("token")
-        .agg(count(lit(1)).cast("bigint").as("n_docs"),
-          to_json(slice(sort_array(collect_list(col("doc_id"))), 1, 50)).as("postings_head"))
+        .agg(to_json(sort_array(collect_list(col("doc_id")))).as("postings_head"))
+      counts.join(heads, "token")
+        .select("token", "n_docs", "postings_head")
         .orderBy(col("n_docs").desc, col("token"))
         .limit(40)
     },

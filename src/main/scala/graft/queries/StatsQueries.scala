@@ -590,15 +590,25 @@ object StatsQueries {
     },
 
     QueryDef("q_checksum",
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      """WITH cast4 AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS c1,
+        |    CAST(l_linenumber AS VARCHAR) AS c2,
+        |    l_returnflag AS c3,
+        |    CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) AS c4
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(('0x' || substr(md5(
-        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-        |    || '|' || l_returnflag || '|' || CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+        |    CAST(length(c1) AS VARCHAR) || ':' || c1
+        |    || '|' || CAST(length(c2) AS VARCHAR) || ':' || c2
+        |    || '|' || CAST(length(c3) AS VARCHAR) || ':' || c3
+        |    || '|' || CAST(length(c4) AS VARCHAR) || ':' || c4
         |  ), 1, 15))::BIGINT) AS VARCHAR) AS fp
-        |FROM lineitem""".stripMargin) { (s, dir) =>
+        |FROM cast4""".stripMargin) { (s, dir) =>
       // order-independent table fingerprint: the SAME (n_rows, fp) pair
       // from both engines IS the cross-engine data contract — floats
-      // enter as exact cents, everything else as portable strings
+      // enter as exact cents, everything else as portable strings;
+      // values are length-prefixed so '|' inside data can't shift a
+      // column boundary (Checksum.fingerprint contract)
       graft.operators.Checksum.fingerprint(
         Tables(s, dir, "lineitem").selectExpr(
           "CAST(l_orderkey AS STRING) AS c1",

@@ -280,4 +280,20 @@ class PlanQualitySpec extends SparkSpec {
       assert(shuffles <= 2, s"$q: expected <=2 shuffles (key merge + order-by), got $shuffles")
     }
   }
+
+  test("inverted-index posting lists are rank-capped BEFORE any collect_list") {
+    // a stopword's posting list is df-sized: collect_list over the raw
+    // (token, doc_id) pairs would materialize it whole in one reducer's
+    // aggregation buffer. The plan must bound the buffer, not just the
+    // output: TopK.perKey's narrow partial pass (MapPartitions) + rank
+    // filter must sit UPSTREAM of the collect_list aggregate.
+    val df = SparkEntry.queries("q_inverted_index")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val nodes = collectNodes(plan).map(_.nodeName)
+    assert(nodes.exists(_.contains("MapPartitions")),
+      s"no partial top-k pass upstream of collect_list: $nodes")
+    // the rank filter (rnk <= k) gates the aggregate input
+    assert(plan.toString.contains("rnk"),
+      s"expected TopK rank filter in plan:\n${plan.toString.take(1500)}")
+  }
 }

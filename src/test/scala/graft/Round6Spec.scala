@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Checksum, Features, Sampling, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Round-6 hardening: SemDeDup cluster cap, fingerprint delimiter
+  * safety, null-safe scaler joins, kmeans ragged-input guard, negatives
+  * 1-row guard, bounded inverted-index buffers.
+  */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Vectors.semanticDedup maxCluster -------------------------------
+
+  test("semanticDedup excludes oversized clusters from the pair join (no O(n²) blowup)") {
+    // a CONSTANT cluster column — the degenerate case the cap exists for
+    val rows = spark.range(500).selectExpr(
+      "CAST(0 AS BIGINT) AS cl", "id AS vec_id",
+      "array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS e")
+    val kept = Vectors.semanticDedup(rows, "cl", "vec_id", "e",
+      tau = 0.9, maxCluster = 100)
+    // the whole cluster is over the cap ⇒ bypassed un-deduped: every
+    // row survives even though all 500 are identical vectors
+    assert(kept.count() == 500)
+    // and the physical plan's self-join input is size-filtered — the
+    // quadratic branch is gated on _csz <= maxCluster
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_csz"), s"expected cluster-size gate in plan:\n$plan")
+  }
+
+  test("semanticDedup under the cap still drops larger-id near-twins only") {
+    val rows = Seq(
+      (0L, 1L, Array(1.0, 0.0)), (0L, 2L, Array(1.0, 0.0)),  // twins: drop id 2
+      (0L, 3L, Array(0.0, 1.0)),                              // orthogonal: keep
+      (1L, 4L, Array(1.0, 0.0))                               // other cluster: keep
+    ).toDF("cl", "vec_id", "e")
+    val kept = Vectors.semanticDedup(rows, "cl", "vec_id", "e",
+      tau = 0.95, maxCluster = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  // ---- Checksum.fingerprint delimiter safety --------------------------
+
+  test("fingerprint distinguishes values that differ only by separator placement") {
+    // ('a|b','c') vs ('a','b|c') — identical under naive '|' joining
+    val x = Seq(("a|b", "c")).toDF("a", "b")
+    val y = Seq(("a", "b|c")).toDF("a", "b")
+    val fx = Checksum.fingerprint(x, Seq("a", "b")).as[(Long, String)].head()
+    val fy = Checksum.fingerprint(y, Seq("a", "b")).as[(Long, String)].head()
+    assert(fx._2 != fy._2, "delimiter-shifted rows must fingerprint differently")
+    // and the length-prefix itself can't alias either: (':a','') vs ('','a:')
+    val p = Checksum.fingerprint(Seq((":a", "")).toDF("a", "b"), Seq("a", "b"))
+      .as[(Long, String)].head()
+    val q = Checksum.fingerprint(Seq(("", "a:")).toDF("a", "b"), Seq("a", "b"))
+      .as[(Long, String)].head()
+    assert(p._2 != q._2)
+  }
+
+  // ---- Features null-safe stats joins ---------------------------------
+
+  test("standardize/robustScale/winsorize keep NULL-key groups (null-safe join)") {
+    val df = Seq(
+      (Some("g"), 1.0), (Some("g"), 2.0), (Some("g"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0)
+    ).toDF("k", "v")
+    assert(Features.standardize(df, Seq("k"), "v").count() == 6)
+    assert(Features.robustScale(df, Seq("k"), "v").count() == 6)
+    assert(Features.winsorize(df, Seq("k"), "v", 0.25, 0.75).count() == 6)
+    // NULL-key rows get REAL stats from their own group, not NULLs
+    val z = Features.standardize(df, Seq("k"), "v")
+      .filter(col("k").isNull).selectExpr("v_z").as[Double].collect()
+    assert(z.forall(!_.isNaN) && math.abs(z.sum) < 1e-9)
+  }
+
+  // ---- kmeans ragged-embedding guard ----------------------------------
+
+  test("kmeans rejects ragged embeddings loudly instead of corrupting centroids") {
+    val ragged = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.5f))                                     // wrong dims
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Vectors.kmeans(ragged, "vec_id", "embedding", k = 2, iters = 1)
+        .assignments.collect()
+    }
+    assert(e.getMessage.contains("ragged"), s"got: ${e.getMessage}")
+  }
+
+  // ---- Sampling.negatives 1-row guard ---------------------------------
+
+  test("negatives fails loudly on a 1-row corpus and yields empty on empty") {
+    val one = Seq(0L).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.negatives(one, "id", k = 2, seed = "s").collect()
+    }
+    assert(e.getMessage.contains("non-self partner"), s"got: ${e.getMessage}")
+    val empty = spark.range(0).selectExpr("id")
+    assert(Sampling.negatives(empty, "id", k = 2, seed = "s").count() == 0)
+  }
+
+  test("negatives never returns a self-pair on a 2-row corpus (the tightest domain)") {
+    val two = spark.range(2).selectExpr("id")
+    val pairs = Sampling.negatives(two, "id", k = 8, seed = "s")
+      .select("id", "neg_id").as[(Long, Long)].collect()
+    assert(pairs.length == 16)
+    assert(pairs.forall { case (i, n) => i != n })
+  }
+}
