@@ -200,6 +200,30 @@ object SourceQueries {
             "CAST(rs_height AS BIGINT) AS rs_height",
             "n_frames")
           .orderBy("doc_id")
+    },
+
+    // ---- Pluggable DataSourceV2 source ---------------------------------
+    // the reference's headline plug-in contract (src/backend/dataSource.js:
+    // AsyncDataSource) realized as a Spark TableProvider: a custom scan
+    // with REAL predicate + column pushdown (the id filter narrows the
+    // generated range before partition planning — see GraftRangeSource).
+    // The oracle reproduces the generated table with DuckDB's range().
+    QueryDef("q_custom_source",
+      """SELECT CAST(id % 10 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(id * id) AS BIGINT) AS sq_sum,
+        |  min('row_' || CAST(id AS VARCHAR)) AS first_name
+        |FROM range(700, 9300) t(id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, _) =>
+        s.read.format("graft-range")
+          .option("rows", "100000").option("partitions", "8").load()
+          .filter(col("id") >= 700 && col("id") < 9300)
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum("sq").cast("bigint").as("sq_sum"),
+            min("name").as("first_name"))
+          .orderBy("bucket")
     }
   )
 }

@@ -99,6 +99,34 @@ class Round6Spec extends SparkSpec {
     assert(Sampling.negatives(empty, "id", k = 2, seed = "s").count() == 0)
   }
 
+  // ---- GraftRangeSource (DataSourceV2 plug-in) ------------------------
+
+  test("graft-range source: id predicates narrow the scan and columns prune") {
+    val df = spark.read.format("graft-range")
+      .option("rows", "100000").option("partitions", "8").load()
+      .filter(col("id") >= 500 && col("id") < 1500)
+      .select("id", "sq")
+    val plan = df.queryExecution.executedPlan.toString
+    // pushdown reached the custom scan: the generated range itself is
+    // narrowed (work pruning, not just row filtering)...
+    assert(plan.contains("pushedRange=[500,1500)"), s"plan:\n$plan")
+    // ...and the reader emits only the projected columns
+    assert(plan.contains("columns=[id,sq]"), s"plan:\n$plan")
+    val got = df.agg(count(lit(1)), sum("sq")).as[(Long, Long)].head()
+    assert(got._1 == 1000L)
+    assert(got._2 == (500L until 1500L).map(i => i * i).sum)
+  }
+
+  test("graft-range source: slices parallelize and an empty range plans zero work") {
+    val df = spark.read.format("graft-range")
+      .option("rows", "1000").option("partitions", "4").load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 1000L)
+    val empty = spark.read.format("graft-range").option("rows", "1000").load()
+      .filter(col("id") >= 5000)
+    assert(empty.count() == 0L)
+  }
+
   test("negatives never returns a self-pair on a 2-row corpus (the tightest domain)") {
     val two = spark.range(2).selectExpr("id")
     val pairs = Sampling.negatives(two, "id", k = 8, seed = "s")
