@@ -528,6 +528,30 @@ object FuncQueries {
         t(s, dir, "documents").filter(col("doc_id") < 100)
           .select(col("doc_id"), score(col("text")).as("score"))
           .orderBy("doc_id")
+    },
+
+    // ---- Async batched scoring (reference: src/validation/functions.js —
+    // promise-returning UserDefinedFunction). The Spark shape is
+    // AsyncScore.mapBatchesAsync: batches of 32 texts per call, ≤4 calls
+    // in flight per partition, order-preserving drain. The scorer here is
+    // the deterministic q_udf stub (byte length mod 97) standing in for a
+    // remote model endpoint; scores are exact small integers so the
+    // double sum is order-independent and the BIGINT cast exact.
+    QueryDef("q_async_score",
+      """WITH s AS (SELECT source, mod(strlen(text), 97) AS sc FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(sc) AS BIGINT) AS score_sum
+        |FROM s GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val scored = graft.operators.AsyncScore.mapBatchesAsync(
+          t(s, dir, "documents").select("source", "text"),
+          inCol = "text", out = "sc", batchSize = 32, maxInFlight = 4) {
+          texts => texts.map(tx => (tx.getBytes("UTF-8").length % 97).toDouble)
+        }
+        scored.groupBy("source")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("sc").cast("bigint").as("score_sum"))
+          .orderBy("source")
     }
   )
 }

@@ -21,6 +21,11 @@ object ExecutionSemanticsSpec {
   // static singleton: task closures are serialized even in local mode, so
   // an instance field would be incremented on a deserialized copy
   val udfCalls = new AtomicInteger(0)
+  // async-scorer instrumentation (same static-singleton reasoning)
+  val scoreCalls = new AtomicInteger(0)
+  val maxBatch = new AtomicInteger(0)
+  val inFlightNow = new AtomicInteger(0)
+  val maxInFlightSeen = new AtomicInteger(0)
 }
 
 class ExecutionSemanticsSpec extends SparkSpec {
@@ -198,5 +203,60 @@ class ExecutionSemanticsSpec extends SparkSpec {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  test("async batched scoring: batches, bounded concurrency, order == naive sync UDF") {
+    import graft.operators.AsyncScore
+    import ExecutionSemanticsSpec._
+    import spark.implicits._
+    scoreCalls.set(0); maxBatch.set(0); inFlightNow.set(0); maxInFlightSeen.set(0)
+    val n = 5000
+    val df = spark.range(n).selectExpr("id", "concat('t', repeat('x', CAST(id % 37 AS INT))) AS txt")
+      .repartition(3)
+    val scored = AsyncScore.mapBatchesAsync(df, "txt", "score",
+      batchSize = 64, maxInFlight = 4) { texts =>
+      val now = inFlightNow.incrementAndGet()
+      maxInFlightSeen.accumulateAndGet(now, math.max)
+      scoreCalls.incrementAndGet()
+      maxBatch.accumulateAndGet(texts.length, math.max)
+      Thread.sleep(1) // force overlap so the concurrency bound is exercised
+      val r = texts.map(t => t.length.toDouble * 3)
+      inFlightNow.decrementAndGet()
+      r
+    }
+    val got = scored.select("id", "score").as[(Long, Double)].collect().toMap
+    // identical to the naive per-row sync UDF
+    val syncUdf = udf((t: String) => t.length.toDouble * 3)
+    val naive = df.withColumn("score", syncUdf(col("txt")))
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(got == naive)
+    // batching actually happened: far fewer calls than rows, none over cap
+    assert(maxBatch.get() <= 64 && maxBatch.get() > 1, s"maxBatch=${maxBatch.get()}")
+    assert(scoreCalls.get() <= n / 32, s"calls=${scoreCalls.get()} — not batched")
+    // concurrency stayed within partitions × maxInFlight (3 × 4), and the
+    // pipeline really overlapped calls rather than serializing them
+    assert(maxInFlightSeen.get() <= 12, s"maxInFlight=${maxInFlightSeen.get()}")
+    assert(maxInFlightSeen.get() >= 2, "no overlap observed — pipeline is serial")
+  }
+
+  test("async batched scoring preserves per-partition input order") {
+    import graft.operators.AsyncScore
+    import spark.implicits._
+    val df = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS txt").coalesce(1)
+    val out = AsyncScore.mapBatchesAsync(df, "txt", "score",
+      batchSize = 16, maxInFlight = 4)(ts => ts.map(_.toDouble))
+      .select("id").as[Long].collect()
+    assert(out.toSeq == (0L until 1000L), "row order changed across the async drain")
+  }
+
+  test("async batched scoring propagates a scorer failure as a task failure") {
+    import graft.operators.AsyncScore
+    val df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS txt")
+    val e = intercept[Exception] {
+      AsyncScore.mapBatchesAsync(df, "txt", "score", batchSize = 8, maxInFlight = 2) {
+        ts => if (ts.exists(_ == "42")) throw new RuntimeException("model 500") else ts.map(_ => 1.0)
+      }.count()
+    }
+    assert(e.getMessage != null)
   }
 }
