@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample run as `mapPartitions`
   * over a typed Dataset.
   *
-  * The codecs themselves are STUBS (no image/audio libraries in this
-  * environment): `decodeMeta` parses a deterministic 16-byte fake header
-  * and `sampleFrames` slices the payload at fixed strides. Everything
-  * Spark-side — schema, encoders, partition-batched iteration, the shape
-  * of the UDF-free pipeline — is real and tested.
+  * IMAGE payloads decode FOR REAL: PNG/JPEG blobs (magic-byte sniffed)
+  * go through `javax.imageio` — in the JDK, no external binding — and
+  * yield true width/height plus an integer-luma plane that [[phash60]]
+  * hashes. Payloads that are not a real image (including the synthetic
+  * utf-8 corpus from [[fromDocuments]]) fall back to the deterministic
+  * 16-byte fake-header parse, standing in for the audio/video codecs
+  * this environment lacks — so the oracle-checked arithmetic is
+  * unchanged while real images take the real path.
   *
   * Scale notes (100 TB): payloads never pass through a shuffle — all media
   * transforms are narrow (mapPartitions); only extracted metadata (small
@@ -35,6 +38,44 @@ object MediaOps {
 
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** PNG / JPEG magic-byte sniff — decides real decode vs stub header. */
+  private[operators] def isRealImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+
+  /** Real image decode via `javax.imageio`: (width, height, nComponents,
+    * row-major luma plane). Luma is EXACT integer Rec.601
+    * (`(299r + 587g + 114b) div 1000`), so every downstream hash stays
+    * bit-identical across engines/platforms — the same integer-exact
+    * contract the stub path has. Returns None for undecodable bytes
+    * (caller falls back to the stub rather than failing the row: a
+    * corrupt image in a 100 TB corpus must degrade, not kill the job).
+    */
+  private[operators] def decodeImage(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val luma = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            luma(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, img.getColorModel.getNumComponents, luma))
+      }
+    } catch { case _: Exception => None }
+
   /** Deterministic fake header: the first 16 payload bytes define the
     * metadata via arithmetic, standing in for a real codec header parse.
     */
@@ -55,10 +96,22 @@ object MediaOps {
   def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition "codec init" would go here
+      // per-partition codec init would go here (ImageIO reader instances
+      // are cheap; a native decoder handle would be reused across rows)
       it.map { r =>
+        val meta =
+          if (isRealImage(r.payload))
+            decodeImage(r.payload) match {
+              case Some((w, h, comps, _)) =>
+                // a still image has no sample rate / duration; channels
+                // are the color components the decoder actually produced
+                MediaMeta(width = w, height = h, sampleRate = 0,
+                  nChannels = comps, durationMs = 0L)
+              case None => parseHeader(r.payload) // corrupt image: degrade
+            }
+          else parseHeader(r.payload)
         DecodedRow(r.doc_id, r.media_type, r.payload.length.toLong,
-          parseHeader(r.payload), r.payload)
+          meta, r.payload)
       }
     }
   }
@@ -112,15 +165,16 @@ object MediaOps {
     }
   }
 
-  /** Perceptual blockhash over a decoded payload: 60 bits, bit `j` set
-    * iff block `j`'s mean byte value exceeds the payload's global mean
-    * — the classic blockhash/aHash shape (on real images this runs over
-    * decoded luma; here over the stub payload, same plumbing). Byte at
-    * offset `p` belongs to block `p·60 div len`, and the mean compare
-    * is cross-multiplied (`blockSum·len > totalSum·blockLen`) so the
-    * whole hash is EXACT integer arithmetic — bit-identical on any
-    * engine. 60 bits keeps the value positive in an int64 (and matches
-    * the engine's 60-bit hash identity). Empty payloads hash to 0.
+  /** Perceptual blockhash: 60 bits, bit `j` set iff block `j`'s mean
+    * value exceeds the global mean — the classic blockhash/aHash shape.
+    * REAL images (PNG/JPEG) hash their DECODED integer-luma plane, so
+    * recompression variants of the same pixels collide as they should;
+    * other payloads hash raw bytes (same plumbing). Value at offset `p`
+    * belongs to block `p·60 div len`, and the mean compare is
+    * cross-multiplied (`blockSum·len > totalSum·blockLen`) so the whole
+    * hash is EXACT integer arithmetic — bit-identical on any engine.
+    * 60 bits keeps the value positive in an int64 (and matches the
+    * engine's 60-bit hash identity). Empty payloads hash to 0.
     *
     * Near-dup usage: hamming distance over these (the
     * [[Dedup.simhash64]] pattern) buckets visually-similar media —
@@ -130,7 +184,10 @@ object MediaOps {
   def phash60(ds: Dataset[DecodedRow]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.map { r =>
-      val p = r.payload
+      val p =
+        if (isRealImage(r.payload))
+          decodeImage(r.payload).map(_._4).getOrElse(r.payload)
+        else r.payload
       // the cross-multiplied compare below is bounded by 255·len², which
       // must stay inside int64 — beyond ~150 MB the products would wrap
       // and silently corrupt hash bits, so fail loudly instead (payloads

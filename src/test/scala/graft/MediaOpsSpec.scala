@@ -79,4 +79,42 @@ class MediaOpsSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  /** An actual PNG, in memory: top half black, bottom half white. */
+  private def pngBytes(w: Int, h: Int, fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (y < h / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decode reads a REAL PNG: true dimensions via javax.imageio, not the stub") {
+    val png = pngBytes(120, 120)
+    val d = MediaOps.decode(Seq(MediaRow(9L, "image", png)).toDS()).collect().head
+    assert(d.meta.width == 120 && d.meta.height == 120, d.meta)
+    assert(d.meta.nChannels == 3)
+    assert(d.meta.sampleRate == 0 && d.meta.durationMs == 0L) // a still image
+    assert(d.n_bytes == png.length.toLong)
+  }
+
+  test("phash60 hashes DECODED luma: exact bits, and invariance across scale + format") {
+    // top half black, bottom half white, 120x120: the flattened luma
+    // plane is 30 dark blocks then 30 bright blocks — bits 30..59 set
+    val expected = ((1L << 60) - 1L) & ~((1L << 30) - 1L)
+    def hashOf(p: Array[Byte]): Long =
+      MediaOps.phash60(MediaOps.decode(Seq(MediaRow(1L, "image", p)).toDS()))
+        .select("phash").as[Long].head()
+    assert(hashOf(pngBytes(120, 120)) == expected,
+      f"got ${hashOf(pngBytes(120, 120))}%x, want $expected%x")
+    // SAME pixels at 2x resolution and as JPEG: the perceptual hash
+    // holds where an exact digest breaks — the near-dup media contract
+    assert(hashOf(pngBytes(240, 240)) == expected)
+    assert(hashOf(pngBytes(120, 120, "jpg")) == expected)
+    // and the raw-bytes stub path is untouched for non-image payloads
+    val stub = MediaOps.phash60(MediaOps.decode(media)).select("phash").as[Long].collect()
+    assert(stub.length == 3)
+  }
 }
