@@ -40,7 +40,12 @@ object Bench {
       name -> run()
     }
     val failed = results.collect { case (n, None) => n }
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+    // per-query map SORTED BY TIME DESCENDING: the driver's artifact
+    // capture truncates the tail of long lines, so the heaviest queries
+    // — the ones a regression hunt needs — must serialize first
+    val qs = results.collect { case (k, Some(v)) => (k, math.round(v * 1000) / 1000.0) }
+      .sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
