@@ -205,6 +205,64 @@ class ExecutionSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("maxBucket bounds the minhash LSH join's max-task input on a Zipfian corpus") {
+    import graft.operators.Dedup
+    // deliberately Zipfian documents: 1200 byte-identical docs (ONE
+    // degenerate LSH bucket per band) + 300 distinct docs. Uncapped, the
+    // hot bucket self-joins quadratically (~1200²/2 pairs per band);
+    // capped, the whole bucket is dropped before the join.
+    val docs = spark.range(1500).selectExpr(
+      "id AS doc_id",
+      """CASE WHEN id < 1200
+        |  THEN 'the same hot document text repeated everywhere forever'
+        |  ELSE concat('unique doc ', id, ' with its own words ',
+        |              id * 7, ' and ', id * 13) END AS text""".stripMargin)
+      .repartition(8)
+    docs.persist(); docs.count()
+    try {
+      val uncappedMax = maxTaskShuffleRead {
+        Dedup.minhashLsh(docs, "doc_id", "text", maxBucket = 10000000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val cappedMax = maxTaskShuffleRead {
+        Dedup.minhashLsh(docs, "doc_id", "text", maxBucket = 100)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(uncappedMax >= 100000L,
+        s"expected a quadratic hot-bucket task uncapped, got $uncappedMax")
+      assert(cappedMax <= uncappedMax / 10,
+        s"maxBucket should bound the hot task: uncapped=$uncappedMax capped=$cappedMax")
+      assert(cappedMax <= 20000L, s"capped max-task input still large: $cappedMax")
+    } finally docs.unpersist()
+  }
+
+  test("maxDf bounds the containment join's max-task input on a Zipfian corpus") {
+    import graft.operators.Dedup
+    val docs = spark.range(1200).selectExpr(
+      "id AS doc_id",
+      """CASE WHEN id < 1000
+        |  THEN 'hot grams shared by every single document here'
+        |  ELSE concat('cold doc ', id, ' tokens ', id * 3, ' more ', id * 11) END AS text""".stripMargin)
+      .repartition(8)
+    docs.persist(); docs.count()
+    try {
+      val uncappedMax = maxTaskShuffleRead {
+        Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.99,
+          maxDf = 10000000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val cappedMax = maxTaskShuffleRead {
+        Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.99,
+          maxDf = 100)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(uncappedMax >= 100000L,
+        s"expected a quadratic hot-gram task uncapped, got $uncappedMax")
+      assert(cappedMax <= uncappedMax / 10,
+        s"maxDf should bound the hot task: uncapped=$uncappedMax capped=$cappedMax")
+    } finally docs.unpersist()
+  }
+
   test("async batched scoring: batches, bounded concurrency, order == naive sync UDF") {
     import graft.operators.AsyncScore
     import ExecutionSemanticsSpec._
