@@ -138,6 +138,161 @@ object TpchQueries {
           .orderBy(col("revenue_c").desc, col("c_custkey"))
           .limit(20)
       }
+    },
+
+    // ---- Q1: pricing summary report (the canonical wide aggregate) ------
+    // All money terms are exact cents (per-row IEEE product + round,
+    // identical on both engines; sums in DECIMAL). Averages are ONE
+    // division of two exact numbers at the end — unrounded, since the
+    // same IEEE division of the same inputs is bit-identical anywhere.
+    QueryDef("q_tpch_q1",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS BIGINT) AS sum_base_c,
+         |  CAST(sum($revC) AS BIGINT) AS sum_disc_c,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS DECIMAL(38,0))) AS BIGINT) AS sum_charge_c,
+         |  CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS avg_qty_c,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS avg_price_c,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        // one scan, one map-side-combining aggregate over ≤ 6 groups —
+        // the plan every columnar engine benches Q1 on
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+          .selectExpr("l_returnflag", "l_linestatus",
+            "CAST(round(l_quantity * 100) AS DECIMAL(38,0)) AS qty_c",
+            "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS base_c",
+            s"$revC AS disc_c",
+            "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS DECIMAL(38,0)) AS charge_c")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            expr("CAST(sum(qty_c) AS BIGINT)").as("sum_qty_c"),
+            expr("CAST(sum(base_c) AS BIGINT)").as("sum_base_c"),
+            expr("CAST(sum(disc_c) AS BIGINT)").as("sum_disc_c"),
+            expr("CAST(sum(charge_c) AS BIGINT)").as("sum_charge_c"),
+            expr("CAST(sum(qty_c) AS DOUBLE) / count(*)").as("avg_qty_c"),
+            expr("CAST(sum(base_c) AS DOUBLE) / count(*)").as("avg_price_c"),
+            expr("CAST(count(*) AS BIGINT)").as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- Q4: order priority checking (EXISTS semi-join) -----------------
+    // Adapted: the bundled lineitem has no commit/receipt dates, so the
+    // "late line" predicate is l_shipdate > o_orderdate — same EXISTS
+    // + non-equi-condition semi-join shape as the official Q4.
+    QueryDef("q_tpch_q4",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        // left_semi with equi-key + residual: the EXISTS shape — hash
+        // semi-join on the order key, residual evaluated in the join,
+        // no duplication of orders however many lines are late
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).cast("bigint").as("order_count"))
+          .orderBy("o_orderpriority")
+      }
+    },
+
+    // ---- Q6: forecasting revenue change (pure scan-filter-agg) ----------
+    QueryDef("q_tpch_q6",
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS DECIMAL(38,0))) AS BIGINT) AS revenue_c,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) {
+      (s, dir) =>
+        // every predicate pushes into the parquet scan; the aggregate is
+        // a scalar partial+final — the minimal possible plan
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(
+            expr("CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS DECIMAL(38,0))) AS BIGINT)")
+              .as("revenue_c"),
+            count(lit(1)).cast("bigint").as("n_lines"))
+    },
+
+    // ---- Q14: promotion effect (conditional aggregate over a join) ------
+    QueryDef("q_tpch_q14",
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revC ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS promo_c,
+         |  CAST(sum($revC) AS BIGINT) AS total_c,
+         |  CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN $revC ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+         |    / CAST(sum($revC) AS DOUBLE) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin) {
+      (s, dir) => {
+        // the month of lineitem shuffles nothing: part projects to two
+        // columns and broadcasts; promo share is one conditional sum
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-09-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1996-10-01 00:00:00'"))
+          .selectExpr("l_partkey", s"$revC AS rev")
+        val p = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            expr("CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)")
+              .as("promo_c"),
+            expr("CAST(sum(rev) AS BIGINT)").as("total_c"),
+            expr("CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)" +
+              " / CAST(sum(rev) AS DOUBLE)").as("promo_pct"))
+      }
+    },
+
+    // ---- Q18: large-volume customers (HAVING over a fact-fact join) -----
+    // Threshold 250 ≈ the 99th-percentile per-order quantity sum in the
+    // bundled data (official Q18 uses 300 at SF1) — selective at every sf.
+    QueryDef("q_tpch_q18",
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS qty_c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) > 25000)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+        |  CAST(qty_c AS BIGINT) AS qty_c
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, dir) => {
+        // the lineitem aggregate pre-reduces to the handful of big
+        // orders (partial agg map-side), which then BROADCASTS onto
+        // orders — the fact table is never shuffled for the join
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(expr("sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0)))").as("qty_c"))
+          .filter(col("qty_c") > expr("CAST(25000 AS DECIMAL(38,0))"))
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val c = t(s, dir, "customer").select("c_custkey", "c_name")
+        o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c",
+            "CAST(qty_c AS BIGINT) AS qty_c")
+          .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+          .limit(100)
+      }
     }
   )
 }

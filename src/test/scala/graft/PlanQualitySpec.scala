@@ -172,6 +172,21 @@ class PlanQualitySpec extends SparkSpec {
     val q10 = formatted("q_tpch_q10")
     assert(q10.contains("TakeOrderedAndProject"), q10.take(900))
     assert(q10.contains("EqualTo(l_returnflag,R)"), q10.take(1500))
+    // Q1: one scan with the shipdate pushed, partial+final hash aggregate
+    val q1 = formatted("q_tpch_q1")
+    assert(q1.contains("PushedFilters:") && q1.contains("l_shipdate"), q1.take(1200))
+    assert(q1.contains("partial_sum") || q1.contains("HashAggregate"), q1.take(1200))
+    // Q4: the EXISTS compiles to a semi join, never duplicating orders
+    assert(planOf("q_tpch_q4").contains("LeftSemi"))
+    // Q6: every predicate reaches the scan; no join, no exchange beyond
+    // the scalar-aggregate gather
+    val q6 = formatted("q_tpch_q6")
+    assert(q6.contains("l_quantity") && q6.contains("PushedFilters:"), q6.take(1200))
+    // Q14: the two-column part dim broadcasts onto the month of lineitem
+    assert(planOf("q_tpch_q14").contains("BroadcastHashJoin"))
+    // Q18: the pre-reduced big-order set broadcasts; orders never shuffles
+    val q18 = planOf("q_tpch_q18")
+    assert(q18.contains("BroadcastHashJoin") && q18.contains("TakeOrderedAndProject"), q18.take(1500))
   }
 
   test("no query plans a cartesian or nested-loop join except the declared ones") {
