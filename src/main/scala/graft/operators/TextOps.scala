@@ -518,4 +518,44 @@ object TextOps {
         expr("round(CAST(n_oov AS DOUBLE) / greatest(n_tok, CAST(1 AS BIGINT)), 6)"))
       .drop("_tk", "_vocab")
   }
+
+  /** Cross-document repeated token windows — the substring-level dedup
+    * signal (train-data dedup à la "Deduplicating Training Data Makes
+    * Language Models Better": boilerplate/licenses/templates repeat
+    * ACROSS documents even when whole-doc dedup passes). Every length-`w`
+    * token window is emitted once per containing doc; windows present in
+    * ≥ `minDocs` docs come back as (win, n_docs, example_ids).
+    *
+    * Scale shape — both aggregation buffers are BOUNDED:
+    *  - the window explode is narrow (fan-out ≈ tokens per doc);
+    *  - `n_docs` is a partial-combining count (O(1) buffer);
+    *  - example ids go through [[TopK.perKey]] (k smallest doc ids per
+    *    window) BEFORE collect_list — a boilerplate window present in
+    *    every doc never materializes a corpus-sized list on a reducer
+    *    (the q_inverted_index lesson, §VERDICT r5).
+    */
+  def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 7, minDocs: Int = 2,
+                      exampleK: Int = 3): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
+    require(minDocs >= 2, "a repeat needs at least 2 docs")
+    val pairs = df
+      .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+      // sequence(1, 0) would generate DESCENDING [1, 0] — guard short docs
+      .withColumn("win", explode(expr(
+        s"IF(size(_tk) >= $w, " +
+          s"transform(sequence(1, size(_tk) - $w + 1), i -> array_join(slice(_tk, i, $w), ' ')), " +
+          "CAST(array() AS ARRAY<STRING>))")))
+      .select(col(idCol), col("win"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = pairs.groupBy("win")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val examples = TopK.perKey(pairs, Seq("win"), Seq(col(idCol)), exampleK)
+      .groupBy("win")
+      .agg(to_json(sort_array(collect_list(col(idCol)))).as("example_ids"))
+    counts.join(examples, "win")
+      .select("win", "n_docs", "example_ids")
+  }
 }

@@ -904,6 +904,31 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Cross-document repeated windows (TextOps.repeatedWindows) ------
+    // substring-level dedup signal: boilerplate/license/template spans
+    // repeat ACROSS docs even when whole-doc dedup passes. Both
+    // aggregation buffers bounded: count partial-combines, example ids
+    // TopK-capped BEFORE collect (the q_inverted_index lesson)
+    QueryDef("q_text_substring_dup",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(l) - 5), i -> array_to_string(l[i:i+6], ' '))) AS win
+        |  FROM tk WHERE len(l) >= 7),
+        |d AS (SELECT DISTINCT doc_id, win FROM w),
+        |g AS (SELECT win, CAST(count(*) AS BIGINT) AS n_docs,
+        |    to_json(list_sort(list(doc_id))[1:3])::VARCHAR AS example_ids
+        |  FROM d GROUP BY win HAVING count(*) >= 2)
+        |SELECT win, n_docs, example_ids FROM g
+        |ORDER BY n_docs DESC, win LIMIT 40""".stripMargin) {
+      (s, dir) =>
+        graft.operators.TextOps.repeatedWindows(
+            docs(s, dir), "doc_id", "text", w = 7, minDocs = 2, exampleK = 3)
+          .orderBy(col("n_docs").desc, col("win"))
+          .limit(40)
+    },
+
     // ---- Benchmark decontamination (TextOps.decontaminate) --------------
     // the GPT-3/PaLM n-gram overlap check: flag corpus docs sharing any
     // word-5-gram with the benchmark slice. Corpus grams are hashed

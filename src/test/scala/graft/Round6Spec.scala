@@ -99,6 +99,33 @@ class Round6Spec extends SparkSpec {
     assert(Sampling.negatives(empty, "id", k = 2, seed = "s").count() == 0)
   }
 
+  // ---- TextOps.repeatedWindows ----------------------------------------
+
+  test("repeatedWindows finds cross-doc boilerplate with capped example ids") {
+    import graft.operators.TextOps
+    // 50 docs sharing one 8-token boilerplate prefix + unique tails;
+    // 2 docs with a private shared span; 1 doc with no repeats
+    val docsDf = spark.range(50).selectExpr(
+      "id AS doc_id",
+      "concat('all rights reserved by the example corpus project tail', id) AS text")
+      .union(Seq(
+        (100L, "a rare span only in two documents exactly x"),
+        (101L, "a rare span only in two documents exactly y"),
+        (200L, "completely unique words nothing here repeats at all ever")
+      ).toDF("doc_id", "text"))
+    val r = TextOps.repeatedWindows(docsDf, "doc_id", "text", w = 7, minDocs = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2)))
+    // the 8-token boilerplate yields 2 windows of 7, each in all 50 docs
+    val hot = r.filter(_._2 == 50L)
+    assert(hot.length == 2, s"expected 2 hot windows, got: ${r.toSeq}")
+    // example ids are CAPPED at 3 even though 50 docs contain the window
+    hot.foreach { case (_, _, ex) => assert(ex == "[0,1,2]", ex) }
+    // the 2-doc private span appears; the unique doc contributes nothing
+    assert(r.exists { case (w, n, ex) =>
+      n == 2L && ex == "[100,101]" && w.startsWith("a rare span") })
+    assert(!r.exists(_._3.contains("200")))
+  }
+
   // ---- GraftRangeSource (DataSourceV2 plug-in) ------------------------
 
   test("graft-range source: id predicates narrow the scan and columns prune") {
