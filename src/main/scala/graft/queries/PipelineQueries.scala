@@ -904,6 +904,57 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Corpus diversity (type-token ratios per source) ----------------
+    // the mixture-health stat a training-data pipeline watches per
+    // domain: low distinct-n ratios flag templated/boilerplate sources
+    // BEFORE they dilute a mixture. Ratios are single IEEE divisions of
+    // exact counts (engine-portable unrounded); the token frame is
+    // persisted once and feeds all three aggregates (Spark re-inlines
+    // multi-referenced CTEs — the q_funnel lesson)
+    QueryDef("q_text_diversity",
+      """WITH tk AS (SELECT source,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(l)) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN len(l) > 1 THEN len(l) - 1 ELSE 0 END) AS BIGINT) AS n_bigrams
+        |  FROM tk GROUP BY source),
+        |u1 AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS u1
+        |  FROM (SELECT source, unnest(l) AS tok FROM tk) GROUP BY source),
+        |u2 AS (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS u2
+        |  FROM (SELECT source,
+        |      unnest(list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' '))) AS bg
+        |    FROM tk WHERE len(l) >= 2) GROUP BY source)
+        |SELECT source, n_docs, n_tokens, u1, u2,
+        |  CAST(u1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(u2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_ttr
+        |FROM tot JOIN u1 USING (source) JOIN u2 USING (source)
+        |ORDER BY source""".stripMargin) {
+      (s, dir) => {
+        val tk = docs(s, dir)
+          .selectExpr("source",
+            s"filter($toksS, x -> x <> '') AS l")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = tk.groupBy("source").agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          expr("CAST(sum(size(l)) AS BIGINT)").as("n_tokens"),
+          expr("CAST(sum(IF(size(l) > 1, size(l) - 1, 0)) AS BIGINT)").as("n_bigrams"))
+        val u1 = tk.select(col("source"), explode(col("l")).as("tok"))
+          .groupBy("source")
+          .agg(expr("CAST(count(DISTINCT tok) AS BIGINT)").as("u1"))
+        val u2 = tk.filter(expr("size(l) >= 2"))
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(l) - 1), i -> array_join(slice(l, i, 2), ' '))")).as("bg"))
+          .groupBy("source")
+          .agg(expr("CAST(count(DISTINCT bg) AS BIGINT)").as("u2"))
+        tot.join(u1, "source").join(u2, "source")
+          .selectExpr("source", "n_docs", "n_tokens", "u1", "u2",
+            "CAST(u1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr",
+            "CAST(u2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_ttr")
+          .orderBy("source")
+      }
+    },
+
     // ---- Cross-document repeated windows (TextOps.repeatedWindows) ------
     // substring-level dedup signal: boilerplate/license/template spans
     // repeat ACROSS docs even when whole-doc dedup passes. Both

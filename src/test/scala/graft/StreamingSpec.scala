@@ -300,6 +300,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch scores each micro-batch through the async batched scorer") {
+    // model-scoring at the ingest door: every micro-batch flows through
+    // AsyncScore.mapBatchesAsync (batched calls, bounded in-flight,
+    // order-preserving) — the streaming face of the reference's async
+    // UDF capability, composed from the batch operator like the quality
+    // gate above
+    import graft.operators.AsyncScore
+    implicit val sqlCtx = spark.sqlContext
+    val scored = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val input = MemoryStream[EventPipeline.DocEvent]
+    val q = input.toDF().select("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = AsyncScore.mapBatchesAsync(batch, "text", "score",
+            batchSize = 2, maxInFlight = 2)(
+            ts => ts.map(t => t.length.toDouble))
+          .select("doc_id", "score").as[(Long, Double)].collect()
+        scored.synchronized { scored ++= out }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        EventPipeline.DocEvent(ts(1), 1L, "abc"),
+        EventPipeline.DocEvent(ts(1), 2L, "defgh"),
+        EventPipeline.DocEvent(ts(1), 3L, "ij"))
+      q.processAllAvailable()
+      input.addData(EventPipeline.DocEvent(ts(2), 4L, "klmnop"))
+      q.processAllAvailable()
+      assert(scored.sortBy(_._1) ==
+        Seq((1L, 3.0), (2L, 5.0), (3L, 2.0), (4L, 6.0)), s"got $scored")
+    } finally q.stop()
+  }
+
   test("foreachBatch ingest drops near-dups against the saved corpus index") {
     // the full ingest story: micro-batches arrive as a stream, candidates
     // come from the BUCKETED on-disk LSH index (Dedup.saveBandTable), and
