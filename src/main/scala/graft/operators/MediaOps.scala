@@ -53,6 +53,11 @@ object MediaOps {
     */
   private[operators] def decodeImage(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     try {
+      // default ImageIO caching wraps even in-memory streams in a
+      // FileCacheImageInputStream — a temp-file create/delete PER IMAGE
+      // on executor disk. The payload is already a byte array: decode
+      // fully in memory. (JVM-global static; idempotent.)
+      javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
       if (img == null) None
       else {
@@ -175,6 +180,12 @@ object MediaOps {
     * hash is EXACT integer arithmetic — bit-identical on any engine.
     * 60 bits keeps the value positive in an int64 (and matches the
     * engine's 60-bit hash identity). Empty payloads hash to 0.
+    *
+    * Note: real images are decoded HERE, independently of [[decode]]
+    * (whose rows carry metadata only — threading a luma plane through
+    * every DecodedRow would fatten the hot schema for one consumer).
+    * A decode→phash60 chain therefore decodes images twice; hash
+    * straight from the MediaRow payload when that matters.
     *
     * Near-dup usage: hamming distance over these (the
     * [[Dedup.simhash64]] pattern) buckets visually-similar media —

@@ -526,13 +526,24 @@ object TextOps {
     * token window is emitted once per containing doc; windows present in
     * ≥ `minDocs` docs come back as (win, n_docs, example_ids).
     *
-    * Scale shape — both aggregation buffers are BOUNDED:
+    * Scale shape — every buffer is BOUNDED:
     *  - the window explode is narrow (fan-out ≈ tokens per doc);
     *  - `n_docs` is a partial-combining count (O(1) buffer);
-    *  - example ids go through [[TopK.perKey]] (k smallest doc ids per
-    *    window) BEFORE collect_list — a boilerplate window present in
-    *    every doc never materializes a corpus-sized list on a reducer
-    *    (the q_inverted_index lesson, §VERDICT r5).
+    *  - example ids: the pair table is FIRST semi-joined down to the
+    *    repeated windows (the hot set — tiny next to the corpus; most
+    *    windows are unique and never survive `minDocs`), and only then
+    *    rank-capped with [[TopK.perKey]] before collect_list. The order
+    *    matters twice over: a boilerplate window in every doc never
+    *    materializes a corpus-sized list on a reducer, AND TopK's
+    *    per-partition key map only ever holds repeated windows —
+    *    running TopK on the raw pairs would grow that map with every
+    *    distinct window in the partition (TopK's documented
+    *    moderate-key-cardinality contract).
+    *
+    * The pair table is persisted for the two passes (counts + examples)
+    * and not unpersisted — the plan is still lazy at return; long-lived
+    * sessions batching many corpora should `spark.catalog.clearCache()`
+    * between runs (the [[graft.operators.Dedup.minhashLsh]] contract).
     */
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 7, minDocs: Int = 2,
@@ -552,7 +563,8 @@ object TextOps {
     val counts = pairs.groupBy("win")
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    val examples = TopK.perKey(pairs, Seq("win"), Seq(col(idCol)), exampleK)
+    val hotPairs = pairs.join(counts.select("win"), Seq("win"), "left_semi")
+    val examples = TopK.perKey(hotPairs, Seq("win"), Seq(col(idCol)), exampleK)
       .groupBy("win")
       .agg(to_json(sort_array(collect_list(col(idCol)))).as("example_ids"))
     counts.join(examples, "win")

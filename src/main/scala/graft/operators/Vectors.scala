@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  /** Uniquifier for per-call observation names (see [[semanticDedup]]). */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Element-wise mean embedding per `labelCol` group.
     *
     * Sums run over scaled int64 ("micro-units"), not floats: integer
@@ -54,20 +57,33 @@ object Vectors {
                     vecCol: String, tau: Double,
                     maxCluster: Int = 10000): DataFrame = {
     require(maxCluster >= 1, "maxCluster must be positive")
-    // one row per cluster — tiny next to the corpus; equi-joined back on
-    // the cluster id so every row learns its cluster's size
+    // one row per cluster — tiny next to the corpus; joined back
+    // NULL-SAFELY (`<=>`) so the NULL-cluster group (unassigned rows)
+    // is size-tagged like any other instead of silently dropped
     val sizes = df.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("_csz"))
-    val tagged = df.join(sizes, Seq(clusterCol))
-      .observe("graft_semantic_dedup",
+      .withColumnRenamed(clusterCol, "_szk")
+    // plain (non-forced-broadcast) join: the sizes side is one row per
+    // cluster — usually tiny, but cluster count is data-dependent, so
+    // let AQE pick broadcast vs shuffle
+    val tagged = df
+      .join(sizes, col(clusterCol) <=> col("_szk"))
+      .drop("_szk")
+      // per-call unique metric name: observed metrics must be named
+      // uniquely within a query, and one query may compose this
+      // operator more than once
+      .observe(s"graft_semantic_dedup_${Vectors.obsId.incrementAndGet()}",
         sum(when(col("_csz") > maxCluster, 1L).otherwise(0L))
           .as("oversized_rows"))
     val eligible = tagged.filter(col("_csz") <= maxCluster)
     val a = eligible.select(col(clusterCol).as("_c"), col(idCol).as("_ida"),
       col(vecCol).as("_va"))
-    val b = eligible.select(col(clusterCol).as("_c"), col(idCol).as("_idb"),
+    val b = eligible.select(col(clusterCol).as("_cb"), col(idCol).as("_idb"),
       col(vecCol).as("_vb"))
-    val drops = a.join(b, "_c")
+    // null-safe pair join: the NULL cluster is a group like any other
+    // (it was size-tagged and capped above) — a plain equi-join would
+    // exempt its members from dedup entirely
+    val drops = a.join(b, col("_c") <=> col("_cb"))
       .filter(col("_ida") < col("_idb"))
       .filter(expr(
         s"round(graft_dot(_va, _vb) / (sqrt(graft_dot(_va, _va)) * sqrt(graft_dot(_vb, _vb))), 6) >= $tau"))

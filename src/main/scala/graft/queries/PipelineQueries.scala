@@ -910,7 +910,8 @@ object PipelineQueries {
     // BEFORE they dilute a mixture. Ratios are single IEEE divisions of
     // exact counts (engine-portable unrounded); the token frame is
     // persisted once and feeds all three aggregates (Spark re-inlines
-    // multi-referenced CTEs — the q_funnel lesson)
+    // multi-referenced CTEs — the q_funnel lesson; not unpersisted:
+    // the plan is lazy at return, clearCache() between batch runs)
     QueryDef("q_text_diversity",
       """WITH tk AS (SELECT source,
         |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
@@ -925,10 +926,11 @@ object PipelineQueries {
         |  FROM (SELECT source,
         |      unnest(list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' '))) AS bg
         |    FROM tk WHERE len(l) >= 2) GROUP BY source)
-        |SELECT source, n_docs, n_tokens, u1, u2,
-        |  CAST(u1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
-        |  CAST(u2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_ttr
-        |FROM tot JOIN u1 USING (source) JOIN u2 USING (source)
+        |SELECT source, n_docs, n_tokens,
+        |  coalesce(u1, 0) AS u1, coalesce(u2, 0) AS u2,
+        |  CASE WHEN n_tokens > 0 THEN CAST(coalesce(u1, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS ttr,
+        |  CASE WHEN n_bigrams > 0 THEN CAST(coalesce(u2, 0) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS bigram_ttr
+        |FROM tot LEFT JOIN u1 USING (source) LEFT JOIN u2 USING (source)
         |ORDER BY source""".stripMargin) {
       (s, dir) => {
         val tk = docs(s, dir)
@@ -947,10 +949,16 @@ object PipelineQueries {
             "transform(sequence(1, size(l) - 1), i -> array_join(slice(l, i, 2), ' '))")).as("bg"))
           .groupBy("source")
           .agg(expr("CAST(count(DISTINCT bg) AS BIGINT)").as("u2"))
-        tot.join(u1, "source").join(u2, "source")
-          .selectExpr("source", "n_docs", "n_tokens", "u1", "u2",
-            "CAST(u1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr",
-            "CAST(u2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_ttr")
+        // LEFT joins + coalesce: a source of empty/one-word docs has no
+        // u1/u2 row — the exact degenerate source a mixture-health stat
+        // exists to flag must SURFACE (0s, NULL ratios), not vanish.
+        // CASE guards the ANSI-raising zero divisions.
+        tot.join(u1, Seq("source"), "left").join(u2, Seq("source"), "left")
+          .selectExpr("source", "n_docs", "n_tokens",
+            "coalesce(u1, CAST(0 AS BIGINT)) AS u1",
+            "coalesce(u2, CAST(0 AS BIGINT)) AS u2",
+            "CASE WHEN n_tokens > 0 THEN CAST(coalesce(u1, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS ttr",
+            "CASE WHEN n_bigrams > 0 THEN CAST(coalesce(u2, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS bigram_ttr")
           .orderBy("source")
       }
     },

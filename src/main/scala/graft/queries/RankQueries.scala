@@ -333,7 +333,9 @@ object RankQueries {
       // aggregation buffer — the collect_list input is ≤ 50 rows/token by
       // construction. n_docs comes from a separate count aggregate whose
       // buffer is O(1) (map-side partial combine). One persisted token
-      // frame feeds both branches (one scan of documents).
+      // frame feeds both branches (one scan of documents); deliberately
+      // not unpersisted — the returned plan is still lazy; long-lived
+      // sessions clearCache() between batches (the minhashLsh contract).
       import graft.operators.TopK
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"),

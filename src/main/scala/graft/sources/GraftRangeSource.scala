@@ -90,13 +90,22 @@ private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = Array.newBuilder[Filter]
     val taken = Array.newBuilder[Filter]
+    // consumed filters are TRUSTED (Spark never re-checks them), so the
+    // b+1 bound arithmetic must not wrap at Long.MaxValue: `id >
+    // MaxValue` matches nothing (empty range), `id <= MaxValue` and
+    // `= MaxValue`'s upper bound are vacuous (ids live in [0, rows))
     filters.foreach { f =>
       val consumed = f match {
-        case GreaterThan("id", v) => bound(v).exists { b => lo = math.max(lo, b + 1); true }
+        case GreaterThan("id", v) => bound(v).exists { b =>
+          if (b == Long.MaxValue) lo = hi else lo = math.max(lo, b + 1); true }
         case GreaterThanOrEqual("id", v) => bound(v).exists { b => lo = math.max(lo, b); true }
         case LessThan("id", v) => bound(v).exists { b => hi = math.min(hi, b); true }
-        case LessThanOrEqual("id", v) => bound(v).exists { b => hi = math.min(hi, b + 1); true }
-        case EqualTo("id", v) => bound(v).exists { b => lo = math.max(lo, b); hi = math.min(hi, b + 1); true }
+        case LessThanOrEqual("id", v) => bound(v).exists { b =>
+          if (b < Long.MaxValue) hi = math.min(hi, b + 1); true }
+        case EqualTo("id", v) => bound(v).exists { b =>
+          lo = math.max(lo, b)
+          if (b < Long.MaxValue) hi = math.min(hi, b + 1)
+          true }
         // generated columns are never null — the IsNotNull guard Spark
         // emits alongside range predicates is vacuously true here
         case IsNotNull(_) => true
@@ -161,8 +170,14 @@ private[sources] class GraftRangeReaderFactory(required: StructType)
     new PartitionReader[InternalRow] {
       private var cur = slice.lo - 1
       override def next(): Boolean = { cur += 1; cur < slice.hi }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(emit.toIndexedSeq.map(f => f(cur)))
+      override def get(): InternalRow = {
+        // one fresh values array per row (rows may be buffered upstream,
+        // so the array cannot be reused), but no per-row Seq wrappers
+        val vals = new Array[Any](emit.length)
+        var i = 0
+        while (i < emit.length) { vals(i) = emit(i)(cur); i += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
       override def close(): Unit = ()
     }
   }

@@ -28,6 +28,27 @@ class Round6Spec extends SparkSpec {
     assert(plan.contains("_csz"), s"expected cluster-size gate in plan:\n$plan")
   }
 
+  test("semanticDedup keeps NULL-cluster rows (null-safe size join) and dedups within them") {
+    val rows = Seq(
+      (Some(0L), 1L, Array(1.0, 0.0)),
+      (None, 2L, Array(1.0, 0.0)), (None, 3L, Array(1.0, 0.0)), // NULL-cluster twins
+      (None, 4L, Array(0.0, 1.0))
+    ).toDF("cl", "vec_id", "e")
+    val kept = Vectors.semanticDedup(rows, "cl", "vec_id", "e",
+      tau = 0.95, maxCluster = 100)
+      .select("vec_id").as[Long].collect().toSet
+    // NULL cluster is a real group: its twin (id 3) drops, the rest stay
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("semanticDedup composes twice in one query (unique observation names)") {
+    val rows = Seq((0L, 1L, Array(1.0, 0.0)), (0L, 2L, Array(0.0, 1.0)))
+      .toDF("cl", "vec_id", "e")
+    val once = Vectors.semanticDedup(rows, "cl", "vec_id", "e", tau = 0.95)
+    val twice = Vectors.semanticDedup(once, "cl", "vec_id", "e", tau = 0.95)
+    assert(twice.count() == 2) // analysis must not throw on duplicate metric names
+  }
+
   test("semanticDedup under the cap still drops larger-id near-twins only") {
     val rows = Seq(
       (0L, 1L, Array(1.0, 0.0)), (0L, 2L, Array(1.0, 0.0)),  // twins: drop id 2
@@ -124,6 +145,11 @@ class Round6Spec extends SparkSpec {
     assert(r.exists { case (w, n, ex) =>
       n == 2L && ex == "[100,101]" && w.startsWith("a rare span") })
     assert(!r.exists(_._3.contains("200")))
+    // the example path semi-joins down to REPEATED windows before TopK —
+    // TopK's per-partition key map must never see the unique-window tail
+    val plan = TextOps.repeatedWindows(docsDf, "doc_id", "text", w = 7, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no pre-TopK semi-join in plan:\n${plan.take(1200)}")
   }
 
   // ---- GraftRangeSource (DataSourceV2 plug-in) ------------------------
@@ -142,6 +168,16 @@ class Round6Spec extends SparkSpec {
     val got = df.agg(count(lit(1)), sum("sq")).as[(Long, Long)].head()
     assert(got._1 == 1000L)
     assert(got._2 == (500L until 1500L).map(i => i * i).sum)
+  }
+
+  test("graft-range source: Long.MaxValue bounds don't wrap the pushed range") {
+    def src = spark.read.format("graft-range").option("rows", "100").load()
+    // vacuously-true predicates must not collapse the scan to empty
+    assert(src.filter(col("id") <= Long.MaxValue).count() == 100L)
+    assert(src.filter(col("id") >= Long.MinValue).count() == 100L)
+    // impossible predicates yield empty, not garbage
+    assert(src.filter(col("id") > Long.MaxValue).count() == 0L)
+    assert(src.filter(col("id") === Long.MaxValue).count() == 0L)
   }
 
   test("graft-range source: slices parallelize and an empty range plans zero work") {
