@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,6 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Registered as `graft-range` via DataSourceRegister (META-INF
   * services), so `spark.read.format("graft-range")` resolves with no
   * class-name coupling.
+  *
+  * The table also serves STREAMING reads (`spark.readStream.format(
+  * "graft-range")`): `rowsPerBatch` rows become available per
+  * micro-batch over replayable positional offsets — the full Spark twin
+  * of the reference's async streaming source contract (batch AND
+  * stream from one plug-in).
   */
 class GraftRangeSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -50,9 +57,11 @@ class GraftRangeSource extends TableProvider
                         properties: util.Map[String, String]): Table = {
     val rows = properties.getOrDefault("rows", "1000").toLong
     val parts = properties.getOrDefault("partitions", "4").toInt
+    val rowsPerBatch = properties.getOrDefault("rowsPerBatch", "1000").toLong
     require(rows >= 0, s"rows must be >= 0, got $rows")
     require(parts >= 1, s"partitions must be >= 1, got $parts")
-    new GraftRangeTable(rows, parts)
+    require(rowsPerBatch >= 1, s"rowsPerBatch must be >= 1, got $rowsPerBatch")
+    new GraftRangeTable(rows, parts, rowsPerBatch)
   }
 }
 
@@ -64,17 +73,19 @@ object GraftRangeSource {
     StructField("name", StringType, nullable = false)))
 }
 
-private[sources] class GraftRangeTable(rows: Long, parts: Int)
+private[sources] class GraftRangeTable(rows: Long, parts: Int,
+                                       rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = GraftRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(rows, parts)
+    new GraftRangeScanBuilder(rows, parts, rowsPerBatch)
 }
 
-private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int)
+private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int,
+                                             rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
@@ -122,14 +133,21 @@ private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftRangeScan(lo, hi, parts, required)
+  override def build(): Scan =
+    new GraftRangeScan(lo, hi, parts, required, rowsPerBatch)
 }
 
 private[sources] class GraftRangeScan(lo: Long, hi: Long, parts: Int,
-                                      required: StructType)
+                                      required: StructType,
+                                      rowsPerBatch: Long = 1000L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // streaming face of the same table: the (pushdown-narrowed) range is
+  // served in bounded micro-batches — replayable offsets over a
+  // deterministic domain give exactly-once for free
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftRangeMicroBatchStream(lo, hi, parts, required, rowsPerBatch)
   // the pushed range and pruned columns are the scan's identity — they
   // surface in explain() so a spec (or a user) can SEE the pushdown
   override def description(): String =
@@ -154,6 +172,55 @@ private[sources] class GraftRangeScan(lo: Long, hi: Long, parts: Int,
 
 private[sources] case class GraftRangeSlice(lo: Long, hi: Long)
     extends InputPartition
+
+/** Offset = exclusive upper bound of rows made available so far. */
+private[sources] case class GraftRangeOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch stream over the generated range: each `latestOffset`
+  * poll advances availability by `rowsPerBatch`, and a batch plans the
+  * SAME parallel slices as the batch scan over its [start, end) span.
+  * Offsets are pure positions in a deterministic domain — restart from
+  * a checkpoint replays identical rows, so end-to-end exactly-once
+  * holds with any idempotent/transactional sink. `commit` is a no-op
+  * (nothing upstream to acknowledge; the "source" can always re-serve).
+  */
+private[sources] class GraftRangeMicroBatchStream(
+    lo: Long, hi: Long, parts: Int, required: StructType,
+    rowsPerBatch: Long) extends MicroBatchStream {
+  private var available = lo
+
+  override def initialOffset(): Offset = GraftRangeOffset(lo)
+
+  override def latestOffset(): Offset = {
+    available = math.min(hi, available + rowsPerBatch)
+    GraftRangeOffset(available)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftRangeOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftRangeOffset].v
+    val e = end.asInstanceOf[GraftRangeOffset].v
+    if (e <= s) return Array.empty
+    val total = e - s
+    val n = math.max(1L, math.min(parts.toLong, total)).toInt
+    val step = total / n
+    (0 until n).map { i =>
+      val a = s + i * step
+      val b = if (i == n - 1) e else a + step
+      GraftRangeSlice(a, b): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class GraftRangeReaderFactory(required: StructType)
     extends PartitionReaderFactory {

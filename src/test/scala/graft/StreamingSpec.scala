@@ -300,6 +300,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("custom DataSourceV2 source streams the range in bounded micro-batches") {
+    // the plug-in source's streaming face: same table, readStream —
+    // rowsPerBatch rows per poll over replayable positional offsets
+    val batches = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    val q = spark.readStream.format("graft-range")
+      .option("rows", "100").option("rowsPerBatch", "30").load()
+      .select("id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += batch.as[Long].collect() }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val all = batches.flatten.sorted
+      assert(all == (0L until 100L), s"lost/duplicated rows: ${all.length}")
+      assert(batches.forall(_.length <= 30), s"batch over rowsPerBatch: ${batches.map(_.length)}")
+      assert(batches.count(_.nonEmpty) >= 4, s"expected >= 4 micro-batches, got ${batches.map(_.length)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch scores each micro-batch through the async batched scorer") {
     // model-scoring at the ingest door: every micro-batch flows through
     // AsyncScore.mapBatchesAsync (batched calls, bounded in-flight,
