@@ -163,6 +163,73 @@ object Vectors {
       .drop("_rpq")
   }
 
+  /** Product-quantization codebook: per-subspace k-means over the `m`
+    * contiguous `dims/m`-wide slices of the embedding. Returns
+    * (sub, cid, ce) — `m·k` rows, a model artifact. Training is `m`
+    * independent integer-exact [[kmeans]] runs (same micro-unit
+    * quantization ⇒ same cross-engine determinism); `m` is small (4-16)
+    * so the extra driver-side loop is m job DAGs, not m data passes of
+    * different shape.
+    *
+    * PQ is the classic ANN memory lever past int8: a 64-dim float32
+    * embedding (256 B) becomes m codes (m bytes at k ≤ 256) — 32× at
+    * m=8 — and distance evaluation against a query becomes m table
+    * lookups. [[quantizeInt8]] compresses 4×; this is the next rung.
+    */
+  def pqTrain(df: DataFrame, idCol: String, embCol: String,
+              m: Int = 4, k: Int = 16, iters: Int = 2, dims: Int = 64,
+              scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need dims ($dims) divisible by m ($m)")
+    val sd = dims / m
+    (0 until m).map { s =>
+      val sliced = df.select(col(idCol), expr(
+        s"IF(size($embCol) = $dims, slice($embCol, ${s * sd + 1}, $sd), " +
+          s"raise_error(concat('pqTrain: expected $dims dims, got ', CAST(size($embCol) AS STRING))))")
+        .as("_sv"))
+      kmeans(sliced, idCol, "_sv", k, iters, scale, offset)
+        .centroids.selectExpr(s"CAST($s AS INT) AS sub", "cid", "ce")
+    }.reduce(_ unionAll _)
+  }
+
+  /** Assign PQ codes: for each vector and each subspace, the codebook
+    * entry with minimal integer squared distance (ties → lowest cid).
+    * Adds `pq_codes` (ARRAY<BIGINT>, one cid per subspace in subspace
+    * order) and `pq_dists` (the per-subspace distances in micro-units²
+    * — their sum is the reconstruction error driving codebook quality).
+    *
+    * Scale shape: the codebook collapses to ONE broadcast row of m·k
+    * entries; assignment is then a pure higher-order-function argmin
+    * per row — narrow, zero shuffle, the corpus never moves (same
+    * contract as [[randomProject]]). `array_min` over (d, cid) structs
+    * is the lexicographic argmin, deterministic regardless of
+    * collect_list order. A subspace missing from the codebook yields
+    * NULL codes — loud downstream, never silently wrong.
+    */
+  def pqAssign(df: DataFrame, idCol: String, embCol: String,
+               codebook: DataFrame, m: Int = 4, dims: Int = 64,
+               scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need dims ($dims) divisible by m ($m)")
+    val sd = dims / m
+    val cb = codebook.groupBy().agg(
+      sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
+        .as("_cb"))
+    val dist =
+      s"aggregate(zip_with(slice(_qe, s * $sd + 1, $sd), c.ce, " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    df.crossJoin(broadcast(cb))
+      .withColumn("_qe", expr(
+        s"IF(size($embCol) = $dims, " +
+          s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) + $offset), " +
+          s"raise_error(concat('pqAssign: expected $dims dims, got ', CAST(size($embCol) AS STRING))))"))
+      .withColumn("_pq", expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"array_min(transform(filter(_cb, c -> c.sub = s), " +
+          s"c -> named_struct('d', $dist, 'cid', c.cid))))"))
+      .withColumn("pq_codes", expr("transform(_pq, x -> x.cid)"))
+      .withColumn("pq_dists", expr("transform(_pq, x -> x.d)"))
+      .drop("_cb", "_qe", "_pq")
+  }
+
   /** Assignments + centroids from [[Vectors.kmeans]]. Both frames are
     * lazy plans; `centroids` is always ≤ k rows.
     */

@@ -414,6 +414,64 @@ object VectorQueries {
         val cs = r.centroids.selectExpr("cid",
           "aggregate(ce, CAST(0 AS BIGINT), (x, y) -> x + y) AS csum")
         stats.join(cs, "cid").orderBy("cid")
+    },
+
+    // ---- Product quantization: code assignment (Vectors.pqAssign) -------
+    // the 8-32x ANN memory rung past int8: m sub-codebooks, one code per
+    // subspace per vector, integer-exact distances. The codebook here is
+    // the 4 lowest-id vectors' slices (the kmeans seed convention, so
+    // the oracle replicates it in SQL; pqTrain's Lloyd path is pinned by
+    // OperatorsSpec against the oracle-proven kmeans). Assignment is a
+    // broadcast one-row codebook + narrow HOF argmin — zero shuffle
+    // until the per-(sub, cid) rollup.
+    QueryDef("q_embed_pq", {
+      def sdistD =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 33), " +
+          "i -> (a.sq[CAST(i AS INT)] - c.ce[CAST(i AS INT)]) * " +
+          "(a.sq[CAST(i AS INT)] - c.ce[CAST(i AS INT)]))), (x, y) -> x + y)"
+      s"""WITH q AS (
+         |  SELECT vec_id AS vid,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT) + 1000000) AS qe
+         |  FROM embeddings),
+         |subs AS (
+         |  SELECT vid, CAST(s AS INT) AS sub,
+         |    CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS sq
+         |  FROM q, unnest(range(0, 2)) u(s)),
+         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs WHERE vid < 4),
+         |d AS (
+         |  SELECT a.vid, a.sub, c.cid, $sdistD AS dist
+         |  FROM subs a JOIN cb c ON a.sub = c.sub),
+         |best AS (
+         |  SELECT vid, sub, min([dist, cid])[1] AS d, min([dist, cid])[2] AS cid
+         |  FROM d GROUP BY vid, sub)
+         |SELECT sub, cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(d) AS BIGINT) AS dist_sum
+         |FROM best GROUP BY sub, cid ORDER BY sub, cid""".stripMargin
+    }) {
+      (s, dir) => {
+        import graft.operators.Vectors
+        val emb = Tables(s, dir, "embeddings")
+        // seed codebook: the 4 lowest-id vectors' subspace slices,
+        // quantized with the same micro-unit scheme as pqAssign
+        val seeds = emb.orderBy("vec_id").limit(4)
+          .selectExpr("vec_id",
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qe")
+        val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
+            "vec_id AS cid", "slice(qe, 1, 32) AS ce")
+          .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
+            "vec_id AS cid", "slice(qe, 33, 32) AS ce"))
+        Vectors.pqAssign(emb.select("vec_id", "embedding"), "vec_id",
+            "embedding", codebook, m = 2, dims = 64)
+          .select(col("vec_id"),
+            posexplode(expr("arrays_zip(pq_codes, pq_dists)")))
+          .selectExpr("CAST(pos AS INT) AS sub",
+            "col.pq_codes AS cid", "col.pq_dists AS d")
+          .groupBy("sub", "cid")
+          .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+            expr("CAST(sum(d) AS BIGINT)").as("dist_sum"))
+          .orderBy("sub", "cid")
+      }
     }
   )
 }

@@ -120,6 +120,58 @@ class Round6Spec extends SparkSpec {
     assert(Sampling.negatives(empty, "id", k = 2, seed = "s").count() == 0)
   }
 
+  // ---- Product quantization -------------------------------------------
+
+  test("pqTrain + pqAssign: codes separate blobs per subspace, invariant to partitioning") {
+    // 2 subspaces of 2 dims; blobs differ in subspace 0, agree in 1
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 5.0f, 5.0f)), (1L, Array(0.1f, 0.0f, 5.0f, 5.1f)),
+      (2L, Array(0.0f, 0.1f, 5.1f, 5.0f)),
+      (3L, Array(9.0f, 9.0f, 5.0f, 5.0f)), (4L, Array(9.1f, 9.0f, 5.1f, 5.0f)),
+      (5L, Array(9.0f, 9.1f, 5.0f, 5.1f))
+    ).toDF("vec_id", "embedding")
+    val cb = Vectors.pqTrain(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iters = 2, dims = 4)
+    assert(cb.count() == 4) // 2 subspaces x 2 codes
+    val codes = Vectors.pqAssign(vecs, "vec_id", "embedding", cb, m = 2, dims = 4)
+      .selectExpr("vec_id", "pq_codes[0] AS c0", "pq_codes[1] AS c1")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // subspace 0 splits the blobs cleanly (same code within, different
+    // across); subspace 1 is a single blob — k=2 still partitions it,
+    // so only validity (a code from the codebook) is asserted there
+    assert(codes.take(3).map(_._2).distinct.length == 1)
+    assert(codes.drop(3).map(_._2).distinct.length == 1)
+    assert(codes.take(3).head._2 != codes.drop(3).head._2)
+    assert(codes.forall(c => c._3 == 0L || c._3 == 1L))
+    // integer arithmetic ⇒ identical codes under any partitioning
+    val cb7 = Vectors.pqTrain(vecs.repartition(7), "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dims = 4)
+    val codes7 = Vectors.pqAssign(vecs.repartition(5), "vec_id", "embedding",
+        cb7, m = 2, dims = 4)
+      .selectExpr("vec_id", "pq_codes[0]", "pq_codes[1]")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(codes7.toSeq == codes.toSeq)
+    // reconstruction error from the TRAINED codebook beats raw seeds
+    val seedCb = Vectors.pqTrain(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iters = 1, dims = 4)
+    def err(c: org.apache.spark.sql.DataFrame) =
+      Vectors.pqAssign(vecs, "vec_id", "embedding", c, m = 2, dims = 4)
+        .selectExpr("aggregate(pq_dists, CAST(0 AS BIGINT), (a, v) -> a + v) AS e")
+        .agg(sum("e")).as[Long].head()
+    assert(err(cb) <= err(seedCb))
+  }
+
+  test("pqAssign rejects ragged embeddings loudly") {
+    val cb = Vectors.pqTrain(
+      Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", m = 2, k = 2, iters = 1, dims = 2)
+    val ragged = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Vectors.pqAssign(ragged, "vec_id", "embedding", cb, m = 2, dims = 2).collect()
+    }
+    assert(e.getMessage.contains("pqAssign"), s"got: ${e.getMessage}")
+  }
+
   // ---- TextOps.repeatedWindows ----------------------------------------
 
   test("repeatedWindows finds cross-doc boilerplate with capped example ids") {
