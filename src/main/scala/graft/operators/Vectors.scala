@@ -230,6 +230,53 @@ object Vectors {
       .drop("_cb", "_qe", "_pq")
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search: each query's exact
+    * subvectors score against the CODES of the corpus — the classic
+    * IVF-ADC read path. Per query, a lookup table of m·k integer
+    * distances (query slice ↔ codebook entry) is computed ONCE; each
+    * corpus row then costs m table lookups instead of a `dims`-wide
+    * distance. Corpus rows must already carry `codesCol` (ARRAY<BIGINT>
+    * from [[pqAssign]]).
+    *
+    * Scale shape: queries (with their LUTs) broadcast — the corpus is
+    * never shuffled, scoring is a narrow HOF, and the merge is
+    * [[TopK.perKey]] (partial per-partition top-k, then a tiny per-qid
+    * merge — never |Q| reducer partitions). ADC distances are exact
+    * integers, so ranking (tie-broken by id) is engine-portable.
+    * Returns (qid, rnk, id, adc).
+    */
+  def pqAdcTopK(corpus: DataFrame, idCol: String, codesCol: String,
+                queries: DataFrame, qidCol: String, embCol: String,
+                codebook: DataFrame, k: Int,
+                m: Int = 4, dims: Int = 64,
+                scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need dims ($dims) divisible by m ($m)")
+    require(k >= 1, "k must be positive")
+    val sd = dims / m
+    val cb = codebook.groupBy().agg(
+      sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
+        .as("_cb"))
+    val qlut = queries
+      .select(col(qidCol).as("_qid"), col(embCol).as("_qemb"))
+      .crossJoin(broadcast(cb))
+      .withColumn("_qe", expr(
+        s"IF(size(_qemb) = $dims, " +
+          s"transform(_qemb, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) + $offset), " +
+          s"raise_error(concat('pqAdcTopK: expected $dims dims, got ', CAST(size(_qemb) AS STRING))))"))
+      .withColumn("_lut", expr(
+        s"transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
+          s"'d', aggregate(zip_with(slice(_qe, c.sub * $sd + 1, $sd), c.ce, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)))"))
+      .select("_qid", "_lut")
+    val scored = corpus.crossJoin(broadcast(qlut))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (acc, s) -> " +
+          s"acc + element_at(filter(_lut, t -> t.sub = s AND t.cid = element_at($codesCol, s + 1)), 1).d)"))
+      .select(col("_qid").as("qid"), col(idCol), col("adc"))
+    TopK.perKey(scored, Seq("qid"), Seq(col("adc").asc, col(idCol).asc), k)
+      .select(col("qid"), col("rnk"), col(idCol), col("adc"))
+  }
+
   /** Assignments + centroids from [[Vectors.kmeans]]. Both frames are
     * lazy plans; `centroids` is always ≤ k rows.
     */

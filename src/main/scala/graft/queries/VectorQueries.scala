@@ -472,6 +472,66 @@ object VectorQueries {
             expr("CAST(sum(d) AS BIGINT)").as("dist_sum"))
           .orderBy("sub", "cid")
       }
+    },
+
+    // ---- PQ asymmetric-distance top-k (Vectors.pqAdcTopK) ---------------
+    // the IVF-ADC read path: per query ONE m·k lookup table of integer
+    // distances, then m lookups per corpus row; broadcast queries,
+    // TopK.perKey merge — the q_ann_brute plan shape at 1/16th the
+    // per-row arithmetic. Codebook = the 4 lowest-id vectors' slices
+    // (the q_embed_pq convention, SQL-replicable).
+    QueryDef("q_ann_pq", {
+      def sdistD(a: String, b: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 33), " +
+          s"i -> (($a)[CAST(i AS INT)] - ($b)[CAST(i AS INT)]) * " +
+          s"(($a)[CAST(i AS INT)] - ($b)[CAST(i AS INT)]))), (x, y) -> x + y)"
+      s"""WITH q0 AS (
+         |  SELECT vec_id AS vid,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT) + 1000000) AS qe
+         |  FROM embeddings),
+         |subs AS (
+         |  SELECT vid, CAST(s AS INT) AS sub,
+         |    CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS sq
+         |  FROM q0, unnest(range(0, 2)) u(s)),
+         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs WHERE vid < 4),
+         |codes AS (
+         |  SELECT vid, sub, min([${sdistD("a.sq", "c.ce")}, c.cid])[2] AS cid
+         |  FROM subs a JOIN cb c USING (sub) WHERE vid >= 5 GROUP BY vid, sub),
+         |lut AS (
+         |  SELECT qs.vid AS qid, c.sub, c.cid, ${sdistD("qs.sq", "c.ce")} AS d
+         |  FROM subs qs JOIN cb c USING (sub) WHERE qs.vid < 5),
+         |adc AS (
+         |  SELECT l.qid, co.vid, CAST(sum(l.d) AS BIGINT) AS adc
+         |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.cid = l.cid
+         |  GROUP BY l.qid, co.vid),
+         |ranked AS (
+         |  SELECT qid, vid, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rnk
+         |  FROM adc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vid AS vec_id, adc
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    }) {
+      (s, dir) => {
+        import graft.operators.Vectors
+        val emb = Tables(s, dir, "embeddings")
+        val seeds = emb.orderBy("vec_id").limit(4)
+          .selectExpr("vec_id",
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qe")
+        val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
+            "vec_id AS cid", "slice(qe, 1, 32) AS ce")
+          .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
+            "vec_id AS cid", "slice(qe, 33, 32) AS ce"))
+        val corpus = Vectors.pqAssign(
+          emb.filter(col("vec_id") >= 5).select("vec_id", "embedding"),
+          "vec_id", "embedding", codebook, m = 2, dims = 64)
+        Vectors.pqAdcTopK(corpus.select("vec_id", "pq_codes"), "vec_id",
+            "pq_codes",
+            emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+            "vec_id", "embedding", codebook, k = 3, m = 2, dims = 64)
+          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "adc")
+          .orderBy("qid", "rnk")
+      }
     }
   )
 }

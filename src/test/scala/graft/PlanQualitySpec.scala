@@ -286,7 +286,7 @@ class PlanQualitySpec extends SparkSpec {
     // forever); TopK.perKey sorts within partitions (no exchange), filters
     // to <= keys*k rows per partition via mapPartitions, and only then
     // exchanges the survivors
-    for (q <- Seq("q_ann_brute", "q_ann_lsh")) {
+    for (q <- Seq("q_ann_brute", "q_ann_lsh", "q_ann_pq")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan
       val nodes = collectNodes(plan).map(_.nodeName)
