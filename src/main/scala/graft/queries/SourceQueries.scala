@@ -224,6 +224,25 @@ object SourceQueries {
             sum("sq").cast("bigint").as("sq_sum"),
             min("name").as("first_name"))
           .orderBy("bucket")
+    },
+
+    // ---- Aggregate pushdown into the custom source ----------------------
+    // COUNT(*)/MIN(id)/MAX(id) over the filter-narrowed range are CLOSED
+    // FORM in the scan (SupportsPushDownAggregates, complete pushdown):
+    // a TRILLION-row "table" aggregates in O(1) because no row is ever
+    // generated. The oracle is the same closed form evaluated as
+    // literals — which is the point: both engines agree the answer is
+    // arithmetic, not a scan.
+    QueryDef("q_custom_source_agg",
+      """SELECT CAST(1000000000000 - 12345 AS BIGINT) AS n_rows,
+        |  CAST(12345 AS BIGINT) AS min_id,
+        |  CAST(999999999999 AS BIGINT) AS max_id""".stripMargin) {
+      (s, _) =>
+        s.read.format("graft-range").option("rows", "1000000000000").load()
+          .filter(col("id") >= 12345)
+          .agg(expr("CAST(count(*) AS BIGINT) AS n_rows"),
+            min("id").cast("bigint").as("min_id"),
+            max("id").cast("bigint").as("max_id"))
     }
   )
 }

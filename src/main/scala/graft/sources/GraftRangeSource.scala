@@ -5,7 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -87,11 +89,13 @@ private[sources] class GraftRangeTable(rows: Long, parts: Int,
 private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int,
                                              rowsPerBatch: Long = 1000L)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeSource.schema
+  private var aggFuncs: Option[Seq[AggregateFunc]] = None
 
   private def bound(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
@@ -133,8 +137,80 @@ private[sources] class GraftRangeScanBuilder(rows: Long, parts: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftRangeScan(lo, hi, parts, required, rowsPerBatch)
+  // ---- aggregate pushdown: COUNT(*) / MIN(id) / MAX(id) are CLOSED
+  // FORM over the (filter-narrowed) range — the scan answers without
+  // generating a single row, so `count(*)` over a trillion-row table
+  // is O(1). Composes with pushFilters (which runs first and narrows
+  // [lo, hi)). Complete pushdown: Spark plans no re-aggregation.
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isIdRef(m.column)
+        case m: Max => isIdRef(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canPush(agg) && {
+      aggFuncs = Some(agg.aggregateExpressions.toSeq)
+      true
+    }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => new GraftRangeAggScan(lo, hi, funcs)
+    case None => new GraftRangeScan(lo, hi, parts, required, rowsPerBatch)
+  }
+}
+
+/** One-row scan answering pushed COUNT(*)/MIN(id)/MAX(id) in closed
+  * form over [lo, hi) — no row generation at any scale.
+  */
+private[sources] class GraftRangeAggScan(lo: Long, hi: Long,
+                                         funcs: Seq[AggregateFunc])
+    extends Scan with Batch {
+  private val empty = hi <= lo
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true) // min/max: NULL on empty
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeAggScan pushedRange=[$lo,$hi) pushedAggregates=[${funcs.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRangeSlice(0L, 1L)) // one synthetic row
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = funcs.map {
+      case _: CountStar => math.max(0L, hi - lo): Any
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi - 1
+    }.toArray
+    new GraftRangeAggReaderFactory(values)
+  }
+}
+
+private[sources] class GraftRangeAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class GraftRangeScan(lo: Long, hi: Long, parts: Int,

@@ -232,6 +232,25 @@ class Round6Spec extends SparkSpec {
     assert(src.filter(col("id") === Long.MaxValue).count() == 0L)
   }
 
+  test("graft-range source answers count/min/max in closed form at trillion-row scale") {
+    // 10^12 rows: if the aggregate were NOT pushed, this test would run
+    // for hours — finishing at all proves no row generation happened
+    val huge = spark.read.format("graft-range")
+      .option("rows", "1000000000000").load()
+      .filter(col("id") >= 12345)
+    val agg = huge.agg(expr("count(*) AS n"), min("id").as("mn"), max("id").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("pushedAggregates"),
+      s"aggregate not pushed:\n${agg.queryExecution.executedPlan.toString.take(1200)}")
+    val r = agg.as[(Long, Long, Long)].head()
+    assert(r == ((1000000000000L - 12345L, 12345L, 999999999999L)), r)
+    // empty narrowed range: count 0, min/max NULL
+    val e = spark.read.format("graft-range").option("rows", "10").load()
+      .filter(col("id") > 100)
+      .agg(expr("count(*)"), min("id"), max("id"))
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(e == ((0L, None, None)), e)
+  }
+
   test("graft-range source: slices parallelize and an empty range plans zero work") {
     val df = spark.read.format("graft-range")
       .option("rows", "1000").option("partitions", "4").load()
