@@ -532,6 +532,124 @@ object VectorQueries {
           .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "adc")
           .orderBy("qid", "rnk")
       }
+    },
+
+    // ---- IVF + PQ combined (the billion-scale ANN read path) ------------
+    // coarse cells prune the corpus (each query probes its nprobe=2
+    // nearest cells), then ADC scores only the survivors — FAISS's
+    // IVFPQ shape in pure integer arithmetic. Cells and codebook both
+    // come from the 4 lowest-id vectors (seed convention ⇒ the oracle
+    // replicates everything in SQL). Scale: cell assignment and probe
+    // are narrow HOF argmins over a ONE-ROW broadcast seed set; the
+    // only joins are corpus.cell = probe.cell (equi, prunes to
+    // ~nprobe/k_cells of the corpus) and the broadcast LUT; merge is
+    // TopK.perKey.
+    QueryDef("q_ann_ivfpq", {
+      def fd(a: String, b: String, dims: Int) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, ${dims + 1}), " +
+          s"i -> (($a)[CAST(i AS INT)] - ($b)[CAST(i AS INT)]) * " +
+          s"(($a)[CAST(i AS INT)] - ($b)[CAST(i AS INT)]))), (x, y) -> x + y)"
+      s"""WITH q0 AS (
+         |  SELECT vec_id AS vid,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT) + 1000000) AS qe
+         |  FROM embeddings),
+         |seeds AS (SELECT vid, qe FROM q0 WHERE vid < 4),
+         |cellsc AS (
+         |  SELECT a.vid, min([${fd("a.qe", "s.qe", 64)}, s.vid])[2] AS cell
+         |  FROM q0 a CROSS JOIN seeds s WHERE a.vid >= 5 GROUP BY a.vid),
+         |probe AS (
+         |  SELECT a.vid AS qid, s.vid AS cell, row_number() OVER (
+         |    PARTITION BY a.vid ORDER BY ${fd("a.qe", "s.qe", 64)}, s.vid) AS prnk
+         |  FROM q0 a CROSS JOIN seeds s WHERE a.vid < 5),
+         |pcells AS (SELECT qid, cell FROM probe WHERE prnk <= 2),
+         |subs AS (
+         |  SELECT vid, CAST(s AS INT) AS sub,
+         |    CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS sq
+         |  FROM q0, unnest(range(0, 2)) u(s)),
+         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs WHERE vid < 4),
+         |codes AS (
+         |  SELECT vid, sub, min([${fd("a.sq", "c.ce", 32)}, c.cid])[2] AS cid
+         |  FROM subs a JOIN cb c USING (sub) WHERE vid >= 5 GROUP BY vid, sub),
+         |lut AS (
+         |  SELECT qs.vid AS qid, c.sub, c.cid, ${fd("qs.sq", "c.ce", 32)} AS d
+         |  FROM subs qs JOIN cb c USING (sub) WHERE qs.vid < 5),
+         |adc AS (
+         |  SELECT l.qid, co.vid, CAST(sum(l.d) AS BIGINT) AS adc
+         |  FROM codes co
+         |  JOIN cellsc ON cellsc.vid = co.vid
+         |  JOIN pcells p ON p.cell = cellsc.cell
+         |  JOIN lut l ON l.qid = p.qid AND l.sub = co.sub AND l.cid = co.cid
+         |  GROUP BY l.qid, co.vid),
+         |ranked AS (
+         |  SELECT qid, vid, adc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rnk
+         |  FROM adc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vid AS vec_id, adc
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    }) {
+      (s, dir) => {
+        import graft.operators.{TopK, Vectors}
+        val emb = Tables(s, dir, "embeddings")
+        val seeds = emb.orderBy("vec_id").limit(4)
+          .selectExpr("vec_id",
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qe")
+        val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
+            "vec_id AS cid", "slice(qe, 1, 32) AS ce")
+          .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
+            "vec_id AS cid", "slice(qe, 33, 32) AS ce"))
+        // ONE-ROW broadcast seed set; full-vector argmin/rank as HOFs
+        val seedRow = seeds.groupBy().agg(
+          sort_array(collect_list(struct(col("vec_id").as("cid"), col("qe"))))
+            .as("_seeds"))
+        val fdist = "aggregate(zip_with(_qe, s.qe, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        val quant =
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000)"
+        val corpusCells = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(seedRow))
+          .withColumn("_qe", expr(quant))
+          .withColumn("cell", expr(
+            s"array_min(transform(_seeds, s -> named_struct('d', $fdist, 'cid', s.cid))).cid"))
+          .drop("_seeds", "_qe")
+        val corpus = Vectors.pqAssign(corpusCells, "vec_id", "embedding",
+            codebook, m = 2, dims = 64)
+          .select("vec_id", "cell", "pq_codes")
+        val probed = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding"))
+          .crossJoin(broadcast(seedRow))
+          .withColumn("_qe", expr(quant))
+          .withColumn("cell", explode(expr(
+            s"transform(slice(array_sort(transform(_seeds, " +
+              s"s -> named_struct('d', $fdist, 'cid', s.cid))), 1, 2), p -> p.cid)")))
+          .select("qid", "cell")
+        // cell equi-join prunes the corpus to the probed cells; the
+        // (qid, cell) probe table is tiny — broadcast
+        val cand = corpus.join(broadcast(probed), "cell")
+          .select("qid", "vec_id", "pq_codes")
+        val cb1 = codebook.groupBy().agg(
+          sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
+            .as("_cb"))
+        val qlut = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("_lqid"), col("embedding"))
+          .crossJoin(broadcast(cb1))
+          .withColumn("_qe", expr(quant))
+          .withColumn("_lut", expr(
+            "transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
+              "'d', aggregate(zip_with(slice(_qe, c.sub * 32 + 1, 32), c.ce, " +
+              "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)))"))
+          .select("_lqid", "_lut")
+        val scored = cand.join(broadcast(qlut), col("qid") === col("_lqid"))
+          .withColumn("adc", expr(
+            "aggregate(sequence(0, 1), CAST(0 AS BIGINT), (acc, s) -> " +
+              "acc + element_at(filter(_lut, t -> t.sub = s AND t.cid = element_at(pq_codes, s + 1)), 1).d)"))
+          .select("qid", "vec_id", "adc")
+        TopK.perKey(scored, Seq("qid"), Seq(col("adc").asc, col("vec_id").asc), 3)
+          .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "adc")
+          .orderBy("qid", "rnk")
+      }
     }
   )
 }

@@ -230,12 +230,19 @@ class PlanQualitySpec extends SparkSpec {
     //   q_triangles          — three ONE-ROW summary aggregates (nodes,
     //                         edges, triangles) cross-joined at the end;
     //                         the triangle chain itself is equi-joins
+    //   q_embed_pq/q_ann_pq/q_ann_ivfpq — corpus/queries × ONE-ROW
+    //                         broadcast codebook (and seed-set) rows
+    //                         (collapsed via groupBy().collect_list);
+    //                         assignment/LUT math is a narrow HOF per
+    //                         row, the corpus never shuffles — the
+    //                         q_text_oov shape applied to PQ
     val allowed = Set("q_join_cross", "q_dedup_jaccard", "q_dedup_cosine",
       "q_ann_brute", "q_ann_ivf", "q_spatial_join", "q_agg_freq", "q_text_tfidf",
       "q_text_oov", "q_lateral", "q_join_residual", "q_subquery_scalar",
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
       "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced",
-      "q_kmeans", "q_sketch_overlap", "q_sample_negatives", "q_triangles")
+      "q_kmeans", "q_sketch_overlap", "q_sample_negatives", "q_triangles",
+      "q_embed_pq", "q_ann_pq", "q_ann_ivfpq")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
