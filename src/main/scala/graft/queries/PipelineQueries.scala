@@ -624,6 +624,43 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Group-aware (leakage-safe) split -------------------------------
+    // splitting on the DOC id leaks: two copies of the same text land in
+    // different folds and the test set overlaps training. Splitting on a
+    // GROUP key (here the exact-dup group md5(text); at scale the
+    // near-dup cluster id from Dedup.duplicateClusters) sends every
+    // member of a group to the SAME fold by construction. The output
+    // carries the proof: leaked_groups counts groups spanning both
+    // splits and must be 0.
+    QueryDef("q_split_group",
+      s"""WITH g AS (SELECT doc_id, md5(text) AS grp FROM documents),
+         |s AS (SELECT doc_id, grp,
+         |    CASE WHEN ${h60d("grp")} % 10 < 2 THEN 'test' ELSE 'train' END AS split
+         |  FROM g),
+         |leak AS (SELECT CAST(count(*) AS BIGINT) AS leaked_groups FROM (
+         |  SELECT grp FROM s GROUP BY grp HAVING count(DISTINCT split) > 1))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  (SELECT leaked_groups FROM leak) AS leaked_groups
+         |FROM s GROUP BY split ORDER BY split""".stripMargin) {
+      (s, dir) => {
+        val tagged = graft.operators.Sampling.hashSplit(
+          docs(s, dir).selectExpr("doc_id", "md5(text) AS grp"),
+          "grp", folds = 10, testFolds = 2)
+        tagged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val leak = tagged.groupBy("grp")
+          .agg(countDistinct("split").as("_ns"))
+          .filter(col("_ns") > 1)
+          .agg(count(lit(1)).cast("bigint").as("leaked_groups"))
+        tagged.groupBy("split")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            expr("CAST(count(DISTINCT grp) AS BIGINT)").as("n_groups"))
+          .crossJoin(broadcast(leak))
+          .select("split", "n_docs", "n_groups", "leaked_groups")
+          .orderBy("split")
+      }
+    },
+
     // ---- Fuzzy join (FuzzyJoin.byEditDistance): record linkage ----------
     // char-2gram MinHash LSH candidates + thresholded levenshtein verify,
     // never the cross join. The oracle mirrors the same signature math

@@ -242,7 +242,10 @@ class PlanQualitySpec extends SparkSpec {
       "q_values", "q_current", "q_random", "q_vocab", "q_text_bm25",
       "q_chisq", "q_hybrid_search", "q_skew_profile", "q_sample_balanced",
       "q_kmeans", "q_sketch_overlap", "q_sample_negatives", "q_triangles",
-      "q_embed_pq", "q_ann_pq", "q_ann_ivfpq")
+      "q_embed_pq", "q_ann_pq", "q_ann_ivfpq",
+      // q_split_group — 1-row broadcast leaked-groups count crossed onto
+      // the two split summary rows
+      "q_split_group")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
