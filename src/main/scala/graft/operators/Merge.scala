@@ -175,4 +175,43 @@ object Merge {
           .otherwise("changed"))
       .drop("_t_payload")
   }
+
+  /** Full snapshot diff: classify every key across TWO snapshots into
+    * `added` (only in new) / `removed` (only in old) / `changed` /
+    * `unchanged` — the table-level CDC audit [[delta]] can't express
+    * (delta never sees removals: it walks the updates side only).
+    * Payload columns come from the NEW snapshot for added/changed/
+    * unchanged rows and from the OLD snapshot for removed rows, so the
+    * output is a complete picture of both states. NULL-safe compare
+    * (NULL ↔ NULL is unchanged), same contract as [[delta]].
+    *
+    * Scale shape: ONE full-outer equi-join on the keys — both snapshots
+    * shuffle once on the same key, nothing else moves. Keys must be
+    * non-NULL (the usual primary-key contract; full-outer on NULL keys
+    * would mispair).
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    requireSameColumns(oldDf, newDf)
+    val payload = oldDf.columns.filterNot(keys.contains)
+    val o = oldDf.select(
+      keys.map(c => col(c).as(s"_ok_$c")) :+
+        struct(payload.map(col): _*).as("_o_payload"): _*)
+    val n = newDf.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("_n_payload"): _*)
+    val cond = keys.map(c => col(c) === col(s"_ok_$c")).reduce(_ && _)
+    val same = payload
+      .map(c => col("_o_payload")(c) <=> col("_n_payload")(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = n.join(o, cond, "full_outer")
+      .withColumn("change_kind",
+        when(col("_o_payload").isNull, "added")
+          .when(col("_n_payload").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+    val outKeys = keys.map(c => coalesce(col(c), col(s"_ok_$c")).as(c))
+    val outPayload = payload.map(c =>
+      when(col("change_kind") === "removed", col("_o_payload")(c))
+        .otherwise(col("_n_payload")(c)).as(c))
+    joined.select(outKeys ++ outPayload :+ col("change_kind"): _*)
+  }
 }

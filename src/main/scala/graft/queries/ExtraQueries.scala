@@ -687,6 +687,39 @@ object ExtraQueries {
           .select("c_custkey", "change_kind")
           .orderBy("c_custkey")
       }
+    },
+
+    // ---- Full snapshot diff (operators/Merge.diff) ----------------------
+    // the table-level CDC audit delta can't express: added AND removed
+    // AND changed AND unchanged across two snapshots in one full-outer
+    // equi-join — both snapshots shuffle once on the key, nothing else
+    // moves. Snapshots are carved deterministically from documents.
+    QueryDef("q_cdc_diff",
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS change_kind
+        |  FROM n FULL OUTER JOIN o ON n.doc_id = o.doc_id)
+        |SELECT change_kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM d GROUP BY change_kind ORDER BY change_kind""".stripMargin) {
+      (s, dir) => {
+        val base = Tables(s, dir, "documents").select("doc_id", "text")
+        val oldSnap = base.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = base.filter(col("doc_id") % 5 =!= 0)
+          .selectExpr("doc_id",
+            "IF(doc_id % 3 = 0, text || ' v2', text) AS text")
+        graft.operators.Merge.diff(oldSnap, newSnap, Seq("doc_id"))
+          .groupBy("change_kind")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            expr("CAST(sum(doc_id) AS BIGINT)").as("id_sum"))
+          .orderBy("change_kind")
+      }
     }
   )
 }

@@ -120,6 +120,25 @@ class Round6Spec extends SparkSpec {
     assert(Sampling.negatives(empty, "id", k = 2, seed = "s").count() == 0)
   }
 
+  // ---- Merge.diff ------------------------------------------------------
+
+  test("Merge.diff classifies added/removed/changed/unchanged with the right payloads") {
+    import graft.operators.Merge
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]), (4L, Some("gone")))
+      .toDF("k", "v")
+    val newS = Seq((1L, Some("a")), (2L, Some("B")), (3L, None: Option[String]), (5L, Some("new")))
+      .toDF("k", "v")
+    val d = Merge.diff(oldS, newS, Seq("k"))
+      .select("k", "v", "change_kind").as[(Long, Option[String], String)]
+      .collect().sortBy(_._1)
+    assert(d.toSeq == Seq(
+      (1L, Some("a"), "unchanged"),
+      (2L, Some("B"), "changed"),       // payload from the NEW snapshot
+      (3L, None, "unchanged"),          // NULL <=> NULL is unchanged
+      (4L, Some("gone"), "removed"),    // payload from the OLD snapshot
+      (5L, Some("new"), "added")))
+  }
+
   // ---- Product quantization -------------------------------------------
 
   test("pqTrain + pqAssign: codes separate blobs per subspace, invariant to partitioning") {
