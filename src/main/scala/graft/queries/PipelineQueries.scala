@@ -941,6 +941,73 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ---- LSH recall audit (approximation quality, measured) -------------
+    // the self-audit every approximate dedup deployment needs: on a
+    // bounded window where exact all-pairs Jaccard is affordable, count
+    // the true near-dup pairs the banded LSH candidate set recovers.
+    // LSH verifies candidates with the exact Jaccard, so FP = 0 by
+    // construction and the one number that can degrade is RECALL —
+    // reported in exact integer ppm. The bounded all-pairs side is the
+    // DEMO scale; the LSH side is the production path under audit.
+    QueryDef("q_dedup_eval", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents WHERE doc_id < 150
+         |), shl AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), exact AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)) >= 0.5
+         |), sig AS (
+         |  SELECT doc_id, $sigs FROM (SELECT doc_id, $hsD AS hs FROM shl)
+         |), bands AS (
+         |  $bandSel
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), lsh AS (
+         |  SELECT c.a_id, c.b_id FROM cand c
+         |  JOIN shl sa ON sa.doc_id = c.a_id
+         |  JOIN shl sb ON sb.doc_id = c.b_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM exact) -
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_missed,
+         |  CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+         |    (1000000 * (SELECT CAST(count(*) AS BIGINT) FROM lsh))
+         |      // (SELECT CAST(count(*) AS BIGINT) FROM exact)
+         |  ELSE CAST(NULL AS BIGINT) END AS recall_ppm""".stripMargin
+    }) { (s, dir) => {
+      val sub = docs(s, dir).filter(col("doc_id") < 150)
+      val shingled = sub
+        .selectExpr("doc_id", s"$toksS AS tk")
+        .filter(expr("size(tk) >= 3"))
+        .selectExpr("doc_id", s"$shS AS sh")
+      shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = shingled.as("a").join(shingled.as("b"), expr("a.doc_id < b.doc_id"))
+        .filter(expr(
+          "CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) / size(array_union(a.sh, b.sh)) >= 0.5"))
+        .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id")
+        .agg(count(lit(1)).cast("bigint").as("n_true_pairs"))
+      val lsh = graft.operators.Dedup.minhashLsh(sub, "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.5)
+        .agg(count(lit(1)).cast("bigint").as("n_lsh_pairs"))
+      exact.crossJoin(lsh)
+        .selectExpr("n_true_pairs", "n_lsh_pairs",
+          "n_true_pairs - n_lsh_pairs AS n_missed",
+          "CASE WHEN n_true_pairs > 0 THEN (1000000 * n_lsh_pairs) div n_true_pairs ELSE CAST(NULL AS BIGINT) END AS recall_ppm")
+    }},
+
     // ---- Corpus diversity (type-token ratios per source) ----------------
     // the mixture-health stat a training-data pipeline watches per
     // domain: low distinct-n ratios flag templated/boilerplate sources

@@ -245,7 +245,12 @@ class PlanQualitySpec extends SparkSpec {
       "q_embed_pq", "q_ann_pq", "q_ann_ivfpq",
       // q_split_group — 1-row broadcast leaked-groups count crossed onto
       // the two split summary rows
-      "q_split_group")
+      "q_split_group",
+      // q_dedup_eval — the exact-all-pairs GROUND-TRUTH side is bounded
+      // to doc_id < 150 by design (the audit needs a window where exact
+      // is affordable); the LSH side under audit is the scalable path,
+      // and the final join is two ONE-ROW count frames
+      "q_dedup_eval")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
