@@ -12,6 +12,57 @@ object Vectors {
   /** Uniquifier for per-call observation names (see [[semanticDedup]]). */
   private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Shared micro-unit quantization with the dims guard — ONE text for
+    * every PQ entry point, because these strings are load-bearing for
+    * cross-engine integer determinism: a rounding/offset edit in one
+    * copy but not another would diverge silently.
+    */
+  private[graft] def microQuantExpr(embCol: String, dims: Int,
+                                    scale: Long, offset: Long,
+                                    op: String): String =
+    s"IF(size($embCol) = $dims, " +
+      s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) + $offset), " +
+      s"raise_error(concat('$op: expected $dims dims, got ', CAST(size($embCol) AS STRING))))"
+
+  /** Codebook collapsed to ONE broadcastable row of (sub, cid, ce). */
+  private[graft] def collapsedCodebook(codebook: DataFrame): DataFrame =
+    codebook.groupBy().agg(
+      sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
+        .as("_cb"))
+
+  /** Per-query ADC lookup table: (_qid, _lut) with one integer distance
+    * per codebook entry. Small (queries × m·k) — broadcast it.
+    */
+  private[graft] def pqLut(queries: DataFrame, qidCol: String, embCol: String,
+                           codebook: DataFrame, m: Int, dims: Int,
+                           scale: Long, offset: Long, op: String): DataFrame = {
+    val sd = dims / m
+    queries
+      .select(col(qidCol).as("_qid"), col(embCol).as("_qemb"))
+      .crossJoin(broadcast(collapsedCodebook(codebook)))
+      .withColumn("_qe", expr(microQuantExpr("_qemb", dims, scale, offset, op)))
+      .withColumn("_lut", expr(
+        s"transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
+          s"'d', aggregate(zip_with(slice(_qe, c.sub * $sd + 1, $sd), c.ce, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)))"))
+      .select("_qid", "_lut")
+  }
+
+  /** ADC sum over a codes column against the broadcast `_lut`. A code
+    * with no codebook entry (NULL from [[pqAssign]] on a missing
+    * subspace, or a foreign codebook) fails LOUDLY with a named error —
+    * under asc ordering a silent NULL distance would take rank 1.
+    */
+  private[graft] def adcExpr(codesCol: String, m: Int): String = {
+    def hit(s: String) =
+      s"filter(_lut, t -> t.sub = $s AND t.cid = element_at($codesCol, $s + 1))"
+    s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (acc, s) -> " +
+      s"acc + IF(size(${hit("s")}) = 1, element_at(${hit("s")}, 1).d, " +
+      s"raise_error(concat('pqAdcTopK: no codebook entry for subspace ', " +
+      s"CAST(s AS STRING), ', code ', " +
+      s"coalesce(CAST(element_at($codesCol, s + 1) AS STRING), 'NULL')))))"
+  }
+
   /** Element-wise mean embedding per `labelCol` group.
     *
     * Sums run over scaled int64 ("micro-units"), not floats: integer
@@ -210,17 +261,11 @@ object Vectors {
                scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
     require(m >= 1 && dims % m == 0, s"need dims ($dims) divisible by m ($m)")
     val sd = dims / m
-    val cb = codebook.groupBy().agg(
-      sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
-        .as("_cb"))
     val dist =
       s"aggregate(zip_with(slice(_qe, s * $sd + 1, $sd), c.ce, " +
         "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    df.crossJoin(broadcast(cb))
-      .withColumn("_qe", expr(
-        s"IF(size($embCol) = $dims, " +
-          s"transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) + $offset), " +
-          s"raise_error(concat('pqAssign: expected $dims dims, got ', CAST(size($embCol) AS STRING))))"))
+    df.crossJoin(broadcast(collapsedCodebook(codebook)))
+      .withColumn("_qe", expr(microQuantExpr(embCol, dims, scale, offset, "pqAssign")))
       .withColumn("_pq", expr(
         s"transform(sequence(0, ${m - 1}), s -> " +
           s"array_min(transform(filter(_cb, c -> c.sub = s), " +
@@ -252,26 +297,10 @@ object Vectors {
                 scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
     require(m >= 1 && dims % m == 0, s"need dims ($dims) divisible by m ($m)")
     require(k >= 1, "k must be positive")
-    val sd = dims / m
-    val cb = codebook.groupBy().agg(
-      sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
-        .as("_cb"))
-    val qlut = queries
-      .select(col(qidCol).as("_qid"), col(embCol).as("_qemb"))
-      .crossJoin(broadcast(cb))
-      .withColumn("_qe", expr(
-        s"IF(size(_qemb) = $dims, " +
-          s"transform(_qemb, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT) + $offset), " +
-          s"raise_error(concat('pqAdcTopK: expected $dims dims, got ', CAST(size(_qemb) AS STRING))))"))
-      .withColumn("_lut", expr(
-        s"transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
-          s"'d', aggregate(zip_with(slice(_qe, c.sub * $sd + 1, $sd), c.ce, " +
-          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)))"))
-      .select("_qid", "_lut")
+    val qlut = pqLut(queries, qidCol, embCol, codebook, m, dims, scale,
+      offset, "pqAdcTopK")
     val scored = corpus.crossJoin(broadcast(qlut))
-      .withColumn("adc", expr(
-        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (acc, s) -> " +
-          s"acc + element_at(filter(_lut, t -> t.sub = s AND t.cid = element_at($codesCol, s + 1)), 1).d)"))
+      .withColumn("adc", expr(adcExpr(codesCol, m)))
       .select(col("_qid").as("qid"), col(idCol), col("adc"))
     TopK.perKey(scored, Seq("qid"), Seq(col("adc").asc, col(idCol).asc), k)
       .select(col("qid"), col("rnk"), col(idCol), col("adc"))

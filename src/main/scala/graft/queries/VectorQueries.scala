@@ -438,7 +438,8 @@ object VectorQueries {
          |  SELECT vid, CAST(s AS INT) AS sub,
          |    CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS sq
          |  FROM q, unnest(range(0, 2)) u(s)),
-         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs WHERE vid < 4),
+         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs
+         |  WHERE vid IN (SELECT vid FROM q ORDER BY vid LIMIT 4)),
          |d AS (
          |  SELECT a.vid, a.sub, c.cid, $sdistD AS dist
          |  FROM subs a JOIN cb c ON a.sub = c.sub),
@@ -456,7 +457,8 @@ object VectorQueries {
         // quantized with the same micro-unit scheme as pqAssign
         val seeds = emb.orderBy("vec_id").limit(4)
           .selectExpr("vec_id",
-            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qe")
+            graft.operators.Vectors.microQuantExpr(
+              "embedding", 64, 1000000L, 1000000L, "pq_seeds") + " AS qe")
         val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
             "vec_id AS cid", "slice(qe, 1, 32) AS ce")
           .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
@@ -494,7 +496,8 @@ object VectorQueries {
          |  SELECT vid, CAST(s AS INT) AS sub,
          |    CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS sq
          |  FROM q0, unnest(range(0, 2)) u(s)),
-         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs WHERE vid < 4),
+         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs
+         |  WHERE vid IN (SELECT vid FROM q0 ORDER BY vid LIMIT 4)),
          |codes AS (
          |  SELECT vid, sub, min([${sdistD("a.sq", "c.ce")}, c.cid])[2] AS cid
          |  FROM subs a JOIN cb c USING (sub) WHERE vid >= 5 GROUP BY vid, sub),
@@ -517,7 +520,8 @@ object VectorQueries {
         val emb = Tables(s, dir, "embeddings")
         val seeds = emb.orderBy("vec_id").limit(4)
           .selectExpr("vec_id",
-            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qe")
+            graft.operators.Vectors.microQuantExpr(
+              "embedding", 64, 1000000L, 1000000L, "pq_seeds") + " AS qe")
         val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
             "vec_id AS cid", "slice(qe, 1, 32) AS ce")
           .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
@@ -555,7 +559,7 @@ object VectorQueries {
          |    list_transform(embedding,
          |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT) + 1000000) AS qe
          |  FROM embeddings),
-         |seeds AS (SELECT vid, qe FROM q0 WHERE vid < 4),
+         |seeds AS (SELECT vid, qe FROM q0 ORDER BY vid LIMIT 4),
          |cellsc AS (
          |  SELECT a.vid, min([${fd("a.qe", "s.qe", 64)}, s.vid])[2] AS cell
          |  FROM q0 a CROSS JOIN seeds s WHERE a.vid >= 5 GROUP BY a.vid),
@@ -568,7 +572,8 @@ object VectorQueries {
          |  SELECT vid, CAST(s AS INT) AS sub,
          |    CASE WHEN s = 0 THEN qe[1:32] ELSE qe[33:64] END AS sq
          |  FROM q0, unnest(range(0, 2)) u(s)),
-         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs WHERE vid < 4),
+         |cb AS (SELECT sub, vid AS cid, sq AS ce FROM subs
+         |  WHERE vid IN (SELECT vid FROM q0 ORDER BY vid LIMIT 4)),
          |codes AS (
          |  SELECT vid, sub, min([${fd("a.sq", "c.ce", 32)}, c.cid])[2] AS cid
          |  FROM subs a JOIN cb c USING (sub) WHERE vid >= 5 GROUP BY vid, sub),
@@ -594,7 +599,8 @@ object VectorQueries {
         val emb = Tables(s, dir, "embeddings")
         val seeds = emb.orderBy("vec_id").limit(4)
           .selectExpr("vec_id",
-            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qe")
+            graft.operators.Vectors.microQuantExpr(
+              "embedding", 64, 1000000L, 1000000L, "pq_seeds") + " AS qe")
         val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
             "vec_id AS cid", "slice(qe, 1, 32) AS ce")
           .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
@@ -605,8 +611,8 @@ object VectorQueries {
             .as("_seeds"))
         val fdist = "aggregate(zip_with(_qe, s.qe, (x, y) -> (x - y) * (x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        val quant =
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000)"
+        val quant = Vectors.microQuantExpr(
+          "embedding", 64, 1000000L, 1000000L, "q_ann_ivfpq")
         val corpusCells = emb.filter(col("vec_id") >= 5)
           .select(col("vec_id"), col("embedding"))
           .crossJoin(broadcast(seedRow))
@@ -629,22 +635,14 @@ object VectorQueries {
         // (qid, cell) probe table is tiny — broadcast
         val cand = corpus.join(broadcast(probed), "cell")
           .select("qid", "vec_id", "pq_codes")
-        val cb1 = codebook.groupBy().agg(
-          sort_array(collect_list(struct(col("sub"), col("cid"), col("ce"))))
-            .as("_cb"))
-        val qlut = emb.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("_lqid"), col("embedding"))
-          .crossJoin(broadcast(cb1))
-          .withColumn("_qe", expr(quant))
-          .withColumn("_lut", expr(
-            "transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
-              "'d', aggregate(zip_with(slice(_qe, c.sub * 32 + 1, 32), c.ce, " +
-              "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)))"))
-          .select("_lqid", "_lut")
-        val scored = cand.join(broadcast(qlut), col("qid") === col("_lqid"))
-          .withColumn("adc", expr(
-            "aggregate(sequence(0, 1), CAST(0 AS BIGINT), (acc, s) -> " +
-              "acc + element_at(filter(_lut, t -> t.sub = s AND t.cid = element_at(pq_codes, s + 1)), 1).d)"))
+        // LUT + ADC come from the SAME helpers pqAdcTopK uses — the
+        // integer-determinism-critical expressions exist in one place
+        val qlut = Vectors.pqLut(
+          emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+          "vec_id", "embedding", codebook, m = 2, dims = 64,
+          scale = 1000000L, offset = 1000000L, op = "q_ann_ivfpq")
+        val scored = cand.join(broadcast(qlut), col("qid") === col("_qid"))
+          .withColumn("adc", expr(Vectors.adcExpr("pq_codes", 2)))
           .select("qid", "vec_id", "adc")
         TopK.perKey(scored, Seq("qid"), Seq(col("adc").asc, col("vec_id").asc), 3)
           .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "adc")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -254,25 +254,38 @@ private[sources] case class GraftRangeOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-/** Micro-batch stream over the generated range: each `latestOffset`
-  * poll advances availability by `rowsPerBatch`, and a batch plans the
-  * SAME parallel slices as the batch scan over its [start, end) span.
-  * Offsets are pure positions in a deterministic domain — restart from
-  * a checkpoint replays identical rows, so end-to-end exactly-once
-  * holds with any idempotent/transactional sink. `commit` is a no-op
-  * (nothing upstream to acknowledge; the "source" can always re-serve).
+/** Micro-batch stream over the generated range: each poll makes
+  * `rowsPerBatch` more rows available past the engine-supplied start
+  * offset, and a batch plans the SAME parallel slices as the batch
+  * scan over its [start, end) span. Availability is STATELESS — the
+  * admission-control `latestOffset(start, limit)` derives the next end
+  * from the start the ENGINE tracks, so a checkpoint restart (which
+  * constructs a fresh stream instance) cannot regress behind the
+  * committed offset and re-emit delivered rows. Offsets are pure
+  * positions in a deterministic domain — replaying the last
+  * uncommitted batch reproduces identical rows, so end-to-end
+  * exactly-once holds with any idempotent/transactional sink. `commit`
+  * is a no-op (nothing upstream to acknowledge; the "source" can
+  * always re-serve).
   */
 private[sources] class GraftRangeMicroBatchStream(
     lo: Long, hi: Long, parts: Int, required: StructType,
-    rowsPerBatch: Long) extends MicroBatchStream {
-  private var available = lo
+    rowsPerBatch: Long) extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = GraftRangeOffset(lo)
 
-  override def latestOffset(): Offset = {
-    available = math.min(hi, available + rowsPerBatch)
-    GraftRangeOffset(available)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the only poll path")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftRangeOffset].v
+    GraftRangeOffset(math.min(hi, math.max(s, lo) + rowsPerBatch))
   }
+
+  override def reportLatestOffset(): Offset = GraftRangeOffset(hi)
 
   override def deserializeOffset(json: String): Offset =
     GraftRangeOffset(json.toLong)

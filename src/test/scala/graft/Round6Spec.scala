@@ -180,6 +180,24 @@ class Round6Spec extends SparkSpec {
     assert(err(cb) <= err(seedCb))
   }
 
+  test("pqAdcTopK fails loudly on codes with no codebook entry (never silent rank-1)") {
+    // a codebook missing subspace 1 makes pqAssign emit NULL codes
+    // there; ADC must name the problem, not sort the row first
+    val vecs = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val partialCb = Vectors.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, k = 2, iters = 1, dims = 2)
+      .filter(col("sub") === 0)
+    val coded = Vectors.pqAssign(vecs, "vec_id", "embedding", partialCb,
+      m = 2, dims = 2)
+    val e = intercept[Exception] {
+      Vectors.pqAdcTopK(coded.select("vec_id", "pq_codes"), "vec_id",
+        "pq_codes", vecs, "vec_id", "embedding", partialCb,
+        k = 1, m = 2, dims = 2).collect()
+    }
+    assert(e.getMessage.contains("no codebook entry"), s"got: ${e.getMessage}")
+  }
+
   test("pqAssign rejects ragged embeddings loudly") {
     val cb = Vectors.pqTrain(
       Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding"),

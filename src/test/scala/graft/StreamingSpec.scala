@@ -322,6 +322,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom source checkpoint restart does not re-emit delivered rows") {
+    // the replay contract under test: a NEW stream instance starts its
+    // availability at lo, but the committed checkpoint offset must win —
+    // a regressing latestOffset would re-serve already-delivered spans
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_range_ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-range")
+        .option("rows", "100").option("rowsPerBatch", "30").load()
+        .select("id")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= batch.as[Long].collect() }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // delivers 0..99
+    run() // restart from the checkpoint: nothing new to deliver
+    assert(got.sorted == (0L until 100L),
+      s"restart re-emitted rows: ${got.length} total, dups=${got.groupBy(identity).count(_._2.length > 1)}")
+  }
+
   test("foreachBatch scores each micro-batch through the async batched scorer") {
     // model-scoring at the ingest door: every micro-batch flows through
     // AsyncScore.mapBatchesAsync (batched calls, bounded in-flight,
