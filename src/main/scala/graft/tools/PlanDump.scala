@@ -46,7 +46,17 @@ object PlanDump {
     "q_ts_interpolate" -> "linear interpolation: grid + observations union-merge through ONE key-partitioned sort; preceding last() finds t0, strictly-following first() finds t1 — two frames, one Exchange",
     "q_tpch_q3" -> "TPC-H Q3: pushed segment/date filters, fact-fact shuffle once, TakeOrderedAndProject head",
     "q_pipeline_e2e" -> "end-to-end pipeline: persisted stage frames (quality/exact/LSH/decontam) so per-stage reports never re-run upstream lineage; broadcast benchmark grams",
-    "q_weighted_median" -> "weighted median: one key-partitioned cumulative window + broadcast per-key totals — no global sort, no self-join")
+    "q_weighted_median" -> "weighted median: one key-partitioned cumulative window + broadcast per-key totals — no global sort, no self-join",
+    "q_inverted_index" -> "bounded inverted index: TopK.perKey rank-caps posting lists BEFORE collect_list (narrow partial pass + rank filter), count branch partial-combines — no df-sized aggregation buffer",
+    "q_custom_source" -> "custom DataSourceV2 scan: id predicates narrow the generated range before partition planning, columns prune to the projection",
+    "q_custom_source_agg" -> "aggregate pushdown into the custom scan: COUNT/MIN/MAX answered in closed form by a one-row scan — no row generation at any scale",
+    "q_async_score" -> "async batched scoring: mapPartitions pipeline (batch + bounded in-flight + FIFO drain), then partial+final per-source aggregate",
+    "q_ann_pq" -> "PQ ADC search: per-query LUT broadcast onto corpus codes (narrow HOF), TopK.perKey merge — the brute-force plan shape at 1/16th per-row arithmetic",
+    "q_ann_ivfpq" -> "IVF+PQ: cell argmin over one-row broadcast seeds, probe-cell equi-join prunes the corpus, ADC over the broadcast LUT, TopK.perKey merge",
+    "q_text_substring_dup" -> "repeated windows: narrow window explode, partial-combining count, hot-set semi-join BEFORE the TopK example cap — both buffers bounded",
+    "q_split_group" -> "group-aware split: narrow hash on the group key; leak audit is a per-group distinct count + one-row broadcast",
+    "q_cdc_diff" -> "snapshot diff: ONE full-outer equi-join on the key — both snapshots shuffle once, classification is a narrow CASE",
+    "q_tpch_q18" -> "TPC-H Q18: big-order HAVING pre-reduces map-side then BROADCASTS onto orders — the fact table never shuffles for the join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)

@@ -120,6 +120,34 @@ class Round6Spec extends SparkSpec {
     assert(Sampling.negatives(empty, "id", k = 2, seed = "s").count() == 0)
   }
 
+  // ---- Empty-input edges for the round's new operators -----------------
+
+  test("round-6 operators handle empty inputs without surprises") {
+    import graft.operators.{AsyncScore, Merge, TextOps}
+    val emptyDocs = spark.range(0).selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS text")
+    assert(TextOps.repeatedWindows(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyKV = spark.range(0).selectExpr("id AS k", "CAST(NULL AS STRING) AS v")
+    // diff of empty vs empty: nothing in any class
+    assert(Merge.diff(emptyKV, emptyKV, Seq("k")).count() == 0)
+    // diff of empty old vs real new: everything 'added'
+    val n = Seq((1L, "x")).toDF("k", "v")
+    assert(Merge.diff(emptyKV, n, Seq("k"))
+      .select("change_kind").as[String].collect().toSeq == Seq("added"))
+    // async scorer on an empty frame never spawns a pool or a batch
+    assert(AsyncScore.mapBatchesAsync(
+      emptyDocs.selectExpr("doc_id", "coalesce(text, '') AS text"),
+      "text", "s")(ts => ts.map(_ => 1.0)).count() == 0)
+    // zero-row custom source: batch and aggregate paths both empty-safe
+    val zero = spark.read.format("graft-range").option("rows", "0").load()
+    assert(zero.count() == 0)
+    assert(zero.agg(expr("count(*)")).as[Long].head() == 0L)
+    // PQ assignment of an empty corpus against a real codebook
+    val vecs = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cb = Vectors.pqTrain(vecs, "vec_id", "embedding", m = 2, k = 2, iters = 1, dims = 2)
+    assert(Vectors.pqAssign(vecs.limit(0), "vec_id", "embedding", cb,
+      m = 2, dims = 2).count() == 0)
+  }
+
   // ---- Merge.diff ------------------------------------------------------
 
   test("Merge.diff classifies added/removed/changed/unchanged with the right payloads") {
