@@ -293,6 +293,195 @@ object TpchQueries {
           .orderBy(col("totalprice_c").desc, col("o_orderkey"))
           .limit(100)
       }
+    },
+
+    // ---- Q7: volume shipping between two nations ------------------------
+    QueryDef("q_tpch_q7",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(sum(rev) AS DOUBLE) AS revenue_c
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year, $revC AS rev
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) {
+      (s, dir) => {
+        // both 25-row nation dims broadcast pre-filtered to the two
+        // nations of interest, so supplier/customer reduce to the two
+        // nations' members BEFORE touching the fact-fact l⋈o shuffle
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .selectExpr("l_orderkey", "l_suppkey",
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year", s"$revC AS rev")
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .join(n1, col("s_nationkey") === col("n1_key"))
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(n2, col("c_nationkey") === col("n2_key"))
+        l.join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(expr("CAST(sum(rev) AS DOUBLE)").as("revenue_c"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }
+    },
+
+    // ---- Q8: national market share within a region ----------------------
+    QueryDef("q_tpch_q8",
+      s"""WITH all_l AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, $revC AS volume,
+         |    n1.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         |SELECT o_year,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS nation_c,
+         |  CAST(sum(volume) AS BIGINT) AS total_c,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+         |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         |FROM all_l GROUP BY o_year ORDER BY o_year""".stripMargin) {
+      (s, dir) => {
+        // ASIA-customer side pre-reduces via the broadcast nation⋈region
+        // dim; the supplier nation arrives as a broadcast name lookup —
+        // the fact-fact l⋈o shuffle still happens exactly once
+        val asiaN = broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key")))
+        val suppN = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+        val p = broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey"))
+        val l = t(s, dir, "lineitem")
+          .selectExpr("l_orderkey", "l_partkey", "l_suppkey", s"$revC AS volume")
+          .join(p, col("l_partkey") === col("p_partkey"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+          .selectExpr("o_orderkey", "o_custkey",
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(asiaN, col("c_nationkey") === col("cn_key"))
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+          .join(suppN, col("s_nationkey") === col("sn_key"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(
+            expr("CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)")
+              .as("nation_c"),
+            expr("CAST(sum(volume) AS BIGINT)").as("total_c"),
+            expr("CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)" +
+              " / CAST(sum(volume) AS DOUBLE)").as("mkt_share"))
+          .orderBy("o_year")
+      }
+    },
+
+    // ---- Q13: customer order-count distribution -------------------------
+    // Adapted: the priority filter stands in for the official comment
+    // LIKE (no o_comment in the bundled schema) — same left-outer +
+    // two-level aggregate shape.
+    QueryDef("q_tpch_q13",
+      """WITH c_orders AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) {
+      (s, dir) =>
+        // orders pre-filters map-side; count(o_orderkey) over the left
+        // join counts matches only (NULL for orderless customers = 0);
+        // the second aggregate is over ≤ max-order-count rows
+        t(s, dir, "customer").select("c_custkey")
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderpriority") =!= "1-URGENT")
+              .select("o_custkey", "o_orderkey"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).cast("bigint").as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).cast("bigint").as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- Q22: dormant high-balance customers per nation ------------------
+    // Adapted: nation stands in for the phone-prefix country code (no
+    // c_phone in the bundled schema), and "dormant" means no order in
+    // the trailing window (every customer has SOME order at these
+    // scale factors) — same shape: scalar avg threshold, NOT EXISTS
+    // anti-join, per-group count + balance sum.
+    QueryDef("q_tpch_q22",
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))) AS DOUBLE)
+        |      / count(*) AS ab_c
+        |  FROM customer WHERE c_acctbal > 0),
+        |elig AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer, avg_bal
+        |  WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > ab_c
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM elig JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) {
+      (s, dir) => {
+        // the average is exact cents summed in DECIMAL with ONE IEEE
+        // division — the threshold compare is then identical on both
+        // engines. NOT EXISTS = left_anti on the order keys; the 1-row
+        // threshold broadcasts.
+        val cust = t(s, dir, "customer")
+          .selectExpr("c_custkey", "c_nationkey",
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c")
+        val avgBal = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 0)
+          .agg(expr(
+            "CAST(sum(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))) AS DOUBLE) / count(*)")
+            .as("ab_c"))
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(expr("CAST(bal_c AS DOUBLE) > ab_c"))
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).cast("bigint").as("numcust"),
+            expr("CAST(sum(bal_c) AS BIGINT)").as("totacctbal_c"))
+          .orderBy("n_name")
+      }
     }
   )
 }

@@ -250,7 +250,10 @@ class PlanQualitySpec extends SparkSpec {
       // to doc_id < 150 by design (the audit needs a window where exact
       // is affordable); the LSH side under audit is the scalable path,
       // and the final join is two ONE-ROW count frames
-      "q_dedup_eval")
+      "q_dedup_eval",
+      // q_tpch_q22 — 1-row broadcast average-balance threshold crossed
+      // onto customers before the anti-join (the q_agg_freq shape)
+      "q_tpch_q22")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
