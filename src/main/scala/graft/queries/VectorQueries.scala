@@ -276,6 +276,51 @@ object VectorQueries {
           .orderBy("label")
     },
 
+    // ---- Embedding drift monitor (centroidSums × Merge-diff shape) ------
+    // the ML-ops check a refreshed corpus needs: per label, how far did
+    // the centroid move between two snapshots (here the deterministic
+    // even/odd vec_id halves)? The drift is EXACT integer arithmetic:
+    // per-dimension cross-multiplied mean difference |s_ref·n_cur −
+    // s_cur·n_ref| over micro-unit sums — no division, no float
+    // fold-order, identical on both engines. Two partial-combining
+    // aggregates + a per-label equi-join; nothing wide ever moves.
+    QueryDef("q_embed_drift",
+      """WITH t AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap, i,
+        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS sv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |), c AS (
+        |  SELECT label, snap, i, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(sv) AS BIGINT) AS ssum
+        |  FROM t GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT label, i,
+        |    max(CASE WHEN snap = 'ref' THEN ssum END) AS sr,
+        |    max(CASE WHEN snap = 'ref' THEN n END) AS nr,
+        |    max(CASE WHEN snap = 'cur' THEN ssum END) AS sc2,
+        |    max(CASE WHEN snap = 'cur' THEN n END) AS nc
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT label, max(nr) AS n_ref, max(nc) AS n_cur,
+        |  CAST(sum(abs(sr * nc - sc2 * nr)) AS BIGINT) AS drift_x
+        |FROM w GROUP BY label ORDER BY label""".stripMargin) {
+      (s, dir) => {
+        import graft.operators.Vectors
+        val emb = Tables(s, dir, "embeddings")
+        def side(p: Int, tag: String) =
+          Vectors.centroidSums(emb.filter(col("vec_id") % 2 === p),
+              "label", "embedding")
+            .selectExpr("label", s"CAST(n_vecs AS BIGINT) AS n_$tag",
+              s"sums AS s_$tag")
+        side(0, "ref").join(side(1, "cur"), "label")
+          .selectExpr("label", "n_ref AS n_ref", "n_cur AS n_cur",
+            "aggregate(zip_with(s_ref, s_cur, (a, b) -> abs(a * n_cur - b * n_ref)), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS drift_x")
+          .orderBy("label")
+      }
+    },
+
     // ---- Int8 embedding quantization (Vectors.quantizeInt8) -------------
     // the 4x memory/IO lever for embedding columns at corpus scale. The
     // explicit floor(x+0.5) rounding makes the codes bit-identical on any

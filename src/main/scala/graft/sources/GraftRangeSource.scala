@@ -281,8 +281,17 @@ private[sources] class GraftRangeMicroBatchStream(
       "admission-control latestOffset(start, limit) is the only poll path")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GraftRangeOffset].v
-    GraftRangeOffset(math.min(hi, math.max(s, lo) + rowsPerBatch))
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val s = math.max(start.asInstanceOf[GraftRangeOffset].v, lo)
+    // honor the engine's admission limit: Trigger.AvailableNow drains
+    // with ReadAllAvailable (one shot to hi); rate-limited triggers pass
+    // ReadMaxRows; anything else falls back to this source's own pace
+    val end = limit match {
+      case _: ReadAllAvailable => hi
+      case m: ReadMaxRows => math.min(hi, s + m.maxRows())
+      case _ => math.min(hi, s + rowsPerBatch)
+    }
+    GraftRangeOffset(end)
   }
 
   override def reportLatestOffset(): Offset = GraftRangeOffset(hi)

@@ -322,6 +322,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom source drains fully under Trigger.AvailableNow and terminates") {
+    // the batch-like operational mode: process everything available,
+    // then stop on its own — backfills and scheduled catch-up runs
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-range")
+      .option("rows", "100").option("rowsPerBatch", "30").load()
+      .select("id")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= batch.as[Long].collect() }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    assert(got.sorted == (0L until 100L), s"got ${got.length} rows")
+  }
+
   test("custom source checkpoint restart does not re-emit delivered rows") {
     // the replay contract under test: a NEW stream instance starts its
     // availability at lo, but the committed checkpoint offset must win —
