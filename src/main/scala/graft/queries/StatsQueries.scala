@@ -778,6 +778,56 @@ object StatsQueries {
           defaultRate = 0.4, seed = "mix1")
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy("doc_id", "copy")
+    },
+
+    // ---- Population stability index (distribution drift) ----------------
+    // the ML-ops drift gate: PSI between two deterministic event
+    // snapshots over fixed equi-width value bins, +1-smoothed so empty
+    // bins never divide by zero. Counts are exact integers; each bin's
+    // contribution is one shared IEEE tree (two divisions, one ln) over
+    // those exact counts, rounded at 6dp — the transcendental policy
+    // every other stat query uses. One grouped aggregate + a 7-row fold:
+    // nothing but bin counts ever crosses the wire.
+    QueryDef("q_psi",
+      """WITH b AS (
+        |  SELECT least(6, CAST(floor(value / 50) AS INT)) AS bucket,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isr
+        |  FROM events),
+        |c AS (
+        |  SELECT bucket, CAST(sum(isr) AS BIGINT) AS nr,
+        |    CAST(sum(1 - isr) AS BIGINT) AS nc
+        |  FROM b GROUP BY bucket),
+        |one AS (
+        |  SELECT list(nr ORDER BY bucket) AS nrs, list(nc ORDER BY bucket) AS ncs,
+        |    CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM c)
+        |SELECT tr AS n_ref, tc AS n_cur, k AS n_bins,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, CAST(k + 1 AS INT)),
+        |    i -> ((CAST(nrs[i] + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))
+        |          - (CAST(ncs[i] + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE)))
+        |         * ln((CAST(nrs[i] + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))
+        |              / (CAST(ncs[i] + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE))))),
+        |    (x, y) -> x + y), 6) AS psi
+        |FROM one""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .selectExpr("least(6, CAST(floor(value / 50) AS INT)) AS bucket",
+          "IF(user_id % 2 = 0, 1, 0) AS isr")
+        .groupBy("bucket")
+        .agg(expr("CAST(sum(isr) AS BIGINT)").as("nr"),
+          expr("CAST(sum(1 - isr) AS BIGINT)").as("nc"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(bucket, nr))), x -> x.nr)").as("nrs"),
+          expr("transform(array_sort(collect_list(struct(bucket, nc))), x -> x.nc)").as("ncs"),
+          expr("CAST(sum(nr) AS BIGINT)").as("tr"),
+          expr("CAST(sum(nc) AS BIGINT)").as("tc"),
+          expr("CAST(count(*) AS BIGINT)").as("k"))
+        .selectExpr("tr AS n_ref", "tc AS n_cur", "k AS n_bins",
+          "round(aggregate(sequence(1, CAST(k AS INT)), CAST(0 AS DOUBLE), (acc, i) -> " +
+            "acc + ((CAST(element_at(nrs, i) + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))" +
+            " - (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE)))" +
+            " * ln((CAST(element_at(nrs, i) + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))" +
+            " / (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE)))), 6) AS psi")
     }
   )
 }
