@@ -482,6 +482,336 @@ object TpchQueries {
             expr("CAST(sum(bal_c) AS BIGINT)").as("totacctbal_c"))
           .orderBy("n_name")
       }
+    },
+
+    // ---- Q12: late lines by priority class ------------------------------
+    // Adapted: no l_shipmode/commit/receipt dates in the bundled schema —
+    // the class column is l_returnflag and "late" is l_shipdate >
+    // o_orderdate (the Q4 adaptation); same fact-fact join + dual
+    // conditional count shape as the official Q12.
+    QueryDef("q_tpch_q12",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) => {
+        // the year filter pushes into the lineitem scan; the lateness
+        // residual rides the single equi-shuffle on the order key
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+          .select("l_orderkey", "l_returnflag", "l_shipdate")
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        l.join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+          .groupBy("l_returnflag")
+          .agg(
+            expr("CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)")
+              .as("high_line_count"),
+            expr("CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)")
+              .as("low_line_count"))
+          .orderBy("l_returnflag")
+      }
+    },
+
+    // ---- Q15: top supplier by quarterly revenue -------------------------
+    // The revenue aggregate appears on BOTH sides (the join input and the
+    // scalar max) built from the same `rev` val. The explicit
+    // `l_suppkey IS NOT NULL` BELOW the groupBy matters for plan reuse:
+    // without it, the supplier inner join pushes isnotnull(l_suppkey)
+    // into the probe-side aggregate only (the max side keeps NULL
+    // groups), the two shuffle subtrees stop being canonical-equal, and
+    // AQE plans TWO lineitem scans. With it, the quarter is scanned and
+    // shuffled once and the max side is a ReusedExchange. Equality on
+    // exact DECIMAL cents keeps the threshold compare engine-proof; ties
+    // all surface (no arbitrary pick), ordered by supplier key.
+    QueryDef("q_tpch_q15",
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, sum($revC) AS total_c
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |    AND l_suppkey IS NOT NULL
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_c AS BIGINT) AS total_c
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_c = (SELECT max(total_c) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin) {
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'") &&
+            col("l_suppkey").isNotNull)
+          .selectExpr("l_suppkey", s"$revC AS rv")
+          .groupBy("l_suppkey")
+          .agg(expr("sum(rv)").as("total_c"))
+        val maxv = rev.agg(max(col("total_c")).as("m"))
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        rev.join(broadcast(maxv), col("total_c") === col("m"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .selectExpr("s_suppkey", "s_name", "CAST(total_c AS BIGINT) AS total_c")
+          .orderBy("s_suppkey")
+      }
+    },
+
+    // ---- Q17: small-quantity-order revenue (correlated avg) -------------
+    // Adapted: p_size < 10 stands in for the official p_container filter.
+    // The correlated per-part average becomes ONE partitioned window over
+    // the joined lines — a single lineitem scan and a single shuffle on
+    // the part key, instead of re-scanning lineitem for the subquery. The
+    // threshold `qty < 0.2·avg(qty)` cross-multiplies to the integer
+    // compare `5·qty·cnt < sum` — zero IEEE division on the hot path.
+    QueryDef("q_tpch_q17",
+      """SELECT CAST(sum(price_c) AS BIGINT) AS total_c,
+        |  CAST(sum(price_c) AS DOUBLE) / 7.0 AS avg_yearly_c
+        |FROM (
+        |  SELECT CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS price_c,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_qty_c,
+        |    CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_cnt
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#1' AND p_size < 10)
+        |WHERE qty_c * 5 * part_cnt < part_qty_c""".stripMargin) {
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#1" && col("p_size") < 10)
+          .select("p_partkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+        t(s, dir, "lineitem")
+          .selectExpr("l_partkey",
+            "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS price_c",
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .withColumn("part_qty_c", sum(col("qty_c")).over(w).cast("bigint"))
+          .withColumn("part_cnt", count(lit(1)).over(w).cast("bigint"))
+          .filter(col("qty_c") * 5 * col("part_cnt") < col("part_qty_c"))
+          .agg(expr("CAST(sum(price_c) AS BIGINT)").as("total_c"),
+            expr("CAST(sum(price_c) AS DOUBLE) / 7.0").as("avg_yearly_c"))
+      }
+    },
+
+    // ---- Q19: discounted revenue (disjunctive join predicate) -----------
+    // Adapted: p_size/l_quantity bands stand in for the official container
+    // and ship-mode legs. The part-only arms of the disjunction prune the
+    // broadcast build side to three brands' small parts; the mixed
+    // part×line residual evaluates inside the hash join.
+    QueryDef("q_tpch_q19",
+      s"""SELECT CAST(sum($revC) AS BIGINT) AS revenue_c,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) {
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+          .select("p_partkey", "p_brand", "p_size"))
+        val l = t(s, dir, "lineitem")
+          .selectExpr("l_partkey", "l_quantity", s"$revC AS rev")
+        l.join(p, col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30))))
+          .agg(expr("CAST(sum(rev) AS BIGINT)").as("revenue_c"),
+            count(lit(1)).cast("bigint").as("n_lines"))
+      }
+    },
+
+    // ---- Q9: product-type profit by nation and year ----------------------
+    // Adapted: no partsupp/ps_supplycost in the bundled schema — the cost
+    // term is the part's retail price times quantity (same per-row
+    // rev−cost difference shape); p_name LIKE keeps the official filter.
+    QueryDef("q_tpch_q9",
+      s"""SELECT n_name, o_year, CAST(sum(amount_c) AS BIGINT) AS profit_c
+         |FROM (
+         |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    $revC - CAST(round(p_retailprice * l_quantity * 100) AS DECIMAL(38,0)) AS amount_c
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE p_name LIKE '%red%')
+         |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin) {
+      (s, dir) => {
+        // the LIKE-filtered part dim broadcasts and prunes lineitem BEFORE
+        // the one fact-fact shuffle on the order key; supplier→nation is a
+        // broadcast chain; the profit difference is exact cents per row
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice"))
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        val o = t(s, dir, "orders")
+          .selectExpr("o_orderkey", "CAST(year(o_orderdate) AS BIGINT) AS o_year")
+        t(s, dir, "lineitem")
+          .selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", s"$revC AS rev")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .selectExpr("l_orderkey", "l_suppkey",
+            "rev - CAST(round(p_retailprice * l_quantity * 100) AS DECIMAL(38,0)) AS amount_c")
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("n_name", "o_year")
+          .agg(expr("CAST(sum(amount_c) AS BIGINT)").as("profit_c"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      }
+    },
+
+    // ---- Q16: supplier-count by part attribute ---------------------------
+    // Adapted: the part⇄supplier relation is the DISTINCT (partkey,
+    // suppkey) pairs observed in lineitem (no partsupp table), and the
+    // "complaints" exclusion is s_acctbal < 0 (no s_comment). Same shape:
+    // distinct relation → dim filter → anti-join exclusion → COUNT
+    // DISTINCT per attribute group.
+    QueryDef("q_tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+      (s, dir) => {
+        // join the filtered part dim BEFORE the distinct so the dedup
+        // shuffle carries only qualifying parts' pairs, not all of
+        // lineitem's; the negative-balance exclusion list is tiny →
+        // broadcast anti-join
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        val bad = broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey"))
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .select("p_brand", "p_type", "p_size", "l_suppkey")
+          .distinct()
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).cast("bigint").as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      }
+    },
+
+    // ---- Q20: suppliers who dominated a promo part's supply --------------
+    // Adapted: no partsupp.ps_availqty — "has excess stock to sell" maps
+    // to "shipped more than half of the part's 1996 volume": per
+    // (part, supplier) sums vs a per-part partitioned-window total,
+    // cross-multiplied to the integer compare 2·sup_qty > part_qty. Same
+    // overall shape as official Q20: nested qualification → DISTINCT
+    // supplier set → semi-join onto the nation-filtered supplier dim.
+    QueryDef("q_tpch_q20",
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS BIGINT) AS sup_qty_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |dominant AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, sup_qty_c,
+        |      CAST(sum(sup_qty_c) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_qty_c
+        |    FROM shipped)
+        |  WHERE sup_qty_c * 2 > part_qty_c)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM dominant WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin) {
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+        val dominant = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+          .selectExpr("l_partkey", "l_suppkey",
+            "CAST(round(l_quantity * 100) AS DECIMAL(38,0)) AS qty_c")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(expr("CAST(sum(qty_c) AS BIGINT)").as("sup_qty_c"))
+          .withColumn("part_qty_c", sum(col("sup_qty_c")).over(w).cast("bigint"))
+          .filter(col("sup_qty_c") * 2 > col("part_qty_c"))
+          .select("l_suppkey").distinct()
+        val n = broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_1").select("n_nationkey"))
+        t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      }
+    },
+
+    // ---- Q21: suppliers who kept finished orders waiting ------------------
+    // Adapted: "late" is l_shipdate > o_orderdate (the Q4 adaptation; no
+    // commit/receipt dates). Official shape preserved exactly: late lines
+    // of 'F' orders, EXISTS another supplier on the order, NOT EXISTS
+    // another LATE supplier on the order — the only-late-supplier count.
+    QueryDef("q_tpch_q21",
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) {
+      (s, dir) => {
+        // `late` appears as probe side AND anti-join build side from the
+        // same val — the l⋈o shuffle exchanges underneath are
+        // canonical-identical and reused, so the fact-fact join runs once.
+        // EXISTS/NOT EXISTS are hash semi/anti joins on the order key with
+        // the supplier inequality as residual — never row-by-row.
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val late = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+          .select("l_orderkey", "l_suppkey")
+        val others = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = late
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        val n = broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_1").select("n_nationkey"))
+        late
+          .join(others, col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("ok3") &&
+            col("l_suppkey") =!= col("sk3"), "left_anti")
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).cast("bigint").as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      }
     }
   )
 }

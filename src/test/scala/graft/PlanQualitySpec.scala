@@ -189,6 +189,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(q18.contains("BroadcastHashJoin") && q18.contains("TakeOrderedAndProject"), q18.take(1500))
   }
 
+  test("tpch round-6 batch: reused exchanges, semi/anti shapes, windowed correlates") {
+    // Q12: the ship-year predicate reaches the lineitem scan; the
+    // lateness residual rides the equi join, no second filter pass
+    val q12 = formatted("q_tpch_q12")
+    assert(q12.contains("PushedFilters:") && q12.contains("l_shipdate"), q12.take(1200))
+    // Q15: the revenue aggregate feeds both the join probe AND the scalar
+    // max — one shuffle, reused, not two lineitem scans. AQE only decides
+    // stage reuse at runtime, so execute first and read the FINAL plan
+    // (the section before the echoed initial plan).
+    val q15df = SparkEntry.queries("q_tpch_q15")(spark, dir)
+    q15df.collect()
+    val q15 = q15df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(q15.contains("ReusedExchange"), q15.take(1500))
+    assert(q15.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      q15.take(1500))
+    // Q17: the correlated per-part average is a PARTITIONED window over
+    // one broadcast-joined scan — no self-join re-scan of lineitem
+    val q17 = planOf("q_tpch_q17")
+    assert(q17.contains("BroadcastHashJoin") && q17.contains("Window"), q17.take(1500))
+    // Q19: the three-brand disjunction prunes the broadcast build side
+    assert(planOf("q_tpch_q19").contains("BroadcastHashJoin"))
+    // Q9: the LIKE-filtered part dim broadcasts, predicate pushed to scan
+    val q9 = formatted("q_tpch_q9")
+    assert(q9.contains("BroadcastHashJoin") && q9.contains("p_name"), q9.take(1500))
+    // Q16: the complaints exclusion is a broadcast ANTI join, the distinct
+    // runs on qualifying parts only (after the dim join, not before)
+    val q16 = planOf("q_tpch_q16")
+    assert(q16.contains("LeftAnti") && q16.contains("BroadcastHashJoin"), q16.take(1500))
+    // Q20: dominance qualification ends in a SEMI join onto suppliers
+    assert(planOf("q_tpch_q20").contains("LeftSemi"))
+    // Q21: EXISTS → semi, NOT EXISTS → anti, both hash joins on the order
+    // key; the late-lines fact-fact join is never duplicated row-by-row
+    val q21 = planOf("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(1500))
+  }
+
   test("no query plans a cartesian or nested-loop join except the declared ones") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // Whitelist, each after manual plan review — every entry nests a loop
