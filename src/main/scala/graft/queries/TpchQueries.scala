@@ -812,6 +812,121 @@ object TpchQueries {
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)
       }
+    },
+
+    // ---- Q2: minimum-cost supplier per part in a region -------------------
+    // Adapted: no partsupp/ps_supplycost — the (part, supplier) supply
+    // relation is the pairs observed in lineitem and the supply cost is
+    // the minimum observed line price in exact cents (the Q16 pairs
+    // adaptation). Official shape preserved: region-filtered suppliers,
+    // part attribute filter, correlated min-cost-per-part subquery →
+    // here ONE partitioned window over the already-joined candidates (no
+    // re-scan), ties all surface, deterministic order, top 100.
+    QueryDef("q_tpch_q2",
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |cand AS (
+        |  SELECT p_partkey, s_name, n_name,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, cost_c,
+        |    min(cost_c) OVER (PARTITION BY p_partkey) AS min_cost_c
+        |  FROM cost
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |    AND r_name = 'EUROPE')
+        |SELECT s_acctbal_c, s_name, n_name, p_partkey, cost_c
+        |FROM cand WHERE cost_c = min_cost_c
+        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin) {
+      (s, dir) => {
+        // the filtered part dim broadcasts and prunes the pair aggregate
+        // BEFORE supplier/nation attach; nation⋈region collapses to one
+        // broadcast 25-row dim; the correlated min is a window over the
+        // part key the pairs are ALREADY partitioned by
+        val cost = t(s, dir, "lineitem")
+          .selectExpr("l_partkey", "l_suppkey",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS lc")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("lc")).as("cost_c"))
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+          .select("p_partkey"))
+        val n = broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+        val su = t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+        cost.join(p, col("l_partkey") === col("p_partkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .withColumn("min_cost_c", min(col("cost_c")).over(w))
+          .filter(col("cost_c") === col("min_cost_c"))
+          .selectExpr("CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c",
+            "s_name", "n_name", "p_partkey", "cost_c")
+          .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      }
+    },
+
+    // ---- Q11: important part values in a region ---------------------------
+    // Adapted: no partsupp — a part's "stock value" is the exact-cents
+    // line value shipped by the region's suppliers (region, not a single
+    // nation: the bundled sf0.001 supplier table is too thin for one
+    // nation to be non-degenerate). The official fixed fraction is
+    // scale-variant; the adapted threshold is SCALE-INVARIANT: keep
+    // parts whose value exceeds 2× the average part value, as the exact
+    // integer cross-multiplication value·n_parts > 2·total. The per-part
+    // aggregate feeds both the probe and the 1-row totals (same reused
+    // exchange discipline as Q15).
+    QueryDef("q_tpch_q11",
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS value_d
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT sum(value_d) AS total_d, count(*) AS n_parts FROM pv)
+        |SELECT l_partkey AS p_partkey, CAST(value_d AS BIGINT) AS value_c
+        |FROM pv, tot
+        |WHERE value_d * n_parts > 2 * total_d
+        |ORDER BY value_c DESC, p_partkey""".stripMargin) {
+      (s, dir) => {
+        // region-filtered supplier keys collapse to a broadcast list that
+        // prunes lineitem BEFORE its one shuffle on the part key; the
+        // totals row is a 1-row broadcast cross (the Q22 threshold shape)
+        val nr = broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey"))
+        val su = broadcast(t(s, dir, "supplier")
+          .join(nr, col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val pv = t(s, dir, "lineitem")
+          .selectExpr("l_partkey", "l_suppkey",
+            "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS lc")
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(sum(col("lc")).as("value_d"))
+        val tot = pv.agg(sum(col("value_d")).as("total_d"),
+          count(lit(1)).as("n_parts"))
+        pv.crossJoin(broadcast(tot))
+          .filter(col("value_d") * col("n_parts") > lit(2) * col("total_d"))
+          .selectExpr("l_partkey AS p_partkey",
+            "CAST(value_d AS BIGINT) AS value_c")
+          .orderBy(col("value_c").desc, col("p_partkey"))
+      }
     }
   )
 }

@@ -224,6 +224,20 @@ class PlanQualitySpec extends SparkSpec {
     // key; the late-lines fact-fact join is never duplicated row-by-row
     val q21 = planOf("q_tpch_q21")
     assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(1500))
+    // Q2: the correlated min-cost-per-part is a PARTITIONED window over
+    // the joined candidates, dims broadcast — no pair-table re-scan
+    val q2 = planOf("q_tpch_q2")
+    assert(q2.contains("BroadcastHashJoin") && q2.contains("Window"), q2.take(1500))
+    // Q11: the per-part value aggregate feeds probe AND totals through
+    // one reused exchange — a single lineitem scan in the final plan.
+    // sf0.01, not sf0.001: there the result is empty and AQE collapses
+    // the whole plan to EmptyRelation, leaving nothing to assert.
+    val q11df = SparkEntry.queries("q_tpch_q11")(spark, "/root/testdata/sf0.01")
+    q11df.collect()
+    val q11 = q11df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(q11.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      q11.take(1500))
   }
 
   test("no query plans a cartesian or nested-loop join except the declared ones") {
@@ -290,7 +304,11 @@ class PlanQualitySpec extends SparkSpec {
       "q_dedup_eval",
       // q_tpch_q22 — 1-row broadcast average-balance threshold crossed
       // onto customers before the anti-join (the q_agg_freq shape)
-      "q_tpch_q22")
+      "q_tpch_q22",
+      // q_tpch_q11 — 1-row broadcast totals row (total value + part
+      // count) crossed onto the per-part aggregate for the
+      // cross-multiplied threshold (the q_tpch_q22 shape)
+      "q_tpch_q11")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
