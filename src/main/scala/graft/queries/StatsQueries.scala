@@ -823,11 +823,17 @@ object StatsQueries {
           expr("CAST(sum(nc) AS BIGINT)").as("tc"),
           expr("CAST(count(*) AS BIGINT)").as("k"))
         .selectExpr("tr AS n_ref", "tc AS n_cur", "k AS n_bins",
-          "round(aggregate(sequence(1, CAST(k AS INT)), CAST(0 AS DOUBLE), (acc, i) -> " +
+          // k = 0 guard: sequence(1, 0) is the DESCENDING [1, 0] in
+          // Spark (not empty like DuckDB's range), so the fold would hit
+          // element_at(_, 0) and raise on an empty events table; the
+          // oracle's empty fold yields its 0.0 seed — IF matches that
+          // and evaluates the taken branch only
+          "round(IF(k = 0, CAST(0 AS DOUBLE), " +
+            "aggregate(sequence(1, CAST(k AS INT)), CAST(0 AS DOUBLE), (acc, i) -> " +
             "acc + ((CAST(element_at(nrs, i) + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))" +
             " - (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE)))" +
             " * ln((CAST(element_at(nrs, i) + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))" +
-            " / (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE)))), 6) AS psi")
+            " / (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE))))), 6) AS psi")
     }
   )
 }

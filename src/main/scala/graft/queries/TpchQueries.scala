@@ -843,18 +843,21 @@ object TpchQueries {
         |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin) {
       (s, dir) => {
-        // the filtered part dim broadcasts and prunes the pair aggregate
-        // BEFORE supplier/nation attach; nation⋈region collapses to one
+        // the filtered part dim broadcasts and prunes lineitem BEFORE the
+        // pair-dedup shuffle (Spark won't push a join through an
+        // aggregate itself, and per-pair min is unaffected by filtering
+        // parts — the Q16 discipline); nation⋈region collapses to one
         // broadcast 25-row dim; the correlated min is a window over the
         // part key the pairs are ALREADY partitioned by
-        val cost = t(s, dir, "lineitem")
-          .selectExpr("l_partkey", "l_suppkey",
-            "CAST(round(l_extendedprice * 100) AS BIGINT) AS lc")
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(min(col("lc")).as("cost_c"))
         val p = broadcast(t(s, dir, "part")
           .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
           .select("p_partkey"))
+        val cost = t(s, dir, "lineitem")
+          .selectExpr("l_partkey", "l_suppkey",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS lc")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey", "p_partkey")
+          .agg(min(col("lc")).as("cost_c"))
         val n = broadcast(t(s, dir, "nation")
           .join(broadcast(t(s, dir, "region")
               .filter(col("r_name") === "EUROPE").select("r_regionkey")),
@@ -863,8 +866,7 @@ object TpchQueries {
         val su = t(s, dir, "supplier")
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
-        cost.join(p, col("l_partkey") === col("p_partkey"))
-          .join(su, col("l_suppkey") === col("s_suppkey"))
+        cost.join(su, col("l_suppkey") === col("s_suppkey"))
           .join(n, col("s_nationkey") === col("n_nationkey"))
           .withColumn("min_cost_c", min(col("cost_c")).over(w))
           .filter(col("cost_c") === col("min_cost_c"))

@@ -276,18 +276,23 @@ object VectorQueries {
           .orderBy("label")
     },
 
-    // ---- Embedding drift monitor (centroidSums × Merge-diff shape) ------
+    // ---- Embedding drift monitor (single-pass snapshot pivot) -----------
     // the ML-ops check a refreshed corpus needs: per label, how far did
     // the centroid move between two snapshots (here the deterministic
     // even/odd vec_id halves)? The drift is EXACT integer arithmetic:
     // per-dimension cross-multiplied mean difference |s_ref·n_cur −
     // s_cur·n_ref| over micro-unit sums — no division, no float
-    // fold-order, identical on both engines. Two partial-combining
-    // aggregates + a per-label equi-join; nothing wide ever moves.
+    // fold-order, identical on both engines. ONE scan + explode with
+    // conditional per-snapshot sums (two filtered centroidSums calls
+    // would scan twice — differently-filtered subplans never reuse an
+    // exchange — and their inner join on label would silently DROP a
+    // label whose vectors are all one parity; the conditional pivot
+    // keeps it, with NULL drift, exactly like the oracle's max(CASE)).
     QueryDef("q_embed_drift",
       """WITH t AS (
         |  SELECT label,
-        |    CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap, i,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'ref'
+        |         WHEN vec_id % 2 = 1 THEN 'cur' END AS snap, i,
         |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS sv
         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         |), c AS (
@@ -306,17 +311,20 @@ object VectorQueries {
         |  CAST(sum(abs(sr * nc - sc2 * nr)) AS BIGINT) AS drift_x
         |FROM w GROUP BY label ORDER BY label""".stripMargin) {
       (s, dir) => {
-        import graft.operators.Vectors
-        val emb = Tables(s, dir, "embeddings")
-        def side(p: Int, tag: String) =
-          Vectors.centroidSums(emb.filter(col("vec_id") % 2 === p),
-              "label", "embedding")
-            .selectExpr("label", s"CAST(n_vecs AS BIGINT) AS n_$tag",
-              s"sums AS s_$tag")
-        side(0, "ref").join(side(1, "cur"), "label")
-          .selectExpr("label", "n_ref AS n_ref", "n_cur AS n_cur",
-            "aggregate(zip_with(s_ref, s_cur, (a, b) -> abs(a * n_cur - b * n_ref)), " +
-              "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS drift_x")
+        Tables(s, dir, "embeddings")
+          .select(col("label"), col("vec_id"),
+            posexplode(expr(
+              "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"))
+              .as(Seq("pos", "sv")))
+          .groupBy("label", "pos")
+          .agg(
+            expr("sum(CASE WHEN vec_id % 2 = 0 THEN sv END)").as("sr"),
+            expr("sum(CASE WHEN vec_id % 2 = 0 THEN CAST(1 AS BIGINT) END)").as("nr"),
+            expr("sum(CASE WHEN vec_id % 2 = 1 THEN sv END)").as("sc2"),
+            expr("sum(CASE WHEN vec_id % 2 = 1 THEN CAST(1 AS BIGINT) END)").as("nc"))
+          .groupBy("label")
+          .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+            expr("CAST(sum(abs(sr * nc - sc2 * nr)) AS BIGINT)").as("drift_x"))
           .orderBy("label")
       }
     },

@@ -23,6 +23,17 @@ class PlanQualitySpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** AQE decides stage reuse at runtime: execute, then return only the
+    * final-plan section (the adaptive toString echoes the initial plan
+    * after an "== Initial Plan ==" marker — scans counted there would
+    * double-count).
+    */
+  private def finalPlanOf(name: String, atDir: String = dir): String = {
+    val df = SparkEntry.queries(name)(spark, atDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
   private def countShuffles(p: SparkPlan): Int = {
     def walk(n: SparkPlan): Int = {
       val self = n match {
@@ -195,13 +206,8 @@ class PlanQualitySpec extends SparkSpec {
     val q12 = formatted("q_tpch_q12")
     assert(q12.contains("PushedFilters:") && q12.contains("l_shipdate"), q12.take(1200))
     // Q15: the revenue aggregate feeds both the join probe AND the scalar
-    // max — one shuffle, reused, not two lineitem scans. AQE only decides
-    // stage reuse at runtime, so execute first and read the FINAL plan
-    // (the section before the echoed initial plan).
-    val q15df = SparkEntry.queries("q_tpch_q15")(spark, dir)
-    q15df.collect()
-    val q15 = q15df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
+    // max — one shuffle, reused, not two lineitem scans
+    val q15 = finalPlanOf("q_tpch_q15")
     assert(q15.contains("ReusedExchange"), q15.take(1500))
     assert(q15.linesIterator.count(_.contains("lineitem.parquet")) == 1,
       q15.take(1500))
@@ -232,10 +238,7 @@ class PlanQualitySpec extends SparkSpec {
     // one reused exchange — a single lineitem scan in the final plan.
     // sf0.01, not sf0.001: there the result is empty and AQE collapses
     // the whole plan to EmptyRelation, leaving nothing to assert.
-    val q11df = SparkEntry.queries("q_tpch_q11")(spark, "/root/testdata/sf0.01")
-    q11df.collect()
-    val q11 = q11df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
+    val q11 = finalPlanOf("q_tpch_q11", "/root/testdata/sf0.01")
     assert(q11.linesIterator.count(_.contains("lineitem.parquet")) == 1,
       q11.take(1500))
   }

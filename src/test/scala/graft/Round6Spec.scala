@@ -333,4 +333,42 @@ class Round6Spec extends SparkSpec {
     assert(pairs.length == 16)
     assert(pairs.forall { case (i, n) => i != n })
   }
+
+  // ---- review-pass regressions: q_psi / q_embed_drift edges ------------
+
+  test("psi on an empty events table returns the 0.0 seed, not an index error") {
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0] (DuckDB's
+    // range(1, 1) is empty) — without the k = 0 guard the fold hits
+    // element_at(_, 0) and raises; the oracle returns psi = 0.0
+    val tmp = java.nio.file.Files.createTempDirectory("psi_empty").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val row = SparkEntry.queries("q_psi")(spark, tmp).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Double]("psi") == 0.0)
+    assert(row(0).isNullAt(row(0).fieldIndex("n_ref")))
+  }
+
+  test("embed drift keeps a label whose vectors are all one parity") {
+    // an all-even (ref-only) label has no 'cur' half: the oracle's
+    // max(CASE) pivot emits it with NULL n_cur/drift — an inner join of
+    // two filtered halves would silently DROP it; label 9 below exists
+    // only at vec_id 4 (even)
+    val tmp = java.nio.file.Files.createTempDirectory("drift_parity").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 1.0f), 2), (3L, Array(0.5f, 0.5f), 2),
+      (4L, Array(0.25f, 0.75f), 9)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("q_embed_drift")(spark, tmp).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSeq == Seq(1, 2, 9))
+    val lone = rows.find(_.getAs[Int]("label") == 9).get
+    assert(lone.getAs[Long]("n_ref") == 1L)
+    assert(lone.isNullAt(lone.fieldIndex("n_cur")))
+    assert(lone.isNullAt(lone.fieldIndex("drift_x")))
+    // the balanced labels still report exact integer drift
+    val l1 = rows.find(_.getAs[Int]("label") == 1).get
+    assert(l1.getAs[Long]("drift_x") == 2000000L)
+  }
 }
