@@ -56,7 +56,13 @@ object PlanDump {
     "q_text_substring_dup" -> "repeated windows: narrow window explode, partial-combining count, hot-set semi-join BEFORE the TopK example cap — both buffers bounded",
     "q_split_group" -> "group-aware split: narrow hash on the group key; leak audit is a per-group distinct count + one-row broadcast",
     "q_cdc_diff" -> "snapshot diff: ONE full-outer equi-join on the key — both snapshots shuffle once, classification is a narrow CASE",
-    "q_tpch_q18" -> "TPC-H Q18: big-order HAVING pre-reduces map-side then BROADCASTS onto orders — the fact table never shuffles for the join")
+    "q_tpch_q18" -> "TPC-H Q18: big-order HAVING pre-reduces map-side then BROADCASTS onto orders — the fact table never shuffles for the join",
+    "q_tpch_q15" -> "TPC-H Q15: the revenue aggregate feeds the join probe AND the scalar max through ONE exchange (explicit pre-groupBy null filter keeps both subtrees canonical-equal for AQE reuse)",
+    "q_tpch_q17" -> "TPC-H Q17: correlated per-part average as ONE partitioned window over the broadcast-joined scan — no lineitem re-scan; threshold cross-multiplied to an integer compare",
+    "q_tpch_q21" -> "TPC-H Q21: EXISTS → LeftSemi and NOT EXISTS → LeftAnti hash joins on the order key with the supplier inequality as residual — never row-by-row",
+    "q_tpch_q2" -> "TPC-H Q2: broadcast part filter prunes lineitem BEFORE the pair-dedup shuffle; correlated min-cost-per-part is a window over the partition the pairs already have",
+    "q_embed_drift" -> "embedding drift: ONE scan + posexplode with per-snapshot conditional sums (a filtered-twice join would scan twice and drop one-parity labels)",
+    "q_psi" -> "population stability index: one grouped count aggregate + a 7-row fold — only bin counts cross the wire")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)
