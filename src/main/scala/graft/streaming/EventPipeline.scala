@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -258,6 +258,53 @@ object EventPipeline {
           .dropDuplicatesWithinWatermark("digest"),
         "text")
       .select("ts", "doc_id", "redacted", "predicted", "quality", "digest")
+  }
+
+  /** Streaming distribution-drift gate: per finalized tumbling window,
+    * the PSI (population stability index) of the window's `value`
+    * distribution against a STATIC reference sample — the streaming twin
+    * of the batch `q_psi` drift check, watching a live ingest instead of
+    * two snapshots. Bins are the same fixed equi-width 7 buckets, so the
+    * whole histogram pivots inside ONE stateful aggregate (7 conditional
+    * counts per window — no chained streaming aggregations, state per
+    * window is 8 longs). The reference histogram collapses to a single
+    * broadcast row joined on a literal key (stream-static broadcast
+    * equi-join, no stateful join). +1 smoothing keeps empty bins finite;
+    * `drifted` flags windows whose PSI exceeds the threshold (0.25 is
+    * the conventional "significant shift" line).
+    */
+  def driftGate(events: DataFrame, reference: DataFrame,
+                watermark: String = "10 minutes",
+                window: String = "5 minutes",
+                threshold: Double = 0.25): DataFrame = {
+    def bucketOf(c: Column): Column = least(lit(6), floor(c / 50).cast("int"))
+    // 7 conditional sums pivot the histogram inside the ONE aggregate
+    // (an aggregate can't run inside a transform lambda); coalesce keeps
+    // a never-hit bin at 0, which the +1 smoothing then handles
+    def bins(c: Column): Seq[Column] =
+      (0 to 6).map(i => coalesce(sum(when(bucketOf(c) === i, 1L)), lit(0L)))
+    val k = 7
+    val refRow = broadcast(
+      reference
+        .agg(array(bins(col("value")): _*).as("ref_ns"),
+          count(lit(1)).cast("bigint").as("ref_total"))
+        .withColumn("jk", lit(1)))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(array(bins(col("value")): _*).as("cur_ns"),
+        count(lit(1)).cast("bigint").as("n_events"))
+      .withColumn("jk", lit(1))
+      .join(refRow, "jk")
+      .withColumn("psi", expr(
+        s"""aggregate(sequence(0, 6), CAST(0 AS DOUBLE), (acc, i) -> acc +
+           |  ((CAST(element_at(ref_ns, i + 1) + 1 AS DOUBLE) / CAST(ref_total + $k AS DOUBLE))
+           |   - (CAST(element_at(cur_ns, i + 1) + 1 AS DOUBLE) / CAST(n_events + $k AS DOUBLE)))
+           |  * ln((CAST(element_at(ref_ns, i + 1) + 1 AS DOUBLE) / CAST(ref_total + $k AS DOUBLE))
+           |       / (CAST(element_at(cur_ns, i + 1) + 1 AS DOUBLE) / CAST(n_events + $k AS DOUBLE))))"""
+          .stripMargin))
+      .select(col("window.start").as("win_start"), col("n_events"),
+        col("psi"), (col("psi") > threshold).as("drifted"))
   }
 
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)

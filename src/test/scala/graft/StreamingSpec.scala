@@ -464,4 +464,37 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.head == ((1L, base, base + 8 * 60000L, 3, 6.0)))
     } finally q.stop()
   }
+
+  test("drift gate flags a shifted window and passes an in-distribution one") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference sample: values spread over the low bins (0..2)
+    val ref = Seq.tabulate(60)(i => (i % 3) * 50.0 + 10.0).toDF("value")
+    val input = MemoryStream[Event]
+    val q = EventPipeline.driftGate(input.toDF(), ref,
+        watermark = "10 minutes", window = "5 minutes", threshold = 0.25)
+      .writeStream.format("memory").queryName("drift").outputMode(OutputMode.Append()).start()
+    try {
+      // window 1 (min 0-5): drawn from the reference distribution. The
+      // +1-smoothed 7-bin PSI needs a non-trivial sample — a handful of
+      // events per window reads as drift by construction, which is the
+      // correct behavior for a distribution test, not a bug
+      input.addData(Seq.tabulate(36)(i =>
+        Event(ts(1 + i % 4), i.toLong, "m", (i % 3) * 50.0 + 10.0)): _*)
+      // window 2 (min 5-10): mass entirely in the top bin — drifted
+      input.addData(Seq.tabulate(36)(i =>
+        Event(ts(6 + i % 4), i.toLong, "m", 500.0 + i)): _*)
+      q.processAllAvailable()
+      input.addData(Event(ts(40), 5L, "m", 10.0)) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("drift")
+        .selectExpr("win_start", "n_events", "psi", "drifted")
+        .as[(Timestamp, Long, Double, Boolean)].collect()
+        .sortBy(_._1.getTime)
+      assert(rows.length == 2)
+      val (inDist, shifted) = (rows(0), rows(1))
+      assert(inDist._2 == 36L && !inDist._4, s"in-dist window: $inDist")
+      assert(shifted._2 == 36L && shifted._4, s"shifted window: $shifted")
+      assert(shifted._3 > inDist._3)
+    } finally q.stop()
+  }
 }
