@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** SQL text of the +1-smoothed PSI (population stability index) fold:
+    * Σ_bins (p_ref − p_cur) · ln(p_ref/p_cur) with p = (n_i + 1) /
+    * (total + k). ONE shared definition for the batch `q_psi` snapshot
+    * check and the streaming `EventPipeline.driftGate` — the two are
+    * documented twins, and separate copies of the formula would
+    * silently desynchronize under a smoothing tweak. `refNs`/`curNs`
+    * are SQL expressions for 1-indexed arrays of per-bin BIGINT counts;
+    * `refTot`/`curTot`/`k` are SQL expressions for the totals and bin
+    * count. Caller guards k = 0 (Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0], not empty).
+    */
+  def psiFoldExpr(refNs: String, curNs: String,
+                  refTot: String, curTot: String, k: String): String =
+    s"""aggregate(sequence(1, CAST($k AS INT)), CAST(0 AS DOUBLE), (acc, i) -> acc +
+       |  ((CAST(element_at($refNs, i) + 1 AS DOUBLE) / CAST($refTot + $k AS DOUBLE))
+       |   - (CAST(element_at($curNs, i) + 1 AS DOUBLE) / CAST($curTot + $k AS DOUBLE)))
+       |  * ln((CAST(element_at($refNs, i) + 1 AS DOUBLE) / CAST($refTot + $k AS DOUBLE))
+       |       / (CAST(element_at($curNs, i) + 1 AS DOUBLE) / CAST($curTot + $k AS DOUBLE))))"""
+      .stripMargin
+
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = count(lit(1)).cast("bigint").as("n_rows") +:

@@ -827,13 +827,14 @@ object StatsQueries {
           // Spark (not empty like DuckDB's range), so the fold would hit
           // element_at(_, 0) and raise on an empty events table; the
           // oracle's empty fold yields its 0.0 seed — IF matches that
-          // and evaluates the taken branch only
+          // and evaluates the taken branch only. The fold itself is the
+          // SHARED Profile.psiFoldExpr, same text the streaming
+          // EventPipeline.driftGate evaluates per window
           "round(IF(k = 0, CAST(0 AS DOUBLE), " +
-            "aggregate(sequence(1, CAST(k AS INT)), CAST(0 AS DOUBLE), (acc, i) -> " +
-            "acc + ((CAST(element_at(nrs, i) + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))" +
-            " - (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE)))" +
-            " * ln((CAST(element_at(nrs, i) + 1 AS DOUBLE) / CAST(tr + k AS DOUBLE))" +
-            " / (CAST(element_at(ncs, i) + 1 AS DOUBLE) / CAST(tc + k AS DOUBLE))))), 6) AS psi")
+            graft.operators.Profile.psiFoldExpr(
+              refNs = "nrs", curNs = "ncs",
+              refTot = "tr", curTot = "tc", k = "k") +
+            "), 6) AS psi")
     }
   )
 }

@@ -267,42 +267,45 @@ object EventPipeline {
     * two snapshots. Bins are the same fixed equi-width 7 buckets, so the
     * whole histogram pivots inside ONE stateful aggregate (7 conditional
     * counts per window — no chained streaming aggregations, state per
-    * window is 8 longs). The reference histogram collapses to a single
-    * broadcast row joined on a literal key (stream-static broadcast
-    * equi-join, no stateful join). +1 smoothing keeps empty bins finite;
-    * `drifted` flags windows whose PSI exceeds the threshold (0.25 is
-    * the conventional "significant shift" line).
+    * window is 8 longs). The reference histogram is aggregated ONCE at
+    * operator construction and inlined as literals (a stream-static
+    * join would re-scan the reference table every micro-batch for the
+    * stream's lifetime). Values are clamped into the edge bins at BOTH
+    * ends (the batch check's GROUP BY gives an out-of-range value its
+    * own bin; a fixed-width pivot can't, so bin 0/6 absorb the tails)
+    * and NULL values are excluded from bins AND totals, so proportions
+    * always sum to 1. +1 smoothing keeps empty bins finite; `drifted`
+    * flags windows whose PSI exceeds the threshold (0.25 is the
+    * conventional "significant shift" line). The PSI fold itself is
+    * [[graft.operators.Profile.psiFoldExpr]], shared with `q_psi`.
     */
   def driftGate(events: DataFrame, reference: DataFrame,
                 watermark: String = "10 minutes",
                 window: String = "5 minutes",
                 threshold: Double = 0.25): DataFrame = {
-    def bucketOf(c: Column): Column = least(lit(6), floor(c / 50).cast("int"))
+    def bucketOf(c: Column): Column =
+      greatest(lit(0), least(lit(6), floor(c / 50).cast("int")))
     // 7 conditional sums pivot the histogram inside the ONE aggregate
     // (an aggregate can't run inside a transform lambda); coalesce keeps
     // a never-hit bin at 0, which the +1 smoothing then handles
     def bins(c: Column): Seq[Column] =
       (0 to 6).map(i => coalesce(sum(when(bucketOf(c) === i, 1L)), lit(0L)))
-    val k = 7
-    val refRow = broadcast(
-      reference
-        .agg(array(bins(col("value")): _*).as("ref_ns"),
-          count(lit(1)).cast("bigint").as("ref_total"))
-        .withColumn("jk", lit(1)))
+    // one-time driver materialization of the (immutable) reference: a
+    // deliberate 1-row head(), same contract as Layout.zorderWrite's
+    // bounds row — never inside the per-batch plan
+    val r = reference
+      .agg(array(bins(col("value")): _*), count(col("value")).cast("bigint"))
+      .head()
+    val refNs = r.getSeq[Long](0)
+    val refTotal = r.getLong(1)
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
       .agg(array(bins(col("value")): _*).as("cur_ns"),
-        count(lit(1)).cast("bigint").as("n_events"))
-      .withColumn("jk", lit(1))
-      .join(refRow, "jk")
-      .withColumn("psi", expr(
-        s"""aggregate(sequence(0, 6), CAST(0 AS DOUBLE), (acc, i) -> acc +
-           |  ((CAST(element_at(ref_ns, i + 1) + 1 AS DOUBLE) / CAST(ref_total + $k AS DOUBLE))
-           |   - (CAST(element_at(cur_ns, i + 1) + 1 AS DOUBLE) / CAST(n_events + $k AS DOUBLE)))
-           |  * ln((CAST(element_at(ref_ns, i + 1) + 1 AS DOUBLE) / CAST(ref_total + $k AS DOUBLE))
-           |       / (CAST(element_at(cur_ns, i + 1) + 1 AS DOUBLE) / CAST(n_events + $k AS DOUBLE))))"""
-          .stripMargin))
+        count(col("value")).cast("bigint").as("n_events"))
+      .withColumn("psi", expr(graft.operators.Profile.psiFoldExpr(
+        refNs = s"array(${refNs.mkString(", ")})", curNs = "cur_ns",
+        refTot = refTotal.toString, curTot = "n_events", k = "7")))
       .select(col("window.start").as("win_start"), col("n_events"),
         col("psi"), (col("psi") > threshold).as("drifted"))
   }

@@ -467,8 +467,12 @@ class StreamingSpec extends SparkSpec {
 
   test("drift gate flags a shifted window and passes an in-distribution one") {
     implicit val sqlCtx = spark.sqlContext
-    // reference sample: values spread over the low bins (0..2)
-    val ref = Seq.tabulate(60)(i => (i % 3) * 50.0 + 10.0).toDF("value")
+    // reference sample: values spread over the low bins (0..2), plus a
+    // below-range value (clamped into bin 0, NOT silently uncounted)
+    // and a NULL (excluded from bins AND the total — proportions must
+    // keep summing to 1)
+    val ref = (Seq.tabulate(60)(i => Some((i % 3) * 50.0 + 10.0)) ++
+      Seq(Some(-35.0), None)).toDF("value")
     val input = MemoryStream[Event]
     val q = EventPipeline.driftGate(input.toDF(), ref,
         watermark = "10 minutes", window = "5 minutes", threshold = 0.25)
@@ -480,6 +484,7 @@ class StreamingSpec extends SparkSpec {
       // correct behavior for a distribution test, not a bug
       input.addData(Seq.tabulate(36)(i =>
         Event(ts(1 + i % 4), i.toLong, "m", (i % 3) * 50.0 + 10.0)): _*)
+      input.addData(Event(ts(2), 99L, "m", -35.0)) // clamps into bin 0
       // window 2 (min 5-10): mass entirely in the top bin — drifted
       input.addData(Seq.tabulate(36)(i =>
         Event(ts(6 + i % 4), i.toLong, "m", 500.0 + i)): _*)
@@ -492,7 +497,7 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_._1.getTime)
       assert(rows.length == 2)
       val (inDist, shifted) = (rows(0), rows(1))
-      assert(inDist._2 == 36L && !inDist._4, s"in-dist window: $inDist")
+      assert(inDist._2 == 37L && !inDist._4, s"in-dist window: $inDist")
       assert(shifted._2 == 36L && shifted._4, s"shifted window: $shifted")
       assert(shifted._3 > inDist._3)
     } finally q.stop()
