@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, ExtraQueries, FuncQueries, PipelineQueries, RankQueries, SourceQueries, SpatialQueries, StatsQueries, TpchQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DistQueries, ExtraQueries, FuncQueries, PipelineQueries, RankQueries, SourceQueries, SpatialQueries, StatsQueries, TpchQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every capability in SURVEY.md §2, one QueryDef each. */
   def registry: Seq[QueryDef] =
-    CoreQueries.all ++ FuncQueries.all ++ SpatialQueries.all ++ PipelineQueries.all ++ VectorQueries.all ++ SourceQueries.all ++ ExtraQueries.all ++ AnalyticsQueries.all ++ StatsQueries.all ++ RankQueries.all ++ TpchQueries.all
+    CoreQueries.all ++ FuncQueries.all ++ SpatialQueries.all ++ PipelineQueries.all ++ VectorQueries.all ++ SourceQueries.all ++ ExtraQueries.all ++ AnalyticsQueries.all ++ StatsQueries.all ++ RankQueries.all ++ TpchQueries.all ++ DistQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,4 +88,52 @@ object Graph {
     }
     ranks
   }
+
+  /** Multi-source BFS: shortest hop count from ANY seed node, over a
+    * directed edge table, bounded at `maxHops`. The frontier-expansion
+    * formulation — per round ONE equi-join of the (small, shrinking)
+    * frontier onto the edge list plus one anti-join against the settled
+    * set — is the scale-correct choice: the tempting transitive-closure
+    * join materializes every (seed, node) reachability pair, O(S·V),
+    * while each round here shuffles only the frontier fan-out. Rounds
+    * are bounded a priori (`maxHops` is a query parameter, not a
+    * convergence guess), so there is no per-round driver action at all;
+    * lineage stays linear in `maxHops` (single digits — no checkpoint
+    * needed). Unreached nodes are absent from the output (the caller
+    * left-joins if it wants NULL-hops rows).
+    *
+    * Reference analog: graph reachability the reference would express as
+    * a recursive CTE (src/validation/syntax.md WITH RECURSIVE); the
+    * oracle uses exactly that formulation.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+          src: String = "src", dst: String = "dst",
+          node: String = "node"): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 12, "maxHops must be in [0,12]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+      .persist(lvl) // feeds one join per round
+    var dist = seeds.select(col(node).as("node")).distinct()
+      .withColumn("hops", lit(0L))
+      .persist(lvl)
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      // explicit aliases: frontier/seeds often DERIVE from the edge frame
+      // (seeds = some node subset), so the join is a self-join to the
+      // analyzer — qualified names keep it unambiguous
+      val next = frontier.select(col("node")).as("_bfs_f")
+        .join(e.as("_bfs_e"), col("_bfs_f.node") === col("_bfs_e.src"))
+        .select(col("_bfs_e.dst").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .persist(lvl)
+      // no emptiness probe: an empty frontier makes every later round a
+      // no-op join over zero rows — cheaper than a per-round count()
+      // action barrier at these depths
+      dist = dist.union(next).persist(lvl)
+      frontier = next
+    }
+    dist
+  }
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Distribution statistics for corpus health: two-sample KS drift, the
+  * mutual-information / entropy battery over the (lang, source) mix, and
+  * per-source Gini concentration of document length. All three follow the
+  * house numeric policy (q_chisq / q_psi): counts stay EXACT integers on
+  * the wire, each transcendental/IEEE term is one shared expression tree
+  * over those exact counts, and anything summed across rows is rounded
+  * into BIGINT micro-units FIRST so fold order can never perturb the
+  * total.
+  *
+  * Scale shapes:
+  *  - q_ks_test: one grouped aggregate by cents bucket, then a one-row
+  *    sorted-array fold (the q_psi pattern). The array is bounded by the
+  *    VALUE GRID (cents of a bounded metric — 17.8k distinct at sf0.1 and
+  *    the same at 100 TB), not by row count, and the fold replaces the
+  *    unpartitioned cumulative window the textbook formulation wants —
+  *    nothing but (cents, n_a, n_b) triples cross the wire.
+  *  - q_mutual_info: contingency table is ONE persisted scan (the
+  *    q_chisq lesson), marginals and N are tiny aggregates of it.
+  *  - q_gini: rank window is PARTITIONED by source; rank·x sums run in
+  *    DECIMAL(38,0) (n·Σx at corpus scale overflows int64).
+  *
+  * Reference analog: the reference's summarize/describe statistics
+  * surface (src/backend/execute.js aggregate paths); these are the
+  * distribution-level checks a 100 TB corpus refresh gates on.
+  */
+object DistQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_ks_test",
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isr
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT cents, CAST(sum(isr) AS BIGINT) AS na,
+        |    CAST(sum(1 - isr) AS BIGINT) AS nb
+        |  FROM e GROUP BY cents),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM c),
+        |w AS (
+        |  SELECT sum(na) OVER (ORDER BY cents) AS ca,
+        |    sum(nb) OVER (ORDER BY cents) AS cb
+        |  FROM c)
+        |SELECT t.ta AS n_a, t.tb AS n_b,
+        |  round(CAST(max(abs(CAST(w.ca AS HUGEINT) * t.tb - CAST(w.cb AS HUGEINT) * t.ta)) AS DOUBLE)
+        |    / (CAST(t.ta AS DOUBLE) * CAST(t.tb AS DOUBLE)), 6) AS ks_d
+        |FROM w CROSS JOIN t GROUP BY t.ta, t.tb""".stripMargin) { (s, dir) =>
+      // two-sample Kolmogorov–Smirnov D between the even- and odd-user
+      // event value distributions (the q_psi split): D = max over the
+      // merged support of |F_a - F_b|, kept exact as |ca·tb - cb·ta| in
+      // DECIMAL(38,0) (counts at 100 TB are ~1e12; the cross product
+      // needs 128-bit headroom) with ONE IEEE division at the end. The
+      // oracle uses the textbook cumulative window; the Spark side folds
+      // a sorted (cents, na, nb) array instead — no unpartitioned window
+      // (PlanQualitySpec's rule), and the running max rides the same
+      // fold state as the running sums.
+      Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .selectExpr("CAST(round(value * 100) AS BIGINT) AS cents",
+          "IF(user_id % 2 = 0, 1, 0) AS isr")
+        .groupBy("cents")
+        .agg(expr("CAST(sum(isr) AS BIGINT)").as("na"),
+          expr("CAST(sum(1 - isr) AS BIGINT)").as("nb"))
+        .agg(
+          expr("array_sort(collect_list(struct(cents, na, nb)))").as("arr"),
+          expr("CAST(sum(na) AS BIGINT)").as("ta"),
+          expr("CAST(sum(nb) AS BIGINT)").as("tb"))
+        .selectExpr("ta AS n_a", "tb AS n_b",
+          """round(CAST(aggregate(arr,
+            |  named_struct('ca', CAST(0 AS BIGINT), 'cb', CAST(0 AS BIGINT),
+            |               'm', CAST(0 AS DECIMAL(38,0))),
+            |  (acc, x) -> named_struct(
+            |    'ca', acc.ca + x.na,
+            |    'cb', acc.cb + x.nb,
+            |    'm', greatest(acc.m, abs(
+            |      CAST(acc.ca + x.na AS DECIMAL(38,0)) * CAST(tb AS DECIMAL(38,0))
+            |      - CAST(acc.cb + x.nb AS DECIMAL(38,0)) * CAST(ta AS DECIMAL(38,0))))),
+            |  acc -> acc.m) AS DOUBLE)
+            | / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_d""".stripMargin)
+    },
+
+    QueryDef("q_mutual_info",
+      """WITH o AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS nij
+        |  FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, CAST(sum(nij) AS BIGINT) AS ni FROM o GROUP BY lang),
+        |ct AS (SELECT source, CAST(sum(nij) AS BIGINT) AS nj FROM o GROUP BY source),
+        |n AS (SELECT CAST(sum(nij) AS DOUBLE) AS nn, CAST(sum(nij) AS BIGINT) AS nb FROM o),
+        |mi AS (
+        |  SELECT CAST(sum(CAST(round(
+        |    (CAST(o.nij AS DOUBLE) / n.nn)
+        |      * ln((n.nn * CAST(o.nij AS DOUBLE)) / (CAST(rt.ni AS DOUBLE) * CAST(ct.nj AS DOUBLE)))
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS mi6
+        |  FROM o JOIN rt ON o.lang = rt.lang JOIN ct ON o.source = ct.source CROSS JOIN n),
+        |hl AS (
+        |  SELECT CAST(sum(CAST(round(
+        |    -(CAST(ni AS DOUBLE) / n.nn) * ln(CAST(ni AS DOUBLE) / n.nn) * 1000000) AS BIGINT)) AS BIGINT) AS hl6
+        |  FROM rt CROSS JOIN n),
+        |hs AS (
+        |  SELECT CAST(sum(CAST(round(
+        |    -(CAST(nj AS DOUBLE) / n.nn) * ln(CAST(nj AS DOUBLE) / n.nn) * 1000000) AS BIGINT)) AS BIGINT) AS hs6
+        |  FROM ct CROSS JOIN n),
+        |hj AS (
+        |  SELECT CAST(sum(CAST(round(
+        |    -(CAST(nij AS DOUBLE) / n.nn) * ln(CAST(nij AS DOUBLE) / n.nn) * 1000000) AS BIGINT)) AS BIGINT) AS hj6
+        |  FROM o CROSS JOIN n)
+        |SELECT n.nb AS n,
+        |  CAST(mi.mi6 AS DOUBLE) / 1000000 AS mi,
+        |  CAST(hl.hl6 AS DOUBLE) / 1000000 AS h_lang,
+        |  CAST(hs.hs6 AS DOUBLE) / 1000000 AS h_source,
+        |  CAST(hj.hj6 AS DOUBLE) / 1000000 AS h_joint,
+        |  round(CAST(mi.mi6 AS DOUBLE) / CAST(least(hl.hl6, hs.hs6) AS DOUBLE), 6) AS nmi
+        |FROM n CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN hj""".stripMargin) { (s, dir) =>
+      // mutual information (nats) + entropy battery of the lang × source
+      // mix — "how much does source determine language" for a corpus
+      // blend. Counts exact; every per-cell term is ONE shared IEEE tree
+      // over exact counts, scaled into BIGINT micro-units BEFORE the sum
+      // (the q_chisq policy: cell order can't move the total); NMI is a
+      // final IEEE ratio of the two micro-sums. The contingency table is
+      // one persisted scan feeding marginals and all four term sets.
+      val o = Tables(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("bigint").as("nij"))
+      o.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rt = o.groupBy("lang").agg(sum("nij").cast("bigint").as("ni"))
+      val ct = o.groupBy("source").agg(sum("nij").cast("bigint").as("nj"))
+      val n = o.agg(sum("nij").cast("double").as("nn"),
+        sum("nij").cast("bigint").as("nb"))
+      val mi = o.join(rt, Seq("lang")).join(ct, Seq("source"))
+        .crossJoin(broadcast(n))
+        .selectExpr("""CAST(round(
+          |    (CAST(nij AS DOUBLE) / nn)
+          |      * ln((nn * CAST(nij AS DOUBLE)) / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+          |    * 1000000) AS BIGINT) AS t6""".stripMargin)
+        .agg(sum("t6").cast("bigint").as("mi6"))
+      val hl = rt.crossJoin(broadcast(n))
+        .selectExpr("CAST(round(-(CAST(ni AS DOUBLE) / nn) * ln(CAST(ni AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
+        .agg(sum("t6").cast("bigint").as("hl6"))
+      val hs = ct.crossJoin(broadcast(n))
+        .selectExpr("CAST(round(-(CAST(nj AS DOUBLE) / nn) * ln(CAST(nj AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
+        .agg(sum("t6").cast("bigint").as("hs6"))
+      val hj = o.crossJoin(broadcast(n))
+        .selectExpr("CAST(round(-(CAST(nij AS DOUBLE) / nn) * ln(CAST(nij AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
+        .agg(sum("t6").cast("bigint").as("hj6"))
+      n.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+        .crossJoin(broadcast(hs)).crossJoin(broadcast(hj))
+        .selectExpr("nb AS n",
+          "CAST(mi6 AS DOUBLE) / 1000000 AS mi",
+          "CAST(hl6 AS DOUBLE) / 1000000 AS h_lang",
+          "CAST(hs6 AS DOUBLE) / 1000000 AS h_source",
+          "CAST(hj6 AS DOUBLE) / 1000000 AS h_joint",
+          "round(CAST(mi6 AS DOUBLE) / CAST(least(hl6, hs6) AS DOUBLE), 6) AS nmi")
+    },
+
+    QueryDef("q_gini",
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(rk AS HUGEINT) * n_chars) AS HUGEINT) AS srx
+        |  FROM d GROUP BY source)
+        |SELECT source, n AS n_docs, CAST(sx AS BIGINT) AS total_chars,
+        |  round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE), 6) AS gini
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      // Gini coefficient of document length per source — the length-
+      // concentration signal of a corpus blend (a source whose mass sits
+      // in a few giant documents trains differently from an even one).
+      // G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx) on length-sorted ranks; tied
+      // lengths make the formula ORDER-INVARIANT (equal x under swapped
+      // ranks), and doc_id breaks ties so the window itself is still
+      // deterministic. Ranks come from a window PARTITIONED by source;
+      // rank·length sums run in DECIMAL(38,0) (HUGEINT on the oracle) —
+      // n·Σx at 100 TB is ~1e12·1e15, far past int64.
+      Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("n_chars", "doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+          sum(col("rk").cast("decimal(38,0)") * col("n_chars")).as("srx"))
+        .selectExpr("source", "n AS n_docs", "CAST(sx AS BIGINT) AS total_chars",
+          """round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+            | / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS gini""".stripMargin)
+        .orderBy("source")
+    }
+  )
+}

@@ -368,6 +368,58 @@ object FuncQueries {
           .orderBy("o_orderkey")
     },
 
+    // ---- MAP type surface (reference: execute.dot.test.js bracket access;
+    // the reference's object values map to Spark's MapType) ----------------
+    QueryDef("q_map_funcs",
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT o_orderkey,
+        |  CAST(3 AS BIGINT) AS n_keys,
+        |  cents AS cents_v,
+        |  CAST(NULL AS BIGINT) AS missing_v,
+        |  'cents,key,yr' AS keys_sorted,
+        |  concat_ws(',',
+        |    CASE WHEN cents > 100000 THEN 'cents' END,
+        |    CASE WHEN o_orderkey > 100000 THEN 'key' END,
+        |    CASE WHEN yr > 100000 THEN 'yr' END) AS big_keys,
+        |  yr * 2 AS doubled_yr,
+        |  cents // 100 AS extra_v,
+        |  cents * 7 AS zip_v,
+        |  yr AS from_arr_v,
+        |  cents + yr + o_orderkey AS entries_sum
+        |FROM b ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // the whole MapType surface in one pass: construct (map,
+      // map_from_arrays), read (element_at present + missing), reshape
+      // (map_keys, map_filter, transform_values, map_concat,
+      // map_zip_with), and fold (aggregate over map_values). The oracle
+      // computes each output's VALUE directly — maps are the machinery
+      // under test, not the output type (map columns don't hash stably
+      // across engines, so every column extracts to a scalar/string).
+      // All narrow per-row expressions: one scan, codegen, zero shuffles.
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .selectExpr("o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+          "CAST(year(o_orderdate) AS BIGINT) AS yr")
+        .selectExpr("o_orderkey", "cents", "yr",
+          "map('cents', cents, 'yr', yr, 'key', o_orderkey) AS m")
+        .selectExpr("o_orderkey",
+          "CAST(size(m) AS BIGINT) AS n_keys",
+          "element_at(m, 'cents') AS cents_v",
+          "element_at(m, 'nope') AS missing_v",
+          "array_join(array_sort(map_keys(m)), ',') AS keys_sorted",
+          "array_join(array_sort(map_keys(map_filter(m, (k, v) -> v > 100000))), ',') AS big_keys",
+          "element_at(transform_values(m, (k, v) -> v * 2), 'yr') AS doubled_yr",
+          "element_at(map_concat(m, map('extra', cents div 100)), 'extra') AS extra_v",
+          "element_at(map_zip_with(m, map('cents', CAST(7 AS BIGINT)), " +
+            "(k, a, b) -> coalesce(a, CAST(0 AS BIGINT)) * coalesce(b, CAST(1 AS BIGINT))), 'cents') AS zip_v",
+          "element_at(map_from_arrays(array('a', 'b'), array(o_orderkey, yr)), 'b') AS from_arr_v",
+          "aggregate(map_values(m), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS entries_sum")
+        .orderBy("o_orderkey")
+    },
+
     // ---- Statistical aggregates ------------------------------------------
     QueryDef("q_agg_stats",
       """SELECT c_mktsegment,

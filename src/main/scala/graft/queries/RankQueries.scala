@@ -54,6 +54,31 @@ object RankQueries {
         .orderBy("node")
     },
 
+    QueryDef("q_graph_bfs",
+      s"""WITH RECURSIVE edges AS ($edgesSql),
+         |walk(node, hops) AS (
+         |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops
+         |  FROM edges WHERE src % 20 = 0
+         |  UNION
+         |  SELECT e.dst AS node, w.hops + 1 AS hops
+         |  FROM walk w JOIN edges e ON e.src = w.node
+         |  WHERE w.hops < 6)
+         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+         |FROM walk GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      // multi-source shortest hops: the Spark side is bounded frontier
+      // expansion (Graph.bfs — one frontier⋈edges round per hop, anti-
+      // join settles), the oracle is the recursive-CTE formulation the
+      // reference's dialect would use (UNION-distinct recursion keeps
+      // the walk table at O(nodes·hops), never per-path)
+      Tables.registerAll(s, dir)
+      val edges = s.sql(edgesSql)
+      val seeds = edges.filter(col("src") % 20 === 0)
+        .select(col("src").as("node")).distinct()
+      Graph.bfs(edges, seeds, maxHops = 6)
+        .select(col("node"), col("hops").cast("bigint").as("hops"))
+        .orderBy("node")
+    },
+
     QueryDef("q_text_bm25",
       """WITH dl AS (
         |  SELECT doc_id,

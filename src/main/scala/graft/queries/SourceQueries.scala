@@ -202,6 +202,42 @@ object SourceQueries {
           .orderBy("doc_id")
     },
 
+    // ---- Frame sampling (video/audio payload slicing) -------------------
+    // the frame-sample leg of the multimodal pipeline as its OWN surface:
+    // each payload yields n = min(4, max(1, len/16)) evenly-spaced 16-byte
+    // "frames" (offset len·i/n — the stride arithmetic a real container
+    // demuxer would drive), emitted one row per frame via flatMap. The
+    // payload derivation is the deterministic fromDocuments contract, so
+    // the oracle reproduces offsets and slices with pure substring
+    // arithmetic over the SAME text. Narrow flatMap: no shuffle, fan-out
+    // is bounded (≤4 rows/doc) — the shape that survives a 100 TB corpus.
+    QueryDef("q_multimodal_frames",
+      """WITH t AS (
+        |  SELECT doc_id, text, strlen(text) AS len
+        |  FROM documents WHERE doc_id < 150),
+        |f AS (
+        |  SELECT doc_id, text, len,
+        |    least(4, greatest(1, len // 16)) AS n
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, text, len, n,
+        |    unnest(range(0, n)) AS frame_idx
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(least(16, len - (len * frame_idx) // n) AS BIGINT) AS frame_len,
+        |  substr(text, CAST((len * frame_idx) // n + 1 AS INT), 4) AS frame_head
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, dir) =>
+        val media = MediaOps.fromDocuments(
+          Tables(s, dir, "documents").filter(col("doc_id") < 150))
+        MediaOps.sampleFrames(MediaOps.decode(media), nFrames = 4)
+          .selectExpr("doc_id",
+            "CAST(frame_idx AS BIGINT) AS frame_idx",
+            "CAST(length(frame) AS BIGINT) AS frame_len",
+            "substring(CAST(frame AS STRING), 1, 4) AS frame_head")
+          .orderBy("doc_id", "frame_idx")
+    },
+
     // ---- Pluggable DataSourceV2 source ---------------------------------
     // the reference's headline plug-in contract (src/backend/dataSource.js:
     // AsyncDataSource) realized as a Spark TableProvider: a custom scan

@@ -835,6 +835,63 @@ object StatsQueries {
               refNs = "nrs", curNs = "ncs",
               refTot = "tr", curTot = "tc", k = "k") +
             "), 6) AS psi")
+    },
+
+    // ---- Exponentially weighted moving average --------------------------
+    // trailing 8-term EWMA (α = 1/4) per user series — the smoothing
+    // stage under the q_ts_anomaly z-gate. Every weight (3/4)^j is an
+    // EXACT dyadic rational (3^j · 2^-2j), cents·weight products stay
+    // far under 2^53, and the missing-lag ramp-up excludes a term from
+    // numerator AND denominator symmetrically — so num and den are
+    // bit-exact on both engines and the single IEEE division needs NO
+    // rounding (the q_ts_rolling decayed_cents policy: a round(x, 6)
+    // would land on .5 boundaries where engines' modes disagree).
+    // Fixed-depth lags keep the window O(1) state per row at any scale;
+    // the window is key-partitioned.
+    QueryDef("q_ts_ewma", {
+      val w = Array("1.0", "0.75", "0.5625", "0.421875", "0.31640625",
+        "0.2373046875", "0.177978515625", "0.13348388671875")
+      val num = (0 until 8).map {
+        case 0 => "CAST(cents AS DOUBLE) * 1.0"
+        case j => s"coalesce(CAST(lag(cents, $j) OVER wo AS DOUBLE) * ${w(j)}, 0.0)"
+      }.mkString("(", "\n     + ", ")")
+      val den = (0 until 8).map {
+        case 0 => "1.0"
+        case j => s"CASE WHEN lag(cents, $j) OVER wo IS NULL THEN 0.0 ELSE ${w(j)} END"
+      }.mkString("(", "\n     + ", ")")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id < 40)
+         |SELECT user_id, event_id,
+         |  $num
+         |  / $den AS ewma_cents
+         |FROM e
+         |WINDOW wo AS (PARTITION BY user_id ORDER BY tus, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    }) { (s, dir) =>
+      val w = Array("1.0", "0.75", "0.5625", "0.421875", "0.31640625",
+        "0.2373046875", "0.177978515625", "0.13348388671875")
+      val num = (0 until 8).map {
+        case 0 => "CAST(cents AS DOUBLE) * 1.0"
+        case j => s"coalesce(CAST(lag(cents, $j) OVER wo AS DOUBLE) * ${w(j)}, 0.0)"
+      }.mkString("(", " + ", ")")
+      val den = (0 until 8).map {
+        case 0 => "1.0"
+        case j => s"CASE WHEN lag(cents, $j) OVER wo IS NULL THEN 0.0 ELSE ${w(j)} END"
+      }.mkString("(", " + ", ")")
+      // only events is needed — a temp view keeps the query runnable on
+      // partial test fixtures (registerAll would demand every table)
+      Tables(s, dir, "events").createOrReplaceTempView("_ewma_events")
+      s.sql(
+        s"""SELECT user_id, event_id, $num / $den AS ewma_cents
+           |FROM (
+           |  SELECT user_id, event_id,
+           |    unix_micros(CAST(ts AS TIMESTAMP)) AS tus,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM _ewma_events WHERE user_id < 40)
+           |WINDOW wo AS (PARTITION BY user_id ORDER BY tus, event_id)
+           |ORDER BY user_id, event_id""".stripMargin)
     }
   )
 }

@@ -311,7 +311,11 @@ class PlanQualitySpec extends SparkSpec {
       // q_tpch_q11 — 1-row broadcast totals row (total value + part
       // count) crossed onto the per-part aggregate for the
       // cross-multiplied threshold (the q_tpch_q22 shape)
-      "q_tpch_q11")
+      "q_tpch_q11",
+      // q_mutual_info — the q_chisq shape: the contingency table is one
+      // persisted aggregated frame, and the N / mi6 / h*6 frames crossed
+      // onto it are all ONE-ROW broadcast aggregates
+      "q_mutual_info")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>

@@ -371,4 +371,90 @@ class Round6Spec extends SparkSpec {
     val l1 = rows.find(_.getAs[Int]("label") == 1).get
     assert(l1.getAs[Long]("drift_x") == 2000000L)
   }
+
+  // ---- distribution statistics (q_ks_test / q_mutual_info / q_gini) ----
+
+  test("Graph.bfs: shortest hops from a seed set, bounded, unreachable absent") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (2L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d = Graph.bfs(edges, seeds, maxHops = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // hop bound respected: node 4 is 3 hops out, absent at maxHops = 2
+    val d2 = Graph.bfs(edges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // maxHops = 0: the seed set itself, nothing else
+    assert(Graph.bfs(edges, seeds, maxHops = 0).count() == 1)
+  }
+
+  private def writeEvents(tmp: String, rows: Seq[(Long, Long, Double)]): Unit =
+    // (event_id, user_id, value) over the real events schema
+    rows.toDF("event_id", "user_id", "value")
+      .selectExpr("event_id",
+        "timestamp_micros(CAST(1700000000000000 + event_id * 1000000 AS BIGINT)) AS ts",
+        "user_id", "'view' AS event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+  test("ks_test: identical halves give D = 0, disjoint halves give D = 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("ks").toString
+    // same values on both parities → ECDFs coincide everywhere
+    writeEvents(tmp, (0L until 40L).map(i => (i, i % 2, (i % 5).toDouble)))
+    val same = SparkEntry.queries("q_ks_test")(spark, tmp).collect()(0)
+    assert(same.getAs[Double]("ks_d") == 0.0)
+    assert(same.getAs[Long]("n_a") == 20L && same.getAs[Long]("n_b") == 20L)
+    // even users all at 1.0, odd all at 2.0 → max ECDF gap is 1
+    writeEvents(tmp, (0L until 40L).map(i =>
+      (i, i % 2, if (i % 2 == 0) 1.0 else 2.0)))
+    val far = SparkEntry.queries("q_ks_test")(spark, tmp).collect()(0)
+    assert(far.getAs[Double]("ks_d") == 1.0)
+  }
+
+  private def writeDocs(tmp: String, rows: Seq[(Long, String, String, Long)]): Unit =
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .selectExpr("doc_id", "repeat('x', CAST(n_chars AS INT)) AS text",
+        "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+  test("mutual_info: independent mix scores 0, deterministic mapping scores NMI 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("mi").toString
+    // 2 langs × 2 sources, all four cells equal ⇒ independence exactly
+    writeDocs(tmp, (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", if ((i / 2) % 2 == 0) "web" else "book", 10L)))
+    val ind = SparkEntry.queries("q_mutual_info")(spark, tmp).collect()(0)
+    assert(ind.getAs[Double]("mi") == 0.0)
+    assert(ind.getAs[Double]("nmi") == 0.0)
+    // lang DETERMINES source ⇒ MI = H(lang) = H(source), NMI = 1
+    writeDocs(tmp, (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", if (i % 2 == 0) "web" else "book", 10L)))
+    val det = SparkEntry.queries("q_mutual_info")(spark, tmp).collect()(0)
+    assert(det.getAs[Double]("nmi") == 1.0)
+    assert(det.getAs[Double]("mi") == det.getAs[Double]("h_lang"))
+  }
+
+  test("gini: uniform lengths score 0, one-doc concentration scores (n-1)/n") {
+    val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+    writeDocs(tmp,
+      (0L until 4L).map(i => (i, "en", "even", 10L)) ++
+      (4L until 8L).map(i => (i, "en", "spike", if (i == 7L) 10L else 0L)))
+    val g = SparkEntry.queries("q_gini")(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("gini")).toMap
+    assert(g("even") == 0.0)
+    assert(g("spike") == 0.75) // (n-1)/n with n = 4
+  }
+
+  test("ewma: constant series is the identity, ramp-up first row is its own value") {
+    val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
+    writeEvents(tmp,
+      (0L until 12L).map(i => (i, 7L, 42.0)) ++ Seq((100L, 8L, 9.5)))
+    val rows = SparkEntry.queries("q_ts_ewma")(spark, tmp).collect()
+    // constant input: num = c·Σw, den = Σw — the division is EXACT
+    assert(rows.filter(_.getAs[Long]("user_id") == 7L)
+      .forall(_.getAs[Double]("ewma_cents") == 4200.0))
+    // a 1-row series has only the j = 0 term on both sides
+    assert(rows.find(_.getAs[Long]("user_id") == 8L).get
+      .getAs[Double]("ewma_cents") == 950.0)
+  }
 }
