@@ -194,6 +194,130 @@ object DistQueries {
           """round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
             | / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS gini""".stripMargin)
         .orderBy("source")
+    },
+
+    QueryDef("q_rank_test",
+      """WITH e AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isr
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT cents, CAST(sum(isr) AS BIGINT) AS na,
+        |    CAST(sum(1 - isr) AS BIGINT) AS nb
+        |  FROM e GROUP BY cents),
+        |w AS (
+        |  SELECT na, nb, na + nb AS nv,
+        |    coalesce(sum(na + nb) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbefore
+        |  FROM c),
+        |s AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+        |    CAST(sum(CAST(na AS HUGEINT) * (2 * cbefore + nv + 1)) AS HUGEINT) AS r2a,
+        |    CAST(sum(CAST(nv AS HUGEINT) * nv * nv - nv) AS HUGEINT) AS tie3
+        |  FROM w)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  CAST(r2a - CAST(ta AS HUGEINT) * (ta + 1) AS BIGINT) AS u2_a,
+        |  CAST(tie3 AS BIGINT) AS tie_t,
+        |  round((CAST(r2a - CAST(ta AS HUGEINT) * (ta + 1) AS DOUBLE) - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+        |    / (2 * sqrt((CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 12)
+        |        * ((CAST(ta + tb AS DOUBLE) + 1)
+        |           - CAST(tie3 AS DOUBLE) / (CAST(ta + tb AS DOUBLE) * (CAST(ta + tb AS DOUBLE) - 1))))), 6) AS z,
+        |  round(CAST(r2a - CAST(ta AS HUGEINT) * (ta + 1) AS DOUBLE)
+        |    / (2 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS auc
+        |FROM s""".stripMargin) { (s, dir) =>
+      // Mann–Whitney U between the parity halves — the RANK-based drift
+      // test completing the battery (chisq = categorical, KS/PSI =
+      // distributional, this = ordinal shift). Tied ranks stay EXACT by
+      // working in half-units: 2·avgrank(v) = 2·(count below) + n_v + 1
+      // is an integer, so 2·R_a and 2·U_a are exact DECIMAL(38,0) sums
+      // (rank sums at corpus scale are ~N², past int64), as is the tie
+      // correction Σ(t³ − t). The z and AUC closed forms are one shared
+      // IEEE tree each over those exact integers. Same grid-bounded fold
+      // as q_ks_test: per-value counts, never per-row ranks, no
+      // unpartitioned window on the Spark side.
+      Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .selectExpr("CAST(round(value * 100) AS BIGINT) AS cents",
+          "IF(user_id % 2 = 0, 1, 0) AS isr")
+        .groupBy("cents")
+        .agg(expr("CAST(sum(isr) AS BIGINT)").as("na"),
+          expr("CAST(sum(1 - isr) AS BIGINT)").as("nb"))
+        .agg(
+          expr("array_sort(collect_list(struct(cents, na, nb)))").as("arr"),
+          expr("CAST(sum(na) AS BIGINT)").as("ta"),
+          expr("CAST(sum(nb) AS BIGINT)").as("tb"))
+        .selectExpr("ta", "tb",
+          // fold state: c = pooled count so far, r2a = Σ na·(2·before+n+1),
+          // t3 = Σ (n³ − n) — all exact
+          """aggregate(arr,
+            |  named_struct('c', CAST(0 AS BIGINT),
+            |               'r2a', CAST(0 AS DECIMAL(38,0)),
+            |               't3', CAST(0 AS DECIMAL(38,0))),
+            |  (acc, x) -> named_struct(
+            |    'c', acc.c + x.na + x.nb,
+            |    'r2a', acc.r2a + CAST(x.na AS DECIMAL(38,0))
+            |      * CAST(2 * acc.c + x.na + x.nb + 1 AS DECIMAL(38,0)),
+            |    't3', acc.t3 + CAST(x.na + x.nb AS DECIMAL(38,0)) * (x.na + x.nb) * (x.na + x.nb)
+            |      - CAST(x.na + x.nb AS DECIMAL(38,0))),
+            |  acc -> named_struct('r2a', acc.r2a, 't3', acc.t3)) AS f""".stripMargin)
+        .selectExpr("ta", "tb",
+          "f.r2a - CAST(ta AS DECIMAL(38,0)) * (ta + 1) AS u2a",
+          "f.t3 AS tie3")
+        .selectExpr("ta AS n_a", "tb AS n_b",
+          "CAST(u2a AS BIGINT) AS u2_a",
+          "CAST(tie3 AS BIGINT) AS tie_t",
+          """round((CAST(u2a AS DOUBLE) - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+            | / (2 * sqrt((CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 12)
+            |     * ((CAST(ta + tb AS DOUBLE) + 1)
+            |        - CAST(tie3 AS DOUBLE) / (CAST(ta + tb AS DOUBLE) * (CAST(ta + tb AS DOUBLE) - 1))))), 6) AS z""".stripMargin,
+          """round(CAST(u2a AS DOUBLE)
+            | / (2 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS auc""".stripMargin)
+    },
+
+    QueryDef("q_source_overlap",
+      """WITH st AS (
+        |  SELECT DISTINCT source, unnest(
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS common
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.s1, p.s2, p.common,
+        |  x.nv AS nv1, y.nv AS nv2,
+        |  round(CAST(p.common AS DOUBLE) / CAST(x.nv + y.nv - p.common AS DOUBLE), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sizes x ON p.s1 = x.source
+        |JOIN sizes y ON p.s2 = y.source
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      // pairwise vocabulary Jaccard between sources — the corpus-mix
+      // redundancy matrix (two sources sharing 90% of their vocabulary
+      // are near-duplicates at the SOURCE level; complements per-doc
+      // dedup). The distinct (source, token) frame is built once and
+      // persisted: both self-join sides and the size aggregate read the
+      // cached frame (InMemoryTableScan — the distinct computes once,
+      // plan-asserted). Per-token fan-out
+      // is bounded by |sources|² regardless of corpus size; the pair
+      // matrix is ≤ |sources|²/2 rows — driver-tiny at any scale — and
+      // SPARSE: a pair sharing zero tokens has no row (jaccard 0 is
+      // absence, the join can't see it). The size lookups broadcast.
+      val st = Tables(s, dir, "documents")
+        .selectExpr("source",
+          "explode(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) AS token")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = st.groupBy("source").agg(count(lit(1)).cast("bigint").as("nv"))
+      val pairs = st.as("a").join(st.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).cast("bigint").as("common"))
+      pairs
+        .join(broadcast(sizes.withColumnRenamed("source", "s1").withColumnRenamed("nv", "nv1")), Seq("s1"))
+        .join(broadcast(sizes.withColumnRenamed("source", "s2").withColumnRenamed("nv", "nv2")), Seq("s2"))
+        .selectExpr("s1", "s2", "common", "nv1", "nv2",
+          "round(CAST(common AS DOUBLE) / CAST(nv1 + nv2 - common AS DOUBLE), 6) AS jaccard")
+        .orderBy("s1", "s2")
     }
   )
 }

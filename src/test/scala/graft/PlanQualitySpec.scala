@@ -200,6 +200,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(q18.contains("BroadcastHashJoin") && q18.contains("TakeOrderedAndProject"), q18.take(1500))
   }
 
+  test("source-overlap self-join shares one persisted token frame, sizes broadcast") {
+    // both self-join sides read the SAME persisted distinct (source,
+    // token) frame (InMemoryTableScan ×2, one distinct computation), and
+    // the |sources|-row size lookups broadcast — the vocabulary is never
+    // shuffled twice from the raw scan
+    val p = finalPlanOf("q_source_overlap")
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    assert(!p.linesIterator.exists(_.contains("documents.parquet")) ||
+      p.linesIterator.count(_.contains("documents.parquet")) <= 1, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("tpch round-6 batch: reused exchanges, semi/anti shapes, windowed correlates") {
     // Q12: the ship-year predicate reaches the lineitem scan; the
     // lateness residual rides the equi join, no second filter pass

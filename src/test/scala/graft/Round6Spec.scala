@@ -445,6 +445,36 @@ class Round6Spec extends SparkSpec {
     assert(g("spike") == 0.75) // (n-1)/n with n = 4
   }
 
+  test("rank_test: identical halves score z = 0 and AUC one-half, shifted halves AUC 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("mwu").toString
+    writeEvents(tmp, (0L until 40L).map(i => (i, i % 2, (i % 5).toDouble)))
+    val same = SparkEntry.queries("q_rank_test")(spark, tmp).collect()(0)
+    assert(same.getAs[Double]("z") == 0.0)
+    assert(same.getAs[Double]("auc") == 0.5)
+    // u2_a at its mean: 2·U = ta·tb exactly
+    assert(same.getAs[Long]("u2_a") == 400L)
+    // every even-user value above every odd one → AUC = 1, 2U = 2·ta·tb
+    writeEvents(tmp, (0L until 40L).map(i =>
+      (i, i % 2, if (i % 2 == 0) 10.0 else 1.0)))
+    val shifted = SparkEntry.queries("q_rank_test")(spark, tmp).collect()(0)
+    assert(shifted.getAs[Double]("auc") == 1.0)
+    assert(shifted.getAs[Long]("u2_a") == 800L)
+  }
+
+  test("source_overlap: identical vocabularies score 1, disjoint pairs are absent") {
+    val tmp = java.nio.file.Files.createTempDirectory("overlap").toString
+    Seq(
+      (0L, "alpha beta", "en", "s1", 10L), (1L, "beta alpha", "en", "s2", 10L),
+      (2L, "gamma delta", "en", "s3", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q_source_overlap")(spark, tmp).collect()
+    // s1/s2 share the whole 2-token vocabulary; s3 overlaps neither
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("s1") == "s1" && rows(0).getAs[String]("s2") == "s2")
+    assert(rows(0).getAs[Double]("jaccard") == 1.0)
+  }
+
   test("ewma: constant series is the identity, ramp-up first row is its own value") {
     val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
     writeEvents(tmp,
