@@ -314,6 +314,74 @@ object EventPipeline {
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int, total: Double)
 
+  final case class EwmaState(n: Long, ewmaMicro: Long, ewvarC2: Long)
+  final case class EwmaFlag(user_id: Long, ts_ms: Long, cents: Long,
+      ewma_cents: Long, dev_cents: Long, flagged: Boolean)
+
+  /** Streaming EWMA anomaly monitor — the streaming twin of the batch
+    * `q_ts_ewma` smoothing + `q_ts_anomaly` z-gate: per key, an
+    * exponentially weighted mean and deviation variance (α = 1/4)
+    * maintained as INTEGER fixed-point state (mean in micro-cents,
+    * variance in cents²; every update is a multiply-add-divide on
+    * BIGINTs, so replays and rescheduling reproduce bit-identical
+    * state), flagging events whose squared deviation exceeds k²·var
+    * after a warmup. State is O(1) per key — three longs — and evicts
+    * via EVENT-TIME timeout once a key has been idle past `idleEvictMs`
+    * (the watermark drives eviction, so a churning key space can't
+    * accumulate dead state; a re-appearing key just re-warms). Within a
+    * micro-batch, a key's events process in event-time order; cross-
+    * batch ordering is arrival order — the documented contract of every
+    * EWMA monitor (a late event updates the smoother late, it does not
+    * rewrite history).
+    *
+    * Reference analog: the incremental per-row state machines the
+    * reference's streaming executor runs (src/backend/execute.js
+    * row-at-a-time operators), expressed as Spark typed state.
+    */
+  def ewmaMonitor(events: Dataset[Event], k: Int = 3, warmup: Int = 3,
+                  idleEvictMs: Long = 24L * 3600 * 1000): Dataset[EwmaFlag] = {
+    import events.sparkSession.implicits._
+    require(k >= 1 && warmup >= 1, "need k >= 1 and warmup >= 1")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: drop the three-long state, emit nothing
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(EwmaState(0L, 0L, 0L))
+            val out = Seq.newBuilder[EwmaFlag]
+            sorted.foreach { e =>
+              val cents = math.round(e.value * 100)
+              if (st.n == 0L) {
+                st = EwmaState(1L, cents * 1000000L, 0L)
+                out += EwmaFlag(uid, e.ts.getTime, cents, cents, 0L, flagged = false)
+              } else {
+                val dev = cents - st.ewmaMicro / 1000000L
+                // z² > k² in pure integers; the max(var, 1) floor keeps a
+                // perfectly-constant history from flagging on noise of a
+                // single cent — only a > k-cent jump breaks a flat line
+                val flagged = st.n >= warmup &&
+                  dev * dev > k.toLong * k * math.max(st.ewvarC2, 1L)
+                val ewma2 = (cents * 1000000L + 3L * st.ewmaMicro) / 4L
+                val evar2 = (dev * dev + 3L * st.ewvarC2) / 4L
+                st = EwmaState(st.n + 1, ewma2, evar2)
+                out += EwmaFlag(uid, e.ts.getTime, cents, ewma2 / 1000000L, dev, flagged)
+              }
+            }
+            state.update(st)
+            sorted.lastOption.foreach { e =>
+              state.setTimeoutTimestamp(e.ts.getTime + idleEvictMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with typed state + event-time timeout —
     * the custom-stateful-operator surface (KeyValueGroupedDataset +
     * flatMapGroupsWithState) the reference's hand-rolled state machines

@@ -502,4 +502,32 @@ class StreamingSpec extends SparkSpec {
       assert(shifted._3 > inDist._3)
     } finally q.stop()
   }
+
+  test("ewma monitor flags a spike and absorbs it with integer fixed-point state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventPipeline.ewmaMonitor(input.toDS(), k = 3, warmup = 3)
+      .writeStream.format("memory").queryName("ewma_mon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // flat line at 10.00, one 100.00 spike, then back to 10.00
+      input.addData((1 to 6).map(i => Event(ts(i), 1L, "m", 10.0)): _*)
+      q.processAllAvailable()
+      input.addData(Event(ts(7), 1L, "m", 100.0), Event(ts(8), 1L, "m", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_mon")
+        .selectExpr("ts_ms", "cents", "ewma_cents", "flagged")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(rows.length == 8)
+      // only the spike flags — the flat warmup and the recovery row don't
+      assert(rows.map(_._4).toSeq ==
+        Seq(false, false, false, false, false, false, true, false))
+      // integer fixed-point smoothing: ewma after the spike is exactly
+      // (10000 + 3·1000) / 4 = 3250 cents
+      assert(rows(6)._3 == 3250L)
+      // the recovery row is pulled toward the line, not flagged: the
+      // spike inflated the EW variance so a return-to-normal is expected
+      assert(rows(7)._3 == (1000L * 1000000L + 3L * 3250L * 1000000L) / 4L / 1000000L)
+    } finally q.stop()
+  }
 }
