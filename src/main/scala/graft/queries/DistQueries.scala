@@ -318,6 +318,145 @@ object DistQueries {
         .selectExpr("s1", "s2", "common", "nv1", "nv2",
           "round(CAST(common AS DOUBLE) / CAST(nv1 + nv2 - common AS DOUBLE), 6) AS jaccard")
         .orderBy("s1", "s2")
+    },
+
+    QueryDef("q_corr_matrix", {
+      // shared text both engines: the closed form per pair over exact
+      // moment sums (the q_agg_corr policy, multi-pair)
+      def corrOf(x: String, y: String, sxy: String) =
+        s"""round((nd * CAST($sxy AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+           | / sqrt((nd * CAST(ss_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+           |      * (nd * CAST(ss_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))), 6)""".stripMargin
+      val pairs = Seq(("q", "p", "sp_qp"), ("q", "d", "sp_qd"), ("q", "t", "sp_qt"),
+        ("p", "d", "sp_pd"), ("p", "t", "sp_pt"), ("d", "t", "sp_dt"))
+      val names = Map("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
+      val rows = pairs.map { case (x, y, sxy) =>
+        s"SELECT '${names(x)}' AS var1, '${names(y)}' AS var2, ${corrOf(x, y, sxy)} AS corr FROM s"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH b AS (
+         |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+         |    CAST(round(l_tax * 100) AS BIGINT) AS t
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |    sum(CAST(q AS HUGEINT)) AS s_q, sum(CAST(p AS HUGEINT)) AS s_p,
+         |    sum(CAST(d AS HUGEINT)) AS s_d, sum(CAST(t AS HUGEINT)) AS s_t,
+         |    sum(CAST(q AS HUGEINT) * q) AS ss_q, sum(CAST(p AS HUGEINT) * p) AS ss_p,
+         |    sum(CAST(d AS HUGEINT) * d) AS ss_d, sum(CAST(t AS HUGEINT) * t) AS ss_t,
+         |    sum(CAST(q AS HUGEINT) * p) AS sp_qp, sum(CAST(q AS HUGEINT) * d) AS sp_qd,
+         |    sum(CAST(q AS HUGEINT) * t) AS sp_qt, sum(CAST(p AS HUGEINT) * d) AS sp_pd,
+         |    sum(CAST(p AS HUGEINT) * t) AS sp_pt, sum(CAST(d AS HUGEINT) * t) AS sp_dt
+         |  FROM b)
+         |$rows
+         |ORDER BY var1, var2""".stripMargin
+    }) { (s, dir) =>
+      // full pairwise Pearson matrix over the four lineitem measures in
+      // ONE pass: all 15 moment sums ride a single partial+final scalar
+      // aggregate (map-side combine state, nothing else crosses the
+      // wire), the 6 closed forms run on the one-row result via stack.
+      // Per-row products are BIGINT (cents × cents < 2^63); only the
+      // sums widen to DECIMAL(38,0)/HUGEINT — the q_agg_corr policy.
+      def corrOf(x: String, y: String, sxy: String) =
+        s"""round((nd * CAST($sxy AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+           | / sqrt((nd * CAST(ss_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+           |      * (nd * CAST(ss_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))), 6)""".stripMargin
+      val names = Map("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
+      val stackArgs = Seq(("q", "p", "sp_qp"), ("q", "d", "sp_qd"), ("q", "t", "sp_qt"),
+        ("p", "d", "sp_pd"), ("p", "t", "sp_pt"), ("d", "t", "sp_dt"))
+        .map { case (x, y, sxy) =>
+          s"'${names(x)}', '${names(y)}', ${corrOf(x, y, sxy)}"
+        }.mkString(", ")
+      def dsum(e: String) = s"sum(CAST($e AS DECIMAL(38,0)))"
+      Tables(s, dir, "lineitem")
+        .selectExpr(
+          "CAST(round(l_quantity * 100) AS BIGINT) AS q",
+          "CAST(round(l_extendedprice * 100) AS BIGINT) AS p",
+          "CAST(round(l_discount * 100) AS BIGINT) AS d",
+          "CAST(round(l_tax * 100) AS BIGINT) AS t")
+        .agg(
+          expr("CAST(count(*) AS DOUBLE)").as("nd"),
+          expr(dsum("q")).as("s_q"), expr(dsum("p")).as("s_p"),
+          expr(dsum("d")).as("s_d"), expr(dsum("t")).as("s_t"),
+          expr(dsum("q * q")).as("ss_q"), expr(dsum("p * p")).as("ss_p"),
+          expr(dsum("d * d")).as("ss_d"), expr(dsum("t * t")).as("ss_t"),
+          expr(dsum("q * p")).as("sp_qp"), expr(dsum("q * d")).as("sp_qd"),
+          expr(dsum("q * t")).as("sp_qt"), expr(dsum("p * d")).as("sp_pd"),
+          expr(dsum("p * t")).as("sp_pt"), expr(dsum("d * t")).as("sp_dt"))
+        .selectExpr(s"stack(6, $stackArgs) AS (var1, var2, corr)")
+        .orderBy("var1", "var2")
+    },
+
+    QueryDef("q_robust_stats",
+      """WITH b AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |r AS (
+        |  SELECT source, v, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY v, doc_id) AS BIGINT) AS rn
+        |  FROM b),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source),
+        |q AS (
+        |  SELECT r.source,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1_c,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_c,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3_c,
+        |    max(n) AS n
+        |  FROM r JOIN c ON r.source = c.source GROUP BY r.source),
+        |d AS (
+        |  SELECT b.source, abs(b.v - q.median_c) AS dv, b.doc_id, q.n
+        |  FROM b JOIN q ON b.source = q.source),
+        |dr AS (
+        |  SELECT source, dv, n, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY dv, doc_id) AS BIGINT) AS rn
+        |  FROM d),
+        |m AS (
+        |  SELECT source, max(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad_c
+        |  FROM dr GROUP BY source),
+        |o AS (
+        |  SELECT b.source, CAST(sum(CASE WHEN 2 * b.v < 2 * q.q1_c - 3 * (q.q3_c - q.q1_c)
+        |      OR 2 * b.v > 2 * q.q3_c + 3 * (q.q3_c - q.q1_c) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM b JOIN q ON b.source = q.source GROUP BY b.source)
+        |SELECT q.source, q.n, q.median_c, m.mad_c, q.q1_c, q.q3_c, o.n_outliers
+        |FROM q JOIN m ON q.source = m.source JOIN o ON q.source = o.source
+        |ORDER BY q.source""".stripMargin) { (s, dir) =>
+      // robust per-source summary: discrete median/quartiles by INTEGER
+      // rank (ceil(p·n) — the q_percentile_disc convention, no float
+      // percentile arithmetic anywhere), MAD as a second rank pass over
+      // exact absolute deviations, and Tukey 1.5·IQR outlier counts as
+      // pure integer compares (doubled to avoid halves). Both windows
+      // are PARTITIONED by source; the quartile row broadcasts back onto
+      // the scan (per-group stats are |sources| rows at any corpus
+      // size). The robust twin of q_ts_anomaly's mean/σ gate.
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables(s, dir, "documents")
+        .selectExpr("source", "doc_id", "CAST(n_chars AS BIGINT) AS v")
+      val r = b.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("v", "doc_id")).cast("bigint"))
+      val c = b.groupBy("source").agg(count(lit(1)).cast("bigint").as("n"))
+        .withColumnRenamed("source", "_cs")
+      val q = r.join(broadcast(c), col("source") === col("_cs"))
+        .groupBy("source")
+        .agg(expr("max(CASE WHEN rn = (n + 3) div 4 THEN v END)").as("q1_c"),
+          expr("max(CASE WHEN rn = (n + 1) div 2 THEN v END)").as("median_c"),
+          expr("max(CASE WHEN rn = (3 * n + 3) div 4 THEN v END)").as("q3_c"),
+          max("n").as("n"))
+      val qb = broadcast(q.withColumnRenamed("source", "_qs"))
+      val d = b.join(qb, col("source") === col("_qs"))
+        .selectExpr("source", "doc_id", "abs(v - median_c) AS dv", "n")
+      val m = d.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("dv", "doc_id")).cast("bigint"))
+        .groupBy("source")
+        .agg(expr("max(CASE WHEN rn = (n + 1) div 2 THEN dv END)").as("mad_c"))
+      val o = b.join(qb, col("source") === col("_qs"))
+        .groupBy("source")
+        .agg(expr("""CAST(sum(CASE WHEN 2 * v < 2 * q1_c - 3 * (q3_c - q1_c)
+          | OR 2 * v > 2 * q3_c + 3 * (q3_c - q1_c) THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin)
+          .as("n_outliers"))
+      q.join(m, Seq("source")).join(o, Seq("source"))
+        .select(col("source"), col("n"), col("median_c"), col("mad_c"),
+          col("q1_c"), col("q3_c"), col("n_outliers"))
+        .orderBy("source")
     }
   )
 }

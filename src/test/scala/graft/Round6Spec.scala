@@ -475,6 +475,31 @@ class Round6Spec extends SparkSpec {
     assert(rows(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("corr_matrix: exact ±1 on linearly dependent measures") {
+    val tmp = java.nio.file.Files.createTempDirectory("corrm").toString
+    (1L to 20L).map(i => (i.toDouble, 2.0 * i, 21.0 - i, (i % 2).toDouble))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val m = SparkEntry.queries("q_corr_matrix")(spark, tmp).collect()
+      .map(r => (r.getAs[String]("var1"), r.getAs[String]("var2")) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(m.size == 6)
+    assert(m(("quantity", "price")) == 1.0)   // p = 2q exactly
+    assert(m(("quantity", "discount")) == -1.0) // d = 21 - q exactly
+  }
+
+  test("robust_stats: discrete quartiles, MAD, and Tukey outlier count by hand") {
+    val tmp = java.nio.file.Files.createTempDirectory("robust").toString
+    writeDocs(tmp, (1L to 7L).map(i => (i, "en", "s", i)) :+ (8L, "en", "s", 100L))
+    val r = SparkEntry.queries("q_robust_stats")(spark, tmp).collect()(0)
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("q1_c") == 2L)      // rank ceil(8/4) = 2
+    assert(r.getAs[Long]("median_c") == 4L)  // rank ceil(8/2) = 4
+    assert(r.getAs[Long]("q3_c") == 6L)      // rank ceil(3·8/4) = 6
+    assert(r.getAs[Long]("mad_c") == 2L)     // |v-4| sorted: rank 4 → 2
+    assert(r.getAs[Long]("n_outliers") == 1L) // only 100 > q3 + 1.5·IQR
+  }
+
   test("ewma: constant series is the identity, ramp-up first row is its own value") {
     val tmp = java.nio.file.Files.createTempDirectory("ewma").toString
     writeEvents(tmp,
