@@ -97,10 +97,15 @@ object Graph {
     * join materializes every (seed, node) reachability pair, O(S·V),
     * while each round here shuffles only the frontier fan-out. Rounds
     * are bounded a priori (`maxHops` is a query parameter, not a
-    * convergence guess), so there is no per-round driver action at all;
-    * lineage stays linear in `maxHops` (single digits — no checkpoint
-    * needed). Unreached nodes are absent from the output (the caller
-    * left-joins if it wants NULL-hops rows).
+    * convergence guess). Each round ends in an eager `localCheckpoint`:
+    * the settled set feeds the NEXT round twice (union branch + anti-join
+    * build side), so without lineage truncation the analyzed plan DOUBLES
+    * per round and the driver OOMs just rendering it by hop ~10 — same
+    * failure mode [[Dedup.duplicateClusters]] guards against. The
+    * materialization also makes the empty-frontier probe free, so
+    * exhausted searches stop early instead of scheduling no-op rounds.
+    * Unreached nodes are absent from the output (the caller left-joins if
+    * it wants NULL-hops rows).
     *
     * Reference analog: graph reachability the reference would express as
     * a recursive CTE (src/validation/syntax.md WITH RECURSIVE); the
@@ -115,9 +120,10 @@ object Graph {
       .persist(lvl) // feeds one join per round
     var dist = seeds.select(col(node).as("node")).distinct()
       .withColumn("hops", lit(0L))
-      .persist(lvl)
+      .localCheckpoint(eager = true)
     var frontier = dist
-    for (h <- 1 to maxHops) {
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
       // explicit aliases: frontier/seeds often DERIVE from the edge frame
       // (seeds = some node subset), so the join is a self-join to the
       // analyzer — qualified names keep it unambiguous
@@ -127,13 +133,12 @@ object Graph {
         .distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
-        .persist(lvl)
-      // no emptiness probe: an empty frontier makes every later round a
-      // no-op join over zero rows — cheaper than a per-round count()
-      // action barrier at these depths
-      dist = dist.union(next).persist(lvl)
+        .localCheckpoint(eager = true)
+      dist = dist.union(next).localCheckpoint(eager = true)
       frontier = next
+      h += 1
     }
+    e.unpersist()
     dist
   }
 }

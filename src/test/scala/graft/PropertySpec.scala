@@ -118,4 +118,99 @@ class PropertySpec extends SparkSpec {
       assert(assigned.forall(f => f >= 0 && f < folds))
     }
   }
+
+  // ---- distribution statistics vs their naive formulations -------------
+
+  private val valueRowsGen: Gen[List[(Long, Double)]] =
+    // (user_id, value): both parities populated by construction so the
+    // two-sample statistics are always defined
+    Gen.listOfN(50, for {
+      u <- Gen.chooseNum(0L, 9L)
+      v <- Gen.chooseNum(0, 400).map(_ / 4.0)
+    } yield (u, v)).map(_ ++ List((0L, 1.0), (1L, 2.0)))
+
+  private def writeEventRows(rows: Seq[(Long, Double)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("prop_ev").toString
+    rows.zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+      .selectExpr("event_id",
+        "timestamp_micros(CAST(1700000000000000 + event_id AS BIGINT)) AS ts",
+        "user_id", "'view' AS event_type", "value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q_ks_test == naive ECDF max-gap on random parity samples") {
+    forAll(valueRowsGen) { rows =>
+      val tmp = writeEventRows(rows)
+      val got = SparkEntry.queries("q_ks_test")(spark, tmp).collect()(0)
+      val cents = rows.map { case (u, v) => (u % 2 == 0, math.round(v * 100)) }
+      val a = cents.filter(_._1).map(_._2).sorted
+      val b = cents.filterNot(_._1).map(_._2).sorted
+      val d = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+      }.max.toDouble / (a.length.toLong * b.length)
+      assert(got.getAs[Long]("n_a") == a.length.toLong)
+      assert(math.abs(got.getAs[Double]("ks_d") - d) < 1e-6)
+    }
+  }
+
+  test("q_rank_test 2U == pair counting on random parity samples") {
+    forAll(valueRowsGen) { rows =>
+      val tmp = writeEventRows(rows)
+      val got = SparkEntry.queries("q_rank_test")(spark, tmp).collect()(0)
+      val cents = rows.map { case (u, v) => (u % 2 == 0, math.round(v * 100)) }
+      val a = cents.filter(_._1).map(_._2)
+      val b = cents.filterNot(_._1).map(_._2)
+      // 2·U_a = 2·#(a > b) + #(a = b) over ALL cross pairs — the
+      // definition the rank formulation must reproduce exactly
+      val u2 = a.map(x => 2L * b.count(x > _) + b.count(x == _)).sum
+      assert(got.getAs[Long]("u2_a") == u2)
+      // AUC is 2U / (2·na·nb)
+      assert(math.abs(got.getAs[Double]("auc") -
+        u2.toDouble / (2.0 * a.length * b.length)) < 1e-6)
+    }
+  }
+
+  test("q_gini == naive sorted-rank formula on random lengths") {
+    forAll(Gen.listOfN(40, Gen.chooseNum(0L, 500L))) { lens =>
+      val tmp = java.nio.file.Files.createTempDirectory("prop_gini").toString
+      lens.zipWithIndex.map { case (n, i) => (i.toLong, "x" * 3, "en", "s", n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = SparkEntry.queries("q_gini")(spark, tmp).collect()(0)
+      val sorted = lens.sorted
+      val n = sorted.length.toLong
+      val sx = sorted.sum
+      whenever(sx > 0) {
+        val srx = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+        val gini = (2.0 * srx - (n + 1) * sx) / (n.toDouble * sx)
+        assert(got.getAs[Long]("n_docs") == n)
+        assert(math.abs(got.getAs[Double]("gini") - gini) < 1e-6)
+      }
+    }
+  }
+
+  test("Graph.bfs == naive Scala BFS on random directed graphs") {
+    val edgesGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L)))
+      .map(_.filter { case (s, d) => s != d })
+    forAll(edgesGen) { es =>
+      whenever(es.nonEmpty) {
+        val adj = es.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var dist = Map(0L -> 0L)
+        var frontier = Set(0L)
+        var h = 0L
+        while (frontier.nonEmpty && h < 11) {
+          h += 1
+          val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            .filterNot(dist.contains)
+          next.foreach(n => dist += n -> h)
+          frontier = next
+        }
+        val got = Graph.bfs(es.toDF("src", "dst"), Seq(0L).toDF("node"), maxHops = 11)
+          .as[(Long, Long)].collect().toMap
+        assert(got == dist)
+      }
+    }
+  }
 }
