@@ -200,6 +200,34 @@ object Sampling {
     * [[TopK.perKey]], so the scored input is never hash-partitioned
     * into one reducer per key. Adds `rnk` (1-based within key).
     */
+  /** Per-source token-budget cap: within each `keyCol` group, walk the
+    * rows in deterministic hash-of-id order and keep the prefix whose
+    * cumulative `tokensCol` stays within `budget` — the corpus-mixing
+    * step that caps how many training tokens any one source/domain may
+    * contribute (the over-represented-domain guard), while hash order
+    * makes the kept prefix an unbiased, reproducible sample of the
+    * group. Rows are kept while `cum_tokens <= budget`, where the sum
+    * includes the row itself: a row that would overflow the budget is
+    * dropped, as is everything after it in hash order. Adds `cum_tokens`.
+    *
+    * Scale shape: ONE window aggregate partitioned by the group key
+    * (never unpartitioned), running-sum frame — a single shuffle of
+    * `(key, hash, tokens)`-sized rows; the hash tiebreak on id makes the
+    * order total, so the kept set is identical under any partitioning.
+    * Skewed groups are a window over one key's rows — bounded by the
+    * largest group, the same bound any per-group pass has.
+    */
+  def tokenBudget(df: DataFrame, keyCol: String, idCol: String,
+                  tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(expr(s"graft_hash60(CAST($idCol AS STRING))").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   def perKeySample(df: DataFrame, keyCols: Seq[String], idCol: String,
                    k: Int): DataFrame =
     TopK.perKey(

@@ -439,6 +439,53 @@ object TextOps {
         (coalesce(col("n_hit_grams"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** C4-style boilerplate-line removal: drop every line that occurs in
+    * at least `minDf` distinct documents (navigation headers, cookie
+    * banners, "all rights reserved" footers — the lines that repeat
+    * across a site but carry no content), and rebuild each document from
+    * its surviving lines in order. Returns
+    * `(idCol, n_kept, n_dropped, clean)`; a document whose every line is
+    * boilerplate yields `clean = ''`.
+    *
+    * Reference analog: the corpus-hygiene pass the reference's pipeline
+    * docs describe as line-frequency filtering; the C4 paper's "discard
+    * any line repeated" rule is the published formulation.
+    *
+    * Scale shape (100 TB): lines are hashed map-side to a 60-bit key, so
+    * the document-frequency aggregation shuffles `(hash, id)` pairs —
+    * never line text — with a partial distinct per map partition. The
+    * boilerplate set (df >= minDf survivors) is TINY by construction
+    * (boilerplate is repeated, so distinct boilerplate lines number at
+    * most corpus_lines / minDf and in practice a few thousand per
+    * domain), so flagging is an equi-join AQE resolves to broadcast. The
+    * only shuffle that carries document text is the per-document rebuild
+    * groupBy — unavoidable (the output IS the text) and bounded per doc
+    * by the document's own length. The exploded line table feeds both
+    * the df-count and the rebuild, so it is persisted once.
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+                  minDf: Long = 10L): DataFrame = {
+    require(minDf >= 2, "minDf must be >= 2 (1 would drop every line)")
+    val lines = df
+      .select(col(idCol), posexplode(expr(s"split($textCol, '\\n')")).as(Seq("ln", "line")))
+      .withColumn("lh", expr("graft_hash60(line)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.select(col("lh"), col(idCol))
+      .distinct()
+      .groupBy("lh").agg(count(lit(1)).as("_ldf"))
+      .filter(col("_ldf") >= minDf)
+      .select("lh")
+    lines.join(boiler.withColumn("_b", lit(true)), Seq("lh"), "left")
+      .withColumn("_b", coalesce(col("_b"), lit(false)))
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("_b"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          expr("transform(array_sort(collect_list(IF(_b, NULL, struct(ln, line)))), x -> x.line)"),
+          "\n").as("clean"))
+  }
+
   /** Keyword-in-context (KWIC) snippet extraction — the concordance
     * view corpus QA uses to eyeball how a term is used before filtering
     * on it. One row per occurrence of `term` (exact token match):

@@ -1423,6 +1423,67 @@ object PipelineQueries {
             "n_inter",
             "5 * abs(CAST(floor(CAST(kmv_common AS DOUBLE) * est_union / size(m)) AS BIGINT) - n_inter) <= n_inter AS inter_ok")
       }
+    },
+
+    // ---- Boilerplate-line removal (operator TextOps.boilerplate) --------
+    // the C4 line-frequency rule: a line occurring in >= minDf distinct
+    // docs is boilerplate; rebuild each doc from the surviving lines.
+    // Planted structure (source newsletter header df = docs/source,
+    // shared footer df = all docs, body lines df ~ 1) exercises both
+    // drop paths and the keep path; `clean` verifies the in-order
+    // reconstruction bit-for-bit. Line df counts shuffle (hash60, id)
+    // pairs only — text moves once, in the per-doc rebuild groupBy.
+    QueryDef("q_text_boilerplate",
+      s"""WITH c AS (SELECT doc_id,
+        |    'subscribe to ' || source || ' newsletter' || chr(10) || text ||
+        |    chr(10) || 'all rights reserved' AS t FROM documents),
+        |l0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM c),
+        |l AS (SELECT doc_id, ln, line FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |      i -> {'ln': i, 'line': ls[i]}), recursive := true)
+        |    FROM l0) u(doc_id, ln, line)),
+        |lx AS (SELECT doc_id, ln, line, ${h60d("line")} AS lh FROM l),
+        |ldf AS (SELECT lh, count(DISTINCT doc_id) AS ldf FROM lx GROUP BY 1),
+        |f AS (SELECT lx.doc_id, lx.ln, lx.line, d.ldf >= 10 AS b
+        |  FROM lx JOIN ldf d USING (lh))
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT b THEN line END, chr(10)
+        |    ORDER BY ln), '') AS clean
+        |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val c = docs(s, dir).selectExpr("doc_id",
+          "concat('subscribe to ', source, ' newsletter', chr(10), text, " +
+            "chr(10), 'all rights reserved') AS t")
+        graft.operators.TextOps.boilerplate(c, "doc_id", "t", minDf = 10L)
+          .orderBy("doc_id")
+      }
+    },
+
+    // ---- Per-source token budget (operator Sampling.tokenBudget) --------
+    // corpus-mixing quota: each source contributes documents in
+    // deterministic hash order until its cumulative token count exceeds
+    // the budget — the over-represented-domain cap. One PARTITIONED
+    // running-sum window; the kept set is a pure function of (id,
+    // tokens), identical under any partitioning.
+    QueryDef("q_token_budget",
+      s"""WITH t AS (SELECT doc_id, source,
+        |    CAST(len($toksD) AS BIGINT) AS n_tok FROM documents),
+        |w AS (SELECT doc_id, source, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY source
+        |    ORDER BY ${h60d("CAST(doc_id AS VARCHAR)")}, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens FROM t)
+        |SELECT doc_id, source, n_tok, cum_tokens FROM w
+        |WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val t = docs(s, dir).selectExpr("doc_id", "source",
+          s"CAST(size($toksS) AS BIGINT) AS n_tok")
+        graft.operators.Sampling.tokenBudget(t, "source", "doc_id", "n_tok", 600L)
+          .select("doc_id", "source", "n_tok", "cum_tokens")
+          .orderBy("doc_id")
+      }
     }
   )
 }

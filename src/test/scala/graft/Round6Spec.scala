@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Checksum, Features, Sampling, Vectors}
+import graft.operators.{Checksum, Features, Sampling, TextOps, Vectors}
 import org.apache.spark.sql.functions._
 
 /** Round-6 hardening: SemDeDup cluster cap, fingerprint delimiter
@@ -511,5 +511,46 @@ class Round6Spec extends SparkSpec {
     // a 1-row series has only the j = 0 term on both sides
     assert(rows.find(_.getAs[Long]("user_id") == 8L).get
       .getAs[Double]("ewma_cents") == 950.0)
+  }
+
+  test("boilerplate: drops high-df lines, keeps bodies in order, all-boiler doc -> ''") {
+    val docs = Seq(
+      (1L, "head\nbody one alpha\nbody one beta\nfoot"),
+      (2L, "head\nbody two\nfoot"),
+      (3L, "head\nfoot"), // nothing but boilerplate
+      (4L, "head\nbody four\nfoot"),
+      (5L, "head\nbody five\nfoot")
+    ).toDF("doc_id", "t")
+    val out = TextOps.boilerplate(docs, "doc_id", "t", minDf = 4L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"), r.getAs[String]("clean"))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, "body one alpha\nbody one beta"))) // order kept
+    assert(out(3L) == ((0L, 2L, "")))                              // fully boiler
+    assert(out(2L) == ((1L, 2L, "body two")))
+    // duplicated line WITHIN one doc counts that doc once toward df
+    val within = Seq(
+      (1L, "x\nx"), (2L, "x\ny"), (3L, "x\nz"), (4L, "a\nb")).toDF("doc_id", "t")
+    val w = TextOps.boilerplate(within, "doc_id", "t", minDf = 4L).collect()
+    assert(w.forall(_.getAs[Long]("n_dropped") == 0L)) // df('x') = 3 docs < 4
+    intercept[IllegalArgumentException](TextOps.boilerplate(docs, "doc_id", "t", 1L))
+  }
+
+  test("tokenBudget: prefix-inclusive cap, overflow row dropped, partition-invariant") {
+    val df = (1L to 30L).map(i => (i, s"s${i % 3}", 10L)).toDF("id", "src", "n")
+    val kept = Sampling.tokenBudget(df, "src", "id", "n", budget = 45L)
+    val byKey = kept.groupBy("src").agg(count(lit(1)).as("c"), max("cum_tokens").as("m"))
+      .collect().map(r => r.getAs[String]("src") -> ((r.getAs[Long]("c"), r.getAs[Long]("m"))))
+      .toMap
+    // 10 tokens each: 4 rows = 40 <= 45, a 5th would be 50 — dropped
+    assert(byKey.values.forall(_ == ((4L, 40L))))
+    // kept set is a pure function of (id, n): repartitioning changes nothing
+    val kept1 = kept.select("id").as[Long].collect().sorted.toSeq
+    val kept2 = Sampling.tokenBudget(df.repartition(7), "src", "id", "n", 45L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept1 == kept2)
+    // budget 0 keeps nothing; a row bigger than the whole budget is dropped
+    assert(Sampling.tokenBudget(df, "src", "id", "n", 0L).count() == 0L)
+    assert(Sampling.tokenBudget(df, "src", "id", "n", 9L).count() == 0L)
   }
 }
