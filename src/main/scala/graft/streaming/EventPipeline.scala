@@ -382,6 +382,47 @@ object EventPipeline {
       }
   }
 
+  final case class QuotaEvent(ts: Timestamp, key: String, id: Long, tokens: Long)
+  final case class QuotaVerdict(key: String, id: Long, ts_ms: Long,
+      tokens: Long, cum_tokens: Long, admitted: Boolean)
+
+  /** Streaming per-key token-budget admission — the streaming twin of
+    * `Sampling.tokenBudget`: each key (source/domain) may contribute at
+    * most `budget` cumulative tokens; every arriving document is emitted
+    * with an `admitted` verdict (admit iff the running total INCLUDING
+    * this row stays within budget), so the drop volume is observable
+    * downstream rather than silent. The total counts every seen row,
+    * admitted or not — the same prefix rule as the batch operator, so a
+    * small document arriving after an overflowing large one is still
+    * rejected (a quota, not a best-fit packer: admission is
+    * arrival-prefix, deterministic given arrival order).
+    *
+    * State is ONE long per key and deliberately never evicted: an idle
+    * timeout would silently refill a spent quota. Keys are sources /
+    * domains — bounded in the thousands, so worst-case state is a few
+    * KB per executor; if a deployment keys by something unbounded it
+    * should wrap the key coarser upstream, not loosen the gate. Within a
+    * micro-batch a key's rows process in (event-time, id) order;
+    * cross-batch ordering is arrival order (the ewmaMonitor contract).
+    */
+  def quotaGate(events: Dataset[QuotaEvent], budget: Long): Dataset[QuotaVerdict] = {
+    import events.sparkSession.implicits._
+    require(budget >= 0, "budget must be >= 0")
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, QuotaVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[QuotaEvent], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.id)).map { e =>
+            cum += e.tokens
+            QuotaVerdict(key, e.id, e.ts.getTime, e.tokens, cum, cum <= budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization with typed state + event-time timeout —
     * the custom-stateful-operator surface (KeyValueGroupedDataset +
     * flatMapGroupsWithState) the reference's hand-rolled state machines

@@ -530,4 +530,34 @@ class StreamingSpec extends SparkSpec {
       assert(rows(7)._3 == (1000L * 1000000L + 3L * 3250L * 1000000L) / 4L / 1000000L)
     } finally q.stop()
   }
+
+  test("quotaGate: prefix admission per key, quota survives batches, no refill") {
+    import EventPipeline.QuotaEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[QuotaEvent]
+    val q = EventPipeline.quotaGate(input.toDS(), budget = 50L)
+      .writeStream.format("memory").queryName("quota_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: srcA spends 40 of 50; srcB's single 60-token doc overflows
+      input.addData(
+        QuotaEvent(ts(1), "srcA", 1L, 30L), QuotaEvent(ts(2), "srcA", 2L, 10L),
+        QuotaEvent(ts(1), "srcB", 3L, 60L))
+      q.processAllAvailable()
+      // batch 2: srcA's 20-token doc would reach 60 — rejected; a LATER
+      // 5-token doc is rejected too (prefix rule: the total kept counting)
+      input.addData(
+        QuotaEvent(ts(3), "srcA", 4L, 20L), QuotaEvent(ts(4), "srcA", 5L, 5L),
+        QuotaEvent(ts(2), "srcB", 6L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("quota_gate")
+        .selectExpr("id", "cum_tokens", "admitted")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(rows.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+        (1L, 30L, true), (2L, 40L, true),   // srcA within budget
+        (3L, 60L, false),                   // srcB overflows on row one
+        (4L, 60L, false), (5L, 65L, false), // srcA: quota is spent for good
+        (6L, 61L, false)))                  // srcB: no refill across batches
+    } finally q.stop()
+  }
 }
