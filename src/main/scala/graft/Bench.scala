@@ -40,16 +40,20 @@ object Bench {
       name -> run()
     }
     val failed = results.collect { case (n, None) => n }
-    // per-query map SORTED BY TIME DESCENDING: the driver's artifact
-    // capture truncates the tail of long lines, so the heaviest queries
-    // — the ones a regression hunt needs — must serialize first
-    val qs = results.collect { case (k, Some(v)) => (k, math.round(v * 1000) / 1000.0) }
-      .sortBy { case (k, v) => (-v, k) }
+    // The driver's artifact capture keeps the END of long lines, so the
+    // heaviest queries — the ones a regression hunt needs — must serialize
+    // LAST: the full map is sorted time-ASCENDING, and a compact top50
+    // (heaviest 50, descending) is appended after it as a second safety net.
+    val timed = results.collect { case (k, Some(v)) => (k, math.round(v * 1000) / 1000.0) }
+    val qs = timed.sortBy { case (k, v) => (v, k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val top50 = timed.sortBy { case (k, v) => (-v, k) }.take(50)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","queries":$qs,"top50":$top50}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
