@@ -22,17 +22,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. We read them as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-    * TIMESTAMP_NTZ — the same truncation DuckDB applies casting
-    * TIMESTAMP_NS → TIMESTAMP. `div` keeps the arithmetic in exact longs
-    * (a double division would lose precision above 2^53 ns).
+  /** The events table's `ts` encoding differs across testdata generations:
+    * older driver files store TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — we read them as raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to microsecond
+    * TIMESTAMP_NTZ, the same truncation DuckDB applies casting
+    * TIMESTAMP_NS → TIMESTAMP), newer ones store TIMESTAMP(MICROS)
+    * directly. Adapt on the READ schema, not an assumed file layout.
+    * `div` keeps the nanos arithmetic in exact longs (a double division
+    * would lose precision above 2^53 ns).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ micros
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` queries see the

@@ -15,8 +15,8 @@ class FileStreamSpec extends SparkSpec {
   test("parquet file stream feeds the windowed aggregation graph") {
     val dir = "/root/testdata/sf0.001"
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP)"))
+    val batch = graft.sources.Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
     // time-ranged part files => file order ~ event-time order
     batch.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(scratch)
 
