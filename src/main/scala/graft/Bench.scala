@@ -40,10 +40,11 @@ object Bench {
       name -> run()
     }
     val failed = results.collect { case (n, None) => n }
-    // The driver's artifact capture keeps the END of long lines, so the
-    // heaviest queries — the ones a regression hunt needs — must serialize
-    // LAST: the full map is sorted time-ASCENDING, and a compact top50
-    // (heaviest 50, descending) is appended after it as a second safety net.
+    // The driver's artifact capture truncates long lines and r07 showed it
+    // keeps the END — where the previous layout had put top50, wasting the
+    // tail budget on mid-rank entries. Hedge BOTH directions: the compact
+    // top50 (heaviest, descending) serializes EARLY in the line, and the
+    // full map sorts time-ASCENDING so the line's end is also the heaviest.
     val timed = results.collect { case (k, Some(v)) => (k, math.round(v * 1000) / 1000.0) }
     val qs = timed.sortBy { case (k, v) => (v, k) }
       .map { case (k, v) => s"\"" + k + "\":" + v }
@@ -53,7 +54,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","queries":$qs,"top50":$top50}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","top50":$top50,"queries":$qs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -64,6 +64,8 @@ object BenchSf10 {
       skewSplits += "skew=true".r.findAllIn(p).size
     }
     override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    /** Per-phase attribution: snapshot-and-zero between phases. */
+    def reset(): Int = { val n = skewSplits; skewSplits = 0; n }
   }
 
   private def time[A](body: => A): (Double, A) = {
@@ -157,6 +159,7 @@ object BenchSf10 {
 
     def phase(dir: String): String = {
       stats.reset()
+      skews.reset() // drop warmup / previous-phase attributions
       val t0 = System.nanoTime()
       val times = sweep(spark, dir)
       val wall = (System.nanoTime() - t0) / 1e9
@@ -167,15 +170,23 @@ object BenchSf10 {
       s"""{"dir":"$dir","wall_sec":${r3(wall)},"queries":$qs,""" +
         s""""max_task_input_bytes":$maxIn,"worst_task_over_median":$worstRatio,""" +
         s""""stages":$stages,"tasks":$tasks,"failed_tasks":${stats.failedTasks},""" +
-        s""""peak_task_exec_mem_bytes":${stats.peakExecMem}}"""
+        s""""peak_task_exec_mem_bytes":${stats.peakExecMem},""" +
+        s""""aqe_skew_splits":${skews.reset()}}"""
     }
+
+    // measured, not assumed: the artifact's scale ratio comes from the
+    // actual lineitem row counts of the two (env-overridable) dirs
+    def liRows(dir: String): Long =
+      spark.read.parquet(s"$dir/lineitem.parquet").count()
+    val (baseRows, targetRows) = (liRows(baseDir), liRows(sfDir))
+    val ratio = math.round(targetRows.toDouble / math.max(1L, baseRows) * 10) / 10.0
 
     val baseJson = phase(baseDir)
     val sfJson = phase(sfDir)
     val json =
-      s"""{"metric":"sf10_scale_run","unit":"sec","rows_ratio":100,""" +
-        s""""aqe_skew_splits":${skews.skewSplits},"completed":true,""" +
-        s""""base":$baseJson,"target":$sfJson}"""
+      s"""{"metric":"sf10_scale_run","unit":"sec","rows_ratio":$ratio,""" +
+        s""""base_lineitem_rows":$baseRows,"target_lineitem_rows":$targetRows,""" +
+        s""""completed":true,"base":$baseJson,"target":$sfJson}"""
     println(json)
     val w = new java.io.PrintWriter(outPath)
     try w.println(json) finally w.close()

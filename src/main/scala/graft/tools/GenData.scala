@@ -111,15 +111,16 @@ object GenData {
       expr("timestampadd(DAY, CAST(pmod(xxhash64(id, 26), 2500) AS INT), TIMESTAMP'1995-01-01 00:00:00')")
         .as("l_shipdate")), "lineitem")
 
-    // events: ts stored as INT64 nanoseconds to match the driver tables'
-    // TIMESTAMP(NANOS) read path (Tables.events does `ts div 1000`).
+    // events: ts written as microsecond TIMESTAMP_NTZ — the same parquet
+    // encoding as the driver testdata (timestamp[us], isAdjustedToUTC=
+    // false), so Tables.events takes the identical read path on both.
     // Monotone-ish in event_id: N events spread over 30 days + jitter.
-    val nsSpan = 30L * 86400L * 1000000000L
+    val usSpan = 30L * 86400L * 1000000L
     val userN = math.max(20L, evN / 50L)
     write(spark.range(0, evN, 1, parts(evN)).select(
       col("id").as("event_id"),
-      (lit(1704067200L * 1000000000L) + col("id") * lit(nsSpan / math.max(1L, evN)) +
-        pm(27, 1000000000L)).as("ts"),
+      timestamp_micros(lit(1704067200L * 1000000L) + col("id") * lit(usSpan / math.max(1L, evN)) +
+        pm(27, 1000000L)).cast("timestamp_ntz").as("ts"),
       pm(28, userN).as("user_id"),
       expr("element_at(array('error','view','signup','purchase','click'), " +
         "CAST(pmod(xxhash64(id, 29), 5) AS INT) + 1)").as("event_type"),
@@ -131,9 +132,13 @@ object GenData {
     val vocabArr = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
     val docs = spark.range(0, docN, 1, parts(docN))
       .withColumn("dupsel", pm(32, 20))
-      // seed doc whose text this row reproduces (self when not a dup)
+      // seed doc whose text this row reproduces (self when not a dup).
+      // A candidate seed that is ITSELF a dup row stores text derived
+      // from its own seed, so copying it would plant a copy of nothing —
+      // re-derive the candidate's dupsel and fall back to self.
+      .withColumn("cand", expr("id - 1 - pmod(xxhash64(id, 33), 50)"))
       .withColumn("seed", expr(
-        "IF(dupsel <= 1 AND id > 50, id - 1 - pmod(xxhash64(id, 33), 50), id)"))
+        "IF(dupsel <= 1 AND id > 50 AND pmod(xxhash64(cand, 32), 20) > 1, cand, id)"))
       .withColumn("nwords", expr("15 + pmod(xxhash64(seed, 34), 46)"))
       .withColumn("body", expr(
         s"array_join(transform(sequence(1, CAST(nwords AS INT)), " +
@@ -165,8 +170,11 @@ object GenData {
   }
 
   def main(args: Array[String]): Unit = {
-    val sf = sys.env.getOrElse("SPARK_GRAFT_GEN_SF", "10").toDouble
-    val dir = sys.env.getOrElse("SPARK_GRAFT_GEN_DIR", s"data/sf$sf")
+    val sfStr = sys.env.getOrElse("SPARK_GRAFT_GEN_SF", "10")
+    val sf = sfStr.toDouble
+    // default dir uses the RAW env string ("data/sf10", not "data/sf10.0")
+    // so GenData and BenchSf10 defaults agree
+    val dir = sys.env.getOrElse("SPARK_GRAFT_GEN_DIR", s"data/sf$sfStr")
     val spark = graft.GraftSession.get("graft-gen")
     val t0 = System.nanoTime()
     val counts = gen(spark, dir, sf)
