@@ -617,4 +617,70 @@ object TextOps {
     counts.join(examples, "win")
       .select("win", "n_docs", "example_ids")
   }
+
+  /** Exact MAXIMAL duplicated token spans — the "Deduplicating Training
+    * Data Makes Language Models Better" (Lee et al. 2021) construction:
+    * a token span is duplicated iff every k-gram inside it occurs
+    * ≥ `minCount` times corpus-wide (occurrences, not docs — a
+    * within-document repeat is a duplicate too), and maximal iff it
+    * extends no further in either direction. [[repeatedWindows]] samples
+    * fixed-width windows; this recovers the full (doc, start, end) spans:
+    *
+    *  1. every k-gram start position is emitted as (gram, doc, pos);
+    *  2. grams occurring ≥ minCount times are the duplicated seed set;
+    *  3. consecutive duplicated start positions [p, p+L) in a doc chain
+    *     into one maximal span of L + k - 1 tokens (gaps-and-islands:
+    *     island = pos - row_number per doc).
+    *
+    * This is the suffix-array span dedup for spans ≥ k without
+    * materializing a suffix array — the sorted (gram, doc, pos) runs ARE
+    * the shuffle, O(total tokens) rows.
+    *
+    * Scale shape: the gram count partial-combines map-side (most grams
+    * are unique and die in the combiner); occurrences re-join the
+    * duplicated set LEFT SEMI (the hot set is tiny next to the corpus);
+    * island detection is a per-document window (state: one row number);
+    * span text comes from one per-doc equi-join back to the token
+    * arrays, never a collect. Grams are keyed by exact text, not a
+    * 64-bit hash — at corpus scale (≫2^32 distinct grams) hash keys
+    * WOULD collide and silently glue unrelated spans; exactness is the
+    * operator's contract.
+    *
+    * Output: (idCol, start_tok, end_tok, n_tokens, span) — token
+    * offsets 0-based, end exclusive, only spans ≥ max(minTokens, k).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 6, minTokens: Int = 0,
+                     minCount: Int = 2): DataFrame = {
+    require(k >= 2, "seed gram must span at least 2 tokens")
+    require(minCount >= 2, "a duplicate needs at least 2 occurrences")
+    val tk = df
+      .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+      .filter(expr(s"size(_tk) >= $k"))
+      .select(col(idCol), col("_tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = tk.select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(_tk) - $k), " +
+          s"i -> named_struct('pos', CAST(i AS BIGINT), 'g', array_join(slice(_tk, i + 1, $k), ' ')))"))
+        .as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val dup = occ.groupBy("g")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("g")
+    val marked = occ.join(dup, Seq("g"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val spans = marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("start_tok"),
+        (max("pos") + lit(k.toLong)).as("end_tok"))
+      .filter(col("end_tok") - col("start_tok") >= math.max(minTokens, k).toLong)
+    spans.join(tk, idCol)
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"),
+        expr("array_join(slice(_tk, CAST(start_tok AS INT) + 1, " +
+          "CAST(end_tok - start_tok AS INT)), ' ')").as("span"))
+  }
 }

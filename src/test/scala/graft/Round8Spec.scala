@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: exact maximal duplicated spans. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int, minTokens: Int = 0) =
+    TextOps.duplicateSpans(df, "doc_id", "text", k = k, minTokens = minTokens)
+      .select("doc_id", "start_tok", "end_tok", "n_tokens", "span")
+      .as[(Long, Long, Long, Long, String)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+
+  test("duplicateSpans recovers a planted cross-doc span exactly, maximal") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"red fish $shared blue fish"),
+      (2L, s"one two three four $shared nine ten")
+    ).toDF("doc_id", "text")
+    val got = spans(docs, k = 3)
+    // doc 1: span starts after 2 unique tokens; doc 2: after 4
+    assert(got == Seq(
+      (1L, 2L, 10L, 8L, shared),
+      (2L, 4L, 12L, 8L, shared)))
+  }
+
+  test("duplicateSpans is maximal: one-token flanks are not absorbed") {
+    // 'x SHARED' in doc 1 vs 'y SHARED' in doc 2 — the differing flank
+    // token must stay OUT of the span; the shared run must be whole
+    val s8 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq(
+      (1L, s"x $s8 p q"),
+      (2L, s"y $s8 r t")
+    ).toDF("doc_id", "text")
+    val got = spans(docs, k = 4)
+    assert(got == Seq((1L, 1L, 9L, 8L, s8), (2L, 1L, 9L, 8L, s8)))
+  }
+
+  test("duplicateSpans catches a WITHIN-document repeat (occurrences, not docs)") {
+    // the 6-token phrase appears twice in one doc, nowhere else
+    val ph = "w1 w2 w3 w4 w5 w6"
+    val docs = Seq(
+      (1L, s"$ph mid1 mid2 mid3 $ph"),
+      (2L, "totally different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = spans(docs, k = 6)
+    assert(got == Seq((1L, 0L, 6L, 6L, ph), (1L, 9L, 15L, 6L, ph)))
+  }
+
+  test("duplicateSpans merges overlapping seeds into ONE island per region") {
+    // two docs share a 12-token run: every interior k-gram is duplicated,
+    // so the island chain must emit a single span, not per-gram fragments
+    val run = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, s"u1 u2 $run"), (2L, s"$run v1 v2")).toDF("doc_id", "text")
+    val got = spans(docs, k = 5)
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got.forall(_._5 == run))
+    assert(got.forall(_._4 == 12L))
+  }
+
+  test("duplicateSpans minTokens filters short spans; below-k docs ignored") {
+    val sharedShort = "s1 s2 s3 s4 s5" // 5 tokens, below minTokens = 8
+    val docs = Seq(
+      (1L, s"a b $sharedShort c d"),
+      (2L, s"e f $sharedShort g h"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    assert(spans(docs, k = 3, minTokens = 8).isEmpty)
+    // same plant passes when the threshold drops to the span length
+    assert(spans(docs, k = 3, minTokens = 5).map(_._5).distinct == Seq(sharedShort))
+  }
+}
