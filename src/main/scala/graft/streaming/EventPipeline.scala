@@ -230,6 +230,77 @@ object EventPipeline {
       .start()
   }
 
+  /** Streaming embedding-index maintenance: PQ-encode arriving vectors
+    * against a FROZEN codebook and append them to an on-disk codes index
+    * — the embedding twin of the text side's incremental band table
+    * ([[graft.operators.Dedup.saveBandTable]] → minhashLshAgainstSaved).
+    * Queries read the index with [[annIndex]] and score via
+    * [[graft.operators.Vectors.pqAdcTopK]]; new vectors are visible as
+    * soon as their batch commits, with NO full-corpus rebuild — each
+    * micro-batch writes only its own rows.
+    *
+    * Freezing: the codebook is materialized ONCE at construction (m·k
+    * rows — bounded) and re-localized per batch from driver memory, the
+    * [[driftGate]] one-time-reference contract: codes stay comparable
+    * across batches because every batch encodes against the identical
+    * codebook (retraining per batch would silently shift the code space
+    * under the readers).
+    *
+    * Exactly-once: each batch publishes `indexPath/batch_<epochId>` via
+    * [[graft.sources.AtomicSwap]] — a replayed epoch overwrites its own
+    * staging and re-commits the same dir, so recovery is idempotent and
+    * readers never observe a half-written batch. Rows within a batch are
+    * range-laid-out and sorted by id, so parquet min/max stats prune
+    * id-targeted reads; at cluster scale the batch dirs roll up into a
+    * bucketed catalog table the same way the band table does.
+    */
+  def annIngest(vectors: DataFrame, idCol: String, embCol: String,
+                codebook: DataFrame, indexPath: String,
+                m: Int = 4, dims: Int = 64,
+                buckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vectors.sparkSession
+    // freeze: bounded collect (m·k rows) at construction, never per batch
+    val cbRows = codebook.select("sub", "cid", "ce").collect().toSeq
+    val cbSchema = codebook.select("sub", "cid", "ce").schema
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val frozen = spark.createDataFrame(
+          spark.sparkContext.parallelize(cbRows, 1), cbSchema)
+        val codes = graft.operators.Vectors
+          .pqAssign(batch, idCol, embCol, frozen, m, dims)
+          .select(col(idCol), col("pq_codes"))
+        val batchDir = new org.apache.hadoop.fs.Path(s"$indexPath/batch_$epochId")
+        val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.sources.AtomicSwap.recover(fs, batchDir)
+        val staging = graft.sources.AtomicSwap.stagingOf(batchDir)
+        codes.repartitionByRange(buckets, col(idCol))
+          .sortWithinPartitions(idCol)
+          .write.mode("overwrite").parquet(staging.toString)
+        graft.sources.AtomicSwap.commit(fs, batchDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Read the committed codes index an [[annIngest]] query maintains:
+    * the union of all published `batch_<n>` dirs. Staging/rollback
+    * leftovers from an interrupted swap are repaired first and never
+    * read — only dirs matching the committed name shape qualify.
+    */
+  def annIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = "batch_\\d+".r
+    val dirs = if (fs.exists(root)) {
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => committed.matches(p.getName))
+        .map { p => graft.sources.AtomicSwap.recover(fs, p); p.toString }
+        .sorted.toSeq
+    } else Seq.empty
+    require(dirs.nonEmpty, s"annIndex: no committed batches under $indexPath")
+    spark.read.parquet(dirs: _*)
+  }
+
   final case class DocEvent(ts: Timestamp, doc_id: Long, text: String)
 
   /** Streaming training-data ingest: quality-gate, language-ID, and

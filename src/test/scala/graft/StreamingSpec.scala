@@ -560,4 +560,48 @@ class StreamingSpec extends SparkSpec {
         (6L, 61L, false)))                  // srcB: no refill across batches
     } finally q.stop()
   }
+
+  test("annIngest appends PQ codes per batch; pqAdcTopK sees new vectors, no rebuild") {
+    import graft.operators.Vectors
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("ann_ingest").toString + "/codes"
+    // two well-separated clusters in 4 dims; codebook trained ONCE on the
+    // initial corpus and frozen for the stream's lifetime
+    def vecA(seed: Float) = Array(0.0f + seed, 0.1f, 0.0f, 0.1f)
+    def vecB(seed: Float) = Array(10.0f + seed, 9.9f, 10.0f, 9.9f)
+    val train = ((0L to 4L).map(i => (i, vecA(i * 0.01f))) ++
+      (5L to 9L).map(i => (i, vecB((i - 5) * 0.01f)))).toDF("vec_id", "embedding")
+    val codebook = Vectors.pqTrain(train, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dims = 4)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventPipeline.annIngest(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", codebook, idxPath, m = 2, dims = 4, buckets = 2)
+    try {
+      input.addData((0L to 9L).map(i =>
+        (i, if (i < 5) vecA(i * 0.01f) else vecB((i - 5) * 0.01f))): _*)
+      q.processAllAvailable()
+      val query = Seq((1L, vecB(0.02f))).toDF("qid", "embedding") // == vector 7
+      def topk(k: Int) = Vectors.pqAdcTopK(
+        EventPipeline.annIndex(spark, idxPath), "vec_id", "pq_codes",
+        query, "qid", "embedding", codebook, k = k, m = 2, dims = 4)
+        .selectExpr("vec_id", "adc").as[(Long, Long)].collect().toSeq
+      // batch 1 visible: neighbors all come from cluster B
+      assert(EventPipeline.annIndex(spark, idxPath).count() == 10L)
+      val t3 = topk(3)
+      assert(t3.map(_._1).toSet.subsetOf(Set(5L, 6L, 7L, 8L, 9L)), t3.toString)
+      // batch 2: three NEW cluster-B vectors, exact copies of vector 7
+      input.addData(Seq(100L, 101L, 102L).map(i => (i, vecB(0.02f))): _*)
+      q.processAllAvailable()
+      val idx = EventPipeline.annIndex(spark, idxPath)
+      assert(idx.count() == 13L)
+      val all = topk(13).toMap
+      // the new vectors scored through the FROZEN codebook: identical
+      // input ⇒ identical code ⇒ identical ADC as the original vector 7
+      assert(Seq(100L, 101L, 102L).forall(i => all(i) == all(7L)), all.toString)
+      assert(all(100L) == all.values.min)
+      // append-only evidence: batch dirs hold only their own rows
+      assert(spark.read.parquet(s"$idxPath/batch_0").count() == 10L)
+      assert(spark.read.parquet(s"$idxPath/batch_1").count() == 3L)
+    } finally q.stop()
+  }
 }
