@@ -60,6 +60,66 @@ class Round8Spec extends SparkSpec {
     assert(got.forall(_._4 == 12L))
   }
 
+  test("stateful streaming ops run unchanged on the RocksDB state store") {
+    // the default HDFS-backed store is memory-resident per key — at
+    // 100 TB key spaces RocksDB is the scale path; behavior must be
+    // IDENTICAL and the store must actually be RocksDB (custom metrics)
+    import graft.streaming.EventPipeline
+    import EventPipeline.{Event, QuotaEvent}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1700000000000L
+      def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+      // sessionize: same plant as the default-provider spec
+      val sIn = MemoryStream[Event]
+      val sQ = EventPipeline.sessionize(sIn.toDS(), gapMs = 10 * 60000L)
+        .writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        sIn.addData(Event(ts(0), 1L, "click", 1.0), Event(ts(5), 1L, "click", 2.0),
+          Event(ts(8), 1L, "view", 3.0))
+        sQ.processAllAvailable()
+        sIn.addData(Event(ts(60), 1L, "click", 4.0))
+        sQ.processAllAvailable()
+        val sessions = spark.table("rocks_sessions")
+          .selectExpr("user_id", "start_ms", "end_ms", "n_events", "total")
+          .as[(Long, Long, Long, Int, Double)].collect()
+        assert(sessions.toSeq == Seq((1L, base, base + 8 * 60000L, 3, 6.0)))
+        // the store really is RocksDB: provider-specific metrics surface
+        val metrics = sQ.lastProgress.stateOperators(0).customMetrics
+        assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+          metrics.toString)
+      } finally sQ.stop()
+      // quotaGate: no-refill across batches holds on RocksDB too
+      val qIn = MemoryStream[QuotaEvent]
+      val qQ = EventPipeline.quotaGate(qIn.toDS(), budget = 50L)
+        .writeStream.format("memory").queryName("rocks_quota")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        qIn.addData(QuotaEvent(ts(1), "srcA", 1L, 30L),
+          QuotaEvent(ts(2), "srcA", 2L, 10L))
+        qQ.processAllAvailable()
+        qIn.addData(QuotaEvent(ts(3), "srcA", 3L, 20L))
+        qQ.processAllAvailable()
+        val rows = spark.table("rocks_quota")
+          .selectExpr("id", "cum_tokens", "admitted")
+          .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+        assert(rows.toSeq == Seq((1L, 30L, true), (2L, 40L, true), (3L, 60L, false)))
+      } finally qQ.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("duplicateSpans minTokens filters short spans; below-k docs ignored") {
     val sharedShort = "s1 s2 s3 s4 s5" // 5 tokens, below minTokens = 8
     val docs = Seq(
