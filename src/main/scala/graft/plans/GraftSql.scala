@@ -556,6 +556,101 @@ object GraftSql {
     out.toSeq
   }
 
+  /** Deterministic default column name for a derived expression — the
+    * reference's `derivedAlias` (reference: src/expression/alias.js:11),
+    * which its hosts rely on when round-tripping unnamed projection
+    * columns (`a + b` → `a_+_b`, `COUNT(*)` → `count_all`,
+    * `CAST(x AS INT)` → `x_as_int`, `sum(a)` → `sum_a`). Implemented
+    * over Spark's PARSED expression tree, not text surgery, so nesting
+    * and whitespace normalize exactly like the reference's AST walk.
+    */
+  def derivedAlias(exprText: String): String = {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    deriveName(CatalystSqlParser.parseExpression(rewrite(exprText)))
+  }
+
+  private def deriveName(e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case l @ Literal(_, dt)
+          if dt.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType] ||
+            dt == org.apache.spark.sql.types.CalendarIntervalType =>
+        // INTERVAL '3' DAY → interval_3_day, via the literal's SQL form
+        val s = l.sql.replaceAll("(?i)^INTERVAL\\s+", "").replace("'", "")
+        "interval_" + s.trim.toLowerCase.split("\\s+").mkString("_")
+      case Literal(null, _) => "null"
+      case Literal(v, _) => v.toString
+      case c: Cast =>
+        deriveName(c.child) + "_as_" + c.dataType.sql.toLowerCase
+      case UnaryMinus(c, _) => "-_" + deriveName(c)
+      case UnaryPositive(c) => "+_" + deriveName(c)
+      case Not(c) => "not_" + deriveName(c)
+      case w: WindowExpression => w.windowFunction match {
+        // reference window rule: the function NAME alone, no args
+        case f: UnresolvedFunction => f.nameParts.last.toLowerCase
+        case other => deriveName(other)
+      }
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase
+        // Spark's parser rewrites COUNT(*) to count(1) before any rule
+        // can see the star — both spell the reference's count_all
+        val starLike = f.arguments.length == 1 &&
+          (f.arguments.head.isInstanceOf[UnresolvedStar] ||
+            (name == "count" && f.arguments.head == Literal(1)))
+        if (starLike) name + "_all"
+        else (name +: f.arguments.map(deriveName)).mkString("_")
+      case UnresolvedExtractValue(_, Literal(fld, org.apache.spark.sql.types.StringType)) =>
+        fld.toString // struct field access aliases to the field name
+      case ex: UnresolvedExtractValue =>
+        s"${deriveName(ex.child)}[${deriveName(ex.extraction)}]"
+      case b: BinaryOperator => // sqlOperator: AND/OR spell out, = stays =
+        deriveName(b.left) + "_" + b.sqlOperator.toLowerCase + "_" + deriveName(b.right)
+      case _ => "expr"
+    }
+  }
+
+  /** Execute reference-dialect SQL with the reference's derived names
+    * applied to UNALIASED projection items (Spark's own derivation names
+    * them differently — `(a + b)` vs the reference's `a_+_b`). Aliased
+    * items and bare columns keep their names; a star keeps Spark's
+    * expansion. Positions are matched through the analyzed schema, so
+    * one star anywhere in the list is supported.
+    */
+  def sqlDerived(spark: SparkSession, sqlText: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val df = sql(spark, sqlText)
+    // outermost projection list of the PARSED plan (pre-analysis keeps
+    // UnresolvedAlias wrappers that mark "no alias written")
+    def outerList(p: LogicalPlan): Option[Seq[NamedExpression]] = p match {
+      case Project(list, _) => Some(list)
+      case a: Aggregate => Some(a.aggregateExpressions)
+      case u: UnaryNode => outerList(u.child)
+      case _ => None
+    }
+    val parsed = spark.sessionState.sqlParser.parsePlan(rewrite(sqlText))
+    outerList(parsed) match {
+      case Some(list) if list.count(_.isInstanceOf[UnresolvedStar]) <= 1 =>
+        val width = df.schema.length
+        val starWidth = width - (list.length - list.count(_.isInstanceOf[UnresolvedStar]))
+        val names = list.flatMap {
+          case _: UnresolvedStar => df.columns.slice(
+            list.takeWhile(!_.isInstanceOf[UnresolvedStar]).length,
+            list.takeWhile(!_.isInstanceOf[UnresolvedStar]).length + starWidth).toSeq
+          case a: Alias => Seq(a.name)
+          case a: UnresolvedAttribute => Seq(a.nameParts.last)
+          case UnresolvedAlias(child, _) => Seq(deriveName(child))
+          case other => Seq(deriveName(other))
+        }
+        if (names.length == width) df.toDF(names: _*) else df
+      case _ => df
+    }
+  }
+
   /** SQL-callable helpers the rewrites target. */
   def ensureHelpers(spark: SparkSession): Unit = {
     // the reference dialect (like DuckDB/Postgres) reads "..." as an

@@ -385,6 +385,36 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Int]("lo") == 'a'.toInt)
   }
 
+  test("derivedAlias mirrors the reference's default names (alias.js)") {
+    // reference: src/expression/alias.js:11 — hosts round-trip unnamed
+    // projection columns through these exact derived names
+    assert(GraftSql.derivedAlias("a") == "a")
+    assert(GraftSql.derivedAlias("42") == "42")
+    assert(GraftSql.derivedAlias("a + b") == "a_+_b")
+    assert(GraftSql.derivedAlias("a - b * c") == "a_-_b_*_c")
+    assert(GraftSql.derivedAlias("COUNT(*)") == "count_all")
+    assert(GraftSql.derivedAlias("SUM(x)") == "sum_x")
+    assert(GraftSql.derivedAlias("coalesce(a, b, 0)") == "coalesce_a_b_0")
+    assert(GraftSql.derivedAlias("CAST(x AS INT)") == "x_as_int")
+    assert(GraftSql.derivedAlias("-x") == "-_x")
+    assert(GraftSql.derivedAlias("NOT flag") == "not_flag")
+    assert(GraftSql.derivedAlias("a AND b") == "a_and_b")
+    assert(GraftSql.derivedAlias("s.field") == "field")
+    assert(GraftSql.derivedAlias("arr[1]") == "arr[1]")
+    assert(GraftSql.derivedAlias("upper(lower(name))") == "upper_lower_name")
+  }
+
+  test("sqlDerived applies derived names to unaliased projections only") {
+    Seq((1L, 2L, "x"), (3L, 4L, "y")).toDF("a", "b", "s")
+      .createOrReplaceTempView("da_t")
+    val df = GraftSql.sqlDerived(spark,
+      "SELECT a, a + b, COUNT(*) OVER () , b AS kept, SUM(a) FROM da_t GROUP BY a, b, s")
+    assert(df.columns.toSeq == Seq("a", "a_+_b", "count", "kept", "sum_a"))
+    // a star keeps Spark's expansion; trailing derived item still renames
+    val star = GraftSql.sqlDerived(spark, "SELECT *, a + b FROM da_t")
+    assert(star.columns.toSeq == Seq("a", "b", "s", "a_+_b"))
+  }
+
   test("double-quoted identifiers select dotted columns, not string literals") {
     // reference: test/execute/execute.dot.test.js — "user.name" is the
     // COLUMN named user.name, never the nested field and never a string
