@@ -139,14 +139,77 @@ object TextOps {
     * `was_truncated`. Narrow, codegen'd, no shuffle.
     */
   def truncateTokens(df: DataFrame, textCol: String, maxTokens: Int,
-                     out: String = "truncated_text"): DataFrame = {
+                     out: String = "truncated_text",
+                     counter: Option[String => String] = None): DataFrame = {
     require(maxTokens >= 1, "maxTokens must be >= 1")
+    counter match {
+      case None =>
+        df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+          .withColumn(out, expr(s"array_join(slice(_tk, 1, $maxTokens), ' ')"))
+          .withColumn("n_tokens_kept",
+            expr(s"CAST(least(size(_tk), $maxTokens) AS BIGINT)"))
+          .withColumn("was_truncated", expr(s"size(_tk) > $maxTokens"))
+          .drop("_tk")
+      case Some(cn) =>
+        // tokenizer-exact budget: `cn(tokArrayExpr)` yields the aligned
+        // ARRAY<BIGINT> per-word token costs (e.g. [[Bpe
+        // .countsArraySparkSql]]); keep the longest word PREFIX whose
+        // cost sum fits. Words stay whole — a real context budget cuts
+        // at a token boundary inside a word only at the tokenizer
+        // layer, not the corpus layer. n_tokens_kept reports TOKENIZER
+        // tokens (the budget's own unit), not words.
+        df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+          .withColumn("_c", expr(cn("_tk")))
+          .withColumn("_cut", expr(
+            s"aggregate(IF(size(_tk) = 0, CAST(array() AS ARRAY<INT>), sequence(1, size(_tk))), " +
+              "named_struct('cum', CAST(0 AS BIGINT), 'k', 0, 'stop', false), " +
+              s"(s, i) -> CASE WHEN s.stop OR s.cum + element_at(_c, i) > $maxTokens " +
+              "THEN named_struct('cum', s.cum, 'k', s.k, 'stop', true) " +
+              "ELSE named_struct('cum', s.cum + element_at(_c, i), 'k', s.k + 1, 'stop', false) END)"))
+          .withColumn(out, expr("array_join(slice(_tk, 1, _cut.k), ' ')"))
+          .withColumn("n_tokens_kept", expr("_cut.cum"))
+          .withColumn("was_truncated", expr("_cut.k < size(_tk)"))
+          .drop("_tk", "_c", "_cut")
+    }
+  }
+
+  /** Greedy budget-bounded chunking under a pluggable token counter —
+    * [[chunkByTokens]]'s tokenizer-exact sibling: words pack left to
+    * right into the current chunk while its cost stays ≤ `budget`
+    * (costs from `counter(tokArrayExpr)`, default 1 per word = plain
+    * word windows); overflow starts a new chunk; a single word costlier
+    * than the whole budget still gets its own chunk (progress is
+    * guaranteed, oversize is VISIBLE via n_budget_tokens > budget, not
+    * silently split mid-word). Adds `chunk_id`, `chunk`, `n_words`,
+    * `n_budget_tokens`; docs with no tokens emit no chunks. Narrow
+    * per-row walk — no shuffle, same scale shape as [[chunkByTokens]].
+    */
+  def chunkByBudget(df: DataFrame, textCol: String, budget: Long,
+                    counter: String => String =
+                      tk => s"transform($tk, _x -> CAST(1 AS BIGINT))"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
     df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
-      .withColumn(out, expr(s"array_join(slice(_tk, 1, $maxTokens), ' ')"))
-      .withColumn("n_tokens_kept",
-        expr(s"CAST(least(size(_tk), $maxTokens) AS BIGINT)"))
-      .withColumn("was_truncated", expr(s"size(_tk) > $maxTokens"))
-      .drop("_tk")
+      .withColumn("_c", expr(counter("_tk")))
+      .withColumn("_chs", expr(
+        s"""aggregate(
+           |  IF(size(_tk) = 0, CAST(array() AS ARRAY<INT>), sequence(1, size(_tk))),
+           |  named_struct('chs', CAST(array() AS ARRAY<ARRAY<STRING>>), 'cum', CAST(0 AS BIGINT)),
+           |  (s, i) -> CASE
+           |    WHEN size(s.chs) = 0 OR s.cum + element_at(_c, i) > $budget THEN
+           |      named_struct('chs', concat(s.chs, array(array(element_at(_tk, i)))),
+           |        'cum', element_at(_c, i))
+           |    ELSE
+           |      named_struct('chs', concat(slice(s.chs, 1, size(s.chs) - 1),
+           |          array(concat(element_at(s.chs, -1), array(element_at(_tk, i))))),
+           |        'cum', s.cum + element_at(_c, i))
+           |  END,
+           |  s -> s.chs)""".stripMargin))
+      .select(col("*"), posexplode(col("_chs")).as(Seq("chunk_id", "_ch")))
+      .withColumn("chunk", expr("array_join(_ch, ' ')"))
+      .withColumn("n_words", expr("CAST(size(_ch) AS BIGINT)"))
+      .withColumn("n_budget_tokens", expr(
+        s"aggregate(${counter("_ch")}, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .drop("_tk", "_c", "_chs", "_ch")
   }
 
   /** Bigram language-model counts: c(w1,w2) per adjacent token pair and

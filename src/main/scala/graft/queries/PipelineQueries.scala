@@ -1092,6 +1092,29 @@ object PipelineQueries {
           .limit(40)
     },
 
+    // ---- Tokenizer-exact BPE token counts (Bpe.bpeTokenCounts) ----------
+    // a REAL merge-table BPE (trained deterministically from a fixed
+    // seed corpus at object init, 60 integer ranks) counted identically
+    // in both engines: the merge table is replicated into the oracle as
+    // the same generated nested-replace SQL the Spark side runs. Spark
+    // pays the encoder once per DISTINCT word (broadcast dictionary);
+    // the oracle encodes per occurrence — same function, same counts
+    QueryDef("q_text_bpe_exact", {
+      import graft.operators.Bpe
+      s"""WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(l) AS w FROM tk),
+        |c AS (SELECT doc_id, ${Bpe.countSql(Bpe.delimitDuckSql("w"))} AS n FROM w)
+        |SELECT t.doc_id, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_bpe_exact
+        |FROM tk t LEFT JOIN c ON t.doc_id = c.doc_id
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    }) {
+      (s, dir) =>
+        graft.operators.Bpe.bpeTokenCounts(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
     // ---- Exact maximal duplicated spans (TextOps.duplicateSpans) --------
     // Lee et al. span dedup: every k-gram occurring >= 2 times seeds a
     // position; consecutive duplicated positions chain (gaps-and-islands)

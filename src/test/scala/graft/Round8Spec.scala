@@ -60,6 +60,58 @@ class Round8Spec extends SparkSpec {
     assert(got.forall(_._4 == 12L))
   }
 
+  test("BPE: generated SQL encoder == the driver-local reference encoder") {
+    import graft.operators.Bpe
+    assert(Bpe.merges.size == 60)
+    // every seed word, plus unseen words (novel adjacency) and edge cases
+    val words = Bpe.seedCorpus.map(_._1) ++ Seq("sparkle", "unseen", "z", "joinjoin")
+    val got = words.toDF("w")
+      .withColumn("n", expr(Bpe.countSql(Bpe.delimitSparkSql("w"))).cast("long"))
+      .as[(String, Long)].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == Bpe.encode(w).length.toLong,
+        s"$w: sql=${got(w)} local=${Bpe.encode(w)}")
+    }
+    // training compresses: seed words need fewer tokens than characters
+    assert(Bpe.encode("customer").length < "customer".length)
+  }
+
+  test("BPE counts drive the budget operators (truncate, chunk, tokenBudget)") {
+    import graft.operators.{Bpe, Sampling, TextOps}
+    val bpe: String => String = tk => Bpe.countsArraySparkSql(tk)
+    def cost(ws: String*) = ws.map(w => Bpe.encode(w).length.toLong).sum
+    val text = "customer filter window stream batch"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val words = text.split(' ').toSeq
+    // truncate: longest word prefix whose BPE cost fits the budget
+    val budget = cost(words.take(3): _*)
+    val t = TextOps.truncateTokens(docs, "text", budget.toInt, counter = Some(bpe))
+      .selectExpr("truncated_text", "n_tokens_kept", "was_truncated")
+      .as[(String, Long, Boolean)].head()
+    assert(t == ((words.take(3).mkString(" "), budget, true)))
+    // chunking: every chunk within budget, words preserved in order
+    val ch = TextOps.chunkByBudget(docs, "text", budget, counter = bpe)
+      .selectExpr("chunk_id", "chunk", "n_budget_tokens")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(ch.map(_._2).mkString(" ") == text)
+    assert(ch.forall(_._3 <= budget))
+    assert(ch.head._2 == words.take(3).mkString(" ")) // greedy fill
+    // an oversized single word still emits (visible, not split)
+    val big = TextOps.chunkByBudget(Seq((1L, "customer")).toDF("doc_id", "text"),
+        "text", budget = 1, counter = bpe)
+      .selectExpr("chunk", "n_budget_tokens").as[(String, Long)].collect()
+    assert(big.toSeq == Seq(("customer", cost("customer"))))
+    // tokenBudget consumes the exact counts column directly
+    val perDoc = Bpe.bpeTokenCounts(
+        Seq((1L, "customer"), (2L, "filter"), (3L, "window")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .withColumn("src", lit("s"))
+    val admitted = Sampling.tokenBudget(perDoc, keyCol = "src",
+      idCol = "doc_id", tokensCol = "n_bpe_exact", budget = cost("customer", "filter"))
+    // exact BPE costs gate admission: the budget fits some but not all
+    assert(admitted.count() >= 1 && admitted.count() < 3)
+  }
+
   test("stateful streaming ops run unchanged on the RocksDB state store") {
     // the default HDFS-backed store is memory-resident per key — at
     // 100 TB key spaces RocksDB is the scale path; behavior must be
