@@ -403,4 +403,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.toString.contains("rnk"),
       s"expected TopK rank filter in plan:\n${plan.toString.take(1500)}")
   }
+
+  test("round-8 operators: dup spans semi-join the hot set, BPE dictionary broadcasts") {
+    // duplicateSpans: the occurrence table must re-join the (tiny)
+    // duplicated-gram set as a SEMI join — an inner join would widen
+    // rows with the gram payload; and no cartesian anywhere
+    val spans = finalPlanOf("q_text_dup_spans")
+    assert(spans.contains("LeftSemi"), spans.take(1500))
+    assert(!spans.contains("CartesianProduct") && !spans.contains("BroadcastNestedLoop"),
+      spans.take(1500))
+    // bpeTokenCounts: occurrences take their counts from a BROADCAST of
+    // the distinct-word dictionary — the corpus side must not shuffle
+    // for the join (only the per-doc sum and the dictionary's own
+    // distinct may exchange)
+    val bpe = finalPlanOf("q_text_bpe_exact")
+    assert(bpe.contains("BroadcastHashJoin"), bpe.take(1500))
+  }
 }
