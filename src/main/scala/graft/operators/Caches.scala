@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Scoped lifetime for the caches operators create internally.
+  *
+  * Several operators persist intermediate frames they cannot unpersist
+  * themselves (the returned plan is still lazy — [[Dedup.minhashLsh]]'s
+  * band table, [[TextOps.repeatedWindows]]'s pair table,
+  * [[TextOps.duplicateSpans]]'s token table). A single query's session
+  * drops them at shutdown, but a long-lived session batching many
+  * corpora accumulates disk-tier cache (MEMORY_AND_DISK outlives memory
+  * pressure). Operators route those persists through [[track]];
+  * repeated-batch drivers call [[unpersistAll]] between corpora —
+  * releasing exactly the operator-internal caches without the
+  * sledgehammer of `spark.catalog.clearCache()` (which would also drop
+  * caches the CALLER owns).
+  */
+object Caches {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` and register it for [[unpersistAll]]. */
+  def track(df: DataFrame,
+            lvl: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    tracked.add(df)
+    df.persist(lvl)
+  }
+
+  /** Number of operator-internal caches currently registered. */
+  def trackedCount: Int = tracked.size()
+
+  /** Release every registered operator-internal cache. Non-blocking
+    * (executors drop blocks asynchronously); safe to call with queries
+    * over previously-returned lazy plans still unmaterialized — they
+    * recompute instead of reading the dropped cache.
+    */
+  def unpersistAll(): Unit = {
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = tracked.poll()
+    }
+  }
+}

@@ -157,9 +157,8 @@ object Dedup {
                              idCol: String, textCol: String,
                              k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
                              maxBucket: Int = 100000): DataFrame = {
-    val cand = candidatesAgainstBands(newDf, corpusBands, idCol, textCol,
-        k, bands, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Caches.track(candidatesAgainstBands(newDf, corpusBands,
+      idCol, textCol, k, bands, maxBucket))
     val newSh = shingleTable(newDf, idCol, textCol)
     val hitIds = cand.select(col("corpus_id").as(idCol)).distinct()
     val corpusSh = shingleTable(
@@ -191,7 +190,7 @@ object Dedup {
     // spark.catalog.clearCache() between them — or save bandTable() to
     // storage and skip recomputation entirely.
     val rawBands = sigBands(shingled, idCol, k, bands)
-    rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caches.track(rawBands)
     val bandsDf = capBuckets(rawBands, maxBucket)
     val cand = bandsDf.as("a").hint("shuffle_merge")
       .join(bandsDf.as("b"),
@@ -223,9 +222,7 @@ object Dedup {
     val corpusSh = shingleTable(corpusDf, idCol, textCol)
     val newBands = sigBands(newSh, idCol, k, bands)
     val corpusBands = capBuckets(
-      sigBands(corpusSh, idCol, k, bands)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      maxBucket)
+      Caches.track(sigBands(corpusSh, idCol, k, bands)), maxBucket)
     val cand = newBands.as("n")
       .join(corpusBands.as("c"), expr("n.band = c.band AND n.bkey = c.bkey"))
       .selectExpr(s"n.$idCol AS new_id", s"c.$idCol AS corpus_id")
@@ -274,8 +271,7 @@ object Dedup {
     // the groupBy+semi-join runs once (at corpus scale: checkpoint)
     val exactKept =
       if (assumeExactDeduped) df
-      else dropExact(df, Seq(textCol), idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else Caches.track(dropExact(df, Seq(textCol), idCol))
     val losers = minhashLsh(exactKept, idCol, textCol, k, bands, threshold)
       .select(col("b_id").as(idCol)).distinct()
     exactKept.join(losers, Seq(idCol), "left_anti")
@@ -384,8 +380,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8,
                        maxDf: Int = 1000): DataFrame = {
-    val g = TextOps.ngramHashes(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = Caches.track(TextOps.ngramHashes(df, idCol, textCol, n))
     val sizes = g.groupBy(idCol).agg(count(lit(1)).as("_a_grams"))
     val rareGrams = g.groupBy("gram_hash").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select("gram_hash")
@@ -448,7 +443,7 @@ object Dedup {
     // persist the PRE-cap band table (see minhashLsh for the read count
     // and the cache-lifetime caveat)
     val rawBands = hashed.selectExpr(idCol, s"stack($bands, $bandExprs) AS (band, bkey)")
-    rawBands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caches.track(rawBands)
     val banded = capBuckets(rawBands, maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),

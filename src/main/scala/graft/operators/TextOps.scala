@@ -660,7 +660,7 @@ object TextOps {
                       exampleK: Int = 3): DataFrame = {
     require(w >= 2, "window must span at least 2 tokens")
     require(minDocs >= 2, "a repeat needs at least 2 docs")
-    val pairs = df
+    val pairs0 = df
       .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
       // sequence(1, 0) would generate DESCENDING [1, 0] — guard short docs
       .withColumn("win", explode(expr(
@@ -669,11 +669,11 @@ object TextOps {
           "CAST(array() AS ARRAY<STRING>))")))
       .select(col(idCol), col("win"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = pairs.groupBy("win")
+    val pairsCached = Caches.track(pairs0)
+    val counts = pairsCached.groupBy("win")
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    val hotPairs = pairs.join(counts.select("win"), Seq("win"), "left_semi")
+    val hotPairs = pairsCached.join(counts.select("win"), Seq("win"), "left_semi")
     val examples = TopK.perKey(hotPairs, Seq("win"), Seq(col(idCol)), exampleK)
       .groupBy("win")
       .agg(to_json(sort_array(collect_list(col(idCol)))).as("example_ids"))
@@ -717,12 +717,12 @@ object TextOps {
                      minCount: Int = 2): DataFrame = {
     require(k >= 2, "seed gram must span at least 2 tokens")
     require(minCount >= 2, "a duplicate needs at least 2 occurrences")
-    val tk = df
+    val tk0 = df
       .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
       .filter(expr(s"size(_tk) >= $k"))
       .select(col(idCol), col("_tk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val occ = tk.select(col(idCol), explode(expr(
+    val tkCached = Caches.track(tk0)
+    val occ = tkCached.select(col(idCol), explode(expr(
         s"transform(sequence(0, size(_tk) - $k), " +
           s"i -> named_struct('pos', CAST(i AS BIGINT), 'g', array_join(slice(_tk, i + 1, $k), ' ')))"))
         .as("o"))
@@ -740,7 +740,7 @@ object TextOps {
       .agg(min("pos").as("start_tok"),
         (max("pos") + lit(k.toLong)).as("end_tok"))
       .filter(col("end_tok") - col("start_tok") >= math.max(minTokens, k).toLong)
-    spans.join(tk, idCol)
+    spans.join(tkCached, idCol)
       .select(col(idCol), col("start_tok"), col("end_tok"),
         (col("end_tok") - col("start_tok")).as("n_tokens"),
         expr("array_join(slice(_tk, CAST(start_tok AS INT) + 1, " +

@@ -172,6 +172,20 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("operator-internal caches are tracked and released by Caches.unpersistAll") {
+    import graft.operators.{Caches, Dedup, TextOps}
+    Caches.unpersistAll() // other suites may have left tracked caches
+    assert(Caches.trackedCount == 0)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    Dedup.minhashLsh(docs, "doc_id", "text").count()
+    TextOps.duplicateSpans(docs, "doc_id", "text", k = 3).count()
+    assert(Caches.trackedCount > 0)
+    Caches.unpersistAll()
+    assert(Caches.trackedCount == 0)
+  }
+
   test("CBO: catalog statistics drive the broadcast decision with AQE OFF") {
     // the plans must survive where AQE's runtime stats are unavailable
     // (first stage of a cold cluster, non-adaptive engines downstream):
