@@ -62,7 +62,9 @@ object PlanDump {
     "q_tpch_q21" -> "TPC-H Q21: EXISTS → LeftSemi and NOT EXISTS → LeftAnti hash joins on the order key with the supplier inequality as residual — never row-by-row",
     "q_tpch_q2" -> "TPC-H Q2: broadcast part filter prunes lineitem BEFORE the pair-dedup shuffle; correlated min-cost-per-part is a window over the partition the pairs already have",
     "q_embed_drift" -> "embedding drift: ONE scan + posexplode with per-snapshot conditional sums (a filtered-twice join would scan twice and drop one-parity labels)",
-    "q_psi" -> "population stability index: one grouped count aggregate + a 7-row fold — only bin counts cross the wire")
+    "q_psi" -> "population stability index: one grouped count aggregate + a 7-row fold — only bin counts cross the wire",
+    "q_text_dup_spans" -> "maximal dup spans: exact-gram count partial-combines, occurrences LEFT SEMI the hot duplicated set, per-doc island window, ONE join back for span text — no cartesian, no suffix array",
+    "q_text_bpe_exact" -> "tokenizer-exact BPE: the nested-replace encoder runs once per DISTINCT word, occurrences take a BROADCAST dictionary join, corpus moves only into the per-doc partial+final sum")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)
