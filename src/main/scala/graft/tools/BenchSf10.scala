@@ -101,6 +101,18 @@ object BenchSf10 {
     pairs.unpersist()
     println(s"[sf10] $dir dedup: pairs=$nPairs kept=$nKept clustered=$nClust")
 
+    // round-8 operators at scale: exact maximal dup spans (the planted
+    // ~10% document duplicates give every sf real span work) and the
+    // dictionary-encoded BPE token counting
+    val (tSpans, nSpans) = time(
+      graft.operators.TextOps.duplicateSpans(docs, "doc_id", "text",
+        k = 6, minTokens = 8).count())
+    out += "text_dup_spans" -> r3(tSpans)
+    val (tBpe, nBpe) = time(
+      graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text").count())
+    out += "bpe_token_counts" -> r3(tBpe)
+    println(s"[sf10] $dir spans=$nSpans bpe_docs=$nBpe")
+
     // IVF-PQ: sample-trained coarse cells + codebook (pure functions of
     // vec_id), corpus assigned via broadcast argmin — corpus never
     // shuffles; probe prunes to nprobe/kCells; ADC via broadcast LUT.
