@@ -75,11 +75,21 @@ object BenchSf10 {
   }
   private def r3(d: Double): Double = math.round(d * 1000) / 1000.0
 
+  /** Which sweep sections run — env `SPARK_GRAFT_PHASES` (comma list of
+    * tpch,dedup,spans,bpe,ann; default all). Lets an sf100-scale run
+    * skip the training-dominated ANN phase (already measured at sf10 —
+    * its cost is kmeans+PQ training, which the frozen-codebook
+    * streaming design amortizes anyway) without forking the tool.
+    */
+  private val phases: Set[String] =
+    sys.env.getOrElse("SPARK_GRAFT_PHASES", "tpch,dedup,spans,bpe,ann")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
   /** One full phase sweep against `dir`; returns (name -> seconds). */
   private def sweep(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{Dedup, TopK, Vectors}
     val out = mutable.ArrayBuffer[(String, Double)]()
-    for (i <- 1 to 22) {
+    if (phases("tpch")) for (i <- 1 to 22) {
       val name = s"q_tpch_q$i"
       val (secs, _) = time {
         graft.SparkEntry.queries(name)(spark, dir)
@@ -88,35 +98,45 @@ object BenchSf10 {
       out += name -> r3(secs)
     }
     val docs = graft.sources.Tables(spark, dir, "documents")
-    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (tPairs, nPairs) = time(pairs.count())
-    out += "dedup_minhash_pairs" -> r3(tPairs)
-    val (tDrop, nKept) = time(
-      Dedup.dropNearDuplicates(docs, "doc_id", "text").count())
-    out += "dedup_drop" -> r3(tDrop)
-    val (tClust, nClust) = time(
-      Dedup.duplicateClusters(pairs.select("a_id", "b_id")).count())
-    out += "dedup_clusters" -> r3(tClust)
-    pairs.unpersist()
-    println(s"[sf10] $dir dedup: pairs=$nPairs kept=$nKept clustered=$nClust")
+    if (phases("dedup")) {
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (tPairs, nPairs) = time(pairs.count())
+      out += "dedup_minhash_pairs" -> r3(tPairs)
+      val (tDrop, nKept) = time(
+        Dedup.dropNearDuplicates(docs, "doc_id", "text").count())
+      out += "dedup_drop" -> r3(tDrop)
+      val (tClust, nClust) = time(
+        Dedup.duplicateClusters(pairs.select("a_id", "b_id")).count())
+      out += "dedup_clusters" -> r3(tClust)
+      pairs.unpersist()
+      graft.operators.Caches.unpersistAll()
+      println(s"[sf10] $dir dedup: pairs=$nPairs kept=$nKept clustered=$nClust")
+    }
 
     // round-8 operators at scale: exact maximal dup spans (the planted
     // ~10% document duplicates give every sf real span work) and the
     // dictionary-encoded BPE token counting
-    val (tSpans, nSpans) = time(
-      graft.operators.TextOps.duplicateSpans(docs, "doc_id", "text",
-        k = 6, minTokens = 8).count())
-    out += "text_dup_spans" -> r3(tSpans)
-    val (tBpe, nBpe) = time(
-      graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text").count())
-    out += "bpe_token_counts" -> r3(tBpe)
-    println(s"[sf10] $dir spans=$nSpans bpe_docs=$nBpe")
+    if (phases("spans")) {
+      val (tSpans, nSpans) = time(
+        graft.operators.TextOps.duplicateSpans(docs, "doc_id", "text",
+          k = 6, minTokens = 8).count())
+      out += "text_dup_spans" -> r3(tSpans)
+      graft.operators.Caches.unpersistAll()
+      println(s"[sf10] $dir spans=$nSpans")
+    }
+    if (phases("bpe")) {
+      val (tBpe, nBpe) = time(
+        graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text").count())
+      out += "bpe_token_counts" -> r3(tBpe)
+      println(s"[sf10] $dir bpe_docs=$nBpe")
+    }
 
     // IVF-PQ: sample-trained coarse cells + codebook (pure functions of
     // vec_id), corpus assigned via broadcast argmin — corpus never
     // shuffles; probe prunes to nprobe/kCells; ADC via broadcast LUT.
     val emb = graft.sources.Tables(spark, dir, "embeddings")
+    if (phases("ann")) {
     val (tAnn, nAnn) = time {
       val kCells = 16
       val sample = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
@@ -155,6 +175,7 @@ object BenchSf10 {
     }
     out += "ann_ivfpq" -> r3(tAnn)
     println(s"[sf10] $dir ann rows=$nAnn")
+    }
     out.toSeq
   }
 
