@@ -456,4 +456,26 @@ object Dedup {
       .selectExpr("a_id", "b_id", "graft_dot(ea, eb) / (na * nb) AS cosine")
       .filter(col("cosine") >= threshold)
   }
+
+  /** Canonical-document selection per duplicate cluster: given
+    * [[duplicateClusters]] output `(id, cluster)` and per-document
+    * metadata, keep the member with the highest `scoreCol` (ties → the
+    * lowest id) as the cluster's representative — the "keep the best
+    * copy" policy real corpus dedup applies instead of keep-lowest-id.
+    * Returns one row per cluster: (cluster, n_members, rep_id,
+    * rep_score).
+    *
+    * Scale shape: one equi-join on id, then a partial-aggregated groupBy
+    * per cluster whose state is a single (score, id) struct — the argmax
+    * rides map-side combine, so a pathological million-member cluster
+    * costs one struct per map task, never a buffered member list.
+    */
+  def representatives(clusters: DataFrame, meta: DataFrame,
+                      idCol: String, scoreCol: String): DataFrame =
+    clusters.join(meta.select(col(idCol).as("id"), col(scoreCol).as("_sc")), Seq("id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("_sc")).as("ns"), col("id").as("rid"))).as("_m"))
+      .select(col("cluster"), col("n_members"),
+        col("_m.rid").as("rep_id"), (-col("_m.ns")).as("rep_score"))
 }

@@ -234,4 +234,36 @@ object Sampling {
         df.withColumn("_skh", expr(s"graft_hash60(CAST($idCol AS STRING))")),
         keyCols, Seq(org.apache.spark.sql.functions.col("_skh").asc), k)
       .drop("_skh")
+
+  /** Temperature-scaled source mixture (the multilingual/multi-corpus
+    * sampling rule of mBERT/XLM-R/PaLM: p_i ∝ n_i^α flattens the source
+    * distribution so head corpora stop drowning the tail). α is fixed at
+    * 0.5 — the exponent becomes `sqrt`, the ONE power both engines
+    * round identically (IEEE-correctly), keeping the weights
+    * oracle-checkable bit-for-bit. Per stratum:
+    *  - `n_tokens`  — the stratum's token mass,
+    *  - `weight`    — sqrt(n_i) / Σ sqrt(n_j), rounded 1e-6,
+    *  - `expected_tokens` — the stratum's share of `budget`,
+    *  - `epochs`    — expected_tokens / n_tokens (>1 ⇒ the tail corpus
+    *    repeats; the number a data-mixture plan is sanity-checked on).
+    *
+    * Scale shape: one partial-aggregated groupBy to |strata| rows, then
+    * a broadcast of the single normalization scalar — the 100 TB corpus
+    * is touched exactly once, map-side combined.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String, tokensCol: String,
+                         budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val per = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+    val z = per.groupBy().agg(sum(expr("sqrt(n_tokens)")).as("_z"))
+    per.crossJoin(broadcast(z))
+      .select(col(strataCol),
+        col("n_tokens"),
+        expr("round(sqrt(n_tokens) / _z, 6)").as("weight"),
+        expr(s"CAST(round($budget * (sqrt(n_tokens) / _z)) AS BIGINT)")
+          .as("expected_tokens"),
+        expr(s"round(CAST(round($budget * (sqrt(n_tokens) / _z)) AS BIGINT) " +
+          "/ CAST(n_tokens AS DOUBLE), 6)").as("epochs"))
+  }
 }

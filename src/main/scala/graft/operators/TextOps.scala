@@ -746,4 +746,82 @@ object TextOps {
         expr("array_join(slice(_tk, CAST(start_tok AS INT) + 1, " +
           "CAST(end_tok - start_tok AS INT)), ' ')").as("span"))
   }
+
+  /** Gopher-style repetition/quality rule battery (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 — the standard pre-training
+    * quality filter), token-adapted: per document,
+    *  - `top_trigram_frac`: fraction of tokens covered by the single
+    *    most frequent trigram (top count × 3 / n_tok),
+    *  - `dup_5gram_frac`: fraction of tokens inside duplicated 5-grams
+    *    ((occurrences − distinct) × 5 / n_tok, capped at 1),
+    *  - `mean_word_len` and `alpha_frac` (fraction of purely-alphabetic
+    *    tokens) — the "symbol soup" rules.
+    * Complements [[repetitionSignals]] (which covers token TTR and the
+    * top bigram run) with the higher-order n-gram rules real corpus
+    * filters gate on.
+    *
+    * Scale shape: one narrow projection — n-gram arrays, the sorted
+    * run-length top count, and the distinct count are all per-row
+    * higher-order functions. No shuffle, no explode; cost is bounded by
+    * text bytes scanned, so the operator rides the parquet scan at any
+    * corpus size.
+    */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams(n: Int) = {
+      val parts = (0 until n).map(o => s"element_at(_tk, i + $o)").mkString(", ")
+      s"IF(size(_tk) < $n, array(), " +
+        s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', $parts)))"
+    }
+    val d = df
+      .withColumn("_tk", expr(tokensExpr(textCol)))
+      .withColumn("_s3", expr(s"array_sort(${grams(3)})"))
+      // run-length encode the sorted trigrams: starts = positions whose
+      // value differs from the previous; the max start-to-start gap is
+      // the top trigram's occurrence count (same trick as
+      // repetitionSignals — identical to the oracle's GROUP BY max)
+      .withColumn("_st", expr(
+        "IF(size(_s3) = 0, array(), " +
+          "filter(sequence(1, size(_s3)), i -> i = 1 OR element_at(_s3, i) != element_at(_s3, i - 1)))"))
+      .withColumn("_top3", expr(
+        "IF(size(_s3) = 0, CAST(0 AS BIGINT), CAST(array_max(zip_with(_st, " +
+          "concat(slice(_st, 2, size(_st) - 1), array(size(_s3) + 1)), " +
+          "(a, b) -> b - a)) AS BIGINT))"))
+      .withColumn("_g5", expr(grams(5)))
+    d.select(col(idCol),
+      expr("CAST(size(_tk) AS BIGINT)").as("n_tok"),
+      expr("round(CAST(_top3 * 3 AS DOUBLE) / size(_tk), 6)").as("top_trigram_frac"),
+      expr("round(least(CAST(1 AS DOUBLE), " +
+        "CAST((size(_g5) - size(array_distinct(_g5))) * 5 AS DOUBLE) / size(_tk)), 6)")
+        .as("dup_5gram_frac"),
+      expr("round(aggregate(_tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) " +
+        "/ CAST(size(_tk) AS DOUBLE), 6)").as("mean_word_len"),
+      expr("round(CAST(size(filter(_tk, t -> t rlike '^[a-z]+$')) AS DOUBLE) " +
+        "/ size(_tk), 6)").as("alpha_frac"))
+  }
+
+  /** Feature-hashed bag-of-words embedding (hashing trick, Weinberger
+    * et al. 2009): each token hashes to one of `dims` buckets via the
+    * shared 60-bit hash, with a deterministic ±1 sign from the next hash
+    * bit; the embedding is the per-bucket signed count. Integer-exact —
+    * the vector is reproducible bit-for-bit across engines and
+    * partitionings, so downstream dedup/ANN built on it stays
+    * oracle-checkable. Adds `hemb` (ARRAY<BIGINT>, length `dims`).
+    *
+    * Scale shape: the base hash is computed ONCE per token into a
+    * per-row array; the `dims` bucket sums are then pure in-row
+    * arithmetic. Narrow projection, no shuffle, no vocabulary state —
+    * the property that makes the hashing trick THE embedding you can
+    * compute inside a 100 TB scan without a model server.
+    */
+  def hashEmbed(df: DataFrame, textCol: String, dims: Int = 16): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    df.withColumn("_hv", expr(
+        s"transform(${tokensExpr(textCol)}, t -> graft_hash60(t))"))
+      .withColumn("hemb", expr(
+        s"transform(sequence(0, ${dims - 1}), j -> " +
+          s"aggregate(filter(_hv, h -> h % $dims = j), CAST(0 AS BIGINT), " +
+          s"(acc, h) -> acc + IF((h div $dims) % 2 = 0, " +
+          "CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))"))
+      .drop("_hv")
+  }
 }

@@ -405,4 +405,108 @@ object Vectors {
         expr("transform(array_sort(collect_list(struct(pos, ssum))), x -> x.ssum)")
           .as("sums"))
   }
+
+  /** Coarse-cell assignment against a `(cid, ce)` centroid table: adds
+    * `cell` = the centroid with minimal integer squared distance (ties →
+    * lowest cid). The centroid set collapses to ONE broadcast row, so
+    * assignment is a narrow per-row argmin — the corpus never shuffles.
+    */
+  def assignCells(df: DataFrame, embCol: String, cells: DataFrame,
+                  dims: Int, scale: Long = 1000000L,
+                  offset: Long = 1000000L, op: String = "assignCells"): DataFrame = {
+    val seedRow = cells.groupBy().agg(
+      sort_array(collect_list(struct(col("cid"), col("ce")))).as("_seeds"))
+    val fdist = "aggregate(zip_with(_qe, s.ce, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    df.crossJoin(broadcast(seedRow))
+      .withColumn("_qe", expr(microQuantExpr(embCol, dims, scale, offset, op)))
+      .withColumn("cell", expr(
+        s"array_min(transform(_seeds, s -> named_struct('d', $fdist, 'cid', s.cid))).cid"))
+      .drop("_seeds", "_qe")
+  }
+
+  /** Probe list: for each query, its `nprobe` nearest cells (rank order,
+    * ties → lowest cid). Returns (qid, cell) — tiny, broadcast it.
+    */
+  private def probeCells(queries: DataFrame, qidCol: String, embCol: String,
+                         cells: DataFrame, nprobe: Int, dims: Int,
+                         scale: Long, offset: Long, op: String): DataFrame = {
+    val seedRow = cells.groupBy().agg(
+      sort_array(collect_list(struct(col("cid"), col("ce")))).as("_seeds"))
+    val fdist = "aggregate(zip_with(_qe, s.ce, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    queries.select(col(qidCol).as("qid"), col(embCol).as("_qemb"))
+      .crossJoin(broadcast(seedRow))
+      .withColumn("_qe", expr(microQuantExpr("_qemb", dims, scale, offset, op)))
+      .withColumn("cell", explode(expr(
+        s"transform(slice(array_sort(transform(_seeds, " +
+          s"s -> named_struct('d', $fdist, 'cid', s.cid))), 1, $nprobe), p -> p.cid)")))
+      .select("qid", "cell")
+  }
+
+  /** Materialize an IVF-PQ index on disk — the production read path
+    * where training cost is paid ONCE and amortized over every later
+    * search (the batch twin of the streaming
+    * [[graft.streaming.EventPipeline.annIngest]]). Layout under `path`:
+    *  - `cells/`    — the coarse centroids (cid, ce),
+    *  - `codebook/` — the PQ codebook (sub, cid, ce),
+    *  - `codes/`    — (id, pq_codes) PARTITIONED BY cell, so a search
+    *    probing nprobe of k cells prunes the scan to nprobe/k of the
+    *    corpus at the FILE level (partition pruning — at 100 TB the
+    *    difference between touching 2 directories and all of them).
+    * The whole index commits atomically ([[graft.sources.AtomicSwap]]):
+    * readers see the old index or the new one, never a mix.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                      cells: DataFrame, codebook: DataFrame, path: String,
+                      m: Int = 4, dims: Int = 64,
+                      scale: Long = 1000000L, offset: Long = 1000000L): Unit = {
+    val spark = corpus.sparkSession
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicSwap.recover(fs, live)
+    val staging = graft.sources.AtomicSwap.stagingOf(live)
+    cells.select("cid", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/cells")
+    codebook.select("sub", "cid", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/codebook")
+    val assigned = assignCells(corpus.select(col(idCol), col(embCol)),
+      embCol, cells, dims, scale, offset, "buildIvfPqIndex")
+    pqAssign(assigned, idCol, embCol, codebook, m, dims, scale, offset)
+      .select(col(idCol), col("cell"), col("pq_codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/codes")
+    graft.sources.AtomicSwap.commit(fs, live)
+  }
+
+  /** Search a [[buildIvfPqIndex]] index: probe each query's `nprobe`
+    * nearest cells, ADC-score only the code partitions of those cells,
+    * merge with [[TopK.perKey]]. Returns (qid, rnk, id, adc) with the
+    * same integer-exact ranking as [[pqAdcTopK]] restricted to the
+    * probed cells.
+    *
+    * Scale shape: the (qid, cell) probe table and the per-query LUTs
+    * broadcast; the codes scan joins on the PARTITION column `cell`, so
+    * dynamic partition pruning limits file reads to the probed cells;
+    * scoring is a narrow HOF over m lookups; the merge is partial
+    * per-partition top-k. The corpus codes never shuffle.
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, qidCol: String, embCol: String,
+                       k: Int, nprobe: Int = 2, m: Int = 4, dims: Int = 64,
+                       scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    val cells = spark.read.parquet(s"$path/cells")
+    val codebook = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val idCol = codes.columns.filterNot(Set("cell", "pq_codes")).head
+    val probed = probeCells(queries, qidCol, embCol, cells, nprobe, dims,
+      scale, offset, "searchIvfPqIndex")
+    val qlut = pqLut(queries, qidCol, embCol, codebook, m, dims,
+      scale, offset, "searchIvfPqIndex")
+    val scored = codes.join(broadcast(probed), "cell")
+      .join(broadcast(qlut), col("qid") === col("_qid"))
+      .withColumn("adc", expr(adcExpr("pq_codes", m)))
+      .select(col("qid"), col(idCol), col("adc"))
+    TopK.perKey(scored, Seq("qid"), Seq(col("adc").asc, col(idCol).asc), k)
+  }
 }

@@ -1537,6 +1537,139 @@ object PipelineQueries {
           .select("doc_id", "source", "n_tok", "cum_tokens")
           .orderBy("doc_id")
       }
+    },
+
+    // ---- Gopher repetition/quality rules (operator TextOps.gopherSignals)
+    // Rae et al. 2021 §A1.1 token-adapted: top-trigram coverage,
+    // duplicated-5-gram coverage, mean word length, alphabetic-token
+    // fraction. Narrow per-row HOFs on the Spark side; the oracle
+    // recomputes the same counts via unnest + GROUP BY.
+    QueryDef("q_text_gopher", {
+      def gD(n: Int) = {
+        val parts = (0 until n).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
+        s"CASE WHEN len(tk) >= $n THEN list_transform(range(1, len(tk) - ${n - 2}), i -> $parts) ELSE [] END"
+      }
+      s"""WITH t AS (SELECT doc_id, $toksD AS tk FROM documents),
+         |base AS (SELECT doc_id, len(tk) AS n_tok,
+         |  CAST(list_sum(list_transform(tk, s -> CAST(length(s) AS BIGINT))) AS BIGINT) AS sumlen,
+         |  len(list_filter(tk, s -> regexp_full_match(s, '[a-z]+'))) AS n_alpha,
+         |  ${gD(3)} AS g3, ${gD(5)} AS g5
+         |  FROM t),
+         |top3 AS (SELECT doc_id, max(c) AS topc FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM (
+         |      SELECT doc_id, unnest(g3) AS g FROM base) GROUP BY doc_id, g)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+         |  round(coalesce(t3.topc, 0) * 3.0 / b.n_tok, 6) AS top_trigram_frac,
+         |  round(least(1.0, (len(g5) - len(list_distinct(g5))) * 5.0 / b.n_tok), 6)
+         |    AS dup_5gram_frac,
+         |  round(CAST(sumlen AS DOUBLE) / b.n_tok, 6) AS mean_word_len,
+         |  round(CAST(n_alpha AS DOUBLE) / b.n_tok, 6) AS alpha_frac
+         |FROM base b LEFT JOIN top3 t3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.TextOps.gopherSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- Feature-hashed embedding (operator TextOps.hashEmbed) ---------
+    // the hashing-trick bag-of-words vector: integer-exact, stateless,
+    // computable inside the scan — verified element-for-element.
+    QueryDef("q_text_hash_embed",
+      s"""WITH t AS (SELECT doc_id,
+         |    list_transform($toksD, t -> ${h60d("t")}) AS hv
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT doc_id, list_transform(range(0, 16), j ->
+         |  CAST(coalesce(list_sum(list_transform(list_filter(hv, h -> h % 16 = j),
+         |    h -> CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)), 0) AS BIGINT)) AS hemb
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextOps.hashEmbed(
+          docs(s, dir).filter(col("doc_id") < 200), "text", dims = 16)
+        .select("doc_id", "hemb")
+        .orderBy("doc_id")
+    },
+
+    // ---- Cluster representatives (operator Dedup.representatives) ------
+    // keep-the-best-copy dedup policy: per duplicate cluster, the member
+    // with max n_chars (ties → lowest id). The oracle replays the full
+    // LSH → verify → connected-components pipeline in SQL, then picks
+    // the same argmax.
+    QueryDef("q_dedup_representative", {
+      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $toksD AS tk FROM documents
+         |), shl AS (
+         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+         |), sig AS (
+         |  SELECT doc_id, $sigs FROM (SELECT doc_id, $hsD AS hs FROM shl)
+         |), bands AS (
+         |  $bandSel
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN shl sa ON sa.doc_id = c.a_id
+         |  JOIN shl sb ON sb.doc_id = c.b_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src
+         |), j AS (
+         |  SELECT c.cluster, d.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |), r AS (
+         |  SELECT cluster, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS nm
+         |  FROM j)
+         |SELECT cluster, CAST(nm AS BIGINT) AS n_members,
+         |  doc_id AS rep_id, n_chars AS rep_score
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.minhashLsh(
+        d, "doc_id", "text", k = 8, bands = 4, threshold = 0.5)
+      val clusters = graft.operators.Dedup
+        .duplicateClusters(pairs.select("a_id", "b_id"))
+        .select("id", "cluster")
+      graft.operators.Dedup.representatives(clusters, d, "doc_id", "n_chars")
+        .select("cluster", "n_members", "rep_id", "rep_score")
+        .orderBy("cluster")
+    },
+
+    // ---- Temperature-scaled source mixture (Sampling.temperatureWeights)
+    // p_i ∝ sqrt(n_i): the α=0.5 multilingual-sampling rule, with
+    // per-source expected tokens and epoch counts under a 100k budget.
+    QueryDef("q_sample_temperature",
+      s"""WITH t AS (SELECT source, CAST(len($toksD) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY source),
+         |z AS (SELECT sum(sqrt(n_tokens)) AS _z FROM per)
+         |SELECT source, n_tokens,
+         |  round(sqrt(n_tokens) / _z, 6) AS weight,
+         |  CAST(round(100000 * (sqrt(n_tokens) / _z)) AS BIGINT) AS expected_tokens,
+         |  round(CAST(round(100000 * (sqrt(n_tokens) / _z)) AS BIGINT)
+         |    / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM per, z ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir).selectExpr("source",
+        s"CAST(size($toksS) AS BIGINT) AS n_tok")
+      graft.operators.Sampling.temperatureWeights(t, "source", "n_tok", 100000L)
+        .orderBy("source")
     }
   )
 }

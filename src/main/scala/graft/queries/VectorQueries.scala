@@ -601,7 +601,52 @@ object VectorQueries {
     // only joins are corpus.cell = probe.cell (equi, prunes to
     // ~nprobe/k_cells of the corpus) and the broadcast LUT; merge is
     // TopK.perKey.
-    QueryDef("q_ann_ivfpq", {
+    QueryDef("q_ann_ivfpq", ivfpqOracleSql) {
+      (s, dir) => ivfpqInMemory(s, dir)
+    },
+
+    // ---- IVF-PQ via the ON-DISK index (operator Vectors.buildIvfPqIndex /
+    // searchIvfPqIndex): the production read path — train once,
+    // materialize (cells, codebook, cell-partitioned codes) atomically,
+    // then serve searches off the index with partition pruning to the
+    // probed cells. Same seed convention and parameters as q_ann_ivfpq,
+    // so the round-trip through parquet must reproduce the in-memory
+    // ranking bit-for-bit — which is exactly what the shared oracle
+    // checks.
+    QueryDef("q_ann_indexed", ivfpqOracleSql) { (s, dir) =>
+      import graft.operators.Vectors
+      val emb = Tables(s, dir, "embeddings")
+      val seeds = emb.orderBy("vec_id").limit(4)
+        .selectExpr("vec_id",
+          Vectors.microQuantExpr(
+            "embedding", 64, 1000000L, 1000000L, "pq_seeds") + " AS qe")
+      val cells = seeds.selectExpr("vec_id AS cid", "qe AS ce")
+      val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub",
+          "vec_id AS cid", "slice(qe, 1, 32) AS ce")
+        .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
+          "vec_id AS cid", "slice(qe, 33, 32) AS ce"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_annidx").toString + "/index"
+      Vectors.buildIvfPqIndex(
+        emb.filter(col("vec_id") >= 5).select("vec_id", "embedding"),
+        "vec_id", "embedding", cells, codebook, path, m = 2, dims = 64)
+      Vectors.searchIvfPqIndex(s, path,
+          emb.filter(col("vec_id") < 5).select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 3, nprobe = 2, m = 2, dims = 64)
+        .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "adc")
+        .orderBy("qid", "rnk")
+    }
+  )
+
+  /** The shared IVF-PQ oracle: seed-convention cells + codebook (4
+    * lowest-id vectors), nprobe=2, k=3 — replicated end-to-end in
+    * DuckDB SQL. Used by BOTH q_ann_ivfpq (in-memory pipeline) and
+    * q_ann_indexed (on-disk index round-trip): the two paths must agree
+    * with the oracle AND therefore with each other.
+    */
+  // lazy: referenced from `all`, which is declared earlier in the file —
+  // a strict val here would still be null during `all`'s initialization
+  private lazy val ivfpqOracleSql: String = {
       def fd(a: String, b: String, dims: Int) =
         "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           s"list_transform(range(1, ${dims + 1}), " +
@@ -646,8 +691,12 @@ object VectorQueries {
          |  FROM adc)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vid AS vec_id, adc
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-    }) {
-      (s, dir) => {
+  }
+
+  /** The in-memory IVF-PQ pipeline behind q_ann_ivfpq (see the QueryDef
+    * comment above for the plan shape).
+    */
+  private def ivfpqInMemory(s: SparkSession, dir: String): DataFrame = {
         import graft.operators.{TopK, Vectors}
         val emb = Tables(s, dir, "embeddings")
         val seeds = emb.orderBy("vec_id").limit(4)
@@ -700,7 +749,5 @@ object VectorQueries {
         TopK.perKey(scored, Seq("qid"), Seq(col("adc").asc, col("vec_id").asc), 3)
           .selectExpr("qid", "CAST(rnk AS BIGINT) AS rnk", "vec_id", "adc")
           .orderBy("qid", "rnk")
-      }
-    }
-  )
+  }
 }

@@ -327,7 +327,15 @@ class PlanQualitySpec extends SparkSpec {
       // q_mutual_info — the q_chisq shape: the contingency table is one
       // persisted aggregated frame, and the N / mi6 / h*6 frames crossed
       // onto it are all ONE-ROW broadcast aggregates
-      "q_mutual_info")
+      "q_mutual_info",
+      // q_sample_temperature — 1-row broadcast normalization scalar
+      // (Σ sqrt(n_i)) crossed onto the |strata|-row aggregate (the
+      // q_agg_freq shape)
+      "q_sample_temperature",
+      // q_ann_indexed — the q_ann_ivfpq probe shape: queries × ONE-ROW
+      // broadcast seed-set row for cell ranking; the codes scan joins
+      // equi on the partition column
+      "q_ann_indexed")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
