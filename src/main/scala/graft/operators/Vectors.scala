@@ -53,15 +53,11 @@ object Vectors {
     * subspace, or a foreign codebook) fails LOUDLY with a named error —
     * under asc ordering a silent NULL distance would take rank 1.
     */
-  private[graft] def adcExpr(codesCol: String, m: Int): String = {
-    def hit(s: String) =
-      s"filter(_lut, t -> t.sub = $s AND t.cid = element_at($codesCol, $s + 1))"
-    s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (acc, s) -> " +
-      s"acc + IF(size(${hit("s")}) = 1, element_at(${hit("s")}, 1).d, " +
-      s"raise_error(concat('pqAdcTopK: no codebook entry for subspace ', " +
-      s"CAST(s AS STRING), ', code ', " +
-      s"coalesce(CAST(element_at($codesCol, s + 1) AS STRING), 'NULL')))))"
-  }
+  private[graft] def adcExpr(codesCol: String, m: Int): String =
+    // native one-pass LUT scan (IntVec.scala AdcSum) — same sum, same
+    // loud failure on a missing/NULL code, replacing a per-row
+    // double-filter over the LUT that dominated indexed-search time
+    s"graft_adc($codesCol, _lut)"
 
   /** Element-wise mean embedding per `labelCol` group.
     *
@@ -260,16 +256,14 @@ object Vectors {
                codebook: DataFrame, m: Int = 4, dims: Int = 64,
                scale: Long = 1000000L, offset: Long = 1000000L): DataFrame = {
     require(m >= 1 && dims % m == 0, s"need dims ($dims) divisible by m ($m)")
-    val sd = dims / m
-    val dist =
-      s"aggregate(zip_with(slice(_qe, s * $sd + 1, $sd), c.ce, " +
-        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    // graft_pq_encode is the native kernel for the per-subspace argmin —
+    // bit-equal to the HOF formulation it replaces (transform/filter/
+    // array_min over zip_with distances), but a tight JVM loop instead of
+    // ~m·k·sd interpreted lambda nodes PER ROW (the sf10 index build was
+    // 447 s interpreted; see IntVec.scala)
     df.crossJoin(broadcast(collapsedCodebook(codebook)))
       .withColumn("_qe", expr(microQuantExpr(embCol, dims, scale, offset, "pqAssign")))
-      .withColumn("_pq", expr(
-        s"transform(sequence(0, ${m - 1}), s -> " +
-          s"array_min(transform(filter(_cb, c -> c.sub = s), " +
-          s"c -> named_struct('d', $dist, 'cid', c.cid))))"))
+      .withColumn("_pq", expr("graft_pq_encode(_qe, _cb)"))
       .withColumn("pq_codes", expr("transform(_pq, x -> x.cid)"))
       .withColumn("pq_dists", expr("transform(_pq, x -> x.d)"))
       .drop("_cb", "_qe", "_pq")
@@ -354,19 +348,11 @@ object Vectors {
     for (_ <- 1 to iters) {
       // min(struct) carries the vector through the argmin so no second
       // join back onto the corpus is needed; (d, cid) is unique per vid
-      // so qe is never reached by the lexicographic compare
-      // ragged-input guard: zip_with pads the shorter array with NULLs,
-      // which would corrupt centroids/assignments SILENTLY. Every vector
-      // meets every centroid here, so a size compare at the distance is
-      // a complete check — mismatches fail loudly (randomProject's
-      // raise_error contract, made data-dependent: no dims param needed)
+      // so qe is never reached by the lexicographic compare.
+      // graft_sqdist raises loudly on ragged embeddings (a silent NULL
+      // pad would corrupt assignments; IntVec.scala error contract)
       assigned = q.crossJoin(broadcast(cents))
-        .withColumn("d", expr(
-          "IF(size(qe) = size(ce), " +
-            "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), " +
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v), " +
-            "raise_error(concat('kmeans: ragged embeddings — vector size ', " +
-            "CAST(size(qe) AS STRING), ' vs centroid size ', CAST(size(ce) AS STRING))))"))
+        .withColumn("d", expr("graft_sqdist(qe, ce)"))
         .groupBy("vid")
         .agg(min(struct(col("d"), col("cid"), col("qe"))).as("m"))
         .select(col("vid"), col("m.cid").as("cid"), col("m.qe").as("qe"))
@@ -416,12 +402,10 @@ object Vectors {
                   offset: Long = 1000000L, op: String = "assignCells"): DataFrame = {
     val seedRow = cells.groupBy().agg(
       sort_array(collect_list(struct(col("cid"), col("ce")))).as("_seeds"))
-    val fdist = "aggregate(zip_with(_qe, s.ce, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    // graft_cell = the native (d, cid)-lexicographic argmin (IntVec.scala)
     df.crossJoin(broadcast(seedRow))
       .withColumn("_qe", expr(microQuantExpr(embCol, dims, scale, offset, op)))
-      .withColumn("cell", expr(
-        s"array_min(transform(_seeds, s -> named_struct('d', $fdist, 'cid', s.cid))).cid"))
+      .withColumn("cell", expr("graft_cell(_qe, _seeds)"))
       .drop("_seeds", "_qe")
   }
 

@@ -38,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.vector.DotProduct(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_entropy"), info("graft_entropy"),
       (args: Seq[Expression]) => graft.functions.text.Entropy(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_sqdist"), info("graft_sqdist"),
+      (args: Seq[Expression]) => graft.functions.vector.SqDistLong(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cell"), info("graft_cell"),
+      (args: Seq[Expression]) => graft.functions.vector.ArgMinCell(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"), info("graft_pq_encode"),
+      (args: Seq[Expression]) => graft.functions.vector.PqEncode(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_adc"), info("graft_adc"),
+      (args: Seq[Expression]) => graft.functions.vector.AdcSum(args(0), args(1))))
   }
 }

@@ -707,7 +707,8 @@ object VectorQueries {
             "vec_id AS cid", "slice(qe, 1, 32) AS ce")
           .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub",
             "vec_id AS cid", "slice(qe, 33, 32) AS ce"))
-        // ONE-ROW broadcast seed set; full-vector argmin/rank as HOFs
+        // ONE-ROW broadcast seed set; cell assignment via the shared
+        // native argmin kernel (Vectors.assignCells / graft_cell)
         val seedRow = seeds.groupBy().agg(
           sort_array(collect_list(struct(col("vec_id").as("cid"), col("qe"))))
             .as("_seeds"))
@@ -715,13 +716,10 @@ object VectorQueries {
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         val quant = Vectors.microQuantExpr(
           "embedding", 64, 1000000L, 1000000L, "q_ann_ivfpq")
-        val corpusCells = emb.filter(col("vec_id") >= 5)
-          .select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(seedRow))
-          .withColumn("_qe", expr(quant))
-          .withColumn("cell", expr(
-            s"array_min(transform(_seeds, s -> named_struct('d', $fdist, 'cid', s.cid))).cid"))
-          .drop("_seeds", "_qe")
+        val corpusCells = Vectors.assignCells(
+          emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding")),
+          "embedding", seeds.selectExpr("vec_id AS cid", "qe AS ce"),
+          dims = 64, op = "q_ann_ivfpq")
         val corpus = Vectors.pqAssign(corpusCells, "vec_id", "embedding",
             codebook, m = 2, dims = 64)
           .select("vec_id", "cell", "pq_codes")
