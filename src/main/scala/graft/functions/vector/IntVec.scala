@@ -1,11 +1,11 @@
 package graft.functions.vector
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** Native integer-vector kernels for the quantized ANN read/write paths.
   *
@@ -48,9 +48,14 @@ object IntVecKernels {
   * [[IntVecKernels]] error contract).
   */
 case class SqDistLong(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sqdist"
+  // typed inputs: ARRAY<INT> etc. get an implicit element cast; anything
+  // non-numeric is an ANALYSIS error instead of getLong misreading the
+  // unsafe array slots at runtime
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -96,9 +101,17 @@ case class SqDistLong(left: Expression, right: Expression)
   * `array_min(transform(seeds, s -> struct(sqdist, cid))).cid`.
   */
 case class ArgMinCell(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_cell"
+  // exact expected shapes (names included): a mis-typed argument fails
+  // analysis with the expected signature instead of producing garbage
+  // from getLong on the wrong physical layout
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(StructType(Seq(
+      StructField("cid", LongType),
+      StructField("ce", ArrayType(LongType))))))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val qe = l.asInstanceOf[ArrayData]
@@ -143,7 +156,13 @@ case class ArgMinCell(left: Expression, right: Expression)
   * multiple of it raises.
   */
 case class PqEncode(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("cid", LongType),
+      StructField("ce", ArrayType(LongType))))))
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("d", LongType, nullable = false),
       StructField("cid", LongType, nullable = false))), containsNull = true)
@@ -203,9 +222,15 @@ case class PqEncode(left: Expression, right: Expression)
   * double-filter formulation it replaces, in ONE pass over the LUT.
   */
 case class AdcSum(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_adc"
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(LongType),
+    ArrayType(StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("cid", LongType),
+      StructField("d", LongType)))))
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[ArrayData]
@@ -224,6 +249,10 @@ case class AdcSum(left: Expression, right: Expression)
       val row = lut.getStruct(e, 3)
       val sub = row.getInt(0)
       if (sub >= 0 && sub < m && codes.getLong(sub) == row.getLong(1)) {
+        // a NULL distance (ragged LUT build — e.g. an m/dims mismatch
+        // padding the zip) must not unbox to 0 and silently win rank 1
+        if (row.isNullAt(2))
+          IntVecKernels.fail(prettyName, s"NULL LUT distance for subspace $sub")
         acc += row.getLong(2)
         matched(sub) += 1
       }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * wrapped as `<sym>`, which makes one `replace('<a><b>' → '<ab>')`
   * call per merge EXACTLY that pass: matches can't straddle symbols,
   * consumed delimiters can't break adjacent matches, and both engines'
-  * `replace` scan left-to-right over all occurrences. Precondition:
-  * token characters must not contain the `<`/`>` delimiters (the
-  * lowercased word tokens of the documents pipeline never do).
+  * `replace` scan left-to-right over all occurrences. Words containing
+  * literal `<`/`>` are escaped to private control-char symbols before
+  * delimiting (see `escapeSql`), so markup/code corpora count correctly
+  * instead of forging delimiters.
   *
   * Scale shape of [[bpeTokenCounts]]: the nested-replace expression runs
   * once per DISTINCT word (dictionary-encoded — the distinct-word table
@@ -116,15 +117,30 @@ object Bpe {
     s"(length($enc) - length(replace($enc, '<', '')))"
   }
 
+  /** The `<`/`>` delimiter chars can appear in real corpus words
+    * (markup, code), where they would forge delimiters: `a<b` delimited
+    * naively is `<a><<><b>` and the `<`-count miscounts it as 4 tokens.
+    * Both engines therefore map them to private control-char symbols
+    * first (a bijection on symbols the merge table never contains, so
+    * each counts as one unknown single-char token — the same
+    * segmentation the reference encoder produces for the raw char).
+    */
+  private def escapeSql(wordExpr: String): String =
+    s"replace(replace($wordExpr, '<', ''), '>', '')"
+
   /** Spark-side `<c><c>…` delimiter wrap of a word expression. */
-  def delimitSparkSql(wordExpr: String): String =
-    s"concat('<', array_join(transform(sequence(1, length($wordExpr)), " +
-      s"_i -> substring($wordExpr, _i, 1)), '><'), '>')"
+  def delimitSparkSql(wordExpr: String): String = {
+    val w = escapeSql(wordExpr)
+    s"concat('<', array_join(transform(sequence(1, length($w)), " +
+      s"_i -> substring($w, _i, 1)), '><'), '>')"
+  }
 
   /** DuckDB-side `<c><c>…` delimiter wrap of a word expression. */
-  def delimitDuckSql(wordExpr: String): String =
-    s"('<' || array_to_string(list_transform(range(1, length($wordExpr) + 1), " +
-      s"_i -> substring($wordExpr, _i, 1)), '><') || '>')"
+  def delimitDuckSql(wordExpr: String): String = {
+    val w = escapeSql(wordExpr)
+    s"('<' || array_to_string(list_transform(range(1, length($w) + 1), " +
+      s"_i -> substring($w, _i, 1)), '><') || '>')"
+  }
 
   /** Exact BPE token counts per row: adds `n_bpe_exact` (BIGINT sum of
     * per-word token counts under [[merges]]). Dictionary-encoded: the

@@ -41,10 +41,12 @@ object Vectors {
       .select(col(qidCol).as("_qid"), col(embCol).as("_qemb"))
       .crossJoin(broadcast(collapsedCodebook(codebook)))
       .withColumn("_qe", expr(microQuantExpr("_qemb", dims, scale, offset, op)))
+      // graft_sqdist raises on a ragged slice-vs-entry pair (an m/dims
+      // mismatch against the codebook's true geometry) — the zip_with it
+      // replaces padded with NULLs, which an asc argmin would rank first
       .withColumn("_lut", expr(
         s"transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
-          s"'d', aggregate(zip_with(slice(_qe, c.sub * $sd + 1, $sd), c.ce, " +
-          "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)))"))
+          s"'d', graft_sqdist(slice(_qe, c.sub * $sd + 1, $sd), c.ce)))"))
       .select("_qid", "_lut")
   }
 
@@ -264,6 +266,14 @@ object Vectors {
     df.crossJoin(broadcast(collapsedCodebook(codebook)))
       .withColumn("_qe", expr(microQuantExpr(embCol, dims, scale, offset, "pqAssign")))
       .withColumn("_pq", expr("graft_pq_encode(_qe, _cb)"))
+      // the kernel derives the subspace count from the CODEBOOK's
+      // geometry; if that disagrees with the caller's m, downstream
+      // consumers sized for m-wide codes would silently read short
+      // arrays — surface the mismatch loudly instead
+      .withColumn("_pq", expr(
+        s"IF(size(_pq) = $m, _pq, raise_error(concat(" +
+          s"'pqAssign: codebook implies ', CAST(size(_pq) AS STRING), " +
+          s"' subspaces, caller passed $m')))"))
       .withColumn("pq_codes", expr("transform(_pq, x -> x.cid)"))
       .withColumn("pq_dists", expr("transform(_pq, x -> x.d)"))
       .drop("_cb", "_qe", "_pq")
@@ -417,8 +427,10 @@ object Vectors {
                          scale: Long, offset: Long, op: String): DataFrame = {
     val seedRow = cells.groupBy().agg(
       sort_array(collect_list(struct(col("cid"), col("ce")))).as("_seeds"))
-    val fdist = "aggregate(zip_with(_qe, s.ce, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    // graft_sqdist raises on a query-vs-centroid dims mismatch — the
+    // zip_with fold it replaces produced NULL distances that sort FIRST
+    // in the asc probe ranking (silently arbitrary probe lists)
+    val fdist = "graft_sqdist(_qe, s.ce)"
     queries.select(col(qidCol).as("qid"), col(embCol).as("_qemb"))
       .crossJoin(broadcast(seedRow))
       .withColumn("_qe", expr(microQuantExpr("_qemb", dims, scale, offset, op)))

@@ -249,20 +249,26 @@ object EventPipeline {
     * Exactly-once: each batch publishes `indexPath/batch_<epochId>` via
     * [[graft.sources.AtomicSwap]] — a replayed epoch overwrites its own
     * staging and re-commits the same dir, so recovery is idempotent and
-    * readers never observe a half-written batch. Rows within a batch are
+    * readers never observe a half-written batch. That idempotence is
+    * keyed on DURABLE epoch ids: pass `checkpoint` (required for any
+    * restartable deployment) so a restarted query resumes its epoch
+    * sequence instead of starting over at 0 and overwriting committed
+    * batch dirs with different rows. Rows within a batch are
     * range-laid-out and sorted by id, so parquet min/max stats prune
     * id-targeted reads; at cluster scale the batch dirs roll up into a
     * bucketed catalog table the same way the band table does.
     */
   def annIngest(vectors: DataFrame, idCol: String, embCol: String,
                 codebook: DataFrame, indexPath: String,
-                m: Int = 4, dims: Int = 64,
-                buckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+                m: Int = 4, dims: Int = 64, buckets: Int = 8,
+                checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
     // freeze: bounded collect (m·k rows) at construction, never per batch
     val cbRows = codebook.select("sub", "cid", "ce").collect().toSeq
     val cbSchema = codebook.select("sub", "cid", "ce").schema
-    vectors.writeStream
+    val writer = checkpoint.foldLeft(vectors.writeStream)(
+      (w, cp) => w.option("checkpointLocation", cp))
+    writer
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val frozen = spark.createDataFrame(
           spark.sparkContext.parallelize(cbRows, 1), cbSchema)
@@ -283,9 +289,16 @@ object EventPipeline {
   }
 
   /** Read the committed codes index an [[annIngest]] query maintains:
-    * the union of all published `batch_<n>` dirs. Staging/rollback
-    * leftovers from an interrupted swap are repaired first and never
-    * read — only dirs matching the committed name shape qualify.
+    * the union of all published `batch_<n>` dirs. Only dirs matching the
+    * committed name shape qualify — staging/rollback leftovers are never
+    * read, and (deliberately) never REPAIRED here: a committed dir with
+    * a `_staging` sibling may be a restarted writer mid-replay of that
+    * epoch, and a reader that "helpfully" ran recover would delete the
+    * writer's in-flight staging under it. Swap repair belongs to the
+    * writer, which runs recover on each batch dir before staging; a dir
+    * caught mid-swap (live missing) simply stays invisible to readers
+    * until the writer replays it — uncommitted batches are unreadable by
+    * definition.
     */
   def annIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
@@ -294,8 +307,7 @@ object EventPipeline {
     val dirs = if (fs.exists(root)) {
       fs.listStatus(root).map(_.getPath)
         .filter(p => committed.matches(p.getName))
-        .map { p => graft.sources.AtomicSwap.recover(fs, p); p.toString }
-        .sorted.toSeq
+        .map(_.toString).sorted.toSeq
     } else Seq.empty
     require(dirs.nonEmpty, s"annIndex: no committed batches under $indexPath")
     spark.read.parquet(dirs: _*)

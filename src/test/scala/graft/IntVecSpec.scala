@@ -111,6 +111,67 @@ class IntVecSpec extends SparkSpec {
       || e2.getCause != null && e2.getCause.getMessage.contains("multiple of subdim"))
   }
 
+  test("graft_adc raises on a NULL LUT distance instead of summing 0") {
+    import spark.implicits._
+    // a ragged LUT build (m/dims mismatch) pads distances with NULL;
+    // getLong on the null slot would unbox to 0 and win rank 1 silently
+    val df = Seq((Seq(5L), Seq((0, 5L)))).toDF("codes", "lut")
+      .selectExpr("codes", "transform(lut, t -> named_struct(" +
+        "'sub', CAST(t._1 AS INT), 'cid', t._2, 'd', CAST(NULL AS BIGINT))) AS lut")
+    val e = intercept[Exception](df.selectExpr("graft_adc(codes, lut)").collect())
+    assert(e.getMessage.contains("NULL LUT distance")
+      || e.getCause != null && e.getCause.getMessage.contains("NULL LUT distance"))
+  }
+
+  test("pqAssign raises when the caller's m disagrees with the codebook geometry") {
+    import graft.operators.Vectors
+    val seeds = emb.orderBy("vec_id").limit(4).selectExpr("vec_id", s"$quant AS qe")
+    // codebook trained at m=2 (sd=32); caller claims m=4
+    val codebook = seeds.selectExpr("CAST(0 AS INT) AS sub", "vec_id AS cid",
+        "slice(qe, 1, 32) AS ce")
+      .unionAll(seeds.selectExpr("CAST(1 AS INT) AS sub", "vec_id AS cid",
+        "slice(qe, 33, 32) AS ce"))
+    val e = intercept[Exception](
+      Vectors.pqAssign(emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        codebook, m = 4, dims = 64).select("pq_codes").collect())
+    assert(e.getMessage.contains("codebook implies 2 subspaces, caller passed 4")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("codebook implies 2 subspaces, caller passed 4"))
+  }
+
+  test("probe/LUT paths raise on a query-vs-index dims mismatch, never NULL-rank") {
+    import spark.implicits._
+    import graft.operators.Vectors
+    // index geometry: 4 dims, 2 cells, m=2 codebook
+    val corpus = Seq((0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val km = Vectors.kmeans(corpus, "vec_id", "embedding", k = 2, iters = 1)
+    val cb = Vectors.pqTrain(corpus, "vec_id", "embedding", m = 2, k = 2,
+      iters = 1, dims = 4)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_ragged").toString + "/idx"
+    Vectors.buildIvfPqIndex(corpus, "vec_id", "embedding",
+      km.centroids.select("cid", "ce"), cb, idx, m = 2, dims = 4)
+    // 2-dim queries searched with dims=2 against the 4-dim index: the
+    // micro-quant guard passes (queries really are 2-dim), so the loud
+    // failure must come from the centroid distance kernel
+    val q2 = Seq((0L, Array(0.0f, 0.0f))).toDF("qid", "embedding")
+    val e = intercept[Exception](
+      Vectors.searchIvfPqIndex(spark, idx, q2, "qid", "embedding",
+        k = 1, nprobe = 1, m = 2, dims = 2).collect())
+    assert(e.getMessage.contains("length mismatch")
+      || e.getCause != null && e.getCause.getMessage.contains("length mismatch"))
+  }
+
+  test("typed inputs: INT arrays implicitly widen; non-numeric fails analysis") {
+    val r = spark.sql("SELECT graft_sqdist(array(1, 2), array(3, 5)) AS d")
+      .collect()(0).getLong(0)
+    assert(r == 13L) // 2² + 3² — previously misread unsafe INT slots as LONG
+    intercept[Exception](
+      spark.sql("SELECT graft_sqdist(array('a'), array('b'))").collect())
+    intercept[Exception]( // seeds argument must be the (cid, ce) struct array
+      spark.sql("SELECT graft_cell(array(1L), array(1L))").collect())
+  }
+
   test("legacy parity: a subspace missing from the codebook yields a NULL code") {
     import spark.implicits._
     // sd=1, qe has 2 dims -> m=2, but only sub 0 has entries: the HOF

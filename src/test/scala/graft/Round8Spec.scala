@@ -76,6 +76,25 @@ class Round8Spec extends SparkSpec {
     assert(Bpe.encode("customer").length < "customer".length)
   }
 
+  test("BPE: words containing the <> delimiter chars count correctly (escaped)") {
+    import graft.operators.Bpe
+    // 'a<b' naively delimited is '<a><<><b>' — the '<'-count would read 4;
+    // the escape maps <,> to private symbols, so each counts as ONE
+    // unknown single-char token, same segmentation as the local encoder
+    val words = Seq("a<b", "x>y", "<<>>", "a<b>c", "<", "join<table")
+    val got = words.toDF("w")
+      .withColumn("n", expr(Bpe.countSql(Bpe.delimitSparkSql("w"))).cast("long"))
+      .as[(String, Long)].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == Bpe.encode(w).length.toLong,
+        s"$w: sql=${got(w)} local=${Bpe.encode(w)}")
+    }
+    // end to end through the corpus counter (dictionary + broadcast join)
+    val n = Bpe.bpeTokenCounts(Seq((1L, "a<b join")).toDF("doc_id", "text"),
+      "doc_id", "text").selectExpr("n_bpe_exact").as[Long].head()
+    assert(n == Bpe.encode("a<b").length.toLong + Bpe.encode("join").length.toLong)
+  }
+
   test("BPE counts drive the budget operators (truncate, chunk, tokenBudget)") {
     import graft.operators.{Bpe, Sampling, TextOps}
     val bpe: String => String = tk => Bpe.countsArraySparkSql(tk)

@@ -604,4 +604,37 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$idxPath/batch_1").count() == 3L)
     } finally q.stop()
   }
+
+  test("annIngest restart with a checkpoint resumes the epoch sequence — committed batch dirs survive") {
+    import graft.operators.Vectors
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ann_restart").toString
+    val idxPath = s"$base/codes"
+    val cp = s"$base/ckpt"
+    def vec(seed: Float) = Array(seed, 0.1f, 0.0f, 0.1f)
+    val train = (0L to 3L).map(i => (i, vec(i * 0.5f))).toDF("vec_id", "embedding")
+    val codebook = Vectors.pqTrain(train, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1, dims = 4)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q1 = EventPipeline.annIngest(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", codebook, idxPath, m = 2, dims = 4, buckets = 1,
+      checkpoint = Some(cp))
+    try {
+      input.addData((0L to 3L).map(i => (i, vec(i * 0.5f))): _*)
+      q1.processAllAvailable()
+      assert(spark.read.parquet(s"$idxPath/batch_0").count() == 4L)
+    } finally q1.stop()
+    // restart from the SAME checkpoint: the next batch must be epoch 1,
+    // not a fresh epoch 0 overwriting the committed dir with new rows
+    val q2 = EventPipeline.annIngest(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", codebook, idxPath, m = 2, dims = 4, buckets = 1,
+      checkpoint = Some(cp))
+    try {
+      input.addData((100L, vec(9.9f)))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(s"$idxPath/batch_0").count() == 4L)
+      assert(spark.read.parquet(s"$idxPath/batch_1").count() == 1L)
+      assert(EventPipeline.annIndex(spark, idxPath).count() == 5L)
+    } finally q2.stop()
+  }
 }
