@@ -227,6 +227,100 @@ object MediaOps {
     }.toDF("doc_id", "phash")
   }
 
+  // ---- Audio: REAL WAV decode via javax.sound ---------------------------
+
+  final case class AudioRow(doc_id: Long, wav: Array[Byte])
+
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Long, sample_rate: Long, n_frames: Long,
+      sum_sq: Long, peak_abs: Long, silent_frames: Long)
+
+  /** Deterministic synthetic PCM16 waveform, pure integer — the audio
+    * twin of [[fromDocuments]]'s formulaic payloads, so a SQL oracle can
+    * recompute every sample: length `400 + (id % 5)·80`, every third
+    * 80-sample frame silent, the rest a portable integer pseudo-noise
+    * `((id·31 + i·17) % 4001) - 2000`.
+    */
+  def synthSampleCount(docId: Long): Int = (400 + (docId % 5) * 80).toInt
+
+  def synthSample(docId: Long, i: Int): Int =
+    if ((i / 80) % 3 == 2) 0
+    else ((docId * 31 + i.toLong * 17) % 4001 - 2000).toInt
+
+  /** The waveform as a complete RIFF/WAVE file: PCM_SIGNED, 16-bit,
+    * mono, little-endian — a REAL wav any decoder reads. This is the
+    * encode half of the lossless round-trip [[audioFeatures]] verifies.
+    */
+  def synthWavPcm16(docId: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val n = synthSampleCount(docId)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate = sr·block
+    bb.putShort(2).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(synthSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** REAL audio decode + integer frame features: each wav goes through
+    * `javax.sound.sampled.AudioSystem` (in the JDK, no external binding
+    * — the audio analog of the `javax.imageio` image path), the format
+    * is verified to be what the pipeline expects (PCM16 mono LE — a
+    * float or compressed stream here means a corrupt upstream), and the
+    * PCM samples yield exact-integer features: total sum of squares
+    * (energy), peak amplitude, and the count of all-zero `frame`-sample
+    * frames (silence detection, the trim/VAD primitive). Because PCM16
+    * round-trips losslessly, a SQL oracle reproduces every value from
+    * the source waveform — the decode is real, the check exact.
+    *
+    * Scale shape: narrow mapPartitions, payloads never shuffle, one
+    * decoder stream per row (a native codec context would be reused
+    * per partition); only the small feature rows flow downstream.
+    */
+  def audioFeatures(ds: Dataset[AudioRow], frame: Int = 80): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    require(frame >= 1, "frame must be positive")
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+            && !fmt.isBigEndian,
+          s"audioFeatures: expected PCM16 mono LE, got $fmt (doc ${r.doc_id})")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        var sumSq = 0L
+        var peak = 0L
+        var silent = 0L
+        var frameZero = true
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          if (s != 0L) frameZero = false
+          if ((i + 1) % frame == 0) { // full frame boundary
+            if (frameZero) silent += 1
+            frameZero = true
+          }
+          i += 1
+        }
+        AudioFeatures(r.doc_id, n.toLong, fmt.getSampleRate.toLong,
+          (n / frame).toLong, sumSq, peak, silent)
+      }
+    }
+  }
+
   /** Build a media table from `documents`: utf-8 payload + type by modulo
     * (deterministic, so the DuckDB oracle can reproduce the arithmetic).
     */

@@ -251,6 +251,58 @@ object Sampling {
     * a broadcast of the single normalization scalar — the 100 TB corpus
     * is touched exactly once, map-side combined.
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram features are under a TARGET
+    * distribution (e.g. a trusted high-quality source) than under the raw
+    * corpus — the standard recipe for tilting a web-scale crawl toward a
+    * quality domain without training a classifier. `targetExpr` is a
+    * boolean SQL expression naming the target rows; features are word
+    * bigrams hashed into `buckets` buckets (feature hashing, the paper's
+    * construction).
+    *
+    * The weight is Σ_g [ln p_target(bucket(g)) - ln p_raw(bucket(g))]
+    * over the document's bigram OCCURRENCES, with add-one smoothing.
+    * Determinism: each bucket's log-ratio is rounded ONCE to integer
+    * micro-nats; per-document weights are then exact BIGINT sums of those
+    * integers — independent of partial-agg order and bit-equal across
+    * engines (the [[graft.operators.Vectors.kmeans]] integer contract
+    * applied to importance weighting). Documents with no bigram (< 2
+    * tokens) have no features and are omitted.
+    *
+    * Scale shape: one explode scan builds (id, bucket) pairs; bucket
+    * statistics are `buckets` rows (map-side combined, then a one-row
+    * total) and come BACK as a broadcast join — the corpus shuffles only
+    * into the final per-id sum. No pairwise work, no model training.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetExpr: String, buckets: Int = 128): DataFrame = {
+    require(buckets >= 2, "need at least 2 feature buckets")
+    val tk = s"filter(split(lower(trim($textCol)), '\\\\s+'), x -> x <> '')"
+    val bi = "transform(sequence(1, size(_tk) - 1), " +
+      "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+    def ex = df
+      .select(col(idCol), expr(targetExpr).cast("boolean").as("_tgt"),
+        expr(tk).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .select(col(idCol), col("_tgt"), explode(expr(bi)).as("_g"))
+      .withColumn("_b", expr(s"graft_hash60(_g) % $buckets"))
+    val stats = ex.groupBy("_b").agg(
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("_t"),
+      count(lit(1)).as("_r"))
+    val totals = stats.groupBy()
+      .agg(sum("_t").as("_tt"), sum("_r").as("_rr"))
+    val lr = stats.crossJoin(broadcast(totals))
+      .select(col("_b"), expr(
+        s"CAST(round((ln(_t + 1) - ln(_tt + $buckets) " +
+          s"- ln(_r + 1) + ln(_rr + $buckets)) * 1000000) AS BIGINT)").as("_lr"))
+    ex.select(col(idCol), col("_b"))
+      .join(broadcast(lr), "_b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum("_lr").as("dsir_w_micro"))
+  }
+
   def temperatureWeights(df: DataFrame, strataCol: String, tokensCol: String,
                          budget: Long): DataFrame = {
     require(budget >= 0, "budget must be >= 0")

@@ -1654,6 +1654,30 @@ object PipelineQueries {
     // ---- Temperature-scaled source mixture (Sampling.temperatureWeights)
     // p_i ∝ sqrt(n_i): the α=0.5 multilingual-sampling rule, with
     // per-source expected tokens and epoch counts under a 100k budget.
+    QueryDef("q_sample_dsir",
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    list_filter($toksD, x -> x <> '') AS tk FROM documents),
+         |ex AS (SELECT doc_id, (source = 'src0') AS tgt,
+         |    ${h60d("g")} % 128 AS b
+         |  FROM tk, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS u(g)
+         |  WHERE len(tk) >= 2),
+         |stats AS (SELECT b,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS r FROM ex GROUP BY b),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+         |    CAST(sum(r) AS BIGINT) AS rr FROM stats),
+         |lr AS (SELECT b, CAST(round((ln(t + 1) - ln(tt + 128)
+         |    - ln(r + 1) + ln(rr + 128)) * 1000000) AS BIGINT) AS lrv
+         |  FROM stats, tot)
+         |SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(lrv) AS BIGINT) AS dsir_w_micro
+         |FROM ex JOIN lr ON ex.b = lr.b
+         |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.dsirWeights(
+          docs(s, dir), "doc_id", "text", "source = 'src0'", buckets = 128)
+        .orderBy("doc_id")
+    },
     QueryDef("q_sample_temperature",
       s"""WITH t AS (SELECT source, CAST(len($toksD) AS BIGINT) AS n_tok
          |  FROM documents),

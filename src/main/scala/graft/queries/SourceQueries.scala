@@ -111,6 +111,35 @@ object SourceQueries {
       }
     },
 
+    // ---- Audio: REAL RIFF/WAVE decode via javax.sound (JDK-only, the
+    // audio twin of the javax.imageio image path). The waveform is a
+    // pure-integer formula, PCM16 round-trips losslessly, and the decode
+    // stream parses the real header — so the oracle recomputes every
+    // sample and the features match EXACTLY iff encode → AudioSystem
+    // decode → feature extraction is bit-faithful end to end. ----
+    QueryDef("q_multimodal_audio",
+      """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents),
+        |s AS (SELECT doc_id, n, list_transform(range(0, n),
+        |    i -> CASE WHEN (i // 80) % 3 = 2 THEN 0
+        |         ELSE ((doc_id * 31 + i * 17) % 4001) - 2000 END) AS sm
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n // 80 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(sm, x -> CAST(x * x AS BIGINT))) AS BIGINT) AS sum_sq,
+        |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak_abs,
+        |  CAST(list_sum(list_transform(range(0, n // 80),
+        |    f -> CASE WHEN list_max(list_transform(
+        |        list_slice(sm, f * 80 + 1, f * 80 + 80), x -> abs(x))) = 0
+        |      THEN 1 ELSE 0 END)) AS BIGINT) AS silent_frames
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => MediaOps.AudioRow(id, MediaOps.synthWavPcm16(id)))
+      MediaOps.audioFeatures(rows, frame = 80).toDF().orderBy("doc_id")
+    },
+
     // ---- Multimodal: binary payload + typed metadata through the real
     // mapPartitions decode/resize/frame-sample plumbing (stubbed codecs;
     // the oracle reproduces the stub arithmetic from the text bytes). ----

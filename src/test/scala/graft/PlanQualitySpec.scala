@@ -335,7 +335,12 @@ class PlanQualitySpec extends SparkSpec {
       // q_ann_indexed — the q_ann_ivfpq probe shape: queries × ONE-ROW
       // broadcast seed-set row for cell ranking; the codes scan joins
       // equi on the partition column
-      "q_ann_indexed")
+      "q_ann_indexed",
+      // q_sample_dsir — 1-row broadcast (T, R) totals crossed onto the
+      // 128-row bucket-stats aggregate (the q_sample_temperature shape);
+      // the corpus-side join is the equi BroadcastHashJoin asserted in
+      // its dedicated plan test
+      "q_sample_dsir")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
@@ -426,5 +431,16 @@ class PlanQualitySpec extends SparkSpec {
     // distinct may exchange)
     val bpe = finalPlanOf("q_text_bpe_exact")
     assert(bpe.contains("BroadcastHashJoin"), bpe.take(1500))
+  }
+
+  test("dsir weights: bucket log-ratios broadcast back; corpus shuffles only into the id sum") {
+    // the 128-row log-ratio table must come back as a BROADCAST equi
+    // join — if it shuffled, the whole corpus explode would move for a
+    // dictionary the size of a cache line. (The 1-row totals cross onto
+    // the 128-row stats frame is the whitelisted q_sample_temperature
+    // shape; no true cartesian growth anywhere.)
+    val p = finalPlanOf("q_sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 }

@@ -156,4 +156,61 @@ class Round9Spec extends SparkSpec {
     assert(n1 == n2 && n1 == corpus.count())
     assert(!staging.exists(), "staging must be consumed by the atomic commit")
   }
+
+  test("dsirWeights: target-like documents outrank raw-noise ones; short docs omitted") {
+    // target corpus speaks "alpha beta gamma"; raw noise speaks "junk"
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta gamma alpha beta", true)) ++
+      (21L to 60L).map(i => (i, "junk spam junk spam junk", false)) ++
+      Seq((100L, "alpha beta gamma alpha beta", false),  // target-like, unlabeled
+          (101L, "junk spam junk spam junk", false),     // noise
+          (102L, "solo", false))                         // < 2 tokens: no features
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", "is_tgt", buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(100L) > w(101L),
+      s"target-like doc must outweigh noise: ${w(100L)} vs ${w(101L)}")
+    assert(w(100L) > 0 && w(101L) < 0) // log-ratio sign follows the tilt
+    assert(!w.contains(102L)) // featureless doc omitted, not scored 0
+    // pure function of the corpus: rerun is bit-identical
+    val w2 = Sampling.dsirWeights(docs, "doc_id", "text", "is_tgt", buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(w == w2)
+  }
+
+  test("audio: WAV PCM16 round-trips losslessly through the REAL javax.sound decode") {
+    import graft.operators.MediaOps
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L)
+    val got = MediaOps.audioFeatures(
+        ids.toDF("doc_id").as[Long].map(id =>
+          MediaOps.AudioRow(id, MediaOps.synthWavPcm16(id))))
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.foreach { id =>
+      val n = MediaOps.synthSampleCount(id)
+      val samples = (0 until n).map(MediaOps.synthSample(id, _))
+      val f = got(id)
+      assert(f.n_samples == n.toLong && f.sample_rate == 8000L)
+      assert(f.n_frames == (n / 80).toLong)
+      assert(f.sum_sq == samples.map(s => s.toLong * s).sum)
+      assert(f.peak_abs == samples.map(s => math.abs(s).toLong).max)
+      // every third frame is zeroed by construction
+      assert(f.silent_frames ==
+        (0 until n / 80).count(fr => fr % 3 == 2).toLong)
+    }
+  }
+
+  test("audio: a non-PCM16-mono stream is rejected loudly, not mis-featured") {
+    import graft.operators.MediaOps
+    // stereo header: channels=2, block align=4 — a real decoder parses it,
+    // the feature extractor must refuse it
+    val mono = MediaOps.synthWavPcm16(1L)
+    val stereo = mono.clone()
+    stereo(22) = 2 // nChannels LE16 @ offset 22
+    stereo(32) = 4 // block align LE16 @ offset 32
+    val e = intercept[Exception](
+      MediaOps.audioFeatures(
+        Seq((1L, stereo)).toDF("doc_id", "wav").as[MediaOps.AudioRow]).collect())
+    assert(e.getMessage.contains("expected PCM16 mono LE")
+      || e.getCause != null && e.getCause.getMessage.contains("expected PCM16 mono LE"))
+  }
 }
