@@ -134,6 +134,64 @@ object MediaOps {
     }
   }
 
+  /** REAL image resize: PNG/JPEG payloads are decoded (javax.imageio),
+    * resampled by EXACT integer nearest-neighbor — destination pixel
+    * (x, y) reads source pixel `(x·srcW div dstW, y·srcH div dstH)`,
+    * the deterministic kernel whose output a spec can predict pixel for
+    * pixel — and re-encoded as PNG (lossless, so the resampled pixels
+    * survive the round-trip exactly). The long side lands on `maxSide`
+    * with integer-scaled aspect (never below 1 px); images already
+    * within bounds and non-image payloads pass through UNTOUCHED — a
+    * corrupt image degrades to identity rather than killing the job.
+    * The [[resize]] stub remains the metadata-only path for payloads
+    * without a real codec.
+    *
+    * Scale shape: narrow mapPartitions, payloads never shuffle; this is
+    * the normalization pass that runs before [[phash60]]/[[embed]] in a
+    * real multimodal pipeline (and [[phash60]]'s block-mean hash is
+    * invariant under it — spec-pinned).
+    */
+  def resizeImages(ds: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    require(maxSide >= 1, "maxSide must be positive")
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val resized =
+          if (!isRealImage(r.payload)) None
+          else
+            try {
+              javax.imageio.ImageIO.setUseCache(false)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide)
+                None
+              else {
+                val (sw, sh) = (img.getWidth, img.getHeight)
+                val long = math.max(sw, sh)
+                val dw = math.max(1, sw * maxSide / long)
+                val dh = math.max(1, sh * maxSide / long)
+                val out = new java.awt.image.BufferedImage(
+                  dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < dh) {
+                  val sy = y * sh / dh
+                  var x = 0
+                  while (x < dw) {
+                    out.setRGB(x, y, img.getRGB(x * sw / dw, sy))
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                Some(bos.toByteArray)
+              }
+            } catch { case _: Exception => None }
+        resized.fold(r)(p => r.copy(payload = p))
+      }
+    }
+  }
+
   /** Frame sampling stub: every `stride` bytes becomes one "frame". */
   def sampleFrames(ds: Dataset[DecodedRow], nFrames: Int): Dataset[FrameRow] = {
     import ds.sparkSession.implicits._

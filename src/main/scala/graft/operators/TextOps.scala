@@ -717,21 +717,34 @@ object TextOps {
                      minCount: Int = 2): DataFrame = {
     require(k >= 2, "seed gram must span at least 2 tokens")
     require(minCount >= 2, "a duplicate needs at least 2 occurrences")
-    val tk0 = df
-      .withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
-      .filter(expr(s"size(_tk) >= $k"))
-      .select(col(idCol), col("_tk"))
-    val tkCached = Caches.track(tk0)
-    val occ = tkCached.select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(_tk) - $k), " +
-          s"i -> named_struct('pos', CAST(i AS BIGINT), 'g', array_join(slice(_tk, i + 1, $k), ' ')))"))
-        .as("o"))
-      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val tkCached = Caches.track(spanTokenArrays(df, idCol, textCol, k))
+    val occ = spanGramOccurrences(tkCached, idCol, k)
     val dup = occ.groupBy("g")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .select("g")
-    val marked = occ.join(dup, Seq("g"), "left_semi")
+    maximalSpans(occ.join(dup, Seq("g"), "left_semi"), tkCached,
+      idCol, k, minTokens)
+  }
+
+  /** The token-array / gram-occurrence / island legs of
+    * [[duplicateSpans]], shared with [[duplicateSpansAgainst]].
+    */
+  private def spanTokenArrays(df: DataFrame, idCol: String, textCol: String,
+                              k: Int): DataFrame =
+    df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
+      .filter(expr(s"size(_tk) >= $k"))
+      .select(col(idCol), col("_tk"))
+
+  private def spanGramOccurrences(tk: DataFrame, idCol: String, k: Int): DataFrame =
+    tk.select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(_tk) - $k), " +
+          s"i -> named_struct('pos', CAST(i AS BIGINT), 'g', array_join(slice(_tk, i + 1, $k), ' ')))"))
+        .as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+
+  private def maximalSpans(marked: DataFrame, tkCached: DataFrame,
+                           idCol: String, k: Int, minTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
     val spans = marked
@@ -745,6 +758,47 @@ object TextOps {
         (col("end_tok") - col("start_tok")).as("n_tokens"),
         expr("array_join(slice(_tk, CAST(start_tok AS INT) + 1, " +
           "CAST(end_tok - start_tok AS INT)), ' ')").as("span"))
+  }
+
+  /** Publish the corpus's duplicated k-gram set (the seed set
+    * [[duplicateSpans]] derives internally) as a bucketed catalog table
+    * keyed on the gram text — the span-dedup analog of
+    * [[graft.operators.Dedup.saveBandTable]]: later batches semi-join
+    * their gram occurrences against it WITHOUT re-counting the corpus,
+    * and the bucketed layout makes that join shuffle-free on the
+    * corpus side no matter how many batches arrive.
+    */
+  def saveDupGramTable(corpus: DataFrame, idCol: String, textCol: String,
+                       table: String, k: Int = 6, minCount: Int = 2,
+                       buckets: Int = 64): Unit = {
+    require(k >= 2 && minCount >= 2, "need k >= 2 and minCount >= 2")
+    spanGramOccurrences(spanTokenArrays(corpus, idCol, textCol, k), idCol, k)
+      .groupBy("g")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .filter(col("n") >= minCount)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "g").sortBy("g")
+      .saveAsTable(table)
+  }
+
+  /** Maximal spans of `df` documents whose every k-gram lies in a FROZEN
+    * duplicated-gram set (`dupGrams`, one `g` column — usually a
+    * [[saveDupGramTable]] output): the incremental face of
+    * [[duplicateSpans]] for checking NEW documents against an already-
+    * indexed corpus. Batch-internal repetition is deliberately NOT
+    * consulted — the contract is "copied from the corpus", and a frozen
+    * reference keeps verdicts stable across batch boundaries (the
+    * [[graft.streaming.EventPipeline.driftGate]] one-time-reference
+    * rule). Same output shape as [[duplicateSpans]].
+    */
+  def duplicateSpansAgainst(df: DataFrame, dupGrams: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 6, minTokens: Int = 0): DataFrame = {
+    require(k >= 2, "seed gram must span at least 2 tokens")
+    val tkCached = Caches.track(spanTokenArrays(df, idCol, textCol, k))
+    val marked = spanGramOccurrences(tkCached, idCol, k)
+      .join(dupGrams.select(col("g")), Seq("g"), "left_semi")
+    maximalSpans(marked, tkCached, idCol, k, minTokens)
   }
 
   /** Gopher-style repetition/quality rule battery (Rae et al. 2021,

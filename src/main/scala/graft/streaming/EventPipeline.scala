@@ -288,6 +288,41 @@ object EventPipeline {
       .start()
   }
 
+  /** Streaming span-dedup gate: drop arriving documents that contain a
+    * duplicated span of >= `maxSpanTokens` tokens AGAINST A FROZEN
+    * corpus gram index ([[graft.operators.TextOps.saveDupGramTable]]) —
+    * the Lee-et-al. span dedup applied at the ingest door, the way
+    * near-dup ingest composes with the saved band table. Survivors
+    * append to `sinkPath` (parquet); per batch the cost is one
+    * occurrence explode semi-joined against the bucketed gram table
+    * plus a batch-local island window — the corpus index is never
+    * re-counted, and the frozen reference keeps verdicts stable across
+    * batch boundaries (a doc admitted in batch 3 would have been
+    * admitted in batch 1). foreachBatch because span extraction needs
+    * a per-doc window — legal on the bounded batch, not on the
+    * unbounded stream.
+    */
+  def spanIngest(docs: DataFrame, dupGrams: DataFrame,
+                 idCol: String, textCol: String, sinkPath: String,
+                 k: Int = 6, maxSpanTokens: Int = 20,
+                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxSpanTokens >= k, "maxSpanTokens must be at least the gram width")
+    val writer = checkpoint.foldLeft(docs.writeStream)(
+      (w, cp) => w.option("checkpointLocation", cp))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hot = graft.operators.TextOps
+          .duplicateSpansAgainst(batch, dupGrams, idCol, textCol, k,
+            minTokens = maxSpanTokens)
+          .select(col(idCol)).distinct()
+        batch.join(hot, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(sinkPath)
+        graft.operators.Caches.unpersistAll()
+        ()
+      }
+      .start()
+  }
+
   /** Read the committed codes index an [[annIngest]] query maintains:
     * the union of all published `batch_<n>` dirs. Only dirs matching the
     * committed name shape qualify — staging/rollback leftovers are never

@@ -117,4 +117,57 @@ class MediaOpsSpec extends SparkSpec {
     val stub = MediaOps.phash60(MediaOps.decode(media)).select("phash").as[Long].collect()
     assert(stub.length == 3)
   }
+
+  /** A PNG whose pixel (x, y) is the formulaic gray `(x*7 + y*13) % 256`
+    * — every resampled pixel is predictable by pure arithmetic.
+    */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resizeImages: REAL decode -> exact integer NN resample -> lossless PNG round-trip") {
+    val src = gradientPng(64, 32)
+    val out = MediaOps.resizeImages(
+      Seq(MediaRow(1L, "image", src)).toDS(), maxSide = 16).collect().head
+    // still a real image with integer-scaled aspect: 64x32 -> 16x8
+    assert((out.payload(0) & 0xff) == 0x89 && out.payload(1) == 'P') // PNG magic
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(img.getWidth == 16 && img.getHeight == 8)
+    // every destination pixel == the NN-predicted source pixel:
+    // (x, y) reads source (x*64/16, y*32/8) = (4x, 4y)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val v = ((4 * x) * 7 + (4 * y) * 13) % 256
+      assert((img.getRGB(x, y) & 0xff) == v, s"($x,$y)")
+    }
+    // within-bounds images and non-image payloads pass through untouched
+    val small = MediaOps.resizeImages(
+      Seq(MediaRow(2L, "image", gradientPng(8, 8))).toDS(), maxSide = 16)
+      .collect().head
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small.payload)).getWidth == 8)
+    val passthrough = MediaOps.resizeImages(media, maxSide = 16).collect()
+    assert(passthrough.sortBy(_.doc_id).map(_.payload.length).toSeq ==
+      media.collect().sortBy(_.doc_id).map(_.payload.length).toSeq)
+  }
+
+  test("phash60 is invariant under resizeImages normalization") {
+    def hashOf(p: Array[Byte]): Long =
+      MediaOps.phash60(MediaOps.decode(Seq(MediaRow(1L, "image", p)).toDS()))
+        .select("phash").as[Long].head()
+    val big = pngBytes(240, 240)
+    val normalized = MediaOps.resizeImages(
+      Seq(MediaRow(1L, "image", big)).toDS(), maxSide = 60).collect().head.payload
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(normalized)).getWidth == 60)
+    assert(hashOf(normalized) == hashOf(big))
+  }
 }

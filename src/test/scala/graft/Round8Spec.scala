@@ -76,6 +76,42 @@ class Round8Spec extends SparkSpec {
     assert(Bpe.encode("customer").length < "customer".length)
   }
 
+  test("duplicateSpansAgainst: spans come ONLY from the frozen gram set, not batch-internal repeats") {
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta one two"),
+      (2L, "x alpha beta gamma delta epsilon zeta eta theta y z")
+    ).toDF("doc_id", "text")
+    // frozen reference = the corpus's duplicated 6-grams (the 8-token
+    // shared run yields three duplicated 6-gram starts)
+    val grams = TextOps.duplicateSpans(corpus, "doc_id", "text", k = 6)
+      .limit(0) // (shape check only)
+    val dupGrams = {
+      // derive the gram set the saved table would hold, via the public API
+      val t = "span_gate_grams"
+      TestTables.reset(spark, t)
+      TextOps.saveDupGramTable(corpus, "doc_id", "text", t, k = 6)
+      spark.table(t)
+    }
+    assert(dupGrams.count() == 3L) // 8-token run -> 3 duplicated 6-grams
+    val batch = Seq(
+      // contains the full corpus-duplicated run -> one maximal 8-token span
+      (10L, "pre alpha beta gamma delta epsilon zeta eta theta post"),
+      // batch-internal repeat ONLY (twice in one doc, never in corpus):
+      // must produce NO span against the frozen reference
+      (11L, "one two three four five six one two three four five six"),
+      (12L, "clean words nothing shared with anything at all here")
+    ).toDF("doc_id", "text")
+    val spans = TextOps.duplicateSpansAgainst(batch, dupGrams,
+        "doc_id", "text", k = 6)
+      .select("doc_id", "start_tok", "end_tok", "span")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(spans == Seq((10L, 1L, 9L,
+      "alpha beta gamma delta epsilon zeta eta theta")), spans.toString)
+    assert(grams.columns.toSeq ==
+      Seq("doc_id", "start_tok", "end_tok", "n_tokens", "span"))
+  }
+
   test("BPE: words containing the <> delimiter chars count correctly (escaped)") {
     import graft.operators.Bpe
     // 'a<b' naively delimited is '<a><<><b>' — the '<'-count would read 4;

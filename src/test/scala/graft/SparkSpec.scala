@@ -11,6 +11,26 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = () // session shared across suites
 }
 
+/** Managed-table hygiene for specs: a previous JVM's passing run leaves
+  * the warehouse dir behind (the in-memory catalog forgets the table,
+  * the location survives), and the next CTAS fails with
+  * LOCATION_ALREADY_EXISTS — so drop both the entry AND the dir.
+  */
+object TestTables {
+  def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse/$table")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession.builder("graft-test", 4)

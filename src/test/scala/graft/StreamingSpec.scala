@@ -605,6 +605,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spanIngest drops docs with long corpus-duplicated spans at the door; clean docs pass") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("span_ingest").toString + "/kept"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta one two"),
+      (2L, "x alpha beta gamma delta epsilon zeta eta theta y z")
+    ).toDF("doc_id", "text")
+    TestTables.reset(spark, "span_ingest_grams")
+    TextOps.saveDupGramTable(corpus, "doc_id", "text", "span_ingest_grams", k = 6)
+    val input = MemoryStream[EventPipeline.DocEvent]
+    val q = EventPipeline.spanIngest(
+      input.toDF().select("doc_id", "text"), spark.table("span_ingest_grams"),
+      "doc_id", "text", sink, k = 6, maxSpanTokens = 8)
+    try {
+      val ts = new java.sql.Timestamp(0L)
+      input.addData(
+        // carries the corpus's 8-token duplicated run -> dropped
+        EventPipeline.DocEvent(ts, 10L,
+          "pre alpha beta gamma delta epsilon zeta eta theta post"),
+        // batch-internal repeat only -> kept (frozen-reference contract)
+        EventPipeline.DocEvent(ts, 11L,
+          "one two three four five six one two three four five six"),
+        EventPipeline.DocEvent(ts, 12L, "clean words nothing shared here at all"))
+      q.processAllAvailable()
+      // a later batch gets the SAME verdicts (frozen reference)
+      input.addData(EventPipeline.DocEvent(ts, 20L,
+        "again alpha beta gamma delta epsilon zeta eta theta trailing"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(sink).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(11L, 12L), kept.toString)
+    } finally q.stop()
+  }
+
   test("annIngest restart with a checkpoint resumes the epoch sequence — committed batch dirs survive") {
     import graft.operators.Vectors
     implicit val sqlCtx = spark.sqlContext
