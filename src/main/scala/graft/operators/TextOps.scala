@@ -158,18 +158,29 @@ object TextOps {
         // at a token boundary inside a word only at the tokenizer
         // layer, not the corpus layer. n_tokens_kept reports TOKENIZER
         // tokens (the budget's own unit), not words.
-        df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
-          .withColumn("_c", expr(cn("_tk")))
-          .withColumn("_cut", expr(
-            s"aggregate(IF(size(_tk) = 0, CAST(array() AS ARRAY<INT>), sequence(1, size(_tk))), " +
-              "named_struct('cum', CAST(0 AS BIGINT), 'k', 0, 'stop', false), " +
-              s"(s, i) -> CASE WHEN s.stop OR s.cum + element_at(_c, i) > $maxTokens " +
-              "THEN named_struct('cum', s.cum, 'k', s.k, 'stop', true) " +
-              "ELSE named_struct('cum', s.cum + element_at(_c, i), 'k', s.k + 1, 'stop', false) END)"))
-          .withColumn(out, expr("array_join(slice(_tk, 1, _cut.k), ' ')"))
-          .withColumn("n_tokens_kept", expr("_cut.cum"))
-          .withColumn("was_truncated", expr("_cut.k < size(_tk)"))
-          .drop("_tk", "_c", "_cut")
+        //
+        // tk/c/cut bound as LAMBDA variables (see [[gopherSignals]]):
+        // as withColumn aliases, `element_at(_c, i)` inside the fold
+        // re-ran the whole counter array — the entire BPE encoder per
+        // fold STEP — after project collapse
+        val cut =
+          s"aggregate(IF(size(tk) = 0, CAST(array() AS ARRAY<INT>), sequence(1, size(tk))), " +
+            "named_struct('cum', CAST(0 AS BIGINT), 'k', 0, 'stop', false), " +
+            s"(s, i) -> CASE WHEN s.stop OR s.cum + element_at(c, i) > $maxTokens " +
+            "THEN named_struct('cum', s.cum, 'k', s.k, 'stop', true) " +
+            "ELSE named_struct('cum', s.cum + element_at(c, i), 'k', s.k + 1, 'stop', false) END)"
+        val sig =
+          s"element_at(transform(array(filter(${tokensExpr(textCol)}, x -> x <> '')), tk -> " +
+            s"element_at(transform(array(${cn("tk")}), c -> " +
+            s"element_at(transform(array($cut), cut -> named_struct(" +
+            "'txt', array_join(slice(tk, 1, cut.k), ' '), " +
+            "'kept', cut.cum, " +
+            "'trunc', cut.k < size(tk))), 1)), 1)), 1)"
+        df.withColumn("_sig", expr(sig))
+          .withColumn(out, col("_sig.txt"))
+          .withColumn("n_tokens_kept", col("_sig.kept"))
+          .withColumn("was_truncated", col("_sig.trunc"))
+          .drop("_sig")
     }
   }
 
@@ -188,22 +199,27 @@ object TextOps {
                     counter: String => String =
                       tk => s"transform($tk, _x -> CAST(1 AS BIGINT))"): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
-    df.withColumn("_tk", expr(s"filter(${tokensExpr(textCol)}, x -> x <> '')"))
-      .withColumn("_c", expr(counter("_tk")))
-      .withColumn("_chs", expr(
-        s"""aggregate(
-           |  IF(size(_tk) = 0, CAST(array() AS ARRAY<INT>), sequence(1, size(_tk))),
-           |  named_struct('chs', CAST(array() AS ARRAY<ARRAY<STRING>>), 'cum', CAST(0 AS BIGINT)),
-           |  (s, i) -> CASE
-           |    WHEN size(s.chs) = 0 OR s.cum + element_at(_c, i) > $budget THEN
-           |      named_struct('chs', concat(s.chs, array(array(element_at(_tk, i)))),
-           |        'cum', element_at(_c, i))
-           |    ELSE
-           |      named_struct('chs', concat(slice(s.chs, 1, size(s.chs) - 1),
-           |          array(concat(element_at(s.chs, -1), array(element_at(_tk, i))))),
-           |        'cum', s.cum + element_at(_c, i))
-           |  END,
-           |  s -> s.chs)""".stripMargin))
+    // tk/c bound as LAMBDA variables (see [[gopherSignals]]): as
+    // withColumn aliases, each fold step's element_at(_c, i) re-ran the
+    // whole counter array after project collapse
+    val walk =
+      s"""aggregate(
+         |  IF(size(tk) = 0, CAST(array() AS ARRAY<INT>), sequence(1, size(tk))),
+         |  named_struct('chs', CAST(array() AS ARRAY<ARRAY<STRING>>), 'cum', CAST(0 AS BIGINT)),
+         |  (s, i) -> CASE
+         |    WHEN size(s.chs) = 0 OR s.cum + element_at(c, i) > $budget THEN
+         |      named_struct('chs', concat(s.chs, array(array(element_at(tk, i)))),
+         |        'cum', element_at(c, i))
+         |    ELSE
+         |      named_struct('chs', concat(slice(s.chs, 1, size(s.chs) - 1),
+         |          array(concat(element_at(s.chs, -1), array(element_at(tk, i))))),
+         |        'cum', s.cum + element_at(c, i))
+         |  END,
+         |  s -> s.chs)""".stripMargin
+    df.withColumn("_chs", expr(
+        s"element_at(transform(array(filter(${tokensExpr(textCol)}, x -> x <> '')), tk -> " +
+          s"element_at(transform(array(${counter("tk")}), c -> " +
+          s"$walk), 1)), 1)"))
       .select(col("*"), posexplode(col("_chs")).as(Seq("chunk_id", "_ch")))
       .withColumn("chunk", expr("array_join(_ch, ' ')"))
       .withColumn("n_words", expr("CAST(size(_ch) AS BIGINT)"))
@@ -397,31 +413,39 @@ object TextOps {
     * documents are bounded (chunk first if not).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val d = df
-      .withColumn("_tk", expr(tokensExpr(textCol)))
-      // guard: sequence(1, 0) counts DOWN in Spark, so short docs must
-      // short-circuit to an empty bigram list before any element_at
-      .withColumn("_bg", expr(
-        "IF(size(_tk) < 2, array(), " +
-          "transform(sequence(1, size(_tk) - 1), " +
-          "i -> concat_ws(' ', element_at(_tk, i), element_at(_tk, i + 1))))"))
-      .withColumn("_s", expr("array_sort(_bg)"))
-      // run-length encode the sorted bigrams: starts = positions whose
-      // value differs from the previous; run lengths = start-to-start gaps
-      .withColumn("_starts", expr(
-        "IF(size(_s) = 0, array(), " +
-          "filter(sequence(1, size(_s)), i -> i = 1 OR element_at(_s, i) != element_at(_s, i - 1)))"))
-      .withColumn("_top", expr(
-        "CAST(IF(size(_s) = 0, 0, array_max(zip_with(_starts, " +
-          "concat(slice(_starts, 2, size(_starts) - 1), array(size(_s) + 1)), " +
-          "(a, b) -> b - a))) AS BIGINT)"))
-    d.select(col(idCol),
-      expr("CAST(size(_tk) AS BIGINT)").as("n_tok"),
-      expr("round(1D - CAST(size(array_distinct(_tk)) AS DOUBLE) / size(_tk), 6)")
-        .as("dup_token_frac"),
-      col("_top").as("top_bigram_n"),
-      expr("round(IF(size(_s) = 0, 0D, CAST(_top AS DOUBLE) / size(_s)), 6)")
-        .as("top_bigram_frac"))
+    // intermediates bound as lambda variables (single-element transform
+    // wrap), NOT withColumn aliases — see [[gopherSignals]]: interpreted
+    // HOFs have no CSE and project collapse substitutes the defining
+    // expression into every reference, so `element_at(_s, i)` per filter
+    // position re-ran the whole sort (quadratic per row)
+    //
+    // guard: sequence(1, 0) counts DOWN in Spark, so short docs must
+    // short-circuit to an empty bigram list before any element_at
+    val bg = "IF(size(tk) < 2, array(), " +
+      "transform(sequence(1, size(tk) - 1), " +
+      "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))))"
+    // run-length encode the sorted bigrams: starts = positions whose
+    // value differs from the previous; run lengths = start-to-start gaps
+    val starts = "IF(size(s) = 0, array(), " +
+      "filter(sequence(1, size(s)), i -> i = 1 OR element_at(s, i) != element_at(s, i - 1)))"
+    val top = "CAST(IF(size(s) = 0, 0, array_max(zip_with(st, " +
+      "concat(slice(st, 2, size(st) - 1), array(size(s) + 1)), " +
+      "(a, b) -> b - a))) AS BIGINT)"
+    val sig =
+      s"element_at(transform(array(${tokensExpr(textCol)}), tk -> " +
+        s"element_at(transform(array(array_sort($bg)), s -> " +
+        s"element_at(transform(array($starts), st -> " +
+        s"element_at(transform(array($top), tp -> named_struct(" +
+        "'n_tok', CAST(size(tk) AS BIGINT), " +
+        "'dup_token_frac', round(1D - CAST(size(array_distinct(tk)) AS DOUBLE) / size(tk), 6), " +
+        "'top_bigram_n', tp, " +
+        "'top_bigram_frac', round(IF(size(s) = 0, 0D, CAST(tp AS DOUBLE) / size(s)), 6)" +
+        ")), 1)), 1)), 1)), 1)"
+    df.withColumn("_sig", expr(sig))
+      .select(col(idCol), col("_sig.n_tok").as("n_tok"),
+        col("_sig.dup_token_frac").as("dup_token_frac"),
+        col("_sig.top_bigram_n").as("top_bigram_n"),
+        col("_sig.top_bigram_frac").as("top_bigram_frac"))
   }
 
   /** Token-bounded chunking — [[chunk]]'s twin where the window is `size`
@@ -821,36 +845,49 @@ object TextOps {
     * corpus size.
     */
   def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // EVERY intermediate (tk, s3, st, g5) is bound as a LAMBDA VARIABLE
+    // via the single-element transform(array(x), v -> ...) trick, not a
+    // withColumn alias: HOF lambdas are interpreted with no common-
+    // subexpression elimination, and CollapseProject substitutes a
+    // withColumn's defining expression into EVERY reference — so
+    // `element_at(_s3, i)` inside a per-position filter re-ran the whole
+    // array_sort(grams) PER ELEMENT, turning a linear pass quadratic
+    // (measured: 22 s for 5000 x ~54-token docs at sf0.1; 1.5 s after
+    // binding — the scale-sweep pipeline phase dropped with it). A
+    // lambda variable is evaluated once and read by reference.
     def grams(n: Int) = {
-      val parts = (0 until n).map(o => s"element_at(_tk, i + $o)").mkString(", ")
-      s"IF(size(_tk) < $n, array(), " +
-        s"transform(sequence(1, size(_tk) - ${n - 1}), i -> concat_ws(' ', $parts)))"
+      val parts = (0 until n).map(o => s"element_at(tk, i + $o)").mkString(", ")
+      s"IF(size(tk) < $n, array(), " +
+        s"transform(sequence(1, size(tk) - ${n - 1}), i -> concat_ws(' ', $parts)))"
     }
-    val d = df
-      .withColumn("_tk", expr(tokensExpr(textCol)))
-      .withColumn("_s3", expr(s"array_sort(${grams(3)})"))
-      // run-length encode the sorted trigrams: starts = positions whose
-      // value differs from the previous; the max start-to-start gap is
-      // the top trigram's occurrence count (same trick as
-      // repetitionSignals — identical to the oracle's GROUP BY max)
-      .withColumn("_st", expr(
-        "IF(size(_s3) = 0, array(), " +
-          "filter(sequence(1, size(_s3)), i -> i = 1 OR element_at(_s3, i) != element_at(_s3, i - 1)))"))
-      .withColumn("_top3", expr(
-        "IF(size(_s3) = 0, CAST(0 AS BIGINT), CAST(array_max(zip_with(_st, " +
-          "concat(slice(_st, 2, size(_st) - 1), array(size(_s3) + 1)), " +
-          "(a, b) -> b - a)) AS BIGINT))"))
-      .withColumn("_g5", expr(grams(5)))
-    d.select(col(idCol),
-      expr("CAST(size(_tk) AS BIGINT)").as("n_tok"),
-      expr("round(CAST(_top3 * 3 AS DOUBLE) / size(_tk), 6)").as("top_trigram_frac"),
-      expr("round(least(CAST(1 AS DOUBLE), " +
-        "CAST((size(_g5) - size(array_distinct(_g5))) * 5 AS DOUBLE) / size(_tk)), 6)")
-        .as("dup_5gram_frac"),
-      expr("round(aggregate(_tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) " +
-        "/ CAST(size(_tk) AS DOUBLE), 6)").as("mean_word_len"),
-      expr("round(CAST(size(filter(_tk, t -> t rlike '^[a-z]+$')) AS DOUBLE) " +
-        "/ size(_tk), 6)").as("alpha_frac"))
+    // run-length encode the sorted trigrams: starts = positions whose
+    // value differs from the previous; the max start-to-start gap is
+    // the top trigram's occurrence count (same trick as
+    // repetitionSignals — identical to the oracle's GROUP BY max)
+    val starts = "IF(size(s3) = 0, array(), " +
+      "filter(sequence(1, size(s3)), i -> i = 1 OR element_at(s3, i) != element_at(s3, i - 1)))"
+    val top3 = "IF(size(s3) = 0, CAST(0 AS BIGINT), CAST(array_max(zip_with(st, " +
+      "concat(slice(st, 2, size(st) - 1), array(size(s3) + 1)), " +
+      "(a, b) -> b - a)) AS BIGINT))"
+    val sig =
+      s"element_at(transform(array(${tokensExpr(textCol)}), tk -> " +
+        s"element_at(transform(array(array_sort(${grams(3)})), s3 -> " +
+        s"element_at(transform(array($starts), st -> " +
+        s"element_at(transform(array(${grams(5)}), g5 -> named_struct(" +
+        "'n_tok', CAST(size(tk) AS BIGINT), " +
+        s"'top_trigram_frac', round(CAST($top3 * 3 AS DOUBLE) / size(tk), 6), " +
+        "'dup_5gram_frac', round(least(CAST(1 AS DOUBLE), " +
+        "CAST((size(g5) - size(array_distinct(g5))) * 5 AS DOUBLE) / size(tk)), 6), " +
+        "'mean_word_len', round(aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t)) " +
+        "/ CAST(size(tk) AS DOUBLE), 6), " +
+        "'alpha_frac', round(CAST(size(filter(tk, t -> t rlike '^[a-z]+$')) AS DOUBLE) " +
+        "/ size(tk), 6))), 1)), 1)), 1)), 1)"
+    df.withColumn("_sig", expr(sig))
+      .select(col(idCol), col("_sig.n_tok").as("n_tok"),
+        col("_sig.top_trigram_frac").as("top_trigram_frac"),
+        col("_sig.dup_5gram_frac").as("dup_5gram_frac"),
+        col("_sig.mean_word_len").as("mean_word_len"),
+        col("_sig.alpha_frac").as("alpha_frac"))
   }
 
   /** Feature-hashed bag-of-words embedding (hashing trick, Weinberger
