@@ -85,22 +85,57 @@ object BenchSf10 {
     sys.env.getOrElse("SPARK_GRAFT_PHASES", "tpch,dedup,spans,bpe,pipeline,ann")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
-  /** One full phase sweep against `dir`; returns (name -> seconds). */
+  /** Release the PREVIOUS query's shuffle files. Spark's ContextCleaner
+    * deletes a shuffle's disk blocks only after its Dataset is
+    * garbage-collected; a scale sweep on a large heap may go a whole
+    * phase without a full GC, so finished queries' spill accumulates —
+    * measured at sf100: 22 TPC-H queries piled up >42 GB of dead
+    * blockmgr files and killed the run with ENOSPC while total LIVE
+    * usage never exceeded one query's working set. An explicit GC after
+    * each timed query (outside the timer) caps disk at ~one query's
+    * shuffle. The short sleep gives the async cleaner a beat to
+    * unlink before the next query starts writing.
+    */
+  private def reclaimShuffle(): Unit = {
+    System.gc()
+    Thread.sleep(300)
+  }
+
+  /** A phase that dies (ENOSPC on a single query's shuffle peak, OOM)
+    * is reported and skipped; the sweep still publishes an artifact
+    * with every phase that DID complete.
+    */
+  private def phaseFailed(phase: String, e: Exception): Unit = {
+    System.err.println(s"[sf10] phase $phase FAILED: ${e.getMessage}")
+    reclaimShuffle()
+  }
+
+  /** One full phase sweep against `dir`; returns (name -> seconds).
+    * A failed query records -1 and the sweep continues — a scale
+    * artifact with one honest hole beats no artifact.
+    */
   private def sweep(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{Dedup, TopK, Vectors}
     val out = mutable.ArrayBuffer[(String, Double)]()
     if (phases("tpch")) for (i <- 1 to 22) {
       val name = s"q_tpch_q$i"
-      val (secs, _) = time {
-        graft.SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+      try {
+        val (secs, _) = time {
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        out += name -> r3(secs)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[sf10] $name FAILED: ${e.getMessage}")
+          out += name -> -1.0
       }
-      out += name -> r3(secs)
+      reclaimShuffle()
     }
     // lazy: schema resolution reads the parquet footer eagerly, and a
     // phase-restricted sweep must not require tables its phases never use
     lazy val docs = graft.sources.Tables(spark, dir, "documents")
-    if (phases("dedup")) {
+    if (phases("dedup")) try {
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (tPairs, nPairs) = time(pairs.count())
@@ -113,32 +148,35 @@ object BenchSf10 {
       out += "dedup_clusters" -> r3(tClust)
       pairs.unpersist()
       graft.operators.Caches.unpersistAll()
+      reclaimShuffle()
       println(s"[sf10] $dir dedup: pairs=$nPairs kept=$nKept clustered=$nClust")
-    }
+    } catch { case e: Exception => phaseFailed("dedup", e) }
 
     // round-8 operators at scale: exact maximal dup spans (the planted
     // ~10% document duplicates give every sf real span work) and the
     // dictionary-encoded BPE token counting
-    if (phases("spans")) {
+    if (phases("spans")) try {
       val (tSpans, nSpans) = time(
         graft.operators.TextOps.duplicateSpans(docs, "doc_id", "text",
           k = 6, minTokens = 8).count())
       out += "text_dup_spans" -> r3(tSpans)
       graft.operators.Caches.unpersistAll()
+      reclaimShuffle()
       println(s"[sf10] $dir spans=$nSpans")
-    }
-    if (phases("bpe")) {
+    } catch { case e: Exception => phaseFailed("spans", e) }
+    if (phases("bpe")) try {
       val (tBpe, nBpe) = time(
         graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text").count())
       out += "bpe_token_counts" -> r3(tBpe)
+      reclaimShuffle()
       println(s"[sf10] $dir bpe_docs=$nBpe")
-    }
+    } catch { case e: Exception => phaseFailed("bpe", e) }
 
     // end-to-end corpus prep: Gopher quality gate (narrow signals joined
     // back on id) → exact dedup → token chunking — the standard
     // pre-training front half, timed as ONE pipeline so the phase cost
     // includes the joins a real run pays, not just each operator alone
-    if (phases("pipeline")) {
+    if (phases("pipeline")) try {
       val (tPipe, nChunks) = time {
         val sig = graft.operators.TextOps.gopherSignals(docs, "doc_id", "text")
           .filter(col("dup_5gram_frac") < 0.5 && col("alpha_frac") >= 0.5)
@@ -149,8 +187,9 @@ object BenchSf10 {
           size = 64, overlap = 8).count()
       }
       out += "pipeline_prep" -> r3(tPipe)
+      reclaimShuffle()
       println(s"[sf10] $dir pipeline chunks=$nChunks")
-    }
+    } catch { case e: Exception => phaseFailed("pipeline", e) }
 
     // IVF-PQ via the ON-DISK index: the production read path. Training
     // (kmeans cells + PQ codebook over a deterministic sample), index
@@ -159,7 +198,7 @@ object BenchSf10 {
     // amortization argument ("training is paid once, searches are
     // cheap") is a measured number here, not a claim.
     lazy val emb = graft.sources.Tables(spark, dir, "embeddings")
-    if (phases("ann")) {
+    if (phases("ann")) try {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val sample = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
       val (tTrain, cbPair) = time {
@@ -190,7 +229,7 @@ object BenchSf10 {
       cells.unpersist(); codebook.unpersist()
       println(s"[sf10] $dir ann: train=${r3(tTrain)} build=${r3(tBuild)} " +
         s"search=${r3(tSearch)} rows=$nAnn")
-    }
+    } catch { case e: Exception => phaseFailed("ann", e) }
     out.toSeq
   }
 
@@ -198,7 +237,21 @@ object BenchSf10 {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "data/sf10")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SF10_OUT", "BENCH_SF10.json")
-    val spark = graft.GraftSession.get("graft-sf10")
+    // Scale runs need more reduce partitions than the local-test default
+    // of 32: at sf100 one of 32 reduce partitions carries ~19M lineitem
+    // rows and the biggest joins die with UNABLE_TO_ACQUIRE_MEMORY
+    // (measured: q_tpch_q5). 256 initial partitions cap the per-task
+    // working set; AQE coalescing shrinks them right back at the small
+    // base sf, so the base phase is unaffected — exactly the knob a
+    // 1000-executor deployment would set.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
+    val spark = {
+      val s = graft.GraftSession.builder("graft-sf10")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
     val stats = new TaskStats
     val skews = new SkewCounter
     spark.sparkContext.addSparkListener(stats)
