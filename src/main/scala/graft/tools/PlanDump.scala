@@ -64,7 +64,12 @@ object PlanDump {
     "q_embed_drift" -> "embedding drift: ONE scan + posexplode with per-snapshot conditional sums (a filtered-twice join would scan twice and drop one-parity labels)",
     "q_psi" -> "population stability index: one grouped count aggregate + a 7-row fold — only bin counts cross the wire",
     "q_text_dup_spans" -> "maximal dup spans: exact-gram count partial-combines, occurrences LEFT SEMI the hot duplicated set, per-doc island window, ONE join back for span text — no cartesian, no suffix array",
-    "q_text_bpe_exact" -> "tokenizer-exact BPE: the nested-replace encoder runs once per DISTINCT word, occurrences take a BROADCAST dictionary join, corpus moves only into the per-doc partial+final sum")
+    "q_text_bpe_exact" -> "tokenizer-exact BPE: the nested-replace encoder runs once per DISTINCT word, occurrences take a BROADCAST dictionary join, corpus moves only into the per-doc partial+final sum",
+    "q_sample_dsir" -> "DSIR importance weights: bucket stats aggregate to 128 rows + a 1-row total, log-ratios BROADCAST back onto the corpus explode — only the per-id sum shuffles",
+    "q_text_gopher" -> "Gopher rule battery: sorted-run-length + distinct-count HOFs per row — one narrow codegen pipeline, ZERO shuffle",
+    "q_ann_indexed" -> "on-disk IVF-PQ search: probe cells from a 1-row broadcast seed set, codes scan equi-joins the partition column (file pruning), broadcast LUT ADC, TopK.perKey merge",
+    "q_dedup_representative" -> "cluster representatives: clusters join members once, max_by(score, ties lowest id) partial+final — no per-cluster window, no collect",
+    "q_multimodal_audio" -> "audio features: typed-Dataset map through the REAL javax.sound decode — narrow, payloads never shuffle, one Exchange for the ordered output")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)
