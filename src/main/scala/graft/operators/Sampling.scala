@@ -279,13 +279,16 @@ object Sampling {
                   targetExpr: String, buckets: Int = 128): DataFrame = {
     require(buckets >= 2, "need at least 2 feature buckets")
     val tk = s"filter(split(lower(trim($textCol)), '\\\\s+'), x -> x <> '')"
-    val bi = "transform(sequence(1, size(_tk) - 1), " +
-      "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+    // tk bound as a lambda variable (the TextOps.gopherSignals rule):
+    // as a column alias the per-element element_at references re-ran
+    // the whole split after project collapse — quadratic in doc length
+    val bi = s"element_at(transform(array($tk), tk -> " +
+      "IF(size(tk) < 2, CAST(array() AS ARRAY<STRING>), " +
+      "transform(sequence(1, size(tk) - 1), " +
+      "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))), 1)"
     def ex = df
       .select(col(idCol), expr(targetExpr).cast("boolean").as("_tgt"),
-        expr(tk).as("_tk"))
-      .filter(size(col("_tk")) >= 2)
-      .select(col(idCol), col("_tgt"), explode(expr(bi)).as("_g"))
+        explode(expr(bi)).as("_g"))
       .withColumn("_b", expr(s"graft_hash60(_g) % $buckets"))
     val stats = ex.groupBy("_b").agg(
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("_t"),

@@ -9,27 +9,30 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("probe", 8)
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    import spark.implicits._
     def t[A](tag: String)(body: => A): A = {
       val t0 = System.nanoTime(); val r = body
       println(f"PROBE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    t("gopher_once")(graft.operators.TextOps.gopherSignals(docs, "doc_id", "text").count())
-    val sig = graft.operators.TextOps.gopherSignals(docs, "doc_id", "text")
-      .filter(col("dup_5gram_frac") < 0.5 && col("alpha_frac") >= 0.5)
-      .select("doc_id")
-    val gated = docs.join(sig, "doc_id")
-    t("gated")(gated.count())
-    val deduped = graft.operators.Dedup.dropExact(gated, Seq("text"), "doc_id")
-    t("deduped")(deduped.count())
-    t("chunks")(graft.operators.TextOps.chunkByTokens(deduped, "text", 64, 8).count())
-    t("pipeline_whole") {
-      val s2 = graft.operators.TextOps.gopherSignals(docs, "doc_id", "text")
-        .filter(col("dup_5gram_frac") < 0.5 && col("alpha_frac") >= 0.5).select("doc_id")
-      val g2 = docs.join(s2, "doc_id")
-      val d2 = graft.operators.Dedup.dropExact(g2, Seq("text"), "doc_id")
-      graft.operators.TextOps.chunkByTokens(d2, "text", 64, 8).count()
-    }
+    // long docs: the quadratic HOF traps show at realistic doc lengths
+    def mkDocs(nDocs: Int, nTok: Int) = spark.range(nDocs)
+      .selectExpr("id AS doc_id",
+        s"array_join(transform(sequence(1, $nTok), i -> concat('w', pmod(id * 31 + i * 7, 500))), ' ') AS text",
+        "CASE WHEN id % 2 = 0 THEN 'src0' ELSE 'src1' END AS source")
+    val docs = mkDocs(500, 2000).persist()
+    docs.count()
+    t("dsir_500x2000tok")(graft.operators.Sampling.dsirWeights(
+      docs, "doc_id", "text", "source = 'src0'").count())
+    t("bigram_lm_500x2000tok")(graft.operators.TextOps.bigramModel(
+      docs, "text").count())
+    t("chunk_tokens_500x2000tok")(graft.operators.TextOps.chunkByTokens(
+      docs, "text", 64, 8).count())
+    t("dup_spans_500x2000tok")(graft.operators.TextOps.duplicateSpans(
+      docs, "doc_id", "text").count())
+    t("gopher_500x2000tok")(graft.operators.TextOps.gopherSignals(
+      docs, "doc_id", "text").selectExpr("sum(n_tok)").collect())
+    t("repetition_500x2000tok")(graft.operators.TextOps.repetitionSignals(
+      docs, "doc_id", "text").selectExpr("sum(n_tok)").collect())
     spark.stop()
   }
 }
