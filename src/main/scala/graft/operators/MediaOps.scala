@@ -285,6 +285,50 @@ object MediaOps {
     }.toDF("doc_id", "phash")
   }
 
+  /** Deterministic formulaic gray PNG: pixel (x, y) is
+    * `(x·7 + y·13 + docId) % 256` in all three channels — a REAL image
+    * (ImageIO-encoded, losslessly round-trippable) whose every pixel a
+    * SQL oracle can recompute, the image analog of [[synthWavPcm16]].
+    * Gray means Rec.601 luma == the pixel value exactly
+    * ((299v+587v+114v) div 1000 = v), so luma sums are pure arithmetic.
+    */
+  def synthPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + docId) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** True decoded dimensions + integer luma-plane sum per image — the
+    * small verification face of the decode path: (doc_id, w, h,
+    * luma_sum), with (-1, -1, -1) for undecodable payloads. Narrow map;
+    * payloads never shuffle.
+    */
+  def lumaSummary(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      decodeImage(r.payload) match {
+        case Some((w, h, _, luma)) =>
+          var s = 0L
+          var i = 0
+          while (i < luma.length) { s += (luma(i) & 0xff); i += 1 }
+          (r.doc_id, w, h, s)
+        case None => (r.doc_id, -1, -1, -1L)
+      }
+    }.toDF("doc_id", "w", "h", "luma_sum")
+  }
+
   // ---- Audio: REAL WAV decode via javax.sound ---------------------------
 
   final case class AudioRow(doc_id: Long, wav: Array[Byte])

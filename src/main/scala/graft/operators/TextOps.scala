@@ -792,18 +792,27 @@ object TextOps {
     * and the bucketed layout makes that join shuffle-free on the
     * corpus side no matter how many batches arrive.
     */
-  def saveDupGramTable(corpus: DataFrame, idCol: String, textCol: String,
-                       table: String, k: Int = 6, minCount: Int = 2,
-                       buckets: Int = 64): Unit = {
+  /** The duplicated k-gram seed set of a corpus as a lazy frame
+    * (g, n) — what [[saveDupGramTable]] persists and
+    * [[duplicateSpansAgainst]] consumes directly when no saved index
+    * exists yet.
+    */
+  def dupGrams(corpus: DataFrame, idCol: String, textCol: String,
+               k: Int = 6, minCount: Int = 2): DataFrame = {
     require(k >= 2 && minCount >= 2, "need k >= 2 and minCount >= 2")
     spanGramOccurrences(spanTokenArrays(corpus, idCol, textCol, k), idCol, k)
       .groupBy("g")
       .agg(count(lit(1)).cast("bigint").as("n"))
       .filter(col("n") >= minCount)
+  }
+
+  def saveDupGramTable(corpus: DataFrame, idCol: String, textCol: String,
+                       table: String, k: Int = 6, minCount: Int = 2,
+                       buckets: Int = 64): Unit =
+    dupGrams(corpus, idCol, textCol, k, minCount)
       .write.mode("overwrite")
       .bucketBy(buckets, "g").sortBy("g")
       .saveAsTable(table)
-  }
 
   /** Maximal spans of `df` documents whose every k-gram lies in a FROZEN
     * duplicated-gram set (`dupGrams`, one `g` column — usually a

@@ -1145,6 +1145,42 @@ object PipelineQueries {
           .orderBy("doc_id", "start_tok")
     },
 
+    // ---- Incremental span dedup (TextOps.duplicateSpansAgainst) ---------
+    // the frozen-reference face of q_text_dup_spans: spans of NEW docs
+    // (every 5th doc_id) whose every 6-gram is duplicated WITHIN THE
+    // CORPUS (the other 4/5, occurrence count >= 2) — batch-internal
+    // repetition deliberately does not count, so verdicts are stable
+    // across batches. The modulo split crosses the generator's planted
+    // nearby-id duplicates, so real spans exist on both sides.
+    QueryDef("q_text_span_incr",
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |w AS (SELECT doc_id, l, unnest(range(0, len(l) - 5)) AS pos
+        |  FROM tk WHERE len(l) >= 6),
+        |gr AS (SELECT doc_id, pos, array_to_string(l[pos + 1 : pos + 6], ' ') AS g FROM w),
+        |dup AS (SELECT g FROM gr WHERE doc_id % 5 <> 0 GROUP BY g HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM gr
+        |  WHERE doc_id % 5 = 0 AND g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+        |sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 6 AS end_tok
+        |  FROM isl GROUP BY doc_id, grp),
+        |f AS (SELECT doc_id, start_tok, end_tok, end_tok - start_tok AS n_tokens
+        |  FROM sp WHERE end_tok - start_tok >= 8)
+        |SELECT f.doc_id, f.start_tok, f.end_tok, f.n_tokens,
+        |  array_to_string(t.l[f.start_tok + 1 : f.end_tok], ' ') AS span
+        |FROM f JOIN tk t USING (doc_id)
+        |ORDER BY doc_id, start_tok""".stripMargin) { (s, dir) =>
+      val all = docs(s, dir)
+      graft.operators.TextOps.duplicateSpansAgainst(
+          all.filter(col("doc_id") % 5 === 0),
+          graft.operators.TextOps.dupGrams(
+            all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 6),
+          "doc_id", "text", k = 6, minTokens = 8)
+        .orderBy("doc_id", "start_tok")
+    },
+
     // ---- Benchmark decontamination (TextOps.decontaminate) --------------
     // the GPT-3/PaLM n-gram overlap check: flag corpus docs sharing any
     // word-5-gram with the benchmark slice. Corpus grams are hashed

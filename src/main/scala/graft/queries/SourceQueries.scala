@@ -111,6 +111,36 @@ object SourceQueries {
       }
     },
 
+    // ---- Image resize: REAL PNG decode -> exact integer NN resample ->
+    // lossless PNG re-encode -> REAL decode again. The source image is
+    // formulaic gray (synthPng), so the oracle recomputes the resampled
+    // luma sum from pure arithmetic: a match proves the whole
+    // encode/decode/resample/re-encode chain is bit-faithful. ----
+    QueryDef("q_multimodal_resize",
+      """WITH d AS (SELECT doc_id,
+        |    32 + (doc_id % 5) * 8 AS sw, 16 + (doc_id % 3) * 8 AS sh
+        |  FROM documents WHERE doc_id < 100),
+        |dim AS (SELECT doc_id, sw, sh,
+        |    greatest(1, (sw * 16) // greatest(sw, sh)) AS dw,
+        |    greatest(1, (sh * 16) // greatest(sw, sh)) AS dh FROM d),
+        |px AS (SELECT doc_id, dw, dh,
+        |    ((((x * sw) // dw) * 7 + ((y * sh) // dh) * 13 + doc_id) % 256) AS v
+        |  FROM dim, unnest(range(0, dw)) AS ux(x), unnest(range(0, dh)) AS uy(y))
+        |SELECT doc_id, CAST(max(dw) AS INT) AS w, CAST(max(dh) AS INT) AS h,
+        |  CAST(sum(v) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val sw = (32 + (id % 5) * 8).toInt
+          val sh = (16 + (id % 3) * 8).toInt
+          MediaOps.MediaRow(id, "image", MediaOps.synthPng(id, sw, sh))
+        }
+      MediaOps.lumaSummary(MediaOps.resizeImages(rows, maxSide = 16))
+        .orderBy("doc_id")
+    },
+
     // ---- Audio: REAL RIFF/WAVE decode via javax.sound (JDK-only, the
     // audio twin of the javax.imageio image path). The waveform is a
     // pure-integer formula, PCM16 round-trips losslessly, and the decode
