@@ -19,12 +19,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val scopeTl = new ThreadLocal[java.util.ArrayList[DataFrame]]()
 
-  /** Persist `df` and register it for [[unpersistAll]]. */
+  /** Persist `df` and register it for release: inside a [[scoped]]
+    * block, with that scope (this thread only); otherwise with the
+    * global [[unpersistAll]] registry.
+    */
   def track(df: DataFrame,
             lvl: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    tracked.add(df)
+    val sc = scopeTl.get()
+    if (sc != null) sc.add(df) else tracked.add(df)
     df.persist(lvl)
+  }
+
+  /** Run `body` with a PRIVATE cache scope: operator-internal persists
+    * created on THIS thread during `body` are released when it exits
+    * (success or failure) — without touching the global registry, so a
+    * long-running caller (a streaming foreachBatch, a repeated-batch
+    * driver sharing the session with other queries) neither leaks one
+    * cache per batch nor clobbers concurrent queries' caches the way a
+    * per-batch [[unpersistAll]] would. `body` must MATERIALIZE whatever
+    * it returns (write/collect/count) — lazy plans escaping the scope
+    * recompute instead of reading the released cache.
+    */
+  def scoped[A](body: => A): A = {
+    val prev = scopeTl.get()
+    val mine = new java.util.ArrayList[DataFrame]()
+    scopeTl.set(mine)
+    try body
+    finally {
+      scopeTl.set(prev)
+      mine.forEach(df => df.unpersist(blocking = false))
+    }
   }
 
   /** Number of operator-internal caches currently registered. */

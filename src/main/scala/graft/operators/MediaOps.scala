@@ -43,43 +43,77 @@ object MediaOps {
     (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
       (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
 
+  /** Pixel ceiling for [[decodeImage]]/[[resizeImages]]: a corrupt or
+    * adversarial header can DECLARE enormous dimensions (a
+    * decompression bomb — a few KB of payload expanding to a multi-GB
+    * BufferedImage), and the resulting OutOfMemoryError is an Error
+    * that no `catch Exception` degrades. Checked from the HEADER
+    * (ImageReader.getWidth/getHeight read metadata only) before any
+    * pixel allocation. 64 MP ≈ 256 MB ARGB — generous for corpus
+    * media, far below task memory.
+    */
+  private val MaxPixels = 64000000L
+
+  /** Header-checked full decode: None when undecodable OR the declared
+    * dimensions exceed [[MaxPixels]].
+    */
+  private[operators] def readImageGuarded(p: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    // default ImageIO caching wraps even in-memory streams in a
+    // FileCacheImageInputStream — a temp-file create/delete PER IMAGE
+    // on executor disk. The payload is already a byte array: decode
+    // fully in memory. (JVM-global static; idempotent.)
+    javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(p))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+          else Option(r.read(0))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
   /** Real image decode via `javax.imageio`: (width, height, nComponents,
     * row-major luma plane). Luma is EXACT integer Rec.601
     * (`(299r + 587g + 114b) div 1000`), so every downstream hash stays
     * bit-identical across engines/platforms — the same integer-exact
     * contract the stub path has. Returns None for undecodable bytes
-    * (caller falls back to the stub rather than failing the row: a
-    * corrupt image in a 100 TB corpus must degrade, not kill the job).
+    * INCLUDING declared-dimension bombs (caller falls back to the stub
+    * rather than failing the row: a corrupt image in a 100 TB corpus
+    * must degrade, not kill the job).
     */
   private[operators] def decodeImage(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
     try {
-      // default ImageIO caching wraps even in-memory streams in a
-      // FileCacheImageInputStream — a temp-file create/delete PER IMAGE
-      // on executor disk. The payload is already a byte array: decode
-      // fully in memory. (JVM-global static; idempotent.)
-      javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      val img = readImageGuarded(p).orNull
       if (img == null) None
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // bulk getRGB: ONE ColorModel conversion pass into an int[]
+        // instead of a per-pixel call (each pays bounds checks + color
+        // conversion — the hot-path cost on non-INT_RGB PNG rasters)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val luma = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            luma(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          luma(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+          i += 1
         }
         Some((w, h, img.getColorModel.getNumComponents, luma))
       }
-    } catch { case _: Exception => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic fake header: the first 16 payload bytes define the
     * metadata via arithmetic, standing in for a real codec header parse.
@@ -160,9 +194,10 @@ object MediaOps {
           if (!isRealImage(r.payload)) None
           else
             try {
-              javax.imageio.ImageIO.setUseCache(false)
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(r.payload))
+              // header-guarded read: a declared-dimension bomb returns
+              // None (degrade to identity) instead of an OOM Error that
+              // no Exception handler would catch
+              val img = readImageGuarded(r.payload).orNull
               if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide)
                 None
               else {
@@ -170,23 +205,28 @@ object MediaOps {
                 val long = math.max(sw, sh)
                 val dw = math.max(1, sw * maxSide / long)
                 val dh = math.max(1, sh * maxSide / long)
-                val out = new java.awt.image.BufferedImage(
-                  dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                // bulk getRGB/setRGB: one ColorModel conversion each way
+                // instead of a per-pixel call on the hot path
+                val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
+                val dst = new Array[Int](dw * dh)
                 var y = 0
                 while (y < dh) {
-                  val sy = y * sh / dh
+                  val srow = (y * sh / dh) * sw
                   var x = 0
                   while (x < dw) {
-                    out.setRGB(x, y, img.getRGB(x * sw / dw, sy))
+                    dst(y * dw + x) = src(srow + x * sw / dw)
                     x += 1
                   }
                   y += 1
                 }
+                val out = new java.awt.image.BufferedImage(
+                  dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                out.setRGB(0, 0, dw, dh, dst, 0, dw)
                 val bos = new java.io.ByteArrayOutputStream()
                 javax.imageio.ImageIO.write(out, "png", bos)
                 Some(bos.toByteArray)
               }
-            } catch { case _: Exception => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
         resized.fold(r)(p => r.copy(payload = p))
       }
     }

@@ -225,7 +225,7 @@ object TextOps {
       .withColumn("n_words", expr("CAST(size(_ch) AS BIGINT)"))
       .withColumn("n_budget_tokens", expr(
         s"aggregate(${counter("_ch")}, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .drop("_tk", "_c", "_chs", "_ch")
+      .drop("_chs", "_ch")
   }
 
   /** Bigram language-model counts: c(w1,w2) per adjacent token pair and

@@ -301,23 +301,39 @@ object EventPipeline {
     * admitted in batch 1). foreachBatch because span extraction needs
     * a per-doc window — legal on the bounded batch, not on the
     * unbounded stream.
+    *
+    * Exactly-once: survivors publish per-epoch `sinkPath/batch_<n>`
+    * dirs via [[graft.sources.AtomicSwap]] (the [[annIngest]] layout —
+    * a replayed epoch re-commits its OWN dir instead of appending
+    * duplicates to a shared sink; with a durable `checkpoint` the
+    * sink is replay-idempotent). Read the union with a `batch_*`
+    * glob. Operator-internal caches are [[graft.operators.Caches
+    * .scoped]] per batch — released on batch exit without clobbering
+    * concurrent queries' caches.
     */
   def spanIngest(docs: DataFrame, dupGrams: DataFrame,
                  idCol: String, textCol: String, sinkPath: String,
                  k: Int = 6, maxSpanTokens: Int = 20,
                  checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(maxSpanTokens >= k, "maxSpanTokens must be at least the gram width")
+    val spark = docs.sparkSession
     val writer = checkpoint.foldLeft(docs.writeStream)(
       (w, cp) => w.option("checkpointLocation", cp))
     writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val hot = graft.operators.TextOps
-          .duplicateSpansAgainst(batch, dupGrams, idCol, textCol, k,
-            minTokens = maxSpanTokens)
-          .select(col(idCol)).distinct()
-        batch.join(hot, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(sinkPath)
-        graft.operators.Caches.unpersistAll()
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.operators.Caches.scoped {
+          val hot = graft.operators.TextOps
+            .duplicateSpansAgainst(batch, dupGrams, idCol, textCol, k,
+              minTokens = maxSpanTokens)
+            .select(col(idCol)).distinct()
+          val batchDir = new org.apache.hadoop.fs.Path(s"$sinkPath/batch_$epochId")
+          val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.sources.AtomicSwap.recover(fs, batchDir)
+          val staging = graft.sources.AtomicSwap.stagingOf(batchDir)
+          batch.join(hot, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(staging.toString)
+          graft.sources.AtomicSwap.commit(fs, batchDir)
+        }
         ()
       }
       .start()

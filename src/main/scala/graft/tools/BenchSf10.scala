@@ -105,8 +105,11 @@ object BenchSf10 {
     * is reported and skipped; the sweep still publishes an artifact
     * with every phase that DID complete.
     */
-  private def phaseFailed(phase: String, e: Exception): Unit = {
+  private def phaseFailed(phase: String, e: Throwable): Unit = {
     System.err.println(s"[sf10] phase $phase FAILED: ${e.getMessage}")
+    // a failed phase must not pin its persisted frames for the rest of
+    // the sweep (it likely failed UNDER memory/disk pressure)
+    graft.operators.Caches.unpersistAll()
     reclaimShuffle()
   }
 
@@ -126,7 +129,7 @@ object BenchSf10 {
         }
         out += name -> r3(secs)
       } catch {
-        case e: Exception =>
+        case e: Throwable => // incl. OutOfMemoryError: artifact > purity
           System.err.println(s"[sf10] $name FAILED: ${e.getMessage}")
           out += name -> -1.0
       }
@@ -136,8 +139,8 @@ object BenchSf10 {
     // phase-restricted sweep must not require tables its phases never use
     lazy val docs = graft.sources.Tables(spark, dir, "documents")
     if (phases("dedup")) try {
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = graft.operators.Caches.track(
+        Dedup.minhashLsh(docs, "doc_id", "text"))
       val (tPairs, nPairs) = time(pairs.count())
       out += "dedup_minhash_pairs" -> r3(tPairs)
       val (tDrop, nKept) = time(
@@ -146,11 +149,10 @@ object BenchSf10 {
       val (tClust, nClust) = time(
         Dedup.duplicateClusters(pairs.select("a_id", "b_id")).count())
       out += "dedup_clusters" -> r3(tClust)
-      pairs.unpersist()
       graft.operators.Caches.unpersistAll()
       reclaimShuffle()
       println(s"[sf10] $dir dedup: pairs=$nPairs kept=$nKept clustered=$nClust")
-    } catch { case e: Exception => phaseFailed("dedup", e) }
+    } catch { case e: Throwable => phaseFailed("dedup", e) }
 
     // round-8 operators at scale: exact maximal dup spans (the planted
     // ~10% document duplicates give every sf real span work) and the
@@ -163,14 +165,14 @@ object BenchSf10 {
       graft.operators.Caches.unpersistAll()
       reclaimShuffle()
       println(s"[sf10] $dir spans=$nSpans")
-    } catch { case e: Exception => phaseFailed("spans", e) }
+    } catch { case e: Throwable => phaseFailed("spans", e) }
     if (phases("bpe")) try {
       val (tBpe, nBpe) = time(
         graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text").count())
       out += "bpe_token_counts" -> r3(tBpe)
       reclaimShuffle()
       println(s"[sf10] $dir bpe_docs=$nBpe")
-    } catch { case e: Exception => phaseFailed("bpe", e) }
+    } catch { case e: Throwable => phaseFailed("bpe", e) }
 
     // end-to-end corpus prep: Gopher quality gate (narrow signals joined
     // back on id) → exact dedup → token chunking — the standard
@@ -189,7 +191,7 @@ object BenchSf10 {
       out += "pipeline_prep" -> r3(tPipe)
       reclaimShuffle()
       println(s"[sf10] $dir pipeline chunks=$nChunks")
-    } catch { case e: Exception => phaseFailed("pipeline", e) }
+    } catch { case e: Throwable => phaseFailed("pipeline", e) }
 
     // IVF-PQ via the ON-DISK index: the production read path. Training
     // (kmeans cells + PQ codebook over a deterministic sample), index
@@ -202,10 +204,12 @@ object BenchSf10 {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val sample = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
       val (tTrain, cbPair) = time {
-        val c = Vectors.kmeans(sample, "vec_id", "embedding", k = 16, iters = 2)
-          .centroids.select("cid", "ce").persist(lvl)
-        val cb = Vectors.pqTrain(sample, "vec_id", "embedding", m = 4, k = 16,
-          iters = 2).persist(lvl)
+        val c = graft.operators.Caches.track(
+          Vectors.kmeans(sample, "vec_id", "embedding", k = 16, iters = 2)
+            .centroids.select("cid", "ce"), lvl)
+        val cb = graft.operators.Caches.track(
+          Vectors.pqTrain(sample, "vec_id", "embedding", m = 4, k = 16,
+            iters = 2), lvl)
         c.count(); cb.count()
         (c, cb)
       }
@@ -226,10 +230,10 @@ object BenchSf10 {
           k = 10, nprobe = 4, m = 4, dims = 64).count()
       }
       out += "ann_index_search" -> r3(tSearch)
-      cells.unpersist(); codebook.unpersist()
+      graft.operators.Caches.unpersistAll()
       println(s"[sf10] $dir ann: train=${r3(tTrain)} build=${r3(tBuild)} " +
         s"search=${r3(tSearch)} rows=$nAnn")
-    } catch { case e: Exception => phaseFailed("ann", e) }
+    } catch { case e: Throwable => phaseFailed("ann", e) }
     out.toSeq
   }
 

@@ -19,8 +19,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object TestTables {
   def reset(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_test_warehouse/$table")
+    // derive from the session's actual warehouse config — a hardcoded
+    // copy would silently delete the wrong dir if the config moved
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/$table")
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

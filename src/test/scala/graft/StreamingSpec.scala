@@ -634,9 +634,11 @@ class StreamingSpec extends SparkSpec {
       input.addData(EventPipeline.DocEvent(ts, 20L,
         "again alpha beta gamma delta epsilon zeta eta theta trailing"))
       q.processAllAvailable()
-      val kept = spark.read.parquet(sink).select("doc_id")
+      val kept = spark.read.parquet(s"$sink/batch_*").select("doc_id")
         .as[Long].collect().sorted.toSeq
       assert(kept == Seq(11L, 12L), kept.toString)
+      // per-epoch committed dirs: replay-idempotent publication layout
+      assert(spark.read.parquet(s"$sink/batch_0").count() == 2L)
     } finally q.stop()
   }
 
