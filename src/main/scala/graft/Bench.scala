@@ -40,21 +40,25 @@ object Bench {
       name -> run()
     }
     val failed = results.collect { case (n, None) => n }
-    // The driver's artifact capture truncates long lines and r07 showed it
-    // keeps the END — where the previous layout had put top50, wasting the
-    // tail budget on mid-rank entries. Hedge BOTH directions: the compact
-    // top50 (heaviest, descending) serializes EARLY in the line, and the
-    // full map sorts time-ASCENDING so the line's end is also the heaviest.
+    // The driver captures only the LAST 2000 chars of output (BENCH_r08's
+    // tail ends with sbt's "[success]" trailer), so a single huge line
+    // with 240 timings can never parse — its head is cut off. Emit a
+    // COMPACT summary line (~400 chars: total, ok, failed, top-10
+    // heaviest) both FIRST and LAST so the capture parses whichever end
+    // survives, with the full time-ascending map on the middle line for
+    // repo-side records.
     val timed = results.collect { case (k, Some(v)) => (k, math.round(v * 1000) / 1000.0) }
-    val qs = timed.sortBy { case (k, v) => (v, k) }
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val top50 = timed.sortBy { case (k, v) => (-v, k) }.take(50)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(timed.sortBy { case (k, v) => (v, k) })
+    val top10 = jmap(timed.sortBy { case (k, v) => (-v, k) }.take(10))
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","top50":$top50,"queries":$qs}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","queries":$top10,"note":"queries=top10 heaviest; full map on the middle line"}"""
+    println(compact)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":$qs}""")
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -156,9 +156,13 @@ object Dedup {
                              corpusBands: DataFrame,
                              idCol: String, textCol: String,
                              k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-                             maxBucket: Int = 100000): DataFrame = {
+                             maxBucket: Int = 100000,
+                             candFilter: Column = lit(true)): DataFrame = {
+    // candFilter prunes candidate PAIRS before the (expensive) shingle
+    // verification — [[minhashLshSliced]] passes corpus_id < new_id so a
+    // pair is verified only in the one slice that keeps it
     val cand = Caches.track(candidatesAgainstBands(newDf, corpusBands,
-      idCol, textCol, k, bands, maxBucket))
+      idCol, textCol, k, bands, maxBucket).filter(candFilter))
     val newSh = shingleTable(newDf, idCol, textCol)
     val hitIds = cand.select(col("corpus_id").as(idCol)).distinct()
     val corpusSh = shingleTable(
@@ -169,6 +173,40 @@ object Dedup {
       .selectExpr("new_id", "corpus_id",
         "CAST(size(array_intersect(shn, shc)) AS DOUBLE) / size(array_union(shn, shc)) AS jaccard")
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full-corpus near-dup pairs with BOUNDED scratch: the one-shot
+    * [[minhashLsh]] self-join peaks at O(corpus) shuffle + verify spill
+    * in one job — measured to exceed a single node's scratch at 1000×
+    * rows. This runs the SAME pair computation as `slices` sequential
+    * batch-vs-corpus passes against a [[saveBandTable]] index, the
+    * production ingest shape: each slice (docs with hash(id)%slices == i)
+    * plays "today's batch" against the full bucketed corpus index, and
+    * the `corpus_id < new_id` candidate filter makes every unordered
+    * pair appear exactly once (in the slice that owns its larger id) —
+    * so the union over slices equals the one-shot pair set, while peak
+    * scratch is ~1/slices of it.
+    *
+    * Returns one LAZY frame per slice: the caller MUST materialize them
+    * one at a time (write/count each, releasing caches and shuffle files
+    * between — see BenchSf10's dedup_incr phase) or the scratch bound is
+    * lost; a union executed as one job would co-hold every slice's
+    * shuffle files again.
+    */
+  def minhashLshSliced(df: DataFrame, idCol: String, textCol: String,
+                       table: String, slices: Int = 8, buckets: Int = 64,
+                       k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+                       maxBucket: Int = 100000): Seq[DataFrame] = {
+    require(slices >= 1, "slices must be positive")
+    saveBandTable(df, idCol, textCol, table, buckets, k, bands)
+    val corpusBands = df.sparkSession.table(table)
+    (0 until slices).map { i =>
+      val slice = df.filter(pmod(hash(col(idCol)), lit(slices)) === i)
+      minhashLshAgainstSaved(slice, df, corpusBands, idCol, textCol,
+          k, bands, threshold, maxBucket,
+          candFilter = col("corpus_id") < col("new_id"))
+        .selectExpr("corpus_id AS a_id", "new_id AS b_id", "jaccard")
+    }
   }
 
   /** MinHash + LSH near-duplicate pairs: `k` hashes in `bands` bands,
@@ -396,15 +434,18 @@ object Dedup {
       .select("a_id", "b_id", "shared", "containment")
   }
 
-  /** 64-bit SimHash over distinct tokens of `textCol`. */
+  /** 64-bit SimHash over distinct tokens of `textCol`. The distinct-token
+    * array is bound as a lambda VARIABLE (the SURVEY §6 HOF rule): as a
+    * withColumn alias, CollapseProject inlined the tokenize into the
+    * 64-bit aggregate's lambda and re-ran it once per bit.
+    */
   def simhash64(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
-    df.withColumn("_dt", array_distinct(tokens(textCol)))
-      .withColumn(out, expr(
-        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
-           |  acc + CASE WHEN aggregate(_dt, 0, (a2, w) ->
-           |      a2 + CASE WHEN (${h60("w")} >> (b % 60)) & 1 = 1 THEN 1 ELSE -1 END) >= 0
-           |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
-      .drop("_dt")
+    df.withColumn(out, expr(
+        s"""element_at(transform(array(array_distinct(split(lower(trim($textCol)), '\\s+'))), dt ->
+           |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+           |    acc + CASE WHEN aggregate(dt, 0, (a2, w) ->
+           |        a2 + CASE WHEN shiftright(${h60("w")}, b % 60) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+           |      THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)), 1)""".stripMargin))
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

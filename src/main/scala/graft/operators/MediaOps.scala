@@ -203,18 +203,21 @@ object MediaOps {
               else {
                 val (sw, sh) = (img.getWidth, img.getHeight)
                 val long = math.max(sw, sh)
-                val dw = math.max(1, sw * maxSide / long)
-                val dh = math.max(1, sh * maxSide / long)
+                // Long intermediates: an extreme-aspect image inside the
+                // 64MP guard (e.g. 10Mx1) times a large maxSide overflows
+                // Int and would silently compute wrong target dims/indexes
+                val dw = math.max(1, (sw.toLong * maxSide / long).toInt)
+                val dh = math.max(1, (sh.toLong * maxSide / long).toInt)
                 // bulk getRGB/setRGB: one ColorModel conversion each way
                 // instead of a per-pixel call on the hot path
                 val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
                 val dst = new Array[Int](dw * dh)
                 var y = 0
                 while (y < dh) {
-                  val srow = (y * sh / dh) * sw
+                  val srow = (y.toLong * sh / dh).toInt * sw
                   var x = 0
                   while (x < dw) {
-                    dst(y * dw + x) = src(srow + x * sw / dw)
+                    dst(y * dw + x) = src(srow + (x.toLong * sw / dw).toInt)
                     x += 1
                   }
                   y += 1
@@ -413,9 +416,11 @@ object MediaOps {
   /** REAL audio decode + integer frame features: each wav goes through
     * `javax.sound.sampled.AudioSystem` (in the JDK, no external binding
     * — the audio analog of the `javax.imageio` image path), the format
-    * is verified to be what the pipeline expects (PCM16 mono LE — a
-    * float or compressed stream here means a corrupt upstream), and the
-    * PCM samples yield exact-integer features: total sum of squares
+    * is verified to be what the pipeline expects (PCM16 mono LE); a
+    * payload that doesn't decode or has another format degrades to a
+    * sentinel row (sample_rate = -1) rather than killing the job — the
+    * same degrade-not-kill contract as the image path. Decodable PCM
+    * samples yield exact-integer features: total sum of squares
     * (energy), peak amplitude, and the count of all-zero `frame`-sample
     * frames (silence detection, the trim/VAD primitive). Because PCM16
     * round-trips losslessly, a SQL oracle reproduces every value from
@@ -430,37 +435,59 @@ object MediaOps {
     require(frame >= 1, "frame must be positive")
     ds.mapPartitions { it =>
       it.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
-        val fmt = ais.getFormat
-        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
-            && !fmt.isBigEndian,
-          s"audioFeatures: expected PCM16 mono LE, got $fmt (doc ${r.doc_id})")
-        val bytes = ais.readAllBytes()
-        ais.close()
-        val n = bytes.length / 2
-        var sumSq = 0L
-        var peak = 0L
-        var silent = 0L
-        var frameZero = true
-        var i = 0
-        while (i < n) {
-          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
-          sumSq += s * s
-          val a = math.abs(s)
-          if (a > peak) peak = a
-          if (s != 0L) frameZero = false
-          if ((i + 1) % frame == 0) { // full frame boundary
-            if (frameZero) silent += 1
-            frameZero = true
-          }
-          i += 1
+        // degrade, not kill (same contract as the image path): one corrupt
+        // payload in a 100 TB corpus must not fail the job, so undecodable
+        // or wrong-format audio yields the sentinel row (sample_rate = -1,
+        // all counters 0) instead of throwing. The stream closes in a
+        // finally either way.
+        decodePcm16MonoLe(r.wav) match {
+          case None =>
+            AudioFeatures(r.doc_id, 0L, -1L, 0L, 0L, 0L, 0L)
+          case Some((bytes, sampleRate)) =>
+            val n = bytes.length / 2
+            var sumSq = 0L
+            var peak = 0L
+            var silent = 0L
+            var frameZero = true
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              if (s != 0L) frameZero = false
+              if ((i + 1) % frame == 0) { // full frame boundary
+                if (frameZero) silent += 1
+                frameZero = true
+              }
+              i += 1
+            }
+            AudioFeatures(r.doc_id, n.toLong, sampleRate,
+              (n / frame).toLong, sumSq, peak, silent)
         }
-        AudioFeatures(r.doc_id, n.toLong, fmt.getSampleRate.toLong,
-          (n / frame).toLong, sumSq, peak, silent)
       }
     }
+  }
+
+  /** Decode a WAV payload to raw PCM16-mono-LE bytes + sample rate, or
+    * None when the bytes don't decode or the format isn't the pipeline's
+    * expected PCM16 mono LE. Never throws; always closes the stream.
+    */
+  private[operators] def decodePcm16MonoLe(
+      wav: Array[Byte]): Option[(Array[Byte], Long)] = {
+    var ais: javax.sound.sampled.AudioInputStream = null
+    try {
+      ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian)
+        Some((ais.readAllBytes(), fmt.getSampleRate.toLong))
+      else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally if (ais != null) ais.close()
   }
 
   /** Build a media table from `documents`: utf-8 payload + type by modulo

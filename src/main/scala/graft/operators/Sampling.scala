@@ -286,10 +286,14 @@ object Sampling {
       "IF(size(tk) < 2, CAST(array() AS ARRAY<STRING>), " +
       "transform(sequence(1, size(tk) - 1), " +
       "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))), 1)"
-    def ex = df
+    // tracked persist: both the bucket-stats aggregate and the final
+    // scoring join consume this frame, so without it the tokenize+
+    // explode+hash corpus scan runs twice (Caches.unpersistAll /
+    // a Caches.scoped caller releases it)
+    val ex = Caches.track(df
       .select(col(idCol), expr(targetExpr).cast("boolean").as("_tgt"),
         explode(expr(bi)).as("_g"))
-      .withColumn("_b", expr(s"graft_hash60(_g) % $buckets"))
+      .withColumn("_b", expr(s"graft_hash60(_g) % $buckets")))
     val stats = ex.groupBy("_b").agg(
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("_t"),
       count(lit(1)).as("_r"))

@@ -915,13 +915,16 @@ object TextOps {
     */
   def hashEmbed(df: DataFrame, textCol: String, dims: Int = 16): DataFrame = {
     require(dims >= 1, "dims must be positive")
-    df.withColumn("_hv", expr(
-        s"transform(${tokensExpr(textCol)}, t -> graft_hash60(t))"))
-      .withColumn("hemb", expr(
-        s"transform(sequence(0, ${dims - 1}), j -> " +
-          s"aggregate(filter(_hv, h -> h % $dims = j), CAST(0 AS BIGINT), " +
+    // the hashed-token array is bound as a lambda VARIABLE (the SURVEY §6
+    // HOF rule): as a withColumn alias, CollapseProject inlined the
+    // tokenize+hash into the per-dimension lambda and re-ran it `dims`
+    // times per document
+    df.withColumn("hemb", expr(
+        s"element_at(transform(array(" +
+          s"transform(${tokensExpr(textCol)}, t -> graft_hash60(t))), hv -> " +
+          s"transform(sequence(0, ${dims - 1}), j -> " +
+          s"aggregate(filter(hv, h -> h % $dims = j), CAST(0 AS BIGINT), " +
           s"(acc, h) -> acc + IF((h div $dims) % 2 = 0, " +
-          "CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))"))
-      .drop("_hv")
+          "CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))), 1)"))
   }
 }

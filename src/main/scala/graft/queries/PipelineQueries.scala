@@ -317,13 +317,16 @@ object PipelineQueries {
          |         THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash16
          |FROM t ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
+        // dt bound as a lambda variable (SURVEY §6): a column alias gets
+        // inlined by CollapseProject into the 16-bit lambda, re-running
+        // the distinct-tokenize once per bit
         docs(s, dir).filter(col("doc_id") < 60)
-          .selectExpr("doc_id", s"array_distinct($toksS) AS dt")
           .selectExpr("doc_id",
-            s"""CAST(aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
-               |  acc + CASE WHEN aggregate(dt, 0, (a2, w) ->
-               |      a2 + CASE WHEN (${h60s("w")} >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
-               |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash16""".stripMargin)
+            s"""CAST(element_at(transform(array(array_distinct($toksS)), dt ->
+               |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+               |    acc + CASE WHEN aggregate(dt, 0, (a2, w) ->
+               |        a2 + CASE WHEN shiftright(${h60s("w")}, b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+               |      THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)), 1) AS BIGINT) AS simhash16""".stripMargin)
           .orderBy("doc_id")
     },
 
@@ -1610,18 +1613,21 @@ object PipelineQueries {
 
     // ---- Feature-hashed embedding (operator TextOps.hashEmbed) ---------
     // the hashing-trick bag-of-words vector: integer-exact, stateless,
-    // computable inside the scan — verified element-for-element.
+    // computable inside the scan — verified element-for-element. The
+    // vector ships as to_json text on BOTH engines (driver comparator
+    // contract: no top-level arrays).
     QueryDef("q_text_hash_embed",
       s"""WITH t AS (SELECT doc_id,
          |    list_transform($toksD, t -> ${h60d("t")}) AS hv
          |  FROM documents WHERE doc_id < 200)
-         |SELECT doc_id, list_transform(range(0, 16), j ->
+         |SELECT doc_id, to_json(list_transform(range(0, 16), j ->
          |  CAST(coalesce(list_sum(list_transform(list_filter(hv, h -> h % 16 = j),
-         |    h -> CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)), 0) AS BIGINT)) AS hemb
+         |    h -> CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)), 0) AS BIGINT)))::VARCHAR
+         |  AS hemb_json
          |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.TextOps.hashEmbed(
           docs(s, dir).filter(col("doc_id") < 200), "text", dims = 16)
-        .select("doc_id", "hemb")
+        .select(col("doc_id"), to_json(col("hemb")).as("hemb_json"))
         .orderBy("doc_id")
     },
 

@@ -21,6 +21,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventPipeline {
 
+  /** The exactly-once contract of the index-building sinks is keyed on
+    * DURABLE epoch ids: without a checkpoint a restarted query restarts
+    * at epoch 0 and overwrites committed batch dirs with different rows.
+    * The default stays None so tests and throwaway pipelines run without
+    * ceremony, but any restartable deployment must pass one — warn loudly
+    * rather than fail silently months later on the first restart.
+    */
+  private def warnIfNoCheckpoint(op: String, checkpoint: Option[String]): Unit =
+    if (checkpoint.isEmpty)
+      System.err.println(
+        s"[graft] WARNING: EventPipeline.$op started WITHOUT a checkpoint — " +
+          "a restarted query will replay from epoch 0 and overwrite committed " +
+          "batch dirs. Pass checkpoint=Some(path) for any restartable deployment.")
+
   /** Tumbling-window counts per event type with a watermark — the
     * streaming analog of the reference's incremental aggregate fast path
     * (reference: src/execute/streamingAggregate.js).
@@ -263,8 +277,16 @@ object EventPipeline {
                 m: Int = 4, dims: Int = 64, buckets: Int = 8,
                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vectors.sparkSession
-    // freeze: bounded collect (m·k rows) at construction, never per batch
+    warnIfNoCheckpoint("annIngest", checkpoint)
+    // freeze: bounded collect at construction, never per batch. The bound
+    // is structural — a codebook is m subspaces × k centroids (k ≤ 256
+    // for byte codes), so ≤ m·256 rows ever cross the driver; the assert
+    // turns a mistakenly-passed full-corpus frame into a loud error
+    // instead of a driver OOM.
     val cbRows = codebook.select("sub", "cid", "ce").collect().toSeq
+    require(cbRows.size <= m * 256,
+      s"annIngest: codebook has ${cbRows.size} rows, expected <= m*256 = ${m * 256} " +
+        "(m subspaces x <=256 centroids) — was a non-codebook frame passed?")
     val cbSchema = codebook.select("sub", "cid", "ce").schema
     val writer = checkpoint.foldLeft(vectors.writeStream)(
       (w, cp) => w.option("checkpointLocation", cp))
@@ -317,6 +339,7 @@ object EventPipeline {
                  checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(maxSpanTokens >= k, "maxSpanTokens must be at least the gram width")
     val spark = docs.sparkSession
+    warnIfNoCheckpoint("spanIngest", checkpoint)
     val writer = checkpoint.foldLeft(docs.writeStream)(
       (w, cp) => w.option("checkpointLocation", cp))
     writer

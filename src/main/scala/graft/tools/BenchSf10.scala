@@ -68,6 +68,23 @@ object BenchSf10 {
     def reset(): Int = { val n = skewSplits; skewSplits = 0; n }
   }
 
+  /** Drop a managed table AND its warehouse dir: a previous JVM's run
+    * leaves the location behind (the in-memory catalog forgets the
+    * entry), and the next saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    */
+  private def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/$table")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   private def time[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val r = body
@@ -82,7 +99,8 @@ object BenchSf10 {
     * streaming design amortizes anyway) without forking the tool.
     */
   private val phases: Set[String] =
-    sys.env.getOrElse("SPARK_GRAFT_PHASES", "tpch,dedup,spans,bpe,pipeline,ann")
+    sys.env.getOrElse("SPARK_GRAFT_PHASES",
+        "tpch,dedup,dedup_incr,spans,bpe,pipeline,ann")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
   /** Release the PREVIOUS query's shuffle files. Spark's ContextCleaner
@@ -101,12 +119,23 @@ object BenchSf10 {
     Thread.sleep(300)
   }
 
+  /** True once any FATAL error (OOM, ENOSPC-as-Error, linkage) has been
+    * caught: the sweep continues to publish an artifact, but every timing
+    * recorded after that point ran in a possibly-corrupted JVM, so the
+    * artifact marks them (`degraded_after_failure`) and trend comparisons
+    * can discount them instead of trusting them blind.
+    */
+  @volatile private var sawFatal = false
+  private def noteFailure(e: Throwable): Unit =
+    if (!scala.util.control.NonFatal(e)) sawFatal = true
+
   /** A phase that dies (ENOSPC on a single query's shuffle peak, OOM)
     * is reported and skipped; the sweep still publishes an artifact
     * with every phase that DID complete.
     */
   private def phaseFailed(phase: String, e: Throwable): Unit = {
     System.err.println(s"[sf10] phase $phase FAILED: ${e.getMessage}")
+    noteFailure(e)
     // a failed phase must not pin its persisted frames for the rest of
     // the sweep (it likely failed UNDER memory/disk pressure)
     graft.operators.Caches.unpersistAll()
@@ -131,6 +160,7 @@ object BenchSf10 {
       } catch {
         case e: Throwable => // incl. OutOfMemoryError: artifact > purity
           System.err.println(s"[sf10] $name FAILED: ${e.getMessage}")
+          noteFailure(e)
           out += name -> -1.0
       }
       reclaimShuffle()
@@ -153,6 +183,34 @@ object BenchSf10 {
       reclaimShuffle()
       println(s"[sf10] $dir dedup: pairs=$nPairs kept=$nKept clustered=$nClust")
     } catch { case e: Throwable => phaseFailed("dedup", e) }
+
+    // full-corpus dedup through the INCREMENTAL path: saveBandTable once,
+    // then sequential slice-vs-corpus passes (Dedup.minhashLshSliced).
+    // This is the shape that completes at sf100 on one node — the
+    // one-shot self-join's single-job shuffle peak exceeds this VM's
+    // scratch at 1000× rows — and the shape a 1000-executor ingest
+    // pipeline runs anyway. Each slice materializes separately, with
+    // caches + shuffle files released between slices, so peak scratch
+    // is ~1/slices of the one-shot.
+    if (phases("dedup_incr")) try {
+      resetTable(spark, "bench_band_index")
+      val sliceFrames = {
+        val (tBuild, fs) = time(Dedup.minhashLshSliced(
+          docs, "doc_id", "text", table = "bench_band_index", slices = 8))
+        out += "dedup_incr_index_build" -> r3(tBuild)
+        fs
+      }
+      var nPairsIncr = 0L
+      val (tSlices, _) = time {
+        sliceFrames.zipWithIndex.foreach { case (sliceDf, i) =>
+          graft.operators.Caches.scoped { nPairsIncr += sliceDf.count() }
+          reclaimShuffle()
+          println(s"[sf10] $dir dedup_incr slice $i done (pairs so far: $nPairsIncr)")
+        }
+      }
+      out += "dedup_incr_slices" -> r3(tSlices)
+      println(s"[sf10] $dir dedup_incr: pairs=$nPairsIncr")
+    } catch { case e: Throwable => phaseFailed("dedup_incr", e) }
 
     // round-8 operators at scale: exact maximal dup spans (the planted
     // ~10% document duplicates give every sf real span work) and the
@@ -276,6 +334,7 @@ object BenchSf10 {
         s""""max_task_input_bytes":$maxIn,"worst_task_over_median":$worstRatio,""" +
         s""""stages":$stages,"tasks":$tasks,"failed_tasks":${stats.failedTasks},""" +
         s""""peak_task_exec_mem_bytes":${stats.peakExecMem},""" +
+        s""""degraded_after_failure":$sawFatal,""" +
         s""""aqe_skew_splits":${skews.reset()}}"""
     }
 

@@ -123,6 +123,40 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dd_saved_bands")
   }
 
+  test("sliced full-corpus dedup reproduces the one-shot pair set exactly") {
+    // enough docs that ids spread over all slices; one near-dup cluster
+    // (0, 20, 21) and one exact pair (5, 25) planted among unrelated docs
+    val docs = ((0L to 19L).map(i =>
+        (i, s"unique document number $i with its own content about topic-$i " +
+          s"and filler words alpha beta gamma delta-$i")) ++ Seq(
+        (20L, "unique document number 0 with its own content about topic-0 " +
+          "and filler words alpha beta gamma delta-0"),
+        (21L, "unique document number 0 with its own content about topic-0 " +
+          "and filler words alpha beta gamma epsilon-0"),
+        (25L, docsText5))).toDF("doc_id", "text")
+    TestTables.reset(spark, "dd_sliced_bands")
+    try {
+      val oneShot = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.4)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val sliced = Dedup.minhashLshSliced(docs, "doc_id", "text",
+          table = "dd_sliced_bands", slices = 4, buckets = 4, threshold = 0.4)
+        .flatMap(_.select("a_id", "b_id").as[(Long, Long)].collect())
+        .toSet
+      assert(sliced == oneShot, s"sliced=$sliced oneShot=$oneShot")
+      assert(sliced.contains((0L, 20L)) && sliced.contains((5L, 25L)), sliced)
+      // each pair appears exactly once across slices (no double count)
+      val all = Dedup.minhashLshSliced(docs, "doc_id", "text",
+          table = "dd_sliced_bands", slices = 4, buckets = 4, threshold = 0.4)
+        .flatMap(_.select("a_id", "b_id").as[(Long, Long)].collect())
+      assert(all.size == all.toSet.size, s"duplicated pairs in $all")
+    } finally spark.sql("DROP TABLE IF EXISTS dd_sliced_bands")
+  }
+
+  private lazy val docsText5 =
+    "unique document number 5 with its own content about topic-5 " +
+      "and filler words alpha beta gamma delta-5"
+
   test("duplicateClusters labels chained components with the minimum id") {
     // a path graph 1-2-3-4 plus an isolated pair (10, 11): label
     // propagation needs multiple rounds to carry 1 down the chain

@@ -199,18 +199,28 @@ class Round9Spec extends SparkSpec {
     }
   }
 
-  test("audio: a non-PCM16-mono stream is rejected loudly, not mis-featured") {
+  test("audio: non-PCM16-mono and undecodable payloads degrade to the sentinel") {
     import graft.operators.MediaOps
     // stereo header: channels=2, block align=4 — a real decoder parses it,
-    // the feature extractor must refuse it
+    // the feature extractor must not mis-feature it as mono. Contract
+    // (same as the image path): degrade to the sentinel row, never kill
+    // the job over one corrupt payload in a 100 TB corpus.
     val mono = MediaOps.synthWavPcm16(1L)
     val stereo = mono.clone()
     stereo(22) = 2 // nChannels LE16 @ offset 22
     stereo(32) = 4 // block align LE16 @ offset 32
-    val e = intercept[Exception](
-      MediaOps.audioFeatures(
-        Seq((1L, stereo)).toDF("doc_id", "wav").as[MediaOps.AudioRow]).collect())
-    assert(e.getMessage.contains("expected PCM16 mono LE")
-      || e.getCause != null && e.getCause.getMessage.contains("expected PCM16 mono LE"))
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val rows = MediaOps.audioFeatures(
+        Seq((1L, stereo), (2L, garbage), (3L, mono))
+          .toDF("doc_id", "wav").as[MediaOps.AudioRow])
+      .collect().map(f => f.doc_id -> f).toMap
+    // corrupt rows: sentinel (sample_rate = -1, all counters 0)
+    Seq(1L, 2L).foreach { id =>
+      val f = rows(id)
+      assert(f.sample_rate == -1L && f.n_samples == 0L && f.sum_sq == 0L,
+        s"doc $id should be the sentinel row, got $f")
+    }
+    // and the valid row in the same batch still decodes for real
+    assert(rows(3L).sample_rate == 8000L && rows(3L).n_samples > 0L)
   }
 }
