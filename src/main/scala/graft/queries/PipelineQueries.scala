@@ -79,6 +79,39 @@ object PipelineQueries {
   private val hsS = s"transform(sh, g -> ${h60s("g")} % $MinhashP)"
   private val hsD = s"list_transform(sh, g -> ${h60d("g")} % $MinhashP)"
 
+  /** The full LSH candidate-pair + Jaccard-verify replay in DuckDB SQL:
+    * shared by `q_dedup_minhash_pairs` (one-shot self-join) and
+    * `q_dedup_sliced` (slice-vs-saved-index passes) — the two execution
+    * shapes compute the identical pair set by construction, so they
+    * share one oracle.
+    */
+  private lazy val minhashPairsOracle: String = {
+    val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
+    val bandSel = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksD AS tk FROM documents
+       |), shl AS (
+       |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
+       |), sig AS (
+       |  SELECT doc_id, sh, $sigs FROM (SELECT doc_id, sh, $hsD AS hs FROM shl)
+       |), bands AS (
+       |  $bandSel
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.a_id, c.b_id,
+       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+       |FROM cand c
+       |JOIN shl sa ON sa.doc_id = c.a_id
+       |JOIN shl sb ON sb.doc_id = c.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: hash-groupBy keep-first ---------------------------
@@ -120,32 +153,7 @@ object PipelineQueries {
 
     // ---- MinHash + LSH banding: candidate pairs + Jaccard verify --------
     // 8 seeds, 4 bands of 2 rows. Shuffle key is (band, s_lo, s_hi) only.
-    QueryDef("q_dedup_minhash_pairs", {
-      val sigs = (0 until 8).map(k => s"${minhashD(k)} AS s$k").mkString(", ")
-      val bandSel = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, concat(s${2 * b}, ':', s${2 * b + 1}) AS bkey FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksD AS tk FROM documents
-         |), shl AS (
-         |  SELECT doc_id, $shD AS sh FROM t WHERE len(tk) >= 3
-         |), sig AS (
-         |  SELECT doc_id, sh, $sigs FROM (SELECT doc_id, sh, $hsD AS hs FROM shl)
-         |), bands AS (
-         |  $bandSel
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |)
-         |SELECT c.a_id, c.b_id,
-         |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |        / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
-         |FROM cand c
-         |JOIN shl sa ON sa.doc_id = c.a_id
-         |JOIN shl sb ON sb.doc_id = c.b_id
-         |ORDER BY a_id, b_id""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("q_dedup_minhash_pairs", minhashPairsOracle) { (s, dir) =>
       val shingled = docs(s, dir)
         .selectExpr("doc_id", s"$toksS AS tk")
         .filter(expr("size(tk) >= 3"))
@@ -171,6 +179,23 @@ object PipelineQueries {
         .join(shingled.selectExpr("doc_id", "sh AS shb").as("sb"), expr("sb.doc_id = c.b_id"))
         .selectExpr("a_id", "b_id",
           "round(CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb)), 6) AS jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- Sliced full-corpus dedup (operator Dedup.minhashLshSliced) -----
+    // the bounded-scratch execution shape: saveBandTable once, then
+    // slice-vs-index passes whose corpus_id < new_id filter yields each
+    // unordered pair exactly once. SAME oracle as q_dedup_minhash_pairs
+    // — the two shapes compute the identical pair set by construction,
+    // and the shared oracle proves it cross-engine. (The union here is
+    // for the correctness gate; a scale run materializes slice by slice
+    // — see BenchSf10's dedup_incr phase.)
+    QueryDef("q_dedup_sliced", minhashPairsOracle) { (s, dir) =>
+      graft.sources.Warehouse.resetTable(s, "graft_sliced_bands")
+      graft.operators.Dedup.minhashLshSliced(docs(s, dir), "doc_id", "text",
+          table = "graft_sliced_bands", slices = 4, threshold = 0.0)
+        .reduce(_ unionAll _)
+        .selectExpr("a_id", "b_id", "round(jaccard, 6) AS jaccard")
         .orderBy("a_id", "b_id")
     },
 

@@ -68,22 +68,8 @@ object BenchSf10 {
     def reset(): Int = { val n = skewSplits; skewSplits = 0; n }
   }
 
-  /** Drop a managed table AND its warehouse dir: a previous JVM's run
-    * leaves the location behind (the in-memory catalog forgets the
-    * entry), and the next saveAsTable fails with LOCATION_ALREADY_EXISTS.
-    */
-  private def resetTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = new java.io.File(s"$wh/$table")
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir)
-    }
-  }
+  private def resetTable(spark: SparkSession, table: String): Unit =
+    graft.sources.Warehouse.resetTable(spark, table)
 
   private def time[A](body: => A): (Double, A) = {
     val t0 = System.nanoTime()

@@ -44,6 +44,28 @@ class ExecutionSemanticsSpec extends SparkSpec {
     assert(calls <= 5, s"UDF evaluated $calls times for LIMIT 5 — limit not pushed")
   }
 
+  test("expensive UDF under LIMIT stays lazy over the pluggable source too") {
+    // the reference's expensive.test.js laziness scenario through the
+    // DSv2 source (not just parquet): rows stream out of the reader
+    // iterator pull-by-pull, so a LIMIT consumes only what it returns
+    // and the projection's expensive work runs at most LIMIT times
+    ExecutionSemanticsSpec.udfCalls.set(0)
+    val expensive = udf { (x: Long) =>
+      ExecutionSemanticsSpec.udfCalls.incrementAndGet(); x * 2
+    }
+    val out = spark.read.format("graft-range")
+      .option("rows", "1000000000000").option("partitions", "1")
+      .load()
+      .select(expensive(col("id")).as("y"))
+      .limit(5)
+      .collect()
+    assert(out.length == 5)
+    val calls = ExecutionSemanticsSpec.udfCalls.get()
+    assert(calls <= 5,
+      s"UDF evaluated $calls times for LIMIT 5 over graft-range — the " +
+        "source reader must be pulled lazily, never drained")
+  }
+
   test("a running query can be cancelled mid-flight (abort semantics)") {
     val sc = spark.sparkContext
     implicit val ec: ExecutionContext = ExecutionContext.global
