@@ -37,7 +37,14 @@ object Bench {
         }
       }
       run()
-      name -> run()
+      val steady = run()
+      // release operator-internal caches BETWEEN queries (not between a
+      // query's warm and timed runs — those share cache entries by
+      // canonicalized plan): a sweep otherwise accumulates every
+      // operator's tracked persists (band tables, candidate pairs) and
+      // later queries run against a shrunken storage/execution pool
+      graft.operators.Caches.unpersistAll()
+      name -> steady
     }
     val failed = results.collect { case (n, None) => n }
     // The driver captures only the LAST 2000 chars of output (BENCH_r08's

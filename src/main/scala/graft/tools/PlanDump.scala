@@ -69,7 +69,8 @@ object PlanDump {
     "q_text_gopher" -> "Gopher rule battery: sorted-run-length + distinct-count HOFs per row — one narrow codegen pipeline, ZERO shuffle",
     "q_ann_indexed" -> "on-disk IVF-PQ search: probe cells from a 1-row broadcast seed set, codes scan equi-joins the partition column (file pruning), broadcast LUT ADC, TopK.perKey merge",
     "q_dedup_representative" -> "cluster representatives: clusters join members once, max_by(score, ties lowest id) partial+final — no per-cluster window, no collect",
-    "q_multimodal_audio" -> "audio features: typed-Dataset map through the REAL javax.sound decode — narrow, payloads never shuffle, one Exchange for the ordered output")
+    "q_multimodal_audio" -> "audio features: typed-Dataset map through the REAL javax.sound decode — narrow, payloads never shuffle, one Exchange for the ordered output",
+    "q_dedup_sliced" -> "sliced full-corpus dedup: each slice equi-joins the BUCKETED saved band index (corpus side exchange-free), corpus_id < new_id keeps every pair exactly once — the bounded-scratch shape that completes at 1000x rows")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("plandump", 8)
