@@ -187,20 +187,24 @@ object Dedup {
     * so the union over slices equals the one-shot pair set, while peak
     * scratch is ~1/slices of it.
     *
-    * Returns one LAZY frame per slice: the caller MUST materialize them
-    * one at a time (write/count each, releasing caches and shuffle files
-    * between — see BenchSf10's dedup_incr phase) or the scratch bound is
-    * lost; a union executed as one job would co-hold every slice's
-    * shuffle files again.
+    * Returns one THUNK per slice (construction deferred, not just
+    * execution): the caller MUST build+materialize them one at a time —
+    * each `mk()` inside its own [[Caches.scoped]] block, releasing
+    * shuffle files between (see BenchSf10's dedup_incr phase) — or the
+    * scratch bound is lost. Deferral matters because the slice's
+    * internal candidate cache registers at CONSTRUCTION time: built
+    * eagerly up front, all slices' caches would accumulate globally
+    * for the whole pass. A correctness-gate consumer that wants the
+    * union in one job just forces them all (`.map(_())`).
     */
   def minhashLshSliced(df: DataFrame, idCol: String, textCol: String,
                        table: String, slices: Int = 8, buckets: Int = 64,
                        k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
-                       maxBucket: Int = 100000): Seq[DataFrame] = {
+                       maxBucket: Int = 100000): Seq[() => DataFrame] = {
     require(slices >= 1, "slices must be positive")
     saveBandTable(df, idCol, textCol, table, buckets, k, bands)
     val corpusBands = df.sparkSession.table(table)
-    (0 until slices).map { i =>
+    (0 until slices).map { i => () =>
       val slice = df.filter(pmod(hash(col(idCol)), lit(slices)) === i)
       minhashLshAgainstSaved(slice, df, corpusBands, idCol, textCol,
           k, bands, threshold, maxBucket,
@@ -440,8 +444,12 @@ object Dedup {
     * 64-bit aggregate's lambda and re-ran it once per bit.
     */
   def simhash64(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    // NB the s-interpolator processes escapes even in triple quotes, so
+    // \\\\ in source reaches Spark's parser as '\\s+' -> regex \s+
+    // ('\\s+' in source would parse as the regex s+ — split on the
+    // LETTER s; pinned by the whitespace-run test in DedupSpec)
     df.withColumn(out, expr(
-        s"""element_at(transform(array(array_distinct(split(lower(trim($textCol)), '\\s+'))), dt ->
+        s"""element_at(transform(array(array_distinct(split(lower(trim($textCol)), '\\\\s+'))), dt ->
            |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
            |    acc + CASE WHEN aggregate(dt, 0, (a2, w) ->
            |        a2 + CASE WHEN shiftright(${h60("w")}, b % 60) & 1 = 1 THEN 1 ELSE -1 END) >= 0

@@ -40,13 +40,16 @@ object Vectors {
     queries
       .select(col(qidCol).as("_qid"), col(embCol).as("_qemb"))
       .crossJoin(broadcast(collapsedCodebook(codebook)))
-      .withColumn("_qe", expr(microQuantExpr("_qemb", dims, scale, offset, op)))
+      // the quantized query is bound as a lambda VARIABLE (SURVEY §6):
+      // as a withColumn alias, CollapseProject inlined the quantization
+      // into the per-entry lambda and re-ran it once per m*k LUT cells.
       // graft_sqdist raises on a ragged slice-vs-entry pair (an m/dims
       // mismatch against the codebook's true geometry) — the zip_with it
       // replaces padded with NULLs, which an asc argmin would rank first
       .withColumn("_lut", expr(
-        s"transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
-          s"'d', graft_sqdist(slice(_qe, c.sub * $sd + 1, $sd), c.ce)))"))
+        s"element_at(transform(array(${microQuantExpr("_qemb", dims, scale, offset, op)}), qe -> " +
+          s"transform(_cb, c -> named_struct('sub', c.sub, 'cid', c.cid, " +
+          s"'d', graft_sqdist(slice(qe, c.sub * $sd + 1, $sd), c.ce)))), 1)"))
       .select("_qid", "_lut")
   }
 
@@ -430,13 +433,15 @@ object Vectors {
     // graft_sqdist raises on a query-vs-centroid dims mismatch — the
     // zip_with fold it replaces produced NULL distances that sort FIRST
     // in the asc probe ranking (silently arbitrary probe lists)
-    val fdist = "graft_sqdist(_qe, s.ce)"
+    val fdist = "graft_sqdist(qe, s.ce)"
     queries.select(col(qidCol).as("qid"), col(embCol).as("_qemb"))
       .crossJoin(broadcast(seedRow))
-      .withColumn("_qe", expr(microQuantExpr("_qemb", dims, scale, offset, op)))
+      // quantized query bound as a lambda VARIABLE (SURVEY §6): a
+      // withColumn alias re-quantized the query once per seed
       .withColumn("cell", explode(expr(
-        s"transform(slice(array_sort(transform(_seeds, " +
-          s"s -> named_struct('d', $fdist, 'cid', s.cid))), 1, $nprobe), p -> p.cid)")))
+        s"element_at(transform(array(${microQuantExpr("_qemb", dims, scale, offset, op)}), qe -> " +
+          s"transform(slice(array_sort(transform(_seeds, " +
+          s"s -> named_struct('d', $fdist, 'cid', s.cid))), 1, $nprobe), p -> p.cid)), 1)")))
       .select("qid", "cell")
   }
 

@@ -43,9 +43,6 @@ object HofLint {
       }
   }
 
-  private def referencesLambdaVar(e: Expression): Boolean =
-    e.exists(_.isInstanceOf[NamedLambdaVariable])
-
   /** Per-element lambda functions of a HOF (skips ArrayAggregate's
     * run-once finish function).
     */
@@ -55,48 +52,73 @@ object HofLint {
       case other => other.functions
     }
 
-  /** Maximal loop-invariant expensive subtrees inside `body`. */
-  private def invariantsIn(body: Expression): Seq[Expression] = {
-    val out = scala.collection.mutable.Buffer[Expression]()
+  private def argIds(args: Seq[NamedExpression]): Set[ExprId] =
+    args.collect { case v: NamedLambdaVariable => v.exprId }.toSet
+
+  /** Maximal expensive subtrees inside `body` that are loop-invariant
+    * wrt the INNERMOST enclosing lambda — i.e. reference none of that
+    * lambda's own variables. An OUTER lambda's variable is a constant
+    * within the inner loop, so an expensive derivation built only from
+    * outer variables still re-evaluates once per inner element and is
+    * flagged. HOF *arguments* met along the way evaluate at the current
+    * nesting level (once per current element), so they are scanned
+    * against the current variable set; each nested lambda body restarts
+    * the scan with its own variable set.
+    */
+  private def invariantsIn(body: Expression, innerArgs: Set[ExprId],
+                           out: scala.collection.mutable.Buffer[Expression]): Unit = {
+    def referencesInner(e: Expression): Boolean = e.exists {
+      case v: NamedLambdaVariable => innerArgs.contains(v.exprId)
+      case _ => false
+    }
     def walk(e: Expression): Unit =
-      if (!referencesLambdaVar(e)) {
+      if (!referencesInner(e)) {
         // maximal invariant subtree: flag it if anything in it is
         // expensive, and do not descend further either way
         if (e.exists(isExpensive)) out += e
       } else e match {
-        // a nested HOF restarts the scan on ITS per-element functions
-        // (so an invariant of the inner lambda is found even when it
-        // references the outer lambda's variable)
+        // the binding idiom `transform(array(x), v -> body)` is a
+        // ONE-element loop: body runs once per evaluation of THIS
+        // context, so invariance stays judged against the current loop
+        // (the binding variable joins the current set — it derives from
+        // this loop's values)
+        case ArrayTransform(CreateArray(Seq(_), _), LambdaFunction(f, args, _)) =>
+          invariantsIn(f, innerArgs ++ argIds(args), out)
         case inner: HigherOrderFunction =>
           inner.arguments.foreach(walk)
           perElementFunctions(inner).foreach {
-            case LambdaFunction(f, _, _) => walk(f)
+            case LambdaFunction(f, args, _) => invariantsIn(f, argIds(args), out)
             case other => walk(other)
           }
         case _ => e.children.foreach(walk)
       }
     walk(body)
-    out.toSeq
   }
 
-  /** All findings in one optimized logical plan. */
+  /** All findings in one optimized logical plan. Only OUTERMOST HOFs
+    * start a scan — [[invariantsIn]] then carries the enclosing variable
+    * sets through nested lambdas, so an inner binding's body is judged
+    * in context (a context-free re-scan of a nested lambda would flag
+    * outer-variable references the enclosing loop legitimately binds).
+    */
   def lint(plan: LogicalPlan): Seq[Finding] = {
     val out = scala.collection.mutable.Buffer[Finding]()
-    plan.foreach { node =>
-      node.expressions.foreach { root =>
-        root.foreach {
-          case hof: HigherOrderFunction =>
-            perElementFunctions(hof).foreach {
-              case LambdaFunction(f, _, _) =>
-                invariantsIn(f).foreach { inv =>
-                  out += Finding(hof.prettyName, inv.simpleString(80))
-                }
-              case _ => ()
-            }
-          case _ => ()
+    def scanRoot(e: Expression): Unit = e match {
+      case hof: HigherOrderFunction =>
+        // HOF arguments evaluate outside any lambda: HOFs inside them
+        // are themselves outermost contexts
+        hof.arguments.foreach(scanRoot)
+        perElementFunctions(hof).foreach {
+          case LambdaFunction(f, args, _) =>
+            val invs = scala.collection.mutable.Buffer[Expression]()
+            invariantsIn(f, argIds(args), invs)
+            invs.foreach(inv =>
+              out += Finding(hof.prettyName, inv.simpleString(80)))
+          case other => scanRoot(other)
         }
-      }
+      case _ => e.children.foreach(scanRoot)
     }
+    plan.foreach(node => node.expressions.foreach(scanRoot))
     out.toSeq.distinct
   }
 

@@ -194,6 +194,7 @@ object PipelineQueries {
       graft.sources.Warehouse.resetTable(s, "graft_sliced_bands")
       graft.operators.Dedup.minhashLshSliced(docs(s, dir), "doc_id", "text",
           table = "graft_sliced_bands", slices = 4, threshold = 0.0)
+        .map(_()) // gate consumer: force all slices, union in one job
         .reduce(_ unionAll _)
         .selectExpr("a_id", "b_id", "round(jaccard, 6) AS jaccard")
         .orderBy("a_id", "b_id")

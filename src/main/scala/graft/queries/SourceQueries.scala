@@ -103,9 +103,12 @@ object SourceQueries {
         val emb = MediaOps.embed(MediaOps.decode(MediaOps.fromDocuments(docs)), dims = 64)
         emb.toDF()
           .join(docs.selectExpr("doc_id", "length(text) AS tl"), "doc_id")
-          .withColumn("esum", expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
+          // esum bound as a lambda VARIABLE (SURVEY §6): a withColumn
+          // alias re-ran the embedding sum once per output element
           .selectExpr("doc_id",
-            "to_json(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * tl / esum) AS INT))) AS hist_json",
+            "to_json(element_at(transform(array(" +
+              "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))), esum -> " +
+              "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * tl / esum) AS INT))), 1)) AS hist_json",
             "abs(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) - 1D) < 1E-5 AS norm_ok")
           .orderBy("doc_id")
       }

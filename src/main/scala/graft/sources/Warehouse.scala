@@ -19,7 +19,9 @@ object Warehouse {
     val dir = new java.io.File(s"$wh/$table")
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles is null on an unreadable dir or a concurrent delete —
+        // degrade to the delete attempt rather than NPE mid-reset
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
         f.delete(); ()
       }
       rm(dir)

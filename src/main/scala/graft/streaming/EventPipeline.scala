@@ -280,12 +280,13 @@ object EventPipeline {
     warnIfNoCheckpoint("annIngest", checkpoint)
     // freeze: bounded collect at construction, never per batch. The bound
     // is structural — a codebook is m subspaces × k centroids (k ≤ 256
-    // for byte codes), so ≤ m·256 rows ever cross the driver; the assert
-    // turns a mistakenly-passed full-corpus frame into a loud error
-    // instead of a driver OOM.
-    val cbRows = codebook.select("sub", "cid", "ce").collect().toSeq
+    // for byte codes), so ≤ m·256 rows ever cross the driver. The LIMIT
+    // bounds the fetch itself: a mistakenly-passed full-corpus frame
+    // brings at most m·256+1 rows over and fails loudly, instead of
+    // OOMing the driver before any size check could run.
+    val cbRows = codebook.select("sub", "cid", "ce").limit(m * 256 + 1).collect().toSeq
     require(cbRows.size <= m * 256,
-      s"annIngest: codebook has ${cbRows.size} rows, expected <= m*256 = ${m * 256} " +
+      s"annIngest: codebook has > m*256 = ${m * 256} rows " +
         "(m subspaces x <=256 centroids) — was a non-codebook frame passed?")
     val cbSchema = codebook.select("sub", "cid", "ce").schema
     val writer = checkpoint.foldLeft(vectors.writeStream)(

@@ -188,8 +188,12 @@ object BenchSf10 {
       }
       var nPairsIncr = 0L
       val (tSlices, _) = time {
-        sliceFrames.zipWithIndex.foreach { case (sliceDf, i) =>
-          graft.operators.Caches.scoped { nPairsIncr += sliceDf.count() }
+        sliceFrames.zipWithIndex.foreach { case (mkSlice, i) =>
+          // construct INSIDE the scope: the slice's candidate cache
+          // registers at construction time, so building here routes it
+          // to this scope and it is released before the next slice —
+          // the whole point of the bounded-scratch shape
+          graft.operators.Caches.scoped { nPairsIncr += mkSlice().count() }
           reclaimShuffle()
           println(s"[sf10] $dir dedup_incr slice $i done (pairs so far: $nPairsIncr)")
         }

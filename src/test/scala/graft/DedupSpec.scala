@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Caches, Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Near-dup detection over planted duplicates (mirrors the semantics the
@@ -47,6 +47,24 @@ class DedupSpec extends SparkSpec {
     assert(dist(0, 1) == 0)
     assert(dist(0, 2) < dist(0, 3))
     assert(dist(0, 2) < dist(0, 4))
+  }
+
+  test("simhash tokenizes on WHITESPACE runs (the regex-escaping pin)") {
+    // a broken '\s+' escape splits on the letter s instead of whitespace;
+    // relative-distance tests don't notice, so pin the semantics exactly:
+    // whitespace runs collapse, token order is irrelevant (distinct-token
+    // votes), and different tokens hash differently
+    val t = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha   beta \t gamma"), // same tokens, messier whitespace
+      (2L, "gamma beta alpha"),      // same tokens, different order
+      (3L, "alpha beta delta")       // one token differs
+    ).toDF("doc_id", "text")
+    val h = Dedup.simhash64(t, "text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(1L), "whitespace runs must not change the token set")
+    assert(h(0L) == h(2L), "distinct-token votes are order-independent")
+    assert(h(0L) != h(3L), "a changed token must move the hash")
   }
 
   test("cosine pairs finds identical embeddings within buckets") {
@@ -141,14 +159,16 @@ class DedupSpec extends SparkSpec {
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
       val sliced = Dedup.minhashLshSliced(docs, "doc_id", "text",
           table = "dd_sliced_bands", slices = 4, buckets = 4, threshold = 0.4)
-        .flatMap(_.select("a_id", "b_id").as[(Long, Long)].collect())
+        .flatMap(mk => Caches.scoped(
+          mk().select("a_id", "b_id").as[(Long, Long)].collect().toSeq))
         .toSet
       assert(sliced == oneShot, s"sliced=$sliced oneShot=$oneShot")
       assert(sliced.contains((0L, 20L)) && sliced.contains((5L, 25L)), sliced)
       // each pair appears exactly once across slices (no double count)
       val all = Dedup.minhashLshSliced(docs, "doc_id", "text",
           table = "dd_sliced_bands", slices = 4, buckets = 4, threshold = 0.4)
-        .flatMap(_.select("a_id", "b_id").as[(Long, Long)].collect())
+        .flatMap(mk => Caches.scoped(
+          mk().select("a_id", "b_id").as[(Long, Long)].collect().toSeq))
       assert(all.size == all.toSet.size, s"duplicated pairs in $all")
     } finally spark.sql("DROP TABLE IF EXISTS dd_sliced_bands")
   }

@@ -73,4 +73,22 @@ class RegistryContractsSpec extends SparkSpec {
     assert(graft.plans.HofLint.lint(good).isEmpty,
       graft.plans.HofLint.lint(good).mkString("; "))
   }
+
+  test("the lint catches an inner-lambda invariant built from an OUTER variable") {
+    val docs = sources.Tables(spark, dir, "documents")
+    // split(d) references only the outer lambda's d — constant within the
+    // inner per-i loop, so it re-runs once per i when interpreted
+    val bad = docs.selectExpr(
+      "transform(array(text), d -> " +
+        "transform(sequence(1, 3), i -> element_at(split(d, ' '), i))) AS xs")
+    val findings = graft.plans.HofLint.lint(bad)
+    assert(findings.exists(_.invariant.contains("split")),
+      s"lint missed the outer-variable invariant: $findings")
+    // bound as a lambda variable at the level it is derived: clean
+    val good = docs.selectExpr(
+      "transform(array(text), d -> element_at(transform(array(split(d, ' ')), " +
+        "tk -> transform(sequence(1, 3), i -> element_at(tk, i))), 1)) AS xs")
+    assert(graft.plans.HofLint.lint(good).isEmpty,
+      graft.plans.HofLint.lint(good).mkString("; "))
+  }
 }

@@ -11,27 +11,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = () // session shared across suites
 }
 
-/** Managed-table hygiene for specs: a previous JVM's passing run leaves
-  * the warehouse dir behind (the in-memory catalog forgets the table,
-  * the location survives), and the next CTAS fails with
-  * LOCATION_ALREADY_EXISTS — so drop both the entry AND the dir.
+/** Managed-table hygiene for specs — delegates to the main-code reset
+  * (graft.sources.Warehouse) so the DROP-plus-dir-delete logic lives in
+  * exactly one place.
   */
 object TestTables {
-  def reset(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // derive from the session's actual warehouse config — a hardcoded
-    // copy would silently delete the wrong dir if the config moved
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val dir = new java.io.File(s"$wh/$table")
-    if (dir.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(dir)
-    }
-  }
+  def reset(spark: SparkSession, table: String): Unit =
+    graft.sources.Warehouse.resetTable(spark, table)
 }
 
 object SparkSpec {

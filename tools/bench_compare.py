@@ -18,29 +18,46 @@ import json, re, sys
 
 def load(path):
     """Return {query: seconds} plus the total, tolerating the driver's
-    truncated-tail capture (regex over the tail, not a JSON parse)."""
+    truncated-tail capture (regex over the tail, not a JSON parse).
+
+    Bench emits THREE lines since round 9 (compact top-10 / full map
+    under "queries_full" / compact again), so a raw local capture is
+    not single-line JSON anymore: parse every {"metric"...} line and
+    keep the one with the MOST per-query timings — preferring
+    "queries_full" over the compact "queries" — never the first line
+    (which holds only the top-10)."""
     raw = open(path).read()
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = {"tail": raw}
-    if isinstance(d, dict) and isinstance(d.get("queries"), dict):
-        return {k: float(v) for k, v in d["queries"].items()}, d.get("value")
+    if isinstance(d, dict) and isinstance(d.get("queries_full"), dict):
+        return {k: float(v) for k, v in d["queries_full"].items()}, d.get("value")
     blob = d.get("tail", "") if isinstance(d, dict) else raw
-    if isinstance(d, dict) and d.get("parsed"):
-        p = d["parsed"]
-        if isinstance(p.get("queries"), dict):
-            return {k: float(v) for k, v in p["queries"].items()}, p.get("value")
-    m = re.search(r'\{"metric".*', blob)
-    if m:
+    if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+        best = {k: float(v) for k, v in d["queries"].items()}, d.get("value")
+    else:
+        best = None
+        if isinstance(d, dict) and d.get("parsed"):
+            p = d["parsed"]
+            if isinstance(p.get("queries"), dict):
+                best = {k: float(v) for k, v in p["queries"].items()}, p.get("value")
+    for line in re.findall(r'\{"metric"[^\n]*', blob):
         try:
-            p = json.loads(m.group(0).split("\n")[0])
-            return {k: float(v) for k, v in p["queries"].items()}, p.get("value")
-        except (json.JSONDecodeError, KeyError):
-            pass
+            p = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        qs = p.get("queries_full") or p.get("queries")
+        if isinstance(qs, dict) and (best is None or len(qs) > len(best[0])):
+            best = {k: float(v) for k, v in qs.items()}, p.get("value")
+    # raw regex harvest last: a truncated tail may hold a PARTIAL big map
+    # (hundreds of entries) alongside a complete compact line (10) — take
+    # whichever recovers more per-query timings
     qs = {k: float(v) for k, v in re.findall(r'"(q_\w+)":([0-9.]+)', blob)}
-    tot = re.search(r'"metric":"total","value":([0-9.]+)', blob)
-    return qs, (float(tot.group(1)) if tot else None)
+    if best is None or len(qs) > len(best[0]):
+        tot = re.search(r'"metric":"total","value":([0-9.]+)', blob)
+        best = qs, (float(tot.group(1)) if tot else None)
+    return best
 
 
 def main():
