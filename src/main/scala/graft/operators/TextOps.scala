@@ -526,6 +526,52 @@ object TextOps {
         (coalesce(col("n_hit_grams"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Benchmark decontamination through a BLOOM FILTER — the shape for
+    * when the benchmark gram set outgrows an exact broadcast (a 100 TB
+    * deployment decontaminates against aggregated benchmark suites whose
+    * distinct n-grams no longer fit executor memory; `numBits` of bloom
+    * does, at any set size). One-sided by construction: a bloom filter
+    * has NO false negatives, so every truly contaminated document is
+    * flagged; false positives over-flag at a rate set by numBits/items —
+    * the safe direction for decontamination (never leak a benchmark
+    * doc into training; occasionally drop a clean one).
+    *
+    * Returns `(idCol, bloom_hit_grams, bloom_contaminated)`. The filter
+    * builds as ONE distributed aggregate over the benchmark grams
+    * (Spark's native BloomFilterAggregate, planned as a scalar subquery)
+    * and rides into the corpus-side `graft_might_contain` probe as a
+    * broadcast constant — the corpus never joins the benchmark at all,
+    * which is the whole point at scale: the exact path's broadcast set
+    * is O(benchmark grams); this is O(numBits) regardless.
+    */
+  def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 13, minHits: Int = 1,
+                         estimatedItems: Long = 4000000L,
+                         numBits: Long = 1L << 23): DataFrame = {
+    require(n >= 1 && minHits >= 1, "need n >= 1 and minHits >= 1")
+    require(estimatedItems >= 1 && numBits >= 8, "bloom sizing must be positive")
+    // the scalar-subquery spelling is forced by Spark: might_contain
+    // accepts its bloom only as a constant or scalar subquery, so the
+    // benchmark gram derivation registers as a (uniquely named) temp view
+    val view = s"graft_bloom_bench_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    ngramHashes(bench.select(lit(1L).as("_bid"), col(benchTextCol)),
+        "_bid", benchTextCol, n)
+      .select("gram_hash").distinct()
+      .createOrReplaceTempView(view)
+    val hits = ngramHashes(corpus, idCol, textCol, n)
+      .withColumn("_maybe", expr(
+        s"graft_might_contain((SELECT graft_bloom_agg(gram_hash, " +
+          s"CAST($estimatedItems AS BIGINT), CAST($numBits AS BIGINT)) FROM $view), gram_hash)"))
+      .groupBy(idCol)
+      .agg(sum(when(col("_maybe"), 1L).otherwise(0L)).as("bloom_hit_grams"))
+    corpus.select(idCol)
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bloom_hit_grams"), lit(0L)).as("bloom_hit_grams"),
+        (coalesce(col("bloom_hit_grams"), lit(0L)) >= minHits).as("bloom_contaminated"))
+  }
+
   /** C4-style boilerplate-line removal: drop every line that occurs in
     * at least `minDf` distinct documents (navigation headers, cookie
     * banners, "all rights reserved" footers — the lines that repeat

@@ -46,5 +46,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.vector.PqEncode(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_adc"), info("graft_adc"),
       (args: Seq[Expression]) => graft.functions.vector.AdcSum(args(0), args(1))))
+    // Spark's native bloom-filter pair (used internally by runtime
+    // row-level filtering) surfaced as SQL functions: the membership
+    // sketch that replaces an exact broadcast set once the set outgrows
+    // executor memory. agg(childLong, estimatedItems, numBits) -> binary;
+    // might_contain(binary, long) -> boolean (bloom side must be a
+    // constant or scalar subquery — Spark's own restriction).
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"), info("graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"), info("graft_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
   }
 }

@@ -1240,6 +1240,47 @@ object PipelineQueries {
       }
     },
 
+    // ---- Bloom-filter decontamination (TextOps.bloomDecontaminate) ------
+    // the sketch-gated variant for benchmark sets too big to broadcast
+    // exactly: Spark's native BloomFilterAggregate builds the filter as
+    // ONE scalar subquery; the corpus probes it with might_contain and
+    // never joins the benchmark. The oracle verifies the ONE-SIDED
+    // contract exactly: per document, the bloom count must dominate the
+    // exact count (no false negatives) and every exactly-contaminated
+    // doc must be bloom-flagged — both booleans are TRUE rows the DuckDB
+    // replay of the exact side can assert bit-for-bit.
+    QueryDef("q_bloom_decontam",
+      s"""WITH tk AS (SELECT doc_id, $toksD AS tk FROM documents),
+        |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 3),
+        |    i -> ${h60d("array_to_string(tk[i:i+4], ' ')")}))) AS gram_hash
+        |  FROM tk WHERE doc_id % 97 = 0 AND len(tk) >= 5),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 3),
+        |    i -> ${h60d("array_to_string(tk[i:i+4], ' ')")}))) AS gram_hash
+        |  FROM tk WHERE doc_id % 97 <> 0 AND len(tk) >= 5),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+        |  FROM cg JOIN bg USING (gram_hash) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+        |  TRUE AS covered_ok, TRUE AS flagged_ok
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) => {
+        val d = docs(s, dir)
+        val corpus = d.filter(col("doc_id") % 97 =!= 0)
+        val bench = d.filter(col("doc_id") % 97 === 0)
+        val exact = graft.operators.TextOps.decontaminate(
+          corpus, "doc_id", "text", bench, "text", n = 5)
+        val bloom = graft.operators.TextOps.bloomDecontaminate(
+          corpus, "doc_id", "text", bench, "text", n = 5)
+        exact.join(bloom, "doc_id")
+          .select(col("doc_id"), col("n_hit_grams"),
+            (col("bloom_hit_grams") >= col("n_hit_grams")).as("covered_ok"),
+            (!col("contaminated") || col("bloom_contaminated")).as("flagged_ok"))
+          .orderBy("doc_id")
+      }
+    },
+
     // ---- Containment dedup (Dedup.containmentPairs) ---------------------
     // asymmetric sub-document overlap: |grams(A) ∩ grams(B)| / |grams(A)|
     // catches a short doc embedded verbatim in a long one (low Jaccard,
