@@ -235,6 +235,39 @@ object Sampling {
         keyCols, Seq(org.apache.spark.sql.functions.col("_skh").asc), k)
       .drop("_skh")
 
+  /** WEIGHTED reservoir (Efraimidis–Spirakis A-ES): exactly `k` rows per
+    * stratum, inclusion probability proportional to `weightCol`, WITHOUT
+    * replacement — the subset-selection rule for "keep the k best-quality
+    * docs per source, proportionally to quality" that plain Bernoulli
+    * weighting ([[weighted]]) cannot express (it fixes the RATE, not the
+    * COUNT). Deterministic in (seed, id): u = (hash60(seed:id)+1)/2^60 ∈
+    * (0,1], rank key = -ln(u)/w — the k SMALLEST keys win (equivalent to
+    * the paper's largest-u^(1/w) formulation). The key is rounded once
+    * to integer micro-nats with id tiebreak, so the selection is
+    * reproducible bit-for-bit across engines and partitionings (the
+    * [[dsirWeights]] integer contract applied to sampling). Rows with
+    * NULL or non-positive weight are excluded (zero weight = never
+    * sampled, the A-ES limit).
+    *
+    * Scale shape: the key is a narrow per-row expression; the per-stratum
+    * k-smallest merge is [[TopK.perKey]] — a partial pass per partition,
+    * never one reducer per stratum. Adds `rnk` (1..k within stratum).
+    */
+  def weightedReservoir(df: DataFrame, strataCol: String, idCol: String,
+                        weightCol: String, k: Int,
+                        seed: String = "res1"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val twoPow60 = "1152921504606846976"
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_res_key", expr(
+        s"CAST(round(-ln((graft_hash60(concat('$seed:', CAST($idCol AS STRING))) + 1) " +
+          s"/ $twoPow60.0) / CAST($weightCol AS DOUBLE) * 1000000) AS BIGINT)"))
+    TopK.perKey(keyed, Seq(strataCol),
+        Seq(col("_res_key").asc, col(idCol).asc), k)
+      .withColumnRenamed("_res_key", "res_key_micro")
+  }
+
   /** Temperature-scaled source mixture (the multilingual/multi-corpus
     * sampling rule of mBERT/XLM-R/PaLM: p_i ∝ n_i^α flattens the source
     * distribution so head corpora stop drowning the tail). α is fixed at

@@ -223,4 +223,29 @@ class Round9Spec extends SparkSpec {
     // and the valid row in the same batch still decodes for real
     assert(rows(3L).sample_rate == 8000L && rows(3L).n_samples > 0L)
   }
+
+  test("weightedReservoir: exactly k per stratum, weight-proportional, deterministic") {
+    import graft.operators.Sampling
+    // 1000 rows, one stratum: ids < 10 carry weight 10000, the rest 1 —
+    // at this ratio the heavy ids dominate the k=10 sample with margin
+    // (990 light items competing means the LIGHT minimum is itself an
+    // Exp(990), so a mere 1000x ratio leaves the outcome seed-lucky)
+    val rows = (0L until 1000L).map(i =>
+      (i, "s", if (i < 10) 10000.0 else 1.0)).toDF("id", "st", "w")
+    val got = Sampling.weightedReservoir(rows, "st", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 10)
+    assert(got.count(_ < 10L) >= 8, s"heavy ids underrepresented: $got")
+    // deterministic: a second run selects the identical set
+    val again = Sampling.weightedReservoir(rows, "st", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // zero/NULL weight rows are never sampled; k larger than the stratum
+    // returns the whole (positive-weight) stratum
+    val zw = Seq((1L, "a", 0.0), (2L, "a", 5.0), (3L, "a", -1.0))
+      .toDF("id", "st", "w")
+    val kept = Sampling.weightedReservoir(zw, "st", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept)
+  }
 }
