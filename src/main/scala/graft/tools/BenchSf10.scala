@@ -86,7 +86,7 @@ object BenchSf10 {
     */
   private val phases: Set[String] =
     sys.env.getOrElse("SPARK_GRAFT_PHASES",
-        "tpch,dedup,dedup_incr,spans,bpe,pipeline,ann")
+        "tpch,dedup,dedup_incr,stream,spans,bpe,pipeline,ann")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
   /** Release the PREVIOUS query's shuffle files. Spark's ContextCleaner
@@ -214,6 +214,58 @@ object BenchSf10 {
       reclaimShuffle()
       println(s"[sf10] $dir spans=$nSpans")
     } catch { case e: Throwable => phaseFailed("spans", e) }
+    // streaming throughput at scale: the events table replayed THROUGH
+    // the Structured Streaming engine (file source in bounded micro-
+    // batches, state store, checkpoint) — windowed aggregation and
+    // watermark dedup, the two stateful shapes every ingest pipeline
+    // runs. Evidence the streaming path scales, not just that its
+    // semantics hold (StreamingSpec).
+    if (phases("stream")) try {
+      import org.apache.spark.sql.streaming.Trigger
+      // the streaming file source requires a DIRECTORY; the testdata
+      // ships events as a single parquet file — hardlink it into a temp
+      // dir (fall back to copy across filesystems)
+      val eventsFile = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val eventsPath =
+        if (java.nio.file.Files.isDirectory(eventsFile)) eventsFile.toString
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft-bench-events")
+          val tgt = d.resolve("events.parquet")
+          try java.nio.file.Files.createLink(tgt, eventsFile)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(eventsFile, tgt); () }
+          d.toString
+        }
+      val schema = spark.read.parquet(eventsPath).schema
+      def runStream(name: String,
+                    graph: DataFrame => DataFrame): Unit = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-$name").toString
+        var rows = 0L
+        val (t, _) = time {
+          // the parquet ts column reads as TIMESTAMP_NTZ; watermarks
+          // require session-tz TIMESTAMP (session is pinned UTC)
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8").parquet(eventsPath)
+            .withColumn("ts", col("ts").cast("timestamp"))
+          val q = graph(src).writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          rows = q.recentProgress.map(_.numInputRows).sum
+        }
+        out += s"stream_$name" -> r3(t)
+        println(s"[sf10] $dir stream_$name: events=$rows " +
+          s"eps=${if (t > 0) math.round(rows / t) else 0}")
+        reclaimShuffle()
+      }
+      runStream("windowed_counts",
+        src => graft.streaming.EventPipeline.windowedCounts(src))
+      runStream("dedup",
+        src => graft.streaming.EventPipeline.dedupStream(src, Seq("event_id")))
+    } catch { case e: Throwable => phaseFailed("stream", e) }
+
     if (phases("bpe")) try {
       val (tBpe, nBpe) = time(
         graft.operators.Bpe.bpeTokenCounts(docs, "doc_id", "text").count())
