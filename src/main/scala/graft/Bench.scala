@@ -47,13 +47,13 @@ object Bench {
       name -> steady
     }
     val failed = results.collect { case (n, None) => n }
-    // The driver captures only the LAST 2000 chars of output (BENCH_r08's
-    // tail ends with sbt's "[success]" trailer), so a single huge line
-    // with 240 timings can never parse — its head is cut off. Emit a
-    // COMPACT summary line (~400 chars: total, ok, failed, top-10
-    // heaviest) both FIRST and LAST so the capture parses whichever end
-    // survives, with the full time-ascending map on the middle line for
-    // repo-side records.
+    // The driver captures only the LAST 2000 chars of output. BENCH_r09's
+    // tail ended MID-WAY through the old ~6KB full-map line, so nothing
+    // parsed. Fix: the full map goes to a FILE (BENCH_FULL.json), the
+    // compact summary goes to a FILE (BENCH_SUMMARY.json), and stdout
+    // ends with the ~400-char compact line repeated 4× — any 2000-char
+    // tail window then contains at least one complete JSON object even
+    // if a build-tool footer follows or the last copy is truncated.
     val timed = results.collect { case (k, Some(v)) => (k, math.round(v * 1000) / 1000.0) }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -62,9 +62,18 @@ object Bench {
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","queries":$top10,"note":"queries=top10 heaviest; full map on the middle line"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","queries":$top10,"note":"top10 heaviest; full map in BENCH_FULL.json"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":$qs}"""
+    def writeFile(path: String, body: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(body) finally w.close()
+      } catch { case e: Throwable => System.err.println(s"[bench] write $path failed: $e") }
+    writeFile("BENCH_SUMMARY.json", compact)
+    writeFile("BENCH_FULL.json", full)
     println(compact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":$qs}""")
+    println(compact)
+    println(compact)
     println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -20,6 +20,24 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private val scopeTl = new ThreadLocal[java.util.ArrayList[DataFrame]]()
+  private val trackedViews =
+    new java.util.concurrent.ConcurrentLinkedQueue[(org.apache.spark.sql.SparkSession, String)]()
+  private val scopeViewsTl =
+    new ThreadLocal[java.util.ArrayList[(org.apache.spark.sql.SparkSession, String)]]()
+
+  /** Register an operator-internal temp view for release with the same
+    * lifetime as [[track]]ed caches: inside a [[scoped]] block, at scope
+    * exit; otherwise at the next [[unpersistAll]]. Operators that are
+    * forced through a temp view (e.g. a scalar-subquery bloom build)
+    * route the view here so a long-lived session running repeated
+    * batches does not accumulate catalog entries without bound. The view
+    * must have been materialized (write/collect) before release fires —
+    * the same contract as tracked caches.
+    */
+  def trackView(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    val sc = scopeViewsTl.get()
+    if (sc != null) sc.add((spark, name)) else trackedViews.add((spark, name))
+  }
 
   /** Persist `df` and register it for release: inside a [[scoped]]
     * block, with that scope (this thread only); otherwise with the
@@ -44,12 +62,17 @@ object Caches {
     */
   def scoped[A](body: => A): A = {
     val prev = scopeTl.get()
+    val prevV = scopeViewsTl.get()
     val mine = new java.util.ArrayList[DataFrame]()
+    val mineV = new java.util.ArrayList[(org.apache.spark.sql.SparkSession, String)]()
     scopeTl.set(mine)
+    scopeViewsTl.set(mineV)
     try body
     finally {
       scopeTl.set(prev)
+      scopeViewsTl.set(prevV)
       mine.forEach(df => df.unpersist(blocking = false))
+      mineV.forEach { case (s, v) => s.catalog.dropTempView(v); () }
     }
   }
 
@@ -66,6 +89,11 @@ object Caches {
     while (df != null) {
       df.unpersist(blocking = false)
       df = tracked.poll()
+    }
+    var v = trackedViews.poll()
+    while (v != null) {
+      v._1.catalog.dropTempView(v._2)
+      v = trackedViews.poll()
     }
   }
 }

@@ -242,12 +242,17 @@ object Sampling {
     * weighting ([[weighted]]) cannot express (it fixes the RATE, not the
     * COUNT). Deterministic in (seed, id): u = (hash60(seed:id)+1)/2^60 ∈
     * (0,1], rank key = -ln(u)/w — the k SMALLEST keys win (equivalent to
-    * the paper's largest-u^(1/w) formulation). The key is rounded once
-    * to integer micro-nats with id tiebreak, so the selection is
-    * reproducible bit-for-bit across engines and partitionings (the
-    * [[dsirWeights]] integer contract applied to sampling). Rows with
+    * the paper's largest-u^(1/w) formulation). Determinism contract:
+    * -ln(u) alone is rounded ONCE to integer micro-nats (killing the
+    * engine-varying last ulp of ln), and only THEN divided by the weight
+    * as an IEEE double — correctly-rounded division of identical inputs
+    * is bit-identical in every engine, and the precision is RELATIVE to
+    * the weight scale (quantizing the quotient to absolute micro-nats
+    * would collapse all keys to 0 for weights ≳ 1e6, silently degrading
+    * selection to smallest-id-first). Ties break by id. Rows with
     * NULL or non-positive weight are excluded (zero weight = never
-    * sampled, the A-ES limit).
+    * sampled, the A-ES limit). Output `res_key` is the quotient rounded
+    * to 6 decimals for display; ordering uses the unrounded quotient.
     *
     * Scale shape: the key is a narrow per-row expression; the per-stratum
     * k-smallest merge is [[TopK.perKey]] — a partial pass per partition,
@@ -262,10 +267,11 @@ object Sampling {
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("_res_key", expr(
         s"CAST(round(-ln((graft_hash60(concat('$seed:', CAST($idCol AS STRING))) + 1) " +
-          s"/ $twoPow60.0) / CAST($weightCol AS DOUBLE) * 1000000) AS BIGINT)"))
+          s"/ $twoPow60.0) * 1000000) AS BIGINT) / CAST($weightCol AS DOUBLE)"))
     TopK.perKey(keyed, Seq(strataCol),
         Seq(col("_res_key").asc, col(idCol).asc), k)
-      .withColumnRenamed("_res_key", "res_key_micro")
+      .withColumn("res_key", round(col("_res_key"), 6))
+      .drop("_res_key")
   }
 
   /** Temperature-scaled source mixture (the multilingual/multi-corpus

@@ -548,17 +548,30 @@ object TextOps {
                          bench: DataFrame, benchTextCol: String,
                          n: Int = 13, minHits: Int = 1,
                          estimatedItems: Long = 4000000L,
-                         numBits: Long = 1L << 23): DataFrame = {
+                         numBits: Long = 1L << 26): DataFrame = {
     require(n >= 1 && minHits >= 1, "need n >= 1 and minHits >= 1")
     require(estimatedItems >= 1 && numBits >= 8, "bloom sizing must be positive")
+    // a filter at capacity needs ~10+ bits/item for a useful FP rate;
+    // below 8 bits/item (~2.2% FPR optimal-k) "occasionally over-flag a
+    // clean doc" degrades toward "drop nearly everything" — refuse the
+    // silent version of that (the default is 2^26 bits = 16.8 bits/item
+    // at the default 4M items, ~0.4% FPR, and exactly Spark's
+    // runtime-bloom numBits ceiling)
+    require(numBits >= 8L * estimatedItems,
+      s"numBits=$numBits is ${numBits.toDouble / estimatedItems} bits per " +
+        s"estimated item; need >= 8 bits/item (raise numBits or lower estimatedItems)")
     // the scalar-subquery spelling is forced by Spark: might_contain
     // accepts its bloom only as a constant or scalar subquery, so the
-    // benchmark gram derivation registers as a (uniquely named) temp view
+    // benchmark gram derivation registers as a (uniquely named) temp
+    // view, tracked for release with the operator caches — a long-lived
+    // session running repeated batches otherwise accumulates catalog
+    // entries without bound
     val view = s"graft_bloom_bench_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     ngramHashes(bench.select(lit(1L).as("_bid"), col(benchTextCol)),
         "_bid", benchTextCol, n)
       .select("gram_hash").distinct()
       .createOrReplaceTempView(view)
+    Caches.trackView(corpus.sparkSession, view)
     val hits = ngramHashes(corpus, idCol, textCol, n)
       .withColumn("_maybe", expr(
         s"graft_might_contain((SELECT graft_bloom_agg(gram_hash, " +

@@ -892,26 +892,28 @@ object PipelineQueries {
 
     // ---- Weighted reservoir (Sampling.weightedReservoir) ----------------
     // Efraimidis–Spirakis A-ES: exactly k docs per lang, inclusion
-    // probability ∝ n_chars, without replacement. The rank key
-    // -ln(u)/w is rounded ONCE to integer micro-nats (id tiebreak), so
-    // the selection replays bit-for-bit in DuckDB via the same formula —
-    // an exact oracle for a weighted random sample.
+    // probability ∝ n_chars, without replacement. Determinism: -ln(u)
+    // is rounded ONCE to integer micro-nats, THEN divided by the weight
+    // as an IEEE double (correctly-rounded, so bit-identical in DuckDB)
+    // — precision stays RELATIVE to the weight scale instead of
+    // collapsing to 0 for weights ≳ 1e6. Id tiebreak; an exact oracle
+    // for a weighted random sample.
     QueryDef("q_sample_reservoir",
       s"""WITH h AS (SELECT doc_id, lang, n_chars,
          |    CAST(round(-ln((${h60d("'res1:' || CAST(doc_id AS VARCHAR)")} + 1)
-         |        / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
-         |      AS res_key_micro
+         |        / 1152921504606846976.0) * 1000000) AS BIGINT)
+         |      / CAST(n_chars AS DOUBLE) AS rk
          |  FROM documents WHERE n_chars > 0),
-         |r AS (SELECT doc_id, lang, res_key_micro,
-         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY res_key_micro, doc_id) AS INT) AS rnk
+         |r AS (SELECT doc_id, lang, rk,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS INT) AS rnk
          |  FROM h)
-         |SELECT doc_id, lang, res_key_micro, rnk FROM r WHERE rnk <= 5
+         |SELECT doc_id, lang, round(rk, 6) AS res_key, rnk FROM r WHERE rnk <= 5
          |ORDER BY lang, rnk""".stripMargin) {
       (s, dir) =>
         graft.operators.Sampling.weightedReservoir(
             docs(s, dir).select("doc_id", "lang", "n_chars"),
             "lang", "doc_id", "n_chars", k = 5)
-          .select("doc_id", "lang", "res_key_micro", "rnk")
+          .select("doc_id", "lang", "res_key", "rnk")
           .orderBy("lang", "rnk")
     },
 

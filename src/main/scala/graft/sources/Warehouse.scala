@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Warehouse {
   def resetTable(spark: SparkSession, table: String): Unit = {
+    // the name is interpolated into SQL and into the directory delete
+    // below; a qualified (db.tbl) or path-like name would resolve to a
+    // DIFFERENT location than <warehouse>/<table> and delete the wrong
+    // directory — accept only simple unqualified identifiers
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"resetTable accepts only simple identifiers, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // derive from the session's actual warehouse config — a hardcoded
     // copy would silently delete the wrong dir if the config moved

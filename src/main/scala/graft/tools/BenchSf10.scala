@@ -226,44 +226,60 @@ object BenchSf10 {
       // ships events as a single parquet file — hardlink it into a temp
       // dir (fall back to copy across filesystems)
       val eventsFile = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val eventsPath =
-        if (java.nio.file.Files.isDirectory(eventsFile)) eventsFile.toString
+      // temp dirs (events hardlink copy + one checkpoint per stream) are
+      // deleted as soon as each stream finishes — repeated sweeps on this
+      // scratch-constrained VM must not accumulate parquet copies and
+      // state-store files in /tmp
+      def rmTree(p: java.nio.file.Path): Unit = {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(); ()
+        }
+        rm(p.toFile)
+      }
+      val linkedEventsDir: Option[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(eventsFile)) None
         else {
           val d = java.nio.file.Files.createTempDirectory("graft-bench-events")
           val tgt = d.resolve("events.parquet")
           try java.nio.file.Files.createLink(tgt, eventsFile)
           catch { case _: Exception =>
             java.nio.file.Files.copy(eventsFile, tgt); () }
-          d.toString
+          Some(d)
         }
-      val schema = spark.read.parquet(eventsPath).schema
-      def runStream(name: String,
-                    graph: DataFrame => DataFrame): Unit = {
-        val ckpt = java.nio.file.Files
-          .createTempDirectory(s"graft-bench-$name").toString
-        var rows = 0L
-        val (t, _) = time {
-          // the parquet ts column reads as TIMESTAMP_NTZ; watermarks
-          // require session-tz TIMESTAMP (session is pinned UTC)
-          val src = spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "8").parquet(eventsPath)
-            .withColumn("ts", col("ts").cast("timestamp"))
-          val q = graph(src).writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          rows = q.recentProgress.map(_.numInputRows).sum
+      try {
+        val eventsPath = linkedEventsDir.map(_.toString).getOrElse(eventsFile.toString)
+        val schema = spark.read.parquet(eventsPath).schema
+        def runStream(name: String,
+                      graph: DataFrame => DataFrame): Unit = {
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft-bench-$name")
+          try {
+            var rows = 0L
+            val (t, _) = time {
+              // the parquet ts column reads as TIMESTAMP_NTZ; watermarks
+              // require session-tz TIMESTAMP (session is pinned UTC)
+              val src = spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "8").parquet(eventsPath)
+                .withColumn("ts", col("ts").cast("timestamp"))
+              val q = graph(src).writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt.toString)
+                .trigger(Trigger.AvailableNow()).start()
+              q.awaitTermination()
+              rows = q.recentProgress.map(_.numInputRows).sum
+            }
+            out += s"stream_$name" -> r3(t)
+            println(s"[sf10] $dir stream_$name: events=$rows " +
+              s"eps=${if (t > 0) math.round(rows / t) else 0}")
+            reclaimShuffle()
+          } finally rmTree(ckpt)
         }
-        out += s"stream_$name" -> r3(t)
-        println(s"[sf10] $dir stream_$name: events=$rows " +
-          s"eps=${if (t > 0) math.round(rows / t) else 0}")
-        reclaimShuffle()
-      }
-      runStream("windowed_counts",
-        src => graft.streaming.EventPipeline.windowedCounts(src))
-      runStream("dedup",
-        src => graft.streaming.EventPipeline.dedupStream(src, Seq("event_id")))
+        runStream("windowed_counts",
+          src => graft.streaming.EventPipeline.windowedCounts(src))
+        runStream("dedup",
+          src => graft.streaming.EventPipeline.dedupStream(src, Seq("event_id")))
+      } finally linkedEventsDir.foreach(rmTree)
     } catch { case e: Throwable => phaseFailed("stream", e) }
 
     if (phases("bpe")) try {
