@@ -58,6 +58,14 @@ object GraftSql {
     "array_to_string" -> "array_join",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
+    // reference STRPOS(string, search) = str.indexOf(search)+1
+    // (reference: src/expression/strings.js:172) — Spark has no strpos;
+    // instr has the SAME argument order. (position is handled as a
+    // 2-arg rewrite below: Spark's position(substr, str) is REVERSED.)
+    "strpos" -> "instr",
+    // reference ARRAY_CONCAT(a, b) (src/expression/evaluate.js:616);
+    // Spark spells it concat
+    "array_concat" -> "concat",
     "ord" -> "ascii")
 
   /** Index of the `)` matching the `(` at `open` (skips quoted strings),
@@ -400,6 +408,50 @@ object GraftSql {
     s = rewriteCall(s, "regexp_split_to_table", args =>
       s"explode(split(${args.mkString(", ")}))")
 
+    // Comma-form POSITION(string, search): the reference returns
+    // str.indexOf(search)+1 (src/expression/strings.js:172-176) — Spark's
+    // position(substr, str) takes the arguments REVERSED, so map to
+    // instr, whose order matches. The SQL-standard POSITION(x IN y) form
+    // has no top-level comma (one "arg") and passes through to Spark,
+    // whose IN-form semantics already agree.
+    s = rewriteCall(s, "position", args =>
+      if (args.length == 2) s"instr(${args(0)}, ${args(1)})"
+      else s"__position__(${args.mkString(", ")})")
+    s = s.replace("__position__(", "position(")
+
+    // ARRAY_LENGTH(arr[, dim]): Spark has no array_length; size covers
+    // the 1-dimensional form (the reference's dim>1 walks nested JS
+    // arrays — no generator for those exists in this dialect's sources)
+    s = rewriteCall(s, "array_length", args =>
+      if (args.length == 1 || (args.length == 2 && args(1).trim == "1"))
+        s"size(${args(0)})"
+      else s"array_length_dim_unsupported(${args.mkString(", ")})")
+
+    // ARRAY_POSITION / LIST_POSITION return NULL when absent in the
+    // reference (src/expression/evaluate.js:597-601, indexOf+1 with -1 →
+    // null); Spark's array_position returns 0 — nullif closes the gap.
+    // Placeholder avoids rescanning our own output (rewriteCall restarts
+    // from 0 after each replacement).
+    for (f <- Seq("array_position", "list_position"))
+      s = rewriteCall(s, f, args =>
+        s"nullif(__arrpos__(${args.mkString(", ")}), 0)")
+    s = s.replace("__arrpos__(", "array_position(")
+
+    // PERCENTILE_CONT(fraction, expr): reference argument order
+    // (src/validation/functions.js PERCENTILE_CONT) with exact linear
+    // interpolation — Spark's exact-interpolating spelling is
+    // percentile(expr, fraction). APPROX_QUANTILE(expr, fraction) is
+    // computed EXACTLY by the reference (same code path,
+    // src/expression/evaluate.js:314-350), so it maps to percentile too.
+    s = rewriteCall(s, "percentile_cont", args =>
+      if (args.length == 2) s"percentile(${args(1)}, ${args(0)})"
+      else s"__pcont__(${args.mkString(", ")})")
+    s = s.replace("__pcont__(", "percentile_cont(")
+    s = rewriteCall(s, "approx_quantile", args =>
+      if (args.length == 2) s"percentile(${args(0)}, ${args(1)})"
+      else s"__aq__(${args.mkString(", ")})")
+    s = s.replace("__aq__(", "approx_quantile(")
+
     // list_slice(l, a, b) [1-based inclusive ends] → slice(l, a, b - a + 1)
     s = rewriteCall(s, "list_slice", args =>
       if (args.length == 3)
@@ -421,6 +473,15 @@ object GraftSql {
     for (f <- Seq("dayofweek", "weekday"))
       s = rewriteCall(s, f, args => s"(__dow__(${args.mkString(", ")}) - 1)")
     s = s.replace("__dow__(", "dayofweek(")
+
+    // LIKE is CASE-INSENSITIVE in the reference dialect — its evaluator
+    // compiles the pattern with the `i` regex flag (reference:
+    // src/expression/binary.js:57-65) — so dialect LIKE maps to Spark
+    // ILIKE (NOT LIKE → NOT ILIKE via the same token). Found by the
+    // seeded differential fuzz campaign (FuzzSpec), not the curated
+    // list. \bLIKE\b cannot match inside ILIKE/RLIKE (no word boundary).
+    s = raw"(?i)\bLIKE\b".r.replaceSomeIn(s, m =>
+      if (inLiteral(m.source.toString, m.start)) None else Some("ILIKE"))
 
     // x GLOB 'pat' → x RLIKE '^…$' (not inside string literals)
     s = raw"(?i)\bGLOB\s*'([^']*)'".r.replaceSomeIn(s, m =>

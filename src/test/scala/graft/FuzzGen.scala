@@ -1,0 +1,310 @@
+package graft
+
+import scala.util.Random
+
+/** Seeded grammar-based generator of reference-dialect SQL.
+  *
+  * The grammar is restricted to the surface the REFERENCE engine
+  * supports (its function registry, /root/reference/src/validation/
+  * functions.js, plus the clause grammar of src/parse/parse.js:
+  * joins, CTEs, set ops, HAVING, LIMIT/OFFSET, windows, subqueries) so
+  * every generated query can run on BOTH engines and diff. Every query
+  * is made deterministic: the final ORDER BY always ends in a unique
+  * key, or the output is a single column where tied rows are identical.
+  *
+  * Typed generation (int / double / string / bool expression families)
+  * keeps queries semantically valid; null values only enter through
+  * NULLIF / CASE-without-ELSE, and never reach an ORDER BY key.
+  */
+object FuzzGen {
+
+  final case class Col(name: String, lo: Long = 0, hi: Long = 0)
+  final case class Table(name: String, key: String, ints: Seq[Col],
+                         dbls: Seq[Col], strs: Seq[Col],
+                         inPool: Map[String, Seq[String]])
+
+  val nation = Table("f_nation", "n_nationkey",
+    ints = Seq(Col("n_nationkey", 0, 24), Col("n_regionkey", 0, 4)),
+    dbls = Seq(),
+    strs = Seq(Col("n_name")),
+    inPool = Map("n_name" -> Seq("FRANCE", "GERMANY", "KENYA", "PERU", "CHINA")))
+
+  val region = Table("f_region", "r_regionkey",
+    ints = Seq(Col("r_regionkey", 0, 4)),
+    dbls = Seq(),
+    strs = Seq(Col("r_name")),
+    inPool = Map("r_name" -> Seq("ASIA", "EUROPE", "AFRICA")))
+
+  val customer = Table("f_customer", "c_custkey",
+    ints = Seq(Col("c_custkey", 1, 150), Col("c_nationkey", 0, 24)),
+    dbls = Seq(Col("c_acctbal", -900, 9000)),
+    strs = Seq(Col("c_name"), Col("c_mktsegment")),
+    inPool = Map("c_mktsegment" ->
+      Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")))
+
+  val orders = Table("f_orders", "o_orderkey",
+    ints = Seq(Col("o_orderkey", 1, 1600), Col("o_custkey", 1, 150)),
+    dbls = Seq(Col("o_totalprice", 900, 350000)),
+    strs = Seq(Col("o_orderstatus"), Col("o_orderdate"), Col("o_orderpriority")),
+    inPool = Map(
+      "o_orderstatus" -> Seq("O", "F", "P"),
+      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+
+  val tables = Seq(nation, region, customer, orders)
+
+  /** (left, right, join condition) triples with natural FK joins. */
+  val joins: Seq[(Table, Table, String)] = Seq(
+    (orders, customer, "a.o_custkey = b.c_custkey"),
+    (customer, nation, "a.c_nationkey = b.n_nationkey"),
+    (nation, region, "a.n_regionkey = b.r_regionkey"))
+
+  private val likePats = Seq("%a%", "%ar%", "A%", "%e", "_R%", "%IN%", "%a_")
+  private val strLits = Seq("a", "AR", "x y z", "Customer", "1-URGENT", "")
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+  private def lit(r: Random, c: Col): String =
+    (c.lo + math.abs(r.nextLong()) % math.max(1, c.hi - c.lo + 1)).toString
+
+  // ---- typed expression grammar --------------------------------------
+
+  /** Integer-valued expression over `t` (alias-qualified when q != ""). */
+  def intExpr(r: Random, t: Table, q: String, d: Int): String = {
+    def col = q + pick(r, t.ints).name
+    if (d <= 0 || t.ints.isEmpty) {
+      if (t.ints.isEmpty) r.nextInt(40).toString
+      else if (r.nextInt(4) == 0) r.nextInt(40).toString else col
+    } else r.nextInt(12) match {
+      case 0 => s"(${intExpr(r, t, q, d - 1)} + ${intExpr(r, t, q, d - 1)})"
+      case 1 => s"(${intExpr(r, t, q, d - 1)} - ${intExpr(r, t, q, d - 1)})"
+      case 2 => s"(${intExpr(r, t, q, d - 1)} * ${1 + r.nextInt(5)})"
+      case 3 => s"ABS(${intExpr(r, t, q, d - 1)} - ${r.nextInt(30)})"
+      case 4 if t.ints.nonEmpty => s"MOD($col, ${2 + r.nextInt(6)})"
+      case 5 => s"LENGTH(${strExpr(r, t, q, d - 1)})"
+      case 6 => s"CASE WHEN ${boolExpr(r, t, q, d - 1)} THEN ${intExpr(r, t, q, d - 1)} ELSE ${intExpr(r, t, q, d - 1)} END"
+      case 7 => s"GREATEST(${intExpr(r, t, q, d - 1)}, ${intExpr(r, t, q, d - 1)})"
+      case 8 => s"LEAST(${intExpr(r, t, q, d - 1)}, ${intExpr(r, t, q, d - 1)})"
+      case 9 => s"COALESCE(NULLIF(${intExpr(r, t, q, d - 1)}, ${r.nextInt(20)}), ${r.nextInt(20)})"
+      case 10 => r.nextInt(4) match {
+        case 0 => s"INSTR(${strExpr(r, t, q, d - 1)}, '${pick(r, Seq("a", "e", "r", "AR"))}')"
+        case 1 => s"STRPOS(${strExpr(r, t, q, d - 1)}, '${pick(r, Seq("a", "e", "r"))}')"
+        case _ => s"POSITION(${strExpr(r, t, q, d - 1)}, '${pick(r, Seq("a", "e", "o"))}')"
+      }
+      case _ => r.nextInt(3) match {
+        case 0 => s"${pick(r, Seq("ARRAY_LENGTH", "CARDINALITY", "LIST_LENGTH"))}(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '))"
+        case 1 => s"COALESCE(${pick(r, Seq("ARRAY_POSITION", "LIST_POSITION"))}(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '), '${pick(r, Seq("a", "x y", "Customer"))}'), -1)"
+        case _ => s"LEN(ARRAY_CONCAT(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '), STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' ')))"
+      }
+    }
+  }
+
+  /** Double-valued expression (only for tables with double columns). */
+  def dblExpr(r: Random, t: Table, q: String, d: Int): String = {
+    def col = q + pick(r, t.dbls).name
+    if (t.dbls.isEmpty) intExpr(r, t, q, d)
+    else if (d <= 0) col
+    else r.nextInt(6) match {
+      case 0 => s"ROUND(${dblExpr(r, t, q, d - 1)}, ${r.nextInt(3)})"
+      case 1 => s"(${dblExpr(r, t, q, d - 1)} + ${intExpr(r, t, q, d - 1)})"
+      case 2 => s"ABS(${dblExpr(r, t, q, d - 1)})"
+      case 3 => s"FLOOR($col)"
+      case 4 => s"CEIL($col)"
+      case _ => col
+    }
+  }
+
+  /** String-valued expression. */
+  def strExpr(r: Random, t: Table, q: String, d: Int): String = {
+    def col = q + pick(r, t.strs).name
+    if (d <= 0 || t.strs.isEmpty) {
+      if (t.strs.isEmpty) s"'${pick(r, strLits)}'"
+      else if (r.nextInt(5) == 0) s"'${pick(r, strLits)}'" else col
+    } else r.nextInt(12) match {
+      case 0 => s"UPPER(${strExpr(r, t, q, d - 1)})"
+      case 1 => s"LOWER(${strExpr(r, t, q, d - 1)})"
+      case 2 => s"TRIM(${strExpr(r, t, q, d - 1)})"
+      case 3 => s"SUBSTR($col, ${1 + r.nextInt(4)}, ${1 + r.nextInt(6)})"
+      case 4 => s"LEFT($col, ${r.nextInt(6)})"
+      case 5 => s"RIGHT($col, ${r.nextInt(6)})"
+      case 6 => s"REPLACE($col, '${pick(r, Seq("a", "e", "r"))}', '_')"
+      case 7 => s"SPLIT_PART($col, ' ', ${1 + r.nextInt(3)})"
+      case 8 => s"(${strExpr(r, t, q, d - 1)} || ${strExpr(r, t, q, d - 1)})"
+      case 9 => s"CONCAT(${strExpr(r, t, q, d - 1)}, '-', ${strExpr(r, t, q, d - 1)})"
+      case 10 => s"CASE WHEN ${boolExpr(r, t, q, d - 1)} THEN ${strExpr(r, t, q, d - 1)} ELSE ${strExpr(r, t, q, d - 1)} END"
+      case _ => col
+    }
+  }
+
+  /** Boolean predicate. */
+  def boolExpr(r: Random, t: Table, q: String, d: Int): String = {
+    val cmp = Seq("=", "!=", "<>", "<", "<=", ">", ">=")
+    if (d <= 0) {
+      if (t.ints.nonEmpty) {
+        val c = pick(r, t.ints)
+        s"$q${c.name} ${pick(r, cmp)} ${lit(r, c)}"
+      } else "1 = 1"
+    } else r.nextInt(12) match {
+      case 0 => s"(${boolExpr(r, t, q, d - 1)} AND ${boolExpr(r, t, q, d - 1)})"
+      case 1 => s"(${boolExpr(r, t, q, d - 1)} OR ${boolExpr(r, t, q, d - 1)})"
+      case 2 => s"NOT (${boolExpr(r, t, q, d - 1)})"
+      case 3 if t.strs.nonEmpty =>
+        s"$q${pick(r, t.strs).name} ${if (r.nextBoolean()) "" else "NOT "}LIKE '${pick(r, likePats)}'"
+      case 4 if t.ints.nonEmpty =>
+        val c = pick(r, t.ints)
+        val a = c.lo + r.nextInt(math.max(1, (c.hi - c.lo).toInt))
+        s"$q${c.name} BETWEEN $a AND ${a + 1 + r.nextInt(20)}"
+      case 5 if t.inPool.nonEmpty =>
+        val (cn, pool) = pick(r, t.inPool.toSeq.sortBy(_._1))
+        val n = 1 + r.nextInt(3)
+        s"$q$cn ${if (r.nextBoolean()) "" else "NOT "}IN (${r.shuffle(pool).take(n).map("'" + _ + "'").mkString(", ")})"
+      case 6 => s"NULLIF(${strExpr(r, t, q, d - 1)}, '${pick(r, strLits)}') IS ${if (r.nextBoolean()) "" else "NOT "}NULL"
+      case 7 => s"${strExpr(r, t, q, d - 1)} ${pick(r, cmp.take(4))} ${strExpr(r, t, q, d - 1)}"
+      case 8 if t.dbls.nonEmpty =>
+        val c = pick(r, t.dbls)
+        s"$q${c.name} ${pick(r, cmp)} ${lit(r, c)}"
+      case 9 =>
+        s"LIST_CONTAINS(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '), '${pick(r, Seq("a", "x", "Customer"))}')"
+      case _ => s"${intExpr(r, t, q, d - 1)} ${pick(r, cmp)} ${intExpr(r, t, q, d - 1)}"
+    }
+  }
+
+  /** Aggregate expression (num → value aggregate over t). */
+  def aggExpr(r: Random, t: Table, d: Int): String = r.nextInt(12) match {
+    case 0 => "COUNT(*)"
+    case 1 => s"COUNT(${(t.ints ++ t.strs).map(_.name).headOption.getOrElse("1")})"
+    case 2 => s"COUNTIF(${boolExpr(r, t, "", d)})"
+    case 3 => s"SUM(${intExpr(r, t, "", d)})"
+    case 4 if t.dbls.nonEmpty => s"ROUND(SUM(${pick(r, t.dbls).name}), 3)"
+    case 5 => s"ROUND(AVG(${intExpr(r, t, "", d)}), 6)"
+    case 6 => s"MIN(${intExpr(r, t, "", d)})"
+    case 7 => s"MAX(${intExpr(r, t, "", d)})"
+    case 8 if t.strs.nonEmpty => s"${pick(r, Seq("MIN", "MAX"))}(${pick(r, t.strs).name})"
+    case 9 => s"MEDIAN(${intExpr(r, t, "", math.min(d, 1))})"
+    case 10 => r.nextInt(3) match {
+      case 0 => s"PERCENTILE_CONT(0.${1 + r.nextInt(8)}, ${intExpr(r, t, "", 1)})"
+      case 1 => s"ROUND(STDDEV_POP(${intExpr(r, t, "", 1)}), 5)"
+      case _ => s"ROUND(STDDEV_SAMP(${intExpr(r, t, "", 1)}), 5)"
+    }
+    case _ => s"APPROX_QUANTILE(${intExpr(r, t, "", math.min(d, 1))}, 0.${2 + r.nextInt(7)})"
+  }
+
+  // ---- query shapes ---------------------------------------------------
+
+  /** Any scalar expression usable as a projection over t (unqualified). */
+  private def anyExpr(r: Random, t: Table, d: Int): String = r.nextInt(10) match {
+    case 0 | 1 | 2 => intExpr(r, t, "", d)
+    case 3 | 4 | 5 => strExpr(r, t, "", d)
+    case 6 if t.dbls.nonEmpty => s"ROUND(${dblExpr(r, t, "", d)}, 3)"
+    case 7 => s"CASE WHEN ${boolExpr(r, t, "", d)} THEN 1 ELSE 0 END"
+    case 8 => s"LEN(STRING_SPLIT(${strExpr(r, t, "", d - 1)}, ' '))"
+    case _ => intExpr(r, t, "", d)
+  }
+
+  private def simple(r: Random): String = {
+    val t = pick(r, tables)
+    val n = 1 + r.nextInt(3)
+    val proj = (0 until n).map(i => s"${anyExpr(r, t, 2)} AS c$i").mkString(", ")
+    val dir = if (r.nextBoolean()) "" else " DESC"
+    val off = if (r.nextInt(4) == 0) s" OFFSET ${r.nextInt(10)}" else ""
+    s"SELECT ${t.key} AS k, $proj FROM ${t.name} WHERE ${boolExpr(r, t, "", 2)} " +
+      s"ORDER BY ${t.key}$dir LIMIT ${5 + r.nextInt(70)}$off"
+  }
+
+  private def agg(r: Random): String = {
+    val t = pick(r, tables)
+    val gk = r.nextInt(3) match {
+      case 0 if t.strs.nonEmpty => pick(r, t.strs).name
+      case 1 if t.ints.nonEmpty => s"MOD(${pick(r, t.ints).name}, ${2 + r.nextInt(5)})"
+      case _ => pick(r, (t.ints ++ t.strs)).name
+    }
+    val n = 1 + r.nextInt(3)
+    val aggs = (0 until n).map(i => s"${aggExpr(r, t, 1)} AS c$i").mkString(", ")
+    val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 2)} " else ""
+    val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(3)} " else ""
+    s"SELECT $gk AS k, $aggs FROM ${t.name} $where" +
+      s"GROUP BY $gk ${having}ORDER BY k"
+  }
+
+  private def join(r: Random): String = {
+    val (ta, tb, cond) = pick(r, joins)
+    val jt = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN"))
+    val pa = s"${anyExpr(r, ta, 1)}"
+    val pb = s"b.${pick(r, (tb.ints ++ tb.strs)).name}"
+    val projA = pa // unqualified cols resolve to a-side names (unambiguous: disjoint prefixes)
+    val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, ta, "a.", 1)} " else ""
+    s"SELECT a.${ta.key} AS k, $projA AS c0, $pb AS c1 " +
+      s"FROM ${ta.name} a $jt ${tb.name} b ON $cond $where" +
+      s"ORDER BY a.${ta.key} LIMIT ${10 + r.nextInt(60)}"
+  }
+
+  private def window(r: Random): String = {
+    val t = pick(r, Seq(nation, customer, orders))
+    val part = t.name match {
+      case "f_nation" => "n_regionkey"
+      case "f_customer" => "c_mktsegment"
+      case _ => "o_orderstatus"
+    }
+    val dir = if (r.nextBoolean()) "" else " DESC"
+    val wf = r.nextInt(3) match {
+      case 0 => s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY ${t.key}$dir)"
+      case 1 => s"LAG(${intExpr(r, t, "", 1)}, 1, ${r.nextInt(9)}) OVER (PARTITION BY $part ORDER BY ${t.key})"
+      case _ => s"LEAD(${intExpr(r, t, "", 1)}, ${1 + r.nextInt(2)}, 0) OVER (PARTITION BY $part ORDER BY ${t.key})"
+    }
+    val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 1)} " else ""
+    s"SELECT ${t.key} AS k, $wf AS c0 FROM ${t.name} $where" +
+      s"ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+  }
+
+  private def setop(r: Random): String = {
+    val ta = pick(r, tables)
+    val tb = pick(r, tables)
+    val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+    // single projected column: tied rows are identical, so ORDER BY c0
+    // alone is deterministic
+    s"SELECT ${strExpr(r, ta, "", 2)} AS c0 FROM ${ta.name} WHERE ${boolExpr(r, ta, "", 1)} " +
+      s"$op SELECT ${strExpr(r, tb, "", 2)} AS c0 FROM ${tb.name} WHERE ${boolExpr(r, tb, "", 1)} " +
+      s"ORDER BY c0 LIMIT ${20 + r.nextInt(60)}"
+  }
+
+  private def subquery(r: Random): String = r.nextInt(3) match {
+    case 0 =>
+      val p = boolExpr(r, customer, "", 1)
+      s"SELECT o_orderkey AS k FROM f_orders WHERE o_custkey IN " +
+        s"(SELECT c_custkey FROM f_customer WHERE $p) ORDER BY o_orderkey LIMIT ${10 + r.nextInt(60)}"
+    case 1 =>
+      val p = boolExpr(r, customer, "c.", 1)
+      s"SELECT n_name AS k FROM f_nation n WHERE ${if (r.nextBoolean()) "" else "NOT "}EXISTS " +
+        s"(SELECT 1 FROM f_customer c WHERE c.c_nationkey = n.n_nationkey AND $p) ORDER BY n_name"
+    case _ =>
+      s"SELECT c_custkey AS k, (SELECT MAX(${intExpr(r, nation, "", 1)}) FROM f_nation) AS c0 " +
+        s"FROM f_customer WHERE ${boolExpr(r, customer, "", 1)} ORDER BY c_custkey LIMIT ${5 + r.nextInt(40)}"
+  }
+
+  private def cte(r: Random): String = {
+    val t = pick(r, tables)
+    s"WITH v AS (SELECT ${t.key} AS k, ${anyExpr(r, t, 2)} AS c0 FROM ${t.name} " +
+      s"WHERE ${boolExpr(r, t, "", 2)}) " +
+      s"SELECT k, c0 FROM v WHERE k >= ${r.nextInt(20)} ORDER BY k LIMIT ${10 + r.nextInt(60)}"
+  }
+
+  private def distinct(r: Random): String = {
+    val t = pick(r, tables)
+    s"SELECT DISTINCT ${strExpr(r, t, "", 1)} AS c0 FROM ${t.name} " +
+      s"WHERE ${boolExpr(r, t, "", 1)} ORDER BY c0 LIMIT 50"
+  }
+
+  /** Generate `n` queries, seeded. */
+  def queries(seed: Long, n: Int): Seq[String] = {
+    val r = new Random(seed)
+    (0 until n).map { _ =>
+      r.nextInt(10) match {
+        case 0 | 1 | 2 => simple(r)
+        case 3 | 4 => agg(r)
+        case 5 => join(r)
+        case 6 => window(r)
+        case 7 => setop(r)
+        case 8 => subquery(r)
+        case _ => if (r.nextBoolean()) cte(r) else distinct(r)
+      }
+    }
+  }
+}

@@ -1,0 +1,179 @@
+package graft
+
+import graft.plans.GraftSql
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential fuzz campaign: seeded grammar-generated dialect SQL
+  * (FuzzGen) executed on BOTH the reference engine (node, via
+  * tools/fuzz_ref.mjs over JSON rows) and GraftSql-on-Spark over the
+  * SAME rows, results diffed cell-by-cell (float tolerance). The
+  * curated syntax.md long tail is covered by GraftSqlSpec /
+  * ReferenceParitySpec; this finds what no curated list anticipates.
+  */
+class FuzzSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val workDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft-fuzz")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private lazy val nodeOk =
+    try new ProcessBuilder("node", "--version").start().waitFor() == 0
+    catch { case _: Exception => false }
+
+  /** The four fuzz tables, value-identical in both engines: Spark reads
+    * parquet (timestamps cast to string so the JSON the reference reads
+    * carries the same values Spark computes on) and registers views;
+    * the same frames dump to JSON for the reference.
+    */
+  private lazy val fuzzTables: Map[String, DataFrame] = {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+      .select("r_regionkey", "r_name")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("string").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey").limit(400)
+    Map("f_nation" -> nation, "f_region" -> region,
+      "f_customer" -> customer, "f_orders" -> orders)
+  }
+
+  // ---- canonical value model -----------------------------------------
+
+  private sealed trait V
+  private case object VNull extends V
+  private case class VNum(d: Double) extends V
+  private case class VStr(s: String) extends V
+  private case class VBool(b: Boolean) extends V
+
+  private def norm(a: Any): V = a match {
+    case null => VNull
+    case b: Boolean => VBool(b)
+    case b: java.lang.Boolean => VBool(b)
+    case s: String => VStr(s)
+    case n: java.math.BigDecimal => VNum(n.doubleValue())
+    case n: BigDecimal => VNum(n.toDouble)
+    case n: Number => VNum(n.doubleValue())
+    case other => VStr(other.toString)
+  }
+
+  private def vEq(a: V, b: V): Boolean = (a, b) match {
+    case (VNull, VNull) => true
+    case (VNum(x), VNum(y)) =>
+      (x.isNaN && y.isNaN) ||
+        math.abs(x - y) <= 1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    case (x, y) => x == y
+  }
+
+  // ---- engines --------------------------------------------------------
+
+  private def runSpark(q: String): Either[String, Seq[Map[String, V]]] =
+    try {
+      val df = GraftSql.sql(spark, q)
+      val names = df.schema.fieldNames.toSeq
+      Right(df.collect().toSeq.map(r =>
+        names.zipWithIndex.map { case (n, i) => n.toLowerCase -> norm(r.get(i)) }.toMap))
+    } catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(300)) }
+
+  /** Run the whole batch on the reference engine in ONE node process. */
+  private def runReference(queries: Seq[String]): Seq[Either[String, Seq[Map[String, V]]]] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // tables json: {"name": [row, ...]}
+    val tablesJson = fuzzTables.toSeq.sortBy(_._1).map { case (name, df) =>
+      "\"" + name + "\": [" + df.toJSON.collect().mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$workDir/tables.json"), tablesJson)
+    val qarr = om.createArrayNode()
+    queries.foreach(qarr.add)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$workDir/queries.json"), om.writeValueAsString(qarr))
+    val pb = new ProcessBuilder("node", "tools/fuzz_ref.mjs",
+      s"$workDir/tables.json", s"$workDir/queries.json", s"$workDir/ref_out.json")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"fuzz_ref.mjs failed:\n${log.takeRight(2000)}")
+    val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$workDir/ref_out.json")))
+    def jnorm(n: com.fasterxml.jackson.databind.JsonNode): V =
+      if (n == null || n.isNull) VNull
+      else if (n.isBoolean) VBool(n.asBoolean())
+      else if (n.isNumber) VNum(n.asDouble())
+      else VStr(n.asText())
+    (0 until root.size()).map { i =>
+      val e = root.get(i)
+      if (e.has("error")) Left(e.get("error").asText())
+      else {
+        val rows = e.get("rows")
+        Right((0 until rows.size()).map { j =>
+          val row = rows.get(j)
+          val it = row.fieldNames()
+          val m = scala.collection.mutable.Map[String, V]()
+          while (it.hasNext) { val f = it.next(); m += f.toLowerCase -> jnorm(row.get(f)) }
+          m.toMap
+        })
+      }
+    }
+  }
+
+  private def diff(q: String, sp: Either[String, Seq[Map[String, V]]],
+                   rf: Either[String, Seq[Map[String, V]]]): Option[String] = (sp, rf) match {
+    case (Left(_), Left(_)) => None // agreement on rejection
+    case (Left(e), Right(_)) => Some(s"spark ERROR, ref ok: $e")
+    case (Right(_), Left(e)) => Some(s"ref ERROR, spark ok: $e")
+    case (Right(s), Right(r)) =>
+      if (s.length != r.length) Some(s"row count ${s.length} vs ${r.length}")
+      else {
+        s.zip(r).zipWithIndex.collectFirst {
+          case ((srow, rrow), i) if {
+            val cols = srow.keySet ++ rrow.keySet
+            cols.exists(c => !vEq(srow.getOrElse(c, VNull), rrow.getOrElse(c, VNull)))
+          } =>
+            val cols = srow.keySet ++ rrow.keySet
+            val bad = cols.filter(c => !vEq(srow.getOrElse(c, VNull), rrow.getOrElse(c, VNull)))
+            s"row $i differs on ${bad.mkString(",")}: spark=${bad.map(srow.getOrElse(_, VNull))} ref=${bad.map(rrow.getOrElse(_, VNull))}"
+        }
+      }
+  }
+
+  test("differential fuzz: 300 seeded dialect queries agree with the reference") {
+    assume(nodeOk, "node not available")
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    assume(new java.io.File("/root/reference/src/index.js").isFile, "reference missing")
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
+    val queries = FuzzGen.queries(seed = 20260814L, n = 300)
+    val refResults = runReference(queries)
+    var sparkErrs = 0
+    var bothRejected = 0
+    val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      val sp = runSpark(q)
+      if (sp.isLeft) sparkErrs += 1
+      if (sp.isLeft && rf.isLeft) bothRejected += 1
+      diff(q, sp, rf).map(d => s"#$i $d\n  SQL: $q\n  refErr: ${rf.left.getOrElse("-")}")
+    }
+    info(s"queries=300 sparkErrors=$sparkErrs bothRejected=$bothRejected divergences=${divergences.length}")
+    // agreement-on-rejection is allowed but must stay a rare corner, not
+    // a loophole the generator falls into
+    assert(bothRejected <= 15, s"too many agreed rejections ($bothRejected) — tighten the grammar")
+    assert(divergences.isEmpty,
+      s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
+  }
+
+  test("fuzz corpus also exercises validate/tables/maxRows without crashing") {
+    assume(nodeOk, "node not available")
+    val queries = FuzzGen.queries(seed = 7L, n = 60)
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    queries.foreach { q =>
+      GraftSql.validate(spark, q) // Left is fine; throwing is not
+      val ts = GraftSql.tables(spark, q)
+      assert(ts.forall(_.startsWith("f_")), s"unexpected table names $ts for: $q")
+      GraftSql.maxRows(spark, q)
+    }
+  }
+}

@@ -415,6 +415,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(star.columns.toSeq == Seq("a", "b", "s", "a_+_b"))
   }
 
+  test("fuzz-found reference semantics: LIKE case-insensitive, POSITION order, array nulls") {
+    // reference LIKE compiles with the `i` regex flag
+    // (src/expression/binary.js:64) — found by FuzzSpec, pinned here
+    val like = GraftSql.sql(spark,
+      "SELECT 'EUROPE' LIKE '%e' AS a, 'EUROPE' NOT LIKE 'eur%' AS b").collect().head
+    assert(like.getAs[Boolean]("a") && !like.getAs[Boolean]("b"))
+    // POSITION/STRPOS are (haystack, needle) in the reference
+    // (src/expression/strings.js:172) — Spark's comma-form position is
+    // reversed, so both map to instr
+    val pos = GraftSql.sql(spark,
+      "SELECT POSITION('abcdef', 'cd') AS p, STRPOS('abcdef', 'q') AS s, " +
+        "POSITION('cd' IN 'abcdef') AS pin").collect().head
+    assert(pos.getAs[Int]("p") == 3 && pos.getAs[Int]("s") == 0 &&
+      pos.getAs[Int]("pin") == 3)
+    // ARRAY_POSITION returns NULL when absent (evaluate.js:597), not 0;
+    // ARRAY_LENGTH / ARRAY_CONCAT spell size / concat
+    val arr = GraftSql.sql(spark,
+      "SELECT ARRAY_POSITION(STRING_SPLIT('a b c', ' '), 'z') AS miss, " +
+        "LIST_POSITION(STRING_SPLIT('a b c', ' '), 'b') AS hit, " +
+        "ARRAY_LENGTH(STRING_SPLIT('a b', ' ')) AS al, " +
+        "LEN(ARRAY_CONCAT(STRING_SPLIT('a b', ' '), STRING_SPLIT('c', ' '))) AS cc").collect().head
+    assert(arr.isNullAt(arr.fieldIndex("miss")))
+    assert(arr.getAs[Long]("hit") == 2L && arr.getAs[Int]("al") == 2 &&
+      arr.getAs[Int]("cc") == 3)
+    // PERCENTILE_CONT(fraction, expr) / APPROX_QUANTILE(expr, fraction)
+    // both interpolate EXACTLY in the reference (evaluate.js:314-350)
+    val pc = GraftSql.sql(spark,
+      "SELECT PERCENTILE_CONT(0.5, x) AS m, APPROX_QUANTILE(x, 0.25) AS q " +
+        "FROM VALUES (1), (2), (4), (8) AS t(x)").collect().head
+    assert(pc.getAs[Double]("m") == 3.0 && pc.getAs[Double]("q") == 1.75)
+  }
+
   test("double-quoted identifiers select dotted columns, not string literals") {
     // reference: test/execute/execute.dot.test.js — "user.name" is the
     // COLUMN named user.name, never the nested field and never a string
