@@ -478,11 +478,16 @@ object TextOps {
     * streaming decontamination gate filters on without exploding.
     */
   private[graft] def ngramHashArrayExpr(textCol: String, n: Int): String = {
+    // tokenization bound ONCE as a lambda variable (the gopherSignals
+    // rule): inlined into the gram lambda it would re-split the document
+    // per gram position — quadratic in doc length. Found by the
+    // streaming HofLint sweep (lintStream over decontaminateStream).
     val tk = tokensExpr(textCol)
-    s"""CASE WHEN size($tk) >= $n THEN
-       |  array_distinct(transform(sequence(1, size($tk) - $n + 1),
-       |    i -> graft_hash60(array_join(slice($tk, i, $n), ' '))))
-       |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    s"""element_at(transform(array($tk), _t ->
+       |  CASE WHEN size(_t) >= $n THEN
+       |    array_distinct(transform(sequence(1, size(_t) - $n + 1),
+       |      i -> graft_hash60(array_join(slice(_t, i, $n), ' '))))
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END), 1)""".stripMargin
   }
 
   def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -125,4 +125,15 @@ object HofLint {
   /** Convenience: lint a DataFrame's optimized plan. */
   def lint(df: DataFrame): Seq[Finding] =
     lint(df.queryExecution.optimizedPlan)
+
+  /** Lint a STREAMING DataFrame's plan. The batch QueryExecution
+    * refuses streaming sources before it ever optimizes
+    * (UnsupportedOperationChecker.checkForBatch), so run the session's
+    * optimizer directly on the analyzed plan — the same rule set a
+    * micro-batch's IncrementalExecution applies, CollapseProject
+    * included, which is the pass that creates the unbound-HOF trap this
+    * lint exists to catch. Works on batch frames too.
+    */
+  def lintStream(df: DataFrame): Seq[Finding] =
+    lint(df.sparkSession.sessionState.optimizer.execute(df.queryExecution.analyzed))
 }

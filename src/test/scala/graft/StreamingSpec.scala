@@ -674,4 +674,60 @@ class StreamingSpec extends SparkSpec {
       assert(EventPipeline.annIndex(spark, idxPath).count() == 5L)
     } finally q2.stop()
   }
+
+  test("HofLint sweeps the streaming micro-batch plans (no unbound interpreted HOFs)") {
+    // RegistryContractsSpec gates the 243 batch registry plans; this
+    // extends the same build-time guard to the streaming surface — the
+    // plans each micro-batch will execute. DataFrame-returning
+    // transforms lint directly on a MemoryStream source (the optimizer
+    // runs CollapseProject on streaming plans too); the foreachBatch
+    // writers (annIngest, spanIngest) lint their replicated per-batch
+    // plan over a static frame — the HOF-bearing operator composition
+    // is identical, only the sink bookkeeping differs.
+    import graft.operators.{TextOps, Vectors}
+    import graft.plans.HofLint
+    implicit val sqlCtx = spark.sqlContext
+    def assertClean(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val findings = HofLint.lintStream(df)
+      assert(findings.isEmpty, s"$name: ${findings.mkString("; ")}")
+    }
+
+    val events = MemoryStream[Event].toDF()
+    assertClean("windowedCounts", EventPipeline.windowedCounts(events))
+    assertClean("sessionWindows", EventPipeline.sessionWindows(events))
+    assertClean("slidingCounts", EventPipeline.slidingCounts(events))
+    assertClean("dedupStream", EventPipeline.dedupStream(events, Seq("user_id", "ts")))
+    assertClean("enrich", EventPipeline.enrich(
+      events, Seq((1L, "us")).toDF("user_id", "geo"), "user_id"))
+    val ref = Seq.tabulate(10)(i => i * 30.0).toDF("value")
+    assertClean("driftGate", EventPipeline.driftGate(events, ref))
+
+    val docs = MemoryStream[EventPipeline.DocEvent].toDF()
+    assertClean("documentIngest", EventPipeline.documentIngest(docs))
+    assertClean("decontaminateStream", EventPipeline.decontaminateStream(
+      docs, "text", Seq(1L, 2L).toDF("gram_hash")))
+
+    // annIngest per-batch plan: pqAssign against the frozen codebook
+    val train = ((0L to 4L).map(i => (i, Array(0.1f * i, 0.2f, 0.3f, 0.4f))) ++
+      (5L to 9L).map(i => (i, Array(5.0f + i, 4.0f, 3.0f, 2.0f))))
+      .toDF("vec_id", "embedding")
+    val codebook = Vectors.pqTrain(train, "vec_id", "embedding", m = 2, k = 2,
+      iters = 2, dims = 4)
+    assertClean("annIngest(batch)", Vectors.pqAssign(
+        train, "vec_id", "embedding", codebook, m = 2, dims = 4)
+      .select("vec_id", "pq_codes"))
+
+    // spanIngest per-batch plan: frozen-gram span scan + door anti-join
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    TestTables.reset(spark, "hoflint_grams")
+    TextOps.saveDupGramTable(corpus, "doc_id", "text", "hoflint_grams", k = 6)
+    val batch = Seq((10L, "pre alpha beta gamma delta epsilon zeta eta theta post"))
+      .toDF("doc_id", "text")
+    val hot = TextOps.duplicateSpansAgainst(batch, spark.table("hoflint_grams"),
+        "doc_id", "text", k = 6, minTokens = 8)
+      .select("doc_id").distinct()
+    assertClean("spanIngest(batch)", batch.join(hot, Seq("doc_id"), "left_anti"))
+    graft.operators.Caches.unpersistAll()
+  }
 }
