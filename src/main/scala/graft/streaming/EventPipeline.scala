@@ -418,6 +418,158 @@ object EventPipeline {
       .select("ts", "doc_id", "redacted", "predicted", "quality", "digest")
   }
 
+  /** End-to-end streaming corpus ingest — the WHOLE batch pre-training
+    * front half composed in ONE foreachBatch, every gate in the order
+    * the batch pipeline applies them:
+    *
+    *   quality gate → exact dedup (batch-first-copy + cross-batch
+    *   digest state) → near-dup gate against a SAVED LSH band index →
+    *   span gate against a FROZEN dup-gram table → per-source token
+    *   quota (cross-batch totals) → benchmark decontamination
+    *
+    * Exactly-once contract: every cross-batch side effect is keyed by
+    * the DURABLE epoch id and atomically swapped — kept rows land in
+    * `sinkPath/batch_<epoch>`, the digests that suppress future exact
+    * duplicates in `statePath/digests/epoch_<n>`, per-source admitted
+    * token counts in `statePath/quota/epoch_<n>`. A replayed
+    * micro-batch reads only state with epoch < its own, so it sees the
+    * exact pre-crash inputs and republishes identical output
+    * (idempotent recovery); readers union committed `batch_*` dirs via
+    * [[annIndex]]'s reader contract.
+    *
+    * Batch parity: with each source confined to one micro-batch and
+    * first arrivals carrying the smallest ids, the kept set equals the
+    * batch composition (qualityScore filter → dropExact → LSH/span
+    * anti-joins → Sampling.tokenBudget → decontaminate) over the same
+    * rows — pinned by StreamingSpec's restart test. The quota walk uses
+    * tokenBudget's exact ordering (hash60(id), id) so the per-key
+    * prefix matches.
+    *
+    * Scale shape: all gates are the batch operators' own shapes (the
+    * band index is read exchange-free, the benchmark grams broadcast,
+    * the quota is one windowed sum per batch); per-epoch state dirs are
+    * tiny (digests + one row per source) — a long-running deployment
+    * compacts them like any log-structured table.
+    */
+  def corpusIngest(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, tokensCol: String,
+                   corpus: DataFrame, corpusBands: DataFrame,
+                   dupGrams: DataFrame,
+                   bench: DataFrame, benchTextCol: String,
+                   sinkPath: String, statePath: String,
+                   minQuality: Double = 0.2,
+                   jaccard: Double = 0.5, k: Int = 8, bands: Int = 4,
+                   spanK: Int = 6, maxSpanTokens: Int = 20,
+                   budgetPerSource: Long = Long.MaxValue,
+                   decontamN: Int = 13,
+                   checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    warnIfNoCheckpoint("corpusIngest", checkpoint)
+    val epochRe = "epoch_(\\d+)".r
+
+    def committedBefore(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path, epoch: Long): Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath).toSeq.collect {
+        case p if epochRe.findFirstMatchIn(p.getName)
+          .exists(m => p.getName == s"epoch_${m.group(1)}" && m.group(1).toLong < epoch) => p.toString
+      }.sorted
+
+    def readOrEmpty(paths: Seq[String], schemaDdl: String): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      else spark.read.parquet(paths: _*)
+
+    def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
+                    dir: org.apache.hadoop.fs.Path, df: DataFrame): Unit = {
+      graft.sources.AtomicSwap.recover(fs, dir)
+      val staging = graft.sources.AtomicSwap.stagingOf(dir)
+      df.write.mode("overwrite").parquet(staging.toString)
+      graft.sources.AtomicSwap.commit(fs, dir)
+    }
+
+    val writer = checkpoint.foldLeft(docs.writeStream)(
+      (w, cp) => w.option("checkpointLocation", cp))
+    writer
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.operators.Caches.scoped {
+          val conf = spark.sparkContext.hadoopConfiguration
+          val digestsRoot = new org.apache.hadoop.fs.Path(s"$statePath/digests")
+          val quotaRoot = new org.apache.hadoop.fs.Path(s"$statePath/quota")
+          val fs = digestsRoot.getFileSystem(conf)
+
+          // ---- prior state: strictly earlier epochs only (replay-safe)
+          val priorDigests = readOrEmpty(
+            committedBefore(fs, digestsRoot, epochId), "digest STRING")
+          val priorQuota = readOrEmpty(
+            committedBefore(fs, quotaRoot, epochId), s"$sourceCol STRING, admitted BIGINT")
+            .groupBy(sourceCol).agg(sum("admitted").as("_prior"))
+
+          // ---- 1. quality gate (row-local)
+          val cols = batch.columns.toSeq
+          val gated = graft.operators.TextOps.qualityScore(batch, textCol)
+            .filter(col("quality") >= minQuality)
+            .select(cols.map(col): _*)
+
+          // ---- 2. exact dedup: first copy per digest in-batch (min id,
+          // matching Dedup.dropExact's keeper), then the cross-batch set
+          val keyed = gated.withColumn("_digest", md5(col(textCol)))
+          val firstCopy = keyed
+            .withColumn("_rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("_digest").orderBy(col(idCol).asc)))
+            .filter(col("_rn") === 1).drop("_rn")
+          val deduped = graft.operators.Caches.track(
+            firstCopy.join(priorDigests,
+              firstCopy("_digest") === priorDigests("digest"), "left_anti"))
+
+          // ---- 3. near-dup gate vs the saved band index
+          val nearHits = graft.operators.Dedup.minhashLshAgainstSaved(
+              deduped, corpus, corpusBands, idCol, textCol, k, bands, jaccard)
+            .select(col("new_id").as(idCol)).distinct()
+          val nearOk = deduped.join(nearHits, Seq(idCol), "left_anti")
+
+          // ---- 4. span gate vs the frozen dup-gram table
+          val spanHot = graft.operators.TextOps.duplicateSpansAgainst(
+              nearOk, dupGrams, idCol, textCol, spanK, minTokens = maxSpanTokens)
+            .select(idCol).distinct()
+          val spanOk = nearOk.join(spanHot, Seq(idCol), "left_anti")
+
+          // ---- 5. per-source token quota, cumulative across batches;
+          // same walk order as Sampling.tokenBudget so a single-batch
+          // source admits the identical prefix
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(sourceCol)
+            .orderBy(expr(s"graft_hash60(CAST($idCol AS STRING))").asc, col(idCol).asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val quotaOk = spanOk
+            .join(broadcast(priorQuota), Seq(sourceCol), "left")
+            .na.fill(0L, Seq("_prior"))
+            .withColumn("_cum", sum(col(tokensCol).cast("long")).over(w))
+            .filter(col("_prior") + col("_cum") <= budgetPerSource)
+
+          // ---- 6. benchmark decontamination (exact broadcast gate)
+          val cleanIds = graft.operators.TextOps.decontaminate(
+              quotaOk, idCol, textCol, bench, benchTextCol, decontamN)
+            .filter(!col("contaminated")).select(idCol)
+          val kept = graft.operators.Caches.track(
+            quotaOk.join(cleanIds, Seq(idCol), "left_semi"))
+
+          // ---- epoch-keyed publication: sink rows, digest state, quota state
+          atomicWrite(fs, new org.apache.hadoop.fs.Path(s"$sinkPath/batch_$epochId"),
+            kept.select(cols.map(col): _*))
+          atomicWrite(fs, new org.apache.hadoop.fs.Path(s"$digestsRoot/epoch_$epochId"),
+            deduped.select(col("_digest").as("digest")).distinct())
+          atomicWrite(fs, new org.apache.hadoop.fs.Path(s"$quotaRoot/epoch_$epochId"),
+            kept.groupBy(sourceCol)
+              .agg(sum(col(tokensCol).cast("long")).as("admitted")))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming distribution-drift gate: per finalized tumbling window,
     * the PSI (population stability index) of the window's `value`
     * distribution against a STATIC reference sample — the streaming twin

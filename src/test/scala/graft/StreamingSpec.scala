@@ -675,6 +675,99 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("corpusIngest: full gate composition across 3 micro-batches with a mid-stream restart equals the batch pipeline") {
+    import graft.operators.{Dedup, Sampling, TextOps}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_ingest")
+    val (sink, state, cp) = (s"$root/sink", s"$root/state", s"$root/ckpt")
+
+    // frozen corpus: one distinctive doc for the near-dup gate, and a
+    // 10-token run planted in TWO docs so its 6-grams reach dupGrams
+    val corpus = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (901L, "one pine oak elm ash birch maple cedar willow poplar fir tail words"),
+      (902L, "two pine oak elm ash birch maple cedar willow poplar fir other ending")
+    ).toDF("doc_id", "text")
+    TestTables.reset(spark, "ci_bands")
+    TestTables.reset(spark, "ci_grams")
+    Dedup.saveBandTable(corpus, "doc_id", "text", "ci_bands")
+    TextOps.saveDupGramTable(corpus, "doc_id", "text", "ci_grams", k = 6)
+    val bench = Seq((1L, "q1 q2 q3 q4 q5 q6 q7")).toDF("bid", "btext")
+
+    val cleanA = "the cat sat on the mat and the dog ran away happily"
+    val batch1 = Seq(
+      (10L, cleanA, "a", 10L),                       // kept
+      (11L, cleanA, "a", 10L),                       // in-batch exact dup -> dropped
+      (12L, "%%% ### !!!", "a", 3L),                 // junk -> quality gate
+      (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+        "a", 13L))                                   // near-dup of corpus 900 -> dropped
+    val batch2 = Seq(
+      (20L, cleanA, "b", 10L),                       // cross-batch exact dup -> dropped
+      (21L, "my notes describe pine oak elm ash birch maple cedar willow poplar fir among other common trees seen during long autumn hikes", "b", 22L), // span gate
+      (22L, "a quiet morning walk beside the river bank with warm light", "b", 10L),
+      (23L, "bright market stalls were selling fruit and bread near the gate", "b", 10L),
+      (24L, "some children were playing in the park before it started raining", "b", 10L))
+      // budget 22 for source b: exactly two of 22/23/24 fit (hash order)
+    val batch3 = Seq(
+      (30L, "warning q1 q2 q3 q4 q5 q6 q7 appears verbatim here today", "c", 12L), // contaminated
+      (31L, "harvest season brought long evenings and the smell of rain", "c", 10L)) // kept
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    def start() = EventPipeline.corpusIngest(
+      input.toDF().toDF("doc_id", "text", "source", "n_tok"),
+      "doc_id", "text", "source", "n_tok",
+      corpus, spark.table("ci_bands"), spark.table("ci_grams"),
+      bench, "btext", sink, state,
+      minQuality = 0.2, spanK = 6, maxSpanTokens = 8,
+      budgetPerSource = 22L, decontamN = 5, checkpoint = Some(cp))
+
+    val q1 = start()
+    try {
+      input.addData(batch1: _*); q1.processAllAvailable()
+      input.addData(batch2: _*); q1.processAllAvailable()
+    } finally q1.stop() // kill mid-stream; epochs 0-1 committed
+    val q2 = start()
+    try {
+      input.addData(batch3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = EventPipeline.annIndex(spark, sink) // committed batch_* union
+    val streamedIds = streamed.select("doc_id").as[Long].collect().toSet
+
+    // the BATCH pipeline over the same rows, same gate order
+    // the input token column is named n_tok: qualityScore ADDS its own
+    // n_tokens column, and a caller column with that name would be
+    // silently overwritten (both pipelines select the original columns
+    // back, so the collision is avoided by naming, as any caller must)
+    val all = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text", "source", "n_tok")
+    val gated = TextOps.qualityScore(all, "text").filter($"quality" >= 0.2)
+      .select("doc_id", "text", "source", "n_tok")
+    val deduped = Dedup.dropExact(gated, Seq("text"), "doc_id")
+    val nearHits = Dedup.minhashLshAgainstSaved(deduped, corpus,
+        spark.table("ci_bands"), "doc_id", "text")
+      .select($"new_id".as("doc_id")).distinct()
+    val nearOk = deduped.join(nearHits, Seq("doc_id"), "left_anti")
+    val spanHot = TextOps.duplicateSpansAgainst(nearOk, spark.table("ci_grams"),
+        "doc_id", "text", k = 6, minTokens = 8).select("doc_id").distinct()
+    val spanOk = nearOk.join(spanHot, Seq("doc_id"), "left_anti")
+    val quotaOk = Sampling.tokenBudget(spanOk, "source", "doc_id", "n_tok", 22L)
+    val cleanIds = TextOps.decontaminate(quotaOk, "doc_id", "text", bench, "btext", n = 5)
+      .filter(!$"contaminated").select("doc_id")
+    val batchIds = quotaOk.join(cleanIds, Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    graft.operators.Caches.unpersistAll()
+
+    assert(streamedIds == batchIds,
+      s"streaming kept $streamedIds, batch pipeline kept $batchIds")
+    // every gate fired: the expected drops are all absent
+    assert(Set(11L, 12L, 13L, 20L, 21L, 30L).intersect(streamedIds).isEmpty)
+    assert(streamedIds.contains(10L) && streamedIds.contains(31L))
+    assert(streamedIds.count(Set(22L, 23L, 24L)) == 2, "quota should admit exactly 2 of source b")
+    // exactly-once across the restart: one committed dir per epoch, no
+    // duplicated rows
+    assert(streamed.count() == streamedIds.size.toLong)
+  }
+
   test("HofLint sweeps the streaming micro-batch plans (no unbound interpreted HOFs)") {
     // RegistryContractsSpec gates the 243 batch registry plans; this
     // extends the same build-time guard to the streaming surface — the
