@@ -83,8 +83,13 @@ object Dedup {
     bandsDf.join(sizes, Seq("band", "bkey")).drop("_bucket_n")
   }
 
-  /** Word-shingle table `(idCol, sh)` — the exact-verify input. */
-  private def shingleTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Word-shingle table `(idCol, sh)` — the exact-verify input. Widened
+    * to the package so the scale harness (BenchSf10's recall audit) can
+    * run the exact pass with the SAME shingle definition the LSH path
+    * verifies with — a recall number against a different tokenization
+    * would audit nothing.
+    */
+  private[graft] def shingleTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("tk", tokens(textCol))
       .filter(expr("size(tk) >= 3"))
       .withColumn("sh", shingles("tk"))

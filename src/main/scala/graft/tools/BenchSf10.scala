@@ -86,7 +86,7 @@ object BenchSf10 {
     */
   private val phases: Set[String] =
     sys.env.getOrElse("SPARK_GRAFT_PHASES",
-        "tpch,dedup,dedup_incr,stream,spans,bpe,pipeline,ann")
+        "tpch,dedup,dedup_incr,dedup_recall,stream,spans,bpe,pipeline,ann")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
   /** Release the PREVIOUS query's shuffle files. Spark's ContextCleaner
@@ -201,6 +201,60 @@ object BenchSf10 {
       out += "dedup_incr_slices" -> r3(tSlices)
       println(s"[sf10] $dir dedup_incr: pairs=$nPairsIncr")
     } catch { case e: Throwable => phaseFailed("dedup_incr", e) }
+
+    // LSH recall audited against EXACT ground truth at scale — the
+    // q_dedup_eval check (150 docs at sf0.1) re-run where it matters.
+    // A full exact pass is O(n²); the generator plants every duplicate
+    // from a seed at most 1 + hash%50 ids back (GenData's `cand`), so
+    // ground truth restricted to the window 0 < b - a <= 51 contains
+    // every PLANTED pair and the exact pass is O(n·51). LSH pairs are
+    // scored against that window (pairs outside it are reported
+    // separately, not counted against recall — across-window hits are
+    // true near-dups the window oracle simply cannot see).
+    if (phases("dedup_recall")) try {
+      val win = 51
+      val sh = graft.operators.Caches.track(
+        Dedup.shingleTable(docs, "doc_id", "text"))
+      val (tRecall, metrics) = time {
+        // window candidates as an equi-join: explode the 51 offsets on
+        // the slim id side, join back the shingle arrays per side —
+        // never a theta/nested-loop join
+        val cand = sh.select(col("doc_id").as("a_id"))
+          .withColumn("b_id", explode(expr(
+            s"transform(sequence(1, $win), o -> a_id + o)")))
+        val truePairs = cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+          .filter(expr(
+            "CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb)) >= 0.5"))
+          .select("a_id", "b_id")
+        val tp = graft.operators.Caches.track(truePairs)
+        val nTrue = tp.count()
+        val lsh = graft.operators.Caches.track(
+          Dedup.minhashLsh(docs, "doc_id", "text")
+            .selectExpr("least(a_id, b_id) AS a_id", "greatest(a_id, b_id) AS b_id"))
+        val nLshInWin = lsh.filter(col("b_id") - col("a_id") <= win).count()
+        val nLshOutWin = lsh.filter(col("b_id") - col("a_id") > win).count()
+        val nMissed = tp.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
+        (nTrue, nLshInWin, nLshOutWin, nMissed)
+      }
+      val (nTrue, nLshInWin, nLshOutWin, nMissed) = metrics
+      val recallPpm =
+        if (nTrue > 0) (1000000L * (nTrue - nMissed)) / nTrue else -1L
+      out += "dedup_recall" -> r3(tRecall)
+      out += "dedup_recall_true_pairs" -> nTrue.toDouble
+      out += "dedup_recall_missed" -> nMissed.toDouble
+      out += "dedup_recall_ppm" -> recallPpm.toDouble
+      // pairs the window oracle cannot see; when this dwarfs
+      // true_pairs the dir was NOT generated by tools/GenData (the
+      // driver's testdata plants sparse far-apart dups) and the ppm
+      // above audits only the in-window slice
+      out += "dedup_recall_lsh_outside_window" -> nLshOutWin.toDouble
+      graft.operators.Caches.unpersistAll()
+      reclaimShuffle()
+      println(s"[sf10] $dir dedup_recall: true=$nTrue lsh_in_win=$nLshInWin " +
+        s"lsh_out_win=$nLshOutWin missed=$nMissed recall_ppm=$recallPpm")
+    } catch { case e: Throwable => phaseFailed("dedup_recall", e) }
 
     // round-8 operators at scale: exact maximal dup spans (the planted
     // ~10% document duplicates give every sf real span work) and the
