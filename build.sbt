@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pre-commit guard: the build-time gate classes — registry output
+// contracts + the HofLint unbound-interpreted-HOF sweep (batch registry
+// AND the plan-quality sweep) — as one command, so `sbt guard` runs
+// before any bench/verify cycle without paying for the full suite.
+addCommandAlias("guard",
+  "testOnly graft.RegistryContractsSpec graft.PlanQualitySpec")
