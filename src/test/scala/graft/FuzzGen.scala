@@ -21,7 +21,8 @@ object FuzzGen {
   final case class Col(name: String, lo: Long = 0, hi: Long = 0)
   final case class Table(name: String, key: String, ints: Seq[Col],
                          dbls: Seq[Col], strs: Seq[Col],
-                         inPool: Map[String, Seq[String]])
+                         inPool: Map[String, Seq[String]],
+                         dates: Seq[String] = Seq())
 
   val nation = Table("f_nation", "n_nationkey",
     ints = Seq(Col("n_nationkey", 0, 24), Col("n_regionkey", 0, 4)),
@@ -48,7 +49,8 @@ object FuzzGen {
     strs = Seq(Col("o_orderstatus"), Col("o_orderdate"), Col("o_orderpriority")),
     inPool = Map(
       "o_orderstatus" -> Seq("O", "F", "P"),
-      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+    dates = Seq("o_orderdate"))
 
   val tables = Seq(nation, region, customer, orders)
 
@@ -89,11 +91,27 @@ object FuzzGen {
         case 1 => s"STRPOS(${strExpr(r, t, q, d - 1)}, '${pick(r, Seq("a", "e", "r"))}')"
         case _ => s"POSITION(${strExpr(r, t, q, d - 1)}, '${pick(r, Seq("a", "e", "o"))}')"
       }
-      case _ => r.nextInt(3) match {
+      case _ => r.nextInt(4) match {
         case 0 => s"${pick(r, Seq("ARRAY_LENGTH", "CARDINALITY", "LIST_LENGTH"))}(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '))"
         case 1 => s"COALESCE(${pick(r, Seq("ARRAY_POSITION", "LIST_POSITION"))}(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '), '${pick(r, Seq("a", "x y", "Customer"))}'), -1)"
+        case 2 if t.dates.nonEmpty => dateNumExpr(r, t, q)
         case _ => s"LEN(ARRAY_CONCAT(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '), STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' ')))"
       }
+    }
+  }
+
+  /** Numeric date expression over a string-typed date column (the
+    * reference operates on string dates throughout — toDate parses
+    * them; results here are NUMBERS so the comparator never has to
+    * reconcile the two engines' datetime renderings).
+    */
+  def dateNumExpr(r: Random, t: Table, q: String): String = {
+    val d = q + pick(r, t.dates)
+    r.nextInt(4) match {
+      case 0 => s"DATE_PART('${pick(r, Seq("year", "month", "day", "dow"))}', $d)"
+      case 1 => s"DATE_DIFF('${pick(r, Seq("day", "month", "year", "hour"))}', '199${2 + r.nextInt(6)}-0${1 + r.nextInt(9)}-1${r.nextInt(9)}', $d)"
+      case 2 => s"CAST(EPOCH($d) AS BIGINT)"
+      case _ => s"EXTRACT(${pick(r, Seq("YEAR", "MONTH", "DAY"))} FROM $d)"
     }
   }
 
@@ -211,29 +229,49 @@ object FuzzGen {
 
   private def agg(r: Random): String = {
     val t = pick(r, tables)
-    val gk = r.nextInt(3) match {
+    def groupExpr(): String = r.nextInt(3) match {
       case 0 if t.strs.nonEmpty => pick(r, t.strs).name
       case 1 if t.ints.nonEmpty => s"MOD(${pick(r, t.ints).name}, ${2 + r.nextInt(5)})"
       case _ => pick(r, (t.ints ++ t.strs)).name
     }
+    // one or two grouping keys (distinct expressions, NULLS-free)
+    val gks = Seq.fill(1 + r.nextInt(2))(groupExpr()).distinct
+    val gkAliased = gks.zipWithIndex.map { case (g, i) => s"$g AS k$i" }.mkString(", ")
     val n = 1 + r.nextInt(3)
     val aggs = (0 until n).map(i => s"${aggExpr(r, t, 1)} AS c$i").mkString(", ")
     val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 2)} " else ""
     val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(3)} " else ""
-    s"SELECT $gk AS k, $aggs FROM ${t.name} $where" +
-      s"GROUP BY $gk ${having}ORDER BY k"
+    val orderK = gks.indices.map(i => s"k$i").mkString(", ")
+    s"SELECT $gkAliased, $aggs FROM ${t.name} $where" +
+      s"GROUP BY ${gks.mkString(", ")} ${having}ORDER BY $orderK"
   }
 
   private def join(r: Random): String = {
     val (ta, tb, cond) = pick(r, joins)
-    val jt = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN"))
-    val pa = s"${anyExpr(r, ta, 1)}"
     val pb = s"b.${pick(r, (tb.ints ++ tb.strs)).name}"
-    val projA = pa // unqualified cols resolve to a-side names (unambiguous: disjoint prefixes)
-    val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, ta, "a.", 1)} " else ""
-    s"SELECT a.${ta.key} AS k, $projA AS c0, $pb AS c1 " +
-      s"FROM ${ta.name} a $jt ${tb.name} b ON $cond $where" +
-      s"ORDER BY a.${ta.key} LIMIT ${10 + r.nextInt(60)}"
+    r.nextInt(5) match {
+      case 0 | 1 | 2 =>
+        val jt = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN"))
+        val pa = s"${anyExpr(r, ta, 1)}" // unqualified: a-side names are unambiguous prefixes
+        val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, ta, "a.", 1)} " else ""
+        s"SELECT a.${ta.key} AS k, $pa AS c0, $pb AS c1 " +
+          s"FROM ${ta.name} a $jt ${tb.name} b ON $cond $where" +
+          s"ORDER BY a.${ta.key} LIMIT ${10 + r.nextInt(60)}"
+      case 3 =>
+        // RIGHT JOIN: b side preserved but REPLICATED per matching a row,
+        // so b.key alone ties — (b.key, a.key) is the total order; the
+        // unmatched a side reads back as NULL — guard projections
+        s"SELECT b.${tb.key} AS k, COALESCE(a.${ta.key}, -1) AS c0, $pb AS c1 " +
+          s"FROM ${ta.name} a RIGHT JOIN ${tb.name} b ON $cond " +
+          s"ORDER BY b.${tb.key}, c0 LIMIT ${10 + r.nextInt(60)}"
+      case _ =>
+        // FULL JOIN: both sides nullable; (coalesce(a.key,-1),
+        // coalesce(b.key,-1)) is a total order over matched + a-only +
+        // b-only rows
+        s"SELECT COALESCE(a.${ta.key}, -1) AS k, COALESCE(b.${tb.key}, -1) AS k2 " +
+          s"FROM ${ta.name} a FULL JOIN ${tb.name} b ON $cond " +
+          s"ORDER BY k, k2 LIMIT ${20 + r.nextInt(60)}"
+    }
   }
 
   private def window(r: Random): String = {
@@ -290,6 +328,31 @@ object FuzzGen {
     val t = pick(r, tables)
     s"SELECT DISTINCT ${strExpr(r, t, "", 1)} AS c0 FROM ${t.name} " +
       s"WHERE ${boolExpr(r, t, "", 1)} ORDER BY c0 LIMIT 50"
+  }
+
+  /** One seeded single-edit mutation of a valid query — the
+    * malformed-input battery (the reference's parse.errors tests are
+    * the hand-written version). Most mutants are invalid; the contract
+    * under test is that BOTH engines agree on rejection, and that a
+    * mutant the reference still accepts also runs on GraftSql (users
+    * switching engines must not lose queries).
+    */
+  def mutate(r: Random, q: String): String = {
+    val toks = q.split(" ")
+    def at = 1 + r.nextInt(math.max(1, toks.length - 1)) // never mutate SELECT itself
+    r.nextInt(6) match {
+      case 0 => (toks.take(at) ++ toks.drop(at + 1)).mkString(" ") // drop a token
+      case 1 => (toks.take(at) :+ toks(at - 1)).mkString(" ") + " " +
+        toks.drop(at).mkString(" ") // duplicate a token
+      case 2 => q.replaceFirst("(?i)\\b(UPPER|LOWER|TRIM|ABS|LENGTH|COUNT|SUM|MIN|MAX)\\b", "zzz_nofunc")
+      case 3 => { val i = 1 + r.nextInt(q.length - 1); q.substring(0, i) + ")" + q.substring(i) }
+      case 4 => q.substring(0, math.max(8, r.nextInt(q.length))) // truncate
+      case _ => if (toks.length > 3) { // swap two adjacent tokens
+        val i = 1 + r.nextInt(toks.length - 2)
+        val sw = toks.updated(i, toks(i + 1)).updated(i + 1, toks(i))
+        sw.mkString(" ")
+      } else q + " )"
+    }
   }
 
   /** Generate `n` queries, seeded. */

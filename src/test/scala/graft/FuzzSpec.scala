@@ -95,6 +95,10 @@ class FuzzSpec extends SparkSpec {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$workDir/queries.json"), om.writeValueAsString(qarr))
     val pb = new ProcessBuilder("node", "tools/fuzz_ref.mjs",
       s"$workDir/tables.json", s"$workDir/queries.json", s"$workDir/ref_out.json")
+    // the reference parses bare date strings with JS `new Date(...)`,
+    // which reads "YYYY-MM-DD HH:MM:SS" in LOCAL time — pin the node
+    // process to UTC so both engines agree on what instant a string is
+    pb.environment().put("TZ", "UTC")
     pb.redirectErrorStream(true)
     val proc = pb.start()
     val log = new String(proc.getInputStream.readAllBytes())
@@ -163,6 +167,54 @@ class FuzzSpec extends SparkSpec {
     assert(bothRejected <= 15, s"too many agreed rejections ($bothRejected) — tighten the grammar")
     assert(divergences.isEmpty,
       s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
+  }
+
+  test("mutation fuzz: single-edit mutants — agreement on rejection, no reference-only queries") {
+    assume(nodeOk, "node not available")
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    val r = new scala.util.Random(99L)
+    val mutants = FuzzGen.queries(seed = 31L, n = 150).map(q => FuzzGen.mutate(r, q))
+    val refResults = runReference(mutants)
+    var bothReject = 0
+    var sparkOnly = 0 // graft accepts what the reference rejects: superset, allowed
+    var ambiguous = 0
+    val problems = mutants.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      val sp = runSpark(q)
+      // a duplicated projection token can duplicate an alias: the
+      // reference silently resolves references to it (one occurrence
+      // wins); Spark rejects the ambiguity. Rejecting is the BETTER
+      // behavior — count it as a deliberate strictness divergence, and
+      // skip the lossy name-keyed diff when both engines still accept.
+      val aliases = "(?i)\\bAS\\s+(\\w+)".r.findAllMatchIn(q)
+        .map(_.group(1).toLowerCase).toSeq
+      val dupAlias = aliases.distinct.size != aliases.size
+      (sp, rf) match {
+        case (Left(_), Left(_)) => bothReject += 1; None
+        case (Right(_), Left(_)) => sparkOnly += 1; None
+        case (Left(_), Right(_)) if dupAlias => ambiguous += 1; None
+        case (Left(e), Right(_)) =>
+          // a query the reference runs but graft refuses is a USER-FACING
+          // gap — the direction this battery exists to catch
+          Some(s"#$i ref ok, spark ERROR: ${e.take(120)}\n  SQL: $q")
+        case (Right(s), Right(rr)) =>
+          if (dupAlias) None
+          else {
+          // a mutant may have lost its determinism anchor (e.g. a
+          // dropped DESC) — compare as multisets, not ordered rows
+          def vs(v: V): String = v match {
+            case VNum(d) => f"${math.rint(d * 1e6) / 1e6}%.6f" // ulp-tolerant
+            case other => other.toString
+          }
+          def canon(rows: Seq[Map[String, V]]) =
+            rows.map(_.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${vs(v)}" }.mkString("|")).sorted
+          if (s.length == rr.length && canon(s) == canon(rr)) None
+          else Some(s"#$i results differ (rows ${s.length} vs ${rr.length})\n  SQL: $q")
+          }
+      }
+    }
+    info(s"mutants=150 bothReject=$bothReject sparkOnlyAccept=$sparkOnly " +
+      s"ambiguousAliasRejected=$ambiguous problems=${problems.length}")
+    assert(problems.isEmpty, s"${problems.length} problem(s):\n${problems.take(10).mkString("\n")}")
   }
 
   test("fuzz corpus also exercises validate/tables/maxRows without crashing") {
