@@ -213,30 +213,63 @@ object BenchSf10 {
     // true near-dups the window oracle simply cannot see).
     if (phases("dedup_recall")) try {
       val win = 51
-      val sh = graft.operators.Caches.track(
-        Dedup.shingleTable(docs, "doc_id", "text"))
-      val (tRecall, metrics) = time {
-        // window candidates as an equi-join: explode the 51 offsets on
-        // the slim id side, join back the shingle arrays per side —
-        // never a theta/nested-loop join
-        val cand = sh.select(col("doc_id").as("a_id"))
-          .withColumn("b_id", explode(expr(
-            s"transform(sequence(1, $win), o -> a_id + o)")))
-        val truePairs = cand
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-          .filter(expr(
-            "CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb)) >= 0.5"))
-          .select("a_id", "b_id")
-        val tp = graft.operators.Caches.track(truePairs)
-        val nTrue = tp.count()
-        val lsh = graft.operators.Caches.track(
-          Dedup.minhashLsh(docs, "doc_id", "text")
-            .selectExpr("least(a_id, b_id) AS a_id", "greatest(a_id, b_id) AS b_id"))
-        val nLshInWin = lsh.filter(col("b_id") - col("a_id") <= win).count()
-        val nLshOutWin = lsh.filter(col("b_id") - col("a_id") > win).count()
-        val nMissed = tp.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
-        (nTrue, nLshInWin, nLshOutWin, nMissed)
+      val slices = 8
+      // Scratch-bounded at ANY sf (the one-shot exploded-pair shuffle
+      // hit ENOSPC at sf100): shingles hash to 8-byte longs ON DISK
+      // once (identical jaccard modulo ~2^-60 collisions — both sides
+      // of the audit read the same representation), the exact window
+      // pass runs in `slices` sequential id-slices, and the LSH side is
+      // the production minhashLshSliced path — every pass materializes
+      // to parquet with caches + shuffle reclaimed between, so peak
+      // scratch is ~1/slices of the one-shot on BOTH sides.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_recall").toString
+      val (tRecall, metrics) = try {
+        time {
+          Dedup.shingleTable(docs, "doc_id", "text")
+            .selectExpr("doc_id", "transform(sh, g -> graft_hash60(g)) AS sh")
+            .write.mode("overwrite").parquet(s"$tmp/sh")
+          val sh = spark.read.parquet(s"$tmp/sh")
+          for (s <- 0 until slices) {
+            graft.operators.Caches.scoped {
+              // window candidates as an equi-join: explode the offsets
+              // on the slim id side, join back per side — never a
+              // theta/nested-loop join
+              val a = sh.filter(pmod(col("doc_id"), lit(slices)) === s)
+                .select(col("doc_id").as("a_id"), col("sh").as("sha"))
+              a.withColumn("b_id", explode(expr(
+                  s"transform(sequence(1, $win), o -> a_id + o)")))
+                .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+                .filter(expr(
+                  "CAST(size(array_intersect(sha, shb)) AS DOUBLE) / size(array_union(sha, shb)) >= 0.5"))
+                .select("a_id", "b_id")
+                .write.mode("overwrite").parquet(s"$tmp/true_$s")
+            }
+            reclaimShuffle()
+          }
+          resetTable(spark, "recall_band_index")
+          Dedup.minhashLshSliced(docs, "doc_id", "text",
+              table = "recall_band_index", slices = slices)
+            .zipWithIndex.foreach { case (mk, i) =>
+              graft.operators.Caches.scoped {
+                mk().select("a_id", "b_id")
+                  .write.mode("overwrite").parquet(s"$tmp/lsh_$i")
+              }
+              reclaimShuffle()
+            }
+          val tp = spark.read.parquet((0 until slices).map(s => s"$tmp/true_$s"): _*)
+          val lsh = spark.read.parquet((0 until slices).map(s => s"$tmp/lsh_$s"): _*)
+          val nTrue = tp.count()
+          val nLshInWin = lsh.filter(col("b_id") - col("a_id") <= win).count()
+          val nLshOutWin = lsh.filter(col("b_id") - col("a_id") > win).count()
+          val nMissed = tp.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
+          (nTrue, nLshInWin, nLshOutWin, nMissed)
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
       }
       val (nTrue, nLshInWin, nLshOutWin, nMissed) = metrics
       val recallPpm =
