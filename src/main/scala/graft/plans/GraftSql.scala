@@ -437,6 +437,20 @@ object GraftSql {
         s"nullif(__arrpos__(${args.mkString(", ")}), 0)")
     s = s.replace("__arrpos__(", "array_position(")
 
+    // ROUND is FLOAT-SCALED in the reference: Math.round(x·10^d)/10^d
+    // (src/expression/math.js:56-60), where JS Math.round(y) is
+    // floor(y + 0.5) in doubles — half rounds toward +∞ (round(-588.45,
+    // 1) = -588.4) and the scaled double's representation decides edge
+    // cases (round(2.675, 2) = 2.67, not Spark's decimal-string 2.68).
+    // Found by the deep differential fuzz audit (GRAFT_FUZZ_N=2000);
+    // Spark's BigDecimal-HALF_UP round diverges on exactly these.
+    s = rewriteCall(s, "round", args =>
+      if (args.length == 2)
+        s"(floor((${args(0)}) * power(10, ${args(1)}) + 0.5D) / power(10, ${args(1)}))"
+      else if (args.length == 1) s"floor((${args(0)}) + 0.5D)"
+      else s"__round__(${args.mkString(", ")})")
+    s = s.replace("__round__(", "round(")
+
     // PERCENTILE_CONT(fraction, expr): reference argument order
     // (src/validation/functions.js PERCENTILE_CONT) with exact linear
     // interpolation — Spark's exact-interpolating spelling is

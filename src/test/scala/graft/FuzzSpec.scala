@@ -145,13 +145,16 @@ class FuzzSpec extends SparkSpec {
       }
   }
 
-  test("differential fuzz: 300 seeded dialect queries agree with the reference") {
+  // CI default 300; a deep one-off audit raises it via GRAFT_FUZZ_N
+  private val nQueries = sys.env.getOrElse("GRAFT_FUZZ_N", "300").toInt
+
+  test("differential fuzz: seeded dialect queries agree with the reference") {
     assume(nodeOk, "node not available")
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
     assume(new java.io.File("/root/reference/src/index.js").isFile, "reference missing")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
-    val queries = FuzzGen.queries(seed = 20260814L, n = 300)
+    val queries = FuzzGen.queries(seed = 20260814L, n = nQueries)
     val refResults = runReference(queries)
     var sparkErrs = 0
     var bothRejected = 0
@@ -161,10 +164,10 @@ class FuzzSpec extends SparkSpec {
       if (sp.isLeft && rf.isLeft) bothRejected += 1
       diff(q, sp, rf).map(d => s"#$i $d\n  SQL: $q\n  refErr: ${rf.left.getOrElse("-")}")
     }
-    info(s"queries=300 sparkErrors=$sparkErrs bothRejected=$bothRejected divergences=${divergences.length}")
+    info(s"queries=$nQueries sparkErrors=$sparkErrs bothRejected=$bothRejected divergences=${divergences.length}")
     // agreement-on-rejection is allowed but must stay a rare corner, not
     // a loophole the generator falls into
-    assert(bothRejected <= 15, s"too many agreed rejections ($bothRejected) — tighten the grammar")
+    assert(bothRejected <= nQueries / 20, s"too many agreed rejections ($bothRejected) — tighten the grammar")
     assert(divergences.isEmpty,
       s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
   }

@@ -445,6 +445,17 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT PERCENTILE_CONT(0.5, x) AS m, APPROX_QUANTILE(x, 0.25) AS q " +
         "FROM VALUES (1), (2), (4), (8) AS t(x)").collect().head
     assert(pc.getAs[Double]("m") == 3.0 && pc.getAs[Double]("q") == 1.75)
+    // ROUND is float-scaled Math.round (math.js:56): half rounds toward
+    // +∞ on the SCALED DOUBLE — Spark's native decimal-string HALF_UP
+    // round gives -588.5 and -3 for these; 1.005·100 lands BELOW the
+    // half (100.49999...) so it truncates where decimal HALF_UP rounds
+    // up. All four values verified against node's Math.round.
+    val rd = GraftSql.sql(spark,
+      "SELECT ROUND(-588.45, 1) AS a, ROUND(CAST(1.005 AS DOUBLE), 2) AS b, " +
+        "ROUND(2.5) AS c, ROUND(-2.5) AS d").collect().head
+    assert(rd.getAs[Double]("a") == -588.4, rd)
+    assert(rd.getAs[Double]("b") == 1.0, rd)
+    assert(rd.getAs[Long]("c") == 3L && rd.getAs[Long]("d") == -2L, rd)
   }
 
   test("double-quoted identifiers select dotted columns, not string literals") {
