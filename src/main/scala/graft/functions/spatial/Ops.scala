@@ -379,17 +379,15 @@ object Ops {
       }
     if (dimA == 0 && dimB >= 1) return pointSideCrosses(a, b)
     if (dimB == 0 && dimA >= 1) return pointSideCrosses(b, a)
-    // line vs polygon: line interior both inside and outside the polygon
-    val (line, poly) = if (dimA == 1) (a, b) else (b, a)
-    line.exists {
-      case LineString(l) => poly.exists {
-        case Polygon(r) =>
-          val rel = linePolygonRel(l, r)
-          rel == Inside && polygonContainsLine(l, r) == Outside
-        case _ => false
-      }
-      case _ => false
-    }
+    // line vs polygon: the reference's rule — they intersect (checked
+    // above) and the polygon does not CONTAIN the line (reference:
+    // src/spatial/spatial.js:323-326, "part of line is inside and part
+    // is outside"). Deliberately more lenient than OGC (a boundary-only
+    // touch counts); the differential spatial fuzz pinned five
+    // integer-grid cases where the previous per-part interior test
+    // disagreed with the reference.
+    val (lineG, polyG) = if (dimA == 1) (ga, gb) else (gb, ga)
+    !contains(polyG, lineG)
   }
 
   def dWithin(ga: Geom, gb: Geom, dist: Double): Boolean = {

@@ -207,8 +207,11 @@ object ExtraQueries {
     // make every predicate an exact interval-arithmetic oracle (mirrors
     // Ops semantics: intersects counts boundary contact; overlaps requires
     // same dimension, intersection, and no containment/equality; touches
-    // requires boundary-only contact; crosses needs a dim-1 vs dim-2 pair
-    // whose interiors meet without containment).
+    // requires boundary-only contact; crosses for a dim-1 vs dim-2 pair
+    // is the reference's lenient rule — they intersect (boundary contact
+    // counts) and the polygon does not contain the line; this line is
+    // always WIDER than the envelope, so containment never holds and
+    // crosses reduces to closed-interval intersection).
     QueryDef("q_spatial_predicates2",
       """WITH p AS (
         |  SELECT c_custkey AS id,
@@ -228,7 +231,7 @@ object ExtraQueries {
         |  ((ixl <= ixh AND iyl <= iyh) AND NOT (ixl < ixh AND iyl < iyh)) AS b_touches,
         |  (x0 = 5 AND y0 = 4) AS b_covers,
         |  (x0 = 5 AND y0 = 4) AS b_coveredby,
-        |  (y0 + 2.5 > 4 AND y0 + 2.5 < 9 AND greatest(x0 - 1, 5.0) < least(x0 + 8, 12.0)) AS b_crosses
+        |  (y0 + 2.5 >= 4 AND y0 + 2.5 <= 9 AND greatest(x0 - 1, 5.0) <= least(x0 + 8, 12.0)) AS b_crosses
         |FROM r ORDER BY id""".stripMargin) {
       (s, dir) =>
         Tables(s, dir, "customer").filter(col("c_custkey") < 500)

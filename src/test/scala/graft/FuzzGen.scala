@@ -330,6 +330,55 @@ object FuzzGen {
       s"WHERE ${boolExpr(r, t, "", 1)} ORDER BY c0 LIMIT 50"
   }
 
+  // ---- spatial fuzz ---------------------------------------------------
+
+  /** Random WKT with INTEGER coordinates on a small grid — shared
+    * vertices, collinear edges and touching boundaries are the common
+    * case by construction, which is exactly where two independent
+    * geometry implementations diverge.
+    */
+  def wkt(r: Random): String = {
+    def pt = s"${r.nextInt(9)} ${r.nextInt(9)}"
+    r.nextInt(6) match {
+      case 0 => s"POINT ($pt)"
+      case 1 =>
+        val n = 2 + r.nextInt(3)
+        s"LINESTRING (${Seq.fill(n)(pt).mkString(", ")})"
+      case 2 => // axis-aligned rectangle (closed, CCW)
+        val (x0, y0) = (r.nextInt(6), r.nextInt(6))
+        val (w, h) = (1 + r.nextInt(4), 1 + r.nextInt(4))
+        s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
+      case 3 => // triangle
+        val (x0, y0) = (r.nextInt(6), r.nextInt(6))
+        s"POLYGON (($x0 $y0, ${x0 + 1 + r.nextInt(3)} $y0, $x0 ${y0 + 1 + r.nextInt(3)}, $x0 $y0))"
+      case 4 =>
+        val n = 1 + r.nextInt(3)
+        s"MULTIPOINT (${Seq.fill(n)(s"($pt)").mkString(", ")})"
+      case _ =>
+        s"MULTILINESTRING ((${pt}, ${pt}), (${pt}, ${pt}))"
+    }
+  }
+
+  private val spatialPreds = Seq("ST_INTERSECTS", "ST_CONTAINS",
+    "ST_CONTAINSPROPERLY", "ST_WITHIN", "ST_OVERLAPS", "ST_TOUCHES",
+    "ST_EQUALS", "ST_CROSSES", "ST_COVERS", "ST_COVEREDBY")
+
+  /** Single-row spatial queries: `n` SELECTs of ~5 predicate columns
+    * each over random integer-grid geometries, plus ST_DWITHIN and an
+    * ST_ASTEXT round-trip column.
+    */
+  def spatialQueries(seed: Long, n: Int): Seq[String] = {
+    val r = new Random(seed)
+    (0 until n).map { _ =>
+      val cols = (0 until 4).map { i =>
+        s"${pick(r, spatialPreds)}(ST_GEOMFROMTEXT('${wkt(r)}'), ST_GEOMFROMTEXT('${wkt(r)}')) AS c$i"
+      } :+
+        s"ST_DWITHIN(ST_GEOMFROMTEXT('${wkt(r)}'), ST_GEOMFROMTEXT('${wkt(r)}'), ${r.nextInt(5)}) AS c4" :+
+        s"ST_ASTEXT(ST_GEOMFROMTEXT('${wkt(r)}')) AS c5"
+      s"SELECT ${cols.mkString(", ")}"
+    }
+  }
+
   /** One seeded single-edit mutation of a valid query — the
     * malformed-input battery (the reference's parse.errors tests are
     * the hand-written version). Most mutants are invalid; the contract

@@ -172,6 +172,22 @@ class FuzzSpec extends SparkSpec {
       s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
   }
 
+  test("spatial differential fuzz: integer-grid geometries agree with the reference") {
+    assume(nodeOk, "node not available")
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // integer grids make shared vertices / collinear edges / touching
+    // boundaries the COMMON case — the exact corners where two
+    // independent geometry implementations drift apart
+    val queries = FuzzGen.spatialQueries(seed = 4242L, n = 120)
+    val refResults = runReference(queries)
+    val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      diff(q, runSpark(q), rf).map(d => s"#$i $d\n  SQL: $q")
+    }
+    info(s"spatial queries=120 divergences=${divergences.length}")
+    assert(divergences.isEmpty,
+      s"${divergences.length} divergence(s):\n${divergences.take(8).mkString("\n")}")
+  }
+
   test("mutation fuzz: single-edit mutants — agreement on rejection, no reference-only queries") {
     assume(nodeOk, "node not available")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
