@@ -352,12 +352,78 @@ object GraftSql {
     }
   }
 
+  /** Comma-joined table functions — the reference's implicit CROSS JOIN
+    * LATERAL (`FROM t, UNNEST(x) [AS] alias[(col,...)]`, reference:
+    * src/parse/joins.js:113-124). Spark parses a bare comma TVF as
+    * UNCORRELATED, so outer columns fail to resolve — the LATERAL
+    * keyword restores correlation. Default output columns follow the
+    * reference (src/parse/parse.js:543-546): the function name
+    * lowercased, or (key, value) for JSON_EACH, whose rows come from
+    * exploding the object as a map.
+    */
+  private def rewriteCommaTvf(sql: String): String = {
+    val pat = raw"(?i),\s*(UNNEST|EXPLODE|JSON_EACH)\s*\(".r
+    val kw = Set("where", "group", "order", "limit", "offset", "join",
+      "inner", "left", "right", "full", "cross", "lateral", "union",
+      "intersect", "except", "on", "having")
+    val aliasRe =
+      raw"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?".r
+    var s = sql
+    var guard = 0
+    var from = 0
+    while (guard < 200) {
+      pat.findFirstMatchIn(s.substring(from)) match {
+        case None => return s
+        case Some(m) =>
+          val start = from + m.start
+          if (inLiteral(s, start)) from = start + 1
+          else {
+            val fname = m.group(1).toUpperCase
+            val open = from + m.end - 1
+            val close = matchParen(s, open)
+            if (close < 0) return s
+            val args = s.substring(open + 1, close)
+            val rest = s.substring(close + 1)
+            val (alias, cols, consumed) = aliasRe.findFirstMatchIn(rest) match {
+              case Some(am) if !kw.contains(am.group(1).toLowerCase) =>
+                val cs = Option(am.group(2)).map(_.stripPrefix("(").stripSuffix(")")
+                  .split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+                (am.group(1), cs, am.end)
+              case _ => (s"__tvf$guard", Seq.empty[String], 0)
+            }
+            val defCols =
+              if (fname == "JSON_EACH") Seq("key", "value") else Seq(fname.toLowerCase)
+            val colList = if (cols.nonEmpty) cols else defCols
+            val inner =
+              if (fname == "JSON_EACH")
+                s"explode(from_json($args, 'map<string,string>'))"
+              else s"explode($args)"
+            s = s.substring(0, start) +
+              s", LATERAL $inner AS $alias(${colList.mkString(", ")})" +
+              s.substring(close + 1 + consumed)
+            from = 0
+          }
+      }
+      guard += 1
+    }
+    s
+  }
+
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
   def rewrite(sqlText: String): String = {
     var s = sqlText
 
     // DISTINCT ON first — it restructures the statement skeleton
     s = rewriteDistinctOn(s)
+
+    // comma-joined table functions next (they restructure the FROM)
+    s = rewriteCommaTvf(s)
+
+    // LATERAL VIEW JSON_EACH / scalar-position json_each: the map
+    // explode spelled directly (LATERAL VIEW explode(...) t AS k, v
+    // is native Spark)
+    s = rewriteCall(s, "json_each", args =>
+      s"explode(from_json(${args.mkString(", ")}, 'map<string,string>'))")
 
     // ->> / -> json access chains (j -> 'a' ->> 0 ...) collapse into ONE
     // get_json_object with a combined path — both more efficient (one

@@ -328,6 +328,16 @@ object FuzzGen {
         s"FROM f_customer WHERE ${boolExpr(r, customer, "", 1)} ORDER BY c_custkey LIMIT ${5 + r.nextInt(40)}"
   }
 
+  private def commaTvf(r: Random): String = {
+    val t = pick(r, Seq(nation, customer, orders))
+    val sc = pick(r, t.strs).name
+    // ORDER BY (key, part) — ties are IDENTICAL rows (same key, same
+    // word), so row order among them cannot diverge
+    s"SELECT ${t.key} AS k, part FROM ${t.name}, " +
+      s"UNNEST(STRING_SPLIT($sc, ' ')) AS u(part) " +
+      s"WHERE ${boolExpr(r, t, "", 1)} ORDER BY k, part LIMIT ${10 + r.nextInt(60)}"
+  }
+
   private def cte(r: Random): String = {
     val t = pick(r, tables)
     s"WITH v AS (SELECT ${t.key} AS k, ${anyExpr(r, t, 2)} AS c0 FROM ${t.name} " +
@@ -426,7 +436,11 @@ object FuzzGen {
         case 6 => window(r)
         case 7 => setop(r)
         case 8 => subquery(r)
-        case _ => if (r.nextBoolean()) cte(r) else distinct(r)
+        case _ => r.nextInt(3) match {
+          case 0 => cte(r)
+          case 1 => distinct(r)
+          case _ => commaTvf(r)
+        }
       }
     }
   }

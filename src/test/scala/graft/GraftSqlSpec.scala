@@ -489,6 +489,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(r3.getAs[Int]("dyn") == 2, "computed delimiter quotes at runtime")
   }
 
+  test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
+    Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
+    // alias with column list
+    val r1 = GraftSql.sql(spark,
+      "SELECT id, part FROM ctvf_t, UNNEST(STRING_SPLIT(txt, ' ')) AS u(part) " +
+        "WHERE part <> 'b' ORDER BY part").collect()
+    assert(r1.map(_.getAs[String]("part")).toSeq == Seq("a", "c"))
+    // no alias: the column takes the function's name (parse.js:543-546)
+    val r2 = GraftSql.sql(spark,
+      "SELECT unnest FROM ctvf_t, UNNEST(STRING_SPLIT(txt, ' ')) ORDER BY unnest").collect()
+    assert(r2.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    // JSON_EACH: default columns (key, value); also via LATERAL VIEW
+    val r3 = GraftSql.sql(spark,
+      """SELECT key, value FROM ctvf_t, JSON_EACH('{"a": 1, "b": 2}') AS j ORDER BY key""").collect()
+    assert(r3.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "1"), ("b", "2")))
+    val r4 = GraftSql.sql(spark,
+      """SELECT k, v FROM ctvf_t LATERAL VIEW JSON_EACH('{"x": 9}') j AS k, v""").collect()
+    assert(r4.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "9")))
+  }
+
   test("double-quoted identifiers select dotted columns, not string literals") {
     // reference: test/execute/execute.dot.test.js — "user.name" is the
     // COLUMN named user.name, never the nested field and never a string
