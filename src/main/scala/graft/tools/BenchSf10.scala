@@ -394,14 +394,21 @@ object BenchSf10 {
       val root = java.nio.file.Files.createTempDirectory("graft_ingest")
       try {
         val (srcDir, sink, state, ckpt) = (s"$root/src", s"$root/sink", s"$root/state", s"$root/ckpt")
+        // micro-batch sizing: a batch's working set (all six gates in
+        // one job tree) must fit ONE node's scratch here — at sf100
+        // that means many small batches (SPARK_GRAFT_INGEST_FILES=32,
+        // MAXFILES=1); a 1000-executor deployment divides the same
+        // working set by E instead
+        val srcFiles = sys.env.getOrElse("SPARK_GRAFT_INGEST_FILES", "8").toInt
+        val maxFiles = sys.env.getOrElse("SPARK_GRAFT_INGEST_MAXFILES", "3")
         streamDocs.select("doc_id", "text", "source", "n_chars")
-          .repartition(8).write.parquet(srcDir)
+          .repartition(srcFiles).write.parquet(srcDir)
         val nStream = streamDocs.count()
         val schema = spark.read.parquet(srcDir).schema
         val (tIngest, kept) = time {
           val q = graft.streaming.EventPipeline.corpusIngest(
             spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "3").parquet(srcDir),
+              .option("maxFilesPerTrigger", maxFiles).parquet(srcDir),
             "doc_id", "text", "source", "n_chars",
             corpus, spark.table("ingest_bands"), spark.table("ingest_grams"),
             bench, "text", sink, state,
@@ -515,6 +522,14 @@ object BenchSf10 {
     val spark = {
       val s = graft.GraftSession.builder("graft-sf10")
         .config("spark.sql.shuffle.partitions", shufflePartitions)
+        // ContextCleaner only deletes a finished shuffle's files after
+        // the referencing Dataset is GARBAGE-COLLECTED; a long-lived
+        // STREAM accumulates dead shuffle across micro-batches with no
+        // full GC (the batch sweep's explicit per-query GC has no hook
+        // inside a running stream) — measured: the sf100 ingest door
+        // died on scratch. Periodic driver GC is the deployment knob
+        // that bounds it; 60s caps dead scratch at ~one minute's worth.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

@@ -197,7 +197,7 @@ object FuzzGen {
   }
 
   /** Aggregate expression (num → value aggregate over t). */
-  def aggExpr(r: Random, t: Table, d: Int): String = r.nextInt(12) match {
+  def aggExpr(r: Random, t: Table, d: Int): String = r.nextInt(13) match {
     case 0 => "COUNT(*)"
     case 1 => s"COUNT(${(t.ints ++ t.strs).map(_.name).headOption.getOrElse("1")})"
     case 2 => s"COUNTIF(${boolExpr(r, t, "", d)})"
@@ -212,6 +212,11 @@ object FuzzGen {
       case 0 => s"PERCENTILE_CONT(0.${1 + r.nextInt(8)}, ${intExpr(r, t, "", 1)})"
       case 1 => s"ROUND(STDDEV_POP(${intExpr(r, t, "", 1)}), 5)"
       case _ => s"ROUND(STDDEV_SAMP(${intExpr(r, t, "", 1)}), 5)"
+    }
+    case 11 => r.nextInt(3) match {
+      case 0 => s"COUNT(*) FILTER (WHERE ${boolExpr(r, t, "", 1)})"
+      case 1 => s"SUM(${intExpr(r, t, "", 1)}) FILTER (WHERE ${boolExpr(r, t, "", 1)})"
+      case _ => s"COUNT(DISTINCT ${pick(r, (t.ints ++ t.strs)).name})"
     }
     case _ => s"APPROX_QUANTILE(${intExpr(r, t, "", math.min(d, 1))}, 0.${2 + r.nextInt(7)})"
   }
