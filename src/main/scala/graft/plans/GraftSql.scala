@@ -470,6 +470,47 @@ object GraftSql {
         s"to_json(map_from_arrays(collect_list(${args(0)}), collect_list(${args(1)})))"
       else s"json_group_object_unsupported(${args.mkString(", ")})")
 
+    // JSON inspection family (reference: src/expression/evaluate.js:502-700).
+    // JSON_VALID parse-checks a string with WHOLE-INPUT strictness:
+    // Spark's try_parse_json accepts '"a":{...}' (parses the leading
+    // scalar, ignores trailing garbage) where JSON.parse rejects — so
+    // this one goes through the strict helper, not the variant parser
+    s = rewriteCall(s, "json_valid", args =>
+      s"graft_json_valid(${args.mkString(", ")})")
+    // JSON_TYPE: typeof of the PARSED value; invalid JSON errors in both
+    // engines (hence parse_json, not try_parse_json — the reference
+    // throws ArgValueError there)
+    s = rewriteCall(s, "json_type", args => {
+      val a = args.head
+      val sv = s"schema_of_variant(parse_json($a))"
+      s"(CASE WHEN ($a) IS NULL THEN NULL " +
+        s"WHEN $sv LIKE 'OBJECT%' THEN 'object' " +
+        s"WHEN $sv LIKE 'ARRAY%' THEN 'array' " +
+        s"WHEN $sv = 'STRING' THEN 'string' " +
+        s"WHEN $sv = 'BOOLEAN' THEN 'boolean' " +
+        s"WHEN $sv = 'VOID' THEN 'null' ELSE 'number' END)"
+    })
+    // JSON_KEYS: object keys in document order; null on non-objects
+    s = rewriteCall(s, "json_keys", args =>
+      s"json_object_keys(${args.mkString(", ")})")
+    // JSON_OBJECT(k1, v1, ...): keep null-valued fields ({"k":null}),
+    // as the reference's JSON.stringify does
+    s = rewriteCall(s, "json_object", args =>
+      s"to_json(named_struct(${args.mkString(", ")}), map('ignoreNullFields', 'false'))")
+    // JSON_EXTRACT(j, path): get_json_object requires the $ anchor the
+    // reference treats as optional — normalize literal paths
+    s = rewriteCall(s, "json_extract", args =>
+      if (args.length == 2) {
+        val p = args(1)
+        val norm =
+          if (p.startsWith("'") && p.endsWith("'") && !p.startsWith("'$")) {
+            val body = p.substring(1, p.length - 1)
+            val anchored = if (body.startsWith("[")) s"$$$body" else s"$$.$body"
+            s"'$anchored'"
+          } else p
+        s"get_json_object(${args(0)}, $norm)"
+      } else s"json_extract_unsupported(${args.mkString(", ")})")
+
     // regexp_split_to_table(x, p) → explode(split(x, p))
     s = rewriteCall(s, "regexp_split_to_table", args =>
       s"explode(split(${args.mkString(", ")}))")
@@ -868,6 +909,17 @@ object GraftSql {
       spark.udf.register("graft_epoch",
         (ts: java.sql.Timestamp) => if (ts == null) null else {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
+        })
+    }
+    if (!spark.catalog.functionExists("graft_json_valid")) {
+      // JSON.parse strictness: the whole input must be one JSON value
+      // (FAIL_ON_TRAILING_TOKENS), unlike Spark's lenient variant parser
+      spark.udf.register("graft_json_valid",
+        (s: String) => if (s == null) null else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          om.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+          try { om.readTree(s); java.lang.Boolean.TRUE }
+          catch { case _: Exception => java.lang.Boolean.FALSE }
         })
     }
     if (!spark.catalog.functionExists("graft_strftime")) {

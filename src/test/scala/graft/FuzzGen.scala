@@ -197,7 +197,7 @@ object FuzzGen {
   }
 
   /** Aggregate expression (num → value aggregate over t). */
-  def aggExpr(r: Random, t: Table, d: Int): String = r.nextInt(13) match {
+  def aggExpr(r: Random, t: Table, d: Int): String = r.nextInt(14) match {
     case 0 => "COUNT(*)"
     case 1 => s"COUNT(${(t.ints ++ t.strs).map(_.name).headOption.getOrElse("1")})"
     case 2 => s"COUNTIF(${boolExpr(r, t, "", d)})"
@@ -217,6 +217,17 @@ object FuzzGen {
       case 0 => s"COUNT(*) FILTER (WHERE ${boolExpr(r, t, "", 1)})"
       case 1 => s"SUM(${intExpr(r, t, "", 1)}) FILTER (WHERE ${boolExpr(r, t, "", 1)})"
       case _ => s"COUNT(DISTINCT ${pick(r, (t.ints ++ t.strs)).name})"
+    }
+    case 12 => r.nextInt(3) match {
+      // STRING_AGG joins in engine-dependent row order, but the LENGTH
+      // of the joined string is order-insensitive (Σ len + (n-1)·sep) —
+      // the order-free projection of the aggregate's semantics
+      case 0 if t.strs.nonEmpty =>
+        s"LENGTH(STRING_AGG(${pick(r, t.strs).name}, '${pick(r, Seq(",", " | ", ""))}'))"
+      case 1 if t.ints.nonEmpty =>
+        s"LENGTH(STRING_AGG(CAST(${pick(r, t.ints).name} AS BIGINT), ','))"
+      // ARRAY_AGG order is engine-dependent; ARRAY_SORT canonicalizes
+      case _ => s"ARRAY_SORT(ARRAY_AGG(${pick(r, (t.ints ++ t.strs)).name}))"
     }
     case _ => s"APPROX_QUANTILE(${intExpr(r, t, "", math.min(d, 1))}, 0.${2 + r.nextInt(7)})"
   }
@@ -258,8 +269,11 @@ object FuzzGen {
     val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 2)} " else ""
     val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(3)} " else ""
     val orderK = gks.indices.map(i => s"k$i").mkString(", ")
+    // both engines resolve positional GROUP BY refs — exercise them
+    val groupKeys = if (r.nextInt(4) == 0) gks.indices.map(i => (i + 1).toString)
+                    else gks
     s"SELECT $gkAliased, $aggs FROM ${t.name} $where" +
-      s"GROUP BY ${gks.mkString(", ")} ${having}ORDER BY $orderK"
+      s"GROUP BY ${groupKeys.mkString(", ")} ${having}ORDER BY $orderK"
   }
 
   private def join(r: Random): String = {
@@ -354,6 +368,122 @@ object FuzzGen {
     val t = pick(r, tables)
     s"SELECT DISTINCT ${strExpr(r, t, "", 1)} AS c0 FROM ${t.name} " +
       s"WHERE ${boolExpr(r, t, "", 1)} ORDER BY c0 LIMIT 50"
+  }
+
+  // ---- scalar-function fuzz -------------------------------------------
+
+  /** Math/trig expression over literals in SAFE domains (no poles, no
+    * log-of-nonpositive, no |asin|>1): both engines compute IEEE doubles
+    * and the differ's 1e-6 RELATIVE tolerance absorbs last-ulp drift.
+    */
+  def mathExpr(r: Random): String = {
+    def small = s"${if (r.nextBoolean()) "-" else ""}${r.nextInt(5)}.${1 + r.nextInt(9)}"
+    def pos = s"${1 + r.nextInt(40)}.${r.nextInt(10)}"
+    def unit = s"${if (r.nextBoolean()) "-" else ""}0.${r.nextInt(10)}"
+    r.nextInt(16) match {
+      case 0 => s"SIN($small)"
+      case 1 => s"COS($small)"
+      case 2 => s"TAN(0.${1 + r.nextInt(9)})"
+      case 3 => s"COT(${1 + r.nextInt(2)}.${1 + r.nextInt(9)})"
+      case 4 => s"ASIN($unit)"
+      case 5 => s"ACOS($unit)"
+      case 6 => s"ATAN($small)"
+      case 7 => s"ATAN2(${r.nextInt(9) - 4}, ${1 + r.nextInt(8)})"
+      case 8 => s"EXP($small)"
+      case 9 => s"LN($pos)"
+      case 10 => s"LOG10($pos)"
+      case 11 => s"${pick(r, Seq("POW", "POWER"))}(${r.nextInt(7) - 3}, ${r.nextInt(5)})"
+      case 12 => s"SQRT($pos)"
+      case 13 => s"SIGN(${r.nextInt(9) - 4})"
+      case 14 => s"${pick(r, Seq("DEGREES", "RADIANS"))}($small)"
+      case _ => s"(PI() * $small)"
+    }
+  }
+
+  /** Random JSON document text (top-level object, integer/string/bool
+    * leaves — no float literals: the reference round-trips through
+    * JSON.parse, which renders 3.0 as 3, while a path extractor that
+    * returns raw tokens would keep "3.0").
+    */
+  def jsonDoc(r: Random, d: Int): String = {
+    def leaf = r.nextInt(5) match {
+      case 0 => r.nextInt(100).toString
+      case 1 => "\"s" + r.nextInt(9) + "\""
+      case 2 => "true"
+      case 3 => "false"
+      case _ => "null"
+    }
+    def value(dd: Int): String =
+      if (dd <= 0) leaf
+      else r.nextInt(4) match {
+        case 0 => leaf
+        case 1 => "[" + Seq.fill(1 + r.nextInt(3))(value(dd - 1)).mkString(",") + "]"
+        case _ => obj(dd - 1)
+      }
+    def obj(dd: Int): String =
+      "{" + Seq("a", "b", "c").take(1 + r.nextInt(3))
+        .map(k => "\"" + k + "\":" + value(dd)).mkString(",") + "}"
+    obj(d)
+  }
+
+  private def jsonPath(r: Random): String = pick(r, Seq(
+    "$.a", "$.b", "$.c", "$.a.b", "$.b.a", "$.a[0]", "$.b[1]", "$.c.b", "$.a.c[0]", "$.d"))
+
+  /** One scalar projection from the WIDE function pool (math, JSON,
+    * arrays, string edges, date-trunc) — the reference registry surface
+    * the relational batteries never reach.
+    */
+  def scalarExpr(r: Random): String = r.nextInt(10) match {
+    case 0 | 1 | 2 => mathExpr(r)
+    case 3 => // JSON inspection
+      val doc = jsonDoc(r, 1 + r.nextInt(2))
+      r.nextInt(4) match {
+        case 0 => s"JSON_VALID('${if (r.nextInt(3) == 0) doc.drop(1) else doc}')"
+        case 1 => s"JSON_TYPE(JSON_EXTRACT('$doc', '${jsonPath(r)}'))"
+        case 2 => s"JSON_KEYS('$doc')"
+        case _ => s"JSON_ARRAY_LENGTH(JSON_EXTRACT('$doc', '${jsonPath(r)}'))"
+      }
+    case 4 => // JSON extraction (typed results — jsonBridge diff rules)
+      val doc = jsonDoc(r, 1 + r.nextInt(2))
+      pick(r, Seq("JSON_EXTRACT", "JSON_VALUE", "JSON_QUERY")) match {
+        case f => s"$f('$doc', '${jsonPath(r)}')"
+      }
+    case 5 => s"JSON_OBJECT('k1', ${r.nextInt(50)}, 'k2', 's${r.nextInt(9)}')"
+    case 6 => // array construction + transforms (VArr-compared)
+      val arr = s"STRING_SPLIT('${r.shuffle(Seq("d", "b", "ab", "c", "a")).take(2 + r.nextInt(3)).mkString(" ")}', ' ')"
+      r.nextInt(5) match {
+        case 0 => s"ARRAY_SORT($arr)"
+        case 1 => s"${pick(r, Seq("ARRAY_APPEND", "LIST_APPEND"))}($arr, 'z')"
+        case 2 => s"${pick(r, Seq("ARRAY_CONCAT", "LIST_CONCAT"))}($arr, STRING_SPLIT('x y', ' '))"
+        case 3 => s"${pick(r, Seq("ARRAY_CONTAINS", "LIST_CONTAINS"))}($arr, '${pick(r, Seq("a", "b", "z"))}')"
+        case _ => s"ARRAY_SORT(ARRAY_APPEND($arr, '${pick(r, Seq("e", "0"))}'))"
+      }
+    case 7 => r.nextInt(3) match {
+      case 0 => s"OCTET_LENGTH('${pick(r, strLits)}')"
+      case 1 => s"SUBSTRING('${pick(r, Seq("Customer#42", "abcdefg", "x y z"))}', ${1 + r.nextInt(4)}, ${1 + r.nextInt(5)})"
+      case _ => s"LENGTH(SUBSTRING('abcdefgh', ${1 + r.nextInt(6)}, ${r.nextInt(6)}))"
+    }
+    case 8 => // DATE_TRUNC composed under numeric extractors
+      val d = s"'199${2 + r.nextInt(6)}-0${1 + r.nextInt(9)}-1${r.nextInt(9)}'"
+      val unit = pick(r, Seq("year", "month", "day"))
+      if (r.nextBoolean()) s"DATE_PART('${pick(r, Seq("year", "month", "day"))}', DATE_TRUNC('$unit', $d))"
+      else s"CAST(EPOCH(DATE_TRUNC('$unit', $d)) AS BIGINT)"
+    case _ => r.nextInt(3) match {
+      case 0 => s"DATEDIFF('day', '1994-0${1 + r.nextInt(9)}-0${1 + r.nextInt(9)}', '1995-1${r.nextInt(2)}-2${r.nextInt(9)}')"
+      case 1 => s"ROUND(${mathExpr(r)}, ${1 + r.nextInt(5)})"
+      case _ => s"GREATEST(${mathExpr(r)}, ${mathExpr(r)})"
+    }
+  }
+
+  /** Single-row scalar-function battery (the spatialQueries shape):
+    * `n` SELECTs of ~5 scalar columns each, no FROM clause.
+    */
+  def scalarQueries(seed: Long, n: Int): Seq[String] = {
+    val r = new Random(seed)
+    (0 until n).map { _ =>
+      val cols = (0 until 5).map(i => s"${scalarExpr(r)} AS c$i")
+      s"SELECT ${cols.mkString(", ")}"
+    }
   }
 
   // ---- spatial fuzz ---------------------------------------------------

@@ -52,6 +52,8 @@ class FuzzSpec extends SparkSpec {
   private case class VNum(d: Double) extends V
   private case class VStr(s: String) extends V
   private case class VBool(b: Boolean) extends V
+  private case class VArr(items: Seq[V]) extends V
+  private case class VObj(fields: Map[String, V]) extends V
 
   private def norm(a: Any): V = a match {
     case null => VNull
@@ -61,14 +63,60 @@ class FuzzSpec extends SparkSpec {
     case n: java.math.BigDecimal => VNum(n.doubleValue())
     case n: BigDecimal => VNum(n.toDouble)
     case n: Number => VNum(n.doubleValue())
+    // scala.collection.Seq: Spark collects arrays as mutable.ArraySeq,
+    // which the 2.13 default (immutable) Seq alias does NOT match
+    case s: scala.collection.Seq[_] => VArr(s.toSeq.map(norm))
+    case s: Array[_] => VArr(s.toSeq.map(norm))
+    case m: scala.collection.Map[_, _] =>
+      VObj(m.map { case (k, v) => String.valueOf(k) -> norm(v) }.toMap)
+    case r: org.apache.spark.sql.Row => VArr(r.toSeq.map(norm))
     case other => VStr(other.toString)
   }
 
-  private def vEq(a: V, b: V): Boolean = (a, b) match {
+  /** Parse a JSON text to the canonical value model (for bridging a
+    * textual-JSON engine result against the reference's typed one).
+    */
+  private def parseJsonV(s: String): Option[V] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def conv(n: com.fasterxml.jackson.databind.JsonNode): V =
+        if (n.isNull) VNull
+        else if (n.isBoolean) VBool(n.asBoolean())
+        else if (n.isNumber) VNum(n.asDouble())
+        else if (n.isArray) VArr((0 until n.size()).map(i => conv(n.get(i))))
+        else if (n.isObject) {
+          val it = n.fieldNames()
+          val m = scala.collection.mutable.Map[String, V]()
+          while (it.hasNext) { val f = it.next(); m += f -> conv(n.get(f)) }
+          VObj(m.toMap)
+        } else VStr(n.asText())
+      Some(conv(om.readTree(s)))
+    } catch { case _: Exception => None }
+
+  /** jsonBridge: one engine returns JSON TEXT where the other returns
+    * the typed structure (Spark's get_json_object is textual; the
+    * reference's JSON_EXTRACT is typed). Equality modulo JSON parse is
+    * the correct contract THERE — but it stays opt-in per battery, so a
+    * genuine string-vs-number divergence elsewhere still flags.
+    */
+  private def vEq(a: V, b: V, jsonBridge: Boolean = false): Boolean = (a, b) match {
     case (VNull, VNull) => true
     case (VNum(x), VNum(y)) =>
       (x.isNaN && y.isNaN) ||
         math.abs(x - y) <= 1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    case (VArr(x), VArr(y)) =>
+      x.length == y.length && x.zip(y).forall { case (u, v) => vEq(u, v, jsonBridge) }
+    case (VObj(x), VObj(y)) =>
+      x.keySet == y.keySet && x.keys.forall(k => vEq(x(k), y(k), jsonBridge))
+    // exact string equality FIRST: the bridge below must only fire on
+    // mixed-kind pairs, or "d" vs "d" would fail its JSON parse
+    case (VStr(s), VStr(t)) => s == t
+    case (VStr(s), other: VArr) => parseJsonV(s).exists(vEq(_, other, jsonBridge))
+    case (other: VArr, VStr(s)) => parseJsonV(s).exists(vEq(other, _, jsonBridge))
+    case (VStr(s), other: VObj) => parseJsonV(s).exists(vEq(_, other, jsonBridge))
+    case (other: VObj, VStr(s)) => parseJsonV(s).exists(vEq(other, _, jsonBridge))
+    case (VStr(s), other) if jsonBridge => parseJsonV(s).exists(vEq(_, other))
+    case (other, VStr(s)) if jsonBridge => parseJsonV(s).exists(vEq(other, _))
     case (x, y) => x == y
   }
 
@@ -108,6 +156,13 @@ class FuzzSpec extends SparkSpec {
       if (n == null || n.isNull) VNull
       else if (n.isBoolean) VBool(n.asBoolean())
       else if (n.isNumber) VNum(n.asDouble())
+      else if (n.isArray) VArr((0 until n.size()).map(i => jnorm(n.get(i))))
+      else if (n.isObject) {
+        val it = n.fieldNames()
+        val m = scala.collection.mutable.Map[String, V]()
+        while (it.hasNext) { val f = it.next(); m += f -> jnorm(n.get(f)) }
+        VObj(m.toMap)
+      }
       else VStr(n.asText())
     (0 until root.size()).map { i =>
       val e = root.get(i)
@@ -126,20 +181,22 @@ class FuzzSpec extends SparkSpec {
   }
 
   private def diff(q: String, sp: Either[String, Seq[Map[String, V]]],
-                   rf: Either[String, Seq[Map[String, V]]]): Option[String] = (sp, rf) match {
+                   rf: Either[String, Seq[Map[String, V]]],
+                   jsonBridge: Boolean = false): Option[String] = (sp, rf) match {
     case (Left(_), Left(_)) => None // agreement on rejection
     case (Left(e), Right(_)) => Some(s"spark ERROR, ref ok: $e")
     case (Right(_), Left(e)) => Some(s"ref ERROR, spark ok: $e")
     case (Right(s), Right(r)) =>
       if (s.length != r.length) Some(s"row count ${s.length} vs ${r.length}")
       else {
+        def cellEq(a: V, b: V) = vEq(a, b, jsonBridge)
         s.zip(r).zipWithIndex.collectFirst {
           case ((srow, rrow), i) if {
             val cols = srow.keySet ++ rrow.keySet
-            cols.exists(c => !vEq(srow.getOrElse(c, VNull), rrow.getOrElse(c, VNull)))
+            cols.exists(c => !cellEq(srow.getOrElse(c, VNull), rrow.getOrElse(c, VNull)))
           } =>
             val cols = srow.keySet ++ rrow.keySet
-            val bad = cols.filter(c => !vEq(srow.getOrElse(c, VNull), rrow.getOrElse(c, VNull)))
+            val bad = cols.filter(c => !cellEq(srow.getOrElse(c, VNull), rrow.getOrElse(c, VNull)))
             s"row $i differs on ${bad.mkString(",")}: spark=${bad.map(srow.getOrElse(_, VNull))} ref=${bad.map(rrow.getOrElse(_, VNull))}"
         }
       }
@@ -168,6 +225,22 @@ class FuzzSpec extends SparkSpec {
     // agreement-on-rejection is allowed but must stay a rare corner, not
     // a loophole the generator falls into
     assert(bothRejected <= nQueries / 20, s"too many agreed rejections ($bothRejected) — tighten the grammar")
+    assert(divergences.isEmpty,
+      s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
+  }
+
+  test("scalar-function differential fuzz: math/JSON/array/date surface agrees with the reference") {
+    assume(nodeOk, "node not available")
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // jsonBridge: Spark's JSON path functions return JSON TEXT where the
+    // reference returns typed values — equality modulo JSON parse is the
+    // contract for THIS battery only
+    val queries = FuzzGen.scalarQueries(seed = 77177L, n = 150)
+    val refResults = runReference(queries)
+    val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      diff(q, runSpark(q), rf, jsonBridge = true).map(d => s"#$i $d\n  SQL: $q")
+    }
+    info(s"scalar queries=150 divergences=${divergences.length}")
     assert(divergences.isEmpty,
       s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
   }

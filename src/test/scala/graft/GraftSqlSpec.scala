@@ -489,6 +489,40 @@ class GraftSqlSpec extends SparkSpec {
     assert(r3.getAs[Int]("dyn") == 2, "computed delimiter quotes at runtime")
   }
 
+  test("fuzz-found JSON inspection family: VALID/TYPE/KEYS/OBJECT/EXTRACT semantics") {
+    // JSON_VALID is JS-strict (evaluate.js:502): the WHOLE input must be
+    // one JSON value — '"a":1}' parses a leading scalar then has
+    // trailing garbage, which Spark's lenient variant parser accepted
+    // until the scalar fuzz battery flagged it
+    val v = GraftSql.sql(spark,
+      """SELECT JSON_VALID('{"a":1}') AS ok, JSON_VALID('"a":1}') AS trail,
+         JSON_VALID('null') AS jn, JSON_VALID('{bad') AS bad""").collect().head
+    assert(v.getAs[Boolean]("ok") && !v.getAs[Boolean]("trail"))
+    assert(v.getAs[Boolean]("jn") && !v.getAs[Boolean]("bad"))
+    // JSON_TYPE returns the JS typeof of the PARSED value
+    // (evaluate.js:514-533)
+    val t = GraftSql.sql(spark,
+      """SELECT JSON_TYPE('{"a":1}') AS o, JSON_TYPE('[1]') AS a,
+         JSON_TYPE('3') AS n, JSON_TYPE('"x"') AS s,
+         JSON_TYPE('true') AS b, JSON_TYPE('null') AS z""").collect().head
+    assert(Seq("o", "a", "n", "s", "b", "z").map(t.getAs[String]) ==
+      Seq("object", "array", "number", "string", "boolean", "null"))
+    // JSON_KEYS: document-order keys, null on non-objects
+    // (evaluate.js:536); JSON_OBJECT keeps null fields like
+    // JSON.stringify (evaluate.js:477); JSON_EXTRACT paths work with or
+    // without the $ anchor (evaluate.js:660)
+    val k = GraftSql.sql(spark,
+      """SELECT JSON_KEYS('{"b":1,"a":2}') AS ks, JSON_KEYS('[1]') AS na,
+         JSON_OBJECT('k', CAST(NULL AS INT)) AS obj,
+         JSON_EXTRACT('{"a":{"b":7}}', 'a.b') AS noanchor,
+         JSON_EXTRACT('{"a":[5,6]}', '$.a[1]') AS idx""").collect().head
+    assert(k.getSeq[String](0) == Seq("b", "a"))
+    assert(k.isNullAt(1))
+    assert(k.getAs[String]("obj") == """{"k":null}""")
+    assert(k.getAs[String]("noanchor") == "7")
+    assert(k.getAs[String]("idx") == "6")
+  }
+
   test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
     Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
     // alias with column list
