@@ -703,6 +703,15 @@ object GraftSql {
           } else s"split(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E'))"
         } else s"split(${args.mkString(", ")})")
 
+    // Reference null ordering: nulls sort FIRST regardless of direction
+    // unless NULLS LAST is explicit (execute/utils.js:19-23 — the null
+    // branch returns BEFORE the DESC flip). Spark's bare-DESC default is
+    // NULLS LAST, so every bare DESC gets the explicit modifier. (Bare
+    // ASC already agrees: both default nulls-first ascending.)
+    s = raw"(?i)\bDESC\b(?!\s+NULLS\b)".r.replaceSomeIn(s, m =>
+      if (inLiteral(m.source.toString, m.start)) None
+      else Some("DESC NULLS FIRST"))
+
     renames.foldLeft(s) { case (acc, (from, to)) =>
       raw"(?i)\b$from\s*\(".r.replaceSomeIn(acc, m =>
         if (inLiteral(m.source.toString, m.start)) None else Some(s"$to("))

@@ -250,8 +250,20 @@ object FuzzGen {
     val proj = (0 until n).map(i => s"${anyExpr(r, t, 2)} AS c$i").mkString(", ")
     val dir = if (r.nextBoolean()) "" else " DESC"
     val off = if (r.nextInt(4) == 0) s" OFFSET ${r.nextInt(10)}" else ""
+    // nullable LEADING sort key: exercises null-ordering defaults (the
+    // reference sorts nulls FIRST even under bare DESC) and explicit
+    // NULLS FIRST/LAST; the trailing unique key keeps rows deterministic
+    val lead = if (t.ints.nonEmpty && r.nextInt(3) == 0) {
+      val d = if (r.nextBoolean()) " DESC" else ""
+      val nm = r.nextInt(3) match {
+        case 0 => ""
+        case 1 => " NULLS FIRST"
+        case _ => " NULLS LAST"
+      }
+      s"NULLIF(${intExpr(r, t, "", 1)}, ${r.nextInt(10)})$d$nm, "
+    } else ""
     s"SELECT ${t.key} AS k, $proj FROM ${t.name} WHERE ${boolExpr(r, t, "", 2)} " +
-      s"ORDER BY ${t.key}$dir LIMIT ${5 + r.nextInt(70)}$off"
+      s"ORDER BY $lead${t.key}$dir LIMIT ${5 + r.nextInt(70)}$off"
   }
 
   private def agg(r: Random): String = {

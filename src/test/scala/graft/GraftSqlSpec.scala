@@ -523,6 +523,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(k.getAs[String]("idx") == "6")
   }
 
+  test("fuzz-found null ordering: bare DESC sorts nulls FIRST (execute/utils.js:21)") {
+    // the reference's comparator handles nulls BEFORE the direction flip,
+    // so nulls lead under both ASC and bare DESC; only explicit
+    // NULLS LAST moves them to the end. Spark's bare-DESC default is
+    // nulls-last — the rewrite adds the modifier.
+    Seq((1, Some(5)), (2, None), (3, Some(1)))
+      .toDF("k", "x").createOrReplaceTempView("no_t")
+    def ks(q: String): Seq[Int] =
+      GraftSql.sql(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(ks("SELECT k FROM no_t ORDER BY x DESC, k") == Seq(2, 1, 3))
+    assert(ks("SELECT k FROM no_t ORDER BY x ASC, k") == Seq(2, 3, 1))
+    assert(ks("SELECT k FROM no_t ORDER BY x DESC NULLS LAST, k") == Seq(1, 3, 2))
+    assert(ks("SELECT k FROM no_t ORDER BY x NULLS LAST, k") == Seq(3, 1, 2))
+    // windows sort through the same comparator — bare DESC inside OVER()
+    // gets the modifier too
+    val rn = GraftSql.sql(spark,
+      "SELECT k, ROW_NUMBER() OVER (ORDER BY x DESC) AS rn FROM no_t")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rn(2) == 1, s"null x must rank first under bare DESC, got $rn")
+  }
+
   test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
     Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
     // alias with column list
