@@ -268,9 +268,12 @@ object FuzzGen {
 
   private def agg(r: Random): String = {
     val t = pick(r, tables)
-    def groupExpr(): String = r.nextInt(3) match {
+    def groupExpr(): String = r.nextInt(4) match {
       case 0 if t.strs.nonEmpty => pick(r, t.strs).name
       case 1 if t.ints.nonEmpty => s"MOD(${pick(r, t.ints).name}, ${2 + r.nextInt(5)})"
+      // NULLABLE group key: null forms its own group in both engines
+      case 2 if t.ints.nonEmpty =>
+        s"NULLIF(MOD(${pick(r, t.ints).name}, ${2 + r.nextInt(4)}), ${r.nextInt(3)})"
       case _ => pick(r, (t.ints ++ t.strs)).name
     }
     // one or two grouping keys (distinct expressions, NULLS-free)
@@ -296,8 +299,13 @@ object FuzzGen {
         val jt = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN"))
         val pa = s"${anyExpr(r, ta, 1)}" // unqualified: a-side names are unambiguous prefixes
         val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, ta, "a.", 1)} " else ""
+        // sometimes NULL some join keys: a null key matches NOTHING in
+        // both engines (reference join.js:283 skips them; SQL semantics)
+        val fk = cond.split(" = ")(0)
+        val onExpr = if (r.nextInt(4) == 0)
+          cond.replace(fk, s"NULLIF($fk, ${r.nextInt(20)})") else cond
         s"SELECT a.${ta.key} AS k, $pa AS c0, $pb AS c1 " +
-          s"FROM ${ta.name} a $jt ${tb.name} b ON $cond $where" +
+          s"FROM ${ta.name} a $jt ${tb.name} b ON $onExpr $where" +
           s"ORDER BY a.${ta.key} LIMIT ${10 + r.nextInt(60)}"
       case 3 =>
         // RIGHT JOIN: b side preserved but REPLICATED per matching a row,
@@ -339,9 +347,14 @@ object FuzzGen {
     val tb = pick(r, tables)
     val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
     // single projected column: tied rows are identical, so ORDER BY c0
-    // alone is deterministic
-    s"SELECT ${strExpr(r, ta, "", 2)} AS c0 FROM ${ta.name} WHERE ${boolExpr(r, ta, "", 1)} " +
-      s"$op SELECT ${strExpr(r, tb, "", 2)} AS c0 FROM ${tb.name} WHERE ${boolExpr(r, tb, "", 1)} " +
+    // alone is deterministic. Sometimes NULLABLE: set ops treat null as
+    // equal to null in both engines
+    def proj(t: Table): String = {
+      val e = strExpr(r, t, "", 2)
+      if (r.nextInt(4) == 0) s"NULLIF($e, '${pick(r, strLits)}')" else e
+    }
+    s"SELECT ${proj(ta)} AS c0 FROM ${ta.name} WHERE ${boolExpr(r, ta, "", 1)} " +
+      s"$op SELECT ${proj(tb)} AS c0 FROM ${tb.name} WHERE ${boolExpr(r, tb, "", 1)} " +
       s"ORDER BY c0 LIMIT ${20 + r.nextInt(60)}"
   }
 
