@@ -321,6 +321,41 @@ object FuncQueries {
           .orderBy("event_id")
     },
 
+    // ---- JSON inspection through the DIALECT front-end -------------------
+    // The round-10 scalar fuzz battery found JSON_VALID/TYPE/KEYS/OBJECT/
+    // EXTRACT missing from GraftSql; this query drives them (plus the
+    // unanchored-path normalization and the nulls-FIRST bare-DESC
+    // ordering) through the driver gate. The SAME text runs on the
+    // reference engine verbatim; the oracle below spells DuckDB's
+    // differing type names and null-order default explicitly.
+    QueryDef("q_json_inspect",
+      """SELECT event_id,
+        |  json_valid(props) AS jv,
+        |  lower(json_type(props)) AS jt,
+        |  CASE WHEN json_type(props, '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
+        |       THEN 'number' ELSE lower(json_type(props, '$.k')) END AS jtk,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS nk,
+        |  json_object('k', CAST(json_extract_string(props, '$.k') AS BIGINT))::VARCHAR AS jo
+        |FROM events WHERE event_id < 150
+        |ORDER BY NULLIF(MOD(CAST(json_extract_string(props, '$.k') AS BIGINT), 7), 0)
+        |  DESC NULLS FIRST, event_id""".stripMargin) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sql(s,
+          """SELECT event_id,
+            |  JSON_VALID(props) AS jv,
+            |  JSON_TYPE(props) AS jt,
+            |  JSON_TYPE(JSON_EXTRACT(props, 'k')) AS jtk,
+            |  CAST(JSON_EXTRACT(props, 'k') AS BIGINT) AS kv,
+            |  CAST(ARRAY_LENGTH(JSON_KEYS(props)) AS BIGINT) AS nk,
+            |  JSON_OBJECT('k', CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)) AS jo
+            |FROM events WHERE event_id < 150
+            |ORDER BY NULLIF(MOD(CAST(JSON_EXTRACT(props, 'k') AS BIGINT), 7), 0) DESC,
+            |  event_id""".stripMargin)
+      }
+    },
+
     // ---- Array functions --------------------------------------------------
     QueryDef("q_array_funcs",
       """SELECT vec_id,
