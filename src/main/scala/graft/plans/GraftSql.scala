@@ -410,7 +410,73 @@ object GraftSql {
   }
 
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
-  def rewrite(sqlText: String): String = {
+  def rewrite(sqlText: String): String = rewriteImpl(sqlText, notInExists = true)
+
+  /** `lhs NOT IN (SELECT ...)` carries the reference's TWO-VALUED null
+    * semantics (execute/join.js:283,310 — null keys are skipped on both
+    * build and probe, so a null in the subquery cannot empty the result
+    * and a null lhs is KEPT). Spark's NOT IN is standard SQL: one null
+    * poisons everything, planned as a null-aware anti join. Rewriting to
+    * NOT EXISTS with null-rejecting equality reproduces the reference's
+    * rows AND plans as a plain (broadcastable) anti join instead of the
+    * NAAJ — faithful and faster. Only simple lhs shapes (qualified
+    * column / single call, not the tail of a larger expression) rewrite;
+    * a correlated subquery fails analysis inside the derived table, so
+    * execution-path callers retry without this rewrite (SQL semantics).
+    */
+  private def rewriteNotInSubquery(sqlIn: String): String = {
+    val pat = raw"(?i)([A-Za-z_][\w.]*(?:\s*\([^()]*\))?)\s+NOT\s+IN\s*\(".r
+    var s = sqlIn
+    var from = 0
+    var n = 0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      pat.findFirstMatchIn(s.substring(from)) match {
+        case None => return s
+        case Some(m) =>
+          val start = from + m.start
+          val open = from + m.end - 1
+          val close = if (inLiteral(s, start)) -1 else matchParen(s, open)
+          val inner = if (close > open) s.substring(open + 1, close).trim else ""
+          // the lhs must not be the TAIL of a larger expression
+          // (`x + y NOT IN (...)` would splice mid-expression) — skip
+          // when an operator char precedes it
+          val before = s.take(start).reverse.dropWhile(_.isWhitespace).headOption
+          val exprTail = before.exists(c => "+-*/%|&^~".contains(c))
+          if (close < 0 || exprTail ||
+              !inner.toUpperCase.startsWith("SELECT")) { from = from + m.end }
+          else {
+            val lhs = m.group(1).trim
+            val repl = s"NOT EXISTS (SELECT 1 FROM ($inner) " +
+              s"AS __nin$n(__nin_c) WHERE __nin_c = $lhs)"
+            s = s.substring(0, start) + repl + s.substring(close + 1)
+            from = start + repl.length
+            n += 1
+          }
+      }
+    }
+    s
+  }
+
+  /** The rewrite the execution-path entry points use: the NOT-IN
+    * variant when it analyzes, the plain SQL-semantics text when the
+    * subquery turns out to be correlated (outer references cannot live
+    * inside the derived table the rewrite introduces).
+    */
+  private def rewriteChecked(spark: SparkSession, sqlText: String): String = {
+    val full = rewriteImpl(sqlText, notInExists = true)
+    if (!full.contains("__nin")) full
+    else try {
+      spark.sql(full).queryExecution.analyzed
+      full
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        rewriteImpl(sqlText, notInExists = false)
+    }
+  }
+
+  private def rewriteImpl(sqlText: String, notInExists: Boolean): String = {
     var s = sqlText
 
     // DISTINCT ON first — it restructures the statement skeleton
@@ -418,6 +484,8 @@ object GraftSql {
 
     // comma-joined table functions next (they restructure the FROM)
     s = rewriteCommaTvf(s)
+
+    if (notInExists) s = rewriteNotInSubquery(s)
 
     // LATERAL VIEW JSON_EACH / scalar-position json_each: the map
     // explode spelled directly (LATERAL VIEW explode(...) t AS k, v
@@ -723,7 +791,7 @@ object GraftSql {
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     ensureHelpers(spark)
-    spark.sql(rewrite(sqlText))
+    spark.sql(rewriteChecked(spark, sqlText))
   }
 
   /** Validate a query without executing it — the reference's
@@ -736,7 +804,7 @@ object GraftSql {
   def validate(spark: SparkSession, sqlText: String): Either[String, Unit] =
     try {
       ensureHelpers(spark)
-      spark.sql(rewrite(sqlText)).queryExecution.analyzed
+      spark.sql(rewriteChecked(spark, sqlText)).queryExecution.analyzed
       Right(())
     } catch {
       // ParseException extends AnalysisException, so one case covers
@@ -758,7 +826,7 @@ object GraftSql {
     */
   def maxRows(spark: SparkSession, sqlText: String): Option[Long] = {
     ensureHelpers(spark)
-    spark.sql(rewrite(sqlText)).queryExecution.analyzed.maxRows
+    spark.sql(rewriteChecked(spark, sqlText)).queryExecution.analyzed.maxRows
   }
 
   /** The optimized logical plan as text — the reference's `planSql`
@@ -770,7 +838,7 @@ object GraftSql {
     */
   def plan(spark: SparkSession, sqlText: String): String = {
     ensureHelpers(spark)
-    spark.sql(rewrite(sqlText)).queryExecution.optimizedPlan.treeString.trim
+    spark.sql(rewriteChecked(spark, sqlText)).queryExecution.optimizedPlan.treeString.trim
   }
 
   /** The physical tables a query reads, first-seen order, CTE names

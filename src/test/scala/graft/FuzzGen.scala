@@ -358,11 +358,19 @@ object FuzzGen {
       s"ORDER BY c0 LIMIT ${20 + r.nextInt(60)}"
   }
 
-  private def subquery(r: Random): String = r.nextInt(3) match {
+  private def subquery(r: Random): String = r.nextInt(4) match {
     case 0 =>
       val p = boolExpr(r, customer, "", 1)
       s"SELECT o_orderkey AS k FROM f_orders WHERE o_custkey IN " +
         s"(SELECT c_custkey FROM f_customer WHERE $p) ORDER BY o_orderkey LIMIT ${10 + r.nextInt(60)}"
+    case 3 =>
+      // NOT IN over a NULL-BEARING subquery: the reference's two-valued
+      // null logic keeps non-matching rows where standard SQL empties
+      // the result — GraftSql's NOT EXISTS rewrite must reproduce it
+      val p = boolExpr(r, customer, "", 1)
+      s"SELECT o_orderkey AS k FROM f_orders WHERE o_custkey NOT IN " +
+        s"(SELECT NULLIF(c_custkey, ${1 + r.nextInt(50)}) FROM f_customer WHERE $p) " +
+        s"ORDER BY o_orderkey LIMIT ${10 + r.nextInt(60)}"
     case 1 =>
       val p = boolExpr(r, customer, "c.", 1)
       s"SELECT n_name AS k FROM f_nation n WHERE ${if (r.nextBoolean()) "" else "NOT "}EXISTS " +

@@ -298,7 +298,12 @@ class FuzzSpec extends SparkSpec {
       // engine — counted, not flagged.
       def strictness(e: String): Boolean =
         e.contains("FILTER_NOT_BOOLEAN") || e.contains("MISSING_GROUP_BY") ||
-          e.contains("MISSING_AGGREGATION")
+          e.contains("MISSING_AGGREGATION") ||
+          // a duplicated token can form an IMPLICIT alias ("part k") the
+          // AS-regex above misses — Spark's ambiguity rejection is the
+          // same better-behavior class as dupAlias
+          e.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS") ||
+          e.contains("AMBIGUOUS_REFERENCE")
       (sp, rf) match {
         case (Left(_), Left(_)) => bothReject += 1; None
         case (Right(_), Left(_)) => sparkOnly += 1; None

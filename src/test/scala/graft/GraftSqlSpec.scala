@@ -544,6 +544,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(rn(2) == 1, s"null x must rank first under bare DESC, got $rn")
   }
 
+  test("fuzz-found NOT IN null semantics: two-valued logic via NOT EXISTS (join.js:283)") {
+    // a NULL in the subquery must not empty the result, and a NULL lhs
+    // is KEPT — the reference skips null keys on both join sides; Spark's
+    // standard NOT IN null-poisons. The rewrite also upgrades the plan:
+    // plain anti join instead of null-aware anti join.
+    Seq(Some(1), Some(2), Some(3), None).toDF("k").createOrReplaceTempView("nin_a")
+    Seq(Some(2), None).toDF("v").createOrReplaceTempView("nin_b")
+    val r = GraftSql.sql(spark,
+      "SELECT k FROM nin_a WHERE k NOT IN (SELECT v FROM nin_b) ORDER BY k")
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(r == Seq(-1, 1, 3), s"expected reference two-valued rows, got $r")
+    // the plan is a plain LeftAnti, never the null-aware build
+    val plan = GraftSql.sql(spark,
+      "SELECT k FROM nin_a WHERE k NOT IN (SELECT v FROM nin_b)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && !plan.contains("NAAJ"), plan)
+    // CORRELATED NOT IN falls back to the unrewritten (SQL-semantics)
+    // text instead of failing analysis
+    val corr = GraftSql.sql(spark,
+      "SELECT k FROM nin_a a WHERE k NOT IN (SELECT v FROM nin_b b WHERE b.v = a.k)")
+    assert(corr.columns.sameElements(Array("k")))
+  }
+
   test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
     Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
     // alias with column list
