@@ -567,6 +567,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(corr.columns.sameElements(Array("k")))
   }
 
+  test("deliberate divergence: three-valued NULL logic outside NOT IN") {
+    // The reference's JS evaluator is two-valued: `NULL = x` evaluates
+    // FALSE (never UNKNOWN), so NOT (NULL = x) is TRUE and a projected
+    // (1 = NULL) reads false. graft keeps standard SQL three-valued
+    // logic for plain comparisons: emulating two-valued logic means
+    // wrapping every predicate in coalesce(pred, false), which does not
+    // translate to a parquet scan filter — losing pushdown engine-wide
+    // is the wrong trade at 100 TB. The one shape real reference
+    // queries rely on — NOT IN over a null-bearing subquery — IS
+    // matched via the NOT EXISTS rewrite. Pinned so the boundary is
+    // explicit and a future change is noticed:
+    val r = GraftSql.sql(spark,
+      "SELECT (1 = NULL) AS x, NOT (NULL = 1) AS y").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "graft: UNKNOWN stays NULL (reference projects false / true)")
+  }
+
   test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
     Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
     // alias with column list
