@@ -538,6 +538,35 @@ object GraftSql {
         s"to_json(map_from_arrays(collect_list(${args(0)}), collect_list(${args(1)})))"
       else s"json_group_object_unsupported(${args.mkString(", ")})")
 
+    // Lenient NUMERIC casts (reference: src/expression/evaluate.js:711-726
+    // — Number(val) with NaN → null, Math.trunc for integer targets, a
+    // bigint passthrough shortcut). Spark 4's ANSI CAST throws on
+    // 'abc'::BIGINT and on '12.7'→BIGINT where the reference returns
+    // null and 12. coalesce(try_cast direct, try_cast via DOUBLE)
+    // reproduces all three behaviors: exact when the input already fits
+    // (the bigint shortcut), truncation-through-double for numeric
+    // strings (including the reference's inherent >2^53 precision loss),
+    // null for garbage. Non-numeric targets keep ANSI semantics.
+    s = rewriteCall(s, "cast", args =>
+      if (args.length == 1) {
+        val m = raw"(?is)^(.*\S)\s+AS\s+(INTEGER|INT|BIGINT|SMALLINT|TINYINT|FLOAT|REAL|DOUBLE)\s*$$".r
+        args.head match {
+          case m(e, t) =>
+            val tgt = t.toUpperCase
+            // JS Number('') = 0 — a blank string casts to ZERO, not null
+            val blankZero = s"CASE WHEN trim(($e)) = '' THEN try_cast(0 AS $tgt) END"
+            if (tgt == "DOUBLE" || tgt == "FLOAT" || tgt == "REAL")
+              s"coalesce(try_cast(($e) AS $tgt), $blankZero)"
+            else
+              s"coalesce(try_cast(($e) AS $tgt), " +
+                s"try_cast(try_cast(($e) AS DOUBLE) AS $tgt), $blankZero)"
+          // __cast__ marker: emitting `cast(` verbatim would re-match the
+          // scan pattern forever (same trick as __position__ below)
+          case other => s"__cast__($other)"
+        }
+      } else s"__cast__(${args.mkString(", ")})")
+    s = s.replace("__cast__(", "cast(")
+
     // JSON inspection family (reference: src/expression/evaluate.js:502-700).
     // JSON_VALID parse-checks a string with WHOLE-INPUT strictness:
     // Spark's try_parse_json accepts '"a":{...}' (parses the leading
@@ -888,7 +917,15 @@ object GraftSql {
     */
   def derivedAlias(exprText: String): String = {
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-    deriveName(CatalystSqlParser.parseExpression(rewrite(exprText)))
+    // derive from the RAW expression when it parses — the name contract
+    // mirrors the reference's surface text (alias.js), and semantic
+    // rewrites (lenient casts → coalesce chains) must not leak into it;
+    // dialect-only syntax falls back to the rewritten form
+    val parsed =
+      try CatalystSqlParser.parseExpression(exprText)
+      catch { case scala.util.control.NonFatal(_) =>
+        CatalystSqlParser.parseExpression(rewrite(exprText)) }
+    deriveName(parsed)
   }
 
   private def deriveName(e: org.apache.spark.sql.catalyst.expressions.Expression): String = {

@@ -501,9 +501,13 @@ object FuzzGen {
       val unit = pick(r, Seq("year", "month", "day"))
       if (r.nextBoolean()) s"DATE_PART('${pick(r, Seq("year", "month", "day"))}', DATE_TRUNC('$unit', $d))"
       else s"CAST(EPOCH(DATE_TRUNC('$unit', $d)) AS BIGINT)"
-    case _ => r.nextInt(3) match {
+    case _ => r.nextInt(4) match {
       case 0 => s"DATEDIFF('day', '1994-0${1 + r.nextInt(9)}-0${1 + r.nextInt(9)}', '1995-1${r.nextInt(2)}-2${r.nextInt(9)}')"
       case 1 => s"ROUND(${mathExpr(r)}, ${1 + r.nextInt(5)})"
+      case 2 => // LENIENT numeric casts: garbage → null, '12.7' → 12
+        val src = pick(r, Seq("'abc'", "'12.7'", "''", "'  8 '", "'1e3'",
+          s"'${r.nextInt(500)}'", s"${r.nextInt(90)}.${r.nextInt(10)}", "'-4.2'"))
+        s"CAST($src AS ${pick(r, Seq("BIGINT", "INT", "INTEGER", "DOUBLE"))})"
       case _ => s"GREATEST(${mathExpr(r)}, ${mathExpr(r)})"
     }
   }

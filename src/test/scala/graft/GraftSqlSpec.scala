@@ -567,6 +567,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(corr.columns.sameElements(Array("k")))
   }
 
+  test("fuzz-found lenient numeric casts: garbage null, '12.7' truncates, '' is zero") {
+    // reference CAST goes through JS Number() (evaluate.js:711-726):
+    // NaN → null (never an error), Math.trunc for integer targets, and
+    // the Number('') = 0 quirk. Spark's ANSI CAST throws on all three.
+    val r = GraftSql.sql(spark,
+      """SELECT CAST('abc' AS BIGINT) AS a, CAST('12.7' AS BIGINT) AS b,
+         CAST('' AS INT) AS c, CAST('  ' AS DOUBLE) AS d,
+         CAST('1e3' AS BIGINT) AS e, CAST(' 8 ' AS INT) AS f,
+         CAST(12.9 AS BIGINT) AS g, CAST('x' AS DOUBLE) AS h""").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(7))
+    assert(r.getAs[Long]("b") == 12L && r.getAs[Int]("c") == 0)
+    assert(r.getAs[Double]("d") == 0.0 && r.getAs[Long]("e") == 1000L)
+    assert(r.getAs[Int]("f") == 8 && r.getAs[Long]("g") == 12L)
+    // non-numeric targets keep ANSI semantics (DECIMAL/STRING untouched)
+    val d = GraftSql.sql(spark,
+      "SELECT CAST('12.75' AS DECIMAL(10,2)) AS x").collect().head
+    assert(d.getDecimal(0).doubleValue() == 12.75)
+  }
+
   test("deliberate divergence: three-valued NULL logic outside NOT IN") {
     // The reference's JS evaluator is two-valued: `NULL = x` evaluates
     // FALSE (never UNKNOWN), so NOT (NULL = x) is TRUE and a projected
