@@ -459,6 +459,89 @@ object GraftSql {
     s
   }
 
+  /** Zero divisors never error in the reference (JS: 5/0 = Infinity,
+    * 5%0 = NaN — both serialize as null); Spark 4's ANSI mode throws
+    * DIVIDE_BY_ZERO / REMAINDER_BY_ZERO even for doubles. Guard every
+    * division/modulo DENOMINATOR with nullif(d, 0): a zero divisor
+    * yields null — the closest Spark value to the reference's
+    * non-finite results, and what its own JSON surface shows. Forward
+    * scan: after `/` or `%`, consume one signed primary (number,
+    * dotted identifier with optional call/index suffixes, or
+    * parenthesized expression) and wrap it. String literals and block
+    * comments (slash-star) are untouched.
+    */
+  private def rewriteZeroDivisors(sqlIn: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def primaryEnd(from: Int): Int = {
+      var j = from
+      if (j < sqlIn.length && (sqlIn.charAt(j) == '-' || sqlIn.charAt(j) == '+')) j += 1
+      if (j >= sqlIn.length) return -1
+      val c = sqlIn.charAt(j)
+      if (c.isDigit) {
+        while (j < sqlIn.length && (sqlIn.charAt(j).isDigit || sqlIn.charAt(j) == '.')) j += 1
+        if (j < sqlIn.length && (sqlIn.charAt(j) == 'e' || sqlIn.charAt(j) == 'E')) {
+          var k = j + 1
+          if (k < sqlIn.length && (sqlIn.charAt(k) == '+' || sqlIn.charAt(k) == '-')) k += 1
+          if (k < sqlIn.length && sqlIn.charAt(k).isDigit) {
+            j = k
+            while (j < sqlIn.length && sqlIn.charAt(j).isDigit) j += 1
+          }
+        }
+        j
+      } else if (c == '(') {
+        val close = matchParen(sqlIn, j)
+        if (close < 0) -1 else close + 1
+      } else if (c.isLetter || c == '_') {
+        while (j < sqlIn.length &&
+          (sqlIn.charAt(j).isLetterOrDigit || sqlIn.charAt(j) == '_' || sqlIn.charAt(j) == '.')) j += 1
+        // call / index suffixes: f(x), arr[1], f(x)[2]
+        var done = false
+        while (!done && j < sqlIn.length) {
+          var k = j
+          while (k < sqlIn.length && sqlIn.charAt(k).isWhitespace) k += 1
+          if (k < sqlIn.length && sqlIn.charAt(k) == '(') {
+            val close = matchParen(sqlIn, k)
+            if (close < 0) return -1 else j = close + 1
+          } else if (k < sqlIn.length && sqlIn.charAt(k) == '[') {
+            var depth = 0
+            var m = k
+            var stop = -1
+            while (m < sqlIn.length && stop < 0) {
+              sqlIn.charAt(m) match {
+                case '[' => depth += 1
+                case ']' => depth -= 1; if (depth == 0) stop = m
+                case _ =>
+              }
+              m += 1
+            }
+            if (stop < 0) return -1 else j = stop + 1
+          } else done = true
+        }
+        j
+      } else -1
+    }
+    while (i < sqlIn.length) {
+      val c = sqlIn.charAt(i)
+      if (c == '\'') {
+        sb.append(c); i += 1
+        while (i < sqlIn.length && sqlIn.charAt(i) != '\'') { sb.append(sqlIn.charAt(i)); i += 1 }
+        if (i < sqlIn.length) { sb.append('\''); i += 1 }
+      } else if ((c == '/' || c == '%') &&
+          (i + 1 >= sqlIn.length || sqlIn.charAt(i + 1) != '*') &&
+          (i == 0 || sqlIn.charAt(i - 1) != '*')) {
+        var j = i + 1
+        while (j < sqlIn.length && sqlIn.charAt(j).isWhitespace) j += 1
+        val end = primaryEnd(j)
+        if (end > j) {
+          sb.append(c).append(" nullif(").append(sqlIn.substring(j, end)).append(", 0)")
+          i = end
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** The rewrite the execution-path entry points use: the NOT-IN
     * variant when it analyzes, the plain SQL-semantics text when the
     * subquery turns out to be correlated (outer references cannot live
@@ -486,6 +569,15 @@ object GraftSql {
     s = rewriteCommaTvf(s)
 
     if (notInExists) s = rewriteNotInSubquery(s)
+
+    // zero-divisor guards next, on the user's own text (later rewrites
+    // may duplicate subexpressions — guard divisions before that)
+    s = rewriteZeroDivisors(s)
+    // MOD(a, b) with b = 0: NaN in the reference (null-serialized);
+    // try_mod is Spark's exact lenient form
+    s = rewriteCall(s, "mod", args =>
+      if (args.length == 2) s"try_mod(${args(0)}, ${args(1)})"
+      else s"try_mod(${args.mkString(", ")})")
 
     // LATERAL VIEW JSON_EACH / scalar-position json_each: the map
     // explode spelled directly (LATERAL VIEW explode(...) t AS k, v

@@ -504,10 +504,20 @@ object FuzzGen {
     case _ => r.nextInt(4) match {
       case 0 => s"DATEDIFF('day', '1994-0${1 + r.nextInt(9)}-0${1 + r.nextInt(9)}', '1995-1${r.nextInt(2)}-2${r.nextInt(9)}')"
       case 1 => s"ROUND(${mathExpr(r)}, ${1 + r.nextInt(5)})"
-      case 2 => // LENIENT numeric casts: garbage → null, '12.7' → 12
-        val src = pick(r, Seq("'abc'", "'12.7'", "''", "'  8 '", "'1e3'",
-          s"'${r.nextInt(500)}'", s"${r.nextInt(90)}.${r.nextInt(10)}", "'-4.2'"))
-        s"CAST($src AS ${pick(r, Seq("BIGINT", "INT", "INTEGER", "DOUBLE"))})"
+      case 2 => r.nextInt(2) match {
+        case 0 => // LENIENT numeric casts: garbage → null, '12.7' → 12
+          val src = pick(r, Seq("'abc'", "'12.7'", "''", "'  8 '", "'1e3'",
+            s"'${r.nextInt(500)}'", s"${r.nextInt(90)}.${r.nextInt(10)}", "'-4.2'"))
+          s"CAST($src AS ${pick(r, Seq("BIGINT", "INT", "INTEGER", "DOUBLE"))})"
+        case _ => // division/modulo incl. ZERO divisors (never an error)
+          val num = r.nextInt(40) - 10
+          val den = pick(r, Seq("0", "0", s"${1 + r.nextInt(9)}", s"-${1 + r.nextInt(5)}", "2.5"))
+          pick(r, Seq(
+            s"($num / $den)",
+            s"($num % $den)",
+            s"MOD($num, $den)",
+            s"ROUND($num / NULLIF($den, 99), 4)"))
+      }
       case _ => s"GREATEST(${mathExpr(r)}, ${mathExpr(r)})"
     }
   }

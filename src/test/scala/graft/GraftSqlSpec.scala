@@ -586,6 +586,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(d.getDecimal(0).doubleValue() == 12.75)
   }
 
+  test("fuzz-found zero divisors: division/modulo never error (JS Infinity/NaN)") {
+    // reference: 5/0 = Infinity, 5%0 = NaN — never an error, and both
+    // serialize as null on its JSON surface. Spark ANSI throws
+    // DIVIDE_BY_ZERO even for doubles; the divisor guard (nullif) and
+    // MOD → try_mod map zero divisors to null.
+    val r = GraftSql.sql(spark,
+      """SELECT 5 / 0 AS a, 5 % 0 AS b, MOD(5, 0) AS c, 7 / 2 AS d,
+         MOD(-7, 3) AS e, -7 % 3 AS f, 10 / (2 - 2) AS g""").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(6))
+    assert(r.getAs[Double]("d") == 3.5)
+    assert(r.getAs[Int]("e") == -1 && r.getAs[Int]("f") == -1)
+    // strftime %-formats live in string literals — the guard must not
+    // touch them
+    val f = GraftSql.sql(spark,
+      "SELECT STRFTIME(TO_TIMESTAMP(0), '%H') AS h").collect().head
+    assert(f.getAs[String]("h") == "00")
+  }
+
   test("deliberate divergence: three-valued NULL logic outside NOT IN") {
     // The reference's JS evaluator is two-valued: `NULL = x` evaluates
     // FALSE (never UNKNOWN), so NOT (NULL = x) is TRUE and a projected
