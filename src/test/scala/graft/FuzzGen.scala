@@ -250,6 +250,10 @@ object FuzzGen {
     val proj = (0 until n).map(i => s"${anyExpr(r, t, 2)} AS c$i").mkString(", ")
     val dir = if (r.nextBoolean()) "" else " DESC"
     val off = if (r.nextInt(4) == 0) s" OFFSET ${r.nextInt(10)}" else ""
+    // standalone OFFSET (no LIMIT): rows from offset to end
+    if (r.nextInt(10) == 0)
+      return s"SELECT ${t.key} AS k FROM ${t.name} WHERE ${boolExpr(r, t, "", 2)} " +
+        s"ORDER BY ${t.key}$dir OFFSET ${1 + r.nextInt(12)}"
     // nullable LEADING sort key: exercises null-ordering defaults (the
     // reference sorts nulls FIRST even under bare DESC) and explicit
     // NULLS FIRST/LAST; the trailing unique key keeps rows deterministic
@@ -260,7 +264,16 @@ object FuzzGen {
         case 1 => " NULLS FIRST"
         case _ => " NULLS LAST"
       }
-      s"NULLIF(${intExpr(r, t, "", 1)}, ${r.nextInt(10)})$d$nm, "
+      // plain MOD-column argument, never intExpr: the REFERENCE has a
+      // hidden-sort-column collision bug when the ORDER BY term and a
+      // select item are both NULLIF(<CASE ...>, same-literal) — the
+      // projected column reads back the ORDER BY value (minimal repro:
+      // SELECT NULLIF(CASE WHEN k>2 THEN k ELSE k END, 8) AS a FROM t
+      // ORDER BY NULLIF(CASE WHEN k>2 THEN 70 ELSE 80 END, 8) DESC
+      // → a = [80, 70] on the reference; graft answers correctly).
+      // Keeping CASE out of the lead key keeps the differ testing OUR
+      // engine, not that reference defect.
+      s"NULLIF(MOD(${pick(r, t.ints).name}, ${2 + r.nextInt(6)}), ${r.nextInt(3)})$d$nm, "
     } else ""
     s"SELECT ${t.key} AS k, $proj FROM ${t.name} WHERE ${boolExpr(r, t, "", 2)} " +
       s"ORDER BY $lead${t.key}$dir LIMIT ${5 + r.nextInt(70)}$off"
@@ -284,9 +297,13 @@ object FuzzGen {
     val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 2)} " else ""
     val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(3)} " else ""
     val orderK = gks.indices.map(i => s"k$i").mkString(", ")
-    // both engines resolve positional GROUP BY refs — exercise them
-    val groupKeys = if (r.nextInt(4) == 0) gks.indices.map(i => (i + 1).toString)
-                    else gks
+    // all three grouping-key spellings resolve in both engines:
+    // expressions, ordinals, select-list aliases
+    val groupKeys = r.nextInt(4) match {
+      case 0 => gks.indices.map(i => (i + 1).toString)
+      case 1 => gks.indices.map(i => s"k$i")
+      case _ => gks
+    }
     s"SELECT $gkAliased, $aggs FROM ${t.name} $where" +
       s"GROUP BY ${groupKeys.mkString(", ")} ${having}ORDER BY $orderK"
   }

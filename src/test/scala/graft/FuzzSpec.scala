@@ -329,6 +329,11 @@ class FuzzSpec extends SparkSpec {
           // dropped DESC) — compare as multisets, not ordered rows
           def vs(v: V): String = v match {
             case VNum(d) => f"${math.rint(d * 1e6) / 1e6}%.6f" // ulp-tolerant
+            // recurse: List vs Vector toString must not break the canon
+            case VArr(items) => items.map(vs).mkString("[", ",", "]")
+            case VObj(f) =>
+              f.toSeq.sortBy(_._1).map { case (k, x) => s"$k:${vs(x)}" }
+                .mkString("{", ",", "}")
             case other => other.toString
           }
           def canon(rows: Seq[Map[String, V]]) =

@@ -604,6 +604,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(f.getAs[String]("h") == "00")
   }
 
+  test("fuzz-found REFERENCE bug: ORDER BY expr must not overwrite a select item") {
+    // The reference injects the ORDER BY expression as a hidden sort
+    // column; when that term and a select item are both
+    // NULLIF(<CASE ...>, same-literal) the hidden column collides with
+    // the projection and the output column reads back the ORDER BY
+    // value (reference returns a = [80, 70] here). graft answers
+    // correctly — pinned so the right behavior is explicit.
+    Seq(1, 5).toDF("k").createOrReplaceTempView("refbug_t")
+    val r = GraftSql.sql(spark,
+      "SELECT NULLIF(CASE WHEN k > 2 THEN k ELSE k END, 8) AS a FROM refbug_t " +
+        "ORDER BY NULLIF(CASE WHEN k > 2 THEN 70 ELSE 80 END, 8) DESC")
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(1, 5), s"projection must keep its own value, got $r")
+  }
+
   test("deliberate divergence: three-valued NULL logic outside NOT IN") {
     // The reference's JS evaluator is two-valued: `NULL = x` evaluates
     // FALSE (never UNKNOWN), so NOT (NULL = x) is TRUE and a projected
