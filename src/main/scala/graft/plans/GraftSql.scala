@@ -642,7 +642,10 @@ object GraftSql {
     s = rewriteCall(s, "cast", args =>
       if (args.length == 1) {
         val m = raw"(?is)^(.*\S)\s+AS\s+(INTEGER|INT|BIGINT|SMALLINT|TINYINT|FLOAT|REAL|DOUBLE)\s*$$".r
+        val ms = raw"(?is)^(.*\S)\s+AS\s+(VARCHAR|STRING|TEXT)\s*$$".r
         args.head match {
+          // string targets render JS-style: String(2.0) = '2', not '2.0'
+          case ms(e, _) => s"graft_js_str(($e))"
           case m(e, t) =>
             val tgt = t.toUpperCase
             // JS Number('') = 0 — a blank string casts to ZERO, not null
@@ -658,6 +661,27 @@ object GraftSql {
         }
       } else s"__cast__(${args.mkString(", ")})")
     s = s.replace("__cast__(", "cast(")
+
+    // CONCAT / STRING_AGG stringify their arguments with JS String(v)
+    // (strings.js CONCAT, evaluate.js:371 STRING_AGG): doubles render
+    // "2" not "2.0", and STRING_AGG accepts numeric input Spark's
+    // string-typed listagg would reject. Wrapping in graft_js_str fixes
+    // both (no-op on strings, null-propagating). Runs BEFORE renames so
+    // array_concat/list_concat → concat stays untouched array concat.
+    // __concat__/__agg__ markers: the replacements contain the scanned
+    // names (same trick as __position__).
+    s = rewriteCall(s, "concat", args =>
+      s"__concat__(${args.map(a => s"graft_js_str($a)").mkString(", ")})")
+    s = s.replace("__concat__(", "concat(")
+    s = rewriteCall(s, "string_agg", args =>
+      if (args.length == 2) {
+        val dist = raw"(?is)^DISTINCT\s+(.*)$$".r
+        args(0) match {
+          case dist(e) => s"__stragg__(DISTINCT graft_js_str($e), ${args(1)})"
+          case e => s"__stragg__(graft_js_str($e), ${args(1)})"
+        }
+      } else s"__stragg__(${args.mkString(", ")})")
+    s = s.replace("__stragg__(", "string_agg(")
 
     // JSON inspection family (reference: src/expression/evaluate.js:502-700).
     // JSON_VALID parse-checks a string with WHOLE-INPUT strictness:

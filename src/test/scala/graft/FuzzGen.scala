@@ -508,9 +508,19 @@ object FuzzGen {
         case 3 => s"${pick(r, Seq("ARRAY_CONTAINS", "LIST_CONTAINS"))}($arr, '${pick(r, Seq("a", "b", "z"))}')"
         case _ => s"ARRAY_SORT(ARRAY_APPEND($arr, '${pick(r, Seq("e", "0"))}'))"
       }
-    case 7 => r.nextInt(3) match {
+    case 7 => r.nextInt(5) match {
       case 0 => s"OCTET_LENGTH('${pick(r, strLits)}')"
       case 1 => s"SUBSTRING('${pick(r, Seq("Customer#42", "abcdefg", "x y z"))}', ${1 + r.nextInt(4)}, ${1 + r.nextInt(5)})"
+      case 2 => // JS number rendering through string casts and CONCAT
+        pick(r, Seq(
+          s"CAST(${r.nextInt(20)}.0 AS VARCHAR)",
+          s"CAST(-${r.nextInt(9)}.${r.nextInt(10)}0 AS STRING)",
+          s"CAST(0.${r.nextInt(100)} AS TEXT)",
+          // IEEE-exact ops only: transcendentals (SIN/EXP/LN) differ by
+          // a final ulp between JVM and V8 libm — the DOUBLE differs,
+          // not the rendering, so stringified they can never agree
+          s"CONCAT('q', ${r.nextInt(30)} / ${2 + r.nextInt(5)})",
+          s"CONCAT('w', SQRT(${1 + r.nextInt(50)}))"))
       case _ => s"LENGTH(SUBSTRING('abcdefgh', ${1 + r.nextInt(6)}, ${r.nextInt(6)}))"
     }
     case 8 => // DATE_TRUNC composed under numeric extractors

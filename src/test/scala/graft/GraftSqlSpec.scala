@@ -619,6 +619,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(r == Seq(1, 5), s"projection must keep its own value, got $r")
   }
 
+  test("fuzz-found JS number rendering: CAST-to-string and CONCAT render doubles JS-style") {
+    // reference stringifies with JS String(v): 2.0 → '2', 1e21 →
+    // '1e+21', 1e-7 → '1e-7'. Spark's CAST says '2.0' / '1.0E21'. The
+    // graft_js_str expression re-formats Java's shortest digits under
+    // ECMA-262 placement rules.
+    val r = GraftSql.sql(spark,
+      """SELECT CAST(2.0 AS VARCHAR) AS a, CONCAT('x', 1.5) AS b,
+         CAST(0.5 AS STRING) AS c, CAST(-0.0 AS TEXT) AS d,
+         CAST(100.0 AS VARCHAR) AS e, CAST(1e21 AS VARCHAR) AS f,
+         CAST(1e-7 AS VARCHAR) AS g, CAST(0.000001 AS VARCHAR) AS h,
+         CONCAT('n-', 7 / 2) AS i, CAST('s' AS VARCHAR) AS j""").collect().head
+    assert(Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j").map(r.getAs[String]) ==
+      Seq("2", "x1.5", "0.5", "0", "100", "1e+21", "1e-7", "0.000001", "n-3.5", "s"))
+    // STRING_AGG accepts numeric input (reference String(v) per element)
+    val sa = GraftSql.sql(spark,
+      "SELECT STRING_AGG(x, ',') AS s FROM (SELECT 2.0 AS x) t").collect().head
+    assert(sa.getAs[String]("s") == "2")
+  }
+
   test("deliberate divergence: three-valued NULL logic outside NOT IN") {
     // The reference's JS evaluator is two-valued: `NULL = x` evaluates
     // FALSE (never UNKNOWN), so NOT (NULL = x) is TRUE and a projected
