@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.Entropy(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_js_str"), info("graft_js_str"),
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_js_cast_str"), info("graft_js_cast_str"),
+      (args: Seq[Expression]) => graft.functions.text.JsStr(args.head, castMode = true)))
     ext.injectFunction((FunctionIdentifier("graft_sqdist"), info("graft_sqdist"),
       (args: Seq[Expression]) => graft.functions.vector.SqDistLong(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_cell"), info("graft_cell"),

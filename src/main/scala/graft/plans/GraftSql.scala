@@ -542,6 +542,162 @@ object GraftSql {
     sb.toString
   }
 
+  /** Wrap the operands of `||` and ILIKE in graft_js_str — the
+    * reference coerces both with JS String(v) (binary.js:27-30
+    * `String(a) + String(b)` for `||`, :57-58 for LIKE), so
+    * `'x' || 2.0` is `'x2'` and `2.0 LIKE '2'` is TRUE, where Spark's
+    * implicit cast renders `'2.0'`. Both grammars give `||` the same
+    * precedence (looser than +‑/·/%, tighter than comparisons —
+    * reference parse/expression.js:218 parseConcat over parseAdditive),
+    * so operands are the maximal "additive segments" adjacent to the
+    * operator. Single forward pass: track the current segment per paren
+    * depth, treat comparison operators / commas / clause keywords as
+    * segment boundaries, keep CASE..END opaque via a saved-segment
+    * stack (so `CASE..END || x` wraps the whole CASE), and carry
+    * right-operand wraps as "pending" inserts that close at the next
+    * boundary. Inserts are collected as (position, text) edits over the
+    * ORIGINAL text and applied at the end — no rescans of our own
+    * output. The wrap is a no-op on strings, so over-wrapping (an
+    * operand that is already a concat result) is harmless.
+    */
+  private def rewriteJsConcatOps(sqlIn: String): String = {
+    val n = sqlIn.length
+    val edits = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    val boundary = Set(
+      "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+      "JOIN", "ON", "USING", "AND", "OR", "IN", "IS", "BETWEEN", "AS", "WHEN",
+      "THEN", "ELSE", "DISTINCT", "ALL", "BY", "ASC", "DESC", "NULLS", "FIRST",
+      "LAST", "UNION", "EXCEPT", "INTERSECT", "WITH", "VALUES", "OVER",
+      "PARTITION", "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED",
+      "CURRENT", "ROW", "CROSS", "INNER", "OUTER", "FULL", "SEMI", "ANTI",
+      "LATERAL", "NATURAL", "EXISTS", "ANY", "SOME", "FILTER", "ESCAPE",
+      "RLIKE", "REGEXP", "GLOB", "QUALIFY", "WINDOW", "NOT")
+
+    final class Frame {
+      var segStart: Int = -1 // start of the current additive segment
+      var lastNonWs: Int = -1 // last non-whitespace char inside it
+      var caseNest: Int = 0
+      var caseSaves: List[Int] = Nil // segStart saved at each CASE entry
+      var pendings: List[(Int, Int)] = Nil // (openPos, caseNest at open)
+      var awaitingOpen: Boolean = false // a trigger wants the next segment
+    }
+    var stack: List[Frame] = List(new Frame)
+    def fr: Frame = stack.head
+
+    def startToken(pos: Int): Unit = {
+      if (fr.segStart < 0) fr.segStart = pos
+      if (fr.awaitingOpen) { fr.pendings ::= (pos, fr.caseNest); fr.awaitingOpen = false }
+    }
+    def closePendings(minNest: Int): Unit = {
+      val (close, keep) = fr.pendings.partition(_._2 >= minNest)
+      close.foreach { case (open, _) =>
+        if (fr.lastNonWs >= open) {
+          edits += ((open, "graft_js_str(")); edits += ((fr.lastNonWs + 1, ")"))
+        }
+      }
+      fr.pendings = keep
+      fr.awaitingOpen = false
+    }
+    def boundaryReset(): Unit = {
+      closePendings(fr.caseNest)
+      fr.segStart = -1; fr.lastNonWs = -1
+    }
+    def trigger(): Unit = {
+      closePendings(fr.caseNest)
+      if (fr.segStart >= 0 && fr.lastNonWs >= fr.segStart) {
+        edits += ((fr.segStart, "graft_js_str(")); edits += ((fr.lastNonWs + 1, ")"))
+      }
+      fr.segStart = -1; fr.lastNonWs = -1
+      fr.awaitingOpen = true
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = sqlIn.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        startToken(i)
+        var j = i + 1
+        while (j < n && sqlIn.charAt(j) != c) j += 1
+        fr.lastNonWs = math.min(j, n - 1)
+        i = j + 1
+      } else if (c == '(') {
+        startToken(i); stack ::= new Frame; i += 1
+      } else if (c == ')') {
+        closePendings(0)
+        if (stack.tail.nonEmpty) stack = stack.tail
+        fr.lastNonWs = i; i += 1
+      } else if (c == ',' || c == ';') {
+        boundaryReset(); i += 1
+      } else if (c == '[') {
+        startToken(i)
+        var depth = 0; var j = i; var stop = -1
+        while (j < n && stop < 0) {
+          sqlIn.charAt(j) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) stop = j
+            case '\'' => j += 1; while (j < n && sqlIn.charAt(j) != '\'') j += 1
+            case _ =>
+          }
+          j += 1
+        }
+        fr.lastNonWs = if (stop >= 0) stop else n - 1
+        i = fr.lastNonWs + 1
+      } else if (c == '|' && i + 1 < n && sqlIn.charAt(i + 1) == '|') {
+        trigger(); i += 2
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (sqlIn.charAt(j).isLetterOrDigit || sqlIn.charAt(j) == '_')) j += 1
+        val word = sqlIn.substring(i, j).toUpperCase
+        word match {
+          case "ILIKE" => trigger()
+          case "CASE" =>
+            startToken(i)
+            fr.caseSaves ::= fr.segStart
+            fr.caseNest += 1
+          case "END" =>
+            closePendings(fr.caseNest)
+            fr.caseNest = math.max(0, fr.caseNest - 1)
+            fr.caseSaves match {
+              case h :: t => fr.segStart = h; fr.caseSaves = t
+              case Nil => if (fr.segStart < 0) fr.segStart = i
+            }
+            fr.lastNonWs = j - 1
+          case "NOT" =>
+            // NOT directly before ILIKE belongs to the predicate — keep
+            // the segment (and its end) so the operand wrap excludes NOT
+            var k = j
+            while (k < n && sqlIn.charAt(k).isWhitespace) k += 1
+            var m = k
+            while (m < n && m - k < 5 && sqlIn.charAt(m).isLetter) m += 1
+            if (!sqlIn.substring(k, m).equalsIgnoreCase("ILIKE")) boundaryReset()
+          case w if boundary(w) => boundaryReset()
+          case _ =>
+            startToken(i); fr.lastNonWs = j - 1
+        }
+        i = j
+      } else if (c == '=' || c == '<' || c == '>' || c == '!') {
+        // comparison operators bind looser than || in both grammars
+        boundaryReset(); i += 1
+      } else {
+        // + - * / % . digits: additive material stays in-segment
+        startToken(i); fr.lastNonWs = i; i += 1
+      }
+    }
+    while (stack.nonEmpty) { closePendings(0); stack = stack.tail }
+
+    if (edits.isEmpty) sqlIn
+    else {
+      val sb = new StringBuilder(n + edits.size * 16)
+      var prev = 0
+      for ((pos, txt) <- edits.sortBy(_._1)) {
+        sb.append(sqlIn.substring(prev, pos)).append(txt); prev = pos
+      }
+      sb.append(sqlIn.substring(prev, n))
+      sb.toString
+    }
+  }
+
   /** The rewrite the execution-path entry points use: the NOT-IN
     * variant when it analyzes, the plain SQL-semantics text when the
     * subquery turns out to be correlated (outer references cannot live
@@ -644,8 +800,11 @@ object GraftSql {
         val m = raw"(?is)^(.*\S)\s+AS\s+(INTEGER|INT|BIGINT|SMALLINT|TINYINT|FLOAT|REAL|DOUBLE)\s*$$".r
         val ms = raw"(?is)^(.*\S)\s+AS\s+(VARCHAR|STRING|TEXT)\s*$$".r
         args.head match {
-          // string targets render JS-style: String(2.0) = '2', not '2.0'
-          case ms(e, _) => s"graft_js_str(($e))"
+          // string targets render JS-style: String(2.0) = '2', not
+          // '2.0' — and objects/Dates via JSON.stringify (cast mode:
+          // CAST([1,2] AS VARCHAR) = '[1,2]', a Date casts to the
+          // QUOTED ISO form; evaluate.js:703-706)
+          case ms(e, _) => s"graft_js_cast_str(($e))"
           case m(e, t) =>
             val tgt = t.toUpperCase
             // JS Number('') = 0 — a blank string casts to ZERO, not null
@@ -915,6 +1074,51 @@ object GraftSql {
             s"split(${args(0)}, '$quoted')"
           } else s"split(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E'))"
         } else s"split(${args.mkString(", ")})")
+
+    // Every string function coerces its text arguments with JS
+    // String(v) (strings.js:66 `const str = String(val)`, :112
+    // REPLACE's search/replace args, :158-176 SPLIT_PART/STRING_SPLIT/
+    // INSTR): UPPER(2.0*3) is '6' and INSTR(1.0/2, '.') probes '0.5' —
+    // where Spark's implicit cast renders '6.0'/'1.0' and diverges on
+    // every whole-valued double. Wrap the string-ish args in
+    // graft_js_str (a no-op on strings, null-propagating). LENGTH and
+    // OCTET_LENGTH are STRICT in the reference (they error on
+    // non-strings, strings.js:38-56) — deliberately not wrapped.
+    // Placed AFTER the rewrites that generate these names (position →
+    // instr, string_split → split); strpos is wrapped here pre-rename
+    // (renames run last). Markers dodge rewriteCall's rescan.
+    locally {
+      val wraps: Seq[(String, Seq[String] => Seq[Int])] = Seq(
+        "upper" -> (a => if (a.length == 1) Seq(0) else Nil),
+        "lower" -> (a => if (a.length == 1) Seq(0) else Nil),
+        "trim" -> (a =>
+          if (a.length == 1 && raw"(?i)\bFROM\b".r.findFirstIn(a.head).isEmpty) Seq(0) else Nil),
+        "substring" -> (a =>
+          if (a.length >= 2) Seq(0)
+          else Nil), // FROM..FOR form has no top-level comma — pass through
+        "substr" -> (a => if (a.length >= 2) Seq(0) else Nil),
+        "replace" -> (a => if (a.length == 3) Seq(0, 1, 2) else Nil),
+        "left" -> (a => if (a.length == 2) Seq(0) else Nil),
+        "right" -> (a => if (a.length == 2) Seq(0) else Nil),
+        "split_part" -> (a => if (a.length == 3) Seq(0, 1) else Nil),
+        "split" -> (a => if (a.length == 2) Seq(0) else Nil),
+        "instr" -> (a => if (a.length == 2) Seq(0, 1) else Nil),
+        "strpos" -> (a => if (a.length == 2) Seq(0, 1) else Nil))
+      for ((f, pick) <- wraps) {
+        s = rewriteCall(s, f, args => {
+          val idx = pick(args).toSet
+          val out = args.zipWithIndex.map { case (a, i) =>
+            if (idx(i)) s"graft_js_str($a)" else a }
+          s"__jsw_${f}__(${out.mkString(", ")})"
+        })
+        s = s.replace(s"__jsw_${f}__(", f + "(")
+      }
+    }
+
+    // `a || b` and ILIKE operands coerce the same way (binary.js:27-30
+    // `String(a) + String(b)`, :57 LIKE's `String(a)`/`String(b)`):
+    // 'x' || 2.0 is 'x2' and 2.0 LIKE '2' is TRUE in the reference.
+    s = rewriteJsConcatOps(s)
 
     // Reference null ordering: nulls sort FIRST regardless of direction
     // unless NULLS LAST is explicit (execute/utils.js:19-23 — the null

@@ -139,7 +139,7 @@ object FuzzGen {
     if (d <= 0 || t.strs.isEmpty) {
       if (t.strs.isEmpty) s"'${pick(r, strLits)}'"
       else if (r.nextInt(5) == 0) s"'${pick(r, strLits)}'" else col
-    } else r.nextInt(12) match {
+    } else r.nextInt(13) match {
       case 0 => s"UPPER(${strExpr(r, t, q, d - 1)})"
       case 1 => s"LOWER(${strExpr(r, t, q, d - 1)})"
       case 2 => s"TRIM(${strExpr(r, t, q, d - 1)})"
@@ -151,6 +151,21 @@ object FuzzGen {
       case 8 => s"(${strExpr(r, t, q, d - 1)} || ${strExpr(r, t, q, d - 1)})"
       case 9 => s"CONCAT(${strExpr(r, t, q, d - 1)}, '-', ${strExpr(r, t, q, d - 1)})"
       case 10 => s"CASE WHEN ${boolExpr(r, t, q, d - 1)} THEN ${strExpr(r, t, q, d - 1)} ELSE ${strExpr(r, t, q, d - 1)} END"
+      case 11 => // JS String(v) coercion: numbers through || and string funcs
+        // IEEE-exact numerics only (arithmetic, not transcendentals) so
+        // both runtimes hold the same double and only rendering is probed
+        val num =
+          if (t.dbls.nonEmpty && r.nextBoolean())
+            s"($q${pick(r, t.dbls).name} / ${1 + r.nextInt(4)})"
+          else s"(${intExpr(r, t, q, 0)} / ${2 + r.nextInt(5)})"
+        r.nextInt(6) match {
+          case 0 => s"(${strExpr(r, t, q, 0)} || $num)"
+          case 1 => s"($num || '${pick(r, strLits)}')"
+          case 2 => s"UPPER($num)"
+          case 3 => s"LEFT($num, ${1 + r.nextInt(4)})"
+          case 4 => s"REPLACE($num, '.', ':')"
+          case _ => s"SPLIT_PART($num, '.', ${1 + r.nextInt(2)})"
+        }
       case _ => r.nextInt(6) match {
         case 0 => s"REGEXP_EXTRACT($col, '${pick(r, rePats)}')"
         case 1 => s"REGEXP_SUBSTR($col, '${pick(r, rePats)}', ${1 + r.nextInt(4)})"
@@ -175,7 +190,13 @@ object FuzzGen {
       case 1 => s"(${boolExpr(r, t, q, d - 1)} OR ${boolExpr(r, t, q, d - 1)})"
       case 2 => s"NOT (${boolExpr(r, t, q, d - 1)})"
       case 3 if t.strs.nonEmpty =>
-        s"$q${pick(r, t.strs).name} ${if (r.nextBoolean()) "" else "NOT "}LIKE '${pick(r, likePats)}'"
+        // occasionally probe numeric LIKE: both operands coerce via JS
+        // String(v) in the reference (binary.js:57), so 2.0 LIKE '2'
+        if (t.dbls.nonEmpty && r.nextInt(4) == 0)
+          s"($q${pick(r, t.dbls).name} / ${1 + r.nextInt(3)}) " +
+            s"${if (r.nextBoolean()) "" else "NOT "}LIKE '%${r.nextInt(10)}%'"
+        else
+          s"$q${pick(r, t.strs).name} ${if (r.nextBoolean()) "" else "NOT "}LIKE '${pick(r, likePats)}'"
       case 4 if t.ints.nonEmpty =>
         val c = pick(r, t.ints)
         val a = c.lo + r.nextInt(math.max(1, (c.hi - c.lo).toInt))

@@ -61,13 +61,15 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("json arrows inside HOF lambdas are left alone (no false rewrite)") {
+    // the lambda arrow survives; || operands pick up the JS-string
+    // coercion wrap like everywhere else (no-op on strings)
     assert(GraftSql.rewrite("SELECT list_transform(xs, x -> 'p' || x) FROM t")
-      == "SELECT transform(xs, x -> 'p' || x) FROM t")
+      == "SELECT transform(xs, x -> graft_js_str('p') || graft_js_str(x)) FROM t")
     assert(GraftSql.rewrite("SELECT transform(xs, x -> 0) FROM t")
       == "SELECT transform(xs, x -> 0) FROM t")
     // ...while a JSON arrow passed to a NON-HOF call still rewrites
     assert(GraftSql.rewrite("SELECT lower(j -> 'a') FROM t")
-      == "SELECT lower(get_json_object(j, '$.a')) FROM t")
+      == "SELECT lower(graft_js_str(get_json_object(j, '$.a'))) FROM t")
     // and executes: lambda bodies starting with a literal work end to end
     Seq((1L, "a b")).toDF("id", "s").createOrReplaceTempView("hof_t")
     val r = GraftSql.sql(spark,
@@ -135,7 +137,11 @@ class GraftSqlSpec extends SparkSpec {
         |  strftime(TIMESTAMP '2020-03-04 05:06:07', '%Y-%m-%d %H:%M:%S') AS f,
         |  strftime(TIMESTAMP '2020-03-04 05:06:07', '%j %% %y') AS f2""".stripMargin)
       .collect().head
-    assert(r.getAs[String]("ts") == "1970-01-02 00:00:00")
+    // CAST(timestamp AS STRING) follows the reference's JSON.stringify
+    // path: QUOTED ISO with millis (evaluate.js:703-706 + utils.js:158;
+    // probed: CAST(TIMESTAMP '1970-01-02 00:00:00' AS VARCHAR) returns
+    // the quotes in the value)
+    assert(r.getAs[String]("ts") == "\"1970-01-02T00:00:00.000Z\"")
     assert(r.getAs[String]("f") == "2020-03-04 05:06:07")
     assert(r.getAs[String]("f2") == "064 % 20")
   }
@@ -636,6 +642,50 @@ class GraftSqlSpec extends SparkSpec {
     val sa = GraftSql.sql(spark,
       "SELECT STRING_AGG(x, ',') AS s FROM (SELECT 2.0 AS x) t").collect().head
     assert(sa.getAs[String]("s") == "2")
+  }
+
+  test("fuzz-found JS string coercion: ||, ILIKE and string-function args") {
+    // reference binary.js:27-30: `a || b` is String(a) + String(b) —
+    // 'x' || 2.0 is 'x2'; strings.js:66 coerces every string function's
+    // first arg the same way (UPPER(6.0) = '6'); binary.js:57 coerces
+    // LIKE operands (2.0 LIKE '2' is TRUE). Arrays join JS-style under
+    // || ('1,2,' for [1,2,null]) but CAST as JSON ('[1,2,null]').
+    val r = GraftSql.sql(spark,
+      """SELECT 'x' || 2.0 AS a, 1.5 || 2.5 AS b, 'x' || NULL AS c,
+         UPPER(2.0*3) AS d, INSTR(1.0/2, '.') AS e, LEFT(123.456, 4) AS f,
+         REPLACE(12.5, '.', '_') AS g, SPLIT_PART(1.25, '.', 2) AS h,
+         2.0 LIKE '2' AS i,
+         CASE WHEN TRUE THEN 4.0 ELSE 1 END || 'z' AS j,
+         TRUE || 'q' AS k""").collect().head
+    assert(r.getAs[String]("a") == "x2")
+    assert(r.getAs[String]("b") == "1.52.5")
+    assert(r.getAs[String]("c") == null)
+    assert(r.getAs[String]("d") == "6")
+    assert(r.getAs[Int]("e") == 2) // String(1.0/2) = '0.5' — the dot sits at position 2
+    assert(r.getAs[String]("f") == "123.")
+    assert(r.getAs[String]("g") == "12_5")
+    assert(r.getAs[String]("h") == "25")
+    assert(r.getAs[Boolean]("i"))
+    assert(r.getAs[String]("j") == "4z")
+    assert(r.getAs[String]("k") == "trueq")
+    // precedence repair: the reference parses `x || a + b` as
+    // x || (a+b) (parseConcat over parseAdditive); Spark's grammar puts
+    // || at the SAME precedence as +, so ('x' || 1) + 2 would be null.
+    // The operand wrap parenthesizes the additive segment, restoring
+    // the reference grouping.
+    val p = GraftSql.sql(spark, "SELECT 'n-' || 1 + 2 AS a, 'm' || 1 - 2 AS b")
+      .collect().head
+    assert(p.getAs[String]("a") == "n-3")
+    assert(p.getAs[String]("b") == "m-1")
+    // array/timestamp stringification: JS join under ||, JSON under CAST
+    val arr = GraftSql.sql(spark,
+      """SELECT ARRAY_APPEND(ARRAY(1, 2), NULL) || '!' AS a,
+         CAST(ARRAY(1.5, 2.0) AS VARCHAR) AS b,
+         TIMESTAMP '1970-01-02 00:00:00' || '' AS c""").collect().head
+    assert(arr.getAs[String]("a") == "1,2,!")
+    assert(arr.getAs[String]("b") == "[1.5,2]")
+    assert(arr.getAs[String]("c") ==
+      "Fri Jan 02 1970 00:00:00 GMT+0000 (Coordinated Universal Time)")
   }
 
   test("deliberate divergence: three-valued NULL logic outside NOT IN") {

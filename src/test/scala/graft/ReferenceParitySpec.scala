@@ -213,9 +213,13 @@ class ReferenceParitySpec extends SparkSpec {
   }
 
   test("datetime and intervals (execute.datetime.test.js, execute.interval.test.js)") {
+    // CAST(timestamp AS STRING) is the JSON.stringify path in the
+    // reference — QUOTED ISO with millis (probed; evaluate.js:703-706).
+    // The previous expectation here pinned Spark's rendering, not the
+    // reference's — fixed by the JS-stringification work.
     checkOrdered(
       "SELECT CAST(TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 14 DAY AS STRING) AS d FROM users WHERE id = 1",
-      Seq(Seq("2025-01-15 00:00:00")))
+      Seq(Seq("\"2025-01-15T00:00:00.000Z\"")))
     checkOrdered(
       "SELECT DATE_DIFF('day', TIMESTAMP '2025-01-01 12:00:00', TIMESTAMP '2025-01-03 11:00:00') AS d FROM users WHERE id = 1",
       Seq(Seq(1)))
