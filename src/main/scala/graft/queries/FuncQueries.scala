@@ -356,6 +356,48 @@ object FuncQueries {
       }
     },
 
+    // ---- JS stringification through the DIALECT front-end ----------------
+    // The reference renders string-context values with ECMAScript
+    // String(v) (binary.js `||`, strings.js function-arg coercion,
+    // evaluate.js CAST): String(17.0) = '17', 17.0 LIKE '1%' is TRUE.
+    // The dialect text drives graft_js_str/graft_js_cast_str and the
+    // ||/ILIKE operand wraps; the DuckDB oracle spells the JS rendering
+    // explicitly (integral doubles drop the '.0', everything in this
+    // value range renders identically otherwise — both engines print
+    // shortest-round-trip digits).
+    QueryDef("q_js_render",
+      """WITH j AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |    CASE WHEN l_quantity = trunc(l_quantity)
+        |         THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+        |         ELSE CAST(l_quantity AS VARCHAR) END AS jq,
+        |    CASE WHEN l_quantity/2 = trunc(l_quantity/2)
+        |         THEN CAST(CAST(l_quantity/2 AS BIGINT) AS VARCHAR)
+        |         ELSE CAST(l_quantity/2 AS VARCHAR) END AS jh,
+        |    CASE WHEN l_quantity*2 = trunc(l_quantity*2)
+        |         THEN CAST(CAST(l_quantity*2 AS BIGINT) AS VARCHAR)
+        |         ELSE CAST(l_quantity*2 AS VARCHAR) END AS jd,
+        |    CASE WHEN l_quantity+0.5 = trunc(l_quantity+0.5)
+        |         THEN CAST(CAST(l_quantity+0.5 AS BIGINT) AS VARCHAR)
+        |         ELSE CAST(l_quantity+0.5 AS VARCHAR) END AS jp
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT k, ln, 'q' || jq AS a, jh AS b, jd AS c,
+        |  substr(jp, 1, 4) AS d, jq LIKE '1%' AS e
+        |FROM j ORDER BY k, ln""".stripMargin) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sql(s,
+          """SELECT l_orderkey AS k, l_linenumber AS ln,
+            |  'q' || l_quantity AS a,
+            |  CAST(l_quantity / 2 AS VARCHAR) AS b,
+            |  UPPER(l_quantity * 2) AS c,
+            |  LEFT(l_quantity + 0.5, 4) AS d,
+            |  l_quantity LIKE '1%' AS e
+            |FROM lineitem WHERE l_orderkey < 200
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      }
+    },
+
     // ---- Array functions --------------------------------------------------
     QueryDef("q_array_funcs",
       """SELECT vec_id,

@@ -316,7 +316,16 @@ object FuzzGen {
     val n = 1 + r.nextInt(3)
     val aggs = (0 until n).map(i => s"${aggExpr(r, t, 1)} AS c$i").mkString(", ")
     val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 2)} " else ""
-    val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(3)} " else ""
+    val having = if (r.nextInt(3) == 0) r.nextInt(3) match {
+      // arbitrary-aggregate HAVING, not just COUNT(*): the reference
+      // re-evaluates the aggregate expression over the group
+      case 0 => s"HAVING COUNT(*) >= ${1 + r.nextInt(3)} "
+      case 1 if t.ints.nonEmpty =>
+        s"HAVING ${pick(r, Seq("SUM", "MAX", "MIN"))}(${pick(r, t.ints).name}) " +
+          s"${pick(r, Seq(">=", ">", "<="))} ${r.nextInt(100)} "
+      case _ => s"HAVING COUNT(*) ${pick(r, Seq(">=", "<="))} ${1 + r.nextInt(4)} " +
+        s"${pick(r, Seq("AND", "OR"))} COUNT(*) >= ${r.nextInt(2)} "
+    } else ""
     val orderK = gks.indices.map(i => s"k$i").mkString(", ")
     // all three grouping-key spellings resolve in both engines:
     // expressions, ordinals, select-list aliases

@@ -309,6 +309,16 @@ class FuzzSpec extends SparkSpec {
         case (Right(_), Left(_)) => sparkOnly += 1; None
         case (Left(_), Right(_)) if dupAlias => ambiguous += 1; None
         case (Left(e), Right(_)) if strictness(e) => ambiguous += 1; None
+        case (Left(e), Right(rr)) if rr.isEmpty && e.contains("UNRESOLVED_COLUMN") =>
+          // LAZY-RESOLUTION boundary: the reference resolves columns per
+          // ROW at evaluation time ("Column not found (row 1)"), so a
+          // mutant whose WHERE filters out every row never evaluates its
+          // broken projection and "succeeds" with zero rows. Spark
+          // analyzes up front and rejects the query regardless of data —
+          // the correct behavior at scale (analysis errors before
+          // scanning 100 TB). Only the zero-row case can differ: with
+          // any surviving row the reference errors too (probed).
+          ambiguous += 1; None
         case (Left(e), Right(_)) =>
           // a query the reference runs but graft refuses is a USER-FACING
           // gap — the direction this battery exists to catch
