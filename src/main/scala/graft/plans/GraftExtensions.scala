@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_js_cast_str"), info("graft_js_cast_str"),
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head, castMode = true)))
+    ext.injectFunction((FunctionIdentifier("graft_size"), info("graft_size"),
+      (args: Seq[Expression]) => graft.functions.collection.SizeAny(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_sqdist"), info("graft_sqdist"),
       (args: Seq[Expression]) => graft.functions.vector.SqDistLong(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_cell"), info("graft_cell"),

@@ -45,16 +45,21 @@ object GraftSql {
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list" -> "collect_list",
-    "list_length" -> "size",
-    "len" -> "size",
+    // LEN/SIZE/CARDINALITY/LIST_LENGTH: array length with RUNTIME type
+    // dispatch — NULL for any non-array (evaluate.js:574-595), where
+    // Spark's size rejects non-arrays at analysis. graft_size matches.
+    "list_length" -> "graft_size",
+    "len" -> "graft_size",
+    "size" -> "graft_size",
+    "cardinality" -> "graft_size",
     "unnest" -> "explode",
     "countif" -> "count_if",
     "charindex" -> "position",
     "to_timestamp" -> "timestamp_seconds",
     "strftime" -> "graft_strftime",
-    "json_query" -> "get_json_object",
-    "json_value" -> "get_json_object",
-    "json_extract_string" -> "get_json_object",
+    // json_query/json_value/json_extract_string rewrite with PATH
+    // normalization in rewriteImpl (plain renames left unanchored
+    // paths silently NULL — registry-sweep finding)
     "array_to_string" -> "array_join",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
@@ -738,8 +743,18 @@ object GraftSql {
     // LATERAL VIEW JSON_EACH / scalar-position json_each: the map
     // explode spelled directly (LATERAL VIEW explode(...) t AS k, v
     // is native Spark)
-    s = rewriteCall(s, "json_each", args =>
-      s"explode(from_json(${args.mkString(", ")}, 'map<string,string>'))")
+    // JSON_EACH handles objects (key = field name) AND arrays (key =
+    // index; reference test/execute/execute.json.test.js:636). The
+    // object parse wins when non-null; otherwise the array parse
+    // builds an index→element map. One Spark column forces STRING keys
+    // for arrays where the reference's are numeric — the differential
+    // jsonBridge treats '0' ≡ 0, and hosts read keys positionally.
+    s = rewriteCall(s, "json_each", args => {
+      val x = args.mkString(", ")
+      s"explode(coalesce(from_json($x, 'map<string,string>'), " +
+        s"map_from_entries(transform(from_json($x, 'array<string>'), " +
+        s"(e, i) -> struct(cast(i AS string), e)))))"
+    })
 
     // ->> / -> json access chains (j -> 'a' ->> 0 ...) collapse into ONE
     // get_json_object with a combined path — both more efficient (one
@@ -871,17 +886,22 @@ object GraftSql {
       s"to_json(named_struct(${args.mkString(", ")}), map('ignoreNullFields', 'false'))")
     // JSON_EXTRACT(j, path): get_json_object requires the $ anchor the
     // reference treats as optional — normalize literal paths
-    s = rewriteCall(s, "json_extract", args =>
-      if (args.length == 2) {
-        val p = args(1)
-        val norm =
-          if (p.startsWith("'") && p.endsWith("'") && !p.startsWith("'$")) {
-            val body = p.substring(1, p.length - 1)
-            val anchored = if (body.startsWith("[")) s"$$$body" else s"$$.$body"
-            s"'$anchored'"
-          } else p
-        s"get_json_object(${args(0)}, $norm)"
-      } else s"json_extract_unsupported(${args.mkString(", ")})")
+    // unanchored-path normalization, shared by the whole JSON access
+    // family: the reference accepts 'a' / 'a.b' / '[0]' paths, Spark's
+    // get_json_object needs the '$.' anchor (an unanchored path is
+    // silently NULL — the registry sweep caught JSON_VALUE/JSON_QUERY
+    // passing paths through unanchored via their old plain renames)
+    def normJsonPath(p: String): String =
+      if (p.startsWith("'") && p.endsWith("'") && !p.startsWith("'$")) {
+        val body = p.substring(1, p.length - 1)
+        val anchored = if (body.startsWith("[")) s"$$$body" else s"$$.$body"
+        s"'$anchored'"
+      } else p
+    for (f <- Seq("json_extract", "json_value", "json_query", "json_extract_string"))
+      s = rewriteCall(s, f, args =>
+        if (args.length == 2)
+          s"get_json_object(${args(0)}, ${normJsonPath(args(1))})"
+        else s"${f}_unsupported(${args.mkString(", ")})")
 
     // regexp_split_to_table(x, p) → explode(split(x, p))
     s = rewriteCall(s, "regexp_split_to_table", args =>
@@ -903,7 +923,7 @@ object GraftSql {
     // arrays — no generator for those exists in this dialect's sources)
     s = rewriteCall(s, "array_length", args =>
       if (args.length == 1 || (args.length == 2 && args(1).trim == "1"))
-        s"size(${args(0)})"
+        s"graft_size(${args(0)})"
       else s"array_length_dim_unsupported(${args.mkString(", ")})")
 
     // ARRAY_POSITION / LIST_POSITION return NULL when absent in the

@@ -358,6 +358,170 @@ class FuzzSpec extends SparkSpec {
     assert(problems.isEmpty, s"${problems.length} problem(s):\n${problems.take(10).mkString("\n")}")
   }
 
+  test("reference registry sweep: every public function has a canonical agreeing call") {
+    assume(nodeOk, "node not available")
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // the list is read from the reference AT TEST TIME, so a function
+    // added there without a canonical call here fails the sweep
+    val registry: Seq[String] = {
+      val p = java.nio.file.Paths.get("/root/reference/src/validation/functions.js")
+      assume(java.nio.file.Files.exists(p), "reference source not available")
+      raw"(?m)^  ([A-Z_0-9]+):".r
+        .findAllMatchIn(java.nio.file.Files.readString(p)).map(_.group(1)).toSeq.distinct
+    }
+    def n(expr: String) =
+      s"SELECT n_nationkey AS k, $expr AS v FROM f_nation ORDER BY k"
+    def o(expr: String) = s"SELECT $expr AS v FROM f_nation WHERE n_nationkey = 3"
+    def a(expr: String) = s"SELECT $expr AS v FROM f_nation"
+    val arr = "STRING_SPLIT(n_name, 'A')"
+    val poly = "ST_GEOMFROMTEXT('POLYGON((0 0,10 0,10 10,0 10,0 0))')"
+    val inner = "ST_GEOMFROMTEXT('POLYGON((2 2,8 2,8 8,2 8,2 2))')"
+    val pt = "ST_GEOMFROMTEXT('POINT(5 5)')"
+    val diffable: Map[String, String] = Map(
+      "ABS" -> n("ABS(n_nationkey - 12)"),
+      "ACOS" -> n("ACOS(n_regionkey / 4)"),
+      "ASIN" -> n("ASIN(n_regionkey / 4)"),
+      "ATAN" -> n("ATAN(n_nationkey)"),
+      "ATAN2" -> n("ATAN2(n_nationkey - 12, 3)"),
+      "COS" -> n("COS(n_nationkey)"),
+      "SIN" -> n("SIN(n_nationkey)"),
+      "TAN" -> n("TAN(n_nationkey)"),
+      "COT" -> n("COT(n_nationkey + 1)"),
+      "CEIL" -> n("CEIL(n_nationkey / 4)"),
+      "CEILING" -> n("CEILING(n_nationkey / 3)"),
+      "FLOOR" -> n("FLOOR(n_nationkey / 4)"),
+      "DEGREES" -> n("DEGREES(n_nationkey)"),
+      "RADIANS" -> n("RADIANS(n_nationkey * 10)"),
+      "EXP" -> n("EXP(n_regionkey)"),
+      "LN" -> n("LN(n_nationkey + 1)"),
+      "LOG10" -> n("LOG10(n_nationkey + 1)"),
+      "MOD" -> n("MOD(n_nationkey, 7)"),
+      "PI" -> o("PI()"),
+      "POW" -> n("POW(n_nationkey, 2)"),
+      "POWER" -> n("POWER(2, n_regionkey)"),
+      "ROUND" -> n("ROUND(n_nationkey / 7, 2)"),
+      "SIGN" -> n("SIGN(n_nationkey - 12)"),
+      "SQRT" -> n("SQRT(n_nationkey)"),
+      "GREATEST" -> n("GREATEST(n_nationkey, n_regionkey * 5)"),
+      "LEAST" -> n("LEAST(n_nationkey, n_regionkey * 5)"),
+      "NULLIF" -> n("NULLIF(MOD(n_nationkey, 5), 0)"),
+      "COALESCE" -> n("COALESCE(NULLIF(MOD(n_nationkey, 5), 0), -1)"),
+      "CONCAT" -> n("CONCAT(n_name, '-', n_regionkey)"),
+      "INSTR" -> n("INSTR(n_name, 'A')"),
+      "LEFT" -> n("LEFT(n_name, 3)"),
+      "RIGHT" -> n("RIGHT(n_name, 3)"),
+      "LOWER" -> n("LOWER(n_name)"),
+      "UPPER" -> n("UPPER(n_name)"),
+      "LENGTH" -> n("LENGTH(n_name)"),
+      // LEN/SIZE/CARDINALITY are ARRAY length with runtime dispatch:
+      // NULL on a string in the reference — graft_size mirrors that
+      "LEN" -> n(s"LEN($arr) + LEN(n_name)"),
+      "SIZE" -> n(s"SIZE($arr)"),
+      "CARDINALITY" -> n(s"CARDINALITY($arr)"),
+      "OCTET_LENGTH" -> n("OCTET_LENGTH(n_name)"),
+      "POSITION" -> n("POSITION(n_name, 'A')"),
+      "REPLACE" -> n("REPLACE(n_name, 'A', '_')"),
+      "SPLIT_PART" -> n("SPLIT_PART(n_name, ' ', 1)"),
+      "STRING_SPLIT" -> n(arr),
+      "STRPOS" -> n("STRPOS(n_name, 'N')"),
+      "SUBSTR" -> n("SUBSTR(n_name, 2, 3)"),
+      "SUBSTRING" -> n("SUBSTRING(n_name, 2, 3)"),
+      "TRIM" -> n("TRIM(CONCAT(' ', n_name, ' '))"),
+      "REGEXP_EXTRACT" -> n("REGEXP_EXTRACT(n_name, '[A-Z]+')"),
+      "REGEXP_MATCHES" -> n("REGEXP_MATCHES(n_name, 'A.')"),
+      "REGEXP_REPLACE" -> n("REGEXP_REPLACE(n_name, '[AEIOU]', '.')"),
+      "REGEXP_SUBSTR" -> n("REGEXP_SUBSTR(n_name, '[A-Z]{2}')"),
+      "DATEDIFF" -> o("DATEDIFF('day', '2024-01-01', '2024-03-05')"),
+      "DATE_DIFF" -> o("DATE_DIFF('day', '2024-01-01', '2024-03-05')"),
+      "DATE_PART" -> o("DATE_PART('month', '2024-03-05')"),
+      "DATE_TRUNC" -> o("DATE_PART('year', DATE_TRUNC('year', '2024-03-05'))"),
+      "EPOCH" -> o("EPOCH(CAST('2024-01-05 00:00:00' AS TIMESTAMP))"),
+      "EXTRACT" -> o("EXTRACT(YEAR FROM CAST('2024-03-05 00:00:00' AS TIMESTAMP))"),
+      "JSON_EXTRACT" -> o("JSON_EXTRACT('{\"a\": 5}', 'a')"),
+      "JSON_VALUE" -> o("JSON_VALUE('{\"a\": \"x\"}', 'a')"),
+      "JSON_QUERY" -> o("JSON_QUERY('{\"a\": {\"b\": 1}}', 'a')"),
+      "JSON_ARRAY_LENGTH" -> o("JSON_ARRAY_LENGTH('[1,2,3]') + JSON_ARRAY_LENGTH('{\"a\":1}')"),
+      "JSON_KEYS" -> o("JSON_KEYS('{\"a\":1,\"b\":2}')"),
+      "JSON_OBJECT" -> o("JSON_OBJECT('k', 7)"),
+      "JSON_TYPE" -> o("LOWER(JSON_TYPE('[1,2]'))"),
+      "JSON_VALID" -> o("JSON_VALID('{\"a\":1}')"),
+      "ARRAY_APPEND" -> n(s"ARRAY_APPEND($arr, 'z')"),
+      "ARRAY_CONCAT" -> n(s"ARRAY_CONCAT($arr, STRING_SPLIT(n_name, 'E'))"),
+      "ARRAY_CONTAINS" -> n(s"ARRAY_CONTAINS(STRING_SPLIT(n_name, 'N'), 'A')"),
+      "ARRAY_LENGTH" -> n(s"ARRAY_LENGTH($arr)"),
+      "ARRAY_POSITION" -> n(s"ARRAY_POSITION($arr, 'RGENTIN')"),
+      "ARRAY_SORT" -> n(s"ARRAY_SORT($arr)"),
+      "LIST_APPEND" -> n(s"LIST_APPEND($arr, 'q')"),
+      "LIST_CONCAT" -> n(s"LIST_CONCAT($arr, $arr)"),
+      "LIST_CONTAINS" -> n(s"LIST_CONTAINS($arr, 'RGENTIN')"),
+      "LIST_LENGTH" -> n(s"LIST_LENGTH($arr)"),
+      "LIST_POSITION" -> n(s"LIST_POSITION($arr, 'nope')"),
+      "AVG" -> a("ROUND(AVG(n_nationkey), 6)"),
+      "COUNT" -> a("COUNT(*)"),
+      "COUNTIF" -> a("COUNTIF(n_regionkey = 2)"),
+      "MAX" -> a("MAX(n_nationkey)"),
+      "MIN" -> a("MIN(n_name)"),
+      "SUM" -> a("SUM(n_nationkey)"),
+      "MEDIAN" -> a("MEDIAN(n_nationkey)"),
+      "STDDEV_POP" -> a("ROUND(STDDEV_POP(n_nationkey), 6)"),
+      "STDDEV_SAMP" -> a("ROUND(STDDEV_SAMP(n_nationkey), 6)"),
+      "PERCENTILE_CONT" -> a("PERCENTILE_CONT(0.25, n_nationkey)"),
+      "APPROX_QUANTILE" -> a("APPROX_QUANTILE(n_nationkey, 0.5)"),
+      "STRING_AGG" -> a("LENGTH(STRING_AGG(n_name, ','))"),
+      "ARRAY_AGG" -> a("ARRAY_SORT(ARRAY_AGG(n_regionkey))"),
+      "LIST" -> a("ARRAY_SORT(LIST(n_regionkey))"),
+      "ROW_NUMBER" ->
+        n("ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey)"),
+      "LAG" -> n("LAG(n_nationkey, 1, -1) OVER (ORDER BY n_nationkey)"),
+      "LEAD" -> n("LEAD(n_nationkey, 2, -1) OVER (ORDER BY n_nationkey)"),
+      "ST_GEOMFROMTEXT" -> o(s"ST_CONTAINS($poly, $pt)"),
+      "ST_CONTAINS" -> o(s"ST_CONTAINS($poly, $inner)"),
+      "ST_CONTAINSPROPERLY" -> o(s"ST_CONTAINSPROPERLY($poly, $inner)"),
+      "ST_WITHIN" -> o(s"ST_WITHIN($inner, $poly)"),
+      "ST_INTERSECTS" -> o(s"ST_INTERSECTS($poly, $inner)"),
+      "ST_OVERLAPS" -> o(s"ST_OVERLAPS($poly, ST_GEOMFROMTEXT('POLYGON((5 5,15 5,15 15,5 15,5 5))'))"),
+      "ST_TOUCHES" -> o(s"ST_TOUCHES($poly, ST_GEOMFROMTEXT('POLYGON((10 0,20 0,20 10,10 10,10 0))'))"),
+      "ST_EQUALS" -> o(s"ST_EQUALS($poly, $poly)"),
+      "ST_CROSSES" -> o(s"ST_CROSSES(ST_GEOMFROMTEXT('LINESTRING(-5 5,15 5)'), $poly)"),
+      "ST_COVERS" -> o(s"ST_COVERS($poly, $inner)"),
+      "ST_COVEREDBY" -> o(s"ST_COVEREDBY($inner, $poly)"),
+      "ST_DWITHIN" -> o(s"ST_DWITHIN($pt, ST_GEOMFROMTEXT('POINT(8 5)'), 4)"),
+      "ST_MAKEENVELOPE" -> o(s"ST_CONTAINS(ST_MAKEENVELOPE(0, 0, 10, 10), $pt)"),
+      "ST_ASTEXT" -> o(s"ST_ASTEXT($pt)"),
+      "UNNEST" -> "SELECT v FROM UNNEST(STRING_SPLIT('a b c', ' ')) AS u(v)",
+      "EXPLODE" -> "SELECT v FROM EXPLODE(STRING_SPLIT('x y z', ' ')) AS u(v)",
+      "JSON_EACH" -> "SELECT value AS v FROM JSON_EACH('[3,1,2]') ORDER BY v")
+    // nondeterministic by nature — resolving through analysis is the contract
+    val validateOnly: Map[String, String] = Map(
+      "RAND" -> o("(RAND() >= 0)"),
+      "RANDOM" -> o("(RANDOM() >= 0)"),
+      "CURRENT_DATE" -> o("(LENGTH(CAST(CURRENT_DATE AS VARCHAR)) >= 10)"),
+      "CURRENT_TIME" -> o("(LENGTH(CAST(CURRENT_TIME AS VARCHAR)) >= 8)"),
+      "CURRENT_TIMESTAMP" -> o("(LENGTH(CAST(CURRENT_TIMESTAMP AS VARCHAR)) >= 19)"),
+      "JSON_ARRAYAGG" -> a("JSON_ARRAYAGG(n_regionkey)")) // pinned in GraftSqlSpec aliases
+    val missing = registry.filterNot(f => diffable.contains(f) || validateOnly.contains(f))
+    assert(missing.isEmpty, s"registry functions without a canonical call: $missing")
+    val qs = diffable.toSeq.sortBy(_._1)
+    val refs = runReference(qs.map(_._2))
+    val problems = qs.zip(refs).flatMap { case ((f, q), ref) =>
+      (runSpark(q), ref) match {
+        case (Right(s), Right(r)) =>
+          val same = s.length == r.length && s.zip(r).forall { case (x, y) =>
+            x.keySet == y.keySet &&
+              x.keySet.forall(k => vEq(x(k), y(k), jsonBridge = true))
+          }
+          if (same) None else Some(s"$f: results differ (${s.length} vs ${r.length} rows)\n  $q")
+        case (Left(e), _) => Some(s"$f: spark ERROR ${e.take(160)}\n  $q")
+        case (_, Left(e)) => Some(s"$f: reference ERROR ${e.take(160)}\n  $q")
+      }
+    }
+    assert(problems.isEmpty, s"${problems.length} problem(s):\n${problems.mkString("\n")}")
+    validateOnly.toSeq.sortBy(_._1).foreach { case (f, q) =>
+      assert(GraftSql.validate(spark, q).isRight, s"$f failed validate: $q")
+    }
+    info(s"registry=${registry.size} diffable=${diffable.size} validateOnly=${validateOnly.size}")
+  }
+
   test("fuzz corpus also exercises validate/tables/maxRows without crashing") {
     assume(nodeOk, "node not available")
     val queries = FuzzGen.queries(seed = 7L, n = 60)
