@@ -133,6 +133,34 @@ object Wkt {
   }
 }
 
+/** GeoJSON text codec — the reference's client-visible geometry
+  * representation (its evaluator passes GeoJSON objects straight through
+  * to collect; reference: src/spatial/spatial.js:84-100 reads
+  * `{type, coordinates}` / `GeometryCollection.geometries`). Whole-number
+  * ordinates render without a decimal point, like JS JSON.stringify.
+  */
+object GeoJson {
+  import Geom._
+
+  private def num(v: Double): String =
+    if (v == v.toLong && math.abs(v) < 1e15) v.toLong.toString else v.toString
+  private def pt(p: Pt): String = s"[${num(p.x)},${num(p.y)}]"
+  private def ring(ps: Seq[Pt]): String = ps.map(pt).mkString("[", ",", "]")
+  private def rings(rs: Seq[Seq[Pt]]): String = rs.map(ring).mkString("[", ",", "]")
+
+  def write(g: Geom): String = g match {
+    case Point(p) => s"""{"type":"Point","coordinates":${pt(p)}}"""
+    case MultiPoint(ps) => s"""{"type":"MultiPoint","coordinates":${ring(ps)}}"""
+    case LineString(ps) => s"""{"type":"LineString","coordinates":${ring(ps)}}"""
+    case MultiLineString(ls) => s"""{"type":"MultiLineString","coordinates":${rings(ls)}}"""
+    case Polygon(rs) => s"""{"type":"Polygon","coordinates":${rings(rs)}}"""
+    case MultiPolygon(ps) =>
+      s"""{"type":"MultiPolygon","coordinates":${ps.map(rings).mkString("[", ",", "]")}}"""
+    case Collection(gs) =>
+      s"""{"type":"GeometryCollection","geometries":${gs.map(write).mkString("[", ",", "]")}}"""
+  }
+}
+
 /** Compact binary codec: tag byte + counts + packed doubles. Used as the
   * on-wire geometry type between Catalyst expressions (BinaryType).
   */

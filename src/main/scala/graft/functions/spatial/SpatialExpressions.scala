@@ -57,6 +57,25 @@ object SpatialExpressions {
       copy(child = newChild)
   }
 
+  /** Geometry (binary or WKT text) → GeoJSON text — the reference's
+    * client-visible geometry shape (spatial.js `{type, coordinates}`).
+    * GraftSql renders every binary output column through this, so a
+    * dialect user selecting a constructed geometry sees standard
+    * GeoJSON, never the engine's internal codec bytes.
+    */
+  case class StAsGeoJson(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "st_asgeojson"
+    override def nullSafeEval(input: Any): Any = {
+      val g = toGeom(input)
+      if (g == null) null else UTF8String.fromString(GeoJson.write(g))
+    }
+    override protected def withNewChildInternal(newChild: Expression): StAsGeoJson =
+      copy(child = newChild)
+  }
+
   case class StMakeEnvelope(xmin: Expression, ymin: Expression, xmax: Expression, ymax: Expression)
       extends QuaternaryExpression with CodegenFallback {
     override def first: Expression = xmin

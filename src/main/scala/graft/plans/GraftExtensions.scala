@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => StGeomFromText(args.head)))
     ext.injectFunction((FunctionIdentifier("st_astext"), info("st_astext"),
       (args: Seq[Expression]) => StAsText(args.head)))
+    ext.injectFunction((FunctionIdentifier("st_asgeojson"), info("st_asgeojson"),
+      (args: Seq[Expression]) => StAsGeoJson(args.head)))
     ext.injectFunction((FunctionIdentifier("st_makeenvelope"), info("st_makeenvelope"),
       (args: Seq[Expression]) => StMakeEnvelope(args(0), args(1), args(2), args(3))))
     ext.injectFunction((FunctionIdentifier("st_dwithin"), info("st_dwithin"),
@@ -44,6 +46,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head, castMode = true)))
     ext.injectFunction((FunctionIdentifier("graft_size"), info("graft_size"),
       (args: Seq[Expression]) => graft.functions.collection.SizeAny(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_length"), info("graft_length"),
+      (args: Seq[Expression]) => graft.functions.collection.LengthAny(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_size_dim"), info("graft_size_dim"),
+      (args: Seq[Expression]) => graft.functions.collection.SizeDim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_json_input"), info("graft_json_input"),
+      (args: Seq[Expression]) => graft.functions.collection.JsonInputText(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_get"), info("graft_get"),
+      (args: Seq[Expression]) => graft.functions.collection.GetAny(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_json_valid_any"), info("graft_json_valid_any"),
+      (args: Seq[Expression]) => graft.functions.collection.JsonValidAny(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_array_position"), info("graft_array_position"),
+      (args: Seq[Expression]) => graft.functions.collection.ArrayPositionAny(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_array_contains"), info("graft_array_contains"),
+      (args: Seq[Expression]) => graft.functions.collection.ArrayContainsAny(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_array_sort"), info("graft_array_sort"),
+      (args: Seq[Expression]) => graft.functions.collection.ArraySortAny(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_array_append"), info("graft_array_append"),
+      (args: Seq[Expression]) => graft.functions.collection.ArrayAppendAny(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_array_concat"), info("graft_array_concat"),
+      (args: Seq[Expression]) => graft.functions.collection.ArrayConcatAny(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_sqdist"), info("graft_sqdist"),
       (args: Seq[Expression]) => graft.functions.vector.SqDistLong(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_cell"), info("graft_cell"),

@@ -37,11 +37,17 @@ object GraftSql {
     "regexp_split_to_array" -> "split",
     "strlen" -> "octet_length",
     "list_value" -> "array",
-    "list_contains" -> "array_contains",
+    // the array family dispatches at RUNTIME in the reference — NULL
+    // for any non-array input (evaluate.js:596-635) — where Spark's
+    // builtins reject at analysis; the graft_array_* expressions match
+    "list_contains" -> "graft_array_contains",
+    "array_contains" -> "graft_array_contains",
     "list_distinct" -> "array_distinct",
-    "list_sort" -> "array_sort",
-    "list_append" -> "array_append",
-    "list_concat" -> "concat",
+    "list_sort" -> "graft_array_sort",
+    "array_sort" -> "graft_array_sort",
+    "list_append" -> "graft_array_append",
+    "array_append" -> "graft_array_append",
+    "list_concat" -> "graft_array_concat",
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list" -> "collect_list",
@@ -68,9 +74,9 @@ object GraftSql {
     // instr has the SAME argument order. (position is handled as a
     // 2-arg rewrite below: Spark's position(substr, str) is REVERSED.)
     "strpos" -> "instr",
-    // reference ARRAY_CONCAT(a, b) (src/expression/evaluate.js:616);
-    // Spark spells it concat
-    "array_concat" -> "concat",
+    // reference ARRAY_CONCAT(a, b) (src/expression/evaluate.js:616)
+    // is NULL for any non-array side — never string concatenation
+    "array_concat" -> "graft_array_concat",
     "ord" -> "ascii")
 
   /** Index of the `)` matching the `(` at `open` (skips quoted strings),
@@ -86,6 +92,28 @@ object GraftSql {
           while (i < s.length && s.charAt(i) != '\'') i += 1
         case '(' => depth += 1
         case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the `]` matching the `[` at `open` (skips quoted strings),
+    * or -1 when unbalanced.
+    */
+  private def matchBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '[' => depth += 1
+        case ']' =>
           depth -= 1
           if (depth == 0) return i
         case _ =>
@@ -155,6 +183,46 @@ object GraftSql {
             if (close < 0) return s
             val args = splitTopLevel(s.substring(open + 1, close))
             s = s.substring(0, start) + f(args) + s.substring(close + 1)
+            searchFrom = 0
+          }
+      }
+      guard += 1
+    }
+    s
+  }
+
+  /** Like rewriteCall, but also captures a trailing `FILTER (WHERE ...)`
+    * clause so the builder can fold it INSIDE the rewritten aggregate —
+    * needed when the aggregate ends up nested in a non-aggregate wrapper
+    * (to_json/transform), which reject a FILTER suffix.
+    */
+  private def rewriteAggFilter(sql: String, fname: String,
+                               f: (Seq[String], Option[String]) => String): String = {
+    val pat = raw"(?i)\b$fname\s*\(".r
+    val filterPat = raw"(?is)^\s*FILTER\s*\(".r
+    var s = sql
+    var guard = 0
+    var searchFrom = 0
+    while (guard < 1000) {
+      pat.findFirstMatchIn(s.substring(searchFrom)) match {
+        case None => return s
+        case Some(m0) =>
+          val start = searchFrom + m0.start
+          val open = searchFrom + m0.end - 1
+          if (inLiteral(s, start)) searchFrom = open + 1
+          else {
+            val close = matchParen(s, open)
+            if (close < 0) return s
+            val args = splitTopLevel(s.substring(open + 1, close))
+            val rest = s.substring(close + 1)
+            val (filt, consumedEnd) = filterPat.findFirstMatchIn(rest) match {
+              case Some(fm) =>
+                val fOpen = close + 1 + fm.end - 1
+                val fClose = matchParen(s, fOpen)
+                if (fClose < 0) (None, close) else (Some(s.substring(fOpen, fClose + 1)), fClose)
+              case None => (None, close)
+            }
+            s = s.substring(0, start) + f(args, filt) + s.substring(consumedEnd + 1)
             searchFrom = 0
           }
       }
@@ -367,50 +435,203 @@ object GraftSql {
     * exploding the object as a map.
     */
   private def rewriteCommaTvf(sql: String): String = {
-    val pat = raw"(?i),\s*(UNNEST|EXPLODE|JSON_EACH)\s*\(".r
+    // TVF spellings the reference accepts (src/parse/joins.js):
+    //   FROM t, TVF(x) [AS] a[(cols)]                — implicit CROSS JOIN LATERAL
+    //   FROM t [CROSS|INNER|LEFT] JOIN TVF(x) [AS] a[(cols)] [ON cond]
+    //   FROM TVF(x) [AS] a[(cols)]                   — table-function scan
+    // Default output columns follow the reference (parse.js:543-546):
+    // the function name lowercased, or (key, value) for JSON_EACH. A
+    // TVF alias with ONE output column also answers DOT/subscript
+    // access to the element's fields (`tc.name` over exploded structs)
+    // — the post-pass qualifies those through the column.
+    val pat = raw"(?i)(,|\bFROM\b|\b(?:(?:CROSS|INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\b)\s*(UNNEST|EXPLODE|JSON_EACH)\s*\(".r
     val kw = Set("where", "group", "order", "limit", "offset", "join",
       "inner", "left", "right", "full", "cross", "lateral", "union",
       "intersect", "except", "on", "having")
     val aliasRe =
       raw"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?".r
+    val onRe = raw"(?is)^\s*ON\s+".r
+    val clauseEnd = raw"(?i)\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bJOIN\b|\bINNER\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bCROSS\b".r
+    // TVF aliases that expose a single default column: dot/subscript
+    // access through the alias must route through that column
+    val singleCol = scala.collection.mutable.ListBuffer[(String, String)]()
     var s = sql
     var guard = 0
     var from = 0
-    while (guard < 200) {
+    var continue = true
+    while (continue && guard < 200) {
+      guard += 1
       pat.findFirstMatchIn(s.substring(from)) match {
-        case None => return s
+        case None => continue = false
         case Some(m) =>
           val start = from + m.start
           if (inLiteral(s, start)) from = start + 1
           else {
-            val fname = m.group(1).toUpperCase
+            val sep = m.group(1).trim.toUpperCase
+            val fname = m.group(2).toUpperCase
             val open = from + m.end - 1
             val close = matchParen(s, open)
-            if (close < 0) return s
-            val args = s.substring(open + 1, close)
-            val rest = s.substring(close + 1)
-            val (alias, cols, consumed) = aliasRe.findFirstMatchIn(rest) match {
-              case Some(am) if !kw.contains(am.group(1).toLowerCase) =>
-                val cs = Option(am.group(2)).map(_.stripPrefix("(").stripSuffix(")")
-                  .split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
-                (am.group(1), cs, am.end)
-              case _ => (s"__tvf$guard", Seq.empty[String], 0)
+            if (close < 0) continue = false
+            else {
+              val args = s.substring(open + 1, close)
+              val rest = s.substring(close + 1)
+              val (alias, cols, consumed0) = aliasRe.findFirstMatchIn(rest) match {
+                case Some(am) if !kw.contains(am.group(1).toLowerCase) =>
+                  val cs = Option(am.group(2)).map(_.stripPrefix("(").stripSuffix(")")
+                    .split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+                  (am.group(1), cs, am.end)
+                case _ => (s"__tvf$guard", Seq.empty[String], 0)
+              }
+              // optional ON <cond> after a JOIN form — the condition runs
+              // to the next top-level clause keyword or comma
+              val afterAlias = rest.substring(consumed0)
+              // Option[(condition text, chars consumed from afterAlias)]
+              val onParsed: Option[(String, Int)] = onRe.findFirstMatchIn(afterAlias).map { om =>
+                val condStart = om.end
+                var i = condStart
+                var depth = 0
+                var end = afterAlias.length
+                var scanning = true
+                while (scanning && i < afterAlias.length) {
+                  afterAlias.charAt(i) match {
+                    case '\'' => i += 1; while (i < afterAlias.length && afterAlias.charAt(i) != '\'') i += 1
+                    case '(' => depth += 1
+                    case ')' => depth -= 1
+                    case ',' if depth == 0 => end = i; scanning = false
+                    case c if depth == 0 && c.isLetter =>
+                      clauseEnd.findPrefixMatchOf(afterAlias.subSequence(i, afterAlias.length)) match {
+                        case Some(_) if i > condStart => end = i; scanning = false
+                        case _ => while (i + 1 < afterAlias.length && afterAlias.charAt(i + 1).isLetterOrDigit) i += 1
+                      }
+                    case _ =>
+                  }
+                  if (scanning) i += 1
+                }
+                (afterAlias.substring(condStart, end).trim, end)
+              }
+              val onCond = onParsed.map(_._1)
+              val consumed = consumed0 + onParsed.map(_._2).getOrElse(0)
+              val defCols =
+                if (fname == "JSON_EACH") Seq("key", "value") else Seq(fname.toLowerCase)
+              // a written alias list names the FIRST columns (the
+              // reference's j(k) form); the rest keep their defaults
+              val colList =
+                if (cols.isEmpty) defCols
+                else cols ++ defCols.drop(cols.length)
+              if (cols.isEmpty && colList.size == 1) singleCol += alias -> colList.head
+              val inner =
+                if (fname == "JSON_EACH") {
+                  val x = s"graft_json_input($args)"
+                  s"explode(coalesce(from_json($x, 'map<string,string>'), " +
+                    s"map_from_entries(transform(from_json($x, 'array<string>'), " +
+                    s"(e, i) -> struct(cast(i AS string), e)))))"
+                } else s"explode($args)"
+              val aliased = s"$inner AS $alias(${colList.mkString(", ")})"
+              val replacement = sep match {
+                case "FROM" => s"FROM $aliased"
+                case "," => s", LATERAL $aliased"
+                case j if onCond.forall(_.equalsIgnoreCase("TRUE")) && !j.startsWith("LEFT") =>
+                  s", LATERAL $aliased" // inner join ON TRUE ≡ cross lateral
+                case j =>
+                  val prefix = if (j.startsWith("LEFT")) "LEFT " else ""
+                  s"${prefix}JOIN LATERAL (SELECT * FROM $aliased) AS $alias ON ${onCond.getOrElse("TRUE")}"
+              }
+              s = s.substring(0, start) + replacement + s.substring(close + 1 + consumed)
+              from = 0
             }
-            val defCols =
-              if (fname == "JSON_EACH") Seq("key", "value") else Seq(fname.toLowerCase)
-            val colList = if (cols.nonEmpty) cols else defCols
-            val inner =
-              if (fname == "JSON_EACH")
-                s"explode(from_json($args, 'map<string,string>'))"
-              else s"explode($args)"
-            s = s.substring(0, start) +
-              s", LATERAL $inner AS $alias(${colList.mkString(", ")})" +
-              s.substring(close + 1 + consumed)
-            from = 0
           }
       }
-      guard += 1
     }
+    // dot/subscript access through a single-column TVF alias: `tc.name`
+    // over exploded structs means field access on the element column
+    singleCol.foreach { case (alias, col) =>
+      s = raw"(?i)\b($alias)\.(?!$col\b)([A-Za-z_]\w*)".r.replaceSomeIn(s, m =>
+        if (inLiteral(m.source.toString, m.start)) None
+        else Some(scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.$col.${m.group(2)}")))
+      s = raw"(?i)\b($alias)\[".r.replaceSomeIn(s, m =>
+        if (inLiteral(m.source.toString, m.start)) None
+        else Some(scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.$col[")))
+    }
+    s
+  }
+
+  /** The [start, end) span of the TOP-LEVEL select list (first SELECT at
+    * paren-depth 0 up to its FROM), or None for non-SELECT-headed text.
+    */
+  private def topSelectSpan(s: String): Option[(Int, Int)] = {
+    var i = 0
+    var depth = 0
+    var selStart = -1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && (c == 's' || c == 'S') && selStart < 0 &&
+            s.regionMatches(true, i, "SELECT", 0, 6) &&
+            (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) &&
+            (i + 6 >= s.length || !(s.charAt(i + 6).isLetterOrDigit || s.charAt(i + 6) == '_')) =>
+          selStart = i + 6
+          i += 5
+        case c if depth == 0 && selStart >= 0 && (c == 'f' || c == 'F') &&
+            s.regionMatches(true, i, "FROM", 0, 4) &&
+            (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) &&
+            (i + 4 >= s.length || !(s.charAt(i + 4).isLetterOrDigit || s.charAt(i + 4) == '_')) =>
+          return Some((selStart, i))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Two alias-resolution gaps between the reference (which substitutes
+    * select aliases everywhere) and Spark: a GROUP BY alias whose
+    * expression references ANOTHER alias (lateral — Spark refuses), and
+    * an alias INSIDE an aggregate in ORDER BY (`GROUP BY a ORDER BY
+    * SUM(a)` where a aliases a column — Spark resolves ORDER BY aliases
+    * only at the top level). Both expand to the underlying expressions.
+    */
+  private def rewriteAliasExpansion(sqlIn: String): String = {
+    val span = topSelectSpan(sqlIn).getOrElse(return sqlIn)
+    val items = splitTopLevel(sqlIn.substring(span._1, span._2))
+    val aliasRe = raw"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    val aliases: Map[String, String] = items.flatMap {
+      case aliasRe(e, a) => Some(a.toLowerCase -> e.trim)
+      case _ => None
+    }.toMap
+    if (aliases.isEmpty) return sqlIn
+    def expand(e: String, depth: Int): String =
+      if (depth <= 0) e
+      else raw"\b([A-Za-z_]\w*)\b".r.replaceSomeIn(e, m =>
+        aliases.get(m.group(1).toLowerCase).map(ex =>
+          scala.util.matching.Regex.quoteReplacement(s"(${expand(ex, depth - 1)})")))
+    def referencesAlias(e: String): Boolean =
+      raw"\b([A-Za-z_]\w*)\b".r.findAllMatchIn(e).exists(m => aliases.contains(m.group(1).toLowerCase))
+    var s = sqlIn
+    // GROUP BY: expand ONLY chained (lateral) aliases — a plain alias
+    // Spark already resolves, and a term that shadows a real column
+    // must stay untouched
+    val gbRe = raw"(?is)\b(GROUP\s+BY\s+)(.*?)(?=\bHAVING\b|\bORDER\b|\bLIMIT\b|\bWINDOW\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|$$)".r
+    s = gbRe.replaceSomeIn(s, m => {
+      val terms = splitTopLevel(m.group(2)).map(_.trim)
+      val newTerms = terms.map { t =>
+        aliases.get(t.toLowerCase) match {
+          case Some(ex) if referencesAlias(ex) => s"(${expand(ex, 3)})"
+          case _ => t
+        }
+      }
+      if (newTerms == terms) None
+      else Some(scala.util.matching.Regex.quoteReplacement(m.group(1) + newTerms.mkString(", ")))
+    })
+    // ORDER BY: aliases inside aggregate calls
+    val obAggRe = raw"(?is)\b(ORDER\s+BY\s.*?)\b(sum|min|max|avg|count)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
+    s = obAggRe.replaceSomeIn(s, m =>
+      aliases.get(m.group(3).toLowerCase).map(ex =>
+        scala.util.matching.Regex.quoteReplacement(
+          s"${m.group(1)}${m.group(2)}((${expand(ex, 3)}))")))
     s
   }
 
@@ -708,6 +929,193 @@ object GraftSql {
     * subquery turns out to be correlated (outer references cannot live
     * inside the derived table the rewrite introduces).
     */
+  /** `[1, 2, 3]` bracket ARRAY literals (reference parse.js array
+    * expressions; execute.unnest/arrays tests) → Spark `array(1, 2, 3)`.
+    * A `[` directly after an identifier, `)`, `]`, or a quote is a
+    * SUBSCRIPT and passes through; anywhere else it opens a literal.
+    * Nesting tracks through a stack so `[[1,2],[3]]` converts fully.
+    */
+  private def rewriteArrayLiterals(sqlIn: String): String = {
+    if (!sqlIn.contains("[")) return sqlIn
+    val sb = new StringBuilder(sqlIn.length + 16)
+    val stack = scala.collection.mutable.Stack[Boolean]() // true = converted
+    var i = 0
+    var strCh: Char = 0
+    while (i < sqlIn.length) {
+      val c = sqlIn.charAt(i)
+      if (strCh != 0) { sb.append(c); if (c == strCh) strCh = 0 }
+      else c match {
+        case '\'' | '"' => strCh = c; sb.append(c)
+        case '[' =>
+          // subscript only when the bracket TOUCHES its base (ident,
+          // close-paren/bracket, quote) — `SELECT [1,2]` has a space
+          // before the bracket and is a literal
+          val p = if (i > 0) sqlIn.charAt(i - 1) else ' '
+          val subscript = p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '"' || p == '\''
+          if (subscript) { stack.push(false); sb.append(c) }
+          else { stack.push(true); sb.append("array(") }
+        case ']' =>
+          val wasLit = stack.nonEmpty && stack.pop()
+          sb.append(if (wasLit) ")" else "]")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The span [start, end) of the primary expression ENDING just before
+    * `endExcl` (whitespace-skipped): a parenthesized group with an
+    * optional function name, a quoted literal, or an identifier/number
+    * chain. Used to wrap the left operand of `±INTERVAL` arithmetic.
+    */
+  private def primarySpan(s: String, endExcl: Int): (Int, Int) = {
+    var k = endExcl - 1
+    while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+    if (k < 0) return (0, 0)
+    val end = k + 1
+    s.charAt(k) match {
+      case ')' =>
+        var depth = 0
+        var j = k
+        while (j >= 0) {
+          val c = s.charAt(j)
+          if (c == ')') depth += 1
+          else if (c == '(') {
+            depth -= 1
+            if (depth == 0) {
+              var t = j - 1
+              while (t >= 0 && (s.charAt(t).isLetterOrDigit || s.charAt(t) == '_')) t -= 1
+              return (t + 1, end)
+            }
+          }
+          j -= 1
+        }
+        (0, end)
+      case '\'' =>
+        var j = k - 1
+        while (j >= 0 && s.charAt(j) != '\'') j -= 1
+        (math.max(j, 0), end)
+      case c if c.isLetterOrDigit || c == '_' =>
+        var j = k
+        while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
+        (j + 1, end)
+      case _ => (end, end)
+    }
+  }
+
+  /** Coerce the LEFT operand of `expr ± INTERVAL ...` to a timestamp:
+    * the reference runs date arithmetic over date STRINGS and
+    * epoch-millis NUMBERS (new Date(...) in its evaluator) where Spark
+    * rejects `string + interval` at analysis. Already-typed
+    * timestamp/date operands pass through try_cast unchanged. Interval
+    * UNIT keywords and bare numbers are skipped so chained arithmetic
+    * (`ts + INTERVAL 1 DAY - INTERVAL 2 HOUR`) wraps only the head.
+    */
+  private def rewriteIntervalOperands(sqlIn: String): String = {
+    val pat = raw"(?i)[+\-]\s*INTERVAL\b".r
+    val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
+    var s = sqlIn
+    var search = 0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      pat.findFirstMatchIn(s.substring(search)) match {
+        case None => return s
+        case Some(m) =>
+          val opPos = search + m.start
+          if (inLiteral(s, opPos)) search = opPos + m.matched.length
+          else {
+            val (pStart, pEnd) = primarySpan(s, opPos)
+            val p = s.substring(pStart, pEnd)
+            val quotedAfterInterval = p.startsWith("'") &&
+              raw"(?i)INTERVAL\s*$$".r.findFirstIn(s.substring(0, pStart)).isDefined
+            val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
+              p.trim.matches("[0-9.]+") || quotedAfterInterval
+            if (skip) search = opPos + m.matched.length
+            else {
+              // all paths go through STRING so every static operand type
+              // analyzes (DATE→BIGINT isn't castable even with try_cast):
+              // numeric text → epoch millis, anything else → timestamp
+              // parse (a typed timestamp/date round-trips its own cast)
+              val str = s"try_cast(($p) AS STRING)"
+              val wrapped = s"(CASE WHEN try_cast($str AS BIGINT) IS NOT NULL " +
+                s"THEN timestamp_millis(try_cast($str AS BIGINT)) " +
+                s"WHEN try_cast($str AS DOUBLE) IS NOT NULL " +
+                s"THEN timestamp_millis(CAST(try_cast($str AS DOUBLE) AS BIGINT)) " +
+                s"ELSE try_cast($str AS TIMESTAMP) END)"
+              s = s.substring(0, pStart) + wrapped + s.substring(pEnd)
+              search = opPos + (wrapped.length - p.length) + m.matched.length
+            }
+          }
+      }
+    }
+    s
+  }
+
+  /** Numeric subscripts (`items[5]`, `array(1,2)[0]`) are JS element
+    * access in the reference: 0-based, NULL when out of range or
+    * negative — Spark's `[]` (GetArrayItem) errors out of range under
+    * ANSI, `get()` matches. String subscripts (map/struct keys) pass
+    * through untouched.
+    */
+  private def rewriteSubscripts(sqlIn: String): String = {
+    var s = sqlIn
+    var guard = 0
+    var search = 0
+    while (guard < 200) {
+      guard += 1
+      val idx = s.indexOf('[', search)
+      if (idx < 0) return s
+      if (inLiteral(s, idx)) search = idx + 1
+      else {
+        val p = if (idx > 0) s.charAt(idx - 1) else ' '
+        val isSub = p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '"'
+        if (!isSub) search = idx + 1
+        else {
+          val close = matchBracket(s, idx)
+          if (close < 0) return s
+          val content = s.substring(idx + 1, close)
+          if (content.trim.startsWith("'")) search = close + 1
+          else {
+            val (bStart, _) = primarySpan(s, idx)
+            val base = s.substring(bStart, idx)
+            val rep = s"graft_get($base, ($content))"
+            s = s.substring(0, bStart) + rep + s.substring(close + 1)
+            search = bStart + rep.length
+          }
+        }
+      }
+    }
+    s
+  }
+
+  /** `A [al] POSITIONAL JOIN B [bl]` (DuckDB-style row-position join;
+    * reference: test/execute/positional.test.js — shorter side padded
+    * with NULLs): each side gains a row_number over the input order and
+    * the join becomes FULL OUTER USING that position. Without this
+    * rewrite Spark parses POSITIONAL as a table ALIAS and silently
+    * cross-scopes the query — the silent-wrong-answer class. A bare
+    * `SELECT *` projection is rewritten to `* EXCEPT (__gpos)` so the
+    * helper column never reaches the caller.
+    */
+  private def rewritePositionalJoin(sqlIn: String): String = {
+    val kwGuard = raw"(?!(?:FROM|JOIN|WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|ON|AND|OR|SELECT|CROSS|INNER|LEFT|RIGHT|FULL|POSITIONAL)\b)"
+    val pj = (raw"(?i)\b$kwGuard" +
+      raw"([A-Za-z_][\w\.]*)(?:\s+(?:AS\s+)?$kwGuard([A-Za-z_]\w*))?" +
+      raw"\s+POSITIONAL\s+JOIN\s+$kwGuard([A-Za-z_][\w\.]*)(?:\s+(?:AS\s+)?$kwGuard([A-Za-z_]\w*))?").r
+    if (pj.findFirstIn(sqlIn).isEmpty) return sqlIn
+    def side(tbl: String, alias: String): String = {
+      val al = Option(alias).getOrElse(tbl.split('.').last)
+      s"(SELECT *, row_number() OVER (ORDER BY monotonically_increasing_id()) AS __gpos FROM $tbl) AS $al"
+    }
+    var s = pj.replaceAllIn(sqlIn, m => scala.util.matching.Regex.quoteReplacement(
+      s"${side(m.group(1), m.group(2))} FULL JOIN ${side(m.group(3), m.group(4))} USING (__gpos)"))
+    // a bare star would surface __gpos — exclude it
+    s = raw"(?i)^(\s*SELECT\s+)\*(\s+FROM\b)".r.replaceAllIn(s, "$1* EXCEPT (__gpos)$2")
+    s
+  }
+
   private def rewriteChecked(spark: SparkSession, sqlText: String): String = {
     val full = rewriteImpl(sqlText, notInExists = true)
     if (!full.contains("__nin")) full
@@ -723,11 +1131,24 @@ object GraftSql {
   private def rewriteImpl(sqlText: String, notInExists: Boolean): String = {
     var s = sqlText
 
+    // bracket array literals first — they can appear inside any later
+    // construct ([1,2,3] → array(1,2,3); subscripts like items[1] keep)
+    s = rewriteArrayLiterals(s)
+    // then numeric subscripts → get() (0-based, null out of range)
+    s = rewriteSubscripts(s)
+
+    // POSITIONAL JOIN next (it restructures the FROM — and without the
+    // rewrite Spark silently reads POSITIONAL as a table alias)
+    s = rewritePositionalJoin(s)
+
     // DISTINCT ON first — it restructures the statement skeleton
     s = rewriteDistinctOn(s)
 
     // comma-joined table functions next (they restructure the FROM)
     s = rewriteCommaTvf(s)
+
+    // chained GROUP BY aliases / aliases inside ORDER BY aggregates
+    s = rewriteAliasExpansion(s)
 
     if (notInExists) s = rewriteNotInSubquery(s)
 
@@ -750,7 +1171,9 @@ object GraftSql {
     // for arrays where the reference's are numeric — the differential
     // jsonBridge treats '0' ≡ 0, and hosts read keys positionally.
     s = rewriteCall(s, "json_each", args => {
-      val x = args.mkString(", ")
+      // typed (struct/array) input renders to JSON text first — the
+      // reference's JSON family takes strings OR typed values directly
+      val x = s"graft_json_input(${args.mkString(", ")})"
       s"explode(coalesce(from_json($x, 'map<string,string>'), " +
         s"map_from_entries(transform(from_json($x, 'array<string>'), " +
         s"(e, i) -> struct(cast(i AS string), e)))))"
@@ -772,7 +1195,7 @@ object GraftSql {
           if (st.group(2) != null) s".${st.group(2)}" else s"[${st.group(3)}]"
         }.mkString
         Some(scala.util.matching.Regex.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '$$$path')"))
+          s"get_json_object(graft_json_input(${m.group(1)}), '$$$path')"))
       }
     })
 
@@ -791,11 +1214,36 @@ object GraftSql {
         s"(${args(0)}).${args(1).stripPrefix("'").stripSuffix("'")}"
       else s"struct_extract_unsupported(${args.mkString(", ")})")
 
-    // JSON aggregate builders (json_arrayagg is the reference's alias)
-    s = rewriteCall(s, "json_group_array", args =>
-      s"to_json(collect_list(${args.mkString(", ")}))")
-    s = rewriteCall(s, "json_arrayagg", args =>
-      s"to_json(collect_list(${args.mkString(", ")}))")
+    // Null-KEEPING array aggregation: the reference's ARRAY_AGG / LIST /
+    // JSON_ARRAYAGG keep null inputs in place (JS array push —
+    // execute.aggregate tests "should include nulls"); Spark's array_agg
+    // drops them. Values ride inside a struct (never null) and unwrap
+    // after; a trailing FILTER clause folds into the inner aggregate
+    // (to_json/transform reject a FILTER suffix).
+    // __nkagg__ marker: the emitted text contains `array_agg(`, which
+    // would re-match the scan and wrap forever (rewriteCall restarts)
+    // __nkagg__ marker: the emitted text contains `array_agg(`, which
+    // would re-match the scan and wrap forever (rewriteCall restarts).
+    // DISTINCT distributes over the struct wrap (distinct structs =
+    // distinct values, nulls kept).
+    def nullKeepAgg(arg: String, filt: Option[String]): String = {
+      val dist = raw"(?is)^\s*DISTINCT\b(.*)$$".r
+      val (kw, x) = arg match {
+        case dist(e) => ("DISTINCT ", e.trim)
+        case e => ("", e)
+      }
+      s"transform(__nkagg__(${kw}struct(($x) AS __v))${filt.map(" FILTER " + _).getOrElse("")}, s -> s.__v)"
+    }
+    for (f <- Seq("json_group_array", "json_arrayagg"))
+      s = rewriteAggFilter(s, f, (args, filt) =>
+        s"to_json(${nullKeepAgg(args.mkString(", "), filt)})")
+    for (f <- Seq("array_agg", "list"))
+      s = rewriteAggFilter(s, f, (args, filt) =>
+        if (args.length == 1) nullKeepAgg(args.head, filt)
+        else s"__agg_${f}__(${args.mkString(", ")})${filt.map(" FILTER " + _).getOrElse("")}")
+    s = s.replace("__agg_array_agg__(", "array_agg(")
+    s = s.replace("__agg_list__(", "collect_list(")
+    s = s.replace("__nkagg__(", "array_agg(")
     s = rewriteCall(s, "json_group_object", args =>
       if (args.length == 2)
         s"to_json(map_from_arrays(collect_list(${args(0)}), collect_list(${args(1)})))"
@@ -814,7 +1262,21 @@ object GraftSql {
       if (args.length == 1) {
         val m = raw"(?is)^(.*\S)\s+AS\s+(INTEGER|INT|BIGINT|SMALLINT|TINYINT|FLOAT|REAL|DOUBLE)\s*$$".r
         val ms = raw"(?is)^(.*\S)\s+AS\s+(VARCHAR|STRING|TEXT)\s*$$".r
+        val mt = raw"(?is)^(.*\S)\s+AS\s+TIMESTAMP\s*$$".r
         args.head match {
+          // TIMESTAMP targets: the reference's new Date(v) reads NUMBERS
+          // (and numeric strings) as epoch MILLIS — Spark's numeric→
+          // timestamp cast reads SECONDS — and yields null, not an
+          // error, for unparseable text (execute.cast tests). typeof
+          // dispatches so an already-typed timestamp/date stays exact.
+          case mt(e) =>
+            s"(CASE WHEN __typeofkeep__(($e)) IN ('timestamp', 'date') " +
+              s"THEN try_cast(($e) AS TIMESTAMP) " +
+              s"WHEN try_cast(($e) AS BIGINT) IS NOT NULL " +
+              s"THEN timestamp_millis(try_cast(($e) AS BIGINT)) " +
+              s"WHEN try_cast(($e) AS DOUBLE) IS NOT NULL " +
+              s"THEN timestamp_millis(CAST(try_cast(($e) AS DOUBLE) AS BIGINT)) " +
+              s"ELSE try_cast(($e) AS TIMESTAMP) END)"
           // string targets render JS-style: String(2.0) = '2', not
           // '2.0' — and objects/Dates via JSON.stringify (cast mode:
           // CAST([1,2] AS VARCHAR) = '[1,2]', a Date casts to the
@@ -862,13 +1324,17 @@ object GraftSql {
     // Spark's try_parse_json accepts '"a":{...}' (parses the leading
     // scalar, ignores trailing garbage) where JSON.parse rejects — so
     // this one goes through the strict helper, not the variant parser
+    // JSON_VALID is FALSE for any non-string input (numbers, objects —
+    // execute.json "should return false for non-string input"), so it
+    // does NOT take the graft_json_input coercion the rest of the
+    // family uses — graft_json_valid_any dispatches on the runtime type
     s = rewriteCall(s, "json_valid", args =>
-      s"graft_json_valid(${args.mkString(", ")})")
+      s"graft_json_valid_any(${args.mkString(", ")})")
     // JSON_TYPE: typeof of the PARSED value; invalid JSON errors in both
     // engines (hence parse_json, not try_parse_json — the reference
     // throws ArgValueError there)
     s = rewriteCall(s, "json_type", args => {
-      val a = args.head
+      val a = s"graft_json_input(${args.head})"
       val sv = s"schema_of_variant(parse_json($a))"
       s"(CASE WHEN ($a) IS NULL THEN NULL " +
         s"WHEN $sv LIKE 'OBJECT%' THEN 'object' " +
@@ -879,11 +1345,27 @@ object GraftSql {
     })
     // JSON_KEYS: object keys in document order; null on non-objects
     s = rewriteCall(s, "json_keys", args =>
-      s"json_object_keys(${args.mkString(", ")})")
+      s"json_object_keys(graft_json_input(${args.mkString(", ")}))")
+    s = rewriteCall(s, "json_array_length", args =>
+      s"__jal__(graft_json_input(${args.mkString(", ")}))")
+    s = s.replace("__jal__(", "json_array_length(")
     // JSON_OBJECT(k1, v1, ...): keep null-valued fields ({"k":null}),
-    // as the reference's JSON.stringify does
-    s = rewriteCall(s, "json_object", args =>
-      s"to_json(named_struct(${args.mkString(", ")}), map('ignoreNullFields', 'false'))")
+    // as the reference's JSON.stringify does. Literal keys (incl.
+    // numeric — JS object keys stringify) go through named_struct;
+    // DYNAMIC keys (column references) need map(), since named_struct
+    // requires foldable names.
+    s = rewriteCall(s, "json_object", args => {
+      val lit = args.grouped(2).forall(p => p.headOption.exists(k =>
+        k.trim.matches("'[^']*'") || k.trim.matches("[0-9.]+")))
+      if (lit) {
+        val quoted = args.zipWithIndex.map { case (a, i) =>
+          if (i % 2 == 0 && a.trim.matches("[0-9.]+")) s"'${a.trim}'" else a }
+        s"to_json(named_struct(${quoted.mkString(", ")}), map('ignoreNullFields', 'false'))"
+      } else
+        s"to_json(map(${args.grouped(2).map(p =>
+          s"graft_js_str(${p.head}), ${p.last}").mkString(", ")}), " +
+          "map('ignoreNullFields', 'false'))"
+    })
     // JSON_EXTRACT(j, path): get_json_object requires the $ anchor the
     // reference treats as optional — normalize literal paths
     // unanchored-path normalization, shared by the whole JSON access
@@ -900,7 +1382,7 @@ object GraftSql {
     for (f <- Seq("json_extract", "json_value", "json_query", "json_extract_string"))
       s = rewriteCall(s, f, args =>
         if (args.length == 2)
-          s"get_json_object(${args(0)}, ${normJsonPath(args(1))})"
+          s"get_json_object(graft_json_input(${args(0)}), ${normJsonPath(args(1))})"
         else s"${f}_unsupported(${args.mkString(", ")})")
 
     // regexp_split_to_table(x, p) → explode(split(x, p))
@@ -918,23 +1400,32 @@ object GraftSql {
       else s"__position__(${args.mkString(", ")})")
     s = s.replace("__position__(", "position(")
 
-    // ARRAY_LENGTH(arr[, dim]): Spark has no array_length; size covers
-    // the 1-dimensional form (the reference's dim>1 walks nested JS
-    // arrays — no generator for those exists in this dialect's sources)
+    // ARRAY_LENGTH(arr[, dim]): Spark has no array_length; graft_size
+    // covers the 1-dimensional form, graft_size_dim the reference's
+    // dimensional walk (dim ≥ 1 integer, each level rectangular —
+    // evaluate.js:577-592; NULL otherwise)
     s = rewriteCall(s, "array_length", args =>
       if (args.length == 1 || (args.length == 2 && args(1).trim == "1"))
         s"graft_size(${args(0)})"
-      else s"array_length_dim_unsupported(${args.mkString(", ")})")
+      else if (args.length == 2)
+        s"graft_size_dim(${args(0)}, ${args(1)})"
+      else s"array_length_bad_arity(${args.mkString(", ")})")
+
+    // LENGTH: characters for a string, element count for an ARRAY —
+    // runtime dispatch (strings.js:38-45); Spark's length rejects
+    // arrays at analysis. OCTET_LENGTH stays strict (string-only).
+    s = rewriteCall(s, "length", args =>
+      if (args.length == 1) s"graft_length(${args.head})"
+      else s"__len__(${args.mkString(", ")})")
+    s = s.replace("__len__(", "length(")
 
     // ARRAY_POSITION / LIST_POSITION return NULL when absent in the
-    // reference (src/expression/evaluate.js:597-601, indexOf+1 with -1 →
-    // null); Spark's array_position returns 0 — nullif closes the gap.
-    // Placeholder avoids rescanning our own output (rewriteCall restarts
-    // from 0 after each replacement).
+    // reference (src/expression/evaluate.js:597-601, indexOf+1 with -1
+    // → null) and NULL for non-array input — graft_array_position is
+    // both in one runtime-dispatch expression
     for (f <- Seq("array_position", "list_position"))
       s = rewriteCall(s, f, args =>
-        s"nullif(__arrpos__(${args.mkString(", ")}), 0)")
-    s = s.replace("__arrpos__(", "array_position(")
+        s"graft_array_position(${args.mkString(", ")})")
 
     // ROUND is FLOAT-SCALED in the reference: Math.round(x·10^d)/10^d
     // (src/expression/math.js:56-60), where JS Math.round(y) is
@@ -979,6 +1470,9 @@ object GraftSql {
       s"(CASE $t WHEN 'STRING' THEN 'VARCHAR' WHEN 'INT' THEN 'INTEGER' ELSE $t END)"
     })
     s = s.replace("__typeof__(", "typeof(")
+    // typeof emitted by the lenient TIMESTAMP cast above — kept out of
+    // the user-facing TYPEOF rename (which maps to DuckDB-style names)
+    s = s.replace("__typeofkeep__(", "typeof(")
 
     // DAYOFWEEK / WEEKDAY: reference maps both to date_part('dow') —
     // Sunday=0 (syntax.md item 13); Spark's dayofweek is Sunday=1
@@ -1018,6 +1512,38 @@ object GraftSql {
 
     // epoch(x) → seconds since epoch as double
     s = raw"(?i)\bepoch\s*\(".r.replaceAllIn(s, "graft_epoch(")
+
+    // EXTRACT(EPOCH FROM x): Spark has no EPOCH extract field — route
+    // through the same helper as the epoch() function form
+    s = raw"(?i)\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+".r.replaceAllIn(s, "__exepoch__(")
+    s = rewriteCall(s, "__exepoch__", args => s"graft_epoch(${args.mkString(", ")})")
+
+    // EXTRACT(SECOND ...) / DATE_PART('second', ...) are INTEGER seconds
+    // in the reference (date.js getUTCSeconds — 45 from 45.123); Spark's
+    // SECOND field carries the fraction as DECIMAL
+    s = raw"(?i)\bEXTRACT\s*\(\s*SECONDS?\s+FROM\s+".r.replaceAllIn(s, "__exsec__(")
+    s = rewriteCall(s, "__exsec__", args =>
+      s"floor(extract(second from ${args.mkString(", ")}))")
+
+    // CURRENT_TIME: Spark 4 has no TIME type — the reference renders
+    // HH:MM:SS.sss text (date.js), which date_format reproduces.
+    // (CURRENT_TIMESTAMP is unaffected: no word boundary before STAMP.)
+    s = raw"(?i)\bCURRENT_TIME\b(\s*\(\s*\))?".r.replaceSomeIn(s, m =>
+      if (inLiteral(m.source.toString, m.start)) None
+      else Some("date_format(current_timestamp(), 'HH:mm:ss.SSS')"))
+
+    // TIMESTAMP 'lit' typed literals: the reference yields NULL for an
+    // unparseable timestamp (new Date → Invalid Date → null) where
+    // Spark rejects the literal at analysis
+    s = raw"(?i)\bTIMESTAMP\s+'([^']*)'".r.replaceSomeIn(s, m =>
+      if (inLiteral(m.source.toString, m.start)) None
+      else Some(scala.util.matching.Regex.quoteReplacement(
+        s"try_cast('${m.group(1)}' AS TIMESTAMP)")))
+
+    // date/timestamp arithmetic with INTERVAL coerces its LEFT operand
+    // leniently (the reference parses date STRINGS and epoch-millis
+    // NUMBERS with new Date(...)): wrap the primary before +/- INTERVAL
+    s = rewriteIntervalOperands(s)
 
     // unit-form date_diff('day', a, b): reference semantics are calendar
     // diff for YEAR/MONTH and truncated elapsed time for smaller units
@@ -1081,19 +1607,59 @@ object GraftSql {
     // Spark's split() takes a REGEX, so 'x.y' would split on every char
     // and ' )' would throw a pattern error. Literal delimiters escape
     // textually; computed ones go through \Q...\E quoting.
+    // An EMPTY delimiter returns the WHOLE string as one element
+    // (strings.js:168 `delim === '' ? [str] : str.split(delim)`) where
+    // Spark's split('') explodes per character.
     for (f <- Seq("string_split", "str_split"))
       s = rewriteCall(s, f, args =>
         if (args.length == 2) {
           val d = args(1).trim
-          if (d.startsWith("'") && d.endsWith("'") && d.length >= 2) {
+          if (d == "''") s"array(graft_js_str(${args(0)}))"
+          else if (d.startsWith("'") && d.endsWith("'") && d.length >= 2) {
             // Pattern.quote emits \Q...\E; the SQL literal needs its
             // backslashes doubled (Spark's parser consumes one level)
             val quoted = java.util.regex.Pattern.quote(
                 d.substring(1, d.length - 1))
               .replace("\\", "\\\\").replace("'", "''")
             s"split(${args(0)}, '$quoted')"
-          } else s"split(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E'))"
+          } else s"(CASE WHEN (${args(1)}) = '' THEN array(graft_js_str(${args(0)})) " +
+            s"ELSE split(${args(0)}, concat('\\\\Q', ${args(1)}, '\\\\E')) END)"
         } else s"split(${args.mkString(", ")})")
+
+    // SPLIT_PART with an empty literal delimiter: one part — index 1
+    // (or -1 from the end) answers the whole string, others '' (the
+    // reference's parts[idx] ?? '', strings.js:146-162)
+    s = rewriteCall(s, "split_part", args =>
+      if (args.length == 3 && args(1).trim == "''")
+        s"(CASE WHEN CAST(${args(2)} AS INT) IN (1, -1) " +
+          s"THEN graft_js_str(${args(0)}) ELSE '' END)"
+      else s"__spart__(${args.mkString(", ")})")
+    s = s.replace("__spart__(", "split_part(")
+
+    // TRIM is JS String.prototype.trim (strings.js:103): Unicode
+    // whitespace including \t \n NBSP FEFF — Spark's trim strips only
+    // ' '. The BOTH/LEADING/TRAILING ... FROM form passes through
+    // (Spark semantics, no reference analog).
+    s = rewriteCall(s, "trim", args =>
+      if (args.length == 1 && raw"(?i)\bFROM\b".r.findFirstIn(args.head).isEmpty)
+        s"graft_js_trim(graft_js_str(${args.head}))"
+      else s"__trim__(${args.mkString(", ")})")
+    s = s.replace("__trim__(", "trim(")
+
+    // GREATEST/LEAST accept a single argument in the reference
+    // (evaluate.js:434 — reduces over whatever it gets); Spark requires
+    // two. ATAN(y, x) is two-argument arctangent (math.js) — Spark's
+    // atan is unary, atan2 is the two-arg spelling.
+    for (f <- Seq("greatest", "least"))
+      s = rewriteCall(s, f, args =>
+        if (args.length == 1) s"(${args.head})"
+        else s"__1arg_${f}__(${args.mkString(", ")})")
+    s = s.replace("__1arg_greatest__(", "greatest(")
+    s = s.replace("__1arg_least__(", "least(")
+    s = rewriteCall(s, "atan", args =>
+      if (args.length == 2) s"atan2(${args.mkString(", ")})"
+      else s"__atan__(${args.mkString(", ")})")
+    s = s.replace("__atan__(", "atan(")
 
     // Every string function coerces its text arguments with JS
     // String(v) (strings.js:66 `const str = String(val)`, :112
@@ -1111,8 +1677,7 @@ object GraftSql {
       val wraps: Seq[(String, Seq[String] => Seq[Int])] = Seq(
         "upper" -> (a => if (a.length == 1) Seq(0) else Nil),
         "lower" -> (a => if (a.length == 1) Seq(0) else Nil),
-        "trim" -> (a =>
-          if (a.length == 1 && raw"(?i)\bFROM\b".r.findFirstIn(a.head).isEmpty) Seq(0) else Nil),
+        // trim is handled by its own rewrite above (JS whitespace set)
         "substring" -> (a =>
           if (a.length >= 2) Seq(0)
           else Nil), // FROM..FOR form has no top-level comma — pass through
@@ -1140,6 +1705,50 @@ object GraftSql {
     // 'x' || 2.0 is 'x2' and 2.0 LIKE '2' is TRUE in the reference.
     s = rewriteJsConcatOps(s)
 
+    // UNNEST(NULL) / EXPLODE(NULL) produce ZERO rows in the reference
+    // (nothing to expand); Spark's explode(NULL) is an untyped analysis
+    // error — an empty array has the same zero-row semantics
+    for (f <- Seq("unnest", "explode"))
+      s = rewriteCall(s, f, args =>
+        if (args.length == 1 && args.head.trim.equalsIgnoreCase("null"))
+          "__unn__(array())"
+        else s"__unn__(${args.mkString(", ")})")
+    s = s.replace("__unn__(", "explode(")
+
+    // Ranking/offset window functions REQUIRE an ORDER BY in Spark; the
+    // reference defaults to the partition's INPUT order (execute.window
+    // tests: ROW_NUMBER() OVER () numbers rows as scanned). Inject a
+    // monotonic order — input order made explicit. Aggregate windows
+    // are NOT touched (an injected ORDER BY would shrink their default
+    // frame to running-total semantics).
+    locally {
+      val needOrder = Set("row_number", "rank", "dense_rank", "ntile",
+        "lag", "lead", "percent_rank", "cume_dist")
+      val pat = raw"(?i)\b([a-z_]+)\s*\(([^()]*)\)\s+OVER\s*\(".r
+      var search = 0
+      var continue = true
+      while (continue) {
+        pat.findFirstMatchIn(s.substring(search)) match {
+          case Some(m) if needOrder.contains(m.group(1).toLowerCase) &&
+              !inLiteral(s, search + m.start) =>
+            val open = search + m.end - 1
+            val close = matchParen(s, open)
+            if (close < 0) continue = false
+            else {
+              val inner = s.substring(open + 1, close)
+              if (raw"(?i)\bORDER\s+BY\b".r.findFirstIn(inner).isEmpty) {
+                val insert = (if (inner.trim.isEmpty) "" else " ") +
+                  "ORDER BY monotonically_increasing_id()"
+                s = s.substring(0, close) + insert + s.substring(close)
+                search = close + insert.length + 1
+              } else search = close + 1
+            }
+          case Some(m) => search = search + m.end
+          case None => continue = false
+        }
+      }
+    }
+
     // Reference null ordering: nulls sort FIRST regardless of direction
     // unless NULLS LAST is explicit (execute/utils.js:19-23 — the null
     // branch returns BEFORE the DESC flip). Spark's bare-DESC default is
@@ -1160,7 +1769,20 @@ object GraftSql {
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     ensureHelpers(spark)
-    spark.sql(rewriteChecked(spark, sqlText))
+    val df = spark.sql(rewriteChecked(spark, sqlText))
+    // the dialect's only BinaryType values are geometries (the reference
+    // has no binary type) — render them as GeoJSON text, the reference's
+    // client-visible geometry shape, never the internal codec bytes
+    if (df.schema.exists(_.dataType == org.apache.spark.sql.types.BinaryType)) {
+      val cols = df.schema.fields.toIndexedSeq.map { f =>
+        val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
+        if (f.dataType == org.apache.spark.sql.types.BinaryType)
+          org.apache.spark.sql.functions
+            .call_function("st_asgeojson", c).as(f.name)
+        else c
+      }
+      df.select(cols: _*)
+    } else df
   }
 
   /** Validate a query without executing it — the reference's
@@ -1331,7 +1953,16 @@ object GraftSql {
       case u: UnaryNode => outerList(u.child)
       case _ => None
     }
-    val parsed = spark.sessionState.sqlParser.parsePlan(rewrite(sqlText))
+    // derive names from the RAW text when it parses — the name contract
+    // mirrors the reference's surface (alias.js over the user's own
+    // expression), and semantic rewrites (graft_js_str wraps, lenient
+    // casts) must not leak into derived names (upper_city, never
+    // upper_graft_js_str_city); dialect-only syntax falls back to the
+    // rewritten form
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(sqlText)
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.sessionState.sqlParser.parsePlan(rewrite(sqlText)) }
     outerList(parsed) match {
       case Some(list) if list.count(_.isInstanceOf[UnresolvedStar]) <= 1 =>
         val width = df.schema.length
@@ -1363,6 +1994,25 @@ object GraftSql {
       spark.udf.register("graft_epoch",
         (ts: java.sql.Timestamp) => if (ts == null) null else {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
+        })
+    }
+    if (!spark.catalog.functionExists("graft_js_trim")) {
+      // JS String.prototype.trim: strips the ECMA-262 WhiteSpace +
+      // LineTerminator set (tabs, newlines, NBSP, BOM, Unicode spaces) —
+      // Spark's trim strips only ' ' (reference: strings.js:103-105)
+      spark.udf.register("graft_js_trim",
+        (s: String) => if (s == null) null else {
+          def ws(c: Char): Boolean = c match {
+            case '\t' | '\n' | '\u000B' | '\f' | '\r' | ' ' | '\u00A0' |
+                 '\u1680' | '\u2028' | '\u2029' | '\u202F' | '\u205F' |
+                 '\u3000' | '\uFEFF' => true
+            case c => c >= '\u2000' && c <= '\u200A'
+          }
+          var i = 0
+          var j = s.length
+          while (i < j && ws(s.charAt(i))) i += 1
+          while (j > i && ws(s.charAt(j - 1))) j -= 1
+          s.substring(i, j)
         })
     }
     if (!spark.catalog.functionExists("graft_json_valid")) {

@@ -1,5 +1,6 @@
 package graft
 
+import graft.DiffValues._
 import graft.plans.GraftSql
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -45,82 +46,9 @@ class FuzzSpec extends SparkSpec {
       "f_customer" -> customer, "f_orders" -> orders)
   }
 
-  // ---- canonical value model -----------------------------------------
-
-  private sealed trait V
-  private case object VNull extends V
-  private case class VNum(d: Double) extends V
-  private case class VStr(s: String) extends V
-  private case class VBool(b: Boolean) extends V
-  private case class VArr(items: Seq[V]) extends V
-  private case class VObj(fields: Map[String, V]) extends V
-
-  private def norm(a: Any): V = a match {
-    case null => VNull
-    case b: Boolean => VBool(b)
-    case b: java.lang.Boolean => VBool(b)
-    case s: String => VStr(s)
-    case n: java.math.BigDecimal => VNum(n.doubleValue())
-    case n: BigDecimal => VNum(n.toDouble)
-    case n: Number => VNum(n.doubleValue())
-    // scala.collection.Seq: Spark collects arrays as mutable.ArraySeq,
-    // which the 2.13 default (immutable) Seq alias does NOT match
-    case s: scala.collection.Seq[_] => VArr(s.toSeq.map(norm))
-    case s: Array[_] => VArr(s.toSeq.map(norm))
-    case m: scala.collection.Map[_, _] =>
-      VObj(m.map { case (k, v) => String.valueOf(k) -> norm(v) }.toMap)
-    case r: org.apache.spark.sql.Row => VArr(r.toSeq.map(norm))
-    case other => VStr(other.toString)
-  }
-
-  /** Parse a JSON text to the canonical value model (for bridging a
-    * textual-JSON engine result against the reference's typed one).
-    */
-  private def parseJsonV(s: String): Option[V] =
-    try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      def conv(n: com.fasterxml.jackson.databind.JsonNode): V =
-        if (n.isNull) VNull
-        else if (n.isBoolean) VBool(n.asBoolean())
-        else if (n.isNumber) VNum(n.asDouble())
-        else if (n.isArray) VArr((0 until n.size()).map(i => conv(n.get(i))))
-        else if (n.isObject) {
-          val it = n.fieldNames()
-          val m = scala.collection.mutable.Map[String, V]()
-          while (it.hasNext) { val f = it.next(); m += f -> conv(n.get(f)) }
-          VObj(m.toMap)
-        } else VStr(n.asText())
-      Some(conv(om.readTree(s)))
-    } catch { case _: Exception => None }
-
-  /** jsonBridge: one engine returns JSON TEXT where the other returns
-    * the typed structure (Spark's get_json_object is textual; the
-    * reference's JSON_EXTRACT is typed). Equality modulo JSON parse is
-    * the correct contract THERE — but it stays opt-in per battery, so a
-    * genuine string-vs-number divergence elsewhere still flags.
-    */
-  private def vEq(a: V, b: V, jsonBridge: Boolean = false): Boolean = (a, b) match {
-    case (VNull, VNull) => true
-    case (VNum(x), VNum(y)) =>
-      (x.isNaN && y.isNaN) ||
-        math.abs(x - y) <= 1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
-    case (VArr(x), VArr(y)) =>
-      x.length == y.length && x.zip(y).forall { case (u, v) => vEq(u, v, jsonBridge) }
-    case (VObj(x), VObj(y)) =>
-      x.keySet == y.keySet && x.keys.forall(k => vEq(x(k), y(k), jsonBridge))
-    // exact string equality FIRST: the bridge below must only fire on
-    // mixed-kind pairs, or "d" vs "d" would fail its JSON parse
-    case (VStr(s), VStr(t)) => s == t
-    case (VStr(s), other: VArr) => parseJsonV(s).exists(vEq(_, other, jsonBridge))
-    case (other: VArr, VStr(s)) => parseJsonV(s).exists(vEq(other, _, jsonBridge))
-    case (VStr(s), other: VObj) => parseJsonV(s).exists(vEq(_, other, jsonBridge))
-    case (other: VObj, VStr(s)) => parseJsonV(s).exists(vEq(other, _, jsonBridge))
-    case (VStr(s), other) if jsonBridge => parseJsonV(s).exists(vEq(_, other))
-    case (other, VStr(s)) if jsonBridge => parseJsonV(s).exists(vEq(other, _))
-    case (x, y) => x == y
-  }
-
   // ---- engines --------------------------------------------------------
+  // (canonical value model + comparator live in graft.DiffValues, shared
+  // with SuiteReplaySpec)
 
   private def runSpark(q: String): Either[String, Seq[Map[String, V]]] =
     try {
@@ -152,18 +80,6 @@ class FuzzSpec extends SparkSpec {
     val log = new String(proc.getInputStream.readAllBytes())
     assert(proc.waitFor() == 0, s"fuzz_ref.mjs failed:\n${log.takeRight(2000)}")
     val root = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$workDir/ref_out.json")))
-    def jnorm(n: com.fasterxml.jackson.databind.JsonNode): V =
-      if (n == null || n.isNull) VNull
-      else if (n.isBoolean) VBool(n.asBoolean())
-      else if (n.isNumber) VNum(n.asDouble())
-      else if (n.isArray) VArr((0 until n.size()).map(i => jnorm(n.get(i))))
-      else if (n.isObject) {
-        val it = n.fieldNames()
-        val m = scala.collection.mutable.Map[String, V]()
-        while (it.hasNext) { val f = it.next(); m += f -> jnorm(n.get(f)) }
-        VObj(m.toMap)
-      }
-      else VStr(n.asText())
     (0 until root.size()).map { i =>
       val e = root.get(i)
       if (e.has("error")) Left(e.get("error").asText())

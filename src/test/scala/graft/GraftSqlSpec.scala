@@ -9,12 +9,15 @@ class GraftSqlSpec extends SparkSpec {
   import spark.implicits._
 
   test("json arrows rewrite to get_json_object") {
+    // the input side takes the graft_json_input coercion (JSON text
+    // passes through; structs/arrays render to JSON the JS way) so
+    // arrows work on non-string columns like the reference
     assert(GraftSql.rewrite("SELECT j -> 'a' FROM t")
-      == "SELECT get_json_object(j, '$.a') FROM t")
+      == "SELECT get_json_object(graft_json_input(j), '$.a') FROM t")
     assert(GraftSql.rewrite("SELECT j ->> 'a' FROM t")
-      == "SELECT get_json_object(j, '$.a') FROM t")
+      == "SELECT get_json_object(graft_json_input(j), '$.a') FROM t")
     assert(GraftSql.rewrite("SELECT j -> 0 FROM t")
-      == "SELECT get_json_object(j, '$[0]') FROM t")
+      == "SELECT get_json_object(graft_json_input(j), '$[0]') FROM t")
   }
 
   test("dialect queries execute end to end") {
@@ -69,7 +72,7 @@ class GraftSqlSpec extends SparkSpec {
       == "SELECT transform(xs, x -> 0) FROM t")
     // ...while a JSON arrow passed to a NON-HOF call still rewrites
     assert(GraftSql.rewrite("SELECT lower(j -> 'a') FROM t")
-      == "SELECT lower(graft_js_str(get_json_object(j, '$.a'))) FROM t")
+      == "SELECT lower(graft_js_str(get_json_object(graft_json_input(j), '$.a'))) FROM t")
     // and executes: lambda bodies starting with a literal work end to end
     Seq((1L, "a b")).toDF("id", "s").createOrReplaceTempView("hof_t")
     val r = GraftSql.sql(spark,
@@ -443,7 +446,9 @@ class GraftSqlSpec extends SparkSpec {
         "ARRAY_LENGTH(STRING_SPLIT('a b', ' ')) AS al, " +
         "LEN(ARRAY_CONCAT(STRING_SPLIT('a b', ' '), STRING_SPLIT('c', ' '))) AS cc").collect().head
     assert(arr.isNullAt(arr.fieldIndex("miss")))
-    assert(arr.getAs[Long]("hit") == 2L && arr.getAs[Int]("al") == 2 &&
+    // graft_array_position (runtime-dispatched like the reference)
+    // returns INT, not Spark array_position's BIGINT
+    assert(arr.getAs[Int]("hit") == 2 && arr.getAs[Int]("al") == 2 &&
       arr.getAs[Int]("cc") == 3)
     // PERCENTILE_CONT(fraction, expr) / APPROX_QUANTILE(expr, fraction)
     // both interpolate EXACTLY in the reference (evaluate.js:314-350)
