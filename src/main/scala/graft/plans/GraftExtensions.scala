@@ -88,5 +88,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))))
+    ext.injectOptimizerRule(_ => StripIdentityJsStr)
   }
+}
+
+/** The dialect front-end wraps every `||` / ILIKE / string-function
+  * operand in `graft_js_str` (ECMAScript String(v) coercion). Over an
+  * already-STRING child both JsStr modes are identity by construction
+  * (JsStr.eval short-circuits `case StringType => v` before any
+  * rendering), but the wrapper is CodegenFallback and opaque to
+  * data-source filter translation — left in place it drops dialect hot
+  * paths out of whole-stage codegen and strips scans of their
+  * PushedFilters. Removing the provably-identity wraps restores both;
+  * non-string children (where the JS rendering differs from Spark's
+  * CAST) keep the expression.
+  */
+object StripIdentityJsStr
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case js: graft.functions.text.JsStr
+          if js.child.resolved && js.child.dataType == org.apache.spark.sql.types.StringType =>
+        js.child
+    }
 }

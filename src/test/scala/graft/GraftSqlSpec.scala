@@ -710,6 +710,38 @@ class GraftSqlSpec extends SparkSpec {
       "graft: UNKNOWN stays NULL (reference projects false / true)")
   }
 
+  test("identity graft_js_str wraps are stripped from the optimized plan") {
+    // the rewrite wraps || / ILIKE / string-function operands in
+    // graft_js_str unconditionally (the text must run on BOTH engines),
+    // but over a STRING child the wrap is identity — StripIdentityJsStr
+    // removes it so dialect hot paths keep whole-stage codegen and
+    // scans keep their PushedFilters at 100 TB
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .createOrReplaceTempView("jsstrip_t")
+    val df = GraftSql.sql(spark,
+      "SELECT n_name || '!' AS c, UPPER(n_name) AS u, " +
+        "n_regionkey || '' AS rc " +
+        "FROM jsstrip_t WHERE n_name ILIKE 'nation\\_1'")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // string-typed operands: wrap gone (projection and filter both)...
+    assert(!optimized.contains("graft_js_str(n_name"),
+      s"identity wrap over string column survived optimization:\n$optimized")
+    // ...non-string operands keep the JS rendering expression
+    assert(optimized.contains("graft_js_str(n_regionkey"),
+      s"numeric operand lost its JS coercion:\n$optimized")
+    // with the filter wrap gone the predicate translates to a data
+    // source filter again (ilike pushes as EqualTo-insensitive? no —
+    // as a StartsWith-class source filter is version-dependent; assert
+    // the weaker invariant that SOME filter reached the scan)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(n_name)"),
+      s"no filter reached the parquet scan:\n$physical")
+    val r = df.collect()
+    assert(r.map(_.getAs[String]("u")).toSeq == Seq("NATION_1"))
+    assert(r.head.getAs[String]("c") == "NATION_1!")
+    assert(r.head.getAs[String]("rc").matches("\\d+"))
+  }
+
   test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
     Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
     // alias with column list
