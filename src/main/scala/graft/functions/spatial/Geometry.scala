@@ -68,7 +68,14 @@ object Wkt {
     val inner = s.trim.stripPrefix("(").stripSuffix(")").trim
     val nums = inner.split("\\s+")
     if (nums.length < 2) None
-    else Some(Pt(nums(0).toDouble, nums(1).toDouble))
+    else {
+      // non-finite coordinates are invalid WKT, not huge ones — the
+      // reference's Number.isFinite gate (its wkt.js coordinate parse;
+      // "Infinity" would otherwise read as a JVM double too)
+      val (x, y) = (nums(0).toDouble, nums(1).toDouble)
+      if (java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y)) Some(Pt(x, y))
+      else None
+    }
   }
 
   private def coordList(s: String): Option[IndexedSeq[Pt]] = {

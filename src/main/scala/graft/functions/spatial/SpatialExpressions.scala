@@ -28,8 +28,13 @@ object SpatialExpressions {
 
   /** Numeric inputs arrive as whatever type the literal had; widen to Double. */
   private[spatial] def toD(value: Any): Double = value match {
-    case d: java.lang.Number => d.doubleValue()
-    case _                   => Double.NaN
+    // a bare SQL literal like 3.1 is DECIMAL at runtime — Spark's
+    // Decimal is NOT a java.lang.Number, and falling to NaN made every
+    // ST_DWITHIN with a decimal-literal distance silently false
+    // (caught by the reference parse-suite replay's distance fixtures)
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case d: java.lang.Number                    => d.doubleValue()
+    case _                                      => Double.NaN
   }
 
   case class StGeomFromText(child: Expression)

@@ -1004,6 +1004,119 @@ object GraftSql {
     }
   }
 
+  /** `expr ± INTERVAL v MONTH|YEAR` (any v) and `expr ± INTERVAL v
+    * <unit>` (fractional v) must run through graft_js_interval: JS Date
+    * setters ROLL month-end over (Mar 31 + 1 MONTH = May 1; Spark's
+    * add_months clamps to Apr 30) and truncate the SUMMED component
+    * toward zero for fractional values (reference:
+    * src/expression/date.js:13-41). Runs AFTER rewriteIntervalOperands
+    * so the left primary is already coerced to a timestamp; integral
+    * DAY/HOUR/MINUTE/SECOND stay on Spark's native (identical,
+    * codegen'd) interval arithmetic.
+    */
+  private def rewriteJsIntervalArith(sqlIn: String): String = {
+    val pat = (raw"(?i)([+\-])\s*INTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))" +
+      raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
+    var s = sqlIn
+    var search = 0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      pat.findFirstMatchIn(s.substring(search)) match {
+        case None => return s
+        case Some(m) =>
+          val opPos = search + m.start
+          val v = Option(m.group(2)).getOrElse(m.group(3))
+          val unit = m.group(4).toUpperCase
+          val applies = unit == "MONTH" || unit == "YEAR" || v.contains('.')
+          if (inLiteral(s, opPos) || !applies) search = opPos + m.matched.length
+          else {
+            val (pStart, pEnd) = primarySpan(s, opPos)
+            val p = s.substring(pStart, pEnd)
+            if (p.trim.isEmpty) search = opPos + m.matched.length
+            else {
+              val call = s"graft_js_interval($p, CAST($v AS DOUBLE), '$unit', '${m.group(1)}')"
+              s = s.substring(0, pStart) + call +
+                s.substring(search + m.start + m.matched.length)
+              search = pStart + call.length
+            }
+          }
+      }
+    }
+    s
+  }
+
+  /** Fractional interval values truncate toward zero in the reference:
+    * its parser accepts any numeric text (reference:
+    * src/parse/primary.js:379-409) and its evaluator feeds the value to
+    * a JS Date setter (src/expression/date.js:20-32), which applies
+    * ToIntegerOrInfinity — `+ INTERVAL '2.5' HOUR` adds exactly 2
+    * hours. Spark's parser rejects non-integral values for the
+    * non-second units outright, so rewrite the literal to the truncated
+    * integer (all units, SECOND included — Spark would honor 2.5s, the
+    * reference does not).
+    */
+  private def rewriteFractionalIntervals(sqlIn: String): String = {
+    val pat =
+      raw"(?i)\bINTERVAL\s+(?:'(-?\d+\.\d+)'|(-?\d+\.\d+))\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR|WEEK)S?\b".r
+    pat.replaceSomeIn(sqlIn, m =>
+      if (inLiteral(m.source.toString, m.start)) None
+      else {
+        val v = Option(m.group(1)).getOrElse(m.group(2)).toDouble
+        Some(scala.util.matching.Regex.quoteReplacement(
+          s"INTERVAL '${v.toLong}' ${m.group(3).toUpperCase}"))
+      })
+  }
+
+  /** DuckDB-style FROM-first queries: the reference's parseSelect reads
+    * a leading FROM as `SELECT * FROM ...` (reference:
+    * src/parse/parse.js:193-197), anywhere a select can start — the
+    * statement head, a parenthesized subquery, or a set-operation arm.
+    * Spark has no FROM-first form; insert the star select at those
+    * positions (a FROM directly at statement start / after `(` / after
+    * UNION|INTERSECT|EXCEPT [ALL|DISTINCT] cannot be anything else).
+    */
+  private def rewriteFromFirst(sqlIn: String): String = {
+    val pat = raw"(?i)\bFROM\b".r
+    var s = sqlIn
+    var search = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      pat.findFirstMatchIn(s.substring(search)) match {
+        case None => return s
+        case Some(m) =>
+          val pos = search + m.start
+          if (inLiteral(s, pos)) { search = pos + 4 }
+          else {
+            var i = pos - 1
+            while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+            val selectStart =
+              if (i < 0) true
+              else if (s.charAt(i) == '(') true
+              else {
+                var j = i
+                while (j >= 0 && s.charAt(j).isLetter) j -= 1
+                var w = s.substring(j + 1, i + 1).toUpperCase
+                if (w == "ALL" || w == "DISTINCT") {
+                  var k = j
+                  while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+                  val e = k
+                  while (k >= 0 && s.charAt(k).isLetter) k -= 1
+                  w = s.substring(k + 1, e + 1).toUpperCase
+                }
+                w == "UNION" || w == "INTERSECT" || w == "EXCEPT"
+              }
+            if (selectStart) {
+              s = s.substring(0, pos) + "SELECT * " + s.substring(pos)
+              search = pos + "SELECT * ".length + 4
+            } else search = pos + 4
+          }
+      }
+    }
+    s
+  }
+
   /** Coerce the LEFT operand of `expr ± INTERVAL ...` to a timestamp:
     * the reference runs date arithmetic over date STRINGS and
     * epoch-millis NUMBERS (new Date(...) in its evaluator) where Spark
@@ -1130,6 +1243,10 @@ object GraftSql {
 
   private def rewriteImpl(sqlText: String, notInExists: Boolean): String = {
     var s = sqlText
+
+    // FROM-first statements before anything — they restructure the
+    // skeleton every later rewrite anchors on (a SELECT list)
+    s = rewriteFromFirst(s)
 
     // bracket array literals first — they can appear inside any later
     // construct ([1,2,3] → array(1,2,3); subscripts like items[1] keep)
@@ -1544,6 +1661,14 @@ object GraftSql {
     // leniently (the reference parses date STRINGS and epoch-millis
     // NUMBERS with new Date(...)): wrap the primary before +/- INTERVAL
     s = rewriteIntervalOperands(s)
+    // MONTH/YEAR and fractional interval ARITHMETIC runs through the
+    // exact JS Date-setter emulation (month-end rollover, summed-
+    // component truncation) — after the operand coercion above
+    s = rewriteJsIntervalArith(s)
+    // any fractional interval literal left standing alone truncates
+    // toward zero so it at least parses (the reference errors on a
+    // standalone interval at EXECUTION, so no semantics ride on it)
+    s = rewriteFractionalIntervals(s)
 
     // unit-form date_diff('day', a, b): reference semantics are calendar
     // diff for YEAR/MONTH and truncated elapsed time for smaller units
@@ -1767,8 +1892,48 @@ object GraftSql {
   /** Run a squirreling-dialect query. Tables must already be registered
     * (e.g. via `graft.sources.Tables.registerAll`).
     */
+  /** Constructs Spark parses but silently misreads, where the reference
+    * raises a parse error (reference: test/parse/parse.errors.test.js).
+    * Spark's non-reserved keywords absorb them as aliases:
+    *   - `SELECT * FROM users WHERE` → `users AS WHERE` (the user's
+    *     dangling clause vanishes);
+    *   - `SELECT name AS FROM users` → a column literally named `AS`;
+    *   - duplicate CTE names resolve to the LAST definition, silently.
+    * Each would return an answer to a question the user didn't ask, so
+    * the host-facing surfaces reject them up front.
+    */
+  private val clauseKw = "WHERE|LIMIT|OFFSET|ORDER|GROUP|HAVING|BY|ON|AND|OR|AS|" +
+    "FROM|SELECT|UNION|INTERSECT|EXCEPT|JOIN|IN|NOT|DISTINCT|WHEN|THEN|ELSE|BETWEEN|LIKE"
+  private def strictLint(spark: SparkSession, sqlTextIn: String): Option[String] = {
+    // line comments can end a statement; only lint the SQL itself
+    val sqlText = sqlTextIn.replaceAll("(?m)--.*$", " ").stripTrailing()
+    val dangling = raw"(?is)\b($clauseKw)\s*;?\s*$$".r
+    val aliasKw = raw"(?is)\bAS\s+(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|UNION|INTERSECT|EXCEPT|SELECT)\b".r
+    dangling.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
+      .map(m => s"query ends in a dangling ${m.group(1).toUpperCase} clause")
+      .orElse(aliasKw.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
+        .map(m => s"alias cannot be the clause keyword ${m.group(1).toUpperCase}"))
+      .orElse {
+        // duplicate CTE names (case-insensitive) within one WITH list:
+        // Spark would silently resolve to the last definition
+        import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+        try {
+          val plan = spark.sessionState.sqlParser.parsePlan(rewrite(sqlText))
+          plan.collectFirst {
+            case w: UnresolvedWith
+                if w.cteRelations.map(_._1.toLowerCase).distinct.size < w.cteRelations.size =>
+              val dup = w.cteRelations.map(_._1.toLowerCase)
+                .groupBy(identity).collectFirst { case (n, vs) if vs.size > 1 => n }.get
+              s"duplicate CTE name: $dup"
+          }
+        } catch { case scala.util.control.NonFatal(_) => None } // parse errors surface later
+      }
+  }
+
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     ensureHelpers(spark)
+    strictLint(spark, sqlText).foreach(msg =>
+      throw new IllegalArgumentException(s"invalid query: $msg"))
     val df = spark.sql(rewriteChecked(spark, sqlText))
     // the dialect's only BinaryType values are geometries (the reference
     // has no binary type) — render them as GeoJSON text, the reference's
@@ -1795,6 +1960,10 @@ object GraftSql {
   def validate(spark: SparkSession, sqlText: String): Either[String, Unit] =
     try {
       ensureHelpers(spark)
+      strictLint(spark, sqlText) match {
+        case Some(msg) => return Left(msg)
+        case None => ()
+      }
       spark.sql(rewriteChecked(spark, sqlText)).queryExecution.analyzed
       Right(())
     } catch {
@@ -1842,6 +2011,7 @@ object GraftSql {
     * report before SELECT-list subquery tables).
     */
   def tables(spark: SparkSession, sqlText: String): Seq[String] = {
+    ensureHelpers(spark) // "..." must read as an identifier here too
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
@@ -1995,6 +2165,41 @@ object GraftSql {
         (ts: java.sql.Timestamp) => if (ts == null) null else {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
         })
+    }
+    if (!spark.catalog.functionExists("graft_js_interval")) {
+      // JS Date-setter interval arithmetic, exactly (reference:
+      // src/expression/date.js:13-41 applyIntervalToDate). Two ways it
+      // differs from SQL interval arithmetic:
+      //  - the VALUE may be fractional, and ECMA-262 ToIntegerOrInfinity
+      //    truncates the SUMMED component toward zero (setUTCHours(h +
+      //    2.5) adds 2 hours — and h - 2.5 depends on h's value);
+      //  - MONTH/YEAR keep the day-of-month by ROLLING OVER (MakeDay:
+      //    first-of-target-month + dom-1 days; Mar 31 + 1 MONTH =
+      //    May 1) where Spark's add_months CLAMPS to Apr 30.
+      spark.udf.register("graft_js_interval",
+        (ts: java.sql.Timestamp, v: Double, unit: String, op: String) =>
+          if (ts == null || v.isNaN) null else {
+            val adj = if (op == "-") -v else v
+            val z = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+            def t(d: Double): Long = d.toLong // ToIntegerOrInfinity: toward zero
+            // MakeDay semantics: build the target month at day 1 (never
+            // clamps), then add dom-1 days (rolls over like JS)
+            def makeDay(year: Long, monthIdx: Long): java.time.ZonedDateTime = {
+              val first = java.time.LocalDate.of(Math.toIntExact(year), 1, 1)
+                .plusMonths(monthIdx)
+              z.`with`(first.plusDays(z.getDayOfMonth - 1L))
+            }
+            val out = unit.toUpperCase match {
+              case "SECOND" => z.plusSeconds(t(z.getSecond + adj) - z.getSecond)
+              case "MINUTE" => z.plusMinutes(t(z.getMinute + adj) - z.getMinute)
+              case "HOUR"   => z.plusHours(t(z.getHour + adj) - z.getHour)
+              case "DAY"    => z.plusDays(t(z.getDayOfMonth + adj) - z.getDayOfMonth)
+              case "MONTH"  => makeDay(z.getYear.toLong, t((z.getMonthValue - 1) + adj))
+              case "YEAR"   => makeDay(t(z.getYear + adj), (z.getMonthValue - 1).toLong)
+              case _        => z
+            }
+            java.sql.Timestamp.from(out.toInstant)
+          })
     }
     if (!spark.catalog.functionExists("graft_js_trim")) {
       // JS String.prototype.trim: strips the ECMA-262 WhiteSpace +

@@ -22,6 +22,11 @@ object ExtraQueries {
       |WHERE position('1' IN c_name) > 0
       |ORDER BY id LIMIT 100""".stripMargin
 
+  val fromFirstText: String =
+    """FROM (FROM nation WHERE n_regionkey < 3) t
+      |WHERE n_nationkey % 2 = 0
+      |ORDER BY n_nationkey LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_intersect_all",
@@ -592,6 +597,18 @@ object ExtraQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         graft.plans.GraftSql.sql(s, ExtraQueries.dialectText)
+      }
+    },
+
+    // DuckDB-style FROM-first statements (reference:
+    // src/parse/parse.js:193-197 reads a leading FROM as SELECT *) — at
+    // the statement head AND inside a parenthesized subquery. The SQL
+    // text runs VERBATIM in the DuckDB oracle; on Spark the dialect
+    // front-end inserts the star select before parse.
+    QueryDef("q_from_first", ExtraQueries.fromFirstText) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sql(s, ExtraQueries.fromFirstText)
       }
     },
 

@@ -110,10 +110,18 @@ object FuzzGen {
     */
   def dateNumExpr(r: Random, t: Table, q: String): String = {
     val d = q + pick(r, t.dates)
-    r.nextInt(4) match {
+    r.nextInt(5) match {
       case 0 => s"DATE_PART('${pick(r, Seq("year", "month", "day", "dow"))}', $d)"
       case 1 => s"DATE_DIFF('${pick(r, Seq("day", "month", "year", "hour"))}', '199${2 + r.nextInt(6)}-0${1 + r.nextInt(9)}-1${r.nextInt(9)}', $d)"
       case 2 => s"CAST(EPOCH($d) AS BIGINT)"
+      case 3 =>
+        // interval arithmetic through EPOCH: exercises the JS Date-setter
+        // emulation (month-end rollover, fractional truncation) without
+        // the engines' datetime renderings entering the comparison
+        val v = pick(r, Seq("1", "2", "13", "'1.5'", "'2.5'", "'-1.5'", "'0.9'"))
+        val u = pick(r, Seq("DAY", "HOUR", "MINUTE", "SECOND", "MONTH", "YEAR"))
+        val op = if (r.nextBoolean()) "+" else "-"
+        s"CAST(EPOCH($d $op INTERVAL $v $u) AS BIGINT)"
       case _ => s"EXTRACT(${pick(r, Seq("YEAR", "MONTH", "DAY", "DOW"))} FROM $d)"
     }
   }

@@ -763,6 +763,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(r4.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "9")))
   }
 
+  test("interval arithmetic: JS Date-setter semantics (month rollover, fractional truncation)") {
+    // every expected value probed on the reference engine (node,
+    // src/expression/date.js applyIntervalToDate):
+    //  - MONTH/YEAR keep day-of-month by ROLLING OVER (MakeDay), where
+    //    Spark's add_months would CLAMP: Mar 31 + 1 MONTH = May 1;
+    //  - fractional values truncate the SUMMED component toward zero
+    //    (setUTCHours(h + adj) under ToIntegerOrInfinity), so
+    //    '-1.5' MONTH on March (m0=2) lands trunc(0.5)=0 = January.
+    Seq(("2024-03-10T00:00:00", "2024-03-31", "2024-02-29", "2024-01-31T05:00:00"))
+      .toDF("ts", "d", "e", "me").createOrReplaceTempView("ivl_t")
+    val r = GraftSql.sql(spark,
+      """SELECT
+        |  ts + INTERVAL '2.5' HOUR    AS frac_hour,
+        |  ts - INTERVAL '2.5' HOUR    AS frac_hour_neg,
+        |  d + INTERVAL '1.9' DAY      AS frac_day,
+        |  ts + INTERVAL '90.7' SECOND AS frac_sec,
+        |  d + INTERVAL '-1.5' MONTH   AS frac_month_neg,
+        |  d + INTERVAL 1 MONTH        AS roll_month,
+        |  d - INTERVAL 1 MONTH        AS roll_month_back,
+        |  e + INTERVAL 1 YEAR         AS roll_year,
+        |  me + INTERVAL 1 MONTH       AS roll_ts,
+        |  d + INTERVAL 13 MONTH       AS roll_13
+        |FROM ivl_t""".stripMargin).collect().head
+    def g(n: String) =
+      r.getAs[java.sql.Timestamp](n).toInstant.toString
+    assert(g("frac_hour") == "2024-03-10T02:00:00Z", g("frac_hour"))
+    assert(g("frac_hour_neg") == "2024-03-09T22:00:00Z", g("frac_hour_neg"))
+    assert(g("frac_day") == "2024-04-01T00:00:00Z", g("frac_day")) // 31+1.9 → 32
+    assert(g("frac_sec") == "2024-03-10T00:01:30Z", g("frac_sec"))
+    assert(g("frac_month_neg") == "2024-01-31T00:00:00Z", g("frac_month_neg"))
+    assert(g("roll_month") == "2024-05-01T00:00:00Z", g("roll_month"))
+    assert(g("roll_month_back") == "2024-03-02T00:00:00Z", g("roll_month_back"))
+    assert(g("roll_year") == "2025-03-01T00:00:00Z", g("roll_year"))
+    assert(g("roll_ts") == "2024-03-02T05:00:00Z", g("roll_ts"))
+    assert(g("roll_13") == "2025-05-01T00:00:00Z", g("roll_13"))
+  }
+
   test("double-quoted identifiers select dotted columns, not string literals") {
     // reference: test/execute/execute.dot.test.js — "user.name" is the
     // COLUMN named user.name, never the nested field and never a string
