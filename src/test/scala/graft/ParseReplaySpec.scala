@@ -248,6 +248,130 @@ class ParseReplaySpec extends SparkSpec {
       bad.take(10).mkString("\n"))
   }
 
+  // ---- plan-suite replay (test/plan/*) ----------------------------------
+
+  private def planEntries = entries.filter(_.kind == "plan")
+
+  /** Create temp views from a plan fixture's recorded memorySource
+    * tables (JSON rows; columns recorded for the empty-data case).
+    */
+  private def loadPlanTables(e: PEntry): Unit = {
+    import spark.implicits._
+    val tbls = e.node.get("tbls")
+    if (tbls == null || tbls.isNull) return
+    val it = tbls.fields()
+    while (it.hasNext) {
+      val f = it.next()
+      val data = f.getValue.get("data")
+      val rows = if (data == null || data.isNull) Seq("{}")
+        else (0 until data.size()).map(i => data.get(i).toString)
+      spark.read.json(spark.createDataset(rows)).createOrReplaceTempView(f.getKey)
+    }
+  }
+
+  test("plan fixtures: every reference-planned scan is a table graft reads") {
+    assume(nodeOk, "node required to record the reference suite")
+    val fx = planEntries.filter(e => e.error.isEmpty && e.query.isDefined)
+    assert(fx.size >= 30, s"recorder found only ${fx.size} ok plan fixtures")
+    // subset, not equality: the reference ELIDES scans its plan answers
+    // from metadata (COUNT(*) via numRows) and defers subquery/UNNEST
+    // sources to execution time, so its Scan list can undercount the
+    // tables a query reads — graft's table set must cover it, and exact
+    // extraction semantics are already pinned by the extractTables test
+    val bad = fx.flatMap { e =>
+      val scans = e.node.get("scans")
+      val want = (0 until scans.size()).map(i => scans.get(i).get("table").asText()).toSet
+      val got = try Right(GraftSql.tables(spark, e.query.get).toSet) catch {
+        case ex: Exception => Left(String.valueOf(ex.getMessage).take(120))
+      }
+      got match {
+        case Right(g) if want.subsetOf(g) => None
+        case other => Some(s"${e.query.get}\n  want⊆got failed: want=$want got=$other")
+      }
+    }
+    assert(bad.isEmpty, s"${bad.size} plan scan sets diverge:\n" + bad.take(10).mkString("\n"))
+  }
+
+  test("plan-validation fixtures accept/reject through validate with the same tables") {
+    assume(nodeOk, "node required to record the reference suite")
+    val fx = planEntries.filter(e =>
+      e.query.isDefined && e.node.get("tbls") != null && !e.node.get("tbls").isNull)
+    assert(fx.size >= 15, s"recorder found only ${fx.size} with-tables plan fixtures")
+    val bad = fx.flatMap { e =>
+      loadPlanTables(e)
+      val ok = GraftSql.validate(spark, e.query.get)
+      (e.error.isEmpty, ok) match {
+        case (true, Left(msg)) if !PlanKnownStricter(e.query.get) =>
+          Some(s"${e.query.get}\n  reference plans, graft rejects: ${msg.take(120)}")
+        case (false, Right(())) if !PlanLenientAccepts(e.query.get) =>
+          Some(s"${e.query.get}\n  reference rejects (${e.error.get.take(80)}), graft accepts")
+        case _ => None
+      }
+    }
+    assert(bad.isEmpty, s"${bad.size} plan-validation fixtures diverge:\n" +
+      bad.take(10).mkString("\n"))
+  }
+
+  test("column pruning matches the reference's pushed scan hints") {
+    assume(nodeOk, "node required to record the reference suite")
+    import spark.implicits._
+    // single-scan fixtures whose Scan carries a pushed column list: the
+    // columns Catalyst prunes the leaf to must be exactly the columns
+    // the reference pushes into its Scan. Tables without recorded data
+    // get a synthesized view: the hinted columns plus a padding column
+    // that pruning must drop.
+    val fx = planEntries.filter { e =>
+      val scans = e.node.get("scans")
+      e.error.isEmpty && e.query.isDefined && !PlanKnownStricter(e.query.get) &&
+        scans != null && scans.size() == 1 &&
+        scans.get(0).get("columns") != null && !scans.get(0).get("columns").isNull
+    }
+    assert(fx.size >= 10, s"recorder found only ${fx.size} pruning fixtures")
+    val bad = fx.flatMap { e =>
+      val scan = e.node.get("scans").get(0)
+      val table = scan.get("table").asText()
+      val cols = scan.get("columns")
+      val want = (0 until cols.size()).map(i => cols.get(i).asText()).toSet
+      val tbls = e.node.get("tbls")
+      if (tbls != null && !tbls.isNull) loadPlanTables(e)
+      else {
+        val fields = (want.toSeq.sorted :+ "graft_pad_col")
+          .map(c => s"\"$c\": 1").mkString("{", ", ", "}")
+        spark.read.json(spark.createDataset(Seq(fields)))
+          .createOrReplaceTempView(table)
+      }
+      val plan = spark.sql(GraftSql.rewrite(e.query.get)).queryExecution.optimizedPlan
+      // pruning evidence: the leaf columns the optimized plan CONSUMES —
+      // every node's references into the leaf's output, plus leaf
+      // columns flowing to the result unreferenced. An unpruned
+      // SELECT * projection would drag the padding column in here.
+      val leaf = plan.collectLeaves().head
+      val leafSet = leaf.outputSet
+      val pruned = (plan.collect { case n =>
+        n.references.filter(leafSet.contains).map(_.name).toSet
+      }.flatten ++ plan.output.filter(leafSet.contains).map(_.name)).toSet
+      if (pruned == want) None
+      else Some(s"${e.query.get}\n  table=$table want=$want pruned=$pruned\n  plan=${plan.treeString.take(400)}")
+    }
+    assert(bad.isEmpty, s"${bad.size} pruning fixtures diverge:\n" + bad.take(8).mkString("\n"))
+  }
+
+  /** With-tables plan fixtures the reference rejects that graft
+    * deliberately accepts — each reviewed (superset dialect only).
+    */
+  private val PlanLenientAccepts: Set[String] = Set.empty
+
+  /** Plan fixtures the reference accepts that graft REJECTS — each a
+    * verified Catalyst boundary, not a rewrite gap. Currently one: an
+    * outer column used as the UNNEST source inside a scalar subquery.
+    * Spark cannot correlate an outer reference into a lateral TVF at
+    * any spelling (JOIN LATERAL explode / LATERAL VIEW explode /
+    * LATERAL (SELECT explode(...)) all raise UNRESOLVED_COLUMN or
+    * UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_REFERENCE).
+    */
+  private val PlanKnownStricter: Set[String] = Set(
+    "SELECT o.id, (SELECT COUNT(*) FROM t JOIN UNNEST(o.arr) AS u(x) ON TRUE) AS n FROM outers AS o")
+
   /** Queries the reference's parser rejects that graft deliberately
     * accepts — each reviewed. Populated from the first recorded run;
     * a NEW leniency fails the test until reviewed and added here.

@@ -10,6 +10,8 @@ const PARSE = pathToFileURL('/root/repo/tools/ref_parse_wrap.mjs').href
 const TABLES = pathToFileURL('/root/repo/tools/ref_tables_wrap.mjs').href
 const WKT = pathToFileURL('/root/repo/tools/ref_wkt_wrap.mjs').href
 const GEO = pathToFileURL('/root/repo/tools/ref_geo_wrap.mjs').href
+const PLAN = pathToFileURL('/root/repo/tools/ref_plan_wrap.mjs').href
+const SOURCE = pathToFileURL('/root/repo/tools/ref_source_wrap.mjs').href
 
 export function resolve(specifier, context, nextResolve) {
   if (specifier === 'vitest') {
@@ -24,6 +26,12 @@ export function resolve(specifier, context, nextResolve) {
   }
   if (fromRefTest && specifier.endsWith('/spatial/wkt.js')) {
     return { url: WKT, shortCircuit: true }
+  }
+  if (fromRefTest && specifier.endsWith('/plan/plan.js')) {
+    return { url: PLAN, shortCircuit: true }
+  }
+  if (fromRefTest && specifier.endsWith('/backend/dataSource.js')) {
+    return { url: SOURCE, shortCircuit: true }
   }
   if (fromRefTest && (specifier.endsWith('/spatial/equality.js') ||
       specifier.endsWith('/spatial/pointRelations.js') ||

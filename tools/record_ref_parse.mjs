@@ -38,6 +38,10 @@ files.push('/root/reference/test/spatial/wkt.test.js')
 files.push('/root/reference/test/spatial/equality.test.js')
 files.push('/root/reference/test/spatial/pointRelations.test.js')
 files.push('/root/reference/test/spatial/segments.test.js')
+// the plan suites — scan sets, with-tables validation, pushdown hints
+for (const f of readdirSync('/root/reference/test/plan').sort()) {
+  if (f.endsWith('.test.js')) files.push(`/root/reference/test/plan/${f}`)
+}
 
 const recs = (globalThis.__graftParseRecs ??= [])
 const queue = (globalThis.__graftItQueue ??= [])
@@ -68,4 +72,5 @@ console.error(
   `record_ref_parse: files=${files.length} tests=${testsRun} bodyThrew=${testsFailed} ` +
   `recordings=${recs.length} (parse=${parses.length} [accepted=${parses.filter(p => !p.error).length} ` +
   `rejected=${parses.filter(p => p.error).length} udf=${parses.filter(p => p.udf).length}] ` +
-  `tables=${by('tables').length} wkt=${by('wkt').length})`)
+  `tables=${by('tables').length} wkt=${by('wkt').length} plan=${by('plan').length} ` +
+  `geo=${recs.filter(r => ['geomeq', 'pip', 'pol', 'plr', 'pdist', 'segint', 'segring'].includes(r.kind)).length})`)
