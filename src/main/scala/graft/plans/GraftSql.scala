@@ -1004,19 +1004,30 @@ object GraftSql {
     }
   }
 
-  /** `expr ± INTERVAL v MONTH|YEAR` (any v) and `expr ± INTERVAL v
-    * <unit>` (fractional v) must run through graft_js_interval: JS Date
-    * setters ROLL month-end over (Mar 31 + 1 MONTH = May 1; Spark's
-    * add_months clamps to Apr 30) and truncate the SUMMED component
-    * toward zero for fractional values (reference:
-    * src/expression/date.js:13-41). Runs AFTER rewriteIntervalOperands
-    * so the left primary is already coerced to a timestamp; integral
-    * DAY/HOUR/MINUTE/SECOND stay on Spark's native (identical,
-    * codegen'd) interval arithmetic.
+  /** EVERY `expr ± INTERVAL v <unit>` runs through graft_js_interval —
+    * the exact toDate → applyIntervalToDate → format chain (reference:
+    * src/expression/date.js:13-41,133-143), whose semantics diverge
+    * from Spark's interval arithmetic in four ways:
+    *  - MONTH/YEAR: JS ROLLS month-end over (Mar 31 + 1 MONTH = May 1;
+    *    Spark's add_months clamps to Apr 30);
+    *  - fractional v: ToIntegerOrInfinity truncates the SUMMED
+    *    component toward zero ('-1.5' MONTH on March lands January);
+    *  - output format: the result keeps its time only for 'T'-string
+    *    and typed (Date-object analog) inputs — a date-only string
+    *    truncates back to its UTC date: '1995-01-04' - INTERVAL
+    *    1 MINUTE = '1995-01-03', not 23:59 (found by the interval
+    *    fuzz shape);
+    *  - NUMBERS are not dates (toDate:136 accepts only date-shaped
+    *    strings and Date objects) — epoch millis yield NULL.
+    * Runs BEFORE rewriteIntervalOperands (which then only sees interval
+    * forms this literal-value pattern cannot claim); typed-vs-string
+    * dispatch rides on typeof(expr). Chained ops re-wrap the previous
+    * call's timestamp output (space form → Date-object semantics).
     */
   private def rewriteJsIntervalArith(sqlIn: String): String = {
     val pat = (raw"(?i)([+\-])\s*INTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))" +
       raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
+    val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
     var s = sqlIn
     var search = 0
     var guard = 0
@@ -1028,14 +1039,25 @@ object GraftSql {
           val opPos = search + m.start
           val v = Option(m.group(2)).getOrElse(m.group(3))
           val unit = m.group(4).toUpperCase
-          val applies = unit == "MONTH" || unit == "YEAR" || v.contains('.')
-          if (inLiteral(s, opPos) || !applies) search = opPos + m.matched.length
+          if (inLiteral(s, opPos)) search = opPos + m.matched.length
           else {
             val (pStart, pEnd) = primarySpan(s, opPos)
             val p = s.substring(pStart, pEnd)
-            if (p.trim.isEmpty) search = opPos + m.matched.length
+            // same chain guards as rewriteIntervalOperands: a primary
+            // that is itself a unit keyword / bare number / the quoted
+            // value of a preceding INTERVAL literal marks a CHAINED
+            // interval op — its left side is the preceding arithmetic
+            val quotedAfterInterval = p.startsWith("'") &&
+              raw"(?i)INTERVAL\s*$$".r.findFirstIn(s.substring(0, pStart)).isDefined
+            val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
+              p.trim.matches("[0-9.]+") || quotedAfterInterval
+            if (skip) search = opPos + m.matched.length
             else {
-              val call = s"graft_js_interval($p, CAST($v AS DOUBLE), '$unit', '${m.group(1)}')"
+              // raw string form: the UDF implements toDate itself (a
+              // typed timestamp/date round-trips its own cast; numbers
+              // are NOT dates in the reference — they yield NULL)
+              val call = s"graft_js_interval(try_cast(($p) AS STRING), " +
+                s"CAST($v AS DOUBLE), '$unit', '${m.group(1)}', typeof($p))"
               s = s.substring(0, pStart) + call +
                 s.substring(search + m.start + m.matched.length)
               search = pStart + call.length
@@ -1125,6 +1147,21 @@ object GraftSql {
     * UNIT keywords and bare numbers are skipped so chained arithmetic
     * (`ts + INTERVAL 1 DAY - INTERVAL 2 HOUR`) wraps only the head.
     */
+  /** Coerce any date operand to TIMESTAMP the reference's way: all
+    * paths go through STRING so every static operand type analyzes
+    * (DATE→BIGINT isn't castable even with try_cast): numeric text →
+    * epoch millis, anything else → timestamp parse (a typed
+    * timestamp/date round-trips its own cast).
+    */
+  private def coerceTsExpr(p: String): String = {
+    val str = s"try_cast(($p) AS STRING)"
+    s"(CASE WHEN try_cast($str AS BIGINT) IS NOT NULL " +
+      s"THEN timestamp_millis(try_cast($str AS BIGINT)) " +
+      s"WHEN try_cast($str AS DOUBLE) IS NOT NULL " +
+      s"THEN timestamp_millis(CAST(try_cast($str AS DOUBLE) AS BIGINT)) " +
+      s"ELSE try_cast($str AS TIMESTAMP) END)"
+  }
+
   private def rewriteIntervalOperands(sqlIn: String): String = {
     val pat = raw"(?i)[+\-]\s*INTERVAL\b".r
     val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
@@ -1147,16 +1184,7 @@ object GraftSql {
               p.trim.matches("[0-9.]+") || quotedAfterInterval
             if (skip) search = opPos + m.matched.length
             else {
-              // all paths go through STRING so every static operand type
-              // analyzes (DATE→BIGINT isn't castable even with try_cast):
-              // numeric text → epoch millis, anything else → timestamp
-              // parse (a typed timestamp/date round-trips its own cast)
-              val str = s"try_cast(($p) AS STRING)"
-              val wrapped = s"(CASE WHEN try_cast($str AS BIGINT) IS NOT NULL " +
-                s"THEN timestamp_millis(try_cast($str AS BIGINT)) " +
-                s"WHEN try_cast($str AS DOUBLE) IS NOT NULL " +
-                s"THEN timestamp_millis(CAST(try_cast($str AS DOUBLE) AS BIGINT)) " +
-                s"ELSE try_cast($str AS TIMESTAMP) END)"
+              val wrapped = coerceTsExpr(p)
               s = s.substring(0, pStart) + wrapped + s.substring(pEnd)
               search = opPos + (wrapped.length - p.length) + m.matched.length
             }
@@ -1660,11 +1688,13 @@ object GraftSql {
     // date/timestamp arithmetic with INTERVAL coerces its LEFT operand
     // leniently (the reference parses date STRINGS and epoch-millis
     // NUMBERS with new Date(...)): wrap the primary before +/- INTERVAL
-    s = rewriteIntervalOperands(s)
-    // MONTH/YEAR and fractional interval ARITHMETIC runs through the
+    // everything but integral-DAY interval arithmetic runs through the
     // exact JS Date-setter emulation (month-end rollover, summed-
-    // component truncation) — after the operand coercion above
+    // component truncation, date-only format preservation); it coerces
+    // its own left primary, so it runs BEFORE the generic operand
+    // coercion, which then only sees the remaining integral-DAY sites
     s = rewriteJsIntervalArith(s)
+    s = rewriteIntervalOperands(s)
     // any fractional interval literal left standing alone truncates
     // toward zero so it at least parses (the reference errors on a
     // standalone interval at EXECUTION, so no semantics ride on it)
@@ -2176,29 +2206,66 @@ object GraftSql {
       //  - MONTH/YEAR keep the day-of-month by ROLLING OVER (MakeDay:
       //    first-of-target-month + dom-1 days; Mar 31 + 1 MONTH =
       //    May 1) where Spark's add_months CLAMPS to Apr 30.
+      // The whole toDate → applyIntervalToDate → "same format as input"
+      // chain over the RAW string form (reference:
+      // src/expression/date.js:13-41,133-143):
+      //  - only ^\d{4}-\d{2}-\d{2}(T…)? strings are dates — NUMBERS and
+      //    everything else yield NULL (toDate:136);
+      //  - JS Date setters apply ToIntegerOrInfinity to the SUMMED
+      //    component (fractional values truncate toward zero) and
+      //    MakeDay ROLLS month-end over where add_months clamps;
+      //  - the result keeps its time only when the input contained 'T'
+      //    (String(v).includes('T')) — a date-only OR space-separated
+      //    input truncates the result to its UTC date.
+      // dtype (Spark's typeof) distinguishes the JS value classes: a
+      // typed timestamp/date column is the analog of a Date OBJECT
+      // (instanceof Date → time kept, date.js:36), a string follows the
+      // includes('T') rule, and numeric types are not dates at all
       spark.udf.register("graft_js_interval",
-        (ts: java.sql.Timestamp, v: Double, unit: String, op: String) =>
-          if (ts == null || v.isNaN) null else {
-            val adj = if (op == "-") -v else v
-            val z = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
-            def t(d: Double): Long = d.toLong // ToIntegerOrInfinity: toward zero
-            // MakeDay semantics: build the target month at day 1 (never
-            // clamps), then add dom-1 days (rolls over like JS)
-            def makeDay(year: Long, monthIdx: Long): java.time.ZonedDateTime = {
-              val first = java.time.LocalDate.of(Math.toIntExact(year), 1, 1)
-                .plusMonths(monthIdx)
-              z.`with`(first.plusDays(z.getDayOfMonth - 1L))
+        (raw: String, v: Double, unit: String, op: String, dtype: String) =>
+          if (raw == null || v.isNaN ||
+              !(dtype == "string" || dtype == "date" ||
+                String.valueOf(dtype).startsWith("timestamp"))) null
+          else {
+            val re = (raw"^(\d{4})-(\d{2})-(\d{2})" +
+              raw"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?)?" +
+              raw"(Z|[+-]\d{2}:?\d{2})?$$").r
+            raw.trim match {
+              case re(yy, mo, dd, hh, mi, ss, fr, off) =>
+                try {
+                  def i(s: String, d: Int = 0) = if (s == null) d else s.toInt
+                  val millis = if (fr == null) 0 else (fr + "00").take(3).toInt
+                  val offset = off match {
+                    case null | "Z" => java.time.ZoneOffset.UTC
+                    case o => java.time.ZoneOffset.of(o)
+                  }
+                  val z0 = java.time.ZonedDateTime.of(
+                    i(yy), i(mo), i(dd), i(hh), i(mi), i(ss), millis * 1000000,
+                    offset).withZoneSameInstant(java.time.ZoneOffset.UTC)
+                  val adj = if (op == "-") -v else v
+                  def t(d: Double): Long = d.toLong // ToIntegerOrInfinity
+                  // MakeDay: target month at day 1 (never clamps), then
+                  // dom-1 days — rolls over like JS
+                  def makeDay(year: Long, monthIdx: Long): java.time.ZonedDateTime = {
+                    val first = java.time.LocalDate.of(Math.toIntExact(year), 1, 1)
+                      .plusMonths(monthIdx)
+                    z0.`with`(first.plusDays(z0.getDayOfMonth - 1L))
+                  }
+                  val out = unit.toUpperCase match {
+                    case "SECOND" => z0.plusSeconds(t(z0.getSecond + adj) - z0.getSecond)
+                    case "MINUTE" => z0.plusMinutes(t(z0.getMinute + adj) - z0.getMinute)
+                    case "HOUR"   => z0.plusHours(t(z0.getHour + adj) - z0.getHour)
+                    case "DAY"    => z0.plusDays(t(z0.getDayOfMonth + adj) - z0.getDayOfMonth)
+                    case "MONTH"  => makeDay(z0.getYear.toLong, t((z0.getMonthValue - 1) + adj))
+                    case "YEAR"   => makeDay(t(z0.getYear + adj), (z0.getMonthValue - 1).toLong)
+                    case _        => z0
+                  }
+                  val kept = if (dtype != "string" || raw.contains('T')) out
+                    else out.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+                  java.sql.Timestamp.from(kept.toInstant)
+                } catch { case _: Exception => null } // invalid date parts
+              case _ => null // toDate: non-date input (numbers included)
             }
-            val out = unit.toUpperCase match {
-              case "SECOND" => z.plusSeconds(t(z.getSecond + adj) - z.getSecond)
-              case "MINUTE" => z.plusMinutes(t(z.getMinute + adj) - z.getMinute)
-              case "HOUR"   => z.plusHours(t(z.getHour + adj) - z.getHour)
-              case "DAY"    => z.plusDays(t(z.getDayOfMonth + adj) - z.getDayOfMonth)
-              case "MONTH"  => makeDay(z.getYear.toLong, t((z.getMonthValue - 1) + adj))
-              case "YEAR"   => makeDay(t(z.getYear + adj), (z.getMonthValue - 1).toLong)
-              case _        => z
-            }
-            java.sql.Timestamp.from(out.toInstant)
           })
     }
     if (!spark.catalog.functionExists("graft_js_trim")) {

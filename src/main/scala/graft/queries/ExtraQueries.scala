@@ -22,6 +22,40 @@ object ExtraQueries {
       |WHERE position('1' IN c_name) > 0
       |ORDER BY id LIMIT 100""".stripMargin
 
+  /** JS Date-setter interval arithmetic through the driver gate: the
+    * dialect text runs plain `± INTERVAL` while the DuckDB oracle
+    * SPELLS the JS semantics by construction — month rollover as
+    * make_date(y,1,1) + to_months(m) + to_days(day-1) (never clamped),
+    * fractional hours as the truncated summed component (+2.5h = +2h
+    * always; -2.5h = -3h when hour >= 3 else -2h). Node-probed against
+    * the reference's applyIntervalToDate (date.js:13-41).
+    */
+  val intervalJsText: String =
+    """SELECT o_orderkey AS id,
+      |  CAST(EPOCH(o_orderdate + INTERVAL 1 MONTH) AS BIGINT) AS m1,
+      |  CAST(EPOCH(o_orderdate + INTERVAL 13 MONTH) AS BIGINT) AS m13,
+      |  CAST(EPOCH(o_orderdate + INTERVAL 1 YEAR) AS BIGINT) AS y1,
+      |  CAST(EPOCH(o_orderdate + INTERVAL '2.5' HOUR) AS BIGINT) AS h25,
+      |  CAST(EPOCH(o_orderdate - INTERVAL '2.5' HOUR) AS BIGINT) AS h25n,
+      |  CAST(EPOCH(o_orderdate - INTERVAL 1 MINUTE) AS BIGINT) AS m1n
+      |FROM orders WHERE o_orderkey <= 800 ORDER BY id""".stripMargin
+
+  private val intervalJsOracle: String = {
+    def shifted(t: String, months: String, years: String) =
+      s"CAST(epoch((make_date(CAST(year($t)$years AS INT), 1, 1) + " +
+        s"to_months(CAST($months AS INT)) + to_days(CAST(day($t) - 1 AS INT)))::TIMESTAMP + " +
+        s"($t - date_trunc('day', $t))) AS BIGINT)"
+    val t = "o_orderdate"
+    s"""SELECT o_orderkey AS id,
+       |  ${shifted(t, s"month($t)", "")} AS m1,
+       |  ${shifted(t, s"month($t) + 12", "")} AS m13,
+       |  ${shifted(t, s"month($t) - 1", " + 1")} AS y1,
+       |  CAST(epoch($t + INTERVAL 2 HOUR) AS BIGINT) AS h25,
+       |  CAST(epoch($t - CASE WHEN hour($t) >= 3 THEN INTERVAL 3 HOUR ELSE INTERVAL 2 HOUR END) AS BIGINT) AS h25n,
+       |  CAST(epoch($t - INTERVAL 1 MINUTE) AS BIGINT) AS m1n
+       |FROM orders WHERE o_orderkey <= 800 ORDER BY id""".stripMargin
+  }
+
   val fromFirstText: String =
     """FROM (FROM nation WHERE n_regionkey < 3) t
       |WHERE n_nationkey % 2 = 0
@@ -609,6 +643,15 @@ object ExtraQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         graft.plans.GraftSql.sql(s, ExtraQueries.fromFirstText)
+      }
+    },
+
+    // JS-semantics interval arithmetic (month rollover, fractional
+    // truncation) with the DuckDB oracle spelling the values explicitly
+    QueryDef("q_interval_js", ExtraQueries.intervalJsOracle) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sql(s, ExtraQueries.intervalJsText)
       }
     },
 

@@ -771,8 +771,8 @@ class GraftSqlSpec extends SparkSpec {
     //  - fractional values truncate the SUMMED component toward zero
     //    (setUTCHours(h + adj) under ToIntegerOrInfinity), so
     //    '-1.5' MONTH on March (m0=2) lands trunc(0.5)=0 = January.
-    Seq(("2024-03-10T00:00:00", "2024-03-31", "2024-02-29", "2024-01-31T05:00:00"))
-      .toDF("ts", "d", "e", "me").createOrReplaceTempView("ivl_t")
+    Seq(("2024-03-10T00:00:00", "2024-03-31", "2024-02-29", "2024-01-31T05:00:00", 1711843200000L))
+      .toDF("ts", "d", "e", "me", "n").createOrReplaceTempView("ivl_t")
     val r = GraftSql.sql(spark,
       """SELECT
         |  ts + INTERVAL '2.5' HOUR    AS frac_hour,
@@ -784,7 +784,10 @@ class GraftSqlSpec extends SparkSpec {
         |  d - INTERVAL 1 MONTH        AS roll_month_back,
         |  e + INTERVAL 1 YEAR         AS roll_year,
         |  me + INTERVAL 1 MONTH       AS roll_ts,
-        |  d + INTERVAL 13 MONTH       AS roll_13
+        |  d + INTERVAL 13 MONTH       AS roll_13,
+        |  d - INTERVAL 1 MINUTE       AS date_back,
+        |  d + INTERVAL 1 MINUTE       AS date_same,
+        |  n + INTERVAL 2 HOUR         AS num_null
         |FROM ivl_t""".stripMargin).collect().head
     def g(n: String) =
       r.getAs[java.sql.Timestamp](n).toInstant.toString
@@ -798,6 +801,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(g("roll_year") == "2025-03-01T00:00:00Z", g("roll_year"))
     assert(g("roll_ts") == "2024-03-02T05:00:00Z", g("roll_ts"))
     assert(g("roll_13") == "2025-05-01T00:00:00Z", g("roll_13"))
+    // "same format as input": a date-only string truncates the result
+    // back to its UTC date ('2024-03-31' - 1 min = 2024-03-30, not
+    // 23:59), and NUMBERS are not dates at all (toDate → null)
+    assert(g("date_back") == "2024-03-30T00:00:00Z", g("date_back"))
+    assert(g("date_same") == "2024-03-31T00:00:00Z", g("date_same"))
+    assert(r.isNullAt(r.fieldIndex("num_null")), "epoch number + interval must be NULL")
   }
 
   test("double-quoted identifiers select dotted columns, not string literals") {
