@@ -2239,8 +2239,15 @@ object GraftSql {
                     case null | "Z" => java.time.ZoneOffset.UTC
                     case o => java.time.ZoneOffset.of(o)
                   }
+                  // V8's parser: month 1-12 and time fields strict, but
+                  // day 1-31 is accepted REGARDLESS of month length and
+                  // rolls over ('1989-02-30' is 1989-03-02) — build via
+                  // first-of-month + (day-1)
+                  require(i(mo) >= 1 && i(mo) <= 12 && i(dd) >= 1 && i(dd) <= 31 &&
+                    i(hh) <= 23 && i(mi) <= 59 && i(ss) <= 59)
+                  val day0 = java.time.LocalDate.of(i(yy), i(mo), 1).plusDays(i(dd) - 1L)
                   val z0 = java.time.ZonedDateTime.of(
-                    i(yy), i(mo), i(dd), i(hh), i(mi), i(ss), millis * 1000000,
+                    day0, java.time.LocalTime.of(i(hh), i(mi), i(ss), millis * 1000000),
                     offset).withZoneSameInstant(java.time.ZoneOffset.UTC)
                   val adj = if (op == "-") -v else v
                   def t(d: Double): Long = d.toLong // ToIntegerOrInfinity
@@ -2262,7 +2269,11 @@ object GraftSql {
                   }
                   val kept = if (dtype != "string" || raw.contains('T')) out
                     else out.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
-                  java.sql.Timestamp.from(kept.toInstant)
+                  // Instant, NOT java.sql.Timestamp: Spark rebases
+                  // Timestamp UDF results from the hybrid Julian
+                  // calendar, shifting pre-1582 dates by days — Instant
+                  // converts proleptic-Gregorian straight through
+                  kept.toInstant
                 } catch { case _: Exception => null } // invalid date parts
               case _ => null // toDate: non-date input (numbers included)
             }

@@ -438,6 +438,70 @@ class FuzzSpec extends SparkSpec {
     info(s"registry=${registry.size} diffable=${diffable.size} validateOnly=${validateOnly.size}")
   }
 
+  test("interval property fuzz: graft_js_interval == applyIntervalToDate on random cases") {
+    assume(nodeOk, "node not available")
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val r = new scala.util.Random(2024L)
+    val units = Seq("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
+    // raw shapes: date-only, T-datetime (± seconds/millis/Z), SPACE
+    // datetime (truncates — no 'T'), and invalid strings (null)
+    def rawDate(): String = {
+      val y = 1900 + r.nextInt(250)
+      val mo = 1 + r.nextInt(12)
+      val d = 1 + r.nextInt(31) // deliberately includes invalid Feb 30 etc.
+      val base = f"$y%04d-$mo%02d-$d%02d"
+      r.nextInt(6) match {
+        case 0 | 1 => base
+        case 2 => f"${base}T${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d"
+        case 3 => f"${base}T${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d.${r.nextInt(1000)}%03dZ"
+        case 4 => f"$base ${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d"
+        case _ => Seq("garbage", "12345", "2024/01/01", "")(r.nextInt(4))
+      }
+    }
+    def value(): Double = r.nextInt(5) match {
+      case 0 => r.nextInt(200) - 100
+      case 1 => (r.nextInt(2000) - 1000) / 10.0
+      case 2 => (r.nextInt(200) - 100) + 0.5
+      case 3 => r.nextInt(100000) - 50000
+      case _ => Seq(0.0, -0.5, 0.9, -0.9, 1.0e4 + 0.25)(r.nextInt(5))
+    }
+    val cases = (1 to 400).map { _ =>
+      (rawDate(), value(), units(r.nextInt(units.length)), if (r.nextBoolean()) "+" else "-")
+    }
+    // reference side: one node process over the whole batch
+    val arr = om.createArrayNode()
+    cases.foreach { case (raw, v, u, op) =>
+      val o = om.createObjectNode()
+      o.put("raw", raw); o.put("v", v); o.put("unit", u); o.put("op", op)
+      arr.add(o)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$workDir/ivl_cases.json"), om.writeValueAsString(arr))
+    val pb = new ProcessBuilder("node", "tools/fuzz_interval_ref.mjs",
+      s"$workDir/ivl_cases.json", s"$workDir/ivl_out.json")
+    pb.environment().put("TZ", "UTC")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"fuzz_interval_ref.mjs failed:\n${log.takeRight(1000)}")
+    val refOut = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workDir/ivl_out.json")))
+    // graft side: the UDF over the same batch ('string' dtype — the
+    // string-world dispatch the reference lives in)
+    GraftSql.ensureHelpers(spark)
+    val got = cases.toDF("raw", "v", "u", "op")
+      .selectExpr("unix_millis(graft_js_interval(raw, v, u, op, 'string')) AS ms")
+      .collect().map(row => if (row.isNullAt(0)) None else Some(row.getLong(0)))
+    val bad = cases.zipWithIndex.flatMap { case ((raw, v, u, op), i) =>
+      val want = if (refOut.get(i).isNull) None else Some(refOut.get(i).asLong())
+      if (want == got(i)) None
+      else Some(s"#$i ('$raw', $v, $u, '$op'): ref=$want graft=${got(i)}")
+    }
+    info(s"interval cases=${cases.size} divergences=${bad.size}")
+    assert(bad.isEmpty, s"${bad.size} interval divergences:\n" + bad.take(15).mkString("\n"))
+  }
+
   test("fuzz corpus also exercises validate/tables/maxRows without crashing") {
     assume(nodeOk, "node not available")
     val queries = FuzzGen.queries(seed = 7L, n = 60)
