@@ -1028,9 +1028,73 @@ object GraftSql {
     val pat = (raw"(?i)([+\-])\s*INTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))" +
       raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
     val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
+    // per-row JS value-class of the operand (see the UDF's kind param)
+    def kindExpr(p: String): String =
+      s"(CASE WHEN typeof($p) = 'string' THEN " +
+        s"(CASE WHEN try_cast(($p) AS STRING) LIKE '%T%' THEN 'ts_str' ELSE 'date_str' END) " +
+        s"WHEN typeof($p) = 'date' OR typeof($p) LIKE 'timestamp%' THEN 'typed' " +
+        s"ELSE 'none' END)"
+    // the primary expression FORWARD from a position: identifier /
+    // dotted column (with an optional call-parens), parenthesized
+    // expression, or string literal — the operand of the left-interval
+    // form `INTERVAL 1 MONTH + expr` (reference: evaluate.js:182, '+'
+    // only; '-' with the interval on the left throws there)
+    def forwardSpan(str: String, from: Int): Int = {
+      var i = from
+      while (i < str.length && str.charAt(i).isWhitespace) i += 1
+      if (i >= str.length) return from
+      str.charAt(i) match {
+        case '\'' =>
+          var j = i + 1
+          while (j < str.length && str.charAt(j) != '\'') j += 1
+          j + 1
+        case '(' => matchParen(str, i) + 1
+        case c if c.isLetterOrDigit || c == '_' =>
+          var j = i
+          while (j < str.length && (str.charAt(j).isLetterOrDigit ||
+            str.charAt(j) == '_' || str.charAt(j) == '.')) j += 1
+          if (j < str.length && str.charAt(j) == '(') matchParen(str, j) + 1 else j
+        case _ => from
+      }
+    }
     var s = sqlIn
+    // pre-pass: COMMUTE the left-interval form `INTERVAL v U + expr`
+    // (reference: evaluate.js:182 — '+' only; '-' with the interval on
+    // the left throws there, and throws here too) into the right form
+    // the main loop handles. An INTERVAL preceded by +/- is a right
+    // form's literal, not a left form.
+    val leftPat = (raw"(?i)\bINTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))" +
+      raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\s*\+").r
+    var lsearch = 0
+    var lguard = 0
+    while (lguard < 100) {
+      lguard += 1
+      leftPat.findFirstMatchIn(s.substring(lsearch)) match {
+        case None => lguard = 100
+        case Some(m) =>
+          val start = lsearch + m.start
+          var k = start - 1
+          while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+          val precededByOp = k >= 0 && (s.charAt(k) == '+' || s.charAt(k) == '-')
+          val opEnd = forwardSpan(s, lsearch + m.end)
+          if (inLiteral(s, start) || precededByOp || opEnd <= lsearch + m.end) {
+            lsearch = start + m.matched.length
+          } else {
+            val v = Option(m.group(1)).map(x => s"'$x'").getOrElse(m.group(2))
+            val operand = s.substring(lsearch + m.end, opEnd).trim
+            val commuted = s"$operand + INTERVAL $v ${m.group(3).toUpperCase}"
+            s = s.substring(0, start) + commuted + s.substring(opEnd)
+            lsearch = start
+          }
+      }
+    }
     var search = 0
     var guard = 0
+    // chained ops (`d + INTERVAL 1 DAY - INTERVAL 2 HOUR`): the outer
+    // call's operand is the inner call — thread the ORIGINAL operand's
+    // kind through so each step reformats like the reference
+    // (a date-only string stays date-only at every step)
+    var lastCall: Option[(String, String)] = None
     while (guard < 100) {
       guard += 1
       pat.findFirstMatchIn(s.substring(search)) match {
@@ -1056,11 +1120,16 @@ object GraftSql {
               // raw string form: the UDF implements toDate itself (a
               // typed timestamp/date round-trips its own cast; numbers
               // are NOT dates in the reference — they yield NULL)
+              val kind = lastCall match {
+                case Some((inner, k)) if p.trim == inner => k
+                case _ => kindExpr(p)
+              }
               val call = s"graft_js_interval(try_cast(($p) AS STRING), " +
-                s"CAST($v AS DOUBLE), '$unit', '${m.group(1)}', typeof($p))"
+                s"CAST($v AS DOUBLE), '$unit', '${m.group(1)}', $kind)"
               s = s.substring(0, pStart) + call +
                 s.substring(search + m.start + m.matched.length)
               search = pStart + call.length
+              lastCall = Some((call, kind))
             }
           }
       }
@@ -2217,15 +2286,17 @@ object GraftSql {
       //  - the result keeps its time only when the input contained 'T'
       //    (String(v).includes('T')) — a date-only OR space-separated
       //    input truncates the result to its UTC date.
-      // dtype (Spark's typeof) distinguishes the JS value classes: a
-      // typed timestamp/date column is the analog of a Date OBJECT
-      // (instanceof Date → time kept, date.js:36), a string follows the
-      // includes('T') rule, and numeric types are not dates at all
+      // kind distinguishes the JS value classes per ROW: 'typed' is the
+      // analog of a Date OBJECT (instanceof Date → time kept,
+      // date.js:36), 'ts_str' a string containing 'T' (time kept),
+      // 'date_str' a string without (result truncates to its UTC
+      // date), 'none' everything else (numbers are not dates). Chained
+      // ops thread the ORIGINAL operand's kind through, mirroring the
+      // reference's per-step string reformatting.
       spark.udf.register("graft_js_interval",
-        (raw: String, v: Double, unit: String, op: String, dtype: String) =>
+        (raw: String, v: Double, unit: String, op: String, kind: String) =>
           if (raw == null || v.isNaN ||
-              !(dtype == "string" || dtype == "date" ||
-                String.valueOf(dtype).startsWith("timestamp"))) null
+              !(kind == "date_str" || kind == "ts_str" || kind == "typed")) null
           else {
             val re = (raw"^(\d{4})-(\d{2})-(\d{2})" +
               raw"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?)?" +
@@ -2267,7 +2338,7 @@ object GraftSql {
                     case "YEAR"   => makeDay(t(z0.getYear + adj), (z0.getMonthValue - 1).toLong)
                     case _        => z0
                   }
-                  val kept = if (dtype != "string" || raw.contains('T')) out
+                  val kept = if (kind != "date_str") out
                     else out.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
                   // Instant, NOT java.sql.Timestamp: Spark rebases
                   // Timestamp UDF results from the hybrid Julian

@@ -487,11 +487,12 @@ class FuzzSpec extends SparkSpec {
     assert(proc.waitFor() == 0, s"fuzz_interval_ref.mjs failed:\n${log.takeRight(1000)}")
     val refOut = om.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$workDir/ivl_out.json")))
-    // graft side: the UDF over the same batch ('string' dtype — the
-    // string-world dispatch the reference lives in)
+    // graft side: the UDF over the same batch, with the string-world
+    // kind dispatch the rewrite computes per row
     GraftSql.ensureHelpers(spark)
     val got = cases.toDF("raw", "v", "u", "op")
-      .selectExpr("unix_millis(graft_js_interval(raw, v, u, op, 'string')) AS ms")
+      .selectExpr("unix_millis(graft_js_interval(raw, v, u, op, " +
+        "CASE WHEN raw LIKE '%T%' THEN 'ts_str' ELSE 'date_str' END)) AS ms")
       .collect().map(row => if (row.isNullAt(0)) None else Some(row.getLong(0)))
     val bad = cases.zipWithIndex.flatMap { case ((raw, v, u, op), i) =>
       val want = if (refOut.get(i).isNull) None else Some(refOut.get(i).asLong())

@@ -787,7 +787,10 @@ class GraftSqlSpec extends SparkSpec {
         |  d + INTERVAL 13 MONTH       AS roll_13,
         |  d - INTERVAL 1 MINUTE       AS date_back,
         |  d + INTERVAL 1 MINUTE       AS date_same,
-        |  n + INTERVAL 2 HOUR         AS num_null
+        |  n + INTERVAL 2 HOUR         AS num_null,
+        |  d + INTERVAL 1 DAY - INTERVAL 2 HOUR  AS chain_date,
+        |  ts + INTERVAL 1 DAY - INTERVAL 2 HOUR AS chain_ts,
+        |  INTERVAL 1 MONTH + d                  AS left_form
         |FROM ivl_t""".stripMargin).collect().head
     def g(n: String) =
       r.getAs[java.sql.Timestamp](n).toInstant.toString
@@ -807,6 +810,14 @@ class GraftSqlSpec extends SparkSpec {
     assert(g("date_back") == "2024-03-30T00:00:00Z", g("date_back"))
     assert(g("date_same") == "2024-03-31T00:00:00Z", g("date_same"))
     assert(r.isNullAt(r.fieldIndex("num_null")), "epoch number + interval must be NULL")
+    // chained ops reformat per STEP like the reference (node-probed):
+    // a date-only string stays date-only through the chain, so
+    // '2024-03-31' + 1 DAY - 2 HOUR = '2024-03-31' (Apr 1 → 23:59…
+    // truncates back), while a 'T' string keeps its time
+    assert(g("chain_date") == "2024-03-31T00:00:00Z", g("chain_date"))
+    assert(g("chain_ts") == "2024-03-10T22:00:00Z", g("chain_ts"))
+    // left-interval form (evaluate.js:182): commutes, rollover intact
+    assert(g("left_form") == "2024-05-01T00:00:00Z", g("left_form"))
   }
 
   test("double-quoted identifiers select dotted columns, not string literals") {
