@@ -154,6 +154,32 @@ object GraftSql {
     * (quote parity; DuckDB-style doubled '' counts as two, preserving
     * parity correctly).
     */
+  /** Strip line comments (double-dash to end of line) and block
+    * comments (slash-star to star-slash), QUOTE AWARE — a comment
+    * opener inside a string literal is content, and a naive regex
+    * strip corrupts quote parity for everything after it ('--x' would
+    * lose its closing quote). Comments are whitespace to the engine,
+    * so the rewrite pipeline strips them up front; the strict lint
+    * uses the same stripper before its tail checks.
+    */
+  private def stripComments(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0
+    var inQ = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inQ = !inQ; sb.append(c); i += 1 }
+      else if (!inQ && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+      } else if (!inQ && c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        sb.append(' ')
+        i = if (end < 0) sql.length else end + 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def inLiteral(s: String, pos: Int): Boolean = {
     var i = 0
     var quotes = 0
@@ -638,6 +664,17 @@ object GraftSql {
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
   def rewrite(sqlText: String): String = rewriteImpl(sqlText, notInExists = true)
 
+  /** The rewrite is a pure function of its text, and the host-facing
+    * entry points run it twice back-to-back (strictLint's parse for the
+    * duplicate-CTE check, then rewriteChecked) — a small LRU makes the
+    * second pass free without changing any semantics.
+    */
+  private val rewriteMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Boolean), String](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Boolean), String]): Boolean = size > 64
+    })
+
   /** `lhs NOT IN (SELECT ...)` carries the reference's TWO-VALUED null
     * semantics (execute/join.js:283,310 — null keys are skipped on both
     * build and probe, so a null in the subquery cannot empty the result
@@ -1120,8 +1157,18 @@ object GraftSql {
               // raw string form: the UDF implements toDate itself (a
               // typed timestamp/date round-trips its own cast; numbers
               // are NOT dates in the reference — they yield NULL)
+              // a chained op's primary may carry wrapping parens:
+              // `(d + INTERVAL 1 DAY) - INTERVAL 2 HOUR` rewrites the
+              // inside first, leaving `(graft_js_interval(...))`
+              val core = {
+                val t = p.trim
+                if (t.startsWith("(") && t.endsWith(")") &&
+                    matchParen(t, 0) == t.length - 1)
+                  t.substring(1, t.length - 1).trim
+                else t
+              }
               val kind = lastCall match {
-                case Some((inner, k)) if p.trim == inner => k
+                case Some((inner, k)) if core == inner => k
                 case _ => kindExpr(p)
               }
               val call = s"graft_js_interval(try_cast(($p) AS STRING), " +
@@ -1185,6 +1232,25 @@ object GraftSql {
             val selectStart =
               if (i < 0) true
               else if (s.charAt(i) == '(') true
+              else if (s.charAt(i) == ')') {
+                // `WITH c AS (SELECT …) FROM c` — a FROM right after a
+                // CTE body's close-paren is FROM-first (the reference
+                // accepts it); a close-paren whose opener is NOT
+                // preceded by AS (scalar subquery, function call) is a
+                // normal FROM
+                var depth = 0
+                var j = i
+                while (j >= 0 && depth >= 0) {
+                  if (s.charAt(j) == ')') depth += 1
+                  else if (s.charAt(j) == '(') depth -= 1
+                  if (depth == 0) { j -= 1; depth = -1 } else j -= 1
+                }
+                var k = j
+                while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+                val e2 = k
+                while (k >= 0 && s.charAt(k).isLetter) k -= 1
+                s.substring(k + 1, e2 + 1).equalsIgnoreCase("AS")
+              }
               else {
                 var j = i
                 while (j >= 0 && s.charAt(j).isLetter) j -= 1
@@ -1338,8 +1404,17 @@ object GraftSql {
     }
   }
 
-  private def rewriteImpl(sqlText: String, notInExists: Boolean): String = {
+  private def rewriteImpl(sqlText: String, notInExists: Boolean): String =
+    rewriteMemo.computeIfAbsent((sqlText, notInExists),
+      _ => rewriteImplUncached(sqlText, notInExists))
+
+  private def rewriteImplUncached(sqlText: String, notInExists: Boolean): String = {
     var s = sqlText
+
+    // comments go first — they are whitespace to the engine, and every
+    // regex rewrite below (and the FROM-first backward scan) is simpler
+    // and safer over comment-free text (quote-aware strip)
+    s = stripComments(s)
 
     // FROM-first statements before anything — they restructure the
     // skeleton every later rewrite anchors on (a SELECT list)
@@ -2004,8 +2079,9 @@ object GraftSql {
   private val clauseKw = "WHERE|LIMIT|OFFSET|ORDER|GROUP|HAVING|BY|ON|AND|OR|AS|" +
     "FROM|SELECT|UNION|INTERSECT|EXCEPT|JOIN|IN|NOT|DISTINCT|WHEN|THEN|ELSE|BETWEEN|LIKE"
   private def strictLint(spark: SparkSession, sqlTextIn: String): Option[String] = {
-    // line comments can end a statement; only lint the SQL itself
-    val sqlText = sqlTextIn.replaceAll("(?m)--.*$", " ").stripTrailing()
+    // comments can end a statement; only lint the SQL itself (quote-
+    // aware strip — a regex strip would corrupt parity after '--x')
+    val sqlText = stripComments(sqlTextIn).stripTrailing()
     val dangling = raw"(?is)\b($clauseKw)\s*;?\s*$$".r
     val aliasKw = raw"(?is)\bAS\s+(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|UNION|INTERSECT|EXCEPT|SELECT)\b".r
     dangling.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
@@ -2298,27 +2374,36 @@ object GraftSql {
           if (raw == null || v.isNaN ||
               !(kind == "date_str" || kind == "ts_str" || kind == "typed")) null
           else {
+            // anchored at the START on the UNTRIMMED string, like the
+            // reference's toDate regex (' 2024-01-01' is null there even
+            // though bare V8 would parse it); V8 itself then allows a
+            // lowercase 't'/space separator, lowercase 'z', trailing
+            // whitespace, and hour 24 when minutes/seconds are zero
             val re = (raw"^(\d{4})-(\d{2})-(\d{2})" +
-              raw"(?:[T ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?)?" +
-              raw"(Z|[+-]\d{2}:?\d{2})?$$").r
-            raw.trim match {
+              raw"(?:[Tt ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?)?" +
+              raw"([Zz]|[+-]\d{2}:?\d{2})?\s*$$").r
+            raw match {
               case re(yy, mo, dd, hh, mi, ss, fr, off) =>
                 try {
                   def i(s: String, d: Int = 0) = if (s == null) d else s.toInt
                   val millis = if (fr == null) 0 else (fr + "00").take(3).toInt
                   val offset = off match {
-                    case null | "Z" => java.time.ZoneOffset.UTC
+                    case null | "Z" | "z" => java.time.ZoneOffset.UTC
                     case o => java.time.ZoneOffset.of(o)
                   }
                   // V8's parser: month 1-12 and time fields strict, but
                   // day 1-31 is accepted REGARDLESS of month length and
                   // rolls over ('1989-02-30' is 1989-03-02) — build via
-                  // first-of-month + (day-1)
+                  // first-of-month + (day-1); T24:00:00 exactly is the
+                  // next midnight
+                  val h24 = i(hh) == 24 && i(mi) == 0 && i(ss) == 0 && millis == 0
                   require(i(mo) >= 1 && i(mo) <= 12 && i(dd) >= 1 && i(dd) <= 31 &&
-                    i(hh) <= 23 && i(mi) <= 59 && i(ss) <= 59)
-                  val day0 = java.time.LocalDate.of(i(yy), i(mo), 1).plusDays(i(dd) - 1L)
+                    (i(hh) <= 23 || h24) && i(mi) <= 59 && i(ss) <= 59)
+                  val day0 = java.time.LocalDate.of(i(yy), i(mo), 1)
+                    .plusDays(i(dd) - 1L + (if (h24) 1 else 0))
                   val z0 = java.time.ZonedDateTime.of(
-                    day0, java.time.LocalTime.of(i(hh), i(mi), i(ss), millis * 1000000),
+                    day0,
+                    java.time.LocalTime.of(if (h24) 0 else i(hh), i(mi), i(ss), millis * 1000000),
                     offset).withZoneSameInstant(java.time.ZoneOffset.UTC)
                   val adj = if (op == "-") -v else v
                   def t(d: Double): Long = d.toLong // ToIntegerOrInfinity

@@ -456,7 +456,12 @@ class FuzzSpec extends SparkSpec {
         case 2 => f"${base}T${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d"
         case 3 => f"${base}T${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d.${r.nextInt(1000)}%03dZ"
         case 4 => f"$base ${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d"
-        case _ => Seq("garbage", "12345", "2024/01/01", "")(r.nextInt(4))
+        case _ => Seq("garbage", "12345", "2024/01/01", "",
+          s"${base}T24:00:00",       // V8: next midnight
+          f"${base}t${r.nextInt(24)}%02d:30:00", // lowercase t parses; no 'T' → date-only
+          s" $base",                 // leading space: toDate's anchor rejects
+          s"$base ",                 // trailing space: V8 accepts
+          s"${base}T10:00:00z")(r.nextInt(9))
       }
     }
     def value(): Double = r.nextInt(5) match {

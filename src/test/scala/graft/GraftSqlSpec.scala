@@ -818,6 +818,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(g("chain_ts") == "2024-03-10T22:00:00Z", g("chain_ts"))
     // left-interval form (evaluate.js:182): commutes, rollover intact
     assert(g("left_form") == "2024-05-01T00:00:00Z", g("left_form"))
+    // parenthesized chain: the kind still threads through the parens
+    val paren = GraftSql.sql(spark,
+      "SELECT (d + INTERVAL 1 DAY) - INTERVAL 2 HOUR AS r FROM ivl_t").collect().head
+    assert(paren.getAs[java.sql.Timestamp]("r").toInstant.toString
+      == "2024-03-31T00:00:00Z", paren.toString)
+  }
+
+  test("strictLint: comments and literals do not confuse the misparse gate") {
+    Seq(Tuple1(1L)).toDF("a").createOrReplaceTempView("lint_t")
+    // a '--' INSIDE a literal is content, not a comment — this valid
+    // query must pass even though a naive strip would corrupt quote
+    // parity and see a fake `AS FROM`
+    val ok = GraftSql.sql(spark,
+      "SELECT * FROM lint_t WHERE '--x' <> 'AS FROM'").collect()
+    assert(ok.length == 1)
+    // real trailing comments are fine; a real dangling WHERE is not
+    assert(GraftSql.validate(spark, "SELECT a FROM lint_t -- where").isRight)
+    assert(GraftSql.validate(spark, "SELECT a FROM lint_t WHERE").isLeft)
+    // FROM-first after a CTE body and after a leading comment
+    assert(GraftSql.sql(spark,
+      "WITH c AS (SELECT 1 AS x) FROM c").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(GraftSql.sql(spark, "-- hi\nFROM lint_t").collect().length == 1)
+    assert(GraftSql.sql(spark, "/* hi */ FROM lint_t").collect().length == 1)
+    // a scalar subquery's close-paren before FROM is NOT FROM-first
+    assert(GraftSql.sql(spark,
+      "SELECT (SELECT 2) FROM lint_t").collect().head.getInt(0) == 2)
   }
 
   test("double-quoted identifiers select dotted columns, not string literals") {

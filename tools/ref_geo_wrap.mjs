@@ -20,7 +20,7 @@ function entry(extra) {
   }
 }
 
-const num = n => Number.isInteger(n) ? String(n) : String(n)
+const num = n => String(n)
 const ptWkt = p => `POINT (${num(p[0])} ${num(p[1])})`
 const coords = cs => cs.map(c => `${num(c[0])} ${num(c[1])}`).join(', ')
 const lineWkt = cs => `LINESTRING (${coords(cs)})`
