@@ -1150,8 +1150,31 @@ object GraftSql {
             // interval op — its left side is the preceding arithmetic
             val quotedAfterInterval = p.startsWith("'") &&
               raw"(?i)INTERVAL\s*$$".r.findFirstIn(s.substring(0, pStart)).isDefined
+            // PUSHDOWN fast path: a typed-constant operand
+            // (CURRENT_TIMESTAMP / CURRENT_DATE / NOW() / typed
+            // literal) with an integral sub-month unit is the common
+            // time-window filter bound (`WHERE ts > now() - INTERVAL
+            // 7 DAY`). JS Date-object semantics keep the time there,
+            // and integral day/hour/minute/second arithmetic is
+            // bit-identical to Spark's — but a ScalaUDF never
+            // constant-folds, so routing these through
+            // graft_js_interval would stop the comparison reaching the
+            // parquet scan as a pushed filter. Leave them on native
+            // interval arithmetic (rewriteIntervalOperands' coercion
+            // CASE folds once ComputeCurrentTime makes now() a
+            // literal).
+            // typed literals arrive here ALREADY rewritten by the
+            // lenient-cast pass: TIMESTAMP 'x' → try_cast('x' AS TIMESTAMP)
+            val typedConst = p.trim.matches(
+              "(?is)^(CURRENT_TIMESTAMP|CURRENT_DATE|NOW\\s*\\(\\s*\\)|" +
+                "TIMESTAMP\\s+'[^']*'|DATE\\s+'[^']*'|" +
+                "TRY_CAST\\s*\\(\\s*'[^']*'\\s+AS\\s+(TIMESTAMP|DATE)\\s*\\))$")
+            val subMonthIntegral =
+              (unit == "DAY" || unit == "HOUR" || unit == "MINUTE" || unit == "SECOND") &&
+                !v.contains('.')
             val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
-              p.trim.matches("[0-9.]+") || quotedAfterInterval
+              p.trim.matches("[0-9.]+") || quotedAfterInterval ||
+              (typedConst && subMonthIntegral)
             if (skip) search = opPos + m.matched.length
             else {
               // raw string form: the UDF implements toDate itself (a

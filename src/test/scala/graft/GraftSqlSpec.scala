@@ -825,6 +825,29 @@ class GraftSqlSpec extends SparkSpec {
       == "2024-03-31T00:00:00Z", paren.toString)
   }
 
+  test("time-window filter bounds stay constant-foldable and push to parquet") {
+    // `WHERE ts > now() - INTERVAL 7 DAY` is THE 100 TB filter shape:
+    // a typed-constant operand with an integral sub-month unit must
+    // stay on native interval arithmetic (bit-identical to the JS
+    // Date-object semantics there) so the bound folds to a literal and
+    // reaches the scan as a pushed filter — the graft_js_interval UDF
+    // would never constant-fold
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("push_orders")
+    val q = "SELECT o_orderkey FROM push_orders " +
+      "WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00' - INTERVAL 30 DAY"
+    val exec = GraftSql.sql(spark, q).queryExecution
+    assert(!exec.optimizedPlan.toString.contains("graft_js_interval"),
+      exec.optimizedPlan.toString.take(400))
+    val physical = exec.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      physical.take(800))
+    val qNow = "SELECT count(*) AS c FROM push_orders " +
+      "WHERE o_orderdate > NOW() - INTERVAL 10000 DAY"
+    assert(!GraftSql.sql(spark, qNow).queryExecution.optimizedPlan.toString
+      .contains("graft_js_interval"))
+  }
+
   test("strictLint: comments and literals do not confuse the misparse gate") {
     Seq(Tuple1(1L)).toDF("a").createOrReplaceTempView("lint_t")
     // a '--' INSIDE a literal is content, not a comment — this valid
