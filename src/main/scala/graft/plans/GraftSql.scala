@@ -165,13 +165,18 @@ object GraftSql {
   private def stripComments(sql: String): String = {
     val sb = new StringBuilder(sql.length)
     var i = 0
-    var inQ = false
+    var inQ = false // '…' string literal
+    var inD = false // "…" identifier — the dialect reads these as
+    // identifiers, and `--` inside one is content ("a--b" is a column)
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'') { inQ = !inQ; sb.append(c); i += 1 }
-      else if (!inQ && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+      if (c == '\'' && !inD) { inQ = !inQ; sb.append(c); i += 1 }
+      else if (c == '"' && !inQ) { inD = !inD; sb.append(c); i += 1 }
+      else if (!inQ && !inD && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1
-      } else if (!inQ && c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+      } else if (!inQ && !inD && c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // first star-slash ends the comment — block comments do NOT
+        // nest in the reference's lexer (probed)
         val end = sql.indexOf("*/", i + 2)
         sb.append(' ')
         i = if (end < 0) sql.length else end + 2
@@ -1142,7 +1147,20 @@ object GraftSql {
           val unit = m.group(4).toUpperCase
           if (inLiteral(s, opPos)) search = opPos + m.matched.length
           else {
-            val (pStart, pEnd) = primarySpan(s, opPos)
+            val (pStart0, pEnd) = primarySpan(s, opPos)
+            // a quoted primary may be the tail of a typed literal —
+            // absorb the DATE/TIMESTAMP keyword so the whole literal
+            // rides into the call (else `DATE graft_js_interval(…)`
+            // would be left behind, a parse error)
+            val pStart = if (pEnd > pStart0 && s.charAt(pStart0) == '\'') {
+              var k = pStart0 - 1
+              while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+              val e2 = k
+              while (k >= 0 && s.charAt(k).isLetter) k -= 1
+              val w = s.substring(k + 1, e2 + 1)
+              if (w.equalsIgnoreCase("DATE") || w.equalsIgnoreCase("TIMESTAMP")) k + 1
+              else pStart0
+            } else pStart0
             val p = s.substring(pStart, pEnd)
             // same chain guards as rewriteIntervalOperands: a primary
             // that is itself a unit keyword / bare number / the quoted
@@ -1163,18 +1181,44 @@ object GraftSql {
             // interval arithmetic (rewriteIntervalOperands' coercion
             // CASE folds once ComputeCurrentTime makes now() a
             // literal).
-            // typed literals arrive here ALREADY rewritten by the
-            // lenient-cast pass: TIMESTAMP 'x' → try_cast('x' AS TIMESTAMP)
+            // typed TIMESTAMP literals arrive here ALREADY rewritten by
+            // the lenient-cast pass (TIMESTAMP 'x' → try_cast('x' AS
+            // TIMESTAMP)); DATE 'x' and the paren spellings of
+            // CURRENT_TIMESTAMP/CURRENT_DATE arrive verbatim
             val typedConst = p.trim.matches(
-              "(?is)^(CURRENT_TIMESTAMP|CURRENT_DATE|NOW\\s*\\(\\s*\\)|" +
-                "TIMESTAMP\\s+'[^']*'|DATE\\s+'[^']*'|" +
+              "(?is)^(CURRENT_TIMESTAMP(\\s*\\(\\s*\\))?|CURRENT_DATE(\\s*\\(\\s*\\))?|" +
+                "NOW\\s*\\(\\s*\\)|TIMESTAMP\\s+'[^']*'|DATE\\s+'[^']*'|" +
                 "TRY_CAST\\s*\\(\\s*'[^']*'\\s+AS\\s+(TIMESTAMP|DATE)\\s*\\))$")
-            val subMonthIntegral =
-              (unit == "DAY" || unit == "HOUR" || unit == "MINUTE" || unit == "SECOND") &&
-                !v.contains('.')
+            def subMonthIntegral(u: String, vv: String): Boolean =
+              (u == "DAY" || u == "HOUR" || u == "MINUTE" || u == "SECOND") &&
+                !vv.contains('.')
+            // the fast path must hold for the WHOLE chain: if a LATER
+            // op is MONTH/YEAR/fractional, skipping the head would
+            // leave the tail on native (clamping) arithmetic — only
+            // stay native when every subsequent interval op is
+            // integral sub-month too
+            def chainAllSubMonth(from: Int): Boolean = {
+              val tail = (raw"(?i)^\s*[+\-]\s*INTERVAL\s+" +
+                raw"(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))\s+" +
+                raw"(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
+              var idx = from
+              var ok = true
+              var cont = true
+              while (cont && ok) {
+                tail.findPrefixMatchOf(s.substring(idx)) match {
+                  case Some(mm) =>
+                    val vv = Option(mm.group(1)).getOrElse(mm.group(2))
+                    ok = subMonthIntegral(mm.group(3).toUpperCase, vv)
+                    idx += mm.end
+                  case None => cont = false
+                }
+              }
+              ok
+            }
             val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
               p.trim.matches("[0-9.]+") || quotedAfterInterval ||
-              (typedConst && subMonthIntegral)
+              (typedConst && subMonthIntegral(unit, v) &&
+                chainAllSubMonth(opPos + m.matched.length))
             if (skip) search = opPos + m.matched.length
             else {
               // raw string form: the UDF implements toDate itself (a
@@ -1260,19 +1304,30 @@ object GraftSql {
                 // CTE body's close-paren is FROM-first (the reference
                 // accepts it); a close-paren whose opener is NOT
                 // preceded by AS (scalar subquery, function call) is a
-                // normal FROM
+                // normal FROM. Parens INSIDE string literals don't
+                // count (quote-aware, like the forward matchParen).
                 var depth = 0
                 var j = i
-                while (j >= 0 && depth >= 0) {
-                  if (s.charAt(j) == ')') depth += 1
-                  else if (s.charAt(j) == '(') depth -= 1
-                  if (depth == 0) { j -= 1; depth = -1 } else j -= 1
+                var open = -1
+                while (j >= 0 && open < 0) {
+                  val ch = s.charAt(j)
+                  if ((ch == ')' || ch == '(') && !inLiteral(s, j)) {
+                    if (ch == ')') depth += 1
+                    else {
+                      depth -= 1
+                      if (depth == 0) open = j
+                    }
+                  }
+                  j -= 1
                 }
-                var k = j
-                while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
-                val e2 = k
-                while (k >= 0 && s.charAt(k).isLetter) k -= 1
-                s.substring(k + 1, e2 + 1).equalsIgnoreCase("AS")
+                if (open < 0) false
+                else {
+                  var k = open - 1
+                  while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+                  val e2 = k
+                  while (k >= 0 && s.charAt(k).isLetter) k -= 1
+                  s.substring(k + 1, e2 + 1).equalsIgnoreCase("AS")
+                }
               }
               else {
                 var j = i
@@ -1427,9 +1482,20 @@ object GraftSql {
     }
   }
 
-  private def rewriteImpl(sqlText: String, notInExists: Boolean): String =
-    rewriteMemo.computeIfAbsent((sqlText, notInExists),
-      _ => rewriteImplUncached(sqlText, notInExists))
+  private def rewriteImpl(sqlText: String, notInExists: Boolean): String = {
+    // compute OUTSIDE the map's lock: computeIfAbsent would hold the
+    // single monitor for the whole multi-pass rewrite, serializing
+    // concurrent sessions; the rewrite is pure, so a duplicated
+    // computation on a race is harmless
+    val key = (sqlText, notInExists)
+    val hit = rewriteMemo.get(key)
+    if (hit != null) hit
+    else {
+      val out = rewriteImplUncached(sqlText, notInExists)
+      rewriteMemo.put(key, out)
+      out
+    }
+  }
 
   private def rewriteImplUncached(sqlText: String, notInExists: Boolean): String = {
     var s = sqlText

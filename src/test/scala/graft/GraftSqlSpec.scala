@@ -818,6 +818,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(g("chain_ts") == "2024-03-10T22:00:00Z", g("chain_ts"))
     // left-interval form (evaluate.js:182): commutes, rollover intact
     assert(g("left_form") == "2024-05-01T00:00:00Z", g("left_form"))
+    // a typed-constant head with a MONTH tail must NOT take the native
+    // fast path — the whole chain keeps JS semantics (Feb 31 rolls to
+    // Mar 2; node-probed against applyIntervalToDate)
+    val chainTail = GraftSql.sql(spark,
+      "SELECT TIMESTAMP '2024-01-31 01:00:00' + INTERVAL 0 DAY + INTERVAL 1 MONTH AS r")
+      .collect().head
+    assert(chainTail.getAs[java.sql.Timestamp]("r").toInstant.toString
+      == "2024-03-02T01:00:00Z", chainTail.toString)
+    // DATE literal arithmetic: the typed literal rides whole into the
+    // fast path (no dangling DATE keyword), native here is JS-exact
+    val dlit = GraftSql.sql(spark,
+      "SELECT DATE '1995-06-01' - INTERVAL 30 DAY AS r").collect().head
+    assert(String.valueOf(dlit.get(0)).startsWith("1995-05-02"), dlit.toString)
     // parenthesized chain: the kind still threads through the parens
     val paren = GraftSql.sql(spark,
       "SELECT (d + INTERVAL 1 DAY) - INTERVAL 2 HOUR AS r FROM ivl_t").collect().head
@@ -846,6 +859,11 @@ class GraftSqlSpec extends SparkSpec {
       "WHERE o_orderdate > NOW() - INTERVAL 10000 DAY"
     assert(!GraftSql.sql(spark, qNow).queryExecution.optimizedPlan.toString
       .contains("graft_js_interval"))
+    // the paren spellings take the same fast path
+    val qCt = "SELECT count(*) AS c FROM push_orders " +
+      "WHERE o_orderdate > CURRENT_TIMESTAMP() - INTERVAL 10000 DAY"
+    assert(!GraftSql.sql(spark, qCt).queryExecution.optimizedPlan.toString
+      .contains("graft_js_interval"))
   }
 
   test("strictLint: comments and literals do not confuse the misparse gate") {
@@ -867,6 +885,14 @@ class GraftSqlSpec extends SparkSpec {
     // a scalar subquery's close-paren before FROM is NOT FROM-first
     assert(GraftSql.sql(spark,
       "SELECT (SELECT 2) FROM lint_t").collect().head.getInt(0) == 2)
+    // quote-aware backward scan: a ')' inside a CTE body's string
+    // literal must not derail the FROM-first detection
+    assert(GraftSql.sql(spark,
+      "WITH c AS (SELECT ')' AS x) FROM c").collect().head.getString(0) == ")")
+    // '--' inside a double-quoted IDENTIFIER is content, not a comment
+    Seq(Tuple1(7L)).toDF("a--b").createOrReplaceTempView("dq_t")
+    assert(GraftSql.sql(spark,
+      "SELECT \"a--b\" AS v FROM dq_t").collect().head.getLong(0) == 7L)
   }
 
   test("double-quoted identifiers select dotted columns, not string literals") {
