@@ -508,6 +508,83 @@ class FuzzSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.size} interval divergences:\n" + bad.take(15).mkString("\n"))
   }
 
+  test("interval CHAIN property fuzz: multi-step dialect arithmetic == reference fold") {
+    assume(nodeOk, "node not available")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val r = new scala.util.Random(4242L)
+    val units = Seq("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR")
+    def base(): String = {
+      val y = 1950 + r.nextInt(120)
+      val b = f"$y%04d-${1 + r.nextInt(12)}%02d-${1 + r.nextInt(31)}%02d"
+      r.nextInt(3) match {
+        case 0 => b
+        case 1 => f"${b}T${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d"
+        case _ => f"$b ${r.nextInt(24)}%02d:${r.nextInt(60)}%02d:${r.nextInt(60)}%02d"
+      }
+    }
+    def v(): String = r.nextInt(4) match {
+      case 0 => (r.nextInt(60) - 30).toString
+      case 1 => s"'${(r.nextInt(60) - 30)}.5'"
+      case 2 => (1 + r.nextInt(40)).toString
+      case _ => s"'${r.nextInt(100)}'"
+    }
+    // 200 cases of 2-3 chained ops: the rewrite must thread the
+    // ORIGINAL operand's kind through every step (the reference
+    // reformats to a date-only or ISO STRING between steps)
+    val cases = (1 to 200).map { _ =>
+      val steps = (1 to (2 + r.nextInt(2))).map { _ =>
+        (v(), units(r.nextInt(units.length)), if (r.nextBoolean()) "+" else "-")
+      }
+      (base(), steps)
+    }
+    val arr = om.createArrayNode()
+    cases.foreach { case (raw, steps) =>
+      val o = om.createObjectNode()
+      o.put("raw", raw)
+      val sa = om.createArrayNode()
+      steps.foreach { case (vv, u, op) =>
+        val so = om.createObjectNode()
+        so.put("v", vv.replace("'", "").toDouble); so.put("unit", u); so.put("op", op)
+        sa.add(so)
+      }
+      o.set("steps", sa)
+      arr.add(o)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$workDir/ivl_chain_cases.json"), om.writeValueAsString(arr))
+    val pb = new ProcessBuilder("node", "tools/fuzz_interval_ref.mjs",
+      s"$workDir/ivl_chain_cases.json", s"$workDir/ivl_chain_out.json")
+    pb.environment().put("TZ", "UTC")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val log = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"fuzz_interval_ref.mjs failed:\n${log.takeRight(1000)}")
+    val refOut = om.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$workDir/ivl_chain_out.json")))
+    // graft side: the DIALECT TEXT itself (literal base ± chain) runs
+    // through the full rewrite — this is what exercises kind threading.
+    // Batched ~25 per statement: the rewrite's per-statement scan
+    // guards cap at 100 interval ops.
+    GraftSql.ensureHelpers(spark)
+    val sqlOf: ((String, Seq[(String, String, String)])) => String = { case (raw, steps) =>
+      steps.map { case (vv, u, op) => s" $op INTERVAL $vv $u" }
+        .mkString(s"'$raw'", "", "")
+    }
+    val got = cases.grouped(25).flatMap { grp =>
+      val exprs = grp.zipWithIndex
+        .map { case (c, i) => s"unix_millis(${sqlOf(c)}) AS c$i" }
+      val row = spark.sql(GraftSql.rewrite(s"SELECT ${exprs.mkString(", ")}")).first()
+      (0 until grp.size).map(i => if (row.isNullAt(i)) None else Some(row.getLong(i)))
+    }.toIndexedSeq
+    val bad = cases.zipWithIndex.flatMap { case ((raw, steps), i) =>
+      val want = if (refOut.get(i).isNull) None else Some(refOut.get(i).asLong())
+      if (want == got(i)) None
+      else Some(s"#$i ('$raw' ${steps.mkString(" ")}): ref=$want graft=${got(i)}")
+    }
+    info(s"chain cases=${cases.size} divergences=${bad.size}")
+    assert(bad.isEmpty, s"${bad.size} chain divergences:\n" + bad.take(15).mkString("\n"))
+  }
+
   test("fuzz corpus also exercises validate/tables/maxRows without crashing") {
     assume(nodeOk, "node not available")
     val queries = FuzzGen.queries(seed = 7L, n = 60)

@@ -12,9 +12,16 @@ import { applyIntervalToDate } from '/root/reference/src/expression/date.js'
 const [casesFile, outFile] = process.argv.slice(2)
 const cases = JSON.parse(readFileSync(casesFile))
 
-const out = cases.map(({ raw, v, unit, op }) => {
-  const r = applyIntervalToDate(raw, v, unit, op)
-  if (r == null) return null
+// single step {raw, v, unit, op} or chain {raw, steps: [{v, unit, op}…]}:
+// chains FOLD like the reference's evaluator — each step's string
+// result (date-only or ISO) is the next step's input, so reformatting
+// between steps is part of the oracle
+const out = cases.map(({ raw, v, unit, op, steps }) => {
+  let r = raw
+  for (const s of steps ?? [{ v, unit, op }]) {
+    r = applyIntervalToDate(r, s.v, s.unit, s.op)
+    if (r == null) return null
+  }
   const t = r instanceof Date ? r.getTime() : Date.parse(r)
   return Number.isFinite(t) ? t : null
 })
