@@ -185,6 +185,14 @@ object GraftSql {
     sb.toString
   }
 
+  // graft_js_interval's V8 date-acceptance branches, hoisted out of the
+  // per-row UDF body (Pattern.compile per row would dominate the math)
+  private val JsDateOnly = raw"^(\d{4})-(\d{2})-(\d{2})\s*$$".r
+  private val JsStrictT = (raw"^(\d{4})-(\d{2})-(\d{2})" +
+    raw"T(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?([Zz]|[+-]\d{2}:?\d{2})?$$").r
+  private val JsLegacyDt = (raw"^(\d{4})-(\d{2})-(\d{2})" +
+    raw"[t ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?([Zz]|[+-]\d{2}:?\d{2})?\s*$$").r
+
   private def inLiteral(s: String, pos: Int): Boolean = {
     var i = 0
     var quotes = 0
@@ -1066,8 +1074,14 @@ object GraftSql {
     * dispatch rides on typeof(expr). Chained ops re-wrap the previous
     * call's timestamp output (space form → Date-object semantics).
     */
+  // the reference accepts any interval value Number() converts —
+  // quoted decimal text with padding ('  .5 ', '+1', '1e2') or a bare
+  // tokenizer number (.5, 1., 1e2) — src/parse/primary.js:388-393
+  private val IvlQ = raw"'(\s*[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*)'"
+  private val IvlB = raw"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+
   private def rewriteJsIntervalArith(sqlIn: String): String = {
-    val pat = (raw"(?i)([+\-])\s*INTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))" +
+    val pat = (raw"(?i)([+\-])\s*INTERVAL\s+(?:$IvlQ|$IvlB)" +
       raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
     val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
     // per-row JS value-class of the operand (see the UDF's kind param)
@@ -1105,14 +1119,14 @@ object GraftSql {
     // the left throws there, and throws here too) into the right form
     // the main loop handles. An INTERVAL preceded by +/- is a right
     // form's literal, not a left form.
-    val leftPat = (raw"(?i)\bINTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))" +
+    val leftPat = (raw"(?i)\bINTERVAL\s+(?:$IvlQ|$IvlB)" +
       raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\s*\+").r
     var lsearch = 0
     var lguard = 0
-    while (lguard < 100) {
+    while (lguard < 1000) {
       lguard += 1
       leftPat.findFirstMatchIn(s.substring(lsearch)) match {
-        case None => lguard = 100
+        case None => lguard = Int.MaxValue
         case Some(m) =>
           val start = lsearch + m.start
           var k = start - 1
@@ -1122,14 +1136,22 @@ object GraftSql {
           if (inLiteral(s, start) || precededByOp || opEnd <= lsearch + m.end) {
             lsearch = start + m.matched.length
           } else {
-            val v = Option(m.group(1)).map(x => s"'$x'").getOrElse(m.group(2))
+            // normalize the value to plain decimal so the main loop's
+            // pattern re-claims the commuted form
+            val vNum = Option(m.group(1)).getOrElse(m.group(2)).trim.toDouble
             val operand = s.substring(lsearch + m.end, opEnd).trim
-            val commuted = s"$operand + INTERVAL $v ${m.group(3).toUpperCase}"
+            val commuted = s"$operand + INTERVAL '$vNum' ${m.group(3).toUpperCase}"
             s = s.substring(0, start) + commuted + s.substring(opEnd)
             lsearch = start
           }
       }
     }
+    // a silent cap would leave the tail on native (clamping) interval
+    // semantics — fail loudly instead (1000 sites is far beyond any
+    // real statement; batch generated SQL below that)
+    if (lguard != Int.MaxValue)
+      throw new IllegalStateException(
+        "statement exceeds 1000 left-interval rewrite sites")
     var search = 0
     var guard = 0
     // chained ops (`d + INTERVAL 1 DAY - INTERVAL 2 HOUR`): the outer
@@ -1137,13 +1159,13 @@ object GraftSql {
     // kind through so each step reformats like the reference
     // (a date-only string stays date-only at every step)
     var lastCall: Option[(String, String)] = None
-    while (guard < 100) {
+    while (guard < 1000) {
       guard += 1
       pat.findFirstMatchIn(s.substring(search)) match {
         case None => return s
         case Some(m) =>
           val opPos = search + m.start
-          val v = Option(m.group(2)).getOrElse(m.group(3))
+          val vNum = Option(m.group(2)).getOrElse(m.group(3)).trim.toDouble
           val unit = m.group(4).toUpperCase
           if (inLiteral(s, opPos)) search = opPos + m.matched.length
           else {
@@ -1189,17 +1211,16 @@ object GraftSql {
               "(?is)^(CURRENT_TIMESTAMP(\\s*\\(\\s*\\))?|CURRENT_DATE(\\s*\\(\\s*\\))?|" +
                 "NOW\\s*\\(\\s*\\)|TIMESTAMP\\s+'[^']*'|DATE\\s+'[^']*'|" +
                 "TRY_CAST\\s*\\(\\s*'[^']*'\\s+AS\\s+(TIMESTAMP|DATE)\\s*\\))$")
-            def subMonthIntegral(u: String, vv: String): Boolean =
+            def subMonthIntegral(u: String, d: Double): Boolean =
               (u == "DAY" || u == "HOUR" || u == "MINUTE" || u == "SECOND") &&
-                !vv.contains('.')
+                d == d.toLong.toDouble // integral ('5e-1' has no dot but is 0.5)
             // the fast path must hold for the WHOLE chain: if a LATER
             // op is MONTH/YEAR/fractional, skipping the head would
             // leave the tail on native (clamping) arithmetic — only
             // stay native when every subsequent interval op is
             // integral sub-month too
             def chainAllSubMonth(from: Int): Boolean = {
-              val tail = (raw"(?i)^\s*[+\-]\s*INTERVAL\s+" +
-                raw"(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))\s+" +
+              val tail = (raw"(?i)^\s*[+\-]\s*INTERVAL\s+(?:$IvlQ|$IvlB)\s+" +
                 raw"(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
               var idx = from
               var ok = true
@@ -1207,7 +1228,7 @@ object GraftSql {
               while (cont && ok) {
                 tail.findPrefixMatchOf(s.substring(idx)) match {
                   case Some(mm) =>
-                    val vv = Option(mm.group(1)).getOrElse(mm.group(2))
+                    val vv = Option(mm.group(1)).getOrElse(mm.group(2)).trim.toDouble
                     ok = subMonthIntegral(mm.group(3).toUpperCase, vv)
                     idx += mm.end
                   case None => cont = false
@@ -1217,7 +1238,7 @@ object GraftSql {
             }
             val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
               p.trim.matches("[0-9.]+") || quotedAfterInterval ||
-              (typedConst && subMonthIntegral(unit, v) &&
+              (typedConst && subMonthIntegral(unit, vNum) &&
                 chainAllSubMonth(opPos + m.matched.length))
             if (skip) search = opPos + m.matched.length
             else {
@@ -1228,18 +1249,18 @@ object GraftSql {
               // `(d + INTERVAL 1 DAY) - INTERVAL 2 HOUR` rewrites the
               // inside first, leaving `(graft_js_interval(...))`
               val core = {
-                val t = p.trim
-                if (t.startsWith("(") && t.endsWith(")") &&
+                var t = p.trim
+                while (t.startsWith("(") && t.endsWith(")") &&
                     matchParen(t, 0) == t.length - 1)
-                  t.substring(1, t.length - 1).trim
-                else t
+                  t = t.substring(1, t.length - 1).trim
+                t
               }
               val kind = lastCall match {
                 case Some((inner, k)) if core == inner => k
                 case _ => kindExpr(p)
               }
               val call = s"graft_js_interval(try_cast(($p) AS STRING), " +
-                s"CAST($v AS DOUBLE), '$unit', '${m.group(1)}', $kind)"
+                s"CAST($vNum AS DOUBLE), '$unit', '${m.group(1)}', $kind)"
               s = s.substring(0, pStart) + call +
                 s.substring(search + m.start + m.matched.length)
               search = pStart + call.length
@@ -1248,7 +1269,8 @@ object GraftSql {
           }
       }
     }
-    s
+    throw new IllegalStateException(
+      "statement exceeds 1000 interval rewrite sites") // silent native tails would clamp
   }
 
   /** Fractional interval values truncate toward zero in the reference:
@@ -1263,11 +1285,13 @@ object GraftSql {
     */
   private def rewriteFractionalIntervals(sqlIn: String): String = {
     val pat =
-      raw"(?i)\bINTERVAL\s+(?:'(-?\d+\.\d+)'|(-?\d+\.\d+))\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR|WEEK)S?\b".r
+      raw"(?i)\bINTERVAL\s+(?:$IvlQ|$IvlB)\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR|WEEK)S?\b".r
     pat.replaceSomeIn(sqlIn, m =>
       if (inLiteral(m.source.toString, m.start)) None
       else {
-        val v = Option(m.group(1)).getOrElse(m.group(2)).toDouble
+        // normalize to the truncated integer literal (identity for
+        // values already integral; Spark-parseable for '.5'/'1e2'/'+1')
+        val v = Option(m.group(1)).getOrElse(m.group(2)).trim.toDouble
         Some(scala.util.matching.Regex.quoteReplacement(
           s"INTERVAL '${v.toLong}' ${m.group(3).toUpperCase}"))
       })
@@ -1381,7 +1405,7 @@ object GraftSql {
     var s = sqlIn
     var search = 0
     var guard = 0
-    while (guard < 100) {
+    while (guard < 1000) {
       guard += 1
       pat.findFirstMatchIn(s.substring(search)) match {
         case None => return s
@@ -1486,8 +1510,12 @@ object GraftSql {
     // compute OUTSIDE the map's lock: computeIfAbsent would hold the
     // single monitor for the whole multi-pass rewrite, serializing
     // concurrent sessions; the rewrite is pure, so a duplicated
-    // computation on a race is harmless
-    val key = (sqlText, notInExists)
+    // computation on a race is harmless. Key on the comment-stripped,
+    // trailing-trimmed text: strictLint rewrites that form while
+    // rewriteChecked passes the original, and both must hit the same
+    // entry (stripComments is the pipeline's own first pass, so this
+    // changes no output).
+    val key = (stripComments(sqlText).stripTrailing(), notInExists)
     val hit = rewriteMemo.get(key)
     if (hit != null) hit
     else {
@@ -2167,10 +2195,30 @@ object GraftSql {
     */
   private val clauseKw = "WHERE|LIMIT|OFFSET|ORDER|GROUP|HAVING|BY|ON|AND|OR|AS|" +
     "FROM|SELECT|UNION|INTERSECT|EXCEPT|JOIN|IN|NOT|DISTINCT|WHEN|THEN|ELSE|BETWEEN|LIKE"
+  /** Blank the CONTENT of double-quoted identifiers (keeping the
+    * quotes) so the lint regexes never match keyword-shaped identifier
+    * text — `SELECT x AS "AS FROM"` is a legal quoted alias.
+    */
+  private def maskDoubleQuoted(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inQ = false
+    var inD = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' && !inD) { inQ = !inQ; sb.append(c) }
+      else if (c == '"' && !inQ) { inD = !inD; sb.append(c) }
+      else sb.append(if (inD) 'x' else c)
+      i += 1
+    }
+    sb.toString
+  }
+
   private def strictLint(spark: SparkSession, sqlTextIn: String): Option[String] = {
-    // comments can end a statement; only lint the SQL itself (quote-
+    // comments can end a statement and double-quoted identifiers can
+    // contain keyword-shaped text; lint only the SQL itself (quote-
     // aware strip — a regex strip would corrupt parity after '--x')
-    val sqlText = stripComments(sqlTextIn).stripTrailing()
+    val sqlText = maskDoubleQuoted(stripComments(sqlTextIn)).stripTrailing()
     val dangling = raw"(?is)\b($clauseKw)\s*;?\s*$$".r
     val aliasKw = raw"(?is)\bAS\s+(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|UNION|INTERSECT|EXCEPT|SELECT)\b".r
     dangling.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
@@ -2464,15 +2512,26 @@ object GraftSql {
               !(kind == "date_str" || kind == "ts_str" || kind == "typed")) null
           else {
             // anchored at the START on the UNTRIMMED string, like the
-            // reference's toDate regex (' 2024-01-01' is null there even
-            // though bare V8 would parse it); V8 itself then allows a
-            // lowercase 't'/space separator, lowercase 'z', trailing
-            // whitespace, and hour 24 when minutes/seconds are zero
-            val re = (raw"^(\d{4})-(\d{2})-(\d{2})" +
-              raw"(?:[Tt ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?)?" +
-              raw"([Zz]|[+-]\d{2}:?\d{2})?\s*$$").r
-            raw match {
-              case re(yy, mo, dd, hh, mi, ss, fr, off) =>
+            // reference's toDate regex (' 2024-01-01' is null there
+            // even though bare V8 would parse it). Three V8 acceptance
+            // branches (each probed): date-only allows trailing
+            // whitespace but NO offset; the strict-ISO 'T' form allows
+            // an offset but NO trailing whitespace (fractional digits
+            // unbounded, truncated to millis); the legacy space /
+            // lowercase-t form allows both. Hour 24 is valid only with
+            // zero minutes/seconds. Regexes hoisted — this runs per row.
+            val groups = raw match {
+              case JsDateOnly(yy, mo, dd) =>
+                Some((yy, mo, dd, null: String, null: String, null: String,
+                  null: String, null: String))
+              case JsStrictT(yy, mo, dd, hh, mi, ss, fr, off) =>
+                Some((yy, mo, dd, hh, mi, ss, fr, off))
+              case JsLegacyDt(yy, mo, dd, hh, mi, ss, fr, off) =>
+                Some((yy, mo, dd, hh, mi, ss, fr, off))
+              case _ => None // toDate: non-date input (numbers included)
+            }
+            groups match {
+              case Some((yy, mo, dd, hh, mi, ss, fr, off)) =>
                 try {
                   def i(s: String, d: Int = 0) = if (s == null) d else s.toInt
                   val millis = if (fr == null) 0 else (fr + "00").take(3).toInt
@@ -2520,7 +2579,7 @@ object GraftSql {
                   // converts proleptic-Gregorian straight through
                   kept.toInstant
                 } catch { case _: Exception => null } // invalid date parts
-              case _ => null // toDate: non-date input (numbers included)
+              case None => null
             }
           })
     }

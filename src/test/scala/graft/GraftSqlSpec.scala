@@ -831,6 +831,32 @@ class GraftSqlSpec extends SparkSpec {
     val dlit = GraftSql.sql(spark,
       "SELECT DATE '1995-06-01' - INTERVAL 30 DAY AS r").collect().head
     assert(String.valueOf(dlit.get(0)).startsWith("1995-05-02"), dlit.toString)
+    // Number()-style interval values the reference accepts: '1e2'
+    // (100), '.5' (truncates to 0), '+1' — reference parseInterval
+    // takes any non-NaN Number(v) (primary.js:388-393)
+    val nv = GraftSql.sql(spark,
+      "SELECT d + INTERVAL '1e2' DAY AS a, d + INTERVAL '.5' HOUR AS b, " +
+        "d + INTERVAL '+1' DAY AS c FROM ivl_t").collect().head
+    def nvI(n: String) = nv.getAs[java.sql.Timestamp](n).toInstant.toString
+    assert(nvI("a") == "2024-07-09T00:00:00Z", nvI("a")) // 2024-03-31 + 100 days
+    assert(nvI("b") == "2024-03-31T00:00:00Z", nvI("b")) // +0.5h truncates, date-only stays
+    assert(nvI("c") == "2024-04-01T00:00:00Z", nvI("c"))
+    // double-wrapped parens still thread the chain kind
+    val dp = GraftSql.sql(spark,
+      "SELECT (('2024-03-31' + INTERVAL 1 DAY)) - INTERVAL 2 HOUR AS r").collect().head
+    assert(dp.getAs[java.sql.Timestamp]("r").toInstant.toString
+      == "2024-03-31T00:00:00Z", dp.toString)
+    // V8 acceptance tails (probed): date-only + offset is INVALID,
+    // strict-T + trailing space is INVALID, >9 fractional digits are
+    // fine (truncate to millis)
+    val tails = GraftSql.sql(spark,
+      "SELECT '2024-01-01+05:00' + INTERVAL 1 DAY AS a, " +
+        "('2024-01-04T10:00:00 ') + INTERVAL 1 DAY AS b, " +
+        "'2024-01-01T10:00:00.1234567891Z' + INTERVAL 1 HOUR AS c").collect().head
+    assert(tails.isNullAt(0), tails.toString)
+    assert(tails.isNullAt(1), tails.toString)
+    assert(tails.getAs[java.sql.Timestamp]("c").toInstant.toString
+      == "2024-01-01T11:00:00.123Z", tails.toString)
     // parenthesized chain: the kind still threads through the parens
     val paren = GraftSql.sql(spark,
       "SELECT (d + INTERVAL 1 DAY) - INTERVAL 2 HOUR AS r FROM ivl_t").collect().head
@@ -893,6 +919,10 @@ class GraftSqlSpec extends SparkSpec {
     Seq(Tuple1(7L)).toDF("a--b").createOrReplaceTempView("dq_t")
     assert(GraftSql.sql(spark,
       "SELECT \"a--b\" AS v FROM dq_t").collect().head.getLong(0) == 7L)
+    // keyword-shaped text inside a double-quoted ALIAS is legal — the
+    // lint must not read "AS FROM" as a clause-keyword alias
+    assert(GraftSql.sql(spark,
+      "SELECT a AS \"AS FROM\" FROM lint_t").collect().length == 1)
   }
 
   test("double-quoted identifiers select dotted columns, not string literals") {
