@@ -20,13 +20,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ArrayAnyOps {
 
+  /** JS-number view of a runtime value: Spark SQL decimals are
+    * `o.a.s.sql.types.Decimal`, which is NOT a `java.lang.Number`, so a
+    * bare `Number` match silently misses decimal literals like `1.5`.
+    */
+  private def numOf(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case d: Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
   def jsEq(a: Any, at: DataType, b: Any, bt: DataType): Boolean = (a, b) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
     case (x: UTF8String, y: UTF8String) => x == y
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x == y
-    case (x: Number, y: Number) => x.doubleValue() == y.doubleValue()
-    case (x, y) => (at == bt) && x == y
+    case (x, y) =>
+      (numOf(x), numOf(y)) match {
+        case (Some(u), Some(v)) => u == v
+        case _ => (at == bt) && x == y
+      }
   }
 
   /** Result element type when appending/concatenating possibly

@@ -626,12 +626,44 @@ object GraftSql {
     None
   }
 
-  /** Two alias-resolution gaps between the reference (which substitutes
-    * select aliases everywhere) and Spark: a GROUP BY alias whose
-    * expression references ANOTHER alias (lateral — Spark refuses), and
-    * an alias INSIDE an aggregate in ORDER BY (`GROUP BY a ORDER BY
-    * SUM(a)` where a aliases a column — Spark resolves ORDER BY aliases
-    * only at the top level). Both expand to the underlying expressions.
+  /** First occurrence of any of `kws` as a whole word at paren depth 0,
+    * outside string literals and double-quoted identifiers, within
+    * `[from, to)`. Returns -1 when none.
+    */
+  private def topKwPos(s: String, from: Int, to: Int, kws: Seq[String]): Int = {
+    def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    var i = from
+    var depth = 0
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        i += 1; while (i < to && s.charAt(i) != c) i += 1; i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && c.isLetter && (i == 0 || !isW(s.charAt(i - 1)))) {
+        if (kws.exists(k => s.regionMatches(true, i, k, 0, k.length) &&
+            (i + k.length >= to || !isW(s.charAt(i + k.length))))) return i
+        while (i < to && isW(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    -1
+  }
+
+  /** Alias-resolution gaps between the reference (which substitutes
+    * select aliases into GROUP BY / HAVING / ORDER BY) and Spark:
+    *   - a GROUP BY term that IS a select alias groups by the ALIAS in
+    *     the reference even when the name shadows a real input column
+    *     (node-probed: `SELECT k AS price ... GROUP BY price` groups by
+    *     k) — Spark prefers the input column;
+    *   - an alias whose expression references ANOTHER alias (lateral
+    *     chain — Spark refuses);
+    *   - an alias INSIDE an aggregate in ORDER BY (`GROUP BY a ORDER BY
+    *     SUM(a)` — Spark resolves ORDER BY aliases only at the top
+    *     level).
+    * All expand to the underlying expressions. A self-referencing alias
+    * (`price - discount AS price`) expands exactly ONE level — the
+    * inner name is the base column, never the alias again (node-probed;
+    * naive re-expansion would yield `((price - discount) - discount)`).
     */
   private def rewriteAliasExpansion(sqlIn: String): String = {
     val span = topSelectSpan(sqlIn).getOrElse(return sqlIn)
@@ -642,35 +674,82 @@ object GraftSql {
       case _ => None
     }.toMap
     if (aliases.isEmpty) return sqlIn
-    def expand(e: String, depth: Int): String =
-      if (depth <= 0) e
-      else raw"\b([A-Za-z_]\w*)\b".r.replaceSomeIn(e, m =>
-        aliases.get(m.group(1).toLowerCase).map(ex =>
-          scala.util.matching.Regex.quoteReplacement(s"(${expand(ex, depth - 1)})")))
-    def referencesAlias(e: String): Boolean =
-      raw"\b([A-Za-z_]\w*)\b".r.findAllMatchIn(e).exists(m => aliases.contains(m.group(1).toLowerCase))
-    var s = sqlIn
-    // GROUP BY: expand ONLY chained (lateral) aliases — a plain alias
-    // Spark already resolves, and a term that shadows a real column
-    // must stay untouched
-    val gbRe = raw"(?is)\b(GROUP\s+BY\s+)(.*?)(?=\bHAVING\b|\bORDER\b|\bLIMIT\b|\bWINDOW\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|$$)".r
-    s = gbRe.replaceSomeIn(s, m => {
-      val terms = splitTopLevel(m.group(2)).map(_.trim)
-      val newTerms = terms.map { t =>
-        aliases.get(t.toLowerCase) match {
-          case Some(ex) if referencesAlias(ex) => s"(${expand(ex, 3)})"
-          case _ => t
-        }
+    // When the FROM clause is one bare table (optionally aliased), its
+    // qualifier lets a SELF-reference inside an expansion bind to the
+    // INPUT column: in `ORDER BY sum(price)` with `... AS price`
+    // shadowing, Spark resolves a bare `price` against the aggregate
+    // OUTPUT first (circular reference, analysis error) — `t.price`
+    // can only be the input. Joins/derived tables get no qualifier (an
+    // unqualified self-reference is ambiguous there anyway).
+    val fromQual: Option[String] = {
+      val fromEnd = topKwPos(sqlIn, span._2, sqlIn.length,
+        Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+          "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT")) match {
+        case -1 => sqlIn.length
+        case p => p
       }
-      if (newTerms == terms) None
-      else Some(scala.util.matching.Regex.quoteReplacement(m.group(1) + newTerms.mkString(", ")))
-    })
+      raw"(?is)\A([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\z".r
+        .findFirstMatchIn(sqlIn.substring(span._2, fromEnd).trim)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+    }
+    // substitute alias names; `skip` carries the aliases already being
+    // expanded on this path (self/cyclic references mean the base
+    // column — qualified with the FROM table when known). A name
+    // followed by `(` is a function call, a name next to `.` is part of
+    // a qualified column — neither is an alias ref.
+    def expand(e: String, depth: Int, skip: Set[String]): String =
+      if (depth <= 0) e
+      else raw"(?<![\w.])([A-Za-z_]\w*)(?![\w.])(?!\s*\()".r.replaceSomeIn(e, m => {
+        val k = m.group(1).toLowerCase
+        if (inLiteral(e, m.start)) None
+        else if (skip(k))
+          fromQual.map(q =>
+            scala.util.matching.Regex.quoteReplacement(s"$q.${m.group(1)}"))
+        else aliases.get(k).map(ex =>
+          scala.util.matching.Regex.quoteReplacement(s"(${expand(ex, depth - 1, skip + k)})"))
+      })
+    var s = sqlIn
+    // GROUP BY: a bare-identifier term that names an alias always
+    // expands (the reference groups by the alias; for a non-shadowing
+    // name the expansion is a no-op semantically, for a shadowing one
+    // it is the divergence). Only the TOP query block's GROUP BY — a
+    // nested subquery's (or a later UNION arm's) GROUP BY has its own
+    // select list, which these aliases must not leak into.
+    val regionEnd = topKwPos(s, span._2, s.length,
+      Seq("UNION", "INTERSECT", "EXCEPT")) match {
+      case -1 => s.length
+      case p => p
+    }
+    val gPos = topKwPos(s, span._2, regionEnd, Seq("GROUP"))
+    if (gPos >= 0) {
+      raw"(?is)\AGROUP\s+BY\s+".r.findPrefixMatchOf(
+        s.substring(gPos, regionEnd)).foreach { bm =>
+        val termsStart = gPos + bm.end
+        val termsEnd = topKwPos(s, termsStart, regionEnd,
+          Seq("HAVING", "ORDER", "LIMIT", "OFFSET", "WINDOW", "QUALIFY")) match {
+          case -1 => regionEnd
+          case p => p
+        }
+        val terms = splitTopLevel(s.substring(termsStart, termsEnd)).map(_.trim)
+        val newTerms = terms.map { t =>
+          aliases.get(t.toLowerCase) match {
+            case Some(ex) => s"(${expand(ex, 3, Set(t.toLowerCase))})"
+            case _ => t
+          }
+        }
+        if (newTerms != terms)
+          s = s.substring(0, termsStart) + newTerms.mkString(", ") + " " +
+            s.substring(termsEnd)
+      }
+    }
     // ORDER BY: aliases inside aggregate calls
     val obAggRe = raw"(?is)\b(ORDER\s+BY\s.*?)\b(sum|min|max|avg|count)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
-    s = obAggRe.replaceSomeIn(s, m =>
-      aliases.get(m.group(3).toLowerCase).map(ex =>
+    s = obAggRe.replaceSomeIn(s, m => {
+      val name = m.group(3).toLowerCase
+      aliases.get(name).map(ex =>
         scala.util.matching.Regex.quoteReplacement(
-          s"${m.group(1)}${m.group(2)}((${expand(ex, 3)}))")))
+          s"${m.group(1)}${m.group(2)}((${expand(ex, 3, Set(name))}))"))
+    })
     s
   }
 
@@ -839,11 +918,17 @@ object GraftSql {
   private def rewriteJsConcatOps(sqlIn: String): String = {
     val n = sqlIn.length
     val edits = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    // OVER is deliberately NOT a boundary: `row_number() OVER (ORDER BY
+    // x) || 'r'` must wrap the WHOLE window expression (Spark allows a
+    // window expr nested inside a scalar call, and the reference
+    // stringifies the window RESULT). The spec's own keywords
+    // (PARTITION/ORDER/ROWS/...) live inside the OVER parens, i.e. in a
+    // pushed frame, so they still reset only inner segments.
     val boundary = Set(
       "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
       "JOIN", "ON", "USING", "AND", "OR", "IN", "IS", "BETWEEN", "AS", "WHEN",
       "THEN", "ELSE", "DISTINCT", "ALL", "BY", "ASC", "DESC", "NULLS", "FIRST",
-      "LAST", "UNION", "EXCEPT", "INTERSECT", "WITH", "VALUES", "OVER",
+      "LAST", "UNION", "EXCEPT", "INTERSECT", "WITH", "VALUES",
       "PARTITION", "ROWS", "RANGE", "PRECEDING", "FOLLOWING", "UNBOUNDED",
       "CURRENT", "ROW", "CROSS", "INNER", "OUTER", "FULL", "SEMI", "ANTI",
       "LATERAL", "NATURAL", "EXISTS", "ANY", "SOME", "FILTER", "ESCAPE",
@@ -1834,16 +1919,29 @@ object GraftSql {
         s"graft_array_position(${args.mkString(", ")})")
 
     // ROUND is FLOAT-SCALED in the reference: Math.round(x·10^d)/10^d
-    // (src/expression/math.js:56-60), where JS Math.round(y) is
-    // floor(y + 0.5) in doubles — half rounds toward +∞ (round(-588.45,
-    // 1) = -588.4) and the scaled double's representation decides edge
-    // cases (round(2.675, 2) = 2.67, not Spark's decimal-string 2.68).
-    // Found by the deep differential fuzz audit (GRAFT_FUZZ_N=2000);
-    // Spark's BigDecimal-HALF_UP round diverges on exactly these.
+    // (src/expression/math.js:56-60) — half rounds toward +∞
+    // (round(-588.45, 1) = -588.4) and the scaled double's
+    // representation decides edge cases (round(2.675, 2) = 2.67, not
+    // Spark's decimal-string 2.68). Found by the deep differential fuzz
+    // audit (GRAFT_FUZZ_N=2000). ECMA Math.round is NOT floor(y + 0.5):
+    // the addition can pick up IEEE rounding error exactly at the half
+    // boundary (Math.round(0.49999999999999994) = 0, floor-form 1), so
+    // the half-up step compares the exact fraction y - floor(y)
+    // instead. |y| ≥ 2^52 is already integral (and floor→LONG would
+    // overflow ANSI beyond 2^63) — those pass through untouched, as do
+    // NaN (NOT(abs < 2^52) catches it) and ±Infinity. Result is DOUBLE
+    // in all branches, the JS number type. A NULL decimals arg is
+    // Number(null) = 0 in the reference (multiplier 1), hence coalesce.
+    def jsRound(y: String): String =
+      s"(CASE WHEN NOT (abs($y) < 4.503599627370496E15D) THEN CAST($y AS DOUBLE) " +
+        s"WHEN CAST($y AS DOUBLE) - CAST(floor($y) AS DOUBLE) >= 0.5D " +
+        s"THEN CAST(floor($y) AS DOUBLE) + 1.0D " +
+        s"ELSE CAST(floor($y) AS DOUBLE) END)"
     s = rewriteCall(s, "round", args =>
-      if (args.length == 2)
-        s"(floor((${args(0)}) * power(10, ${args(1)}) + 0.5D) / power(10, ${args(1)}))"
-      else if (args.length == 1) s"floor((${args(0)}) + 0.5D)"
+      if (args.length == 2) {
+        val mult = s"power(10, coalesce(${args(1)}, 0))"
+        s"(${jsRound(s"((${args(0)}) * $mult)")} / $mult)"
+      } else if (args.length == 1) jsRound(s"(${args(0)})")
       else s"__round__(${args.mkString(", ")})")
     s = s.replace("__round__(", "round(")
 
@@ -2218,7 +2316,12 @@ object GraftSql {
     // comments can end a statement and double-quoted identifiers can
     // contain keyword-shaped text; lint only the SQL itself (quote-
     // aware strip — a regex strip would corrupt parity after '--x')
-    val sqlText = maskDoubleQuoted(stripComments(sqlTextIn)).stripTrailing()
+    // the masked text feeds only the REGEX checks; the duplicate-CTE
+    // check parses the real text — masking would collapse two distinct
+    // double-quoted CTE names of equal length into the same xx…x and
+    // reject a valid query
+    val unmasked = stripComments(sqlTextIn).stripTrailing()
+    val sqlText = maskDoubleQuoted(unmasked)
     val dangling = raw"(?is)\b($clauseKw)\s*;?\s*$$".r
     val aliasKw = raw"(?is)\bAS\s+(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|UNION|INTERSECT|EXCEPT|SELECT)\b".r
     dangling.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
@@ -2230,7 +2333,7 @@ object GraftSql {
         // Spark would silently resolve to the last definition
         import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
         try {
-          val plan = spark.sessionState.sqlParser.parsePlan(rewrite(sqlText))
+          val plan = spark.sessionState.sqlParser.parsePlan(rewrite(unmasked))
           plan.collectFirst {
             case w: UnresolvedWith
                 if w.cteRelations.map(_._1.toLowerCase).distinct.size < w.cteRelations.size =>

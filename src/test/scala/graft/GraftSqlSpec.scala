@@ -466,7 +466,8 @@ class GraftSqlSpec extends SparkSpec {
         "ROUND(2.5) AS c, ROUND(-2.5) AS d").collect().head
     assert(rd.getAs[Double]("a") == -588.4, rd)
     assert(rd.getAs[Double]("b") == 1.0, rd)
-    assert(rd.getAs[Long]("c") == 3L && rd.getAs[Long]("d") == -2L, rd)
+    // DOUBLE in every branch — the JS number type
+    assert(rd.getAs[Double]("c") == 3.0 && rd.getAs[Double]("d") == -2.0, rd)
   }
 
   test("fuzz-found regexp/split semantics: position args, NULL on miss, literal delimiters") {
@@ -937,5 +938,116 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.length == 1)
     assert(r.head.getAs[String]("n") == "Alice")
     assert(r.head.getAs[Int]("a") == 31)
+  }
+
+  test("review-found: || adjacent to a window function wraps the whole window expr") {
+    // node-probed: 'r' || row_number() OVER (ORDER BY x) is 'r1'..'r3'
+    // on both sides of the operator. OVER must NOT close the concat
+    // segment — the wrap goes around the full window expression, which
+    // Spark accepts nested inside a scalar call.
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("x", "s")
+      .createOrReplaceTempView("win_cat_t")
+    val rows = GraftSql.sql(spark,
+      """SELECT 'r' || row_number() OVER (ORDER BY x) AS a,
+        |  row_number() OVER (ORDER BY x) || 'r' AS b,
+        |  s || lag(x, 1) OVER (ORDER BY x) AS c
+        |FROM win_cat_t ORDER BY a""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("r1", "r2", "r3"))
+    assert(rows.map(_.getString(1)).toSeq == Seq("1r", "2r", "3r"))
+    // NULL lag at the first row: String(a) + String(b) is null-propagating
+    // in the dialect (reference returns null when either side is null)
+    assert(rows.map(_.getString(2)).toSeq == Seq(null, "b1", "c2"))
+    // a concat INSIDE the window spec still coerces
+    val inner = GraftSql.sql(spark,
+      """SELECT row_number() OVER (ORDER BY s || x) AS r, s
+        |FROM win_cat_t ORDER BY r""".stripMargin).collect()
+    assert(inner.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("review-found: GROUP BY alias shadowing expands exactly one level") {
+    // node-probed: `price - discount AS price ... GROUP BY price`
+    // groups by (price - discount) with the INNER name the base column
+    // — naive re-expansion would triple-subtract; and `k AS price ...
+    // GROUP BY price` groups by the ALIAS k even though price is a real
+    // column (the reference substitutes select aliases into GROUP BY).
+    Seq((10, 2, 1), (10, 2, 1), (20, 5, 2)).toDF("price", "discount", "k")
+      .createOrReplaceTempView("shadow_t")
+    val g1 = GraftSql.sql(spark,
+      """SELECT price - discount AS price, count(*) AS c
+        |FROM shadow_t GROUP BY price ORDER BY price""".stripMargin).collect()
+    assert(g1.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((8, 2L), (15, 1L)))
+    val g2 = GraftSql.sql(spark,
+      """SELECT k AS price, count(*) AS c
+        |FROM shadow_t GROUP BY price ORDER BY price""".stripMargin).collect()
+    assert(g2.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 2L), (2, 1L)))
+    // ORDER BY over an aggregate of the shadowing alias: sum of the
+    // EXPANDED expression per group (node-probed: [15, 8])
+    val g3 = GraftSql.sql(spark,
+      """SELECT price - discount AS price
+        |FROM shadow_t GROUP BY price ORDER BY sum(price)""".stripMargin).collect()
+    assert(g3.map(_.getInt(0)).toSeq == Seq(15, 8))
+    // an outer GROUP BY over an AGGREGATE alias errors in the reference
+    // too ("Aggregate function SUM is not available in this context") —
+    // the expansion surfaces the same rejection through Spark's analyzer
+    assertThrows[Exception] {
+      GraftSql.sql(spark,
+        """SELECT sum(v) AS k FROM (
+          |  SELECT k, count(*) AS v FROM shadow_t GROUP BY k
+          |) GROUP BY k ORDER BY k""".stripMargin).collect()
+    }
+    // ...while a subquery's own GROUP BY never inherits outer aliases
+    val nested = GraftSql.sql(spark,
+      """SELECT mx FROM (
+        |  SELECT k, max(price) AS mx FROM shadow_t GROUP BY k
+        |) sub ORDER BY mx""".stripMargin).collect()
+    assert(nested.map(_.getInt(0)).toSeq == Seq(10, 20))
+  }
+
+  test("review-found: ARRAY_CONTAINS/POSITION match decimal literals numerically") {
+    // Spark parses `1.5` as DECIMAL(2,1), and sql.types.Decimal is NOT
+    // a java.lang.Number — jsEq must still compare it numerically with
+    // double elements (reference: JS includes/indexOf, evaluate.js:596)
+    val r = GraftSql.sql(spark,
+      """SELECT ARRAY_CONTAINS(ARRAY(1.5D, 2.0D), 1.5) AS c,
+        |  ARRAY_POSITION(ARRAY(1.5D, 2.0D), 1.5) AS p,
+        |  ARRAY_CONTAINS(ARRAY(1.5D, 2.0D), 9.9) AS c2""".stripMargin)
+      .collect().head
+    assert(r.getAs[Boolean]("c"))
+    assert(r.getAs[Int]("p") == 1)
+    assert(!r.getAs[Boolean]("c2"))
+  }
+
+  test("review-found: ROUND matches V8 Math.round at the half boundary and huge scales") {
+    // node-probed: Math.round(0.49999999999999994) is 0 — floor(x+0.5)
+    // picks up the IEEE error in the addition and gives 1; 1e19·100
+    // exceeds LONG, the reference returns the (already-integral) double
+    val r = GraftSql.sql(spark,
+      """SELECT ROUND(0.49999999999999994D) AS a, ROUND(-0.5) AS b,
+        |  ROUND(1e19, 2) AS c, ROUND(CAST(NULL AS DOUBLE)) AS d,
+        |  ROUND(2.345, CAST(NULL AS INT)) AS e""".stripMargin).collect().head
+    assert(r.getAs[Double]("a") == 0.0, r)
+    assert(r.getAs[Double]("b") == 0.0, r)
+    assert(r.getAs[Double]("c") == 1e19, r)
+    assert(r.isNullAt(r.fieldIndex("d")), r)
+    // Number(null) = 0 in the reference: a NULL decimals arg means round
+    // to integer, not NULL
+    assert(r.getAs[Double]("e") == 2.0, r)
+  }
+
+  test("review-found: equal-length double-quoted CTE names are distinct to the lint") {
+    // maskDoubleQuoted blanks identifier content for the REGEX checks —
+    // the duplicate-CTE parse must see the real names or "AA"/"BB" both
+    // become "xx" and a valid query is rejected
+    val ok = GraftSql.sql(spark,
+      """WITH "AA" AS (SELECT 1 AS x), "BB" AS (SELECT 2 AS y)
+        |SELECT x FROM "AA"""".stripMargin).collect()
+    assert(ok.head.getInt(0) == 1)
+    // real duplicates still rejected (case-insensitive)
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """WITH "AA" AS (SELECT 1 AS x), "aa" AS (SELECT 2 AS x)
+          |SELECT x FROM "AA"""".stripMargin)
+    }
+    assert(err.getMessage.contains("duplicate CTE"))
   }
 }
