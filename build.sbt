@@ -28,6 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench driver parses the LAST stdout line as JSON; sbt's
+// "[success] Total time ..." footer would otherwise print after the
+// compact summary line and the parse comes back null every round.
+Global / showSuccess := false
+// ...and the forked run's stdout must pass through UNPREFIXED — the
+// default logger strategy wraps every program line in "[info] ", which
+// is just as unparseable as the success footer.
+run / outputStrategy := Some(StdoutOutput)
 // Pre-commit guard: the build-time gate classes — registry output
 // contracts + the HofLint unbound-interpreted-HOF sweep (batch registry
 // AND the plan-quality sweep) — as one command, so `sbt guard` runs
