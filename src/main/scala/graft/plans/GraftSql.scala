@@ -630,8 +630,9 @@ object GraftSql {
     * outside string literals and double-quoted identifiers, within
     * `[from, to)`. Returns -1 when none.
     */
-  private def topKwPos(s: String, from: Int, to: Int, kws: Seq[String]): Int = {
+  private def topKwPos(s: String, from: Int, to0: Int, kws: Seq[String]): Int = {
     def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    val to = math.min(to0, s.length)
     var i = from
     var depth = 0
     while (i < to) {
@@ -649,38 +650,43 @@ object GraftSql {
     -1
   }
 
-  /** Alias-resolution gaps between the reference (which substitutes
-    * select aliases into GROUP BY / HAVING / ORDER BY) and Spark:
-    *   - a GROUP BY term that IS a select alias groups by the ALIAS in
-    *     the reference even when the name shadows a real input column
-    *     (node-probed: `SELECT k AS price ... GROUP BY price` groups by
-    *     k) — Spark prefers the input column;
-    *   - an alias whose expression references ANOTHER alias (lateral
-    *     chain — Spark refuses);
-    *   - an alias INSIDE an aggregate in ORDER BY (`GROUP BY a ORDER BY
-    *     SUM(a)` — Spark resolves ORDER BY aliases only at the top
-    *     level).
-    * All expand to the underlying expressions. A self-referencing alias
-    * (`price - discount AS price`) expands exactly ONE level — the
-    * inner name is the base column, never the alias again (node-probed;
-    * naive re-expansion would yield `((price - discount) - discount)`).
+  /** The reference substitutes select aliases SEQUENTIALLY into every
+    * later expression — later select items, GROUP BY, HAVING, ORDER BY
+    * — even when the alias name shadows a real input column
+    * (node-probed: `SELECT k + 1 AS k, k * 2 AS d` gives d = (k+1)·2;
+    * `SELECT MOD(k,3) AS k, SUM(k) ... GROUP BY k` sums the ALIAS).
+    * Spark's resolution differs on exactly the shadowing cases: select
+    * items and GROUP BY prefer the input column, and a bare name inside
+    * an ORDER-BY aggregate resolves against the aggregate OUTPUT
+    * (circular for a self-shadow). This rewrite expands alias
+    * references to the underlying expressions, index-aware: a reference
+    * substitutes only aliases defined EARLIER in the select list
+    * (forward references error in the reference and must keep
+    * erroring), and inside alias `a`'s own expression the name `a` is
+    * the base column — the ordering makes the expansion terminate.
     */
   private def rewriteAliasExpansion(sqlIn: String): String = {
     val span = topSelectSpan(sqlIn).getOrElse(return sqlIn)
-    val items = splitTopLevel(sqlIn.substring(span._1, span._2))
+    val rawItems = splitTopLevel(sqlIn.substring(span._1, span._2))
     val aliasRe = raw"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
-    val aliases: Map[String, String] = items.flatMap {
-      case aliasRe(e, a) => Some(a.toLowerCase -> e.trim)
-      case _ => None
-    }.toMap
+    val aliasSeq: Seq[(String, (String, Int))] = rawItems.zipWithIndex.flatMap {
+      case (it, i) => it match {
+        case aliasRe(e, a) => Some(a.toLowerCase -> (e.trim, i))
+        case _ => None
+      }
+    }
+    // a duplicated alias is ambiguous — leave those names untouched
+    // (Spark rejects references to them; the mutation battery counts
+    // that rejection as deliberate strictness)
+    val dup = aliasSeq.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }.toSet
+    val aliases: Map[String, (String, Int)] = aliasSeq.filterNot(p => dup(p._1)).toMap
     if (aliases.isEmpty) return sqlIn
     // When the FROM clause is one bare table (optionally aliased), its
-    // qualifier lets a SELF-reference inside an expansion bind to the
-    // INPUT column: in `ORDER BY sum(price)` with `... AS price`
-    // shadowing, Spark resolves a bare `price` against the aggregate
-    // OUTPUT first (circular reference, analysis error) — `t.price`
-    // can only be the input. Joins/derived tables get no qualifier (an
-    // unqualified self-reference is ambiguous there anyway).
+    // qualifier lets a BLOCKED self-reference inside an ORDER-BY
+    // aggregate bind to the INPUT column: Spark resolves a bare `price`
+    // there against the aggregate OUTPUT first (circular reference,
+    // analysis error) — `t.price` can only be the input. Joins/derived
+    // tables get no qualifier (ambiguous anyway).
     val fromQual: Option[String] = {
       val fromEnd = topKwPos(sqlIn, span._2, sqlIn.length,
         Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
@@ -692,35 +698,64 @@ object GraftSql {
         .findFirstMatchIn(sqlIn.substring(span._2, fromEnd).trim)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
     }
-    // substitute alias names; `skip` carries the aliases already being
-    // expanded on this path (self/cyclic references mean the base
-    // column — qualified with the FROM table when known). A name
-    // followed by `(` is a function call, a name next to `.` is part of
-    // a qualified column — neither is an alias ref.
-    def expand(e: String, depth: Int, skip: Set[String]): String =
-      if (depth <= 0) e
-      else raw"(?<![\w.])([A-Za-z_]\w*)(?![\w.])(?!\s*\()".r.replaceSomeIn(e, m => {
+    // Substitute alias names defined at an index < `allowed`; an alias
+    // ref blocked by ordering (self/forward) stays the base column —
+    // qualified when `qualifyBlocked` (ORDER-BY-aggregate context). A
+    // name followed by `(` is a function call, a name next to `.` is
+    // part of a qualified column — neither is an alias ref. Recursion
+    // terminates because `allowed` strictly decreases.
+    // a nondeterministic alias must not be re-evaluated by textual
+    // duplication (two RAND() calls are two values; the reference
+    // evaluates the cell once) — leave such references to Spark's
+    // native lateral-alias resolution
+    val nondet = raw"(?i)\b(RAND|RANDOM|NOW|UUID|CURRENT_DATE|CURRENT_TIME|CURRENT_TIMESTAMP)\b".r
+    def expand(e: String, allowed: Int, qualifyBlocked: Boolean): String =
+      raw"(?<![\w.])([A-Za-z_]\w*)(?![\w.])(?!\s*\()".r.replaceSomeIn(e, m => {
         val k = m.group(1).toLowerCase
         if (inLiteral(e, m.start)) None
-        else if (skip(k))
-          fromQual.map(q =>
-            scala.util.matching.Regex.quoteReplacement(s"$q.${m.group(1)}"))
-        else aliases.get(k).map(ex =>
-          scala.util.matching.Regex.quoteReplacement(s"(${expand(ex, depth - 1, skip + k)})"))
+        else aliases.get(k) match {
+          case Some((ex, idx)) if idx < allowed && nondet.findFirstIn(ex).isEmpty =>
+            Some(scala.util.matching.Regex.quoteReplacement(
+              s"(${expand(ex, idx, qualifyBlocked)})"))
+          case Some((ex, idx)) if idx >= allowed && qualifyBlocked =>
+            fromQual.map(q =>
+              scala.util.matching.Regex.quoteReplacement(s"$q.${m.group(1)}"))
+          case _ => None
+        }
       })
     var s = sqlIn
-    // GROUP BY: a bare-identifier term that names an alias always
-    // expands (the reference groups by the alias; for a non-shadowing
-    // name the expansion is a no-op semantically, for a shadowing one
-    // it is the divergence). Only the TOP query block's GROUP BY — a
-    // nested subquery's (or a later UNION arm's) GROUP BY has its own
-    // select list, which these aliases must not leak into.
-    val regionEnd = topKwPos(s, span._2, s.length,
+    // 1) SELECT items: lateral / shadowing references to EARLIER
+    //    aliases. Items containing a subquery are left alone — the
+    //    regex cannot tell inner scopes apart.
+    val newItems = rawItems.zipWithIndex.map { case (it, i) =>
+      if (raw"(?i)\(\s*SELECT\b".r.findFirstIn(it).isDefined) it
+      else it match {
+        case aliasRe(e, a) =>
+          val ne = expand(e, i, qualifyBlocked = false)
+          if (ne == e) it else s"$ne AS $a"
+        case _ =>
+          val ne = expand(it, i, qualifyBlocked = false)
+          if (ne == it) it else ne
+      }
+    }
+    if (newItems != rawItems)
+      s = s.substring(0, span._1) + " " + newItems.map(_.trim).mkString(", ") +
+        " " + s.substring(span._2)
+    // re-locate the select span after the item rewrite shifted offsets
+    val span2 = topSelectSpan(s).getOrElse(return s)
+    // the TOP query block only — a nested subquery's (or a later UNION
+    // arm's) GROUP BY / HAVING has its own select list, which these
+    // aliases must not leak into
+    val regionEnd = topKwPos(s, span2._2, s.length,
       Seq("UNION", "INTERSECT", "EXCEPT")) match {
       case -1 => s.length
       case p => p
     }
-    val gPos = topKwPos(s, span._2, regionEnd, Seq("GROUP"))
+    val nItems = rawItems.length
+    // 2) GROUP BY: a bare-identifier term that names an alias always
+    //    expands (for a non-shadowing name the expansion is a semantic
+    //    no-op; for a shadowing one it is the divergence)
+    val gPos = topKwPos(s, span2._2, regionEnd, Seq("GROUP"))
     if (gPos >= 0) {
       raw"(?is)\AGROUP\s+BY\s+".r.findPrefixMatchOf(
         s.substring(gPos, regionEnd)).foreach { bm =>
@@ -733,7 +768,7 @@ object GraftSql {
         val terms = splitTopLevel(s.substring(termsStart, termsEnd)).map(_.trim)
         val newTerms = terms.map { t =>
           aliases.get(t.toLowerCase) match {
-            case Some(ex) => s"(${expand(ex, 3, Set(t.toLowerCase))})"
+            case Some((ex, idx)) => s"(${expand(ex, idx, qualifyBlocked = false)})"
             case _ => t
           }
         }
@@ -742,13 +777,38 @@ object GraftSql {
             s.substring(termsEnd)
       }
     }
-    // ORDER BY: aliases inside aggregate calls
+    // 3) HAVING: the reference substitutes aliases here too (node-probed:
+    //    `... price - discount AS price GROUP BY price HAVING price > 10`
+    //    filters on the expanded value). Region bounds recomputed — the
+    //    GROUP BY edit above may have shifted every later offset.
+    val regionEnd2 = topKwPos(s, span2._2, s.length,
+      Seq("UNION", "INTERSECT", "EXCEPT")) match {
+      case -1 => s.length
+      case p => p
+    }
+    val hPos = topKwPos(s, span2._2, regionEnd2, Seq("HAVING"))
+    if (hPos >= 0) {
+      val hStart = hPos + "HAVING".length
+      val hEnd = topKwPos(s, hStart, regionEnd2,
+        Seq("ORDER", "LIMIT", "OFFSET", "WINDOW", "QUALIFY")) match {
+        case -1 => regionEnd2
+        case p => p
+      }
+      val body = s.substring(hStart, hEnd)
+      val nb = expand(body, nItems, qualifyBlocked = false)
+      if (nb != body) s = s.substring(0, hStart) + nb + s.substring(hEnd)
+    }
+    // 4) ORDER BY: only aliases INSIDE aggregate calls need expanding —
+    //    for a bare (even nested) alias ref Spark's output-first sort
+    //    resolution already matches the reference's substitution, but
+    //    inside an aggregate the output ref is circular for a shadow
     val obAggRe = raw"(?is)\b(ORDER\s+BY\s.*?)\b(sum|min|max|avg|count)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
     s = obAggRe.replaceSomeIn(s, m => {
       val name = m.group(3).toLowerCase
-      aliases.get(name).map(ex =>
+      aliases.get(name).map { case (ex, idx) =>
         scala.util.matching.Regex.quoteReplacement(
-          s"${m.group(1)}${m.group(2)}((${expand(ex, 3, Set(name))}))"))
+          s"${m.group(1)}${m.group(2)}((${expand(ex, idx, qualifyBlocked = true)}))")
+      }
     })
     s
   }

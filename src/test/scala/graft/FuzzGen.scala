@@ -310,6 +310,23 @@ object FuzzGen {
 
   private def agg(r: Random): String = {
     val t = pick(r, tables)
+    // SHADOWING group alias: `SELECT MOD(x, 5) AS x ... GROUP BY x` —
+    // the reference substitutes the select alias into GROUP BY (and
+    // HAVING/ORDER BY) even when the name shadows the base column, with
+    // the reference inside the expansion staying the base column
+    if (t.ints.nonEmpty && r.nextInt(5) == 0) {
+      val c = pick(r, t.ints).name
+      val gexpr = r.nextInt(3) match {
+        case 0 => s"MOD($c, ${2 + r.nextInt(5)})"
+        case 1 => s"($c - MOD($c, ${2 + r.nextInt(4)}))"
+        case _ => s"NULLIF(MOD($c, ${2 + r.nextInt(4)}), ${r.nextInt(3)})"
+      }
+      val aggs = (0 until 1 + r.nextInt(2)).map(i => s"${aggExpr(r, t, 1)} AS c$i").mkString(", ")
+      val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 1)} " else ""
+      val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(2)} " else ""
+      return s"SELECT $gexpr AS $c, $aggs FROM ${t.name} $where" +
+        s"GROUP BY $c ${having}ORDER BY $c"
+    }
     def groupExpr(): String = r.nextInt(4) match {
       case 0 if t.strs.nonEmpty => pick(r, t.strs).name
       case 1 if t.ints.nonEmpty => s"MOD(${pick(r, t.ints).name}, ${2 + r.nextInt(5)})"
@@ -387,14 +404,87 @@ object FuzzGen {
       case _ => "o_orderstatus"
     }
     val dir = if (r.nextBoolean()) "" else " DESC"
-    val wf = r.nextInt(3) match {
+    def basicWf = r.nextInt(3) match {
       case 0 => s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY ${t.key}$dir)"
       case 1 => s"LAG(${intExpr(r, t, "", 1)}, 1, ${r.nextInt(9)}) OVER (PARTITION BY $part ORDER BY ${t.key})"
       case _ => s"LEAD(${intExpr(r, t, "", 1)}, ${1 + r.nextInt(2)}, 0) OVER (PARTITION BY $part ORDER BY ${t.key})"
     }
     val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 1)} " else ""
-    s"SELECT ${t.key} AS k, $wf AS c0 FROM ${t.name} $where" +
-      s"ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+    r.nextInt(7) match {
+      case 0 | 1 =>
+        s"SELECT ${t.key} AS k, $basicWf AS c0 FROM ${t.name} $where" +
+          s"ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+      case 2 =>
+        // OVER () streaming fast path (window.js:28-34): the assignment
+        // follows scan order, which the engines need not share — but the
+        // SORTED rn column is always 1..n, so project only that
+        s"SELECT rn AS c0 FROM (SELECT ROW_NUMBER() OVER () AS rn " +
+          s"FROM ${t.name} $where) sub ORDER BY rn"
+      case 3 =>
+        // window result through JS string coercion: `'r' || rn` must
+        // stringify the window RESULT (String(v)), on either side
+        val pre = pick(r, Seq("r", "w#", ""))
+        val wf = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY ${t.key}$dir)"
+        val c0 = if (r.nextBoolean()) s"'$pre' || $wf" else s"$wf || '$pre'"
+        s"SELECT ${t.key} AS k, $c0 AS c0 FROM ${t.name} $where" +
+          s"ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+      case 4 =>
+        // window expression nested in scalar context (arithmetic / CASE)
+        val wf = s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY ${t.key})"
+        val c0 = if (r.nextBoolean())
+          s"(${basicWf} + ${r.nextInt(10)})"
+        else s"CASE WHEN $wf = 1 THEN 'first' ELSE 'rest' END"
+        s"SELECT ${t.key} AS k, $c0 AS c0 FROM ${t.name} $where" +
+          s"ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+      case 5 =>
+        // two windows with DIFFERENT specs in one select
+        s"SELECT ${t.key} AS k, " +
+          s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY ${t.key}$dir) AS c0, " +
+          s"LEAD(${t.key}, 1, -1) OVER (ORDER BY ${t.key}) AS c1 " +
+          s"FROM ${t.name} ${where}ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+      case _ =>
+        // string-valued LAG/LEAD with a string default
+        val sc = pick(r, t.strs).name
+        val f = pick(r, Seq("LAG", "LEAD"))
+        s"SELECT ${t.key} AS k, $f($sc, ${1 + r.nextInt(2)}, '${pick(r, Seq("-", "none", ""))}') " +
+          s"OVER (PARTITION BY $part ORDER BY ${t.key}) AS c0 " +
+          s"FROM ${t.name} ${where}ORDER BY ${t.key} LIMIT ${10 + r.nextInt(80)}"
+    }
+  }
+
+  /** LATERAL table functions: LATERAL VIEW [OUTER] EXPLODE (Spark/Hive
+    * style the reference parses, joins.js:23-107) and the comma-join
+    * JSON_EACH over per-row documents.
+    */
+  private def lateral(r: Random): String = {
+    val t = pick(r, Seq(nation, customer, orders))
+    val sc = pick(r, t.strs).name
+    val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 1)} " else ""
+    r.nextInt(3) match {
+      case 0 =>
+        s"SELECT ${t.key} AS k, w AS c0 FROM ${t.name} " +
+          s"LATERAL VIEW EXPLODE(STRING_SPLIT($sc, ' ')) u AS w " +
+          s"${where}ORDER BY k, c0 LIMIT ${10 + r.nextInt(60)}"
+      case 1 =>
+        // OUTER keeps rows whose array is NULL (null cell) — NULLIF
+        // against a pool value makes some arrays null
+        val nullLit = t.inPool.get(sc).map(p => pick(r, p))
+          .getOrElse(pick(r, strLits))
+        s"SELECT ${t.key} AS k, w AS c0 FROM ${t.name} " +
+          s"LATERAL VIEW OUTER EXPLODE(STRING_SPLIT(NULLIF($sc, '$nullLit'), ' ')) u AS w " +
+          s"${where}ORDER BY k, c0 LIMIT ${10 + r.nextInt(60)}"
+      case _ =>
+        // per-row JSON document through the JSON_EACH table function.
+        // STRING values only: the reference's `value` cell is typed per
+        // key (number for 'a', string for 'b') — a heterogeneous column
+        // Spark's single-typed `value` renders as text. Casting inside
+        // the document keeps the diff cell-exact; the typed-value
+        // rendering itself is pinned by the json_each driver-gate query.
+        val ic = if (t.ints.nonEmpty) pick(r, t.ints).name else "1"
+        s"SELECT ${t.key} AS k, key AS c0, value AS c1 FROM ${t.name}, " +
+          s"JSON_EACH(JSON_OBJECT('a', CAST($ic AS VARCHAR), 'b', $sc)) " +
+          s"${where}ORDER BY k, c0 LIMIT ${10 + r.nextInt(60)}"
+    }
   }
 
   private def setop(r: Random): String = {
@@ -676,13 +766,14 @@ object FuzzGen {
   def queries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)
     (0 until n).map { _ =>
-      r.nextInt(10) match {
+      r.nextInt(12) match {
         case 0 | 1 | 2 => simple(r)
         case 3 | 4 => agg(r)
         case 5 => join(r)
-        case 6 => window(r)
+        case 6 | 10 => window(r)
         case 7 => setop(r)
         case 8 => subquery(r)
+        case 11 => lateral(r)
         case _ => r.nextInt(3) match {
           case 0 => cte(r)
           case 1 => distinct(r)
