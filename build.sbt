@@ -32,6 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // "[success] Total time ..." footer would otherwise print after the
 // compact summary line and the parse comes back null every round.
 Global / showSuccess := false
+// showSuccess is consumed by the command engine, not another setting —
+// exclude it from the unused-key lint so sbt stays quiet at load
+Global / excludeLintKeys += showSuccess
 // ...and the forked run's stdout must pass through UNPREFIXED — the
 // default logger strategy wraps every program line in "[info] ", which
 // is just as unparseable as the success footer.

@@ -462,7 +462,9 @@ object EventPipeline {
                    spanK: Int = 6, maxSpanTokens: Int = 20,
                    budgetPerSource: Long = Long.MaxValue,
                    decontamN: Int = 13,
-                   checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                   checkpoint: Option[String] = None,
+                   onStep: (String, Long) => Unit = (_, _) => ()):
+      org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     warnIfNoCheckpoint("corpusIngest", checkpoint)
     val epochRe = "epoch_(\\d+)".r
@@ -481,12 +483,22 @@ object EventPipeline {
           org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       else spark.read.parquet(paths: _*)
 
+    // `onStep` is a crash-injection seam for the restart-matrix spec:
+    // it fires between the staging write and the commit ("<step>-staged")
+    // and after the commit ("<step>") of each publication; a throw
+    // simulates a crash at exactly that boundary. Production callers
+    // leave it a no-op — the recovery contract it exercises (strictly
+    // earlier epochs read back, staging recovered, epoch replayed
+    // idempotently) is the same one a real crash relies on.
     def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
-                    dir: org.apache.hadoop.fs.Path, df: DataFrame): Unit = {
+                    dir: org.apache.hadoop.fs.Path, df: DataFrame,
+                    step: String, epochId: Long): Unit = {
       graft.sources.AtomicSwap.recover(fs, dir)
       val staging = graft.sources.AtomicSwap.stagingOf(dir)
       df.write.mode("overwrite").parquet(staging.toString)
+      onStep(s"$step-staged", epochId)
       graft.sources.AtomicSwap.commit(fs, dir)
+      onStep(step, epochId)
     }
 
     val writer = checkpoint.foldLeft(docs.writeStream)(
@@ -558,12 +570,12 @@ object EventPipeline {
 
           // ---- epoch-keyed publication: sink rows, digest state, quota state
           atomicWrite(fs, new org.apache.hadoop.fs.Path(s"$sinkPath/batch_$epochId"),
-            kept.select(cols.map(col): _*))
+            kept.select(cols.map(col): _*), "sink", epochId)
           atomicWrite(fs, new org.apache.hadoop.fs.Path(s"$digestsRoot/epoch_$epochId"),
-            deduped.select(col("_digest").as("digest")).distinct())
+            deduped.select(col("_digest").as("digest")).distinct(), "digests", epochId)
           atomicWrite(fs, new org.apache.hadoop.fs.Path(s"$quotaRoot/epoch_$epochId"),
             kept.groupBy(sourceCol)
-              .agg(sum(col(tokensCol).cast("long")).as("admitted")))
+              .agg(sum(col(tokensCol).cast("long")).as("admitted")), "quota", epochId)
         }
         ()
       }

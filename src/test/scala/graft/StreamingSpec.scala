@@ -675,90 +675,106 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("corpusIngest: full gate composition across 3 micro-batches with a mid-stream restart equals the batch pipeline") {
-    import graft.operators.{Dedup, Sampling, TextOps}
-    implicit val sqlCtx = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft_corpus_ingest")
-    val (sink, state, cp) = (s"$root/sink", s"$root/state", s"$root/ckpt")
+  // ---- corpus-ingest fixture, shared by the gate-composition test and
+  // the restart matrix ------------------------------------------------
 
-    // frozen corpus: one distinctive doc for the near-dup gate, and a
-    // 10-token run planted in TWO docs so its 6-grams reach dupGrams
-    val corpus = Seq(
-      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
-      (901L, "one pine oak elm ash birch maple cedar willow poplar fir tail words"),
-      (902L, "two pine oak elm ash birch maple cedar willow poplar fir other ending")
-    ).toDF("doc_id", "text")
+  // frozen corpus: one distinctive doc for the near-dup gate, and a
+  // 10-token run planted in TWO docs so its 6-grams reach dupGrams
+  private lazy val ciCorpus = Seq(
+    (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (901L, "one pine oak elm ash birch maple cedar willow poplar fir tail words"),
+    (902L, "two pine oak elm ash birch maple cedar willow poplar fir other ending")
+  ).toDF("doc_id", "text")
+  private lazy val ciBench = Seq((1L, "q1 q2 q3 q4 q5 q6 q7")).toDF("bid", "btext")
+  private lazy val ciTables: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.operators.{Dedup, TextOps}
     TestTables.reset(spark, "ci_bands")
     TestTables.reset(spark, "ci_grams")
-    Dedup.saveBandTable(corpus, "doc_id", "text", "ci_bands")
-    TextOps.saveDupGramTable(corpus, "doc_id", "text", "ci_grams", k = 6)
-    val bench = Seq((1L, "q1 q2 q3 q4 q5 q6 q7")).toDF("bid", "btext")
+    Dedup.saveBandTable(ciCorpus, "doc_id", "text", "ci_bands")
+    TextOps.saveDupGramTable(ciCorpus, "doc_id", "text", "ci_grams", k = 6)
+    (spark.table("ci_bands"), spark.table("ci_grams"))
+  }
 
-    val cleanA = "the cat sat on the mat and the dog ran away happily"
-    val batch1 = Seq(
-      (10L, cleanA, "a", 10L),                       // kept
-      (11L, cleanA, "a", 10L),                       // in-batch exact dup -> dropped
-      (12L, "%%% ### !!!", "a", 3L),                 // junk -> quality gate
-      (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
-        "a", 13L))                                   // near-dup of corpus 900 -> dropped
-    val batch2 = Seq(
-      (20L, cleanA, "b", 10L),                       // cross-batch exact dup -> dropped
-      (21L, "my notes describe pine oak elm ash birch maple cedar willow poplar fir among other common trees seen during long autumn hikes", "b", 22L), // span gate
-      (22L, "a quiet morning walk beside the river bank with warm light", "b", 10L),
-      (23L, "bright market stalls were selling fruit and bread near the gate", "b", 10L),
-      (24L, "some children were playing in the park before it started raining", "b", 10L))
-      // budget 22 for source b: exactly two of 22/23/24 fit (hash order)
-    val batch3 = Seq(
-      (30L, "warning q1 q2 q3 q4 q5 q6 q7 appears verbatim here today", "c", 12L), // contaminated
-      (31L, "harvest season brought long evenings and the smell of rain", "c", 10L)) // kept
+  private val ciCleanA = "the cat sat on the mat and the dog ran away happily"
+  private lazy val ciBatch1 = Seq(
+    (10L, ciCleanA, "a", 10L),                     // kept
+    (11L, ciCleanA, "a", 10L),                     // in-batch exact dup -> dropped
+    (12L, "%%% ### !!!", "a", 3L),                 // junk -> quality gate
+    (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+      "a", 13L))                                   // near-dup of corpus 900 -> dropped
+  private lazy val ciBatch2 = Seq(
+    (20L, ciCleanA, "b", 10L),                     // cross-batch exact dup -> dropped
+    (21L, "my notes describe pine oak elm ash birch maple cedar willow poplar fir among other common trees seen during long autumn hikes", "b", 22L), // span gate
+    (22L, "a quiet morning walk beside the river bank with warm light", "b", 10L),
+    (23L, "bright market stalls were selling fruit and bread near the gate", "b", 10L),
+    (24L, "some children were playing in the park before it started raining", "b", 10L))
+    // budget 22 for source b: exactly two of 22/23/24 fit (hash order)
+  private lazy val ciBatch3 = Seq(
+    (30L, "warning q1 q2 q3 q4 q5 q6 q7 appears verbatim here today", "c", 12L), // contaminated
+    (31L, "harvest season brought long evenings and the smell of rain", "c", 10L)) // kept
 
-    val input = MemoryStream[(Long, String, String, Long)]
-    def start() = EventPipeline.corpusIngest(
+  /** Start a corpusIngest over `input` into fresh dirs under `root`. */
+  private def ciStart(input: MemoryStream[(Long, String, String, Long)],
+                      root: String,
+                      onStep: (String, Long) => Unit = (_, _) => ()) =
+    EventPipeline.corpusIngest(
       input.toDF().toDF("doc_id", "text", "source", "n_tok"),
       "doc_id", "text", "source", "n_tok",
-      corpus, spark.table("ci_bands"), spark.table("ci_grams"),
-      bench, "btext", sink, state,
+      ciCorpus, ciTables._1, ciTables._2,
+      ciBench, "btext", s"$root/sink", s"$root/state",
       minQuality = 0.2, spanK = 6, maxSpanTokens = 8,
-      budgetPerSource = 22L, decontamN = 5, checkpoint = Some(cp))
+      budgetPerSource = 22L, decontamN = 5, checkpoint = Some(s"$root/ckpt"),
+      onStep = onStep)
 
-    val q1 = start()
-    try {
-      input.addData(batch1: _*); q1.processAllAvailable()
-      input.addData(batch2: _*); q1.processAllAvailable()
-    } finally q1.stop() // kill mid-stream; epochs 0-1 committed
-    val q2 = start()
-    try {
-      input.addData(batch3: _*); q2.processAllAvailable()
-    } finally q2.stop()
-
-    val streamed = EventPipeline.annIndex(spark, sink) // committed batch_* union
-    val streamedIds = streamed.select("doc_id").as[Long].collect().toSet
-
-    // the BATCH pipeline over the same rows, same gate order
-    // the input token column is named n_tok: qualityScore ADDS its own
-    // n_tokens column, and a caller column with that name would be
-    // silently overwritten (both pipelines select the original columns
-    // back, so the collision is avoided by naming, as any caller must)
-    val all = (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text", "source", "n_tok")
+  /** The BATCH pipeline over the same rows, same gate order — the
+    * expected kept set every streamed variant must equal.
+    * (The input token column is named n_tok: qualityScore ADDS its own
+    * n_tokens column, and a caller column with that name would be
+    * silently overwritten — both pipelines select the original columns
+    * back, so the collision is avoided by naming, as any caller must.)
+    */
+  private lazy val ciExpectedIds: Set[Long] = {
+    import graft.operators.{Dedup, Sampling, TextOps}
+    val all = (ciBatch1 ++ ciBatch2 ++ ciBatch3).toDF("doc_id", "text", "source", "n_tok")
     val gated = TextOps.qualityScore(all, "text").filter($"quality" >= 0.2)
       .select("doc_id", "text", "source", "n_tok")
     val deduped = Dedup.dropExact(gated, Seq("text"), "doc_id")
-    val nearHits = Dedup.minhashLshAgainstSaved(deduped, corpus,
-        spark.table("ci_bands"), "doc_id", "text")
+    val nearHits = Dedup.minhashLshAgainstSaved(deduped, ciCorpus,
+        ciTables._1, "doc_id", "text")
       .select($"new_id".as("doc_id")).distinct()
     val nearOk = deduped.join(nearHits, Seq("doc_id"), "left_anti")
-    val spanHot = TextOps.duplicateSpansAgainst(nearOk, spark.table("ci_grams"),
+    val spanHot = TextOps.duplicateSpansAgainst(nearOk, ciTables._2,
         "doc_id", "text", k = 6, minTokens = 8).select("doc_id").distinct()
     val spanOk = nearOk.join(spanHot, Seq("doc_id"), "left_anti")
     val quotaOk = Sampling.tokenBudget(spanOk, "source", "doc_id", "n_tok", 22L)
-    val cleanIds = TextOps.decontaminate(quotaOk, "doc_id", "text", bench, "btext", n = 5)
+    val cleanIds = TextOps.decontaminate(quotaOk, "doc_id", "text", ciBench, "btext", n = 5)
       .filter(!$"contaminated").select("doc_id")
-    val batchIds = quotaOk.join(cleanIds, Seq("doc_id"), "left_semi")
+    val ids = quotaOk.join(cleanIds, Seq("doc_id"), "left_semi")
       .select("doc_id").as[Long].collect().toSet
     graft.operators.Caches.unpersistAll()
+    ids
+  }
 
-    assert(streamedIds == batchIds,
-      s"streaming kept $streamedIds, batch pipeline kept $batchIds")
+  test("corpusIngest: full gate composition across 3 micro-batches with a mid-stream restart equals the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus_ingest").toString
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q1 = ciStart(input, root)
+    try {
+      input.addData(ciBatch1: _*); q1.processAllAvailable()
+      input.addData(ciBatch2: _*); q1.processAllAvailable()
+    } finally q1.stop() // kill mid-stream; epochs 0-1 committed
+    val q2 = ciStart(input, root)
+    try {
+      input.addData(ciBatch3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = EventPipeline.annIndex(spark, s"$root/sink") // committed batch_* union
+    val streamedIds = streamed.select("doc_id").as[Long].collect().toSet
+
+    assert(streamedIds == ciExpectedIds,
+      s"streaming kept $streamedIds, batch pipeline kept $ciExpectedIds")
     // every gate fired: the expected drops are all absent
     assert(Set(11L, 12L, 13L, 20L, 21L, 30L).intersect(streamedIds).isEmpty)
     assert(streamedIds.contains(10L) && streamedIds.contains(31L))
@@ -766,6 +782,96 @@ class StreamingSpec extends SparkSpec {
     // exactly-once across the restart: one committed dir per epoch, no
     // duplicated rows
     assert(streamed.count() == streamedIds.size.toLong)
+  }
+
+  test("corpusIngest restart matrix: a crash at EVERY publication boundary recovers to the same kept set") {
+    // the reference's abort semantics (test/abort.test.js) are the
+    // single-node analog; this is the distributed version. Epoch 1 (the
+    // batch with cross-batch dups AND the quota cliff) is killed at
+    // each of the six publication boundaries — after the staging write
+    // and after the commit of each of sink / digest-state / quota-state
+    // — then restarted from the checkpoint. Every variant must recover
+    // to the one-shot batch pipeline's kept set with zero duplicates:
+    // epoch replay is idempotent because state reads take strictly
+    // EARLIER epochs only and every publication is an atomic swap.
+    implicit val sqlCtx = spark.sqlContext
+    val failpoints = Seq("sink-staged", "sink", "digests-staged",
+      "digests", "quota-staged", "quota")
+    for (fp <- failpoints) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_ci_matrix").toString
+      val input = MemoryStream[(Long, String, String, Long)]
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val q1 = ciStart(input, root, onStep = (step, epoch) =>
+        if (step == fp && epoch == 1L && armed.getAndSet(false))
+          throw new RuntimeException(s"injected crash at $fp"))
+      input.addData(ciBatch1: _*)
+      q1.processAllAvailable()
+      input.addData(ciBatch2: _*)
+      val crashed =
+        try { q1.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+      assert(crashed, s"failpoint $fp never fired")
+      try q1.stop() catch { case _: Throwable => () }
+
+      val q2 = ciStart(input, root) // no injection: clean restart
+      try {
+        q2.processAllAvailable() // replays epoch 1
+        input.addData(ciBatch3: _*); q2.processAllAvailable()
+      } finally q2.stop()
+
+      val streamed = EventPipeline.annIndex(spark, s"$root/sink")
+      val ids = streamed.select("doc_id").as[Long].collect()
+      assert(ids.toSet == ciExpectedIds,
+        s"failpoint $fp: kept ${ids.toSet.toSeq.sorted}, expected ${ciExpectedIds.toSeq.sorted}")
+      assert(ids.length == ids.toSet.size, s"failpoint $fp: duplicated rows in the sink")
+    }
+  }
+
+  test("checkpointed restart of the stateful dedup under the RocksDB state store provider") {
+    // the matrix above exercises foreachBatch recovery; this is the
+    // STATE-STORE recovery face — dropDuplicatesWithinWatermark state
+    // must survive a kill/restart on the scale-path provider (RocksDB),
+    // still suppressing a cross-restart duplicate key
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_rocks_restart")
+      val out = root.resolve("out").toString
+      val ckpt = root.resolve("ckpt").toString
+      val input = MemoryStream[Event]
+      def start() = EventPipeline.dedupStream(input.toDF(),
+          Seq("user_id", "event_type"), watermark = "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+
+      val q1 = start()
+      try {
+        input.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 2.0))
+        q1.processAllAvailable()
+        val metrics = q1.lastProgress.stateOperators(0).customMetrics
+        assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+          s"store is not RocksDB: $metrics")
+      } finally q1.stop() // kill with dedup state holding keys (1,click),(2,click)
+
+      // enqueued while DOWN: a duplicate of a PRE-restart key and one new
+      input.addData(Event(ts(3), 1L, "click", 9.0), Event(ts(4), 3L, "view", 3.0))
+      val q2 = start()
+      try { q2.processAllAvailable() } finally q2.stop()
+
+      val rows = spark.read.parquet(out)
+        .selectExpr("user_id", "event_type").as[(Long, String)].collect().toSeq
+      assert(rows.sorted == Seq((1L, "click"), (2L, "click"), (3L, "view")),
+        s"RocksDB restart lost or re-admitted keys: $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("HofLint sweeps the streaming micro-batch plans (no unbound interpreted HOFs)") {
