@@ -71,11 +71,17 @@ object Bench {
       } catch { case e: Throwable => System.err.println(s"[bench] write $path failed: $e") }
     writeFile("BENCH_SUMMARY.json", compact)
     writeFile("BENCH_FULL.json", full)
-    println(compact)
-    println(compact)
-    println(compact)
-    println(compact)
+    // Stop Spark BEFORE the summary lines and drop to ERROR so neither
+    // stop() nor the exit-time shutdown hooks can log after them — if
+    // the driver merges stderr into stdout, a stray "Shutdown hook
+    // called" INFO line after the JSON would null the last-line parse.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
+    println(compact)
+    println(compact)
+    println(compact)
+    System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

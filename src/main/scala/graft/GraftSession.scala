@@ -28,4 +28,54 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Total on-disk bytes under `dir` (Hadoop FS API, so local paths and
+    * cluster URIs both work). 0 when the path is missing — the derived
+    * knobs then fall back to their local-test floors.
+    */
+  def dirBytes(dir: String): Long =
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    } catch { case _: Throwable => 0L }
+
+  /** Reduce-side parallelism derived from input size: ~64 MiB of
+    * compressed input per reduce partition (≈200 MB in-memory working
+    * set after parquet decode), floored at `cores` and capped at 4096.
+    * Discovered twice the hard way (r8, r10): at sf100 the local-test
+    * default of 32 puts ~19M lineitem rows in one reduce partition and
+    * the big joins die with UNABLE_TO_ACQUIRE_MEMORY. With AQE
+    * coalescing on, the value is a cap, not a constant — deriving it
+    * high costs nothing at small scale.
+    */
+  def derivedShufflePartitions(totalBytes: Long, cores: Int = 32): Int = {
+    val target = totalBytes / (64L << 20)
+    math.max(cores, math.min(4096L, target)).toInt
+  }
+
+  /** Builder for SCALE runs (sf10/sf100 tools, long-lived streams):
+    * the two operational knobs that sf100 runs twice had to rediscover
+    * as ad-hoc flags are now derived here from the data itself.
+    *   - shuffle partitions from the input directory size (see
+    *     [[derivedShufflePartitions]]); `SPARK_GRAFT_SHUFFLE` still
+    *     overrides for experiments.
+    *   - periodic driver GC: ContextCleaner only deletes a finished
+    *     shuffle's files after the referencing Dataset is
+    *     garbage-collected, and a long-lived stream accumulates dead
+    *     shuffle across micro-batches with no full GC. 60s caps dead
+    *     scratch at about a minute's worth (measured at sf100: the
+    *     ingest door died on scratch without it).
+    */
+  def scaleBuilder(appName: String, dataDirs: Seq[String],
+                   cores: Int = 32): SparkSession.Builder = {
+    val partitions = sys.env.get("SPARK_GRAFT_SHUFFLE") match {
+      case Some(v) => v.toInt
+      case None => derivedShufflePartitions(dataDirs.map(dirBytes).sum, cores)
+    }
+    builder(appName, cores)
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.cleaner.periodicGC.interval", "60s")
+  }
 }

@@ -511,25 +511,12 @@ object BenchSf10 {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "data/sf10")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SF10_OUT", "BENCH_SF10.json")
-    // Scale runs need more reduce partitions than the local-test default
-    // of 32: at sf100 one of 32 reduce partitions carries ~19M lineitem
-    // rows and the biggest joins die with UNABLE_TO_ACQUIRE_MEMORY
-    // (measured: q_tpch_q5). 256 initial partitions cap the per-task
-    // working set; AQE coalescing shrinks them right back at the small
-    // base sf, so the base phase is unaffected — exactly the knob a
-    // 1000-executor deployment would set.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
+    // Both scale knobs (reduce parallelism from the TARGET dir's size,
+    // periodic cleaner GC) are DERIVED in GraftSession.scaleBuilder —
+    // r8 and r10 each had to rediscover them as run-specific flags;
+    // now a scale run cannot forget them.
     val spark = {
-      val s = graft.GraftSession.builder("graft-sf10")
-        .config("spark.sql.shuffle.partitions", shufflePartitions)
-        // ContextCleaner only deletes a finished shuffle's files after
-        // the referencing Dataset is GARBAGE-COLLECTED; a long-lived
-        // STREAM accumulates dead shuffle across micro-batches with no
-        // full GC (the batch sweep's explicit per-query GC has no hook
-        // inside a running stream) — measured: the sf100 ingest door
-        // died on scratch. Periodic driver GC is the deployment knob
-        // that bounds it; 60s caps dead scratch at ~one minute's worth.
-        .config("spark.cleaner.periodicGC.interval", "60s")
+      val s = graft.GraftSession.scaleBuilder("graft-sf10", Seq(sfDir))
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

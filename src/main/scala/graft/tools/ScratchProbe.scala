@@ -64,10 +64,10 @@ object ScratchProbe {
     val scratchPath = java.nio.file.Paths.get(scratch)
     java.nio.file.Files.createDirectories(scratchPath)
 
-    val spark = graft.GraftSession.builder("graft-scratch-probe")
+    // shuffle parallelism + periodic cleaner GC derived from the data
+    // size in GraftSession.scaleBuilder (SPARK_GRAFT_SHUFFLE overrides)
+    val spark = graft.GraftSession.scaleBuilder("graft-scratch-probe", Seq(sfDir))
       .config("spark.local.dir", scratch)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
