@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_js_cast_str"), info("graft_js_cast_str"),
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head, castMode = true)))
+    ext.injectFunction((FunctionIdentifier("graft_js_num"), info("graft_js_num"),
+      (args: Seq[Expression]) => graft.functions.text.JsNum(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_size"), info("graft_size"),
       (args: Seq[Expression]) => graft.functions.collection.SizeAny(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_length"), info("graft_length"),
@@ -89,6 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args(0), args(1))))
     ext.injectOptimizerRule(_ => StripIdentityJsStr)
+    ext.injectOptimizerRule(_ => StripIdentityJsNum)
   }
 }
 
@@ -110,6 +113,25 @@ object StripIdentityJsStr
     plan.transformAllExpressions {
       case js: graft.functions.text.JsStr
           if js.child.resolved && js.child.dataType == org.apache.spark.sql.types.StringType =>
+        js.child
+    }
+}
+
+/** The dialect wraps every SUM/AVG argument in `graft_js_num` (the
+  * reference's Number(v)+isFinite accumulator gate). Over an already-
+  * numeric child the wrap is identity by construction — remove it so
+  * numeric aggregation (the hot path) keeps whole-stage codegen and
+  * partial aggregation pushdown; string/boolean/null children (where
+  * the JS coercion actually differs from Spark's ANSI cast) keep the
+  * expression.
+  */
+object StripIdentityJsNum
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case js: graft.functions.text.JsNum if js.child.resolved &&
+          js.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         js.child
     }
 }

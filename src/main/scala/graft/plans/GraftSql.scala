@@ -2020,6 +2020,29 @@ object GraftSql {
       else s"__aq__(${args.mkString(", ")})")
     s = s.replace("__aq__(", "approx_quantile(")
 
+    // SUM/AVG fold JS `Number(value)` and keep only FINITE results
+    // (src/execute/accumulator.js:60-67): a string column accumulates
+    // its numeric-looking cells ('10' → 10, '' → 0) and skips the rest
+    // ('abc' → NaN), never an ANSI cast error. graft_js_num applies
+    // that coercion for string/boolean children and is identity on
+    // numeric ones, where StripIdentityJsNum removes it at optimization
+    // time — typed columns keep native codegen'd aggregation.
+    for (f <- Seq("sum", "avg")) {
+      s = rewriteCall(s, f, args =>
+        // SUM(*)/AVG(*) must stay invalid on both engines — wrapping
+        // would let Spark's star expansion accept what the reference's
+        // validator rejects
+        if (args.length == 1 && args.head.trim != "*") {
+          val a = args.head.trim
+          val up = a.toUpperCase
+          val (pre, core) =
+            if (up.startsWith("DISTINCT ")) (a.substring(0, 9), a.substring(9))
+            else ("", a)
+          s"__${f}agg__(${pre}graft_js_num($core))"
+        } else s"__${f}agg__(${args.mkString(", ")})")
+      s = s.replace(s"__${f}agg__(", s"$f(")
+    }
+
     // list_slice(l, a, b) [1-based inclusive ends] → slice(l, a, b - a + 1)
     s = rewriteCall(s, "list_slice", args =>
       if (args.length == 3)

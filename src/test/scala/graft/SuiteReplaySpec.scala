@@ -113,9 +113,33 @@ class SuiteReplaySpec extends SparkSpec {
           om.writeValueAsString(obj)
         }
       }
-      val df =
+      val df0 =
         if (rowJsons.isEmpty) spark.emptyDataFrame
         else spark.read.json(spark.createDataset(rowJsons))
+      // A column whose every recorded cell is null carries NO type in
+      // the reference's untyped JS rows; read.json infers StringType
+      // for it, which then drags mixed-arg expressions to string
+      // semantics (GREATEST(all_null, 3, 1) compares "3" < "1"
+      // lexicographically instead of coercing to the other args' type).
+      // NullType is the faithful load: Spark's coercion then gives the
+      // null column the type of its siblings, exactly like the
+      // reference's untyped null cells.
+      val allNullFields = {
+        val counts = scala.collection.mutable.Map[String, (Int, Int)]()
+        (0 until arr.size()).foreach { i =>
+          val row = arr.get(i)
+          val it = row.fieldNames()
+          while (it.hasNext) {
+            val f = it.next()
+            val (n, nulls) = counts.getOrElse(f, (0, 0))
+            counts(f) = (n + 1, nulls + (if (row.get(f).isNull) 1 else 0))
+          }
+        }
+        counts.collect { case (f, (n, nulls)) if n > 0 && n == nulls => f }.toSet
+      }
+      val df = allNullFields.intersect(df0.columns.toSet).foldLeft(df0) {
+        (d, f) => d.withColumn(f, org.apache.spark.sql.functions.lit(null))
+      }
       // names like "dataset.parquet" (execute.dot tests) are single-part
       // identifiers WITH a dot — backticks keep them single-part
       val viewName = if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name else s"`$name`"
@@ -242,20 +266,28 @@ class SuiteReplaySpec extends SparkSpec {
     * an engine capability Spark scopes differently. Reason inline.
     */
   private val untypedAllow: Set[(String, String)] = Set(
-    // SUM/AVG skip non-numeric strings per-row: the column mixes numbers
-    // and text — untypeable; graft's ANSI sum is the better behavior
-    ("execute.aggregate.test.js", "should skip non-numeric values in SUM/AVG/MIN/MAX"),
-    // COALESCE over a number+string column (same untypeable mix)
+    // Every residual here is PINNED against the live reference in
+    // ReplayResidualSpec (tools/ref_probe.mjs) with a structural reason
+    // exact agreement is impossible — not just reviewed by hand.
+    // (The SUM/AVG mixed-column and GREATEST/LEAST all-null entries
+    // that used to sit here now replay cell-exactly: graft_js_num
+    // reproduces the reference's Number(v)+isFinite accumulator gate,
+    // and all-null columns load as NullType.)
+    //
+    // COALESCE over a number+string column: the EXPECTED OUTPUT is one
+    // column holding 42 (number) then 'string' — untypeable; graft's
+    // ANSI coercion rejects, pinned in ReplayResidualSpec
     ("execute.strings.test.js", "should work with mixed types"),
-    // GREATEST/LEAST over columns inferred from null/mixed cells
-    ("execute.strings.test.js", "should skip null values"),
     // read.json sorts struct fields; the assertion is the reference's
-    // INSERTION key order, which the recorded snapshot cannot carry
+    // INSERTION key order, which the loaded snapshot cannot carry —
+    // graft agrees on the original text (ReplayResidualSpec)
     ("execute.json.test.js", "should return the keys of a JSON object"),
-    // an all-{} column infers no field at all — the column vanishes
+    // an all-{} column infers no field at all — the column vanishes at
+    // load; graft agrees on the original text (ReplayResidualSpec)
     ("execute.json.test.js", "should return an empty array for an empty object"),
     // lateral TVF referencing a column TWO query levels out — Spark
-    // lateral subqueries correlate one level deep
+    // scopes lateral correlation one level deep (ReplayResidualSpec
+    // demonstrates the boundary and the expressible equivalent)
     ("execute.subquery.test.js",
       "should preserve the enclosing correlated row inside nested lateral UNNEST"))
 
