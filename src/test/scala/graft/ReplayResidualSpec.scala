@@ -162,6 +162,52 @@ class ReplayResidualSpec extends SparkSpec {
       "read.json now keeps empty-object columns — the classifier entry may be removable")
   }
 
+  test("ORDER BY + LIMIT over fully-tied keys: any subset is legal; graft satisfies the test's own assertions") {
+    assume(nodeOk, "node not available")
+    // execute.orderby.test.js » 'should sort many groups without
+    // overflowing the call stack' (the replay's one tie-limited row):
+    // 200k groups, every cnt = 1, ORDER BY cnt DESC LIMIT 5 — the sort
+    // key ties COMPLETELY, so which 5 groups survive is unspecified;
+    // the reference's own test asserts only length and the cnt values.
+    // No engine can be cell-equal to another here. Small-analog probe:
+    // the reference keeps ITS arbitrary legal subset...
+    val tables = """{"data":[{"g":0},{"g":1},{"g":2},{"g":3},{"g":4},{"g":5}]}"""
+    val q = "SELECT g, COUNT(*) AS cnt FROM data GROUP BY g ORDER BY cnt DESC LIMIT 3"
+    val ref = refProbe(tables, q).toOption.get
+    assert(ref.length == 3 && ref.forall(_.get("cnt").asInt() == 1),
+      s"reference changed: $ref")
+    // ...and graft, run at the ORIGINAL 200k scale, satisfies exactly
+    // the assertions the reference test itself makes: 5 rows, cnt = 1.
+    spark.range(200000).selectExpr("id AS g").createOrReplaceTempView("data")
+    val got = GraftSql.sqlDerived(spark,
+      "SELECT g, COUNT(*) AS cnt FROM data GROUP BY g ORDER BY cnt DESC LIMIT 5")
+      .collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 1L),
+      s"graft fails the reference test's own assertions: ${got.toSeq}")
+  }
+
+  test("missing struct field: reference resolves per row to null, graft rejects at analysis") {
+    assume(nodeOk, "node not available")
+    // the replay's one schema-lenient row: the reference resolves
+    // object FIELDS lazily per row, so selecting an absent field
+    // yields an all-null column; Spark analyzes the schema up front
+    // and rejects — the correct behavior at 100 TB (a typo'd field in
+    // a petabyte scan should fail in milliseconds, not return a
+    // billion nulls). Probed live on the analog shape.
+    val tables = """{"t":[{"id":1,"o":{"x":1}},{"id":2,"o":{"x":2}}]}"""
+    val q = "SELECT o.y AS y FROM t"
+    val ref = refProbe(tables, q).toOption.get
+    assert(ref.length == 2 && ref.forall(r => r.get("y") == null || r.get("y").isNull),
+      s"reference changed: $ref")
+    import spark.implicits._
+    spark.read.json(Seq("""{"id":1,"o":{"x":1}}""", """{"id":2,"o":{"x":2}}""").toDS())
+      .createOrReplaceTempView("t")
+    val err = intercept[Exception](GraftSql.sqlDerived(spark, q).collect())
+    assert(String.valueOf(err.getMessage).contains("FIELD_NOT_FOUND") ||
+      String.valueOf(err.getMessage).contains("UNRESOLVED"),
+      s"expected up-front schema rejection: ${err.getMessage}")
+  }
+
   test("nested lateral UNNEST correlating two levels out: Spark scoping boundary, semantics expressible") {
     assume(nodeOk, "node not available")
     // execute.subquery.test.js » 'should preserve the enclosing
