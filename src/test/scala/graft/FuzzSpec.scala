@@ -118,8 +118,14 @@ class FuzzSpec extends SparkSpec {
       }
   }
 
-  // CI default 300; a deep one-off audit raises it via GRAFT_FUZZ_N
+  // CI default 300; a deep one-off audit raises it via GRAFT_FUZZ_N.
+  // GRAFT_FUZZ_SEED re-seeds every battery (offsets keep them distinct)
+  // so each deep audit explores FRESH queries instead of replaying the
+  // CI corpus at higher n.
   private val nQueries = sys.env.getOrElse("GRAFT_FUZZ_N", "300").toInt
+  private val seedBase = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+  private def seedOr(default: Long, offset: Long): Long =
+    seedBase.map(_ + offset).getOrElse(default)
 
   test("differential fuzz: seeded dialect queries agree with the reference") {
     assume(nodeOk, "node not available")
@@ -127,7 +133,7 @@ class FuzzSpec extends SparkSpec {
     assume(new java.io.File("/root/reference/src/index.js").isFile, "reference missing")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
-    val queries = FuzzGen.queries(seed = 20260814L, n = nQueries)
+    val queries = FuzzGen.queries(seed = seedOr(20260814L, 0), n = nQueries)
     val refResults = runReference(queries)
     var sparkErrs = 0
     var bothRejected = 0
@@ -152,7 +158,7 @@ class FuzzSpec extends SparkSpec {
     // reference returns typed values — equality modulo JSON parse is the
     // contract for THIS battery only
     val nScalar = sys.env.getOrElse("GRAFT_FUZZ_SCALAR_N", "150").toInt
-    val queries = FuzzGen.scalarQueries(seed = 77177L, n = nScalar)
+    val queries = FuzzGen.scalarQueries(seed = seedOr(77177L, 1), n = nScalar)
     val refResults = runReference(queries)
     var lenient = 0
     val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
@@ -177,7 +183,7 @@ class FuzzSpec extends SparkSpec {
     // integer grids make shared vertices / collinear edges / touching
     // boundaries the COMMON case — the exact corners where two
     // independent geometry implementations drift apart
-    val queries = FuzzGen.spatialQueries(seed = 4242L, n = 120)
+    val queries = FuzzGen.spatialQueries(seed = seedOr(4242L, 2), n = 120)
     val refResults = runReference(queries)
     val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
       diff(q, runSpark(q), rf).map(d => s"#$i $d\n  SQL: $q")
@@ -191,7 +197,7 @@ class FuzzSpec extends SparkSpec {
     assume(nodeOk, "node not available")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     val r = new scala.util.Random(99L)
-    val mutants = FuzzGen.queries(seed = 31L, n = 150).map(q => FuzzGen.mutate(r, q))
+    val mutants = FuzzGen.queries(seed = seedOr(31L, 3), n = 150).map(q => FuzzGen.mutate(r, q))
     val refResults = runReference(mutants)
     var bothReject = 0
     var sparkOnly = 0 // graft accepts what the reference rejects: superset, allowed
