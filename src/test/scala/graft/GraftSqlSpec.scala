@@ -743,6 +743,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.head.getAs[String]("rc").matches("\\d+"))
   }
 
+  test("identity graft_js_num wraps are stripped: numeric SUM/AVG keep native aggregation") {
+    // the rewrite wraps every SUM/AVG argument in graft_js_num (the
+    // reference's Number(v)+isFinite accumulator gate for string
+    // columns) — over a NUMERIC child the wrap is identity and
+    // StripIdentityJsNum must remove it, or every dialect aggregation
+    // would drop out of whole-stage codegen
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("jsnum_t")
+    val df = GraftSql.sql(spark,
+      "SELECT l_returnflag, SUM(l_quantity) AS s, AVG(l_extendedprice) AS a " +
+        "FROM jsnum_t GROUP BY l_returnflag")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_js_num"),
+      s"identity wrap over numeric column survived optimization:\n$optimized")
+    // and the coercion path itself works: string cells accumulate
+    // JS-style (numeric-looking counted, garbage skipped, '' = 0)
+    import spark.implicits._
+    Seq("10", "abc", "", null, "2.5").toDF("v").createOrReplaceTempView("jsnum_s")
+    val got = GraftSql.sql(spark,
+      "SELECT SUM(v) AS s, AVG(v) AS a FROM jsnum_s").collect().head
+    assert(got.getDouble(0) == 12.5, s"sum: $got")
+    assert(math.abs(got.getDouble(1) - 12.5 / 3) < 1e-12, s"avg: $got")
+  }
+
   test("comma-joined table functions: implicit CROSS JOIN LATERAL (joins.js:113)") {
     Seq((1L, "a b c")).toDF("id", "txt").createOrReplaceTempView("ctvf_t")
     // alias with column list
