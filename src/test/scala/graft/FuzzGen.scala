@@ -19,10 +19,17 @@ import scala.util.Random
 object FuzzGen {
 
   final case class Col(name: String, lo: Long = 0, hi: Long = 0)
+  /** numStrs: STRING columns holding numeric-looking text mixed with
+    * garbage/empties — the reference's SUM/AVG accumulate Number(v)
+    * and skip non-finite (accumulator.js:60-67), the exact surface
+    * graft_js_num reproduces; listing them here lets aggExpr probe it
+    * differentially.
+    */
   final case class Table(name: String, key: String, ints: Seq[Col],
                          dbls: Seq[Col], strs: Seq[Col],
                          inPool: Map[String, Seq[String]],
-                         dates: Seq[String] = Seq())
+                         dates: Seq[String] = Seq(),
+                         numStrs: Seq[String] = Seq())
 
   val nation = Table("f_nation", "n_nationkey",
     ints = Seq(Col("n_nationkey", 0, 24), Col("n_regionkey", 0, 4)),
@@ -41,7 +48,8 @@ object FuzzGen {
     dbls = Seq(Col("c_acctbal", -900, 9000)),
     strs = Seq(Col("c_name"), Col("c_mktsegment")),
     inPool = Map("c_mktsegment" ->
-      Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")))
+      Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")),
+    numStrs = Seq("c_balstr"))
 
   val orders = Table("f_orders", "o_orderkey",
     ints = Seq(Col("o_orderkey", 1, 1600), Col("o_custkey", 1, 150)),
@@ -247,6 +255,14 @@ object FuzzGen {
       case 1 => s"SUM(${intExpr(r, t, "", 1)}) FILTER (WHERE ${boolExpr(r, t, "", 1)})"
       case _ => s"COUNT(DISTINCT ${pick(r, (t.ints ++ t.strs)).name})"
     }
+    case 13 if t.numStrs.nonEmpty =>
+      // SUM/AVG over a STRING column of numeric-looking text + garbage:
+      // both engines must accumulate Number(v) per row and skip the
+      // non-finite (reference accumulator.js:60-67; graft_js_num). The
+      // ROUND caps float-fold-order ulp drift below the differ's
+      // tolerance.
+      val c = pick(r, t.numStrs)
+      if (r.nextBoolean()) s"ROUND(SUM($c), 2)" else s"ROUND(AVG($c), 4)"
     case 12 => r.nextInt(3) match {
       // STRING_AGG joins in engine-dependent row order, but the LENGTH
       // of the joined string is order-insensitive (Σ len + (n-1)·sep) —

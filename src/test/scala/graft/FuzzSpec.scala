@@ -37,6 +37,18 @@ class FuzzSpec extends SparkSpec {
       .select("r_regionkey", "r_name")
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      // numeric-looking TEXT with garbage/empty/null mixed in: the
+      // JS-Number aggregation surface (FuzzGen Table.numStrs). One
+      // decimal place keeps every value exactly representable so both
+      // engines parse the same double.
+      // (no SQL nulls here: df.toJSON OMITS null fields and the
+      // reference's table loader rejects rows with missing columns —
+      // '+' is another Number()-NaN case instead)
+      .withColumn("c_balstr",
+        when(col("c_custkey") % 11 === 0, lit("n/a"))
+          .when(col("c_custkey") % 7 === 0, lit(""))
+          .when(col("c_custkey") % 5 === 0, lit("+"))
+          .otherwise(format_string("%.1f", col("c_acctbal"))))
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate").cast("string").as("o_orderdate"),
