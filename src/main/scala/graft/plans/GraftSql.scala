@@ -2159,6 +2159,43 @@ object GraftSql {
     // DuckDB SELECT * EXCLUDE (...) → Spark SELECT * EXCEPT (...)
     s = raw"(?i)\*\s+EXCLUDE\s*\(".r.replaceAllIn(s, "* EXCEPT (")
 
+    // Statically-visible invalid arguments throw at EXECUTION like the
+    // reference (regexp.js:29-47,115-130 position/occurrence guards;
+    // strings.js:122,137 LEFT/RIGHT length): a LITERAL that violates
+    // the guard rewrites to raise_error, so both engines reject the
+    // query at run time (and both accept it over an empty table —
+    // raise_error is per-row, like the reference's row-0 throw).
+    // Non-literal args stay on the lenient path: per-row validation of
+    // DATA columns is exactly what a 100 TB scan must not do.
+    locally {
+      def intLit(a: String): Option[Long] = {
+        val t = a.trim
+        if (t.matches("[+-]?\\d+")) Some(t.toLong) else None
+      }
+      def bad(f: String, what: String, got: String): String =
+        s"raise_error('$f: $what, got ${got.trim.replace("'", "")}')"
+      for (f <- Seq("left", "right"))
+        s = rewriteCall(s, f, args =>
+          if (args.length == 2 && intLit(args(1)).exists(_ < 0))
+            bad(f.toUpperCase, "length must be a non-negative integer", args(1))
+          else s"__argchk_${f}__(${args.mkString(", ")})")
+      for (f <- Seq("regexp_extract", "regexp_substr"))
+        s = rewriteCall(s, f, args =>
+          if (args.length >= 3 && intLit(args(2)).exists(_ < 1))
+            bad(f.toUpperCase, "position must be a positive integer", args(2))
+          else if (args.length == 4 && intLit(args(3)).exists(_ < 1))
+            bad(f.toUpperCase, "occurrence must be a positive integer", args(3))
+          else s"__argchk_${f}__(${args.mkString(", ")})")
+      s = rewriteCall(s, "regexp_replace", args =>
+        if (args.length >= 4 && intLit(args(3)).exists(_ < 1))
+          bad("REGEXP_REPLACE", "position must be a positive integer", args(3))
+        else if (args.length == 5 && intLit(args(4)).exists(_ < 0))
+          bad("REGEXP_REPLACE", "occurrence must be a non-negative integer", args(4))
+        else s"__argchk_regexp_replace__(${args.mkString(", ")})")
+      for (f <- Seq("left", "right", "regexp_extract", "regexp_substr", "regexp_replace"))
+        s = s.replace(s"__argchk_${f}__(", f + "(")
+    }
+
     // REGEXP_EXTRACT / REGEXP_SUBSTR are the SAME function in the
     // reference (src/expression/regexp.js:18): whole match, NULL when
     // nothing matches, optional 3rd arg = 1-based search POSITION and

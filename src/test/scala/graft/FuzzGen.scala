@@ -332,12 +332,28 @@ object FuzzGen {
     // the reference inside the expansion staying the base column
     if (t.ints.nonEmpty && r.nextInt(5) == 0) {
       val c = pick(r, t.ints).name
-      val gexpr = r.nextInt(3) match {
+      val variant = r.nextInt(3)
+      val gexpr = variant match {
         case 0 => s"MOD($c, ${2 + r.nextInt(5)})"
         case 1 => s"($c - MOD($c, ${2 + r.nextInt(4)}))"
         case _ => s"NULLIF(MOD($c, ${2 + r.nextInt(4)}), ${r.nextInt(3)})"
       }
-      val aggs = (0 until 1 + r.nextInt(2)).map(i => s"${aggExpr(r, t, 1)} AS c$i").mkString(", ")
+      // NULLIF shadow: the alias substitutes into LATER select items, so
+      // a comparison over the shadowed name would compare against NULL —
+      // the reference's two-valued logic (false) vs Spark's three-valued
+      // (unknown), the PINNED divergence (found by the seed-88001 audit:
+      // COUNTIF(NOT (shadowed > 1)) counts null groups on the reference
+      // only; sqlStrictNulls reproduces it, pinned in Round11Spec).
+      // Arithmetic aggregates agree (null-propagating on both engines),
+      // so the nullable variant sticks to comparison-free aggs.
+      def safeAgg(): String = r.nextInt(4) match {
+        case 0 => "COUNT(*)"
+        case 1 => s"SUM($c)"
+        case 2 => s"${pick(r, Seq("MIN", "MAX"))}($c)"
+        case _ => s"ROUND(AVG($c), 6)"
+      }
+      val aggs = (0 until 1 + r.nextInt(2)).map(i =>
+        s"${if (variant == 2) safeAgg() else aggExpr(r, t, 1)} AS c$i").mkString(", ")
       val where = if (r.nextBoolean()) s"WHERE ${boolExpr(r, t, "", 1)} " else ""
       val having = if (r.nextInt(3) == 0) s"HAVING COUNT(*) >= ${1 + r.nextInt(2)} " else ""
       return s"SELECT $gexpr AS $c, $aggs FROM ${t.name} $where" +

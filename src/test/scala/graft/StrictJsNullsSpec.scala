@@ -116,6 +116,38 @@ class StrictJsNullsSpec extends SparkSpec {
     assert(strict == Seq((1, true), (2, false), (3, true)), s"strict: $strict")
   }
 
+  test("seed-88001 fuzz find: NULLIF shadow alias + COUNTIF(NOT ...) — strict mode reproduces the reference") {
+    assume(nodeOk, "node not available")
+    // found by the fresh-seed deep audit: a shadowing group alias
+    // (NULLIF(...) AS k) substitutes into the later COUNTIF predicate,
+    // so the comparison runs against NULL for the null group — the
+    // reference's two-valued logic counts those rows (NOT false =
+    // true), three-valued SQL does not. The default engine keeps the
+    // PINNED three-valued answer; sqlStrictNulls matches the reference
+    // exactly.
+    val tbl = """{"t":[""" +
+      (0 to 9).map(k => s"""{"k":$k}""").mkString(",") + "]}"
+    val q = "SELECT NULLIF(MOD(k, 5), 0) AS k, COUNTIF(NOT (k > 1)) AS c0 " +
+      "FROM t GROUP BY k ORDER BY k"
+    val ref = refProbe(tbl, q).map(r =>
+      (if (r.get("k").isNull) -1 else r.get("k").asInt(), r.get("c0").asInt()))
+    assert(ref.toSet == Set((-1, 2), (1, 2), (2, 0), (3, 0), (4, 0)),
+      s"reference changed: $ref")
+    import spark.implicits._
+    (0 to 9).toDF("k").createOrReplaceTempView("t")
+    def collectKs(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1))).toSet
+    val strict = collectKs(GraftSql.sqlStrictNulls(spark, q))
+    assert(strict == Set((-1, 2L), (1, 2L), (2, 0L), (3, 0L), (4, 0L)),
+      s"strict mode diverges from the reference: $strict")
+    // default: three-valued (pinned) — the null group's predicate is
+    // UNKNOWN, so COUNTIF skips it
+    val dflt = collectKs(GraftSql.sqlDerived(spark, q))
+    assert(dflt == Set((-1, 0L), (1, 2L), (2, 0L), (3, 0L), (4, 0L)),
+      s"default three-valued pinned: $dflt")
+  }
+
   test("strict mode leaves non-predicate results identical to the default") {
     loadT()
     val q = "SELECT id, a + 1 AS b FROM t ORDER BY id"
