@@ -61,6 +61,61 @@ object ExtraQueries {
       |WHERE n_nationkey % 2 = 0
       |ORDER BY n_nationkey LIMIT 10""".stripMargin
 
+  /** Strict-JS-nulls mode through the driver gate: the dialect text
+    * runs under sqlStrictNulls (two-valued comparisons — reference
+    * binary.js:32-35) while the oracle SPELLS the two-valued logic
+    * with COALESCE(cmp, false). Rows where l_discount = 0 make the
+    * NULLIF comparison null: strict mode keeps them (false under NOT),
+    * standard three-valued SQL would not.
+    */
+  val strictNullsText: String =
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE NOT (NULLIF(l_discount, 0.0) > 0.04 AND l_quantity < 30)
+      |GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
+  private val strictNullsOracle: String =
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE NOT (COALESCE((NULLIF(l_discount, 0.0) > 0.04), false)
+      |           AND COALESCE((l_quantity < 30), false))
+      |GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
+  /** JS Number(v) aggregation through the driver gate: SUM over a
+    * STRING column accumulates numeric-looking cells and skips garbage
+    * (reference accumulator.js:60-67 — Number(value), isFinite gate,
+    * '' counts as 0). The oracle spells the JS coercion with
+    * TRY_CAST + an explicit empty-string-is-zero branch. Every value
+    * is a multiple of 0.5 far below 2^52, so the double sums are
+    * EXACT regardless of fold order.
+    */
+  val jsNumAggText: String =
+    """SELECT l_returnflag AS flag,
+      |  SUM(balstr) AS s,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT l_returnflag,
+      |    CASE WHEN l_linenumber = 3 THEN 'n/a'
+      |         WHEN l_linenumber = 4 THEN ''
+      |         WHEN l_linenumber = 5 THEN ' 12.5 '
+      |         ELSE CAST(l_quantity AS VARCHAR) END AS balstr
+      |  FROM lineitem) t
+      |GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
+  private val jsNumAggOracle: String =
+    """SELECT l_returnflag AS flag,
+      |  SUM(CASE WHEN trim(balstr) = '' THEN 0
+      |           ELSE TRY_CAST(balstr AS DOUBLE) END) AS s,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT l_returnflag,
+      |    CASE WHEN l_linenumber = 3 THEN 'n/a'
+      |         WHEN l_linenumber = 4 THEN ''
+      |         WHEN l_linenumber = 5 THEN ' 12.5 '
+      |         ELSE CAST(l_quantity AS VARCHAR) END AS balstr
+      |  FROM lineitem) t
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_intersect_all",
@@ -652,6 +707,23 @@ object ExtraQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         graft.plans.GraftSql.sql(s, ExtraQueries.intervalJsText)
+      }
+    },
+
+    // Opt-in strict-JS-nulls mode (two-valued comparisons) vs an oracle
+    // that spells the coalesce-wrapped logic explicitly
+    QueryDef("q_strict_nulls", ExtraQueries.strictNullsOracle) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sqlStrictNulls(s, ExtraQueries.strictNullsText)
+      }
+    },
+
+    // JS Number(v) SUM over a string column vs a TRY_CAST oracle
+    QueryDef("q_js_num_agg", ExtraQueries.jsNumAggOracle) {
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.plans.GraftSql.sql(s, ExtraQueries.jsNumAggText)
       }
     },
 
