@@ -57,6 +57,13 @@ object StrictJsNulls {
     case like: StringRegexExpression => // LIKE / RLIKE
       val (l2, r2) = (rw(like.left), rw(like.right))
       nn(l2, r2, like.withNewChildren(Seq(l2, r2)))
+    case il: RuntimeReplaceable
+        if il.prettyName == "ilike" && il.children.length == 2 =>
+      // ILIKE is RuntimeReplaceable (→ Like(Lower, Lower) only at
+      // optimization); wrap the surface form so a null operand is
+      // false here too
+      val (l2, r2) = (rw(il.children(0)), rw(il.children(1)))
+      nn(l2, r2, il.withNewChildren(Seq(l2, r2)))
     case In(v, list) =>
       val v2 = rw(v)
       If(IsNull(v2), F, Coalesce(Seq(In(v2, list.map(rw)), F)))

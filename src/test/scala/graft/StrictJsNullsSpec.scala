@@ -148,6 +148,27 @@ class StrictJsNullsSpec extends SparkSpec {
       s"default three-valued pinned: $dflt")
   }
 
+  test("LIKE over a null operand renders FALSE in strict mode (reference two-valued)") {
+    assume(nodeOk, "node not available")
+    // the reference has NO ILIKE keyword — its LIKE is itself
+    // case-insensitive, so GraftSql maps LIKE to Spark's ilike; the
+    // strict transform must wrap THAT expression (RuntimeReplaceable,
+    // not a StringRegexExpression) for a null operand to read false
+    val tbl = """{"t":[{"id":1,"s":"Alpha"},{"id":2,"s":null}]}"""
+    val q = "SELECT id, s LIKE 'al%' AS m FROM t ORDER BY id"
+    val ref = refProbe(tbl, q).map(r =>
+      (r.get("id").asInt(), if (r.get("m").isNull) null else r.get("m").asBoolean()))
+    assert(ref == Seq((1, true), (2, false)), s"reference changed: $ref")
+    import spark.implicits._
+    Seq((1, Some("Alpha")), (2, None)).toDF("id", "s").createOrReplaceTempView("t")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getBoolean(1))).toSeq
+    assert(strict == Seq((1, true), (2, false)), s"strict: $strict")
+    val dflt = GraftSql.sqlDerived(spark, q).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getBoolean(1))).toSeq
+    assert(dflt == Seq((1, true), (2, null)), s"default pinned: $dflt")
+  }
+
   test("strict mode leaves non-predicate results identical to the default") {
     loadT()
     val q = "SELECT id, a + 1 AS b FROM t ORDER BY id"
