@@ -237,7 +237,17 @@ class FuzzSpec extends SparkSpec {
           // AS-regex above misses — Spark's ambiguity rejection is the
           // same better-behavior class as dupAlias
           e.contains("AMBIGUOUS_LATERAL_COLUMN_ALIAS") ||
-          e.contains("AMBIGUOUS_REFERENCE")
+          e.contains("AMBIGUOUS_REFERENCE") ||
+          // a NON-BOOLEAN operand inside AND/OR (a truncation mutant
+          // left `HAVING b OR COUNT(*)`, seed-88003 find): the
+          // reference runs it under JS truthiness (Boolean(count)),
+          // graft rejects — the FILTER_NOT_BOOLEAN family again, and
+          // rejecting a bare aggregate in a boolean slot (almost
+          // always a truncated/typo'd query) is the better behavior
+          // for a typed engine. Scoped to AND/OR mismatches only so
+          // real dialect gaps under DATATYPE_MISMATCH still flag.
+          (e.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES") &&
+            (e.contains(" OR ") || e.contains(" AND ")))
       (sp, rf) match {
         case (Left(_), Left(_)) => bothReject += 1; None
         case (Right(_), Left(_)) => sparkOnly += 1; None
