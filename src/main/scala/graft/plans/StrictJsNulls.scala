@@ -33,11 +33,31 @@ object StrictJsNulls {
   private def nn(l: Expression, r: Expression, e: Expression): Expression =
     If(Or(IsNull(l), IsNull(r)), F, e)
 
+  /** Disambiguate `a != b` from `NOT (a = b)` — Spark parses BOTH to
+    * Not(EqualTo), but the reference gives them different null
+    * semantics ('!=' with a null operand is false; unary NOT of the
+    * two-valued false is TRUE). The parser's Origin records where the
+    * node's text starts: an explicit NOT's span begins with the NOT
+    * keyword, a `!=`/`<>` span begins with its left operand. Found by
+    * the strict-nulls differential fuzz (4/150 divergences, all this
+    * shape). Falls back to the `!=` reading when origin info is absent
+    * (plans not built from SQL text).
+    */
+  private def isTextualNot(n: Not): Boolean = {
+    val o = n.origin
+    (o.sqlText, o.startIndex) match {
+      case (Some(txt), Some(i)) if i >= 0 && i + 3 <= txt.length =>
+        txt.regionMatches(true, i, "NOT", 0, 3)
+      case _ => false
+    }
+  }
+
   private def rw(e: Expression): Expression = e match {
     // `a != b` (parsed as NOT(a = b)): reference '!='/'<>' returns
     // false on a null operand — wrap the pair as ONE unit so the NOT
-    // never sees a null-derived false to invert
-    case Not(EqualTo(l, r)) =>
+    // never sees a null-derived false to invert. An explicit textual
+    // `NOT (a = b)` instead takes the unary-JS-! route below.
+    case nt @ Not(EqualTo(l, r)) if !isTextualNot(nt) =>
       val (l2, r2) = (rw(l), rw(r))
       nn(l2, r2, Not(EqualTo(l2, r2)))
     case Not(c) =>

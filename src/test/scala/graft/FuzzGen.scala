@@ -794,6 +794,53 @@ object FuzzGen {
     }
   }
 
+  /** Nullable-PREDICATE boolean grammar for the strict-JS-nulls mode:
+    * NULLIF-built nulls reach comparisons, NOT, IN, LIKE and AND/OR —
+    * exactly the surface [[queries]] avoids (under the engine's pinned
+    * three-valued default those shapes diverge from the reference;
+    * GraftSql.sqlStrictNulls implements the reference's two-valued
+    * logic, binary.js:32-35, and must agree on ALL of them).
+    */
+  def nullBoolExpr(r: Random, t: Table, d: Int): String = {
+    val cmp = Seq("=", "!=", "<>", "<", "<=", ">", ">=")
+    def nullableInt = {
+      val c = pick(r, t.ints)
+      s"NULLIF(${c.name}, ${lit(r, c)})"
+    }
+    if (d <= 0) s"$nullableInt ${pick(r, cmp)} ${r.nextInt(30)}"
+    else r.nextInt(7) match {
+      case 0 => s"(${nullBoolExpr(r, t, d - 1)} AND ${nullBoolExpr(r, t, d - 1)})"
+      case 1 => s"(${nullBoolExpr(r, t, d - 1)} OR ${nullBoolExpr(r, t, d - 1)})"
+      case 2 => s"NOT (${nullBoolExpr(r, t, d - 1)})"
+      case 3 if t.strs.nonEmpty =>
+        val c = pick(r, t.strs).name
+        val poison = t.inPool.values.flatten.toSeq ++ strLits.filter(_.nonEmpty)
+        s"NULLIF($c, '${pick(r, poison)}') ${if (r.nextBoolean()) "" else "NOT "}LIKE '${pick(r, likePats)}'"
+      case 4 => s"$nullableInt ${if (r.nextBoolean()) "" else "NOT "}IN (${r.nextInt(5)}, ${5 + r.nextInt(10)})"
+      case 5 => s"$nullableInt ${pick(r, cmp)} $nullableInt"
+      case _ => s"$nullableInt ${pick(r, cmp)} ${r.nextInt(30)}"
+    }
+  }
+
+  /** Strict-nulls battery queries: the predicate both FILTERS (WHERE)
+    * and PROJECTS (CASE WHEN p THEN 1 ELSE 0) so two-valued false vs
+    * three-valued unknown is observable in rows AND cells.
+    */
+  def strictNullQueries(seed: Long, n: Int): Seq[String] = {
+    val r = new Random(seed)
+    (0 until n).map { _ =>
+      val t = pick(r, tables)
+      val p1 = nullBoolExpr(r, t, 2)
+      val p2 = nullBoolExpr(r, t, 1)
+      if (r.nextBoolean())
+        s"SELECT ${t.key} AS k, CASE WHEN $p1 THEN 1 ELSE 0 END AS c0 " +
+          s"FROM ${t.name} ORDER BY k LIMIT ${20 + r.nextInt(60)}"
+      else
+        s"SELECT ${t.key} AS k, CASE WHEN $p2 THEN 1 ELSE 0 END AS c0 " +
+          s"FROM ${t.name} WHERE $p1 ORDER BY k LIMIT ${20 + r.nextInt(60)}"
+    }
+  }
+
   /** Generate `n` queries, seeded. */
   def queries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)

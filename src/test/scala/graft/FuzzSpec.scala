@@ -70,6 +70,14 @@ class FuzzSpec extends SparkSpec {
         names.zipWithIndex.map { case (n, i) => n.toLowerCase -> norm(r.get(i)) }.toMap))
     } catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(300)) }
 
+  private def runSparkStrict(q: String): Either[String, Seq[Map[String, V]]] =
+    try {
+      val df = GraftSql.sqlStrictNulls(spark, q)
+      val names = df.schema.fieldNames.toSeq
+      Right(df.collect().toSeq.map(r =>
+        names.zipWithIndex.map { case (n, i) => n.toLowerCase -> norm(r.get(i)) }.toMap))
+    } catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(300)) }
+
   /** Run the whole batch on the reference engine in ONE node process. */
   private def runReference(queries: Seq[String]): Seq[Either[String, Seq[Map[String, V]]]] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -163,6 +171,30 @@ class FuzzSpec extends SparkSpec {
       s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
   }
 
+  test("strict-nulls differential fuzz: nullable predicates agree with the reference") {
+    assume(nodeOk, "node not available")
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // the one grammar the MAIN battery must avoid: NULLIF-built nulls
+    // reaching comparisons/NOT/IN/LIKE/AND/OR. Under the engine's
+    // pinned three-valued default those diverge from the reference by
+    // design; sqlStrictNulls implements the reference's two-valued
+    // logic (binary.js:32-35) and must agree on every shape.
+    val n = sys.env.getOrElse("GRAFT_FUZZ_STRICT_N", "150").toInt
+    val queries = FuzzGen.strictNullQueries(seedOr(5150L, 4), n)
+    val refResults = runReference(queries)
+    var sparkErrs = 0
+    val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      val sp = runSparkStrict(q)
+      if (sp.isLeft) sparkErrs += 1
+      diff(q, sp, rf).map(d => s"#$i $d\n  SQL: $q\n  refErr: ${rf.left.getOrElse("-")}")
+    }
+    info(s"strict queries=$n sparkErrors=$sparkErrs divergences=${divergences.length}")
+    assert(sparkErrs == 0, s"strict mode rejected $sparkErrs generated queries")
+    assert(divergences.isEmpty,
+      s"${divergences.length} divergence(s):\n${divergences.take(12).mkString("\n")}")
+  }
+
   test("scalar-function differential fuzz: math/JSON/array/date surface agrees with the reference") {
     assume(nodeOk, "node not available")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
@@ -247,7 +279,14 @@ class FuzzSpec extends SparkSpec {
           // for a typed engine. Scoped to AND/OR mismatches only so
           // real dialect gaps under DATATYPE_MISMATCH still flag.
           (e.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES") &&
-            (e.contains(" OR ") || e.contains(" AND ")))
+            (e.contains(" OR ") || e.contains(" AND "))) ||
+          // a mutation landing unary NOT on a string literal (`NOT ''`,
+          // seed-88005 find): JS coerces the literal by truthiness, a
+          // typed engine instead coerces the OTHER operand to boolean
+          // and rejects the cast — the same typed-boolean family,
+          // scoped to queries that actually contain the NOT-literal
+          (e.contains("CAST_INVALID_INPUT") &&
+            raw"(?i)\bNOT\s+'".r.findFirstIn(q).isDefined)
       (sp, rf) match {
         case (Left(_), Left(_)) => bothReject += 1; None
         case (Right(_), Left(_)) => sparkOnly += 1; None
