@@ -829,15 +829,28 @@ object FuzzGen {
   def strictNullQueries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)
     (0 until n).map { _ =>
-      val t = pick(r, tables)
-      val p1 = nullBoolExpr(r, t, 2)
-      val p2 = nullBoolExpr(r, t, 1)
-      if (r.nextBoolean())
-        s"SELECT ${t.key} AS k, CASE WHEN $p1 THEN 1 ELSE 0 END AS c0 " +
-          s"FROM ${t.name} ORDER BY k LIMIT ${20 + r.nextInt(60)}"
-      else
-        s"SELECT ${t.key} AS k, CASE WHEN $p2 THEN 1 ELSE 0 END AS c0 " +
-          s"FROM ${t.name} WHERE $p1 ORDER BY k LIMIT ${20 + r.nextInt(60)}"
+      r.nextInt(5) match {
+        case 4 =>
+          // nullable predicates in a JOIN's residual condition: the
+          // reference evaluates the ON expression with the same
+          // two-valued ops (join.js residual filter)
+          val (ta, tb, cond) = pick(r, joins)
+          val resid = nullBoolExpr(r, tb, 1).replaceAll(
+            raw"\b(" + (tb.ints ++ tb.strs).map(_.name).mkString("|") + raw")\b", "b.$1")
+          s"SELECT a.${ta.key} AS k, b.${tb.key} AS k2 " +
+            s"FROM ${ta.name} a JOIN ${tb.name} b ON $cond AND ($resid) " +
+            s"ORDER BY k, k2 LIMIT ${20 + r.nextInt(60)}"
+        case v =>
+          val t = pick(r, tables)
+          val p1 = nullBoolExpr(r, t, 2)
+          val p2 = nullBoolExpr(r, t, 1)
+          if (v % 2 == 0)
+            s"SELECT ${t.key} AS k, CASE WHEN $p1 THEN 1 ELSE 0 END AS c0 " +
+              s"FROM ${t.name} ORDER BY k LIMIT ${20 + r.nextInt(60)}"
+          else
+            s"SELECT ${t.key} AS k, CASE WHEN $p2 THEN 1 ELSE 0 END AS c0 " +
+              s"FROM ${t.name} WHERE $p1 ORDER BY k LIMIT ${20 + r.nextInt(60)}"
+      }
     }
   }
 

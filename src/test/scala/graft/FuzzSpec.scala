@@ -286,7 +286,12 @@ class FuzzSpec extends SparkSpec {
           // and rejects the cast — the same typed-boolean family,
           // scoped to queries that actually contain the NOT-literal
           (e.contains("CAST_INVALID_INPUT") &&
-            raw"(?i)\bNOT\s+'".r.findFirstIn(q).isDefined)
+            raw"(?i)\bNOT\s+'".r.findFirstIn(q).isDefined) ||
+          // a truncated ON clause leaving a bare non-boolean join
+          // condition (`ON a.o_custkey`, seed-88007 find): the
+          // reference joins on per-pair JS truthiness of the key —
+          // rejecting is the typed-boolean family once more
+          e.contains("JOIN_CONDITION_IS_NOT_BOOLEAN_TYPE")
       (sp, rf) match {
         case (Left(_), Left(_)) => bothReject += 1; None
         case (Right(_), Left(_)) => sparkOnly += 1; None
