@@ -829,7 +829,7 @@ object FuzzGen {
   def strictNullQueries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)
     (0 until n).map { _ =>
-      r.nextInt(5) match {
+      r.nextInt(6) match {
         case 4 =>
           // nullable predicates in a JOIN's residual condition: the
           // reference evaluates the ON expression with the same
@@ -840,6 +840,19 @@ object FuzzGen {
           s"SELECT a.${ta.key} AS k, b.${tb.key} AS k2 " +
             s"FROM ${ta.name} a JOIN ${tb.name} b ON $cond AND ($resid) " +
             s"ORDER BY k, k2 LIMIT ${20 + r.nextInt(60)}"
+        case 5 =>
+          // nullable predicate under an aggregate: COUNTIF counts JS
+          // truthiness of the two-valued result per row (the
+          // seed-88001 shape, here by construction rather than via a
+          // shadowing alias)
+          val t = pick(r, tables)
+          val c = pick(r, t.ints).name
+          s"SELECT NULLIF(MOD($c, ${2 + r.nextInt(4)}), ${r.nextInt(3)}) AS g, " +
+            s"COUNTIF(${nullBoolExpr(r, t, 1)}) AS c0, " +
+            s"CAST(COUNT(*) AS BIGINT) AS n " +
+            s"FROM ${t.name} GROUP BY g " +
+            s"${if (r.nextBoolean()) s"HAVING COUNT(*) >= ${1 + r.nextInt(2)} " else ""}" +
+            s"ORDER BY g"
         case v =>
           val t = pick(r, tables)
           val p1 = nullBoolExpr(r, t, 2)
