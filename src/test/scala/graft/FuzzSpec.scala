@@ -70,6 +70,14 @@ class FuzzSpec extends SparkSpec {
         names.zipWithIndex.map { case (n, i) => n.toLowerCase -> norm(r.get(i)) }.toMap))
     } catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(300)) }
 
+  private def runSparkDerived(q: String): Either[String, Seq[Map[String, V]]] =
+    try {
+      val df = GraftSql.sqlDerived(spark, q)
+      val names = df.schema.fieldNames.toSeq
+      Right(df.collect().toSeq.map(r =>
+        names.zipWithIndex.map { case (n, i) => n.toLowerCase -> norm(r.get(i)) }.toMap))
+    } catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(300)) }
+
   private def runSparkStrict(q: String): Either[String, Seq[Map[String, V]]] =
     try {
       val df = GraftSql.sqlStrictNulls(spark, q)
@@ -247,7 +255,12 @@ class FuzzSpec extends SparkSpec {
     var sparkOnly = 0 // graft accepts what the reference rejects: superset, allowed
     var ambiguous = 0
     val problems = mutants.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
-      val sp = runSpark(q)
+      // sqlDerived, not sql: a mutation can DROP an alias, and the
+      // host-facing surface names unaliased projections with the
+      // reference's derivedAlias (trim_Customer, not Spark's
+      // trim(Customer)) — the name-keyed diff must compare what a host
+      // actually sees (seed-88008 find)
+      val sp = runSparkDerived(q)
       // a duplicated projection token can duplicate an alias: the
       // reference silently resolves references to it (one occurrence
       // wins); Spark rejects the ambiguity. Rejecting is the BETTER
