@@ -558,8 +558,22 @@ object GraftSql {
                 if (cols.isEmpty) defCols
                 else cols ++ defCols.drop(cols.length)
               if (cols.isEmpty && colList.size == 1) singleCol += alias -> colList.head
+              // a LITERAL scalar argument ('42') is statically visible:
+              // the reference throws at execution (json.js JSON_EACH
+              // guard) — data columns stay lenient like the JSON family
+              val a0 = args.trim
+              val scalarLit = fname == "JSON_EACH" &&
+                a0.startsWith("'") && a0.endsWith("'") && a0.length >= 2 &&
+                !a0.contains(",") && {
+                  val body = a0.substring(1, a0.length - 1).trim
+                  body.nonEmpty && !body.startsWith("{") && !body.startsWith("[")
+                }
               val inner =
-                if (fname == "JSON_EACH") {
+                if (scalarLit)
+                  "explode(map_from_entries(array(struct(CAST(raise_error(" +
+                    "'JSON_EACH(value): argument must be a JSON object or array') " +
+                    "AS STRING), 'x'))))"
+                else if (fname == "JSON_EACH") {
                   val x = s"graft_json_input($args)"
                   s"explode(coalesce(from_json($x, 'map<string,string>'), " +
                     s"map_from_entries(transform(from_json($x, 'array<string>'), " +
@@ -1722,12 +1736,28 @@ object GraftSql {
     // for arrays where the reference's are numeric — the differential
     // jsonBridge treats '0' ≡ 0, and hosts read keys positionally.
     s = rewriteCall(s, "json_each", args => {
-      // typed (struct/array) input renders to JSON text first — the
-      // reference's JSON family takes strings OR typed values directly
-      val x = s"graft_json_input(${args.mkString(", ")})"
-      s"explode(coalesce(from_json($x, 'map<string,string>'), " +
-        s"map_from_entries(transform(from_json($x, 'array<string>'), " +
-        s"(e, i) -> struct(cast(i AS string), e)))))"
+      // a LITERAL scalar argument ('42', 'true') is statically visible
+      // and the reference throws at execution (JSON_EACH(value):
+      // argument must be a JSON object or array) — match that; data
+      // columns stay lenient like the rest of the JSON family
+      val a0 = args.headOption.map(_.trim).getOrElse("")
+      val scalarLit = args.length == 1 &&
+        a0.startsWith("'") && a0.endsWith("'") && a0.length >= 2 && {
+          val body = a0.substring(1, a0.length - 1).trim
+          body.nonEmpty && !body.startsWith("{") && !body.startsWith("[")
+        }
+      if (scalarLit)
+        "explode(map_from_entries(array(struct(CAST(raise_error(" +
+          "'JSON_EACH(value): argument must be a JSON object or array') " +
+          "AS STRING), 'x'))))"
+      else {
+        // typed (struct/array) input renders to JSON text first — the
+        // reference's JSON family takes strings OR typed values directly
+        val x = s"graft_json_input(${args.mkString(", ")})"
+        s"explode(coalesce(from_json($x, 'map<string,string>'), " +
+          s"map_from_entries(transform(from_json($x, 'array<string>'), " +
+          s"(e, i) -> struct(cast(i AS string), e)))))"
+      }
     })
 
     // ->> / -> json access chains (j -> 'a' ->> 0 ...) collapse into ONE
