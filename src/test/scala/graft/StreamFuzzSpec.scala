@@ -27,6 +27,12 @@ class StreamFuzzSpec extends SparkSpec {
   private val base = 3600000L
   private def ts(min: Int): Timestamp = new Timestamp(base + min * 60000L)
 
+  // GRAFT_STREAM_SEED shifts every battery's seeds so a deep audit
+  // explores fresh event tables and split patterns (same contract as
+  // FuzzSpec's GRAFT_FUZZ_SEED)
+  private val seedShift = sys.env.get("GRAFT_STREAM_SEED").map(_.toLong).getOrElse(0L)
+  private def sh(seed: Long): Long = seed + seedShift
+
   /** In-order random events: in-order keeps every row inside the
     * watermark so batch equivalence is exact (late-drop behavior is
     * pinned separately in StreamingSpec).
@@ -68,7 +74,7 @@ class StreamFuzzSpec extends SparkSpec {
   }
 
   test("windowedCounts: batch-equal and split-invariant (3 seeds x 2 splits)") {
-    for (seed <- Seq(11L, 12L, 13L)) {
+    for (seed <- Seq(11L, 12L, 13L).map(sh)) {
       val events = randomEvents(seed, 200)
       // independent batch oracle: same rows, one-shot aggregation
       val expected = events.toDF()
@@ -79,7 +85,7 @@ class StreamFuzzSpec extends SparkSpec {
         .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
       val flush = Event(ts(100000), 999L, "flush", 0.0)
-      val results = Seq(21L, 22L).map { splitSeed =>
+      val results = Seq(21L, 22L).map(sh).map { splitSeed =>
         val rows = runStream(s"wf_${seed}_$splitSeed",
           randomSplits(splitSeed, events), flush) { df =>
           EventPipeline.windowedCounts(df, watermark = "10 minutes", window = "5 minutes")
@@ -96,7 +102,7 @@ class StreamFuzzSpec extends SparkSpec {
   }
 
   test("dedupStream: surviving key set equals batch DISTINCT under any split (3 seeds)") {
-    for (seed <- Seq(31L, 32L, 33L)) {
+    for (seed <- Seq(31L, 32L, 33L).map(sh)) {
       val r = new Random(seed)
       // force heavy duplication: few distinct (user, type, minute) keys
       val events = (0 until 150).map { _ =>
@@ -105,7 +111,7 @@ class StreamFuzzSpec extends SparkSpec {
       }.sortBy(_.ts.getTime)
       val expected = events.map(e => (e.user_id, e.event_type, e.ts.getTime)).toSet
       val flush = Event(ts(100000), 999L, "flush", 0.0)
-      val results = Seq(41L, 42L).map { splitSeed =>
+      val results = Seq(41L, 42L).map(sh).map { splitSeed =>
         val rows = runStream(s"df_${seed}_$splitSeed",
           randomSplits(splitSeed, events), flush) { df =>
           EventPipeline.dedupStream(df, Seq("user_id", "event_type", "ts"),
@@ -121,7 +127,7 @@ class StreamFuzzSpec extends SparkSpec {
   }
 
   test("slidingCounts: batch-equal and split-invariant (2 seeds)") {
-    for (seed <- Seq(71L, 72L)) {
+    for (seed <- Seq(71L, 72L).map(sh)) {
       val events = randomEvents(seed, 150)
       val expected = events.toDF()
         .groupBy(org.apache.spark.sql.functions.window($"ts", "10 minutes", "5 minutes"))
@@ -132,7 +138,7 @@ class StreamFuzzSpec extends SparkSpec {
         .toSet
       val flush = Event(ts(100000), 999L, "flush", 0.0)
       val maxTs = events.map(_.ts.getTime).max
-      val results = Seq(81L, 82L).map { splitSeed =>
+      val results = Seq(81L, 82L).map(sh).map { splitSeed =>
         val rows = runStream(s"sl_${seed}_$splitSeed",
           randomSplits(splitSeed, events), flush) { df =>
           EventPipeline.slidingCounts(df, watermark = "10 minutes",
@@ -155,13 +161,13 @@ class StreamFuzzSpec extends SparkSpec {
     // produce identical sessions on random data. Any two agreeing
     // wrongly requires a shared bug across unrelated implementations.
     val gapMs = 10 * 60 * 1000L
-    for (seed <- Seq(91L, 92L)) {
+    for (seed <- Seq(91L, 92L).map(sh)) {
       val events = randomEvents(seed, 120)
       val oracle = foldSessions(events, gapMs)
         .map { case (u, s, e, n, tot) => (u, s, e + gapMs, n, tot) }
       // native session_window's end is last_event + gap (window extent)
       val flush = Event(ts(100000), 999L, "flush", 0.0)
-      val rows = runStream(s"sw_$seed", randomSplits(95L, events), flush) { df =>
+      val rows = runStream(s"sw_$seed", randomSplits(sh(95L), events), flush) { df =>
         EventPipeline.sessionWindows(df, watermark = "10 minutes", gap = "10 minutes")
       }
       val native = rows.map(r => (r.getLong(2), r.getTimestamp(0).getTime,
@@ -195,12 +201,12 @@ class StreamFuzzSpec extends SparkSpec {
 
   test("sessionize (custom flatMapGroupsWithState): equals a fold oracle under any split (3 seeds)") {
     val gapMs = 10 * 60 * 1000L
-    for (seed <- Seq(51L, 52L, 53L)) {
+    for (seed <- Seq(51L, 52L, 53L).map(sh)) {
       val events = randomEvents(seed, 120)
       // independent oracle: per-user in-order fold with the gap rule
       val expected = foldSessions(events, gapMs)
       val flush = Event(ts(100000), 999L, "flush", 0.0)
-      val results = Seq(61L, 62L).map { splitSeed =>
+      val results = Seq(61L, 62L).map(sh).map { splitSeed =>
         implicit val sqlCtx = spark.sqlContext
         val input = MemoryStream[Event]
         val q = EventPipeline.sessionize(input.toDS(), gapMs = gapMs)
