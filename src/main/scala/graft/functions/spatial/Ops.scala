@@ -191,16 +191,15 @@ object Ops {
     for (p <- e2) if (check(p, r1)) return Inside
     for (i <- 0 until e1.length - 1) if (check(mid(e1(i), e1(i + 1)), r2)) return Inside
     for (i <- 0 until e2.length - 1) if (check(mid(e2(i), e2(i + 1)), r1)) return Inside
-    // identical/coincident-interior rings: every vertex and edge midpoint
-    // sits on the other's boundary, yet the interiors coincide — a ring
-    // centroid interior to BOTH polygons decides it (exact for convex
-    // rings; conservative fall-through otherwise)
-    def centroid(r: IndexedSeq[Pt]): Pt = {
-      val pts = r.dropRight(1)
-      Pt(pts.map(_.x).sum / pts.length, pts.map(_.y).sum / pts.length)
-    }
-    for (c <- Seq(centroid(e1), centroid(e2)))
-      if (pointInPolygon(c, r1) == Inside && pointInPolygon(c, r2) == Inside) return Inside
+    // NOTE deliberately NO interior probe beyond vertices + edge
+    // midpoints: the reference's sampled-relation model
+    // (spatial/operations.js polygonPolygonRelation) classifies
+    // IDENTICAL rings as BOUNDARY — every sample lands on the other's
+    // ring — so ST_TOUCHES(A, A) is TRUE there. An earlier round added
+    // a centroid probe here that "fixed" this to the OGC answer
+    // (interiors coincide ⇒ not touching) and silently diverged; the
+    // seed-88013 spatial fuzz caught it. Reference behavior wins:
+    // sampling parity by construction.
     if (!boundary) {
       val hit = (0 until e1.length - 1).exists { i =>
         (0 until e2.length - 1).exists(j => segmentsIntersect(e1(i), e1(i + 1), e2(j), e2(j + 1)))

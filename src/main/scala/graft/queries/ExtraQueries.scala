@@ -306,6 +306,11 @@ object ExtraQueries {
     // counts) and the polygon does not contain the line; this line is
     // always WIDER than the envelope, so containment never holds and
     // crosses reduces to closed-interval intersection).
+    // b_touches spells the REFERENCE's sampled-relation model: two
+    // congruent envelopes touch when edge-adjacent (zero-width overlap)
+    // OR IDENTICAL — identical rings sample entirely onto each other's
+    // boundary (spatial/operations.js polygonPolygonRelation), the
+    // seed-88013 fuzz find, deliberately mirrored over the OGC answer
     QueryDef("q_spatial_predicates2",
       """WITH p AS (
         |  SELECT c_custkey AS id,
@@ -322,7 +327,8 @@ object ExtraQueries {
         |  (ixl <= ixh AND iyl <= iyh) AS b_intersects,
         |  (x0 = 5 AND y0 = 4) AS b_equals,
         |  ((ixl <= ixh AND iyl <= iyh) AND NOT (x0 = 5 AND y0 = 4)) AS b_overlaps,
-        |  ((ixl <= ixh AND iyl <= iyh) AND NOT (ixl < ixh AND iyl < iyh)) AS b_touches,
+        |  ((ixl <= ixh AND iyl <= iyh)
+        |    AND (NOT (ixl < ixh AND iyl < iyh) OR (x0 = 5 AND y0 = 4))) AS b_touches,
         |  (x0 = 5 AND y0 = 4) AS b_covers,
         |  (x0 = 5 AND y0 = 4) AS b_coveredby,
         |  (y0 + 2.5 >= 4 AND y0 + 2.5 <= 9 AND greatest(x0 - 1, 5.0) <= least(x0 + 8, 12.0)) AS b_crosses

@@ -38,6 +38,22 @@ class SpatialSpec extends SparkSpec {
     assert(!Ops.intersects(box, g("POINT (20 20)")))
   }
 
+  test("touches of an identical polygon with itself is TRUE (reference sampled-relation model)") {
+    // the reference classifies polygon pairs by sampling vertices and
+    // edge midpoints against the other ring; for IDENTICAL polygons
+    // every sample lands on the boundary, so pairRelation is BOUNDARY
+    // and ST_TOUCHES(A, A) is true — NOT the OGC answer (coincident
+    // interiors), but the reference's semantics, found by the
+    // seed-88013 spatial fuzz and mirrored deliberately
+    val tri = g("POLYGON ((5 1, 8 1, 5 2, 5 1))")
+    assert(Ops.touches(tri, tri))
+    val sq = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(Ops.touches(sq, sq))
+    // a polygon strictly inside another still reads INSIDE (vertex
+    // sample interior) — no touches
+    assert(!Ops.touches(sq, g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")))
+  }
+
   test("dwithin uses euclidean distance") {
     assert(Ops.dWithin(g("POINT (0 0)"), g("POINT (3 4)"), 5.0))
     assert(!Ops.dWithin(g("POINT (0 0)"), g("POINT (3 4)"), 4.9))
