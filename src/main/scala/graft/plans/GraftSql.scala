@@ -1015,6 +1015,9 @@ object GraftSql {
       var caseSaves: List[Int] = Nil // segStart saved at each CASE entry
       var pendings: List[(Int, Int)] = Nil // (openPos, caseNest at open)
       var awaitingOpen: Boolean = false // a trigger wants the next segment
+      var expectOverParen: Boolean = false // word OVER seen, spec paren next
+      var isOverSpec: Boolean = false // this frame IS a window-spec paren
+      var overJustClosed: Boolean = false // previous token closed an OVER spec
     }
     var stack: List[Frame] = List(new Frame)
     def fr: Frame = stack.head
@@ -1051,18 +1054,29 @@ object GraftSql {
       val c = sqlIn.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '\'' || c == '"') {
+        fr.overJustClosed = false
         startToken(i)
         var j = i + 1
         while (j < n && sqlIn.charAt(j) != c) j += 1
         fr.lastNonWs = math.min(j, n - 1)
         i = j + 1
       } else if (c == '(') {
-        startToken(i); stack ::= new Frame; i += 1
+        startToken(i)
+        val overSpec = fr.expectOverParen
+        fr.expectOverParen = false
+        fr.overJustClosed = false
+        stack ::= new Frame
+        fr.isOverSpec = overSpec
+        i += 1
       } else if (c == ')') {
         closePendings(0)
+        val closedOverSpec = fr.isOverSpec
         if (stack.tail.nonEmpty) stack = stack.tail
-        fr.lastNonWs = i; i += 1
+        fr.lastNonWs = i
+        fr.overJustClosed = closedOverSpec
+        i += 1
       } else if (c == ',' || c == ';') {
+        fr.overJustClosed = false
         boundaryReset(); i += 1
       } else if (c == '[') {
         startToken(i)
@@ -1079,12 +1093,26 @@ object GraftSql {
         fr.lastNonWs = if (stop >= 0) stop else n - 1
         i = fr.lastNonWs + 1
       } else if (c == '|' && i + 1 < n && sqlIn.charAt(i + 1) == '|') {
+        fr.overJustClosed = false
         trigger(); i += 2
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < n && (sqlIn.charAt(j).isLetterOrDigit || sqlIn.charAt(j) == '_')) j += 1
         val word = sqlIn.substring(i, j).toUpperCase
+        val afterOverSpec = fr.overJustClosed
+        fr.overJustClosed = false
         word match {
+          case "OVER" =>
+            startToken(i); fr.lastNonWs = j - 1
+            fr.expectOverParen = true
+          case w if afterOverSpec && !boundary(w) =>
+            // a bare identifier straight after a window spec can only
+            // be an IMPLICIT alias (`... OVER (...) c0` — the AS
+            // dropped): close the operand wrap at the window's closing
+            // paren, then the alias starts a fresh segment (seed-88014
+            // mutation find)
+            boundaryReset()
+            startToken(i); fr.lastNonWs = j - 1
           case "ILIKE" => trigger()
           case "CASE" =>
             startToken(i)
@@ -1113,9 +1141,11 @@ object GraftSql {
         i = j
       } else if (c == '=' || c == '<' || c == '>' || c == '!') {
         // comparison operators bind looser than || in both grammars
+        fr.overJustClosed = false
         boundaryReset(); i += 1
       } else {
         // + - * / % . digits: additive material stays in-segment
+        fr.overJustClosed = false
         startToken(i); fr.lastNonWs = i; i += 1
       }
     }
