@@ -249,12 +249,13 @@ class FuzzSpec extends SparkSpec {
     // integer grids make shared vertices / collinear edges / touching
     // boundaries the COMMON case — the exact corners where two
     // independent geometry implementations drift apart
-    val queries = FuzzGen.spatialQueries(seed = seedOr(4242L, 2), n = 120)
+    val nSpatial = sys.env.getOrElse("GRAFT_FUZZ_SPATIAL_N", "120").toInt
+    val queries = FuzzGen.spatialQueries(seed = seedOr(4242L, 2), n = nSpatial)
     val refResults = runReference(queries)
     val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
       diff(q, runSpark(q), rf).map(d => s"#$i $d\n  SQL: $q")
     }
-    info(s"spatial queries=120 divergences=${divergences.length}")
+    info(s"spatial queries=$nSpatial divergences=${divergences.length}")
     assert(divergences.isEmpty,
       s"${divergences.length} divergence(s):\n${divergences.take(8).mkString("\n")}")
   }
