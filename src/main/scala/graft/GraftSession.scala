@@ -31,7 +31,12 @@ object GraftSession {
 
   /** Total on-disk bytes under `dir` (Hadoop FS API, so local paths and
     * cluster URIs both work). 0 when the path is missing — the derived
-    * knobs then fall back to their local-test floors.
+    * knobs then fall back to their local-test floors. A sizing FAILURE
+    * (transient FS/auth error on a scale run) must not silently floor a
+    * 100 TB job to 32 shuffle partitions — exactly the
+    * UNABLE_TO_ACQUIRE_MEMORY mode the derivation exists to prevent —
+    * so it is logged loudly and falls back to a SCALE-SAFE default
+    * (4096-partition cap) rather than the missing-path floor.
     */
   def dirBytes(dir: String): Long =
     try {
@@ -39,7 +44,16 @@ object GraftSession {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    } catch { case _: Throwable => 0L }
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[graft] dirBytes($dir) failed (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); sizing shuffle partitions as if the input " +
+            "were at the 4096-partition cap rather than the local floor")
+        // Long.MaxValue-safe sentinel: 4096 * 64 MiB puts the derivation
+        // exactly at its cap, the safe side for an unknown-size input.
+        4096L * (64L << 20)
+    }
 
   /** Reduce-side parallelism derived from input size: ~64 MiB of
     * compressed input per reduce partition (≈200 MB in-memory working

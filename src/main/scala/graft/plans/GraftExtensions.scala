@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head, castMode = true)))
     ext.injectFunction((FunctionIdentifier("graft_js_num"), info("graft_js_num"),
       (args: Seq[Expression]) => graft.functions.text.JsNum(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_js_interval"), info("graft_js_interval"),
+      (args: Seq[Expression]) => graft.functions.time.JsInterval(
+        args(0), args(1), args(2), args(3), args(4))))
     ext.injectFunction((FunctionIdentifier("graft_size"), info("graft_size"),
       (args: Seq[Expression]) => graft.functions.collection.SizeAny(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_length"), info("graft_length"),

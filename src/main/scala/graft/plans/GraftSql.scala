@@ -185,19 +185,59 @@ object GraftSql {
     sb.toString
   }
 
-  // graft_js_interval's V8 date-acceptance branches, hoisted out of the
-  // per-row UDF body (Pattern.compile per row would dominate the math)
-  private val JsDateOnly = raw"^(\d{4})-(\d{2})-(\d{2})\s*$$".r
-  private val JsStrictT = (raw"^(\d{4})-(\d{2})-(\d{2})" +
-    raw"T(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?([Zz]|[+-]\d{2}:?\d{2})?$$").r
-  private val JsLegacyDt = (raw"^(\d{4})-(\d{2})-(\d{2})" +
-    raw"[t ](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d+))?)?([Zz]|[+-]\d{2}:?\d{2})?\s*$$").r
-
   private def inLiteral(s: String, pos: Int): Boolean = {
     var i = 0
     var quotes = 0
     while (i < pos) { if (s.charAt(i) == '\'') quotes += 1; i += 1 }
     quotes % 2 == 1
+  }
+
+  /** A statically-visible invalid JSON_EACH scalar-literal argument — a
+    * quoted string whose body is not a JSON object/array, or a bare
+    * numeric/boolean literal. The reference throws at execution for
+    * these (execute.js:208,239) with TWO distinct messages: a string
+    * that fails JSON.parse → "invalid JSON string…", a valid-JSON
+    * scalar (number/bool/null/quoted string, or a bare non-string
+    * value) → "argument must be a JSON object or array". Returns the
+    * matching message, or None when the call must run leniently (data
+    * columns / object / array literals). The quoted check is
+    * whole-literal (a comma INSIDE the quotes, as in JSON_EACH('a,b'),
+    * is still one scalar literal).
+    */
+  private val jsonScalarLit =
+    raw"""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|true|false|null|"([^"\\]|\\.)*"""".r
+  private def jsonEachScalarErr(arg: String): Option[String] = {
+    val a0 = arg.trim
+    if (a0.startsWith("'") && a0.endsWith("'") && a0.length >= 2 &&
+        !a0.substring(1, a0.length - 1).contains("'")) {
+      val body = a0.substring(1, a0.length - 1).trim
+      if (body.isEmpty || body.startsWith("{") || body.startsWith("[")) None
+      else if (jsonScalarLit.matches(body))
+        Some("JSON_EACH(value): argument must be a JSON object or array")
+      else
+        Some("JSON_EACH(value): invalid JSON string. Argument must be valid JSON.")
+    } else if (a0.equalsIgnoreCase("true") || a0.equalsIgnoreCase("false") ||
+        a0.matches(raw"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"))
+      Some("JSON_EACH(value): argument must be a JSON object or array")
+    else None
+  }
+
+  /** True when `s` has a comma OUTSIDE single quotes and parens — i.e.
+    * the call really has multiple arguments.
+    */
+  private def hasTopLevelComma(s: String): Boolean = {
+    var i = 0; var depth = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   /** Rewrite every `fname(args)` call via `f(splitArgs)` — paren-aware, so
@@ -561,18 +601,14 @@ object GraftSql {
               // a LITERAL scalar argument ('42') is statically visible:
               // the reference throws at execution (json.js JSON_EACH
               // guard) — data columns stay lenient like the JSON family
-              val a0 = args.trim
-              val scalarLit = fname == "JSON_EACH" &&
-                a0.startsWith("'") && a0.endsWith("'") && a0.length >= 2 &&
-                !a0.contains(",") && {
-                  val body = a0.substring(1, a0.length - 1).trim
-                  body.nonEmpty && !body.startsWith("{") && !body.startsWith("[")
-                }
+              val scalarErr =
+                if (fname == "JSON_EACH" && !hasTopLevelComma(args))
+                  jsonEachScalarErr(args)
+                else None
               val inner =
-                if (scalarLit)
+                if (scalarErr.isDefined)
                   "explode(map_from_entries(array(struct(CAST(raise_error(" +
-                    "'JSON_EACH(value): argument must be a JSON object or array') " +
-                    "AS STRING), 'x'))))"
+                    s"'${scalarErr.get}') AS STRING), 'x'))))"
                 else if (fname == "JSON_EACH") {
                   val x = s"graft_json_input($args)"
                   s"explode(coalesce(from_json($x, 'map<string,string>'), " +
@@ -1015,9 +1051,7 @@ object GraftSql {
       var caseSaves: List[Int] = Nil // segStart saved at each CASE entry
       var pendings: List[(Int, Int)] = Nil // (openPos, caseNest at open)
       var awaitingOpen: Boolean = false // a trigger wants the next segment
-      var expectOverParen: Boolean = false // word OVER seen, spec paren next
-      var isOverSpec: Boolean = false // this frame IS a window-spec paren
-      var overJustClosed: Boolean = false // previous token closed an OVER spec
+      var parenJustClosed: Boolean = false // previous token was a ')' close
     }
     var stack: List[Frame] = List(new Frame)
     def fr: Frame = stack.head
@@ -1054,7 +1088,7 @@ object GraftSql {
       val c = sqlIn.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '\'' || c == '"') {
-        fr.overJustClosed = false
+        fr.parenJustClosed = false
         startToken(i)
         var j = i + 1
         while (j < n && sqlIn.charAt(j) != c) j += 1
@@ -1062,21 +1096,17 @@ object GraftSql {
         i = j + 1
       } else if (c == '(') {
         startToken(i)
-        val overSpec = fr.expectOverParen
-        fr.expectOverParen = false
-        fr.overJustClosed = false
+        fr.parenJustClosed = false
         stack ::= new Frame
-        fr.isOverSpec = overSpec
         i += 1
       } else if (c == ')') {
         closePendings(0)
-        val closedOverSpec = fr.isOverSpec
         if (stack.tail.nonEmpty) stack = stack.tail
         fr.lastNonWs = i
-        fr.overJustClosed = closedOverSpec
+        fr.parenJustClosed = true
         i += 1
       } else if (c == ',' || c == ';') {
-        fr.overJustClosed = false
+        fr.parenJustClosed = false
         boundaryReset(); i += 1
       } else if (c == '[') {
         startToken(i)
@@ -1093,24 +1123,29 @@ object GraftSql {
         fr.lastNonWs = if (stop >= 0) stop else n - 1
         i = fr.lastNonWs + 1
       } else if (c == '|' && i + 1 < n && sqlIn.charAt(i + 1) == '|') {
-        fr.overJustClosed = false
+        fr.parenJustClosed = false
         trigger(); i += 2
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < n && (sqlIn.charAt(j).isLetterOrDigit || sqlIn.charAt(j) == '_')) j += 1
         val word = sqlIn.substring(i, j).toUpperCase
-        val afterOverSpec = fr.overJustClosed
-        fr.overJustClosed = false
+        val afterParen = fr.parenJustClosed
+        fr.parenJustClosed = false
         word match {
           case "OVER" =>
+            // `rank() OVER (...)` — OVER keeps the window expression in
+            // ONE segment (it has its own case so the afterParen alias
+            // branch below never claims it)
             startToken(i); fr.lastNonWs = j - 1
-            fr.expectOverParen = true
-          case w if afterOverSpec && !boundary(w) =>
-            // a bare identifier straight after a window spec can only
-            // be an IMPLICIT alias (`... OVER (...) c0` — the AS
-            // dropped): close the operand wrap at the window's closing
-            // paren, then the alias starts a fresh segment (seed-88014
-            // mutation find)
+          case w if afterParen && !boundary(w) =>
+            // a bare non-boundary identifier straight after a ')' can
+            // only be an IMPLICIT alias (`trim(s) q2`, `... OVER (...)
+            // c0` — the AS dropped; every other legal follower — OVER,
+            // ILIKE, NOT, END, clause keywords — has its own case or is
+            // a boundary word): close the operand wrap at the paren,
+            // then the alias starts a fresh segment (seed-88014
+            // mutation find; generalized from window specs to all
+            // parens after the advisor's expectOverParen-leak report)
             boundaryReset()
             startToken(i); fr.lastNonWs = j - 1
           case "ILIKE" => trigger()
@@ -1141,11 +1176,11 @@ object GraftSql {
         i = j
       } else if (c == '=' || c == '<' || c == '>' || c == '!') {
         // comparison operators bind looser than || in both grammars
-        fr.overJustClosed = false
+        fr.parenJustClosed = false
         boundaryReset(); i += 1
       } else {
         // + - * / % . digits: additive material stays in-segment
-        fr.overJustClosed = false
+        fr.parenJustClosed = false
         startToken(i); fr.lastNonWs = i; i += 1
       }
     }
@@ -1385,13 +1420,14 @@ object GraftSql {
             // time-window filter bound (`WHERE ts > now() - INTERVAL
             // 7 DAY`). JS Date-object semantics keep the time there,
             // and integral day/hour/minute/second arithmetic is
-            // bit-identical to Spark's — but a ScalaUDF never
-            // constant-folds, so routing these through
-            // graft_js_interval would stop the comparison reaching the
-            // parquet scan as a pushed filter. Leave them on native
-            // interval arithmetic (rewriteIntervalOperands' coercion
-            // CASE folds once ComputeCurrentTime makes now() a
-            // literal).
+            // bit-identical to Spark's. The native JsInterval
+            // expression DOES constant-fold now, but it would round the
+            // operand through CAST(ts AS STRING), which truncates
+            // sub-millisecond precision (V8 keeps millis only) — native
+            // interval arithmetic is both bit-identical at micros AND
+            // trivially pushdown-friendly, so the carve-out stays
+            // (rewriteIntervalOperands' coercion CASE folds once
+            // ComputeCurrentTime makes now() a literal).
             // typed TIMESTAMP literals arrive here ALREADY rewritten by
             // the lenient-cast pass (TIMESTAMP 'x' → try_cast('x' AS
             // TIMESTAMP)); DATE 'x' and the paren spellings of
@@ -1770,16 +1806,11 @@ object GraftSql {
       // and the reference throws at execution (JSON_EACH(value):
       // argument must be a JSON object or array) — match that; data
       // columns stay lenient like the rest of the JSON family
-      val a0 = args.headOption.map(_.trim).getOrElse("")
-      val scalarLit = args.length == 1 &&
-        a0.startsWith("'") && a0.endsWith("'") && a0.length >= 2 && {
-          val body = a0.substring(1, a0.length - 1).trim
-          body.nonEmpty && !body.startsWith("{") && !body.startsWith("[")
-        }
-      if (scalarLit)
+      val scalarErr =
+        if (args.length == 1) jsonEachScalarErr(args.head) else None
+      if (scalarErr.isDefined)
         "explode(map_from_entries(array(struct(CAST(raise_error(" +
-          "'JSON_EACH(value): argument must be a JSON object or array') " +
-          "AS STRING), 'x'))))"
+          s"'${scalarErr.get}') AS STRING), 'x'))))"
       else {
         // typed (struct/array) input renders to JSON text first — the
         // reference's JSON family takes strings OR typed values directly
@@ -2094,10 +2125,13 @@ object GraftSql {
         // validator rejects
         if (args.length == 1 && args.head.trim != "*") {
           val a = args.head.trim
-          val up = a.toUpperCase
-          val (pre, core) =
-            if (up.startsWith("DISTINCT ")) (a.substring(0, 9), a.substring(9))
-            else ("", a)
+          // the set quantifier stays OUTSIDE the wrap, in every spelling:
+          // DISTINCT x, DISTINCT(x), DISTINCT<tab>x, ALL x
+          val quant = raw"(?is)^(DISTINCT|ALL)\b\s*(.*)$$".r
+          val (pre, core) = a match {
+            case quant(q, rest) => (q + " ", rest)
+            case _ => ("", a)
+          }
           s"__${f}agg__(${pre}graft_js_num($core))"
         } else s"__${f}agg__(${args.mkString(", ")})")
       s = s.replace(s"__${f}agg__(", s"$f(")
@@ -2776,111 +2810,11 @@ object GraftSql {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
         })
     }
-    if (!spark.catalog.functionExists("graft_js_interval")) {
-      // JS Date-setter interval arithmetic, exactly (reference:
-      // src/expression/date.js:13-41 applyIntervalToDate). Two ways it
-      // differs from SQL interval arithmetic:
-      //  - the VALUE may be fractional, and ECMA-262 ToIntegerOrInfinity
-      //    truncates the SUMMED component toward zero (setUTCHours(h +
-      //    2.5) adds 2 hours — and h - 2.5 depends on h's value);
-      //  - MONTH/YEAR keep the day-of-month by ROLLING OVER (MakeDay:
-      //    first-of-target-month + dom-1 days; Mar 31 + 1 MONTH =
-      //    May 1) where Spark's add_months CLAMPS to Apr 30.
-      // The whole toDate → applyIntervalToDate → "same format as input"
-      // chain over the RAW string form (reference:
-      // src/expression/date.js:13-41,133-143):
-      //  - only ^\d{4}-\d{2}-\d{2}(T…)? strings are dates — NUMBERS and
-      //    everything else yield NULL (toDate:136);
-      //  - JS Date setters apply ToIntegerOrInfinity to the SUMMED
-      //    component (fractional values truncate toward zero) and
-      //    MakeDay ROLLS month-end over where add_months clamps;
-      //  - the result keeps its time only when the input contained 'T'
-      //    (String(v).includes('T')) — a date-only OR space-separated
-      //    input truncates the result to its UTC date.
-      // kind distinguishes the JS value classes per ROW: 'typed' is the
-      // analog of a Date OBJECT (instanceof Date → time kept,
-      // date.js:36), 'ts_str' a string containing 'T' (time kept),
-      // 'date_str' a string without (result truncates to its UTC
-      // date), 'none' everything else (numbers are not dates). Chained
-      // ops thread the ORIGINAL operand's kind through, mirroring the
-      // reference's per-step string reformatting.
-      spark.udf.register("graft_js_interval",
-        (raw: String, v: Double, unit: String, op: String, kind: String) =>
-          if (raw == null || v.isNaN ||
-              !(kind == "date_str" || kind == "ts_str" || kind == "typed")) null
-          else {
-            // anchored at the START on the UNTRIMMED string, like the
-            // reference's toDate regex (' 2024-01-01' is null there
-            // even though bare V8 would parse it). Three V8 acceptance
-            // branches (each probed): date-only allows trailing
-            // whitespace but NO offset; the strict-ISO 'T' form allows
-            // an offset but NO trailing whitespace (fractional digits
-            // unbounded, truncated to millis); the legacy space /
-            // lowercase-t form allows both. Hour 24 is valid only with
-            // zero minutes/seconds. Regexes hoisted — this runs per row.
-            val groups = raw match {
-              case JsDateOnly(yy, mo, dd) =>
-                Some((yy, mo, dd, null: String, null: String, null: String,
-                  null: String, null: String))
-              case JsStrictT(yy, mo, dd, hh, mi, ss, fr, off) =>
-                Some((yy, mo, dd, hh, mi, ss, fr, off))
-              case JsLegacyDt(yy, mo, dd, hh, mi, ss, fr, off) =>
-                Some((yy, mo, dd, hh, mi, ss, fr, off))
-              case _ => None // toDate: non-date input (numbers included)
-            }
-            groups match {
-              case Some((yy, mo, dd, hh, mi, ss, fr, off)) =>
-                try {
-                  def i(s: String, d: Int = 0) = if (s == null) d else s.toInt
-                  val millis = if (fr == null) 0 else (fr + "00").take(3).toInt
-                  val offset = off match {
-                    case null | "Z" | "z" => java.time.ZoneOffset.UTC
-                    case o => java.time.ZoneOffset.of(o)
-                  }
-                  // V8's parser: month 1-12 and time fields strict, but
-                  // day 1-31 is accepted REGARDLESS of month length and
-                  // rolls over ('1989-02-30' is 1989-03-02) — build via
-                  // first-of-month + (day-1); T24:00:00 exactly is the
-                  // next midnight
-                  val h24 = i(hh) == 24 && i(mi) == 0 && i(ss) == 0 && millis == 0
-                  require(i(mo) >= 1 && i(mo) <= 12 && i(dd) >= 1 && i(dd) <= 31 &&
-                    (i(hh) <= 23 || h24) && i(mi) <= 59 && i(ss) <= 59)
-                  val day0 = java.time.LocalDate.of(i(yy), i(mo), 1)
-                    .plusDays(i(dd) - 1L + (if (h24) 1 else 0))
-                  val z0 = java.time.ZonedDateTime.of(
-                    day0,
-                    java.time.LocalTime.of(if (h24) 0 else i(hh), i(mi), i(ss), millis * 1000000),
-                    offset).withZoneSameInstant(java.time.ZoneOffset.UTC)
-                  val adj = if (op == "-") -v else v
-                  def t(d: Double): Long = d.toLong // ToIntegerOrInfinity
-                  // MakeDay: target month at day 1 (never clamps), then
-                  // dom-1 days — rolls over like JS
-                  def makeDay(year: Long, monthIdx: Long): java.time.ZonedDateTime = {
-                    val first = java.time.LocalDate.of(Math.toIntExact(year), 1, 1)
-                      .plusMonths(monthIdx)
-                    z0.`with`(first.plusDays(z0.getDayOfMonth - 1L))
-                  }
-                  val out = unit.toUpperCase match {
-                    case "SECOND" => z0.plusSeconds(t(z0.getSecond + adj) - z0.getSecond)
-                    case "MINUTE" => z0.plusMinutes(t(z0.getMinute + adj) - z0.getMinute)
-                    case "HOUR"   => z0.plusHours(t(z0.getHour + adj) - z0.getHour)
-                    case "DAY"    => z0.plusDays(t(z0.getDayOfMonth + adj) - z0.getDayOfMonth)
-                    case "MONTH"  => makeDay(z0.getYear.toLong, t((z0.getMonthValue - 1) + adj))
-                    case "YEAR"   => makeDay(t(z0.getYear + adj), (z0.getMonthValue - 1).toLong)
-                    case _        => z0
-                  }
-                  val kept = if (kind != "date_str") out
-                    else out.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
-                  // Instant, NOT java.sql.Timestamp: Spark rebases
-                  // Timestamp UDF results from the hybrid Julian
-                  // calendar, shifting pre-1582 dates by days — Instant
-                  // converts proleptic-Gregorian straight through
-                  kept.toInstant
-                } catch { case _: Exception => null } // invalid date parts
-              case None => null
-            }
-          })
-    }
+    // graft_js_interval is now a NATIVE codegen'd expression
+    // (graft.functions.time.JsInterval, registered via GraftExtensions)
+    // — formerly the engine's last per-row ScalaUDF. The V8 Date-setter
+    // semantics, the toDate acceptance regexes, and the per-row `kind`
+    // dispatch all live there.
     if (!spark.catalog.functionExists("graft_js_trim")) {
       // JS String.prototype.trim: strips the ECMA-262 WhiteSpace +
       // LineTerminator set (tabs, newlines, NBSP, BOM, Unicode spaces) —

@@ -47,7 +47,14 @@ object StrictJsNulls {
     val o = n.origin
     (o.sqlText, o.startIndex) match {
       case (Some(txt), Some(i)) if i >= 0 && i + 3 <= txt.length =>
-        txt.regionMatches(true, i, "NOT", 0, 3)
+        // The token must be exactly NOT: a span starting with an
+        // identifier like `notes != 5` begins with 'not' too, so also
+        // require the next char (if any) to be a non-identifier char.
+        txt.regionMatches(true, i, "NOT", 0, 3) &&
+          (i + 3 == txt.length || {
+            val c = txt.charAt(i + 3)
+            !(Character.isLetterOrDigit(c) || c == '_')
+          })
       case _ => false
     }
   }

@@ -788,6 +788,64 @@ class GraftSqlSpec extends SparkSpec {
     assert(r4.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "9")))
   }
 
+  test("advisor finds: JSON_EACH scalar-literal guard is quote-aware, two reference messages") {
+    Seq((1L, "x")).toDF("id", "txt").createOrReplaceTempView("je_t")
+    // a comma INSIDE the quoted literal is still ONE scalar literal —
+    // the reference's JSON.parse fails → "invalid JSON string"
+    // (execute.js:208); pre-fix this silently yielded 0 rows
+    def execErr(q: String): String =
+      intercept[Exception] {
+        GraftSql.sql(spark, q).collect()
+      }.getMessage
+    assert(execErr("SELECT key, value FROM je_t, JSON_EACH('a,b') AS j")
+      .contains("invalid JSON string"), "table-function path, 'a,b'")
+    // a bare numeric/boolean literal is valid JSON but not an
+    // object/array → the other guard (execute.js:239); pre-fix it
+    // never errored
+    assert(execErr("SELECT key, value FROM je_t, JSON_EACH(42) AS j")
+      .contains("must be a JSON object or array"), "table-function path, 42")
+    assert(execErr("SELECT key, value FROM je_t, JSON_EACH('42') AS j")
+      .contains("must be a JSON object or array"), "table-function path, '42'")
+    // the expression-path rewrite raises the same pair
+    assert(execErr("SELECT json_each('a,b') FROM je_t")
+      .contains("invalid JSON string"), "expression path, 'a,b'")
+    assert(execErr("SELECT json_each(true) FROM je_t")
+      .contains("must be a JSON object or array"), "expression path, true")
+    // object/array literals and data columns stay lenient
+    val ok = GraftSql.sql(spark,
+      """SELECT key, value FROM je_t, JSON_EACH('{"a": 1}') AS j""").collect()
+    assert(ok.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "1")))
+  }
+
+  test("advisor finds: SUM/AVG set quantifier stays outside the js_num wrap in every spelling") {
+    import spark.implicits._
+    Seq(1, 2, 2, 3).toDF("x").createOrReplaceTempView("sq_t")
+    // SUM(DISTINCT(x)) / SUM(ALL x) / SUM(DISTINCT<tab>x) previously
+    // wrapped the quantifier INSIDE graft_js_num → analysis error
+    val r = GraftSql.sql(spark,
+      "SELECT SUM(DISTINCT(x)) AS d1, SUM(DISTINCT\tx) AS d2, " +
+        "SUM(ALL x) AS a1, AVG(DISTINCT x) AS d3 FROM sq_t").collect().head
+    def num(i: Int): Double = r.getAs[Number](i).doubleValue()
+    assert(num(0) == 6.0 && num(1) == 6.0 && num(2) == 8.0 && num(3) == 2.0,
+      s"got: $r")
+    // identifiers that merely START with a quantifier word are not split
+    Seq((1, 4)).toDF("allx", "distinct_vals").createOrReplaceTempView("sq_t2")
+    val r2 = GraftSql.sql(spark,
+      "SELECT SUM(allx) AS s1, SUM(distinct_vals) AS s2 FROM sq_t2").collect().head
+    assert(r2.getAs[Number](0).doubleValue() == 1.0 &&
+      r2.getAs[Number](1).doubleValue() == 4.0, s"got: $r2")
+  }
+
+  test("implicit alias after ANY close paren ends the || operand wrap (generalized from window specs)") {
+    import spark.implicits._
+    Seq((1, " a ")).toDF("id", "s").createOrReplaceTempView("ia_t")
+    // pre-fix: the alias q2 was swallowed into the operand wrap —
+    // graft_js_str(trim(s) q2) — a parse error
+    val r = GraftSql.sql(spark,
+      "SELECT 'p' || trim(s) q2, rank() OVER (ORDER BY id) r2 FROM ia_t").collect().head
+    assert(r.getString(0) == "pa" && r.getInt(1) == 1, s"got: $r")
+  }
+
   test("interval arithmetic: JS Date-setter semantics (month rollover, fractional truncation)") {
     // every expected value probed on the reference engine (node,
     // src/expression/date.js applyIntervalToDate):
@@ -915,6 +973,40 @@ class GraftSqlSpec extends SparkSpec {
       "WHERE o_orderdate > CURRENT_TIMESTAMP() - INTERVAL 10000 DAY"
     assert(!GraftSql.sql(spark, qCt).queryExecution.optimizedPlan.toString
       .contains("graft_js_interval"))
+  }
+
+  test("data-column interval arithmetic is the NATIVE JsInterval expression: codegen'd, no ScalaUDF") {
+    // round 12 retired the engine's last per-row ScalaUDF: the
+    // data-column interval path is a codegen'd Catalyst expression now
+    // a parquet-backed table: a local relation would collapse to
+    // LocalTableScan at optimization (itself proof eval() works) and
+    // hide the codegen span this pin is about
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .selectExpr("CAST(o_orderdate AS STRING) AS d")
+      .createOrReplaceTempView("njsi_t")
+    val exec = GraftSql.sql(spark,
+      "SELECT d + INTERVAL 1 MONTH AS r FROM njsi_t").queryExecution
+    // the analyzed plan carries the native expression, not a ScalaUDF
+    assert(!exec.analyzed.toString.contains("UDF"), exec.analyzed.toString.take(400))
+    assert(exec.analyzed.toString.contains("graft_js_interval"),
+      exec.analyzed.toString.take(400))
+    // and the physical plan keeps the projection inside whole-stage
+    // codegen (the old ScalaUDF forced an interpreted projection) —
+    // the '*(n)' prefix is the codegen marker in the simple plan string
+    val physical = exec.executedPlan.toString
+    assert(physical.contains("*(1) Project [graft_js_interval"), physical.take(600))
+    // the codegen'd kernel computes the same MakeDay rollover
+    Seq(("2024-03-31", 1)).toDF("d", "id").createOrReplaceTempView("njsi_lit")
+    val row = GraftSql.sql(spark,
+      "SELECT d + INTERVAL 1 MONTH AS r FROM njsi_lit").collect().head
+    assert(row.getAs[java.sql.Timestamp]("r").toInstant.toString
+      == "2024-05-01T00:00:00Z", row.toString)
+    // a fully-literal call CONSTANT-FOLDS (foldable children) — the
+    // optimized plan carries the folded literal, no expression left
+    val folded = GraftSql.sql(spark,
+      "SELECT '2024-03-31' + INTERVAL 1 MONTH AS r, d FROM njsi_t")
+      .queryExecution.optimizedPlan.toString
+    assert(!folded.contains("graft_js_interval"), folded.take(400))
   }
 
   test("strictLint: comments and literals do not confuse the misparse gate") {

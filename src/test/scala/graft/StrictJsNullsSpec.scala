@@ -54,6 +54,30 @@ class StrictJsNullsSpec extends SparkSpec {
     assert(dflt == Seq(3))
   }
 
+  test("!= whose LEFT OPERAND starts with 'not' is still the != reading (advisor find)") {
+    assume(nodeOk, "node not available")
+    // isTextualNot reads the node's origin text: `notes != 5` starts
+    // with 'not', so a 3-char prefix match without a word boundary
+    // misclassified it as a textual NOT and a null `notes` read TRUE.
+    // The reference's != with a null operand is FALSE — row 2 dropped.
+    val tbl = """{"t3":[{"id":1,"notes":5},{"id":2,"notes":null},{"id":3,"notes":7}]}"""
+    val q = "SELECT id FROM t3 WHERE notes != 5 ORDER BY id"
+    val ref = refProbe(tbl, q).map(_.get("id").asInt())
+    assert(ref == Seq(3), s"reference changed: $ref")
+    import spark.implicits._
+    Seq((1, Some(5)), (2, None), (3, Some(7))).toDF("id", "notes")
+      .createOrReplaceTempView("t3")
+    val strict = GraftSql.sqlStrictNulls(spark, q).collect().map(_.getInt(0)).toSeq
+    assert(strict == Seq(3), s"strict mode: $strict")
+    // an explicit NOT over the same equality keeps the JS-! reading:
+    // null = 5 → false (two-valued), NOT false → true → row 2 KEPT
+    val q2 = "SELECT id FROM t3 WHERE NOT (notes = 5) ORDER BY id"
+    val ref2 = refProbe(tbl, q2).map(_.get("id").asInt())
+    assert(ref2 == Seq(2, 3), s"reference changed: $ref2")
+    val strict2 = GraftSql.sqlStrictNulls(spark, q2).collect().map(_.getInt(0)).toSeq
+    assert(strict2 == Seq(2, 3), s"strict mode: $strict2")
+  }
+
   test("NOT over a null comparison: reference keeps the row, default SQL drops it") {
     assume(nodeOk, "node not available")
     loadT()
