@@ -41,7 +41,9 @@ Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(StdoutOutput)
 // Pre-commit guard: the build-time gate classes — registry output
 // contracts + the HofLint unbound-interpreted-HOF sweep (batch registry
-// AND the plan-quality sweep) — as one command, so `sbt guard` runs
+// AND the plan-quality sweep) PLUS a small date-seeded fresh fuzz
+// battery (FreshSeedGuardSpec: new queries every day, seed printed for
+// replay) — as one command, so `sbt guard` runs
 // before any bench/verify cycle without paying for the full suite.
 addCommandAlias("guard",
-  "testOnly graft.RegistryContractsSpec graft.PlanQualitySpec")
+  "testOnly graft.RegistryContractsSpec graft.PlanQualitySpec graft.FreshSeedGuardSpec")
