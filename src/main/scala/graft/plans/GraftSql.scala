@@ -913,8 +913,12 @@ object GraftSql {
               !inner.toUpperCase.startsWith("SELECT")) { from = from + m.end }
           else {
             val lhs = m.group(1).trim
+            // <=> not =: the reference's IN walks sqlEquals (JS ==,
+            // null == null TRUE — execute/utils.js:136-139), so a NULL
+            // probe DOES match a null-bearing list and NOT IN drops the
+            // row; plain = would read the pair as UNKNOWN and keep it
             val repl = s"NOT EXISTS (SELECT 1 FROM ($inner) " +
-              s"AS __nin$n(__nin_c) WHERE __nin_c = $lhs)"
+              s"AS __nin$n(__nin_c) WHERE __nin_c <=> $lhs)"
             s = s.substring(0, start) + repl + s.substring(close + 1)
             from = start + repl.length
             n += 1

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 
 /** Two-valued NULL logic, the reference's comparison semantics
   * (reference: src/expression/binary.js:32-35 — comparison and logical
@@ -59,6 +59,22 @@ object StrictJsNulls {
     }
   }
 
+  /** `x NOT BETWEEN …` (operator form) vs `NOT (x BETWEEN …)` (unary
+    * JS-!): both spans begin at the NOT keyword, so look at the next
+    * token — BETWEEN means the operator form. Plans with no origin
+    * default to the operator reading (by far the common spelling).
+    */
+  private val notBetweenRe =
+    java.util.regex.Pattern.compile("(?is)^NOT\\s+BETWEEN\\b")
+  private def isNotBetweenForm(nt: Not): Boolean = {
+    val o = nt.origin
+    (o.sqlText, o.startIndex) match {
+      case (Some(txt), Some(i)) if i >= 0 && i < txt.length =>
+        notBetweenRe.matcher(txt.substring(i)).lookingAt()
+      case _ => true
+    }
+  }
+
   private def rw(e: Expression): Expression = e match {
     // `a != b` (parsed as NOT(a = b)): reference '!='/'<>' returns
     // false on a null operand — wrap the pair as ONE unit so the NOT
@@ -67,6 +83,18 @@ object StrictJsNulls {
     case nt @ Not(EqualTo(l, r)) if !isTextualNot(nt) =>
       val (l2, r2) = (rw(l), rw(r))
       nn(l2, r2, Not(EqualTo(l2, r2)))
+    // `x NOT BETWEEN lo AND hi`: the reference PARSER desugars this to
+    // `x < lo OR x > hi` (parse/expression.js:133) — a null operand
+    // reads FALSE, not the JS-! TRUE a textual `NOT (x BETWEEN …)`
+    // gives (found by the round-12 widened strict fuzz). Spark's parser
+    // starts the Not's origin at the NOT keyword for BOTH spellings
+    // (the predicate rule owns `NOT? BETWEEN …`), so the disambiguator
+    // here is what FOLLOWS the NOT: directly BETWEEN → the operator
+    // form, anything else → textual NOT. Mirror the reference desugar
+    // with each comparison two-valued.
+    case nt @ Not(Between(in, lo, hi, _)) if isNotBetweenForm(nt) =>
+      val (in2, lo2, hi2) = (rw(in), rw(lo), rw(hi))
+      Or(nn(in2, lo2, LessThan(in2, lo2)), nn(in2, hi2, GreaterThan(in2, hi2)))
     case Not(c) =>
       // JS !v: !null = true — null flips to true, false flips to true,
       // exactly NOT(coalesce(v, false))
@@ -91,10 +119,31 @@ object StrictJsNulls {
       // false here too
       val (l2, r2) = (rw(il.children(0)), rw(il.children(1)))
       nn(l2, r2, il.withNewChildren(Seq(l2, r2)))
+    // IN walks sqlEquals — JS `==`, under which null == null is TRUE
+    // (execute/utils.js:136-139; found by the round-12 widened strict
+    // fuzz: `NULLIF(x, k) IN (SELECT NULLIF(y, j) …)` keeps the
+    // null-probe row when the list carries a null). Null-safe equality
+    // (`<=>`) is exactly sqlEquals for same-typed operands, and an OR
+    // of <=> terms is two-valued by construction.
     case In(v, list) =>
       val v2 = rw(v)
-      If(IsNull(v2), F, Coalesce(Seq(In(v2, list.map(rw)), F)))
+      list.map(e => EqualNullSafe(v2, rw(e)): Expression).reduce(Or)
+    case InSubquery(values, lq: ListQuery)
+        if values.length == 1 && lq.plan.output.length == 1 =>
+      // same sqlEquals contract for the subquery form: rebuild as a
+      // correlated EXISTS over `probe <=> col`. The probe's attributes
+      // become OuterReferences inside the pushed-down filter; the
+      // optimizer's decorrelation then plans the usual semi join.
+      val v2 = rw(values.head)
+      val probe = v2.transformUp {
+        case a: AttributeReference => OuterReference(a)
+      }
+      Exists(
+        Filter(EqualNullSafe(probe, lq.plan.output.head), lq.plan),
+        (lq.outerAttrs ++ v2.references.toSeq).distinct,
+        NamedExpression.newExprId, Seq.empty, lq.hint)
     case ins: InSubquery =>
+      // multi-value / degenerate forms keep the conservative wrap:
       // values null → false; an unmatched probe with nulls in the
       // subquery coalesces to false instead of UNKNOWN
       If(ins.values.map(IsNull(_): Expression).reduce(Or),

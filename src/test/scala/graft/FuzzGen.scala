@@ -808,7 +808,7 @@ object FuzzGen {
       s"NULLIF(${c.name}, ${lit(r, c)})"
     }
     if (d <= 0) s"$nullableInt ${pick(r, cmp)} ${r.nextInt(30)}"
-    else r.nextInt(7) match {
+    else r.nextInt(8) match {
       case 0 => s"(${nullBoolExpr(r, t, d - 1)} AND ${nullBoolExpr(r, t, d - 1)})"
       case 1 => s"(${nullBoolExpr(r, t, d - 1)} OR ${nullBoolExpr(r, t, d - 1)})"
       case 2 => s"NOT (${nullBoolExpr(r, t, d - 1)})"
@@ -818,6 +818,12 @@ object FuzzGen {
         s"NULLIF($c, '${pick(r, poison)}') ${if (r.nextBoolean()) "" else "NOT "}LIKE '${pick(r, likePats)}'"
       case 4 => s"$nullableInt ${if (r.nextBoolean()) "" else "NOT "}IN (${r.nextInt(5)}, ${5 + r.nextInt(10)})"
       case 5 => s"$nullableInt ${pick(r, cmp)} $nullableInt"
+      case 6 =>
+        // [NOT] BETWEEN desugars to AND of two comparisons — the wrapped
+        // strict form must agree with the reference's two-valued read of
+        // both halves (and NOT over it takes the JS-! route)
+        s"$nullableInt ${if (r.nextBoolean()) "" else "NOT "}BETWEEN " +
+          s"${r.nextInt(10)} AND ${10 + r.nextInt(20)}"
       case _ => s"$nullableInt ${pick(r, cmp)} ${r.nextInt(30)}"
     }
   }
@@ -828,8 +834,56 @@ object FuzzGen {
     */
   def strictNullQueries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)
+    val cmps = Seq("=", "!=", "<>", "<", "<=", ">", ">=")
     (0 until n).map { _ =>
-      r.nextInt(6) match {
+      r.nextInt(8) match {
+        case 6 =>
+          // nullable predicate in HAVING: a poisoned AGGREGATE value
+          // under NOT/OR — two-valued false inverts to keep the group
+          // where three-valued unknown stays dropped (the reference
+          // filters groups with the same two-valued ops)
+          val t = pick(r, tables)
+          val c = pick(r, t.ints)
+          val c2 = pick(r, t.ints)
+          def atom() =
+            s"NULLIF(MAX(${c2.name}), ${lit(r, c2)}) ${pick(r, cmps)} ${r.nextInt(30)}"
+          val pred = r.nextInt(3) match {
+            case 0 => s"NOT (${atom()})"
+            case 1 => s"(${atom()} OR ${atom()})"
+            case _ => s"(${atom()} AND NOT (${atom()}))"
+          }
+          s"SELECT NULLIF(MOD(${c.name}, ${2 + r.nextInt(4)}), ${r.nextInt(3)}) AS g, " +
+            s"CAST(COUNT(*) AS BIGINT) AS n " +
+            s"FROM ${t.name} GROUP BY g HAVING $pred ORDER BY g"
+        case 7 if r.nextBoolean() =>
+          // null-poisoned [NOT] IN subquery: probe value AND subquery
+          // column can both be null; the reference walks sqlEquals
+          // (null never matches, no match → false) where standard SQL
+          // yields UNKNOWN / empties NOT IN. (The reference does NOT
+          // support correlation in IN subqueries — probed: "Table a
+          // not found" — so the correlated variant rides on EXISTS
+          // below.)
+          val (ta, tb, _) = pick(r, joins)
+          val ca = pick(r, ta.ints)
+          val cb = pick(r, tb.ints)
+          val neg = if (r.nextBoolean()) "" else "NOT "
+          s"SELECT a.${ta.key} AS k FROM ${ta.name} a " +
+            s"WHERE NULLIF(a.${ca.name}, ${lit(r, ca)}) ${neg}IN " +
+            s"(SELECT NULLIF(b.${cb.name}, ${lit(r, cb)}) FROM ${tb.name} b) " +
+            s"ORDER BY k LIMIT ${20 + r.nextInt(60)}"
+        case 7 =>
+          // correlated [NOT] EXISTS with a null-poisoned predicate
+          // inside the subquery — the correlated shape the reference
+          // DOES support; the inner two-valued predicate decides which
+          // correlated rows exist
+          val (ta, tb, cond) = pick(r, joins)
+          val resid = nullBoolExpr(r, tb, 1).replaceAll(
+            raw"\b(" + (tb.ints ++ tb.strs).map(_.name).mkString("|") + raw")\b", "b.$1")
+          val neg = if (r.nextBoolean()) "" else "NOT "
+          s"SELECT a.${ta.key} AS k FROM ${ta.name} a " +
+            s"WHERE ${neg}EXISTS (SELECT 1 FROM ${tb.name} b " +
+            s"WHERE $cond AND ($resid)) " +
+            s"ORDER BY k LIMIT ${20 + r.nextInt(60)}"
         case 4 =>
           // nullable predicates in a JOIN's residual condition: the
           // reference evaluates the ON expression with the same

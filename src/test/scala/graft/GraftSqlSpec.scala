@@ -557,16 +557,26 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("fuzz-found NOT IN null semantics: two-valued logic via NOT EXISTS (join.js:283)") {
-    // a NULL in the subquery must not empty the result, and a NULL lhs
-    // is KEPT — the reference skips null keys on both join sides; Spark's
-    // standard NOT IN null-poisons. The rewrite also upgrades the plan:
-    // plain anti join instead of null-aware anti join.
+    // a NULL in the subquery must not empty the result — the reference
+    // walks sqlEquals (JS ==, execute/utils.js:136-139) per probe, so
+    // non-matching rows survive; Spark's standard NOT IN null-poisons.
+    // And because null == null is TRUE there, a NULL lhs is KEPT only
+    // when the subquery carries NO null — with a null-bearing subquery
+    // the null probe MATCHES and the row drops (live-probed round 12;
+    // this pin previously asserted the null-lhs row kept in both
+    // cases, which the reference contradicts). The rewrite also
+    // upgrades the plan: plain anti join instead of null-aware.
     Seq(Some(1), Some(2), Some(3), None).toDF("k").createOrReplaceTempView("nin_a")
     Seq(Some(2), None).toDF("v").createOrReplaceTempView("nin_b")
     val r = GraftSql.sql(spark,
       "SELECT k FROM nin_a WHERE k NOT IN (SELECT v FROM nin_b) ORDER BY k")
       .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
-    assert(r == Seq(-1, 1, 3), s"expected reference two-valued rows, got $r")
+    assert(r == Seq(1, 3), s"expected reference two-valued rows, got $r")
+    Seq(Some(2)).toDF("v").createOrReplaceTempView("nin_b2")
+    val r2 = GraftSql.sql(spark,
+      "SELECT k FROM nin_a WHERE k NOT IN (SELECT v FROM nin_b2) ORDER BY k")
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(r2 == Seq(-1, 1, 3), s"null lhs kept when the subquery has no null, got $r2")
     // the plan is a plain LeftAnti, never the null-aware build
     val plan = GraftSql.sql(spark,
       "SELECT k FROM nin_a WHERE k NOT IN (SELECT v FROM nin_b)")

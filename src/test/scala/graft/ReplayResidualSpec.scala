@@ -124,7 +124,11 @@ class ReplayResidualSpec extends SparkSpec {
     // text) still carries that order — it is Spark's read.json schema
     // inference that canonicalizes struct fields to sorted order at
     // LOAD. Given the original text, graft's JSON_KEYS preserves
-    // insertion order like the reference.
+    // insertion order like the reference. CLOSED in round 12: the
+    // replay now loads this entry's object cells as raw JSON text
+    // (SuiteReplaySpec.rawJsonTextLoad) and the row is cell-exact; this
+    // pin keeps the underlying engine agreement and the loader-artifact
+    // demonstration on record.
     val doc = """{"b":1,"a":2,"c":3}"""
     val ref = refProbe("""{"t":[{"x":1}]}""",
       s"SELECT JSON_KEYS('$doc') AS ks FROM t")
@@ -150,6 +154,8 @@ class ReplayResidualSpec extends SparkSpec {
     // object': an all-{} column infers no fields at all, so the COLUMN
     // disappears from the loaded schema — nothing for any engine to
     // query. On the original text, graft agrees with the reference.
+    // CLOSED in round 12 via SuiteReplaySpec.rawJsonTextLoad (see the
+    // insertion-order test above) — the row replays cell-exact now.
     val ref = refProbe("""{"t":[{"x":1}]}""", "SELECT JSON_KEYS('{}') AS ks FROM t")
     assert(ref.toOption.get.head.get("ks").size() == 0, "reference changed")
     import spark.implicits._

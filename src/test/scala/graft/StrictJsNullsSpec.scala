@@ -172,6 +172,54 @@ class StrictJsNullsSpec extends SparkSpec {
       s"default three-valued pinned: $dflt")
   }
 
+  test("round-12 widened fuzz finds: NOT BETWEEN is an operator, IN matches null via sqlEquals") {
+    assume(nodeOk, "node not available")
+    val tbl = """{"t4":[{"id":1,"a":5},{"id":2,"a":null},{"id":3,"a":20}]}"""
+    // `x NOT BETWEEN lo AND hi` desugars in the REFERENCE PARSER to
+    // `x < lo OR x > hi` (parse/expression.js:133): null → false,
+    // unlike textual NOT (x BETWEEN …) which is JS-! → true
+    val q1 = "SELECT id, a NOT BETWEEN 2 AND 13 AS nb, " +
+      "NOT (a BETWEEN 2 AND 13) AS nb2 FROM t4 ORDER BY id"
+    val ref1 = refProbe(tbl, q1).map(r => (r.get("id").asInt(),
+      r.get("nb").asBoolean(), r.get("nb2").asBoolean()))
+    assert(ref1 == Seq((1, false, false), (2, false, true), (3, true, true)),
+      s"reference changed: $ref1")
+    import spark.implicits._
+    Seq((1, Some(5)), (2, None), (3, Some(20))).toDF("id", "a")
+      .createOrReplaceTempView("t4")
+    val s1 = GraftSql.sqlStrictNulls(spark, q1).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(s1 == Seq((1, false, false), (2, false, true), (3, true, true)), s"strict: $s1")
+    // IN walks sqlEquals = JS `==` (execute/utils.js:136-139): a null
+    // probe MATCHES a null element — in the list form and the subquery
+    // form both
+    val tbl2 = tbl.dropRight(1) +
+      ""","u":[{"b":5},{"b":null}],"u2":[{"b":7}]}"""
+    val q2 = "SELECT id, a IN (5, NULL) AS m, " +
+      "a IN (SELECT b FROM u) AS ms, a IN (SELECT b FROM u2) AS ms2 " +
+      "FROM t4 ORDER BY id"
+    val ref2 = refProbe(tbl2, q2).map(r => (r.get("id").asInt(),
+      r.get("m").asBoolean(), r.get("ms").asBoolean(), r.get("ms2").asBoolean()))
+    assert(ref2 == Seq((1, true, true, false), (2, true, true, false),
+      (3, false, false, false)), s"reference changed: $ref2")
+    Seq(Tuple1(Option(5)), Tuple1(Option.empty[Int])).map(t => t._1)
+      .toDF("b").createOrReplaceTempView("u")
+    Seq(7).toDF("b").createOrReplaceTempView("u2")
+    val s2 = GraftSql.sqlStrictNulls(spark, q2).collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    assert(s2 == Seq((1, true, true, false), (2, true, true, false),
+      (3, false, false, false)), s"strict: $s2")
+    // NOT IN over a null-bearing subquery with a NULL probe: the match
+    // exists (null == null) so the row is DROPPED — on the DEFAULT
+    // engine too (its NOT EXISTS rewrite is deliberately
+    // reference-exact, now via <=>)
+    val q3 = "SELECT id FROM t4 WHERE a NOT IN (SELECT b FROM u) ORDER BY id"
+    val ref3 = refProbe(tbl2, q3).map(_.get("id").asInt())
+    assert(ref3 == Seq(3), s"reference changed: $ref3")
+    val s3 = GraftSql.sqlDerived(spark, q3).collect().map(_.getInt(0)).toSeq
+    assert(s3 == Seq(3), s"default NOT IN: $s3")
+  }
+
   test("LIKE over a null operand renders FALSE in strict mode (reference two-valued)") {
     assume(nodeOk, "node not available")
     // the reference has NO ILIKE keyword — its LIKE is itself

@@ -91,7 +91,7 @@ class SuiteReplaySpec extends SparkSpec {
     * the recorded rows, which mirrors how the reference's memorySource
     * sees untyped JS rows. GeoJSON-object cells become WKT strings.
     */
-  private def loadViews(tables: JsonNode): Unit = {
+  private def loadViews(tables: JsonNode, jsonAsText: Boolean = false): Unit = {
     import spark.implicits._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val names = tables.fieldNames()
@@ -106,10 +106,30 @@ class SuiteReplaySpec extends SparkSpec {
           while (it.hasNext) { val f = it.next(); if (geoNodeToWkt(row.get(f)).isDefined) found += f }
           found.toList
         }
-        if (geoFields.isEmpty) row.toString
+        // jsonAsText: OBJECT cells load as their raw JSON TEXT instead
+        // of read.json structs. The recorder's JSON.stringify and
+        // Jackson's readTree both preserve key INSERTION order and keep
+        // {} — it is read.json's schema inference that sorts struct
+        // fields and drops empty objects. The reference's JSON family
+        // takes strings or objects alike, so the text-preserving load
+        // makes JSON_KEYS-over-object tests cell-exact (closing two
+        // rows that used to sit in untypedAllow as recorder artifacts).
+        val textFields =
+          if (!jsonAsText) Nil
+          else {
+            val it = row.fieldNames()
+            val found = scala.collection.mutable.ListBuffer[String]()
+            while (it.hasNext) {
+              val f = it.next()
+              if (row.get(f).isObject && geoNodeToWkt(row.get(f)).isEmpty) found += f
+            }
+            found.toList
+          }
+        if (geoFields.isEmpty && textFields.isEmpty) row.toString
         else {
           val obj = row.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
           geoFields.foreach(f => obj.put(f, geoNodeToWkt(row.get(f)).get))
+          textFields.foreach(f => obj.put(f, row.get(f).toString))
           om.writeValueAsString(obj)
         }
       }
@@ -278,18 +298,20 @@ class SuiteReplaySpec extends SparkSpec {
     // column holding 42 (number) then 'string' — untypeable; graft's
     // ANSI coercion rejects, pinned in ReplayResidualSpec
     ("execute.strings.test.js", "should work with mixed types"),
-    // read.json sorts struct fields; the assertion is the reference's
-    // INSERTION key order, which the loaded snapshot cannot carry —
-    // graft agrees on the original text (ReplayResidualSpec)
-    ("execute.json.test.js", "should return the keys of a JSON object"),
-    // an all-{} column infers no field at all — the column vanishes at
-    // load; graft agrees on the original text (ReplayResidualSpec)
-    ("execute.json.test.js", "should return an empty array for an empty object"),
     // lateral TVF referencing a column TWO query levels out — Spark
     // scopes lateral correlation one level deep (ReplayResidualSpec
     // demonstrates the boundary and the expressible equivalent)
     ("execute.subquery.test.js",
       "should preserve the enclosing correlated row inside nested lateral UNNEST"))
+
+  /** Entries whose OBJECT cells load as raw JSON TEXT (insertion key
+    * order and {} preserved — see loadViews). These two used to sit in
+    * untypedAllow as read.json recorder artifacts; with the
+    * text-preserving load they replay CELL-EXACT.
+    */
+  private val rawJsonTextLoad: Set[(String, String)] = Set(
+    ("execute.json.test.js", "should return the keys of a JSON object"),
+    ("execute.json.test.js", "should return an empty array for an empty object"))
 
   test("the reference's own test suite replays on GraftSql (recorded at test time)") {
     assume(nodeOk, "node not available")
@@ -316,9 +338,13 @@ class SuiteReplaySpec extends SparkSpec {
     entries.foreach { e =>
       if (e.skip.isDefined) skipped += 1
       else {
-        val tablesKey = e.tablesJson.map(_.toString).orNull
+        val asText = rawJsonTextLoad((e.file, e.testName))
+        // the text-preserving load is keyed per entry — include the
+        // mode in the reload cache key so a same-tables neighbor does
+        // not inherit the other mode's views
+        val tablesKey = e.tablesJson.map(t => s"$asText:$t").orNull
         if (tablesKey != lastTables && e.tablesJson.isDefined) {
-          loadViews(e.tablesJson.get)
+          loadViews(e.tablesJson.get, jsonAsText = asText)
           lastTables = tablesKey
         }
         val sp = runSpark(e.query)
