@@ -60,6 +60,51 @@ object HeadToHead {
       f""""$n":{"cold":$c%.3f,"warm":$w%.3f}"""
     }.mkString("{", ",", "}")
     println(json)
+
+    // ---- the shared 20-query dialect set -------------------------------
+    // The SAME SQL text (tools/h2h_queries.json) runs VERBATIM on both
+    // engines: here through GraftSql over temp views of the parquet
+    // rows, on the reference through tools/ref_bench20.mjs over its
+    // in-memory JSON arrays. Date columns register as the exact ISO
+    // strings the JSON export carries, so string comparisons see
+    // identical values on both sides. Row counts are printed for the
+    // same-rows check.
+    val qFile = new java.io.File("tools/h2h_queries.json")
+    if (qFile.isFile) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readString(qFile.toPath))
+      val iso = "yyyy-MM-dd'T'HH:mm:ss"
+      Tables(spark, dir, "lineitem")
+        .withColumn("l_shipdate", date_format(col("l_shipdate"), iso))
+        .createOrReplaceTempView("lineitem")
+      Tables(spark, dir, "orders")
+        .withColumn("o_orderdate", date_format(col("o_orderdate"), iso))
+        .createOrReplaceTempView("orders")
+      Tables(spark, dir, "customer").createOrReplaceTempView("customer")
+      Tables(spark, dir, "nation").createOrReplaceTempView("nation")
+      val names = {
+        val it = root.fieldNames()
+        val b = scala.collection.mutable.ListBuffer[String]()
+        while (it.hasNext) b += it.next()
+        b.toList
+      }
+      val h2h = names.map { name =>
+        val sql = root.get(name).asText()
+        def run(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val df = graft.plans.GraftSql.sql(spark, sql)
+          // count() would let Catalyst prune projections; noop keeps
+          // full execution, a separate cheap count gets the row figure
+          df.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, df.count())
+        }
+        run()
+        val (warm, rows) = run()
+        f""""$name":{"warm":$warm%.3f,"rows":$rows}"""
+      }
+      println(h2h.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }
