@@ -552,11 +552,18 @@ object BenchSf10 {
     val (baseRows, targetRows) = (liRows(baseDir), liRows(sfDir))
     val ratio = math.round(targetRows.toDouble / math.max(1L, baseRows) * 10) / 10.0
 
+    // the artifact carries the reduce parallelism it ran under and how it
+    // was chosen, so the knob derivation is auditable from the JSON alone
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val knobSource =
+      if (sys.env.contains("SPARK_GRAFT_SHUFFLE")) "env_override" else "derived_from_input_bytes"
+
     val baseJson = phase(baseDir)
     val sfJson = phase(sfDir)
     val json =
       s"""{"metric":"sf10_scale_run","unit":"sec","rows_ratio":$ratio,""" +
         s""""base_lineitem_rows":$baseRows,"target_lineitem_rows":$targetRows,""" +
+        s""""shuffle_partitions":$shufflePartitions,"shuffle_partitions_source":"$knobSource",""" +
         s""""completed":true,"base":$baseJson,"target":$sfJson}"""
     println(json)
     val w = new java.io.PrintWriter(outPath)
