@@ -1141,15 +1141,20 @@ object GraftSql {
             // ONE segment (it has its own case so the afterParen alias
             // branch below never claims it)
             startToken(i); fr.lastNonWs = j - 1
-          case w if afterParen && !boundary(w) =>
+          case w if afterParen && !boundary(w) && w != "ILIKE" && w != "END" =>
             // a bare non-boundary identifier straight after a ')' can
             // only be an IMPLICIT alias (`trim(s) q2`, `... OVER (...)
-            // c0` — the AS dropped; every other legal follower — OVER,
-            // ILIKE, NOT, END, clause keywords — has its own case or is
-            // a boundary word): close the operand wrap at the paren,
-            // then the alias starts a fresh segment (seed-88014
+            // c0` — the AS dropped): close the operand wrap at the
+            // paren, then the alias starts a fresh segment (seed-88014
             // mutation find; generalized from window specs to all
-            // parens after the advisor's expectOverParen-leak report)
+            // parens after the advisor's expectOverParen-leak report).
+            // ILIKE and END are the two legal followers whose own cases
+            // sit BELOW this ordered guard, so they are excluded here
+            // explicitly — `(c_acctbal / 1) ILIKE '%0%'` must wrap its
+            // parenthesized operand (seed-88015 fresh-fuzz find: the
+            // alias misread dropped the graft_js_str wrap, so Spark's
+            // '251.0' rendering matched '%0%' where JS '251' does not),
+            // and `CASE … THEN (x) END` must pop its case-frame.
             boundaryReset()
             startToken(i); fr.lastNonWs = j - 1
           case "ILIKE" => trigger()

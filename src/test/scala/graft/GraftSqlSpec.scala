@@ -856,6 +856,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(0) == "pa" && r.getInt(1) == 1, s"got: $r")
   }
 
+  test("ILIKE and END after a close paren are NOT implicit aliases (seed-88015 fuzz find)") {
+    import spark.implicits._
+    // The ordered implicit-alias guard above sits BEFORE the ILIKE/END
+    // cases in the token match, so the generalization had it claim
+    // `(expr) ILIKE` as `(expr) AS ilike` — dropping the graft_js_str
+    // wrap on the parenthesized operand. JS String(251) = '251' (no
+    // '0') must NOT match '%0%', while Spark's bare cast '251.0' would.
+    Seq((1, 251.0), (2, 250.0), (3, 10.5)).toDF("id", "bal")
+      .createOrReplaceTempView("ilk_t")
+    val hits = GraftSql.sql(spark,
+      "SELECT id FROM ilk_t WHERE (bal / 1) LIKE '%0%' ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(hits == Seq(2, 3), s"got: $hits") // 250→'250'✓, 10.5→'10.5'✓, 251→'251'✗
+    // END directly after a ')' must still pop its CASE frame so a
+    // following || wraps the WHOLE CASE expression
+    val c = GraftSql.sql(spark,
+      "SELECT CASE WHEN id = 1 THEN (bal) END || 'r' AS v FROM ilk_t ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(c == Seq("251r", null, null), s"got: $c")
+  }
+
   test("interval arithmetic: JS Date-setter semantics (month rollover, fractional truncation)") {
     // every expected value probed on the reference engine (node,
     // src/expression/date.js applyIntervalToDate):
