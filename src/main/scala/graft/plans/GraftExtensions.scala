@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_js_interval"), info("graft_js_interval"),
       (args: Seq[Expression]) => graft.functions.time.JsInterval(
         args(0), args(1), args(2), args(3), args(4))))
+    ext.injectFunction((FunctionIdentifier("graft_strftime"), info("graft_strftime"),
+      (args: Seq[Expression]) => graft.functions.time.Strftime(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_datediff"), info("graft_datediff"),
+      (args: Seq[Expression]) => graft.functions.time.DateDiffUnit(
+        args(0), args(1), args(2))))
+    ext.injectFunction((FunctionIdentifier("graft_js_trim"), info("graft_js_trim"),
+      (args: Seq[Expression]) => graft.functions.text.JsTrim(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_size"), info("graft_size"),
       (args: Seq[Expression]) => graft.functions.collection.SizeAny(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_length"), info("graft_length"),

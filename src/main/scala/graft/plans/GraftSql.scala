@@ -31,6 +31,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
+  // ALL quote/paren/comment classification lives in the shared lexer —
+  // rewrite passes either consume its token stream or, for the
+  // remaining regex passes, its character-level guards. No pass keeps a
+  // private scanner (the per-rewrite guard stacks produced the
+  // alias-after-paren wrong-rows bugs of rounds 11-12).
+  import SqlTok.{inLiteral, maskDoubleQuoted, matchBracket, matchParen,
+    splitTopLevel, stripComments}
+
   private val renames: Seq[(String, String)] = Seq(
     // string_split / str_split rewrite in rewrite() (literal-delimiter
     // semantics need regex quoting, not a bare rename)
@@ -79,131 +87,6 @@ object GraftSql {
     "array_concat" -> "graft_array_concat",
     "ord" -> "ascii")
 
-  /** Index of the `)` matching the `(` at `open` (skips quoted strings),
-    * or -1 when unbalanced.
-    */
-  private def matchParen(s: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
-  }
-
-  /** Index of the `]` matching the `[` at `open` (skips quoted strings),
-    * or -1 when unbalanced.
-    */
-  private def matchBracket(s: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-        case '[' => depth += 1
-        case ']' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
-  }
-
-  /** Split an argument list at top-level commas (quotes/parens/brackets
-    * respected).
-    */
-  private def splitTopLevel(args: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var i = 0
-    while (i < args.length) {
-      val c = args.charAt(i)
-      c match {
-        case '\'' =>
-          cur.append(c); i += 1
-          while (i < args.length && args.charAt(i) != '\'') { cur.append(args.charAt(i)); i += 1 }
-          if (i < args.length) cur.append('\'')
-        case '(' | '[' => depth += 1; cur.append(c)
-        case ')' | ']' => depth -= 1; cur.append(c)
-        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
-        case _ => cur.append(c)
-      }
-      i += 1
-    }
-    val last = cur.result().trim
-    if (last.nonEmpty || args.trim.nonEmpty) out += last
-    out.result()
-  }
-
-  /** True when `pos` sits inside a single-quoted SQL string literal
-    * (quote parity; DuckDB-style doubled '' counts as two, preserving
-    * parity correctly).
-    */
-  /** Strip line comments (double-dash to end of line) and block
-    * comments (slash-star to star-slash), QUOTE AWARE — a comment
-    * opener inside a string literal is content, and a naive regex
-    * strip corrupts quote parity for everything after it ('--x' would
-    * lose its closing quote). Comments are whitespace to the engine,
-    * so the rewrite pipeline strips them up front; the strict lint
-    * uses the same stripper before its tail checks.
-    */
-  private def stripComments(sql: String): String = {
-    val sb = new StringBuilder(sql.length)
-    var i = 0
-    var inQ = false // '…' string literal
-    var inD = false // "…" identifier — the dialect reads these as
-    // identifiers, and `--` inside one is content ("a--b" is a column)
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'' && !inD) { inQ = !inQ; sb.append(c); i += 1 }
-      else if (c == '"' && !inQ) { inD = !inD; sb.append(c); i += 1 }
-      else if (!inQ && !inD && c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
-        while (i < sql.length && sql.charAt(i) != '\n') i += 1
-      } else if (!inQ && !inD && c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
-        // first star-slash ends the comment — block comments do NOT
-        // nest in the reference's lexer (probed)
-        val end = sql.indexOf("*/", i + 2)
-        sb.append(' ')
-        i = if (end < 0) sql.length else end + 2
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  private def inLiteral(s: String, pos: Int): Boolean = {
-    var i = 0
-    var quotes = 0
-    while (i < pos) { if (s.charAt(i) == '\'') quotes += 1; i += 1 }
-    quotes % 2 == 1
-  }
-
-  /** A statically-visible invalid JSON_EACH scalar-literal argument — a
-    * quoted string whose body is not a JSON object/array, or a bare
-    * numeric/boolean literal. The reference throws at execution for
-    * these (execute.js:208,239) with TWO distinct messages: a string
-    * that fails JSON.parse → "invalid JSON string…", a valid-JSON
-    * scalar (number/bool/null/quoted string, or a bare non-string
-    * value) → "argument must be a JSON object or array". Returns the
-    * matching message, or None when the call must run leniently (data
-    * columns / object / array literals). The quoted check is
-    * whole-literal (a comma INSIDE the quotes, as in JSON_EACH('a,b'),
-    * is still one scalar literal).
-    */
   private val jsonScalarLit =
     raw"""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|true|false|null|"([^"\\]|\\.)*"""".r
   private def jsonEachScalarErr(arg: String): Option[String] = {
@@ -1031,6 +914,8 @@ object GraftSql {
     */
   private def rewriteJsConcatOps(sqlIn: String): String = {
     val n = sqlIn.length
+    val toks = SqlTok.tokenize(sqlIn)
+    val brk = SqlTok.bracketMatch(toks)
     val edits = scala.collection.mutable.ListBuffer.empty[(Int, String)]
     // OVER is deliberately NOT a boundary: `row_number() OVER (ORDER BY
     // x) || 'r'` must wrap the WHOLE window expression (Spark allows a
@@ -1047,6 +932,15 @@ object GraftSql {
       "CURRENT", "ROW", "CROSS", "INNER", "OUTER", "FULL", "SEMI", "ANTI",
       "LATERAL", "NATURAL", "EXISTS", "ANY", "SOME", "FILTER", "ESCAPE",
       "RLIKE", "REGEXP", "GLOB", "QUALIFY", "WINDOW", "NOT")
+    // The legal non-boundary followers of a `)` — each has its OWN case
+    // in the word match below, so the implicit-alias branch must not
+    // claim them. Named as ONE set (vs the round-11/12 shape of ad-hoc
+    // exclusions ordered under the guard) so a future dialect keyword
+    // lands here instead of silently reading as an alias: `(x) ILIKE
+    // '%0%'` must wrap its parenthesized operand (seed-88015 fuzz
+    // find), `CASE … THEN (x) END` must pop its case-frame, and
+    // `rank() OVER (…)` must keep the window expression in one segment.
+    val postParenKeywords = Set("ILIKE", "END", "OVER")
 
     final class Frame {
       var segStart: Int = -1 // start of the current additive segment
@@ -1055,7 +949,6 @@ object GraftSql {
       var caseSaves: List[Int] = Nil // segStart saved at each CASE entry
       var pendings: List[(Int, Int)] = Nil // (openPos, caseNest at open)
       var awaitingOpen: Boolean = false // a trigger wants the next segment
-      var parenJustClosed: Boolean = false // previous token was a ')' close
     }
     var stack: List[Frame] = List(new Frame)
     def fr: Frame = stack.head
@@ -1087,124 +980,81 @@ object GraftSql {
       fr.awaitingOpen = true
     }
 
-    var i = 0
-    while (i < n) {
-      val c = sqlIn.charAt(i)
-      if (c.isWhitespace) i += 1
-      else if (c == '\'' || c == '"') {
-        fr.parenJustClosed = false
-        startToken(i)
-        var j = i + 1
-        while (j < n && sqlIn.charAt(j) != c) j += 1
-        fr.lastNonWs = math.min(j, n - 1)
-        i = j + 1
-      } else if (c == '(') {
-        startToken(i)
-        fr.parenJustClosed = false
-        stack ::= new Frame
-        i += 1
-      } else if (c == ')') {
-        closePendings(0)
-        if (stack.tail.nonEmpty) stack = stack.tail
-        fr.lastNonWs = i
-        fr.parenJustClosed = true
-        i += 1
-      } else if (c == ',' || c == ';') {
-        fr.parenJustClosed = false
-        boundaryReset(); i += 1
-      } else if (c == '[') {
-        startToken(i)
-        var depth = 0; var j = i; var stop = -1
-        while (j < n && stop < 0) {
-          sqlIn.charAt(j) match {
-            case '[' => depth += 1
-            case ']' => depth -= 1; if (depth == 0) stop = j
-            case '\'' => j += 1; while (j < n && sqlIn.charAt(j) != '\'') j += 1
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k)
+      t.kind match {
+        case SqlTok.Str | SqlTok.DQuot | SqlTok.Num =>
+          startToken(t.start); fr.lastNonWs = t.end - 1
+        case SqlTok.LPar =>
+          startToken(t.start)
+          stack ::= new Frame
+        case SqlTok.RPar =>
+          closePendings(0)
+          if (stack.tail.nonEmpty) stack = stack.tail
+          fr.lastNonWs = t.start
+        case SqlTok.Comma | SqlTok.Semi =>
+          boundaryReset()
+        case SqlTok.LBrk =>
+          // a bracket group (subscript or array literal) rides along as
+          // one opaque blob of the current segment
+          startToken(t.start)
+          val close = brk(k)
+          if (close >= 0) { fr.lastNonWs = toks(close).start; k = close }
+          else { fr.lastNonWs = n - 1; k = toks.length }
+        case SqlTok.RBrk => // unbalanced stray — plain segment material
+          startToken(t.start); fr.lastNonWs = t.start
+        case SqlTok.Op if t.up == "||" =>
+          trigger()
+        case SqlTok.Op if t.up.exists(c => c == '=' || c == '<' || c == '>' || c == '!') =>
+          // comparison operators bind looser than || in both grammars
+          boundaryReset()
+        case SqlTok.Op =>
+          // + - * / % . :: etc: additive material stays in-segment
+          startToken(t.start); fr.lastNonWs = t.end - 1
+        case SqlTok.Word =>
+          val afterParen = k > 0 && toks(k - 1).kind == SqlTok.RPar
+          t.up match {
+            case "OVER" =>
+              // `rank() OVER (...)` — OVER keeps the window expression
+              // in ONE segment (its postParenKeywords membership keeps
+              // the alias branch below from claiming it)
+              startToken(t.start); fr.lastNonWs = t.end - 1
+            case w if afterParen && !boundary(w) && !postParenKeywords(w) =>
+              // a bare non-boundary identifier straight after a ')' can
+              // only be an IMPLICIT alias (`trim(s) q2`, `... OVER (...)
+              // c0` — the AS dropped): close the operand wrap at the
+              // paren, then the alias starts a fresh segment (seed-88014
+              // mutation find; generalized from window specs to all
+              // parens after the advisor's expectOverParen-leak report).
+              boundaryReset()
+              startToken(t.start); fr.lastNonWs = t.end - 1
+            case "ILIKE" => trigger()
+            case "CASE" =>
+              startToken(t.start)
+              fr.caseSaves ::= fr.segStart
+              fr.caseNest += 1
+            case "END" =>
+              closePendings(fr.caseNest)
+              fr.caseNest = math.max(0, fr.caseNest - 1)
+              fr.caseSaves match {
+                case h :: rest => fr.segStart = h; fr.caseSaves = rest
+                case Nil => if (fr.segStart < 0) fr.segStart = t.start
+              }
+              fr.lastNonWs = t.end - 1
+            case "NOT" =>
+              // NOT directly before ILIKE belongs to the predicate — keep
+              // the segment (and its end) so the operand wrap excludes NOT
+              if (!(k + 1 < toks.length && toks(k + 1).is("ILIKE"))) boundaryReset()
+            case w if boundary(w) => boundaryReset()
             case _ =>
+              startToken(t.start); fr.lastNonWs = t.end - 1
           }
-          j += 1
-        }
-        fr.lastNonWs = if (stop >= 0) stop else n - 1
-        i = fr.lastNonWs + 1
-      } else if (c == '|' && i + 1 < n && sqlIn.charAt(i + 1) == '|') {
-        fr.parenJustClosed = false
-        trigger(); i += 2
-      } else if (c.isLetter || c == '_') {
-        var j = i
-        while (j < n && (sqlIn.charAt(j).isLetterOrDigit || sqlIn.charAt(j) == '_')) j += 1
-        val word = sqlIn.substring(i, j).toUpperCase
-        val afterParen = fr.parenJustClosed
-        fr.parenJustClosed = false
-        word match {
-          case "OVER" =>
-            // `rank() OVER (...)` — OVER keeps the window expression in
-            // ONE segment (it has its own case so the afterParen alias
-            // branch below never claims it)
-            startToken(i); fr.lastNonWs = j - 1
-          case w if afterParen && !boundary(w) && w != "ILIKE" && w != "END" =>
-            // a bare non-boundary identifier straight after a ')' can
-            // only be an IMPLICIT alias (`trim(s) q2`, `... OVER (...)
-            // c0` — the AS dropped): close the operand wrap at the
-            // paren, then the alias starts a fresh segment (seed-88014
-            // mutation find; generalized from window specs to all
-            // parens after the advisor's expectOverParen-leak report).
-            // ILIKE and END are the two legal followers whose own cases
-            // sit BELOW this ordered guard, so they are excluded here
-            // explicitly — `(c_acctbal / 1) ILIKE '%0%'` must wrap its
-            // parenthesized operand (seed-88015 fresh-fuzz find: the
-            // alias misread dropped the graft_js_str wrap, so Spark's
-            // '251.0' rendering matched '%0%' where JS '251' does not),
-            // and `CASE … THEN (x) END` must pop its case-frame.
-            boundaryReset()
-            startToken(i); fr.lastNonWs = j - 1
-          case "ILIKE" => trigger()
-          case "CASE" =>
-            startToken(i)
-            fr.caseSaves ::= fr.segStart
-            fr.caseNest += 1
-          case "END" =>
-            closePendings(fr.caseNest)
-            fr.caseNest = math.max(0, fr.caseNest - 1)
-            fr.caseSaves match {
-              case h :: t => fr.segStart = h; fr.caseSaves = t
-              case Nil => if (fr.segStart < 0) fr.segStart = i
-            }
-            fr.lastNonWs = j - 1
-          case "NOT" =>
-            // NOT directly before ILIKE belongs to the predicate — keep
-            // the segment (and its end) so the operand wrap excludes NOT
-            var k = j
-            while (k < n && sqlIn.charAt(k).isWhitespace) k += 1
-            var m = k
-            while (m < n && m - k < 5 && sqlIn.charAt(m).isLetter) m += 1
-            if (!sqlIn.substring(k, m).equalsIgnoreCase("ILIKE")) boundaryReset()
-          case w if boundary(w) => boundaryReset()
-          case _ =>
-            startToken(i); fr.lastNonWs = j - 1
-        }
-        i = j
-      } else if (c == '=' || c == '<' || c == '>' || c == '!') {
-        // comparison operators bind looser than || in both grammars
-        fr.parenJustClosed = false
-        boundaryReset(); i += 1
-      } else {
-        // + - * / % . digits: additive material stays in-segment
-        fr.parenJustClosed = false
-        startToken(i); fr.lastNonWs = i; i += 1
       }
+      k += 1
     }
     while (stack.nonEmpty) { closePendings(0); stack = stack.tail }
-
-    if (edits.isEmpty) sqlIn
-    else {
-      val sb = new StringBuilder(n + edits.size * 16)
-      var prev = 0
-      for ((pos, txt) <- edits.sortBy(_._1)) {
-        sb.append(sqlIn.substring(prev, pos)).append(txt); prev = pos
-      }
-      sb.append(sqlIn.substring(prev, n))
-      sb.toString
-    }
+    SqlTok.applyInserts(sqlIn, edits.toList)
   }
 
   /** The rewrite the execution-path entry points use: the NOT-IN
@@ -1313,79 +1163,100 @@ object GraftSql {
   private val IvlQ = raw"'(\s*[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*)'"
   private val IvlB = raw"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
 
+  // token-level interval-literal readers shared by the three interval
+  // passes: value = '…numeric…' | [adjacent -]number (the reference
+  // accepts any text Number() converts — src/parse/primary.js:388-393);
+  // unit = DAY…YEAR with optional plural S (WEEK where the pass allows)
+  private def ivlValueAt(v: SqlTok.View, i: Int): Option[(Int, Double)] = {
+    val toks = v.toks
+    if (i >= toks.length) return None
+    val t = toks(i)
+    t.kind match {
+      case SqlTok.Str if t.up.length >= 2 && t.up.endsWith("'") =>
+        val body = t.up.substring(1, t.up.length - 1)
+        if (body.matches(raw"\s*[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*"))
+          Some((1, body.trim.toDouble))
+        else None
+      case SqlTok.Num => Some((1, t.up.toDouble))
+      case SqlTok.Op if t.up == "-" && i + 1 < toks.length &&
+          toks(i + 1).kind == SqlTok.Num && t.end == toks(i + 1).start =>
+        Some((2, -toks(i + 1).up.toDouble))
+      case _ => None
+    }
+  }
+
+  private def ivlUnitAt(v: SqlTok.View, i: Int, allowWeek: Boolean): Option[String] = {
+    if (i >= v.toks.length) return None
+    val t = v.toks(i)
+    if (t.kind != SqlTok.Word) return None
+    val u = if (t.up.length > 1 && t.up.endsWith("S")) t.up.dropRight(1) else t.up
+    val ok = u == "DAY" || u == "HOUR" || u == "MINUTE" || u == "SECOND" ||
+      u == "MONTH" || u == "YEAR" || (allowWeek && u == "WEEK")
+    if (ok) Some(u) else None
+  }
+
   private def rewriteJsIntervalArith(sqlIn: String): String = {
-    val pat = (raw"(?i)([+\-])\s*INTERVAL\s+(?:$IvlQ|$IvlB)" +
-      raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
     val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
-    // per-row JS value-class of the operand (see the UDF's kind param)
+    // per-row JS value-class of the operand (see the expression's kind param)
     def kindExpr(p: String): String =
       s"(CASE WHEN typeof($p) = 'string' THEN " +
         s"(CASE WHEN try_cast(($p) AS STRING) LIKE '%T%' THEN 'ts_str' ELSE 'date_str' END) " +
         s"WHEN typeof($p) = 'date' OR typeof($p) LIKE 'timestamp%' THEN 'typed' " +
         s"ELSE 'none' END)"
-    // the primary expression FORWARD from a position: identifier /
-    // dotted column (with an optional call-parens), parenthesized
-    // expression, or string literal — the operand of the left-interval
-    // form `INTERVAL 1 MONTH + expr` (reference: evaluate.js:182, '+'
-    // only; '-' with the interval on the left throws there)
-    def forwardSpan(str: String, from: Int): Int = {
-      var i = from
-      while (i < str.length && str.charAt(i).isWhitespace) i += 1
-      if (i >= str.length) return from
-      str.charAt(i) match {
-        case '\'' =>
-          var j = i + 1
-          while (j < str.length && str.charAt(j) != '\'') j += 1
-          j + 1
-        case '(' => matchParen(str, i) + 1
-        case c if c.isLetterOrDigit || c == '_' =>
-          var j = i
-          while (j < str.length && (str.charAt(j).isLetterOrDigit ||
-            str.charAt(j) == '_' || str.charAt(j) == '.')) j += 1
-          if (j < str.length && str.charAt(j) == '(') matchParen(str, j) + 1 else j
-        case _ => from
-      }
-    }
     var s = sqlIn
     // pre-pass: COMMUTE the left-interval form `INTERVAL v U + expr`
     // (reference: evaluate.js:182 — '+' only; '-' with the interval on
     // the left throws there, and throws here too) into the right form
     // the main loop handles. An INTERVAL preceded by +/- is a right
     // form's literal, not a left form.
-    val leftPat = (raw"(?i)\bINTERVAL\s+(?:$IvlQ|$IvlB)" +
-      raw"\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\s*\+").r
-    var lsearch = 0
+    var lfrom = 0
     var lguard = 0
-    while (lguard < 1000) {
+    var ldone = false
+    while (!ldone && lguard < 1000) {
       lguard += 1
-      leftPat.findFirstMatchIn(s.substring(lsearch)) match {
-        case None => lguard = Int.MaxValue
-        case Some(m) =>
-          val start = lsearch + m.start
-          var k = start - 1
-          while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
-          val precededByOp = k >= 0 && (s.charAt(k) == '+' || s.charAt(k) == '-')
-          val opEnd = forwardSpan(s, lsearch + m.end)
-          if (inLiteral(s, start) || precededByOp || opEnd <= lsearch + m.end) {
-            lsearch = start + m.matched.length
-          } else {
-            // normalize the value to plain decimal so the main loop's
-            // pattern re-claims the commuted form
-            val vNum = Option(m.group(1)).getOrElse(m.group(2)).trim.toDouble
-            val operand = s.substring(lsearch + m.end, opEnd).trim
-            val commuted = s"$operand + INTERVAL '$vNum' ${m.group(3).toUpperCase}"
-            s = s.substring(0, start) + commuted + s.substring(opEnd)
-            lsearch = start
+      val v = new SqlTok.View(s)
+      val toks = v.toks
+      var i = 0
+      var site = -1
+      var consumed = 0
+      var vNum = 0.0
+      var unit = ""
+      while (site < 0 && i < toks.length) {
+        if (toks(i).is("INTERVAL") && toks(i).start >= lfrom) {
+          ivlValueAt(v, i + 1).foreach { case (c, value) =>
+            ivlUnitAt(v, i + 1 + c, allowWeek = false).foreach { u =>
+              if (i + 2 + c < toks.length && toks(i + 2 + c).isOp("+")) {
+                site = i; consumed = c; vNum = value; unit = u
+              }
+            }
           }
+        }
+        if (site < 0) i += 1
+      }
+      if (site < 0) ldone = true
+      else {
+        val plusIdx = site + 2 + consumed
+        val precededByOp = site > 0 && toks(site - 1).kind == SqlTok.Op &&
+          (toks(site - 1).up.endsWith("+") || toks(site - 1).up.endsWith("-"))
+        val opEnd = v.forwardFrom(plusIdx + 1)
+        if (precededByOp || opEnd < 0) lfrom = toks(plusIdx).end
+        else {
+          // normalize the value to plain decimal so the main loop's
+          // site scan re-claims the commuted form
+          val operand = s.substring(toks(plusIdx + 1).start, opEnd).trim
+          val commuted = s"$operand + INTERVAL '$vNum' $unit"
+          s = s.substring(0, toks(site).start) + commuted + s.substring(opEnd)
+          lfrom = toks(site).start
+        }
       }
     }
     // a silent cap would leave the tail on native (clamping) interval
     // semantics — fail loudly instead (1000 sites is far beyond any
     // real statement; batch generated SQL below that)
-    if (lguard != Int.MaxValue)
+    if (!ldone)
       throw new IllegalStateException(
         "statement exceeds 1000 left-interval rewrite sites")
-    var search = 0
+    var from = 0
     var guard = 0
     // chained ops (`d + INTERVAL 1 DAY - INTERVAL 2 HOUR`): the outer
     // call's operand is the inner call — thread the ORIGINAL operand's
@@ -1394,113 +1265,119 @@ object GraftSql {
     var lastCall: Option[(String, String)] = None
     while (guard < 1000) {
       guard += 1
-      pat.findFirstMatchIn(s.substring(search)) match {
-        case None => return s
-        case Some(m) =>
-          val opPos = search + m.start
-          val vNum = Option(m.group(2)).getOrElse(m.group(3)).trim.toDouble
-          val unit = m.group(4).toUpperCase
-          if (inLiteral(s, opPos)) search = opPos + m.matched.length
-          else {
-            val (pStart0, pEnd) = primarySpan(s, opPos)
-            // a quoted primary may be the tail of a typed literal —
-            // absorb the DATE/TIMESTAMP keyword so the whole literal
-            // rides into the call (else `DATE graft_js_interval(…)`
-            // would be left behind, a parse error)
-            val pStart = if (pEnd > pStart0 && s.charAt(pStart0) == '\'') {
-              var k = pStart0 - 1
-              while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
-              val e2 = k
-              while (k >= 0 && s.charAt(k).isLetter) k -= 1
-              val w = s.substring(k + 1, e2 + 1)
-              if (w.equalsIgnoreCase("DATE") || w.equalsIgnoreCase("TIMESTAMP")) k + 1
-              else pStart0
-            } else pStart0
-            val p = s.substring(pStart, pEnd)
-            // same chain guards as rewriteIntervalOperands: a primary
-            // that is itself a unit keyword / bare number / the quoted
-            // value of a preceding INTERVAL literal marks a CHAINED
-            // interval op — its left side is the preceding arithmetic
-            val quotedAfterInterval = p.startsWith("'") &&
-              raw"(?i)INTERVAL\s*$$".r.findFirstIn(s.substring(0, pStart)).isDefined
-            // PUSHDOWN fast path: a typed-constant operand
-            // (CURRENT_TIMESTAMP / CURRENT_DATE / NOW() / typed
-            // literal) with an integral sub-month unit is the common
-            // time-window filter bound (`WHERE ts > now() - INTERVAL
-            // 7 DAY`). JS Date-object semantics keep the time there,
-            // and integral day/hour/minute/second arithmetic is
-            // bit-identical to Spark's. The native JsInterval
-            // expression DOES constant-fold now, but it would round the
-            // operand through CAST(ts AS STRING), which truncates
-            // sub-millisecond precision (V8 keeps millis only) — native
-            // interval arithmetic is both bit-identical at micros AND
-            // trivially pushdown-friendly, so the carve-out stays
-            // (rewriteIntervalOperands' coercion CASE folds once
-            // ComputeCurrentTime makes now() a literal).
-            // typed TIMESTAMP literals arrive here ALREADY rewritten by
-            // the lenient-cast pass (TIMESTAMP 'x' → try_cast('x' AS
-            // TIMESTAMP)); DATE 'x' and the paren spellings of
-            // CURRENT_TIMESTAMP/CURRENT_DATE arrive verbatim
-            val typedConst = p.trim.matches(
-              "(?is)^(CURRENT_TIMESTAMP(\\s*\\(\\s*\\))?|CURRENT_DATE(\\s*\\(\\s*\\))?|" +
-                "NOW\\s*\\(\\s*\\)|TIMESTAMP\\s+'[^']*'|DATE\\s+'[^']*'|" +
-                "TRY_CAST\\s*\\(\\s*'[^']*'\\s+AS\\s+(TIMESTAMP|DATE)\\s*\\))$")
-            def subMonthIntegral(u: String, d: Double): Boolean =
-              (u == "DAY" || u == "HOUR" || u == "MINUTE" || u == "SECOND") &&
-                d == d.toLong.toDouble // integral ('5e-1' has no dot but is 0.5)
-            // the fast path must hold for the WHOLE chain: if a LATER
-            // op is MONTH/YEAR/fractional, skipping the head would
-            // leave the tail on native (clamping) arithmetic — only
-            // stay native when every subsequent interval op is
-            // integral sub-month too
-            def chainAllSubMonth(from: Int): Boolean = {
-              val tail = (raw"(?i)^\s*[+\-]\s*INTERVAL\s+(?:$IvlQ|$IvlB)\s+" +
-                raw"(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
-              var idx = from
-              var ok = true
-              var cont = true
-              while (cont && ok) {
-                tail.findPrefixMatchOf(s.substring(idx)) match {
-                  case Some(mm) =>
-                    val vv = Option(mm.group(1)).getOrElse(mm.group(2)).trim.toDouble
-                    ok = subMonthIntegral(mm.group(3).toUpperCase, vv)
-                    idx += mm.end
-                  case None => cont = false
-                }
-              }
-              ok
-            }
-            val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
-              p.trim.matches("[0-9.]+") || quotedAfterInterval ||
-              (typedConst && subMonthIntegral(unit, vNum) &&
-                chainAllSubMonth(opPos + m.matched.length))
-            if (skip) search = opPos + m.matched.length
-            else {
-              // raw string form: the UDF implements toDate itself (a
-              // typed timestamp/date round-trips its own cast; numbers
-              // are NOT dates in the reference — they yield NULL)
-              // a chained op's primary may carry wrapping parens:
-              // `(d + INTERVAL 1 DAY) - INTERVAL 2 HOUR` rewrites the
-              // inside first, leaving `(graft_js_interval(...))`
-              val core = {
-                var t = p.trim
-                while (t.startsWith("(") && t.endsWith(")") &&
-                    matchParen(t, 0) == t.length - 1)
-                  t = t.substring(1, t.length - 1).trim
-                t
-              }
-              val kind = lastCall match {
-                case Some((inner, k)) if core == inner => k
-                case _ => kindExpr(p)
-              }
-              val call = s"graft_js_interval(try_cast(($p) AS STRING), " +
-                s"CAST($vNum AS DOUBLE), '$unit', '${m.group(1)}', $kind)"
-              s = s.substring(0, pStart) + call +
-                s.substring(search + m.start + m.matched.length)
-              search = pStart + call.length
-              lastCall = Some((call, kind))
+      val v = new SqlTok.View(s)
+      val toks = v.toks
+      var i = 0
+      var site = -1
+      var consumed = 0
+      var vNum = 0.0
+      var unit = ""
+      while (site < 0 && i + 1 < toks.length) {
+        val t = toks(i)
+        if (t.kind == SqlTok.Op && (t.up == "+" || t.up == "-") && t.start >= from &&
+            toks(i + 1).is("INTERVAL")) {
+          ivlValueAt(v, i + 2).foreach { case (c, value) =>
+            ivlUnitAt(v, i + 2 + c, allowWeek = false).foreach { u =>
+              site = i; consumed = c; vNum = value; unit = u
             }
           }
+        }
+        if (site < 0) i += 1
+      }
+      if (site < 0) return s
+      val opTok = toks(site)
+      val siteEnd = toks(site + 2 + consumed).end
+      val (pIdx, pStart0, pEnd) = v.primaryBefore(site)
+      // a quoted primary may be the tail of a typed literal —
+      // absorb the DATE/TIMESTAMP keyword so the whole literal
+      // rides into the call (else `DATE graft_js_interval(…)`
+      // would be left behind, a parse error)
+      val pStart =
+        if (pEnd > pStart0 && s.charAt(pStart0) == '\'' && pIdx > 0 &&
+            (toks(pIdx - 1).is("DATE") || toks(pIdx - 1).is("TIMESTAMP")))
+          toks(pIdx - 1).start
+        else pStart0
+      val p = s.substring(pStart, pEnd)
+      // same chain guards as rewriteIntervalOperands: a primary
+      // that is itself a unit keyword / bare number / the quoted
+      // value of a preceding INTERVAL literal marks a CHAINED
+      // interval op — its left side is the preceding arithmetic
+      val quotedAfterInterval = p.startsWith("'") && pIdx > 0 &&
+        toks(pIdx - 1).is("INTERVAL")
+      // PUSHDOWN fast path: a typed-constant operand
+      // (CURRENT_TIMESTAMP / CURRENT_DATE / NOW() / typed
+      // literal) with an integral sub-month unit is the common
+      // time-window filter bound (`WHERE ts > now() - INTERVAL
+      // 7 DAY`). JS Date-object semantics keep the time there,
+      // and integral day/hour/minute/second arithmetic is
+      // bit-identical to Spark's. The native JsInterval
+      // expression DOES constant-fold, but it would round the
+      // operand through CAST(ts AS STRING), which truncates
+      // sub-millisecond precision (V8 keeps millis only) — native
+      // interval arithmetic is both bit-identical at micros AND
+      // trivially pushdown-friendly, so the carve-out stays
+      // (rewriteIntervalOperands' coercion CASE folds once
+      // ComputeCurrentTime makes now() a literal).
+      // typed TIMESTAMP literals arrive here ALREADY rewritten by
+      // the lenient-cast pass (TIMESTAMP 'x' → try_cast('x' AS
+      // TIMESTAMP)); DATE 'x' and the paren spellings of
+      // CURRENT_TIMESTAMP/CURRENT_DATE arrive verbatim
+      val typedConst = p.trim.matches(
+        "(?is)^(CURRENT_TIMESTAMP(\\s*\\(\\s*\\))?|CURRENT_DATE(\\s*\\(\\s*\\))?|" +
+          "NOW\\s*\\(\\s*\\)|TIMESTAMP\\s+'[^']*'|DATE\\s+'[^']*'|" +
+          "TRY_CAST\\s*\\(\\s*'[^']*'\\s+AS\\s+(TIMESTAMP|DATE)\\s*\\))$")
+      def subMonthIntegral(u: String, d: Double): Boolean =
+        (u == "DAY" || u == "HOUR" || u == "MINUTE" || u == "SECOND") &&
+          d == d.toLong.toDouble // integral ('5e-1' has no dot but is 0.5)
+      // the fast path must hold for the WHOLE chain: if a LATER
+      // op is MONTH/YEAR/fractional, skipping the head would
+      // leave the tail on native (clamping) arithmetic — only
+      // stay native when every subsequent interval op is
+      // integral sub-month too
+      def chainAllSubMonth(fromChar: Int): Boolean = {
+        val tail = (raw"(?i)^\s*[+\-]\s*INTERVAL\s+(?:$IvlQ|$IvlB)\s+" +
+          raw"(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
+        var idx = fromChar
+        var ok = true
+        var cont = true
+        while (cont && ok) {
+          tail.findPrefixMatchOf(s.substring(idx)) match {
+            case Some(mm) =>
+              val vv = Option(mm.group(1)).getOrElse(mm.group(2)).trim.toDouble
+              ok = subMonthIntegral(mm.group(3).toUpperCase, vv)
+              idx += mm.end
+            case None => cont = false
+          }
+        }
+        ok
+      }
+      val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
+        p.trim.matches("[0-9.]+") || quotedAfterInterval ||
+        (typedConst && subMonthIntegral(unit, vNum) && chainAllSubMonth(siteEnd))
+      if (skip) from = siteEnd
+      else {
+        // raw string form: the expression implements toDate itself (a
+        // typed timestamp/date round-trips its own cast; numbers
+        // are NOT dates in the reference — they yield NULL)
+        // a chained op's primary may carry wrapping parens:
+        // `(d + INTERVAL 1 DAY) - INTERVAL 2 HOUR` rewrites the
+        // inside first, leaving `(graft_js_interval(...))`
+        val core = {
+          var t = p.trim
+          while (t.startsWith("(") && t.endsWith(")") &&
+              matchParen(t, 0) == t.length - 1)
+            t = t.substring(1, t.length - 1).trim
+          t
+        }
+        val kind = lastCall match {
+          case Some((inner, k)) if core == inner => k
+          case _ => kindExpr(p)
+        }
+        val call = s"graft_js_interval(try_cast(($p) AS STRING), " +
+          s"CAST($vNum AS DOUBLE), '$unit', '${opTok.up}', $kind)"
+        s = s.substring(0, pStart) + call + s.substring(siteEnd)
+        from = pStart + call.length
+        lastCall = Some((call, kind))
       }
     }
     throw new IllegalStateException(
@@ -1518,17 +1395,39 @@ object GraftSql {
     * reference does not).
     */
   private def rewriteFractionalIntervals(sqlIn: String): String = {
-    val pat =
-      raw"(?i)\bINTERVAL\s+(?:$IvlQ|$IvlB)\s+(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR|WEEK)S?\b".r
-    pat.replaceSomeIn(sqlIn, m =>
-      if (inLiteral(m.source.toString, m.start)) None
-      else {
-        // normalize to the truncated integer literal (identity for
-        // values already integral; Spark-parseable for '.5'/'1e2'/'+1')
-        val v = Option(m.group(1)).getOrElse(m.group(2)).trim.toDouble
-        Some(scala.util.matching.Regex.quoteReplacement(
-          s"INTERVAL '${v.toLong}' ${m.group(3).toUpperCase}"))
-      })
+    val v = new SqlTok.View(sqlIn)
+    val toks = v.toks
+    // (startChar, endChar, replacement) per site — sites are disjoint,
+    // so one left-to-right rebuild applies them all
+    val sites = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("INTERVAL")) {
+        ivlValueAt(v, i + 1) match {
+          case Some((consumed, value)) =>
+            ivlUnitAt(v, i + 1 + consumed, allowWeek = true) match {
+              case Some(unit) =>
+                // normalize to the truncated integer literal (identity
+                // for values already integral; Spark-parseable for
+                // '.5'/'1e2'/'+1')
+                sites += ((toks(i).start, toks(i + 1 + consumed).end,
+                  s"INTERVAL '${value.toLong}' $unit"))
+                i += 1 + consumed
+              case None => ()
+            }
+          case None => ()
+        }
+      }
+      i += 1
+    }
+    if (sites.isEmpty) sqlIn
+    else {
+      val sb = new StringBuilder(sqlIn.length)
+      var prev = 0
+      for ((a, b, rep) <- sites) { sb.append(sqlIn.substring(prev, a)).append(rep); prev = b }
+      sb.append(sqlIn.substring(prev))
+      sb.toString
+    }
   }
 
   /** DuckDB-style FROM-first queries: the reference's parseSelect reads
@@ -1634,32 +1533,35 @@ object GraftSql {
   }
 
   private def rewriteIntervalOperands(sqlIn: String): String = {
-    val pat = raw"(?i)[+\-]\s*INTERVAL\b".r
     val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
     var s = sqlIn
-    var search = 0
+    var from = 0
     var guard = 0
     while (guard < 1000) {
       guard += 1
-      pat.findFirstMatchIn(s.substring(search)) match {
-        case None => return s
-        case Some(m) =>
-          val opPos = search + m.start
-          if (inLiteral(s, opPos)) search = opPos + m.matched.length
-          else {
-            val (pStart, pEnd) = primarySpan(s, opPos)
-            val p = s.substring(pStart, pEnd)
-            val quotedAfterInterval = p.startsWith("'") &&
-              raw"(?i)INTERVAL\s*$$".r.findFirstIn(s.substring(0, pStart)).isDefined
-            val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
-              p.trim.matches("[0-9.]+") || quotedAfterInterval
-            if (skip) search = opPos + m.matched.length
-            else {
-              val wrapped = coerceTsExpr(p)
-              s = s.substring(0, pStart) + wrapped + s.substring(pEnd)
-              search = opPos + (wrapped.length - p.length) + m.matched.length
-            }
-          }
+      val v = new SqlTok.View(s)
+      val toks = v.toks
+      var i = 0
+      var site = -1
+      while (site < 0 && i + 1 < toks.length) {
+        val t = toks(i)
+        if (t.kind == SqlTok.Op && (t.up == "+" || t.up == "-") && t.start >= from &&
+            toks(i + 1).is("INTERVAL")) site = i
+        else i += 1
+      }
+      if (site < 0) return s
+      val intervalEnd = toks(site + 1).end
+      val (pIdx, pStart, pEnd) = v.primaryBefore(site)
+      val p = s.substring(pStart, pEnd)
+      val quotedAfterInterval = p.startsWith("'") && pIdx > 0 &&
+        toks(pIdx - 1).is("INTERVAL")
+      val skip = p.trim.isEmpty || unitRe.findFirstIn(p.trim).isDefined ||
+        p.trim.matches("[0-9.]+") || quotedAfterInterval
+      if (skip) from = intervalEnd
+      else {
+        val wrapped = coerceTsExpr(p)
+        s = s.substring(0, pStart) + wrapped + s.substring(pEnd)
+        from = intervalEnd + (wrapped.length - p.length)
       }
     }
     s
@@ -2516,24 +2418,6 @@ object GraftSql {
     */
   private val clauseKw = "WHERE|LIMIT|OFFSET|ORDER|GROUP|HAVING|BY|ON|AND|OR|AS|" +
     "FROM|SELECT|UNION|INTERSECT|EXCEPT|JOIN|IN|NOT|DISTINCT|WHEN|THEN|ELSE|BETWEEN|LIKE"
-  /** Blank the CONTENT of double-quoted identifiers (keeping the
-    * quotes) so the lint regexes never match keyword-shaped identifier
-    * text — `SELECT x AS "AS FROM"` is a legal quoted alias.
-    */
-  private def maskDoubleQuoted(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    var inQ = false
-    var inD = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'' && !inD) { inQ = !inQ; sb.append(c) }
-      else if (c == '"' && !inQ) { inD = !inD; sb.append(c) }
-      else sb.append(if (inD) 'x' else c)
-      i += 1
-    }
-    sb.toString
-  }
 
   private def strictLint(spark: SparkSession, sqlTextIn: String): Option[String] = {
     // comments can end a statement and double-quoted identifiers can
@@ -2804,7 +2688,15 @@ object GraftSql {
     }
   }
 
-  /** SQL-callable helpers the rewrites target. */
+  /** SQL-callable helpers the rewrites target. Every rewrite-emitted
+    * graft_* function on a potential scan/filter path is a NATIVE
+    * Catalyst expression registered via [[GraftExtensions]] (JsInterval,
+    * JsTrim, Strftime, DateDiffUnit, JsStr/JsNum, the array/size
+    * dispatch family). The remaining THREE udf.register sites below are
+    * cold, host-facing helpers, each with a written justification — a
+    * new rewrite target must either be a native expression or carry the
+    * same note.
+    */
   def ensureHelpers(spark: SparkSession): Unit = {
     // the reference dialect (like DuckDB/Postgres) reads "..." as an
     // IDENTIFIER — required for columns with dots in their names
@@ -2814,38 +2706,31 @@ object GraftSql {
     // Spark 4 so this conf flips the parse.
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     if (!spark.catalog.functionExists("graft_epoch")) {
+      // UDF justification: epoch(ts) surfaces in projections, not in
+      // pushable predicates (a filter on epoch(ts) > c is equivalent to
+      // a direct ts comparison only after the host rewrites it, which
+      // the reference does not do either — its planner has no pushdown
+      // over epoch). The kernel is two arithmetic ops on a boxed
+      // timestamp; interpreted cost is noise next to the row's
+      // deserialization, and millisecond flooring (getTime) is the
+      // reference's exact precision.
       spark.udf.register("graft_epoch",
         (ts: java.sql.Timestamp) => if (ts == null) null else {
           java.lang.Double.valueOf(ts.getTime / 1000.0)
         })
     }
-    // graft_js_interval is now a NATIVE codegen'd expression
-    // (graft.functions.time.JsInterval, registered via GraftExtensions)
-    // — formerly the engine's last per-row ScalaUDF. The V8 Date-setter
-    // semantics, the toDate acceptance regexes, and the per-row `kind`
-    // dispatch all live there.
-    if (!spark.catalog.functionExists("graft_js_trim")) {
-      // JS String.prototype.trim: strips the ECMA-262 WhiteSpace +
-      // LineTerminator set (tabs, newlines, NBSP, BOM, Unicode spaces) —
-      // Spark's trim strips only ' ' (reference: strings.js:103-105)
-      spark.udf.register("graft_js_trim",
-        (s: String) => if (s == null) null else {
-          def ws(c: Char): Boolean = c match {
-            case '\t' | '\n' | '\u000B' | '\f' | '\r' | ' ' | '\u00A0' |
-                 '\u1680' | '\u2028' | '\u2029' | '\u202F' | '\u205F' |
-                 '\u3000' | '\uFEFF' => true
-            case c => c >= '\u2000' && c <= '\u200A'
-          }
-          var i = 0
-          var j = s.length
-          while (i < j && ws(s.charAt(i))) i += 1
-          while (j > i && ws(s.charAt(j - 1))) j -= 1
-          s.substring(i, j)
-        })
-    }
+    // graft_js_interval / graft_js_trim / graft_strftime /
+    // graft_datediff are NATIVE codegen'd expressions
+    // (functions/time/JsInterval.scala, functions/text/JsTrim.scala,
+    // functions/time/TimeFmt.scala, registered via GraftExtensions) —
+    // formerly ScalaUDFs here. Each participates in whole-stage codegen
+    // (static kernel) and constant-folds on literal operands.
     if (!spark.catalog.functionExists("graft_json_valid")) {
-      // JSON.parse strictness: the whole input must be one JSON value
-      // (FAIL_ON_TRAILING_TOKENS), unlike Spark's lenient variant parser
+      // UDF justification: host-facing strict JSON.parse check
+      // (FAIL_ON_TRAILING_TOKENS) — the dialect surface routes
+      // JSON_VALID through graft_json_valid_any (a typed dispatch in
+      // RefDispatch), so this Jackson-backed spelling only serves
+      // direct host calls; never emitted into scan predicates.
       spark.udf.register("graft_json_valid",
         (s: String) => if (s == null) null else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2854,41 +2739,14 @@ object GraftSql {
           catch { case _: Exception => java.lang.Boolean.FALSE }
         })
     }
-    if (!spark.catalog.functionExists("graft_strftime")) {
-      // format in the SESSION time zone so %H agrees with CAST(ts AS
-      // STRING)/date_format in any environment, not just UTC JVMs
-      val zone = java.time.ZoneId.of(
-        spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-      spark.udf.register("graft_strftime",
-        (ts: java.sql.Timestamp, fmt: String) =>
-          if (ts == null || fmt == null) null
-          else {
-            val dt = ts.toInstant.atZone(zone)
-            val sb = new StringBuilder
-            var i = 0
-            while (i < fmt.length) {
-              val c = fmt.charAt(i)
-              if (c == '%' && i + 1 < fmt.length) {
-                fmt.charAt(i + 1) match {
-                  case 'Y' => sb.append(f"${dt.getYear}%04d")
-                  case 'y' => sb.append(f"${dt.getYear % 100}%02d")
-                  case 'm' => sb.append(f"${dt.getMonthValue}%02d")
-                  case 'd' => sb.append(f"${dt.getDayOfMonth}%02d")
-                  case 'H' => sb.append(f"${dt.getHour}%02d")
-                  case 'M' => sb.append(f"${dt.getMinute}%02d")
-                  case 'S' => sb.append(f"${dt.getSecond}%02d")
-                  case 'f' => sb.append(f"${dt.getNano / 1000}%06d")
-                  case 'j' => sb.append(f"${dt.getDayOfYear}%03d")
-                  case '%' => sb.append('%')
-                  case other => sb.append('%').append(other)
-                }
-                i += 2
-              } else { sb.append(c); i += 1 }
-            }
-            sb.toString
-          })
-    }
     if (!spark.catalog.functionExists("graft_regexp_replace_occ")) {
+      // UDF justification: only the 5-argument occurrence form of
+      // REGEXP_REPLACE lands here (2-4 arg forms stay on Spark's
+      // codegen'd builtin); it allocates a Matcher + StringBuffer per
+      // row in ANY implementation, so a native Expression would save
+      // only the invoke overhead, a rounding error against the regex
+      // engine cost. Never part of a pushable predicate (it produces a
+      // string, and parquet cannot evaluate regex replaces anyway).
       // reference regexp.js:126-166: position preserves the prefix,
       // occurrence 0 = replace all, occurrence n = only the nth match
       spark.udf.register("graft_regexp_replace_occ",
@@ -2911,29 +2769,6 @@ object GraftSql {
               m.appendTail(sb)
               prefix + sb.toString
             }
-          })
-    }
-    if (!spark.catalog.functionExists("graft_datediff")) {
-      spark.udf.register("graft_datediff",
-        (unit: String, a: java.sql.Timestamp, b: java.sql.Timestamp) =>
-          if (unit == null || a == null || b == null) null
-          else {
-            val (ca, cb) = (java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC")),
-              java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC")))
-            ca.setTime(a); cb.setTime(b)
-            val ms = b.getTime - a.getTime
-            val out: java.lang.Long = unit.toUpperCase match {
-              case "YEAR" => (cb.get(java.util.Calendar.YEAR) - ca.get(java.util.Calendar.YEAR)).toLong
-              case "MONTH" =>
-                (cb.get(java.util.Calendar.YEAR) - ca.get(java.util.Calendar.YEAR)) * 12L +
-                  (cb.get(java.util.Calendar.MONTH) - ca.get(java.util.Calendar.MONTH))
-              case "DAY" => ms / 86400000L
-              case "HOUR" => ms / 3600000L
-              case "MINUTE" => ms / 60000L
-              case "SECOND" => ms / 1000L
-              case _ => null
-            }
-            out
           })
     }
   }
