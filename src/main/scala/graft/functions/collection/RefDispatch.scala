@@ -10,9 +10,13 @@ import org.apache.spark.sql.types._
   * count for an array (reference: src/expression/strings.js:38-45
   * `typeof val === 'string' || Array.isArray(val) → val.length`) —
   * a runtime dispatch Spark's analysis-typed `length` refuses for
-  * arrays. Other types answer NULL (the reference throws there; a
-  * dirty cell must not kill a 100 TB job — same leniency contract as
-  * the JSON family). Cold-path dialect helper — CodegenFallback.
+  * arrays. LENGTH is STRICT in the reference: any other input class
+  * throws "expected string or array" at row evaluation (strings.js:
+  * 42-45) — the class is the column's STATIC type here, so the raise
+  * is type dispatch, not per-row data validation (a dirty cell in a
+  * string column is still just measured), and an empty table never
+  * raises, exactly like the reference's row-1 throw. Cold-path dialect
+  * helper — CodegenFallback.
   */
 case class LengthAny(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
@@ -25,7 +29,9 @@ case class LengthAny(child: Expression) extends UnaryExpression with CodegenFall
     else child.dataType match {
       case StringType => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numChars()
       case _: ArrayType => v.asInstanceOf[ArrayData].numElements()
-      case _ => null
+      case _ => throw new RuntimeException(
+        "LENGTH(string): expected string or array, got " +
+          child.dataType.simpleString + ". Use CAST to convert to a string first.")
     }
   }
 

@@ -87,6 +87,36 @@ object GraftSql {
     "array_concat" -> "graft_array_concat",
     "ord" -> "ascii")
 
+  // TYPE-strict arguments (strings.js:38-56 LENGTH/OCTET_LENGTH,
+  // evaluate.js JSON_VALUE family): the reference throws AT EXECUTION
+  // when the input's runtime CLASS is wrong — number/boolean where JSON
+  // text or a string is required. The class is the column's STATIC type
+  // here, so the guard is typeof()-keyed and typeof is foldable: for
+  // allowed types it constant-folds away entirely (zero runtime cost),
+  // for banned ones it folds to a bare per-row raise_error — errors
+  // exactly when a row flows, like the reference's row-1 throw, and
+  // both engines still accept the query over an empty table. This is
+  // TYPE dispatch, not per-row data validation: a dirty CELL in a
+  // string column stays lenient. (LENGTH itself gets the same
+  // strictness inside LengthAny.)
+  // __typeofkeep__ marker, not bare typeof: these guards are emitted
+  // BEFORE the user-facing TYPEOF → DuckDB-name rewrite runs, and the
+  // marker resolves back to Spark typeof right after it (same dance as
+  // the lenient TIMESTAMP cast)
+  private def numericTypeof(x: String): String =
+    s"(__typeofkeep__($x) IN ('tinyint','smallint','int','bigint','float'," +
+      s"'double','boolean') OR __typeofkeep__($x) LIKE 'decimal%')"
+
+  private def jsonStrictInput(fname: String, x: String): String =
+    s"(CASE WHEN ${numericTypeof(x)} THEN CAST(raise_error(" +
+      s"'${fname.toUpperCase}(expression, path): first argument must be JSON string or object') " +
+      s"AS STRING) ELSE graft_json_input($x) END)"
+
+  private def octetStrict(x: String): String =
+    s"(CASE WHEN __typeofkeep__($x) NOT IN ('string', 'void') THEN CAST(raise_error(" +
+      s"'OCTET_LENGTH(string): expected string. Use CAST to convert to a string first.') " +
+      s"AS STRING) ELSE $x END)"
+
   private val jsonScalarLit =
     raw"""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|true|false|null|"([^"\\]|\\.)*"""".r
   private def jsonEachScalarErr(arg: String): Option[String] = {
@@ -1932,11 +1962,29 @@ object GraftSql {
         val anchored = if (body.startsWith("[")) s"$$$body" else s"$$.$body"
         s"'$anchored'"
       } else p
+    // first-argument TYPE strictness (round-13 replay-corner closure):
+    // a statically numeric/boolean input raises at execution like the
+    // reference's "must be JSON string or object" row-1 throw; see
+    // jsonStrictInput — the guard folds away for every allowed type
     for (f <- Seq("json_extract", "json_value", "json_query", "json_extract_string"))
       s = rewriteCall(s, f, args =>
         if (args.length == 2)
-          s"get_json_object(graft_json_input(${args(0)}), ${normJsonPath(args(1))})"
+          s"get_json_object(${jsonStrictInput(f, args(0))}, ${normJsonPath(args(1))})"
         else s"${f}_unsupported(${args.mkString(", ")})")
+
+    // OCTET_LENGTH is string-STRICT in the reference (strings.js:49-56:
+    // number/date/object inputs throw) — type-dispatch guard, folds
+    // away for string inputs (round-13 replay-corner closure). strlen
+    // renames to octet_length only at the very end, so it gets the same
+    // guard under its own name here.
+    s = rewriteCall(s, "octet_length", args =>
+      if (args.length == 1) s"__olen__(${octetStrict(args.head)})"
+      else s"__olen__(${args.mkString(", ")})")
+    s = s.replace("__olen__(", "octet_length(")
+    s = rewriteCall(s, "strlen", args =>
+      if (args.length == 1) s"__strlen__(${octetStrict(args.head)})"
+      else s"__strlen__(${args.mkString(", ")})")
+    s = s.replace("__strlen__(", "strlen(")
 
     // regexp_split_to_table(x, p) → explode(split(x, p))
     s = rewriteCall(s, "regexp_split_to_table", args =>
@@ -2197,9 +2245,21 @@ object GraftSql {
         else if (args.length == 5 && intLit(args(4)).exists(_ < 0))
           bad("REGEXP_REPLACE", "occurrence must be a non-negative integer", args(4))
         else s"__argchk_regexp_replace__(${args.mkString(", ")})")
-      for (f <- Seq("left", "right", "regexp_extract", "regexp_substr", "regexp_replace"))
+      // SUBSTRING start/length guards (strings.js:118-127: start must be
+      // a positive 1-based integer, length non-negative) — round-13
+      // replay-corner closure, same literal-only contract as the rest
+      for (f <- Seq("substring", "substr"))
+        s = rewriteCall(s, f, args =>
+          if (args.length >= 2 && intLit(args(1)).exists(_ < 1))
+            bad(f.toUpperCase, "start position must be a positive integer", args(1))
+          else if (args.length == 3 && intLit(args(2)).exists(_ < 0))
+            bad(f.toUpperCase, "length must be a non-negative integer", args(2))
+          else s"__argchk_${f}__(${args.mkString(", ")})")
+      for (f <- Seq("left", "right", "regexp_extract", "regexp_substr",
+          "regexp_replace", "substring", "substr"))
         s = s.replace(s"__argchk_${f}__(", f + "(")
     }
+
 
     // REGEXP_EXTRACT / REGEXP_SUBSTR are the SAME function in the
     // reference (src/expression/regexp.js:18): whole match, NULL when

@@ -769,6 +769,46 @@ object FuzzGen {
     }
   }
 
+  /** Seeded geometry TABLE rows (id, wkt) for the spatial-join family —
+    * registered as `f_geo` on the Spark side and shipped to the
+    * reference through the fuzz-tables JSON, so both engines read
+    * value-identical relations.
+    */
+  def geoRows(seed: Long, n: Int): Seq[(Int, String)] = {
+    val r = new Random(seed)
+    (0 until n).map(i => (i, wkt(r)))
+  }
+
+  /** Spatial JOIN / window-over-spatial family (round-13 widening): the
+    * MULTI-ROW spatial surface the single-row battery cannot reach —
+    * self-joins on a random predicate, spatial WHERE filters, ranking
+    * windows partitioned by a predicate result, and grouped counts
+    * keyed on a predicate. (Aggregate-OVER windows and FROM (VALUES …)
+    * are deliberately absent: the reference supports neither — probed.)
+    */
+  def spatialJoinQueries(seed: Long, n: Int): Seq[String] = {
+    val r = new Random(seed)
+    (0 until n).map { _ =>
+      val pred = pick(r, spatialPreds)
+      r.nextInt(4) match {
+        case 0 =>
+          s"SELECT a.id AS aid, b.id AS bid FROM f_geo a JOIN f_geo b ON " +
+            s"$pred(ST_GEOMFROMTEXT(a.w), ST_GEOMFROMTEXT(b.w)) " +
+            "WHERE a.id < b.id ORDER BY aid, bid"
+        case 1 =>
+          s"SELECT id FROM f_geo WHERE ST_DWITHIN(ST_GEOMFROMTEXT(w), " +
+            s"ST_GEOMFROMTEXT('${wkt(r)}'), ${r.nextInt(5)}) ORDER BY id"
+        case 2 =>
+          s"SELECT id, ROW_NUMBER() OVER (PARTITION BY " +
+            s"$pred(ST_GEOMFROMTEXT(w), ST_GEOMFROMTEXT('${wkt(r)}')) " +
+            "ORDER BY id) AS rn FROM f_geo ORDER BY id, rn"
+        case _ =>
+          s"SELECT $pred(ST_GEOMFROMTEXT(w), ST_GEOMFROMTEXT('${wkt(r)}')) AS k, " +
+            "COUNT(*) AS cnt FROM f_geo GROUP BY k ORDER BY k"
+      }
+    }
+  }
+
   /** One seeded single-edit mutation of a valid query — the
     * malformed-input battery (the reference's parse.errors tests are
     * the hand-written version). Most mutants are invalid; the contract

@@ -101,11 +101,15 @@ trait FuzzHarness extends SparkSpec {
         names.zipWithIndex.map { case (n, i) => n.toLowerCase -> norm(r.get(i)) }.toMap))
     } catch { case e: Throwable => Left(String.valueOf(e.getMessage).take(300)) }
 
-  /** Run the whole batch on the reference engine in ONE node process. */
-  protected def runReference(queries: Seq[String]): Seq[Either[String, Seq[Map[String, V]]]] = {
+  /** Run the whole batch on the reference engine in ONE node process.
+    * `extraTables` rides per-battery relations (e.g. the spatial-join
+    * family's f_geo) alongside the four standard fuzz tables.
+    */
+  protected def runReference(queries: Seq[String],
+      extraTables: Map[String, DataFrame] = Map.empty): Seq[Either[String, Seq[Map[String, V]]]] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     // tables json: {"name": [row, ...]}
-    val tablesJson = fuzzTables.toSeq.sortBy(_._1).map { case (name, df) =>
+    val tablesJson = (fuzzTables ++ extraTables).toSeq.sortBy(_._1).map { case (name, df) =>
       "\"" + name + "\": [" + df.toJSON.collect().mkString(",") + "]"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$workDir/tables.json"), tablesJson)

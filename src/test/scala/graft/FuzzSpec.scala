@@ -114,6 +114,27 @@ class FuzzSpec extends FuzzHarness {
       s"${divergences.length} divergence(s):\n${divergences.take(8).mkString("\n")}")
   }
 
+  test("spatial JOIN / window-over-spatial differential fuzz: multi-row geometry relations agree") {
+    assume(nodeOk, "node not available")
+    import spark.implicits._
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    // the round-13 widening: spatial predicates as JOIN conditions,
+    // WHERE filters, window PARTITION keys and GROUP keys over a seeded
+    // geometry TABLE — the single-row battery never exercises the
+    // multi-row planner paths (join residuals, partitioned windows)
+    val nJoin = sys.env.getOrElse("GRAFT_FUZZ_SPATIAL_JOIN_N", "60").toInt
+    val geo = FuzzGen.geoRows(seedOr(13131L, 6), 12).toDF("id", "w")
+    geo.createOrReplaceTempView("f_geo")
+    val queries = FuzzGen.spatialJoinQueries(seedOr(13131L, 7), nJoin)
+    val refResults = runReference(queries, Map("f_geo" -> geo))
+    val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      diff(q, runSpark(q), rf).map(d => s"#$i $d\n  SQL: $q")
+    }
+    info(s"spatial-join queries=$nJoin divergences=${divergences.length}")
+    assert(divergences.isEmpty,
+      s"${divergences.length} divergence(s):\n${divergences.take(8).mkString("\n")}")
+  }
+
   test("mutation fuzz: single-edit mutants — agreement on rejection, no reference-only queries") {
     assume(nodeOk, "node not available")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }

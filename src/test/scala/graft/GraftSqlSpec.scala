@@ -1197,4 +1197,40 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("duplicate CTE"))
   }
+
+  test("type-strict LENGTH/OCTET_LENGTH/JSON_VALUE and SUBSTRING guards raise at EXECUTION (r13 replay-corner closure)") {
+    import spark.implicits._
+    Seq((1, "abc", java.sql.Date.valueOf("2024-03-01")))
+      .toDF("n", "s", "d").createOrReplaceTempView("ts_t")
+    // allowed types keep working, guard folds away
+    val ok = GraftSql.sql(spark,
+      "SELECT LENGTH(s) AS a, OCTET_LENGTH(s) AS b, " +
+        "JSON_VALUE('{\"k\":1}', '$.k') AS c, SUBSTRING(s, 1, 2) AS e FROM ts_t")
+      .collect().head
+    assert(ok.getInt(0) == 3 && ok.getInt(1) == 3 &&
+      ok.getString(2) == "1" && ok.getString(3) == "ab", ok.toString)
+    // banned STATIC types raise when a row flows (reference strings.js:
+    // 38-56, evaluate.js JSON_VALUE) — number, date, and the literal
+    // SUBSTRING bound guards
+    for (q <- Seq(
+        "SELECT LENGTH(n) FROM ts_t",
+        "SELECT LENGTH(d) FROM ts_t",
+        "SELECT OCTET_LENGTH(n) FROM ts_t",
+        "SELECT JSON_VALUE(n, '$.k') FROM ts_t",
+        "SELECT SUBSTRING(s, 0, 3) FROM ts_t",
+        "SELECT SUBSTRING(s, 1, -1) FROM ts_t")) {
+      val e = intercept[Exception] { GraftSql.sql(spark, q).collect() }
+      assert(String.valueOf(e.getMessage).nonEmpty, q)
+    }
+    // ...but an EMPTY relation never raises (the reference throws at
+    // row evaluation; zero rows = zero throws on both engines)
+    spark.sql("SELECT * FROM ts_t WHERE n > 99").createOrReplaceTempView("ts_e")
+    assert(GraftSql.sql(spark, "SELECT LENGTH(n) AS x FROM ts_e").collect().isEmpty)
+    assert(GraftSql.sql(spark, "SELECT SUBSTRING(s, 0, 3) AS x FROM ts_e").collect().isEmpty)
+    // dirty CELLS in a string column stay lenient — no per-row data
+    // validation was added (the 100 TB contract)
+    Seq(Tuple1("not json")).toDF("j").createOrReplaceTempView("ts_j")
+    assert(GraftSql.sql(spark, "SELECT JSON_VALUE(j, '$.k') AS x FROM ts_j")
+      .collect().head.isNullAt(0))
+  }
 }

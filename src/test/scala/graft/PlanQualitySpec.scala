@@ -238,10 +238,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(q16.contains("LeftAnti") && q16.contains("BroadcastHashJoin"), q16.take(1500))
     // Q20: dominance qualification ends in a SEMI join onto suppliers
     assert(planOf("q_tpch_q20").contains("LeftSemi"))
-    // Q21: EXISTS → semi, NOT EXISTS → anti, both hash joins on the order
-    // key; the late-lines fact-fact join is never duplicated row-by-row
+    // Q21: EXISTS / NOT EXISTS collapse to per-order min/max aggregates
+    // (r13 scratch diet — 36.8 bytes/lineitem-row of shuffle scratch in
+    // the fact-fact join form): two SEMI joins onto aggregated order
+    // sets, partial aggregation folding ~4 lineitems/order before the
+    // exchange, and NO fact-fact anti join remains
     val q21 = planOf("q_tpch_q21")
-    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(1500))
+    assert(q21.contains("LeftSemi") && !q21.contains("LeftAnti"), q21.take(1500))
     // Q2: the correlated min-cost-per-part is a PARTITIONED window over
     // the joined candidates, dims broadcast — no pair-table re-scan
     val q2 = planOf("q_tpch_q2")

@@ -358,6 +358,17 @@ class SuiteReplaySpec extends SparkSpec {
             // pinned leniency: graft returns NULL where the reference
             // throws on JSON functions over non-JSON strings
             refErrorLenientJson += 1
+          case (Some(_), Right(_)) if e.hasDates =>
+            // the recorder serializes Date OBJECTS to ISO strings: the
+            // reference errored on a DATE-typed input the replay table
+            // cannot carry (LENGTH over the recorded string is legal,
+            // over the original Date it throws) — and ref_probe cannot
+            // re-create the case either, since its tables ride the same
+            // JSON. Same artifact class as the dateTables row-diff
+            // bucket below; LengthAny itself raises on a real
+            // date-typed child (RefDispatch.scala), pinned in
+            // GraftSqlSpec.
+            dateTables += 1
           case (Some(re), Right(_)) =>
             refErrorSparkRuns :+= s"${e.file} » ${e.testName}: ref ERROR '${re.take(100)}', spark ran\n  SQL: ${e.query.take(200)}"
           case (None, Left(se)) if strictnessError(se) => strictness += 1
