@@ -2414,6 +2414,38 @@ object GraftSql {
         else s"__unn__(${args.mkString(", ")})")
     s = s.replace("__unn__(", "explode(")
 
+    // LEAD/LAG offsets run through JS Number(v) in the reference: a
+    // QUOTED numeric offset works like the bare number ('' is 0), a
+    // non-numeric one is NaN — which indexes outside the partition, so
+    // EVERY row reads the default (null when absent; node-probed).
+    // Spark requires an integer literal: integral text unquotes,
+    // NaN-text becomes a 1e8 offset (outside any real window partition;
+    // kept far from INT_MAX so rowIndex+offset cannot overflow).
+    // Fractional offsets crash the reference and fail Spark's analysis
+    // alike — left alone, agreement on rejection. Seed-131337
+    // mutation-fuzz find.
+    for (f <- Seq("lead", "lag")) {
+      val quotedLit = raw"^'([^']*)'$$".r
+      s = rewriteCall(s, f, args => {
+        val fixed =
+          if (args.length < 2) args
+          else args(1).trim match {
+            case quotedLit(body) =>
+              val b = body.trim
+              val off =
+                if (b.isEmpty) Some("0")
+                else if (b.matches(raw"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")) {
+                  val v = b.toDouble
+                  if (v == v.toLong.toDouble) Some(v.toLong.toString) else None
+                } else Some("100000000")
+              off.map(o => args.updated(1, o)).getOrElse(args)
+            case _ => args
+          }
+        s"__woff_${f}__(${fixed.mkString(", ")})"
+      })
+      s = s.replace(s"__woff_${f}__(", f + "(")
+    }
+
     // Ranking/offset window functions REQUIRE an ORDER BY in Spark; the
     // reference defaults to the partition's INPUT order (execute.window
     // tests: ROW_NUMBER() OVER () numbers rows as scanned). Inject a

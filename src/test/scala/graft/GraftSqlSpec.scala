@@ -1198,6 +1198,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate CTE"))
   }
 
+  test("LEAD/LAG quoted offsets follow JS Number(v) (seed-131337 mutation find)") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name")
+      .createOrReplaceTempView("wo_t")
+    // every expectation node-probed on the reference: a non-numeric
+    // offset is Number(v) = NaN, which indexes outside the partition —
+    // every row reads the default (null when absent); numeric TEXT works
+    // like the bare number ('' is 0, '-1' flips direction)
+    val r = GraftSql.sql(spark,
+      "SELECT id, LEAD(name, 'none') OVER (ORDER BY id) AS nan_off, " +
+        "LEAD(name, '2') OVER (ORDER BY id) AS two_off, " +
+        "LAG(name, 'x', 'dflt') OVER (ORDER BY id) AS dflt_off, " +
+        "LEAD(name, '-1') OVER (ORDER BY id) AS neg_off, " +
+        "LEAD(name, '') OVER (ORDER BY id) AS zero_off " +
+        "FROM wo_t ORDER BY id").collect()
+    assert(r.forall(_.isNullAt(1)), r.mkString(";"))
+    assert(r.map(x => String.valueOf(x.get(2))).toSeq == Seq("c", "null", "null"), r.mkString(";"))
+    assert(r.forall(_.getString(3) == "dflt"), r.mkString(";"))
+    assert(r.map(x => String.valueOf(x.get(4))).toSeq == Seq("null", "a", "b"), r.mkString(";"))
+    assert(r.map(_.getString(5)).toSeq == Seq("a", "b", "c"), r.mkString(";"))
+  }
+
   test("type-strict LENGTH/OCTET_LENGTH/JSON_VALUE and SUBSTRING guards raise at EXECUTION (r13 replay-corner closure)") {
     import spark.implicits._
     Seq((1, "abc", java.sql.Date.valueOf("2024-03-01")))
