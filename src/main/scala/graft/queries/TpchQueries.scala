@@ -780,22 +780,11 @@ object TpchQueries {
         |                  AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) {
       (s, dir) => {
-        // The EXISTS / NOT EXISTS subqueries depend only on the ORDER's
-        // supplier SET, never on which row witnessed it — so both
-        // collapse to per-order min/max aggregates instead of fact-fact
-        // semi/anti joins (the r12 scratch probe measured the join form
-        // at 36.8 bytes/lineitem-row of peak shuffle scratch, 3-4x the
-        // other heavy TPC-H shapes):
-        //  - EXISTS l2 (same order, different supplier): l1 is itself a
-        //    line of the order, so another supplier exists iff the
-        //    order's lineitem min(l_suppkey) != max(l_suppkey);
-        //  - NOT EXISTS l3 IN late (same order, different supplier):
-        //    l1 is in `late`, so the order's late-set collapses to l1's
-        //    supplier iff late min(l_suppkey) == max(l_suppkey).
-        // min/max get map-side PARTIAL aggregation (~4 lineitems/order
-        // fold before the exchange), and every aggregate/join keys on
-        // l_orderkey, so the `late` exchange is planned once and reused
-        // by its own aggregate.
+        // `late` appears as probe side AND anti-join build side from the
+        // same val — the l⋈o shuffle exchanges underneath are
+        // canonical-identical and reused, so the fact-fact join runs once.
+        // EXISTS/NOT EXISTS are hash semi/anti joins on the order key with
+        // the supplier inequality as residual — never row-by-row.
         val o = t(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
@@ -804,24 +793,18 @@ object TpchQueries {
           .join(o, col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") > col("o_orderdate"))
           .select("l_orderkey", "l_suppkey")
-        val liAgg = t(s, dir, "lineitem")
+        val others = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-          .groupBy("ok2")
-          .agg(min("sk2").as("mn2"), max("sk2").as("mx2"))
-          .filter(col("mn2") =!= col("mx2")) // the EXISTS order set
-          .select("ok2")
-        val lateAgg = late
+        val lateOthers = late
           .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-          .groupBy("ok3")
-          .agg(min("sk3").as("mn3"), max("sk3").as("mx3"))
-          .filter(col("mn3") === col("mx3")) // the NOT-EXISTS order set
-          .select("ok3")
         val su = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
         val n = broadcast(t(s, dir, "nation")
           .filter(col("n_name") === "NATION_1").select("n_nationkey"))
         late
-          .join(liAgg, col("l_orderkey") === col("ok2"), "left_semi")
-          .join(lateAgg, col("l_orderkey") === col("ok3"), "left_semi")
+          .join(others, col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("ok3") &&
+            col("l_suppkey") =!= col("sk3"), "left_anti")
           .join(su, col("l_suppkey") === col("s_suppkey"))
           .join(n, col("s_nationkey") === col("n_nationkey"))
           .groupBy("s_name")

@@ -238,13 +238,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(q16.contains("LeftAnti") && q16.contains("BroadcastHashJoin"), q16.take(1500))
     // Q20: dominance qualification ends in a SEMI join onto suppliers
     assert(planOf("q_tpch_q20").contains("LeftSemi"))
-    // Q21: EXISTS / NOT EXISTS collapse to per-order min/max aggregates
-    // (r13 scratch diet — 36.8 bytes/lineitem-row of shuffle scratch in
-    // the fact-fact join form): two SEMI joins onto aggregated order
-    // sets, partial aggregation folding ~4 lineitems/order before the
-    // exchange, and NO fact-fact anti join remains
+    // Q21: EXISTS → semi, NOT EXISTS → anti, both hash joins on the order
+    // key; the late-lines fact-fact join is never duplicated row-by-row.
+    // This IS the measured optimum: round 13 implemented the per-order
+    // min/max-aggregate alternative (EXISTS ⟺ min(sk)≠max(sk)) and
+    // sf100-probed it at 55.0 bytes/lineitem-row vs 36.8 for this shape
+    // — the ~150M-group partial aggregate folds only ~4 rows/key, so it
+    // spills more than the semi-join shuffle it replaces, while the
+    // anti side already rides a ReusedExchange. The fact-fact shuffle
+    // is inherent to the triple self-join at minimal (orderkey,
+    // suppkey[,shipdate]) width.
     val q21 = planOf("q_tpch_q21")
-    assert(q21.contains("LeftSemi") && !q21.contains("LeftAnti"), q21.take(1500))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(1500))
     // Q2: the correlated min-cost-per-part is a PARTITIONED window over
     // the joined candidates, dims broadcast — no pair-table re-scan
     val q2 = planOf("q_tpch_q2")
