@@ -57,4 +57,26 @@ class FreshSeedGuardSpec extends FuzzHarness {
     assert(divergences.isEmpty,
       s"seed=${seed + 1}: ${divergences.length} divergence(s):\n${divergences.take(8).mkString("\n")}")
   }
+
+  test("fresh-seed spatial-join fuzz: today's multi-row geometry queries agree") {
+    assume(nodeOk, "node not available")
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    assume(new java.io.File("/root/reference/src/index.js").isFile, "reference missing")
+    import spark.implicits._
+    fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    info(s"fresh seed=${seed + 2} (replay: GRAFT_FUZZ_SEED=$seed)")
+    // the round-13 family: spatial predicates as JOIN conditions, WHERE
+    // filters, window PARTITION keys and GROUP keys over a seeded
+    // geometry table — a small daily budget in the guard keeps the
+    // multi-row spatial planner paths on the exploration ratchet
+    val geo = FuzzGen.geoRows(seed + 2, 12).toDF("id", "w")
+    geo.createOrReplaceTempView("f_geo")
+    val queries = FuzzGen.spatialJoinQueries(seed + 3, 30)
+    val refResults = runReference(queries, Map("f_geo" -> geo))
+    val divergences = queries.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+      diff(q, runSpark(q), rf).map(d => s"#$i $d\n  SQL: $q")
+    }
+    assert(divergences.isEmpty,
+      s"seed=${seed + 3}: ${divergences.length} divergence(s):\n${divergences.take(8).mkString("\n")}")
+  }
 }

@@ -262,8 +262,18 @@ class ReferenceParitySpec extends SparkSpec {
   }
 
   test("string edge cases (execute.strings.test.js)") {
-    // negative SUBSTR start counts from the end (DuckDB semantics)
-    checkOrdered("SELECT SUBSTR(name, -3) AS tail FROM susers WHERE id = 1", Seq(Seq("ice")))
+    // negative SUBSTR start is an ERROR in the reference — live-probed:
+    // "SUBSTR(string, start[, length]): start position must be a
+    // positive integer, got -3. SQL uses 1-based indexing." (This test
+    // used to assert DuckDB's from-the-end reading; the r13
+    // literal-guard closure aligned graft with the reference's actual
+    // row-1 throw, caught here.)
+    val e = intercept[Exception] {
+      graft.plans.GraftSql.sql(spark,
+        "SELECT SUBSTR(name, -3) AS tail FROM susers WHERE id = 1").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("start position must be a positive integer"),
+      e.getMessage)
     // POSITION not-found returns 0
     checkOrdered("SELECT POSITION('z' IN name) AS p FROM susers WHERE id = 2", Seq(Seq(0)))
     // || propagates NULL
