@@ -36,7 +36,7 @@ object GraftSql {
   // remaining regex passes, its character-level guards. No pass keeps a
   // private scanner (the per-rewrite guard stacks produced the
   // alias-after-paren wrong-rows bugs of rounds 11-12).
-  import SqlTok.{inLiteral, maskDoubleQuoted, matchBracket, matchParen,
+  import SqlTok.{inLiteral, maskDoubleQuoted, matchParen,
     splitTopLevel, stripComments}
 
   private val renames: Seq[(String, String)] = Seq(
@@ -632,9 +632,26 @@ object GraftSql {
     val span = topSelectSpan(sqlIn).getOrElse(return sqlIn)
     val rawItems = splitTopLevel(sqlIn.substring(span._1, span._2))
     val aliasRe = raw"(?is)^(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    // IMPLICIT aliases (the AS dropped) resolve identically in the
+    // reference — `(expr) name` / `col name` are the two textually
+    // unambiguous shapes (a bare identifier straight after a complete
+    // primary can only be an alias; same reading as the concat rewrite's
+    // postParen rule). Seed-132777 mutation find: `(k - MOD(k, 5)) k
+    // GROUP BY k` groups by the ALIAS in the reference, the shadowed
+    // column in Spark — wrong row count without the expansion.
+    val implicitParenRe = raw"(?is)^(.*\))\s+([A-Za-z_]\w*)\s*$$".r
+    val implicitColRe = raw"(?is)^([A-Za-z_][\w.]*)\s+([A-Za-z_]\w*)\s*$$".r
+    // `DISTINCT x` / `ALL x` are quantified items and `NOT x` is a unary
+    // predicate — the only ident-ident select shapes that are NOT an
+    // implicit alias
+    val notAliasHead = Set("distinct", "all", "not")
     val aliasSeq: Seq[(String, (String, Int))] = rawItems.zipWithIndex.flatMap {
       case (it, i) => it match {
         case aliasRe(e, a) => Some(a.toLowerCase -> (e.trim, i))
+        case implicitParenRe(e, a) => Some(a.toLowerCase -> (e.trim, i))
+        case implicitColRe(e, a) if !notAliasHead(e.toLowerCase) &&
+            !notAliasHead(a.toLowerCase) =>
+          Some(a.toLowerCase -> (e.trim, i))
         case _ => None
       }
     }
@@ -731,7 +748,11 @@ object GraftSql {
         val terms = splitTopLevel(s.substring(termsStart, termsEnd)).map(_.trim)
         val newTerms = terms.map { t =>
           aliases.get(t.toLowerCase) match {
-            case Some((ex, idx)) => s"(${expand(ex, idx, qualifyBlocked = false)})"
+            // a nondeterministic alias stays a bare name: textual
+            // duplication would re-evaluate it, and Spark's native
+            // groupByAliases resolution keeps the single evaluation
+            case Some((ex, idx)) if nondet.findFirstIn(ex).isEmpty =>
+              s"(${expand(ex, idx, qualifyBlocked = false)})"
             case _ => t
           }
         }
@@ -1100,70 +1121,40 @@ object GraftSql {
     */
   private def rewriteArrayLiterals(sqlIn: String): String = {
     if (!sqlIn.contains("[")) return sqlIn
-    val sb = new StringBuilder(sqlIn.length + 16)
-    val stack = scala.collection.mutable.Stack[Boolean]() // true = converted
-    var i = 0
-    var strCh: Char = 0
-    while (i < sqlIn.length) {
-      val c = sqlIn.charAt(i)
-      if (strCh != 0) { sb.append(c); if (c == strCh) strCh = 0 }
-      else c match {
-        case '\'' | '"' => strCh = c; sb.append(c)
-        case '[' =>
-          // subscript only when the bracket TOUCHES its base (ident,
-          // close-paren/bracket, quote) — `SELECT [1,2]` has a space
-          // before the bracket and is a literal
-          val p = if (i > 0) sqlIn.charAt(i - 1) else ' '
-          val subscript = p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '"' || p == '\''
-          if (subscript) { stack.push(false); sb.append(c) }
-          else { stack.push(true); sb.append("array(") }
-        case ']' =>
-          val wasLit = stack.nonEmpty && stack.pop()
-          sb.append(if (wasLit) ")" else "]")
-        case other => sb.append(other)
-      }
-      i += 1
-    }
-    sb.toString
-  }
-
-  /** The span [start, end) of the primary expression ENDING just before
-    * `endExcl` (whitespace-skipped): a parenthesized group with an
-    * optional function name, a quoted literal, or an identifier/number
-    * chain. Used to wrap the left operand of `±INTERVAL` arithmetic.
-    */
-  private def primarySpan(s: String, endExcl: Int): (Int, Int) = {
-    var k = endExcl - 1
-    while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
-    if (k < 0) return (0, 0)
-    val end = k + 1
-    s.charAt(k) match {
-      case ')' =>
-        var depth = 0
-        var j = k
-        while (j >= 0) {
-          val c = s.charAt(j)
-          if (c == ')') depth += 1
-          else if (c == '(') {
-            depth -= 1
-            if (depth == 0) {
-              var t = j - 1
-              while (t >= 0 && (s.charAt(t).isLetterOrDigit || s.charAt(t) == '_')) t -= 1
-              return (t + 1, end)
-            }
-          }
-          j -= 1
+    val v = new SqlTok.View(sqlIn)
+    val toks = v.toks
+    // decide each MATCHED bracket pair once off the token stream: a `[`
+    // touching its base token (ident/number/close-paren/close-bracket/
+    // quote) subscripts; any other `[` opens a literal -> array( ... ).
+    // Nested literals convert fully (each pair decides independently);
+    // unbalanced brackets pass through and fail at Spark's parser.
+    val edits = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k)
+      if (t.kind == SqlTok.LBrk && v.brk(k) >= 0) {
+        val prev = if (k > 0) toks(k - 1) else null
+        val subscript = prev != null && prev.end == t.start &&
+          (prev.kind == SqlTok.Word || prev.kind == SqlTok.Num ||
+            prev.kind == SqlTok.RPar || prev.kind == SqlTok.RBrk ||
+            prev.kind == SqlTok.DQuot || prev.kind == SqlTok.Str)
+        if (!subscript) {
+          edits += ((t.start, t.end, "array("))
+          val close = toks(v.brk(k))
+          edits += ((close.start, close.end, ")"))
         }
-        (0, end)
-      case '\'' =>
-        var j = k - 1
-        while (j >= 0 && s.charAt(j) != '\'') j -= 1
-        (math.max(j, 0), end)
-      case c if c.isLetterOrDigit || c == '_' =>
-        var j = k
-        while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' || s.charAt(j) == '.')) j -= 1
-        (j + 1, end)
-      case _ => (end, end)
+      }
+      k += 1
+    }
+    if (edits.isEmpty) sqlIn
+    else {
+      val sb = new StringBuilder(sqlIn.length + edits.size * 5)
+      var prev = 0
+      for ((s0, e0, txt) <- edits.sortBy(_._1)) {
+        sb.append(sqlIn.substring(prev, s0)).append(txt); prev = e0
+      }
+      sb.append(sqlIn.substring(prev))
+      sb.toString
     }
   }
 
@@ -1606,29 +1597,37 @@ object GraftSql {
   private def rewriteSubscripts(sqlIn: String): String = {
     var s = sqlIn
     var guard = 0
-    var search = 0
+    var from = 0
     while (guard < 200) {
       guard += 1
-      val idx = s.indexOf('[', search)
-      if (idx < 0) return s
-      if (inLiteral(s, idx)) search = idx + 1
+      if (!s.contains("[")) return s
+      val v = new SqlTok.View(s)
+      val toks = v.toks
+      var k = 0
+      var site = -1
+      while (site < 0 && k < toks.length) {
+        val t = toks(k)
+        // same base set as the char scanner this replaces: a bracket
+        // straight after an ident/number/close-paren/close-bracket/
+        // double-quoted ident (NOT a string literal) is a subscript
+        if (t.kind == SqlTok.LBrk && t.start >= from && v.brk(k) >= 0 && k > 0 &&
+            toks(k - 1).end == t.start &&
+            (toks(k - 1).kind == SqlTok.Word || toks(k - 1).kind == SqlTok.Num ||
+              toks(k - 1).kind == SqlTok.RPar || toks(k - 1).kind == SqlTok.RBrk ||
+              toks(k - 1).kind == SqlTok.DQuot)) site = k
+        else k += 1
+      }
+      if (site < 0) return s
+      val open = toks(site)
+      val close = toks(v.brk(site))
+      val content = s.substring(open.end, close.start)
+      if (content.trim.startsWith("'")) from = close.end
       else {
-        val p = if (idx > 0) s.charAt(idx - 1) else ' '
-        val isSub = p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '"'
-        if (!isSub) search = idx + 1
-        else {
-          val close = matchBracket(s, idx)
-          if (close < 0) return s
-          val content = s.substring(idx + 1, close)
-          if (content.trim.startsWith("'")) search = close + 1
-          else {
-            val (bStart, _) = primarySpan(s, idx)
-            val base = s.substring(bStart, idx)
-            val rep = s"graft_get($base, ($content))"
-            s = s.substring(0, bStart) + rep + s.substring(close + 1)
-            search = bStart + rep.length
-          }
-        }
+        val (_, bStart, _) = v.primaryBefore(site)
+        val base = s.substring(bStart, open.start)
+        val rep = s"graft_get($base, ($content))"
+        s = s.substring(0, bStart) + rep + s.substring(close.end)
+        from = bStart + rep.length
       }
     }
     s

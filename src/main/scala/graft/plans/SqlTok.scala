@@ -273,28 +273,6 @@ private[graft] object SqlTok {
     -1
   }
 
-  /** Index of the `]` matching the `[` at `open` (skips quoted strings),
-    * or -1 when unbalanced.
-    */
-  def matchBracket(s: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-        case '[' => depth += 1
-        case ']' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
-  }
-
   /** Split an argument list at top-level commas (quotes/parens/brackets
     * respected).
     */

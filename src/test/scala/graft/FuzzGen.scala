@@ -643,8 +643,22 @@ object FuzzGen {
     * arrays, string edges, date-trunc) — the reference registry surface
     * the relational batteries never reach.
     */
-  def scalarExpr(r: Random): String = r.nextInt(10) match {
+  def scalarExpr(r: Random): String = r.nextInt(11) match {
     case 0 | 1 | 2 => mathExpr(r)
+    case 10 => // bracket array literals + 0-based subscripts (round-13
+      // widening: this surface rides rewriteArrayLiterals +
+      // rewriteSubscripts — reference: out-of-range/negative → null,
+      // nesting converts fully; all shapes node-probed)
+      val lit = s"[${Seq.fill(2 + r.nextInt(3))(r.nextInt(20)).mkString(", ")}]"
+      r.nextInt(6) match {
+        case 0 => s"$lit[${r.nextInt(6)}]"
+        case 1 => s"ARRAY_SORT($lit)[${r.nextInt(4)}]"
+        case 2 => s"ARRAY_CONCAT($lit, [${r.nextInt(9)}])[${r.nextInt(7)}]"
+        case 3 => s"LEN($lit)"
+        case 4 => s"[[${r.nextInt(9)}, ${r.nextInt(9)}], [${r.nextInt(9)}]][${r.nextInt(3)}]"
+        case _ =>
+          s"STRING_SPLIT('${r.shuffle(Seq("a", "b", "c", "d")).mkString(" ")}', ' ')[${r.nextInt(5)}]"
+      }
     case 3 => // JSON inspection
       val doc = jsonDoc(r, 1 + r.nextInt(2))
       r.nextInt(4) match {

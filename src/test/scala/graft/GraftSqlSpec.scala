@@ -1198,6 +1198,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate CTE"))
   }
 
+  test("implicit alias shadowing a column resolves GROUP BY to the ALIAS (seed-132777 mutation find)") {
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("k").createOrReplaceTempView("ia2_t")
+    // node-probed: the reference substitutes the select-list alias into
+    // GROUP BY even when the name shadows a base column — 3 groups
+    // (0,2,4), not 4 — and the AS-less spelling resolves identically
+    val r = GraftSql.sql(spark,
+      "SELECT (k - MOD(k, 2)) k, COUNT(*) AS c FROM ia2_t GROUP BY k ORDER BY k")
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(r == Seq((0, 1L), (2, 2L), (4, 1L)), r.toString)
+    // the bare-column implicit alias form expands the same way
+    val r2 = GraftSql.sql(spark,
+      "SELECT k kk, COUNT(*) AS c FROM ia2_t GROUP BY kk ORDER BY kk")
+      .collect().map(_.getInt(0)).toSeq
+    assert(r2 == Seq(1, 2, 3, 4), r2.toString)
+  }
+
   test("LEAD/LAG quoted offsets follow JS Number(v) (seed-131337 mutation find)") {
     import spark.implicits._
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name")
