@@ -797,6 +797,42 @@ object GraftSql {
     s
   }
 
+  /** Reference null ordering: nulls sort FIRST regardless of direction
+    * unless NULLS LAST is explicit (execute/utils.js:19-23 — the null
+    * branch returns BEFORE the DESC flip). Spark's bare-DESC default is
+    * NULLS LAST, so every bare DESC INSIDE AN ORDER BY TAIL gets the
+    * explicit modifier. Token-driven with per-paren-depth ORDER-BY
+    * state, so `OVER (ORDER BY x DESC)` window specs convert while a
+    * DESC used as an identifier anywhere else passes through.
+    */
+  private def rewriteBareDesc(sqlIn: String): String = {
+    val toks = SqlTok.tokenize(sqlIn)
+    val clauseEnd = Set("LIMIT", "OFFSET", "HAVING", "WINDOW", "QUALIFY",
+      "UNION", "INTERSECT", "EXCEPT", "FROM", "WHERE", "GROUP", "SELECT",
+      "ROWS", "RANGE")
+    val edits = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    var stack: List[Boolean] = List(false) // inOrderBy per paren depth
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k)
+      t.kind match {
+        case SqlTok.LPar => stack ::= false
+        case SqlTok.RPar => if (stack.tail.nonEmpty) stack = stack.tail
+        case SqlTok.Word if t.up == "ORDER" &&
+            k + 1 < toks.length && toks(k + 1).is("BY") =>
+          stack = true :: stack.tail
+        case SqlTok.Word if clauseEnd(t.up) =>
+          stack = false :: stack.tail
+        case SqlTok.Word if t.up == "DESC" && stack.head &&
+            !(k + 1 < toks.length && toks(k + 1).is("NULLS")) =>
+          edits += ((t.end, " NULLS FIRST"))
+        case _ => ()
+      }
+      k += 1
+    }
+    SqlTok.applyInserts(sqlIn, edits.toList)
+  }
+
   /** Rewrite one squirreling-dialect statement into Spark SQL. */
   def rewrite(sqlText: String): String = rewriteImpl(sqlText, notInExists = true)
 
@@ -2484,9 +2520,11 @@ object GraftSql {
     // branch returns BEFORE the DESC flip). Spark's bare-DESC default is
     // NULLS LAST, so every bare DESC gets the explicit modifier. (Bare
     // ASC already agrees: both default nulls-first ascending.)
-    s = raw"(?i)\bDESC\b(?!\s+NULLS\b)".r.replaceSomeIn(s, m =>
-      if (inLiteral(m.source.toString, m.start)) None
-      else Some("DESC NULLS FIRST"))
+    // ...token-scoped to ORDER BY tails (incl. window-spec ORDER BY):
+    // the old global \bDESC\b regex also fired on DESC used as an
+    // IDENTIFIER (`SELECT desc …` — the reference reads bare keywords
+    // as columns), corrupting the statement (seed-135555 mutation find)
+    s = rewriteBareDesc(s)
 
     renames.foldLeft(s) { case (acc, (from, to)) =>
       raw"(?i)\b$from\s*\(".r.replaceSomeIn(acc, m =>
@@ -2727,6 +2765,12 @@ object GraftSql {
         s"${deriveName(ex.child)}[${deriveName(ex.extraction)}]"
       case b: BinaryOperator => // sqlOperator: AND/OR spell out, = stays =
         deriveName(b.left) + "_" + b.sqlOperator.toLowerCase + "_" + deriveName(b.right)
+      case c: Concat =>
+        // `a || b` parses straight to Concat (not a BinaryOperator);
+        // the reference names it through the operator spelling:
+        // a_||_b (seed-134777 find — the CONCAT(...) function spelling
+        // still reaches the UnresolvedFunction case above)
+        c.children.map(deriveName).mkString("_||_")
       case _ => "expr"
     }
   }
@@ -2765,12 +2809,28 @@ object GraftSql {
       case Some(list) if list.count(_.isInstanceOf[UnresolvedStar]) <= 1 =>
         val width = df.schema.length
         val starWidth = width - (list.length - list.count(_.isInstanceOf[UnresolvedStar]))
+        // an UNALIASED bare reference to an EARLIER select alias derives
+        // its name from that alias's EXPRESSION — the reference resolves
+        // select-list names laterally before derivedAlias runs
+        // (node-probed: `SELECT (k+10) k, k` names the second column
+        // `k_+_10`, value k+10; seed-134777 mutation find). First
+        // definition wins, matching the expansion pass's dup rule.
+        val earlierAlias = scala.collection.mutable.Map[
+          String, org.apache.spark.sql.catalyst.expressions.Expression]()
+        def lateralName(a: UnresolvedAttribute): Option[String] =
+          if (a.nameParts.length == 1)
+            earlierAlias.get(a.nameParts.head.toLowerCase).map(deriveName)
+          else None
         val names = list.flatMap {
           case _: UnresolvedStar => df.columns.slice(
             list.takeWhile(!_.isInstanceOf[UnresolvedStar]).length,
             list.takeWhile(!_.isInstanceOf[UnresolvedStar]).length + starWidth).toSeq
-          case a: Alias => Seq(a.name)
-          case a: UnresolvedAttribute => Seq(a.nameParts.last)
+          case a: Alias =>
+            earlierAlias.getOrElseUpdate(a.name.toLowerCase, a.child)
+            Seq(a.name)
+          case a: UnresolvedAttribute => Seq(lateralName(a).getOrElse(a.nameParts.last))
+          case UnresolvedAlias(child: UnresolvedAttribute, _)
+              if lateralName(child).isDefined => Seq(lateralName(child).get)
           case UnresolvedAlias(child, _) => Seq(deriveName(child))
           case other => Seq(deriveName(other))
         }

@@ -138,8 +138,12 @@ class FuzzSpec extends FuzzHarness {
   test("mutation fuzz: single-edit mutants — agreement on rejection, no reference-only queries") {
     assume(nodeOk, "node not available")
     fuzzTables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    val r = new scala.util.Random(99L)
-    val mutants = FuzzGen.queries(seed = seedOr(31L, 3), n = 150).map(q => FuzzGen.mutate(r, q))
+    // both the BASE queries and the EDITS re-seed under GRAFT_FUZZ_SEED
+    // (mutants found the only two engine gaps of round 13 — the
+    // highest-yield battery, so deep audits can raise its budget too)
+    val nMutants = sys.env.getOrElse("GRAFT_FUZZ_MUTANT_N", "150").toInt
+    val r = new scala.util.Random(seedOr(99L, 5))
+    val mutants = FuzzGen.queries(seed = seedOr(31L, 3), n = nMutants).map(q => FuzzGen.mutate(r, q))
     val refResults = runReference(mutants)
     var bothReject = 0
     var sparkOnly = 0 // graft accepts what the reference rejects: superset, allowed
@@ -183,6 +187,35 @@ class FuzzSpec extends FuzzHarness {
           // real dialect gaps under DATATYPE_MISMATCH still flag.
           (e.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES") &&
             (e.contains(" OR ") || e.contains(" AND "))) ||
+          // same family, same scope: two NON-BOOLEAN operands of the
+          // SAME type inside AND/OR (`ROUND(SUM(x),3) OR ROUND(...)`,
+          // seed-134777 find) — WRONG_TYPE, not DIFF_TYPES, but still
+          // JS truthiness on numbers vs the typed-boolean rejection.
+          // The QUERY is checked for the operator (the 300-char error
+          // excerpt may truncate before echoing it)
+          (e.contains("DATATYPE_MISMATCH.BINARY_OP_WRONG_TYPE") &&
+            raw"(?i)\s(OR|AND)\s".r.findFirstIn(q).isDefined) ||
+          // a type-mismatched IN-subquery (`custkey NOT IN (SELECT
+          // '%a_')`, seed-134777 find): the analyzer coerces the
+          // subquery column to the probe's type with an ANSI cast that
+          // throws on garbage, where the reference's JS == reads the
+          // mismatch as NaN/false. Row semantics for the NOT IN form
+          // cannot match in default mode anyway (the pinned
+          // three-valued null contract), and rejecting a query whose
+          // list can never match is the loud option — scoped to
+          // queries that actually contain an IN (SELECT
+          (e.contains("CAST_INVALID_INPUT") &&
+            raw"(?i)\bIN\s*\(\s*SELECT\b".r.findFirstIn(q).isDefined) ||
+          // a DAMAGED identifier (mutants truncate/duplicate tokens):
+          // the reference resolves names per ROW — an unknown column
+          // evaluates to undefined and the query "runs" — where graft
+          // analyzes up front and rejects (the documented
+          // lazy-resolution boundary, same doctrine as the replay
+          // classifier's lazyResolution bucket). The main dialect
+          // battery uses only valid names, so a REAL resolution gap
+          // (a lateral alias form etc.) still surfaces there as a
+          // row diff, never through this excusal.
+          e.contains("UNRESOLVED_COLUMN") ||
           // a mutation landing unary NOT on a string literal (`NOT ''`,
           // seed-88005 find): JS coerces the literal by truthiness, a
           // typed engine instead coerces the OTHER operand to boolean
@@ -269,7 +302,7 @@ class FuzzSpec extends FuzzHarness {
           }
       }
     }
-    info(s"mutants=150 bothReject=$bothReject sparkOnlyAccept=$sparkOnly " +
+    info(s"mutants=$nMutants bothReject=$bothReject sparkOnlyAccept=$sparkOnly " +
       s"strictnessRejected=$ambiguous problems=${problems.length}")
     assert(problems.isEmpty, s"${problems.length} problem(s):\n${problems.take(10).mkString("\n")}")
   }

@@ -1198,6 +1198,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate CTE"))
   }
 
+  test("DESC converts to NULLS FIRST only inside ORDER BY tails (seed-135555 mutation find)") {
+    // the old global regex corrupted DESC used as an IDENTIFIER
+    assert(GraftSql.rewrite("SELECT a FROM t ORDER BY a DESC, b DESC LIMIT 2") ==
+      "SELECT a FROM t ORDER BY a DESC NULLS FIRST, b DESC NULLS FIRST LIMIT 2")
+    assert(GraftSql.rewrite("SELECT rank() OVER (ORDER BY x DESC) r FROM t")
+      .contains("ORDER BY x DESC NULLS FIRST)"))
+    // explicit NULLS LAST stays; DESC outside ORDER BY passes through
+    assert(GraftSql.rewrite("SELECT a FROM t ORDER BY a DESC NULLS LAST")
+      .endsWith("DESC NULLS LAST"))
+    assert(GraftSql.rewrite("SELECT \"desc\" FROM t") == "SELECT \"desc\" FROM t")
+    // ORDER BY state resets at a clause keyword: a LIMIT subquery's
+    // outer DESC-named identifier is untouched
+    assert(!GraftSql.rewrite("SELECT desc FROM t LIMIT 5").contains("NULLS"))
+  }
+
+  test("derived names: || spells _||_ and a bare ref to an earlier alias re-derives (seed-134777 find)") {
+    import spark.implicits._
+    Seq((1, "Customer#001", "BUILDING")).toDF("c_custkey", "c_name", "c_mktsegment")
+      .createOrReplaceTempView("dn_t")
+    // node-probed: the reference names the unaliased duplicate from the
+    // EXPANDED alias expression, through the operator spelling of ||
+    val df = GraftSql.sqlDerived(spark,
+      "SELECT (LEFT(c_name, 0) || SUBSTR(c_mktsegment, 1, 4)) AS c1, c1 FROM dn_t")
+    assert(df.columns.toSeq ==
+      Seq("c1", "left_c_name_0_||_substr_c_mktsegment_1_4"), df.columns.mkString(";"))
+    assert(df.collect().head.getString(1) == "BUIL")
+    assert(GraftSql.derivedAlias("a || b") == "a_||_b")
+  }
+
   test("implicit alias shadowing a column resolves GROUP BY to the ALIAS (seed-132777 mutation find)") {
     import spark.implicits._
     Seq(1, 2, 3, 4).toDF("k").createOrReplaceTempView("ia2_t")
