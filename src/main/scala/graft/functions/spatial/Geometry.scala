@@ -42,7 +42,7 @@ object Wkt {
   /** Parse WKT; None on malformed input (engine surfaces SQL NULL). */
   def parse(wkt: String): Option[Geom] = {
     val s = wkt.trim
-    val u = s.toUpperCase
+    val u = s.toUpperCase(java.util.Locale.ROOT)
     def body(prefix: Int): Option[String] = {
       val rest = s.substring(prefix).trim
       if (rest.startsWith("(") && rest.endsWith(")")) Some(rest.substring(1, rest.length - 1).trim)

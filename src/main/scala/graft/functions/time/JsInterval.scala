@@ -147,7 +147,7 @@ object JsInterval {
               .plusMonths(monthIdx)
             z0.`with`(first.plusDays(z0.getDayOfMonth - 1L))
           }
-          val out = unit.toUpperCase match {
+          val out = unit.toUpperCase(java.util.Locale.ROOT) match {
             case "SECOND" => z0.plusSeconds(t(z0.getSecond + adj) - z0.getSecond)
             case "MINUTE" => z0.plusMinutes(t(z0.getMinute + adj) - z0.getMinute)
             case "HOUR"   => z0.plusHours(t(z0.getHour + adj) - z0.getHour)

@@ -146,7 +146,10 @@ object DateDiffUnit {
     def utc(ms: Long) = java.time.Instant.ofEpochMilli(ms)
       .atZone(java.time.ZoneOffset.UTC)
     val ms = bMs - aMs
-    unit.toUpperCase match {
+    // Locale.ROOT: the reference's JS toUpperCase is locale-insensitive;
+    // a Turkish default JVM locale would read 'minute' as 'MİNUTE' and
+    // fall through to the unknown-unit null branch
+    unit.toUpperCase(java.util.Locale.ROOT) match {
       case "YEAR" => java.lang.Long.valueOf(
         (utc(bMs).getYear - utc(aMs).getYear).toLong)
       case "MONTH" =>

@@ -39,6 +39,19 @@ object GraftSql {
   import SqlTok.{inLiteral, maskDoubleQuoted, matchParen,
     splitTopLevel, stripComments}
 
+  // The legal non-boundary followers of a `)` — each has its own
+  // handling wherever a pass must decide whether a bare word after a
+  // close-paren is an IMPLICIT ALIAS or part of the expression. Named
+  // as ONE set (vs the round-11/12 shape of ad-hoc exclusions ordered
+  // under per-pass guards) so a future dialect keyword lands here
+  // instead of silently reading as an alias: `(x) ILIKE '%0%'` must
+  // wrap its parenthesized operand (seed-88015 fuzz find), `CASE …
+  // THEN (x) END` must pop its case-frame / not register a phantom
+  // `end` alias, and `rank() OVER (…)` must keep the window expression
+  // in one segment. Consumers: rewriteJsConcatOps (segment logic),
+  // rewriteAliasExpansion (implicit-alias capture).
+  private val postParenKeywords = Set("ILIKE", "END", "OVER")
+
   private val renames: Seq[(String, String)] = Seq(
     // string_split / str_split rewrite in rewrite() (literal-delimiter
     // semantics need regex quoting, not a bare rename)
@@ -107,15 +120,24 @@ object GraftSql {
     s"(__typeofkeep__($x) IN ('tinyint','smallint','int','bigint','float'," +
       s"'double','boolean') OR __typeofkeep__($x) LIKE 'decimal%')"
 
+  // the null check nests INSIDE the raise branch: the reference
+  // null-checks the VALUE before its type throw (strings.js val==null,
+  // evaluate.js jsonArg==null — a numeric column of NULLs returns
+  // NULLs, not an error), and keeping the outer CASE typeof-only
+  // preserves its foldability — allowed types still fold to zero cost
+  private def strictRaise(x: String, msg: String): String =
+    s"(CASE WHEN ($x) IS NULL THEN NULL " +
+      s"ELSE CAST(raise_error('$msg') AS STRING) END)"
+
   private def jsonStrictInput(fname: String, x: String): String =
-    s"(CASE WHEN ${numericTypeof(x)} THEN CAST(raise_error(" +
-      s"'${fname.toUpperCase}(expression, path): first argument must be JSON string or object') " +
-      s"AS STRING) ELSE graft_json_input($x) END)"
+    s"(CASE WHEN ${numericTypeof(x)} THEN ${strictRaise(x,
+      s"${fname.toUpperCase(java.util.Locale.ROOT)}(expression, path): first argument must be JSON string or object")} " +
+      s"ELSE graft_json_input($x) END)"
 
   private def octetStrict(x: String): String =
-    s"(CASE WHEN __typeofkeep__($x) NOT IN ('string', 'void') THEN CAST(raise_error(" +
-      s"'OCTET_LENGTH(string): expected string. Use CAST to convert to a string first.') " +
-      s"AS STRING) ELSE $x END)"
+    s"(CASE WHEN __typeofkeep__($x) NOT IN ('string', 'void') THEN ${strictRaise(x,
+      "OCTET_LENGTH(string): expected string. Use CAST to convert to a string first.")} " +
+      s"ELSE $x END)"
 
   private val jsonScalarLit =
     raw"""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|true|false|null|"([^"\\]|\\.)*"""".r
@@ -254,7 +276,7 @@ object GraftSql {
             val end = j
             while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
             val name = s.substring(j + 1, end + 1)
-            return if (name.nonEmpty) Some((name.toLowerCase, i)) else None
+            return if (name.nonEmpty) Some((name.toLowerCase(java.util.Locale.ROOT), i)) else None
           } else depth -= 1
         case _ =>
       }
@@ -273,7 +295,7 @@ object GraftSql {
         if (name == "filter" || name == "exists") {
           var j = open + 1
           while (j < s.length && s.charAt(j).isWhitespace) j += 1
-          val word = s.drop(j).takeWhile(c => c.isLetter).toLowerCase
+          val word = s.drop(j).takeWhile(c => c.isLetter).toLowerCase(java.util.Locale.ROOT)
           word != "where" && word != "select"
         } else true
       case _ => false
@@ -380,7 +402,7 @@ object GraftSql {
         // constants).
         val projItems = splitTopLevel(proj)
         val aliasRe = raw"(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
-        val aliasMap = projItems.collect { case aliasRe(e, a) => a.toLowerCase -> e.trim }.toMap
+        val aliasMap = projItems.collect { case aliasRe(e, a) => a.toLowerCase(java.util.Locale.ROOT) -> e.trim }.toMap
         def baseExpr(item: String): String = item match {
           case aliasRe(e, _) => e.trim
           case other => other.trim
@@ -395,7 +417,7 @@ object GraftSql {
               case Some(n) if n >= 1 && n <= projItems.length => baseExpr(projItems(n - 1))
               case _ => t
             }
-          } else aliasMap.getOrElse(t.toLowerCase, t)
+          } else aliasMap.getOrElse(t.toLowerCase(java.util.Locale.ROOT), t)
         }
         val dirRe = raw"(?is)^(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)\s*$$".r
         val ordItems = splitTopLevel(windowOrder).zipWithIndex.map { case (item, i) =>
@@ -459,8 +481,8 @@ object GraftSql {
           val start = from + m.start
           if (inLiteral(s, start)) from = start + 1
           else {
-            val sep = m.group(1).trim.toUpperCase
-            val fname = m.group(2).toUpperCase
+            val sep = m.group(1).trim.toUpperCase(java.util.Locale.ROOT)
+            val fname = m.group(2).toUpperCase(java.util.Locale.ROOT)
             val open = from + m.end - 1
             val close = matchParen(s, open)
             if (close < 0) continue = false
@@ -468,7 +490,7 @@ object GraftSql {
               val args = s.substring(open + 1, close)
               val rest = s.substring(close + 1)
               val (alias, cols, consumed0) = aliasRe.findFirstMatchIn(rest) match {
-                case Some(am) if !kw.contains(am.group(1).toLowerCase) =>
+                case Some(am) if !kw.contains(am.group(1).toLowerCase(java.util.Locale.ROOT)) =>
                   val cs = Option(am.group(2)).map(_.stripPrefix("(").stripSuffix(")")
                     .split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
                   (am.group(1), cs, am.end)
@@ -504,7 +526,7 @@ object GraftSql {
               val onCond = onParsed.map(_._1)
               val consumed = consumed0 + onParsed.map(_._2).getOrElse(0)
               val defCols =
-                if (fname == "JSON_EACH") Seq("key", "value") else Seq(fname.toLowerCase)
+                if (fname == "JSON_EACH") Seq("key", "value") else Seq(fname.toLowerCase(java.util.Locale.ROOT))
               // a written alias list names the FIRST columns (the
               // reference's j(k) form); the rest keep their defaults
               val colList =
@@ -645,13 +667,21 @@ object GraftSql {
     // predicate — the only ident-ident select shapes that are NOT an
     // implicit alias
     val notAliasHead = Set("distinct", "all", "not")
+    // a keyword straight after `)` is part of the EXPRESSION, never an
+    // implicit alias: `CASE WHEN a THEN (b) END` must not register a
+    // phantom alias `end` (which would drop the END keyword from the
+    // captured expression and suppress a real alias of that name via
+    // the dup rule) — same exclusion set as the concat pass's
+    // postParenKeywords, the one named home for post-paren keywords
+    val notAliasTail = postParenKeywords.map(_.toLowerCase(java.util.Locale.ROOT))
     val aliasSeq: Seq[(String, (String, Int))] = rawItems.zipWithIndex.flatMap {
       case (it, i) => it match {
-        case aliasRe(e, a) => Some(a.toLowerCase -> (e.trim, i))
-        case implicitParenRe(e, a) => Some(a.toLowerCase -> (e.trim, i))
-        case implicitColRe(e, a) if !notAliasHead(e.toLowerCase) &&
-            !notAliasHead(a.toLowerCase) =>
-          Some(a.toLowerCase -> (e.trim, i))
+        case aliasRe(e, a) => Some(a.toLowerCase(java.util.Locale.ROOT) -> (e.trim, i))
+        case implicitParenRe(e, a) if !notAliasTail(a.toLowerCase(java.util.Locale.ROOT)) =>
+          Some(a.toLowerCase(java.util.Locale.ROOT) -> (e.trim, i))
+        case implicitColRe(e, a) if !notAliasHead(e.toLowerCase(java.util.Locale.ROOT)) &&
+            !notAliasHead(a.toLowerCase(java.util.Locale.ROOT)) =>
+          Some(a.toLowerCase(java.util.Locale.ROOT) -> (e.trim, i))
         case _ => None
       }
     }
@@ -691,7 +721,7 @@ object GraftSql {
     val nondet = raw"(?i)\b(RAND|RANDOM|NOW|UUID|CURRENT_DATE|CURRENT_TIME|CURRENT_TIMESTAMP)\b".r
     def expand(e: String, allowed: Int, qualifyBlocked: Boolean): String =
       raw"(?<![\w.])([A-Za-z_]\w*)(?![\w.])(?!\s*\()".r.replaceSomeIn(e, m => {
-        val k = m.group(1).toLowerCase
+        val k = m.group(1).toLowerCase(java.util.Locale.ROOT)
         if (inLiteral(e, m.start)) None
         else aliases.get(k) match {
           case Some((ex, idx)) if idx < allowed && nondet.findFirstIn(ex).isEmpty =>
@@ -747,7 +777,7 @@ object GraftSql {
         }
         val terms = splitTopLevel(s.substring(termsStart, termsEnd)).map(_.trim)
         val newTerms = terms.map { t =>
-          aliases.get(t.toLowerCase) match {
+          aliases.get(t.toLowerCase(java.util.Locale.ROOT)) match {
             // a nondeterministic alias stays a bare name: textual
             // duplication would re-evaluate it, and Spark's native
             // groupByAliases resolution keeps the single evaluation
@@ -788,7 +818,7 @@ object GraftSql {
     //    inside an aggregate the output ref is circular for a shadow
     val obAggRe = raw"(?is)\b(ORDER\s+BY\s.*?)\b(sum|min|max|avg|count)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
     s = obAggRe.replaceSomeIn(s, m => {
-      val name = m.group(3).toLowerCase
+      val name = m.group(3).toLowerCase(java.util.Locale.ROOT)
       aliases.get(name).map { case (ex, idx) =>
         scala.util.matching.Regex.quoteReplacement(
           s"${m.group(1)}${m.group(2)}((${expand(ex, idx, qualifyBlocked = true)}))")
@@ -880,7 +910,7 @@ object GraftSql {
           val before = s.take(start).reverse.dropWhile(_.isWhitespace).headOption
           val exprTail = before.exists(c => "+-*/%|&^~".contains(c))
           if (close < 0 || exprTail ||
-              !inner.toUpperCase.startsWith("SELECT")) { from = from + m.end }
+              !inner.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT")) { from = from + m.end }
           else {
             val lhs = m.group(1).trim
             // <=> not =: the reference's IN walks sqlEquals (JS ==,
@@ -1019,16 +1049,6 @@ object GraftSql {
       "CURRENT", "ROW", "CROSS", "INNER", "OUTER", "FULL", "SEMI", "ANTI",
       "LATERAL", "NATURAL", "EXISTS", "ANY", "SOME", "FILTER", "ESCAPE",
       "RLIKE", "REGEXP", "GLOB", "QUALIFY", "WINDOW", "NOT")
-    // The legal non-boundary followers of a `)` — each has its OWN case
-    // in the word match below, so the implicit-alias branch must not
-    // claim them. Named as ONE set (vs the round-11/12 shape of ad-hoc
-    // exclusions ordered under the guard) so a future dialect keyword
-    // lands here instead of silently reading as an alias: `(x) ILIKE
-    // '%0%'` must wrap its parenthesized operand (seed-88015 fuzz
-    // find), `CASE … THEN (x) END` must pop its case-frame, and
-    // `rank() OVER (…)` must keep the window expression in one segment.
-    val postParenKeywords = Set("ILIKE", "END", "OVER")
-
     final class Frame {
       var segStart: Int = -1 // start of the current additive segment
       var lastNonWs: Int = -1 // last non-whitespace char inside it
@@ -1401,7 +1421,7 @@ object GraftSql {
           tail.findPrefixMatchOf(s.substring(idx)) match {
             case Some(mm) =>
               val vv = Option(mm.group(1)).getOrElse(mm.group(2)).trim.toDouble
-              ok = subMonthIntegral(mm.group(3).toUpperCase, vv)
+              ok = subMonthIntegral(mm.group(3).toUpperCase(java.util.Locale.ROOT), vv)
               idx += mm.end
             case None => cont = false
           }
@@ -1546,13 +1566,13 @@ object GraftSql {
               else {
                 var j = i
                 while (j >= 0 && s.charAt(j).isLetter) j -= 1
-                var w = s.substring(j + 1, i + 1).toUpperCase
+                var w = s.substring(j + 1, i + 1).toUpperCase(java.util.Locale.ROOT)
                 if (w == "ALL" || w == "DISTINCT") {
                   var k = j
                   while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
                   val e = k
                   while (k >= 0 && s.charAt(k).isLetter) k -= 1
-                  w = s.substring(k + 1, e + 1).toUpperCase
+                  w = s.substring(k + 1, e + 1).toUpperCase(java.util.Locale.ROOT)
                 }
                 w == "UNION" || w == "INTERSECT" || w == "EXCEPT"
               }
@@ -1901,7 +1921,7 @@ object GraftSql {
           // QUOTED ISO form; evaluate.js:703-706)
           case ms(e, _) => s"graft_js_cast_str(($e))"
           case m(e, t) =>
-            val tgt = t.toUpperCase
+            val tgt = t.toUpperCase(java.util.Locale.ROOT)
             // JS Number('') = 0 — a blank string casts to ZERO, not null
             val blankZero = s"CASE WHEN trim(($e)) = '' THEN try_cast(0 AS $tgt) END"
             if (tgt == "DOUBLE" || tgt == "FLOAT" || tgt == "REAL")
@@ -2162,7 +2182,7 @@ object GraftSql {
     // deep differential fuzz, the same off-by-one the function forms
     // above already fixed
     s = rewriteCall(s, "date_part", args =>
-      if (args.length == 2 && args(0).trim.toLowerCase.matches("'dow'"))
+      if (args.length == 2 && args(0).trim.toLowerCase(java.util.Locale.ROOT).matches("'dow'"))
         s"(__dow__(${args(1)}) - 1)"
       else s"__dpart__(${args.mkString(", ")})")
     s = s.replace("__dpart__(", "date_part(")
@@ -2265,14 +2285,14 @@ object GraftSql {
       for (f <- Seq("left", "right"))
         s = rewriteCall(s, f, args =>
           if (args.length == 2 && intLit(args(1)).exists(_ < 0))
-            bad(f.toUpperCase, "length must be a non-negative integer", args(1))
+            bad(f.toUpperCase(java.util.Locale.ROOT), "length must be a non-negative integer", args(1))
           else s"__argchk_${f}__(${args.mkString(", ")})")
       for (f <- Seq("regexp_extract", "regexp_substr"))
         s = rewriteCall(s, f, args =>
           if (args.length >= 3 && intLit(args(2)).exists(_ < 1))
-            bad(f.toUpperCase, "position must be a positive integer", args(2))
+            bad(f.toUpperCase(java.util.Locale.ROOT), "position must be a positive integer", args(2))
           else if (args.length == 4 && intLit(args(3)).exists(_ < 1))
-            bad(f.toUpperCase, "occurrence must be a positive integer", args(3))
+            bad(f.toUpperCase(java.util.Locale.ROOT), "occurrence must be a positive integer", args(3))
           else s"__argchk_${f}__(${args.mkString(", ")})")
       s = rewriteCall(s, "regexp_replace", args =>
         if (args.length >= 4 && intLit(args(3)).exists(_ < 1))
@@ -2286,9 +2306,9 @@ object GraftSql {
       for (f <- Seq("substring", "substr"))
         s = rewriteCall(s, f, args =>
           if (args.length >= 2 && intLit(args(1)).exists(_ < 1))
-            bad(f.toUpperCase, "start position must be a positive integer", args(1))
+            bad(f.toUpperCase(java.util.Locale.ROOT), "start position must be a positive integer", args(1))
           else if (args.length == 3 && intLit(args(2)).exists(_ < 0))
-            bad(f.toUpperCase, "length must be a non-negative integer", args(2))
+            bad(f.toUpperCase(java.util.Locale.ROOT), "length must be a non-negative integer", args(2))
           else s"__argchk_${f}__(${args.mkString(", ")})")
       for (f <- Seq("left", "right", "regexp_extract", "regexp_substr",
           "regexp_replace", "substring", "substr"))
@@ -2495,7 +2515,7 @@ object GraftSql {
       var continue = true
       while (continue) {
         pat.findFirstMatchIn(s.substring(search)) match {
-          case Some(m) if needOrder.contains(m.group(1).toLowerCase) &&
+          case Some(m) if needOrder.contains(m.group(1).toLowerCase(java.util.Locale.ROOT)) &&
               !inLiteral(s, search + m.start) =>
             val open = search + m.end - 1
             val close = matchParen(s, open)
@@ -2561,9 +2581,9 @@ object GraftSql {
     val dangling = raw"(?is)\b($clauseKw)\s*;?\s*$$".r
     val aliasKw = raw"(?is)\bAS\s+(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|UNION|INTERSECT|EXCEPT|SELECT)\b".r
     dangling.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
-      .map(m => s"query ends in a dangling ${m.group(1).toUpperCase} clause")
+      .map(m => s"query ends in a dangling ${m.group(1).toUpperCase(java.util.Locale.ROOT)} clause")
       .orElse(aliasKw.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
-        .map(m => s"alias cannot be the clause keyword ${m.group(1).toUpperCase}"))
+        .map(m => s"alias cannot be the clause keyword ${m.group(1).toUpperCase(java.util.Locale.ROOT)}"))
       .orElse {
         // duplicate CTE names (case-insensitive) within one WITH list:
         // Spark would silently resolve to the last definition
@@ -2572,8 +2592,8 @@ object GraftSql {
           val plan = spark.sessionState.sqlParser.parsePlan(rewrite(unmasked))
           plan.collectFirst {
             case w: UnresolvedWith
-                if w.cteRelations.map(_._1.toLowerCase).distinct.size < w.cteRelations.size =>
-              val dup = w.cteRelations.map(_._1.toLowerCase)
+                if w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size < w.cteRelations.size =>
+              val dup = w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
                 .groupBy(identity).collectFirst { case (n, vs) if vs.size > 1 => n }.get
               s"duplicate CTE name: $dup"
           }
@@ -2687,12 +2707,12 @@ object GraftSql {
         var s = scope
         w.cteRelations.foreach { case (name, body, _) =>
           walk(body, s)
-          s = s + name.toLowerCase
+          s = s + name.toLowerCase(java.util.Locale.ROOT)
         }
         walk(w.child, s)
       case r: UnresolvedRelation =>
         val parts = r.multipartIdentifier
-        if (!(parts.length == 1 && scope.contains(parts.head.toLowerCase)))
+        if (!(parts.length == 1 && scope.contains(parts.head.toLowerCase(java.util.Locale.ROOT))))
           out += parts.mkString(".")
       case other =>
         other.children.foreach(walk(_, scope))
@@ -2737,21 +2757,21 @@ object GraftSql {
             dt == org.apache.spark.sql.types.CalendarIntervalType =>
         // INTERVAL '3' DAY → interval_3_day, via the literal's SQL form
         val s = l.sql.replaceAll("(?i)^INTERVAL\\s+", "").replace("'", "")
-        "interval_" + s.trim.toLowerCase.split("\\s+").mkString("_")
+        "interval_" + s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").mkString("_")
       case Literal(null, _) => "null"
       case Literal(v, _) => v.toString
       case c: Cast =>
-        deriveName(c.child) + "_as_" + c.dataType.sql.toLowerCase
+        deriveName(c.child) + "_as_" + c.dataType.sql.toLowerCase(java.util.Locale.ROOT)
       case UnaryMinus(c, _) => "-_" + deriveName(c)
       case UnaryPositive(c) => "+_" + deriveName(c)
       case Not(c) => "not_" + deriveName(c)
       case w: WindowExpression => w.windowFunction match {
         // reference window rule: the function NAME alone, no args
-        case f: UnresolvedFunction => f.nameParts.last.toLowerCase
+        case f: UnresolvedFunction => f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
         case other => deriveName(other)
       }
       case f: UnresolvedFunction =>
-        val name = f.nameParts.last.toLowerCase
+        val name = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
         // Spark's parser rewrites COUNT(*) to count(1) before any rule
         // can see the star — both spell the reference's count_all
         val starLike = f.arguments.length == 1 &&
@@ -2764,7 +2784,7 @@ object GraftSql {
       case ex: UnresolvedExtractValue =>
         s"${deriveName(ex.child)}[${deriveName(ex.extraction)}]"
       case b: BinaryOperator => // sqlOperator: AND/OR spell out, = stays =
-        deriveName(b.left) + "_" + b.sqlOperator.toLowerCase + "_" + deriveName(b.right)
+        deriveName(b.left) + "_" + b.sqlOperator.toLowerCase(java.util.Locale.ROOT) + "_" + deriveName(b.right)
       case c: Concat =>
         // `a || b` parses straight to Concat (not a BinaryOperator);
         // the reference names it through the operator spelling:
@@ -2819,14 +2839,14 @@ object GraftSql {
           String, org.apache.spark.sql.catalyst.expressions.Expression]()
         def lateralName(a: UnresolvedAttribute): Option[String] =
           if (a.nameParts.length == 1)
-            earlierAlias.get(a.nameParts.head.toLowerCase).map(deriveName)
+            earlierAlias.get(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)).map(deriveName)
           else None
         val names = list.flatMap {
           case _: UnresolvedStar => df.columns.slice(
             list.takeWhile(!_.isInstanceOf[UnresolvedStar]).length,
             list.takeWhile(!_.isInstanceOf[UnresolvedStar]).length + starWidth).toSeq
           case a: Alias =>
-            earlierAlias.getOrElseUpdate(a.name.toLowerCase, a.child)
+            earlierAlias.getOrElseUpdate(a.name.toLowerCase(java.util.Locale.ROOT), a.child)
             Seq(a.name)
           case a: UnresolvedAttribute => Seq(lateralName(a).getOrElse(a.nameParts.last))
           case UnresolvedAlias(child: UnresolvedAttribute, _)
@@ -2848,6 +2868,15 @@ object GraftSql {
     * new rewrite target must either be a native expression or carry the
     * same note.
     */
+  // ObjectMapper is thread-safe for readTree once configured — one
+  // static instance; constructing a mapper is the expensive part of the
+  // graft_json_valid kernel and must not happen per row
+  private lazy val strictMapper: com.fasterxml.jackson.databind.ObjectMapper = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    om.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    om
+  }
+
   def ensureHelpers(spark: SparkSession): Unit = {
     // the reference dialect (like DuckDB/Postgres) reads "..." as an
     // IDENTIFIER — required for columns with dots in their names
@@ -2884,9 +2913,7 @@ object GraftSql {
       // direct host calls; never emitted into scan predicates.
       spark.udf.register("graft_json_valid",
         (s: String) => if (s == null) null else {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          om.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
-          try { om.readTree(s); java.lang.Boolean.TRUE }
+          try { strictMapper.readTree(s); java.lang.Boolean.TRUE }
           catch { case _: Exception => java.lang.Boolean.FALSE }
         })
     }

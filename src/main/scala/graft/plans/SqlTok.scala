@@ -99,7 +99,9 @@ private[graft] object SqlTok {
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
-        emit(Tok(Word, i, j, s.substring(i, j).toUpperCase))
+        // Locale.ROOT: keyword matching must not depend on the default
+        // JVM locale (Turkish 'i' → 'İ' would break is("INTERVAL"))
+        emit(Tok(Word, i, j, s.substring(i, j).toUpperCase(java.util.Locale.ROOT)))
         i = j
       } else if (c.isDigit ||
           (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit && !dotIsAccess(i))) {

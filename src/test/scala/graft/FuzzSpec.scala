@@ -143,12 +143,26 @@ class FuzzSpec extends FuzzHarness {
     // highest-yield battery, so deep audits can raise its budget too)
     val nMutants = sys.env.getOrElse("GRAFT_FUZZ_MUTANT_N", "150").toInt
     val r = new scala.util.Random(seedOr(99L, 5))
-    val mutants = FuzzGen.queries(seed = seedOr(31L, 3), n = nMutants).map(q => FuzzGen.mutate(r, q))
+    val bases = FuzzGen.queries(seed = seedOr(31L, 3), n = nMutants)
+    val mutants = bases.map(q => FuzzGen.mutate(r, q))
+    // identifier-damage detector for the UNRESOLVED_COLUMN excusal: the
+    // edit must have CHANGED the query's word-token multiset (truncated,
+    // duplicated or replaced an identifier/keyword). A mutant whose
+    // words are intact — the edit hit an operator or literal — gets NO
+    // excusal, so a rewrite pass that breaks resolution on an
+    // otherwise-valid mutant still flags (advisor r13 finding: the
+    // unconditional excusal masked exactly that class).
+    def wordBag(t: String): Map[String, Int] =
+      raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(t)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSeq
+        .groupBy(identity).map { case (w, vs) => (w, vs.size) }
     val refResults = runReference(mutants)
     var bothReject = 0
     var sparkOnly = 0 // graft accepts what the reference rejects: superset, allowed
     var ambiguous = 0
-    val problems = mutants.zip(refResults).zipWithIndex.flatMap { case ((q, rf), i) =>
+    val problems = bases.lazyZip(mutants).lazyZip(refResults).toSeq
+        .zipWithIndex.flatMap { case ((base, q, rf), i) =>
+      lazy val identifierDamage = wordBag(q) != wordBag(base)
       // sqlDerived, not sql: a mutation can DROP an alias, and the
       // host-facing surface names unaliased projections with the
       // reference's derivedAlias (trim_Customer, not Spark's
@@ -214,8 +228,11 @@ class FuzzSpec extends FuzzHarness {
           // classifier's lazyResolution bucket). The main dialect
           // battery uses only valid names, so a REAL resolution gap
           // (a lateral alias form etc.) still surfaces there as a
-          // row diff, never through this excusal.
-          e.contains("UNRESOLVED_COLUMN") ||
+          // row diff, never through this excusal. Scoped to mutants
+          // whose edit DAMAGED a word token — an operator-only edit
+          // that leaves names intact gets no excusal, so a rewrite
+          // pass producing an unresolved name on a valid mutant flags.
+          (e.contains("UNRESOLVED_COLUMN") && identifierDamage) ||
           // a mutation landing unary NOT on a string literal (`NOT ''`,
           // seed-88005 find): JS coerces the literal by truthiness, a
           // typed engine instead coerces the OTHER operand to boolean

@@ -1301,4 +1301,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.sql(spark, "SELECT JSON_VALUE(j, '$.k') AS x FROM ts_j")
       .collect().head.isNullAt(0))
   }
+
+  test("type-strict guards null-check the VALUE before the type throw (advisor r13)") {
+    import spark.implicits._
+    // reference probed live this round: OCTET_LENGTH / JSON_VALUE over
+    // a numeric column whose rows are ALL NULL return NULLs (strings.js
+    // val==null short-circuit precedes the class throw); the first
+    // NON-null row still raises
+    Seq[(Integer, Integer)]((1, null), (2, null))
+      .toDF("id", "n").createOrReplaceTempView("tsn_t")
+    val r = GraftSql.sql(spark,
+      "SELECT OCTET_LENGTH(n) AS a, JSON_VALUE(n, '$.k') AS b FROM tsn_t").collect()
+    assert(r.length == 2 && r.forall(x => x.isNullAt(0) && x.isNullAt(1)),
+      r.mkString(";"))
+    Seq[(Integer, Integer)]((1, null), (2, 7))
+      .toDF("id", "n").createOrReplaceTempView("tsn_m")
+    for (q <- Seq("SELECT OCTET_LENGTH(n) FROM tsn_m",
+        "SELECT JSON_VALUE(n, '$.k') FROM tsn_m")) {
+      val e = intercept[Exception] { GraftSql.sql(spark, q).collect() }
+      assert(String.valueOf(e.getMessage).nonEmpty, q)
+    }
+  }
 }
