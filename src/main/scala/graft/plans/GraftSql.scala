@@ -98,7 +98,10 @@ object GraftSql {
     // reference ARRAY_CONCAT(a, b) (src/expression/evaluate.js:616)
     // is NULL for any non-array side — never string concatenation
     "array_concat" -> "graft_array_concat",
-    "ord" -> "ascii")
+    "ord" -> "ascii",
+    // epoch(x) → seconds since epoch as double (nothing downstream
+    // treats epoch( specially, so the rename can ride the final pass)
+    "epoch" -> "graft_epoch")
 
   // TYPE-strict arguments (strings.js:38-56 LENGTH/OCTET_LENGTH,
   // evaluate.js JSON_VALUE family): the reference throws AT EXECUTION
@@ -160,47 +163,58 @@ object GraftSql {
   /** True when `s` has a comma OUTSIDE single quotes and parens — i.e.
     * the call really has multiple arguments.
     */
-  private def hasTopLevelComma(s: String): Boolean = {
-    var i = 0; var depth = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
-        case ',' if depth == 0 => return true
-        case _ =>
-      }
-      i += 1
-    }
-    false
+  private def hasTopLevelComma(s: String): Boolean =
+    splitTopLevel(s).lengthIs > 1
+
+  /** One-pass token-edit walker: tokenize once, collect disjoint span
+    * replacements, splice. The shape every small keyword/operator
+    * rewrite uses (string literals, comments and quoted identifiers are
+    * classified by the lexer, never by per-pass guards).
+    */
+  private def tokenEdit(s: String)(
+      collect: SqlTok.View => Seq[(Int, Int, String)]): String = {
+    val v = new SqlTok.View(s)
+    SqlTok.applyEdits(s, collect(v))
   }
 
-  /** Rewrite every `fname(args)` call via `f(splitArgs)` — paren-aware, so
-    * nested calls and commas inside arguments are handled; inner
-    * occurrences of `fname` are rewritten on subsequent passes; matches
-    * inside string literals are left alone.
+  /** Call-site scan shared by rewriteCall/rewriteAggFilter: the first
+    * `fname (` site (Word token, then LPar, whitespace tolerated)
+    * starting at or after char `fromChar`, as (nameTokIdx, closeTokIdx)
+    * — or null when none. An unbalanced open paren ends the scan like
+    * the char version did.
+    */
+  private def callSite(v: SqlTok.View, up: String, fromChar: Int): (Int, Int) = {
+    val toks = v.toks
+    var k = 0
+    while (k + 1 < toks.length) {
+      if (toks(k).is(up) && toks(k).start >= fromChar &&
+          toks(k + 1).kind == SqlTok.LPar) {
+        val close = v.brk(k + 1)
+        return if (close < 0) null else (k, close)
+      }
+      k += 1
+    }
+    null
+  }
+
+  /** Rewrite every `fname(args)` call via `f(splitArgs)` — token-driven,
+    * so nested calls, commas inside arguments, string literals and
+    * comments are classified by the shared lexer; inner occurrences of
+    * `fname` are rewritten on subsequent passes (builders emit markers
+    * when their output contains the scanned name).
     */
   private def rewriteCall(sql: String, fname: String, f: Seq[String] => String): String = {
-    val pat = raw"(?i)\b$fname\s*\(".r
+    val up = fname.toUpperCase(java.util.Locale.ROOT)
     var s = sql
     var guard = 0
-    var searchFrom = 0
     while (guard < 1000) {
-      pat.findFirstMatchIn(s.substring(searchFrom)) match {
-        case None => return s
-        case Some(m0) =>
-          val start = searchFrom + m0.start
-          val open = searchFrom + m0.end - 1
-          if (inLiteral(s, start)) searchFrom = open + 1
-          else {
-            val close = matchParen(s, open)
-            if (close < 0) return s
-            val args = splitTopLevel(s.substring(open + 1, close))
-            s = s.substring(0, start) + f(args) + s.substring(close + 1)
-            searchFrom = 0
-          }
-      }
       guard += 1
+      val v = new SqlTok.View(s)
+      val site = callSite(v, up, 0)
+      if (site == null) return s
+      val (name, close) = site
+      val args = splitTopLevel(s.substring(v.toks(name + 1).end, v.toks(close).start))
+      s = s.substring(0, v.toks(name).start) + f(args) + s.substring(v.toks(close).end)
     }
     s
   }
@@ -212,35 +226,25 @@ object GraftSql {
     */
   private def rewriteAggFilter(sql: String, fname: String,
                                f: (Seq[String], Option[String]) => String): String = {
-    val pat = raw"(?i)\b$fname\s*\(".r
-    val filterPat = raw"(?is)^\s*FILTER\s*\(".r
+    val up = fname.toUpperCase(java.util.Locale.ROOT)
     var s = sql
     var guard = 0
-    var searchFrom = 0
     while (guard < 1000) {
-      pat.findFirstMatchIn(s.substring(searchFrom)) match {
-        case None => return s
-        case Some(m0) =>
-          val start = searchFrom + m0.start
-          val open = searchFrom + m0.end - 1
-          if (inLiteral(s, start)) searchFrom = open + 1
-          else {
-            val close = matchParen(s, open)
-            if (close < 0) return s
-            val args = splitTopLevel(s.substring(open + 1, close))
-            val rest = s.substring(close + 1)
-            val (filt, consumedEnd) = filterPat.findFirstMatchIn(rest) match {
-              case Some(fm) =>
-                val fOpen = close + 1 + fm.end - 1
-                val fClose = matchParen(s, fOpen)
-                if (fClose < 0) (None, close) else (Some(s.substring(fOpen, fClose + 1)), fClose)
-              case None => (None, close)
-            }
-            s = s.substring(0, start) + f(args, filt) + s.substring(consumedEnd + 1)
-            searchFrom = 0
-          }
-      }
       guard += 1
+      val v = new SqlTok.View(s)
+      val site = callSite(v, up, 0)
+      if (site == null) return s
+      val (name, close) = site
+      val toks = v.toks
+      val args = splitTopLevel(s.substring(toks(name + 1).end, toks(close).start))
+      // optional FILTER ( ... ) suffix, consumed into the builder
+      val (filt, endTok) =
+        if (close + 2 < toks.length && toks(close + 1).is("FILTER") &&
+            toks(close + 2).kind == SqlTok.LPar && v.brk(close + 2) >= 0) {
+          val fc = v.brk(close + 2)
+          (Some(s.substring(toks(close + 2).start, toks(fc).end)), fc)
+        } else (None, close)
+      s = s.substring(0, toks(name).start) + f(args, filt) + s.substring(toks(endTok).end)
     }
     s
   }
@@ -2194,46 +2198,64 @@ object GraftSql {
     // compiles the pattern with the `i` regex flag (reference:
     // src/expression/binary.js:57-65) — so dialect LIKE maps to Spark
     // ILIKE (NOT LIKE → NOT ILIKE via the same token). Found by the
-    // seeded differential fuzz campaign (FuzzSpec), not the curated
-    // list. \bLIKE\b cannot match inside ILIKE/RLIKE (no word boundary).
-    s = raw"(?i)\bLIKE\b".r.replaceSomeIn(s, m =>
-      if (inLiteral(m.source.toString, m.start)) None else Some("ILIKE"))
+    // seeded differential fuzz campaign (FuzzSpec), not the curated list.
+    s = tokenEdit(s)(_.toks.collect {
+      case t if t.is("LIKE") => (t.start, t.end, "ILIKE")
+    })
 
-    // x GLOB 'pat' → x RLIKE '^…$' (not inside string literals)
-    s = raw"(?i)\bGLOB\s*'([^']*)'".r.replaceSomeIn(s, m =>
-      if (inLiteral(m.source.toString, m.start)) None
-      else Some(scala.util.matching.Regex.quoteReplacement(
-        s"RLIKE '${globToRegex(m.group(1))}'")))
+    // x GLOB 'pat' → x RLIKE '^…$' (literal patterns — the dialect form)
+    s = tokenEdit(s) { v =>
+      v.toks.indices.collect {
+        case k if v.toks(k).is("GLOB") && k + 1 < v.toks.length &&
+            v.toks(k + 1).kind == SqlTok.Str && v.toks(k + 1).up.endsWith("'") =>
+          val pat = v.toks(k + 1).up.stripPrefix("'").stripSuffix("'")
+          (v.toks(k).start, v.toks(k + 1).end, s"RLIKE '${globToRegex(pat)}'")
+      }
+    }
 
-    // epoch(x) → seconds since epoch as double
-    s = raw"(?i)\bepoch\s*\(".r.replaceAllIn(s, "graft_epoch(")
-
-    // EXTRACT(EPOCH FROM x): Spark has no EPOCH extract field — route
-    // through the same helper as the epoch() function form
-    s = raw"(?i)\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+".r.replaceAllIn(s, "__exepoch__(")
+    // EXTRACT(EPOCH FROM x) / EXTRACT(SECOND FROM x): Spark has no
+    // EPOCH field, and its SECOND carries the fraction as DECIMAL where
+    // the reference floors to INTEGER seconds (date.js getUTCSeconds) —
+    // `EXTRACT ( <field> FROM` collapses to a marker call over the
+    // remaining argument; epoch(x) itself renames at the end
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if t(k).is("EXTRACT") && k + 3 < t.length &&
+            t(k + 1).kind == SqlTok.LPar && t(k + 3).is("FROM") &&
+            (t(k + 2).is("EPOCH") || t(k + 2).is("SECOND") || t(k + 2).is("SECONDS")) =>
+          val marker = if (t(k + 2).is("EPOCH")) "__exepoch__(" else "__exsec__("
+          (t(k).start, t(k + 3).end, marker)
+      }
+    }
     s = rewriteCall(s, "__exepoch__", args => s"graft_epoch(${args.mkString(", ")})")
-
-    // EXTRACT(SECOND ...) / DATE_PART('second', ...) are INTEGER seconds
-    // in the reference (date.js getUTCSeconds — 45 from 45.123); Spark's
-    // SECOND field carries the fraction as DECIMAL
-    s = raw"(?i)\bEXTRACT\s*\(\s*SECONDS?\s+FROM\s+".r.replaceAllIn(s, "__exsec__(")
     s = rewriteCall(s, "__exsec__", args =>
       s"floor(extract(second from ${args.mkString(", ")}))")
 
     // CURRENT_TIME: Spark 4 has no TIME type — the reference renders
     // HH:MM:SS.sss text (date.js), which date_format reproduces.
-    // (CURRENT_TIMESTAMP is unaffected: no word boundary before STAMP.)
-    s = raw"(?i)\bCURRENT_TIME\b(\s*\(\s*\))?".r.replaceSomeIn(s, m =>
-      if (inLiteral(m.source.toString, m.start)) None
-      else Some("date_format(current_timestamp(), 'HH:mm:ss.SSS')"))
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if t(k).is("CURRENT_TIME") =>
+          val end = if (k + 2 < t.length && t(k + 1).kind == SqlTok.LPar &&
+            t(k + 2).kind == SqlTok.RPar) t(k + 2).end else t(k).end
+          (t(k).start, end, "date_format(current_timestamp(), 'HH:mm:ss.SSS')")
+      }
+    }
 
     // TIMESTAMP 'lit' typed literals: the reference yields NULL for an
     // unparseable timestamp (new Date → Invalid Date → null) where
     // Spark rejects the literal at analysis
-    s = raw"(?i)\bTIMESTAMP\s+'([^']*)'".r.replaceSomeIn(s, m =>
-      if (inLiteral(m.source.toString, m.start)) None
-      else Some(scala.util.matching.Regex.quoteReplacement(
-        s"try_cast('${m.group(1)}' AS TIMESTAMP)")))
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if t(k).is("TIMESTAMP") && k + 1 < t.length &&
+            t(k + 1).kind == SqlTok.Str && t(k + 1).start > t(k).end =>
+          (t(k).start, t(k + 1).end,
+            s"try_cast(${t(k + 1).up} AS TIMESTAMP)")
+      }
+    }
 
     // date/timestamp arithmetic with INTERVAL coerces its LEFT operand
     // leniently (the reference parses date STRINGS and epoch-millis
@@ -2252,20 +2274,56 @@ object GraftSql {
 
     // unit-form date_diff('day', a, b): reference semantics are calendar
     // diff for YEAR/MONTH and truncated elapsed time for smaller units
-    // (reference: src/expression/date.js:110) — not Spark's datediff
-    s = raw"(?i)\b(date_diff|datediff)\s*\(\s*(?=')".r.replaceAllIn(s, "graft_datediff(")
+    // (reference: src/expression/date.js:110) — not Spark's datediff;
+    // only the string-unit form reroutes (first argument a literal)
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if (t(k).is("DATE_DIFF") || t(k).is("DATEDIFF")) &&
+            k + 2 < t.length && t(k + 1).kind == SqlTok.LPar &&
+            t(k + 2).kind == SqlTok.Str =>
+          (t(k).start, t(k).end, "graft_datediff")
+      }
+    }
 
     // Postgres regexp operators: a ~ p / a !~ p / a NOT REGEXP p
-    s = raw"(?<=[\w'\)])\s+!~\s+".r.replaceAllIn(s, " NOT RLIKE ")
-    s = raw"(?<=[\w'\)])\s+~\s+(?=')".r.replaceAllIn(s, " RLIKE ")
-    s = raw"(?i)\bNOT\s+REGEXP\b".r.replaceAllIn(s, "NOT RLIKE")
+    // (space-separated operator forms, matching the old regexes: the
+    // left operand ends in a word/number/literal/close-paren)
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      def operand(k: Int): Boolean = k > 0 && {
+        val p = t(k - 1)
+        (p.kind == SqlTok.Word || p.kind == SqlTok.Num ||
+          p.kind == SqlTok.Str || p.kind == SqlTok.RPar) && p.end < t(k).start
+      }
+      t.indices.collect {
+        case k if t(k).isOp("!~") && operand(k) &&
+            k + 1 < t.length && t(k).end < t(k + 1).start =>
+          (t(k).start, t(k).end, "NOT RLIKE")
+        case k if t(k).isOp("~") && operand(k) &&
+            k + 1 < t.length && t(k + 1).kind == SqlTok.Str &&
+            t(k).end < t(k + 1).start =>
+          (t(k).start, t(k).end, "RLIKE")
+        case k if t(k).is("REGEXP") && k > 0 && t(k - 1).is("NOT") =>
+          (t(k).start, t(k).end, "RLIKE")
+      }
+    }
 
     // regexp_replace(..., 'g'): Spark replaces globally by default
-    s = raw"(?i)(regexp_replace\s*\([^()]*(?:\([^()]*\))?[^()]*),\s*'g'\s*\)".r
-      .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(m.group(1) + ")"))
+    s = rewriteCall(s, "regexp_replace", args =>
+      s"__rgflag__(${(if (args.nonEmpty &&
+        args.last.equalsIgnoreCase("'g'")) args.init else args).mkString(", ")})")
+    s = s.replace("__rgflag__(", "regexp_replace(")
 
     // DuckDB SELECT * EXCLUDE (...) → Spark SELECT * EXCEPT (...)
-    s = raw"(?i)\*\s+EXCLUDE\s*\(".r.replaceAllIn(s, "* EXCEPT (")
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if t(k).is("EXCLUDE") && k > 0 && t(k - 1).isOp("*") &&
+            k + 1 < t.length && t(k + 1).kind == SqlTok.LPar =>
+          (t(k).start, t(k).end, "EXCEPT")
+      }
+    }
 
     // Statically-visible invalid arguments throw at EXECUTION like the
     // reference (regexp.js:29-47,115-130 position/occurrence guards;
@@ -2546,11 +2604,22 @@ object GraftSql {
     // as columns), corrupting the statement (seed-135555 mutation find)
     s = rewriteBareDesc(s)
 
-    renames.foldLeft(s) { case (acc, (from, to)) =>
-      raw"(?i)\b$from\s*\(".r.replaceSomeIn(acc, m =>
-        if (inLiteral(m.source.toString, m.start)) None else Some(s"$to("))
+    // function renames, ONE token pass: a Word followed by `(` whose
+    // name is in the map renames in place (no rename target is itself
+    // a key, so sequential per-name rescans buy nothing)
+    tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if t(k).kind == SqlTok.Word && k + 1 < t.length &&
+            t(k + 1).kind == SqlTok.LPar &&
+            renameMap.contains(t(k).up) =>
+          (t(k).start, t(k).end, renameMap(t(k).up))
+      }
     }
   }
+
+  private val renameMap: Map[String, String] =
+    renames.map { case (k, v) => k.toUpperCase(java.util.Locale.ROOT) -> v }.toMap
 
   /** Run a squirreling-dialect query. Tables must already be registered
     * (e.g. via `graft.sources.Tables.registerAll`).

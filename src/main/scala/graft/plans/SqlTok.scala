@@ -173,6 +173,53 @@ private[graft] object SqlTok {
     val toks: Vector[Tok] = tokenize(s)
     val brk: Array[Int] = bracketMatch(toks)
 
+    /** Paren-nesting depth of each token: a matched LPar/RPar pair
+      * shares the depth OUTSIDE it, tokens between them sit one
+      * deeper. Brackets don't nest SQL clauses, so only parens count.
+      */
+    val depth: Array[Int] = {
+      val d = Array.fill(toks.length)(0)
+      var lvl = 0
+      var i = 0
+      while (i < toks.length) {
+        toks(i).kind match {
+          case LPar => d(i) = lvl; lvl += 1
+          case RPar => lvl = math.max(0, lvl - 1); d(i) = lvl
+          case _ => d(i) = lvl
+        }
+        i += 1
+      }
+      d
+    }
+
+    /** First token index in [fromTok, untilTok) at paren depth 0
+      * satisfying `pred`, or -1.
+      */
+    def topIdx(fromTok: Int, untilTok: Int)(pred: Tok => Boolean): Int = {
+      var i = math.max(fromTok, 0)
+      val until = math.min(untilTok, toks.length)
+      while (i < until) {
+        if (depth(i) == 0 && pred(toks(i))) return i
+        i += 1
+      }
+      -1
+    }
+
+    /** First Word token at depth 0 in [fromTok, untilTok) whose text is
+      * in `kws`, or -1.
+      */
+    def topWord(fromTok: Int, untilTok: Int, kws: Set[String]): Int =
+      topIdx(fromTok, untilTok)(t => t.kind == Word && kws(t.up))
+
+    /** Index of the first token starting at or after char `pos`
+      * (toks.length when none).
+      */
+    def tokAtOrAfter(pos: Int): Int = {
+      var i = 0
+      while (i < toks.length && toks(i).start < pos) i += 1
+      i
+    }
+
     /** `(startTokIdx, charStart, charEnd)` of the primary expression
       * ENDING just before token index `endIdx`: a parenthesized group
       * with an adjacent function-name word, a string literal, or an
@@ -207,16 +254,18 @@ private[graft] object SqlTok {
 
     /** Char END of the primary expression STARTING at token index
       * `fromIdx`: a string literal, a parenthesized group, or an
-      * identifier/number/dot chain with an optional adjacent call-paren
-      * group. -1 when the tokens there don't form one (incl. an
-      * unbalanced open paren).
+      * identifier/number/dot chain with optional adjacent call-paren
+      * and subscript-bracket suffixes (`f(x)`, `m['k']`, `f(x)[1]`).
+      * -1 when the tokens there don't form one (incl. an unbalanced
+      * open paren/bracket).
       */
     def forwardFrom(fromIdx: Int): Int = {
       if (fromIdx >= toks.length) return -1
       val t = toks(fromIdx)
-      t.kind match {
-        case Str => t.end
-        case LPar => if (brk(fromIdx) < 0) -1 else toks(brk(fromIdx)).end
+      // last token index of the suffix-free head, or -1
+      val head: Int = t.kind match {
+        case Str => fromIdx
+        case LPar => brk(fromIdx)
         case Word | Num =>
           var i = fromIdx
           var cont = true
@@ -225,14 +274,42 @@ private[graft] object SqlTok {
             val chained = nxt.kind == Word || nxt.kind == Num || nxt.isOp(".")
             if (chained && toks(i).end == nxt.start) i += 1 else cont = false
           }
-          if (i + 1 < toks.length && toks(i + 1).kind == LPar &&
-              toks(i).end == toks(i + 1).start) {
-            if (brk(i + 1) < 0) -1 else toks(brk(i + 1)).end
-          } else toks(i).end
+          i
         case _ => -1
       }
+      if (head < 0) return -1
+      // adjacent call-paren / subscript-bracket suffixes (a string
+      // literal head takes none — '...'[0] is not element access in
+      // the dialect, matching rewriteSubscripts' base set)
+      var last = head
+      var more = t.kind != Str
+      while (more && last + 1 < toks.length &&
+          toks(last + 1).start == toks(last).end) {
+        toks(last + 1).kind match {
+          case LPar | LBrk =>
+            val close = brk(last + 1)
+            if (close < 0) return -1 else last = close
+          case _ => more = false
+        }
+      }
+      toks(last).end
     }
   }
+
+  /** Apply span replacements `(start, end, txt)` to `s` — spans must
+    * be disjoint; they sort by start position.
+    */
+  def applyEdits(s: String, edits: Seq[(Int, Int, String)]): String =
+    if (edits.isEmpty) s
+    else {
+      val sb = new StringBuilder(s.length + edits.size * 8)
+      var prev = 0
+      for ((a, b, txt) <- edits.sortBy(_._1)) {
+        sb.append(s.substring(prev, a)).append(txt); prev = b
+      }
+      sb.append(s.substring(prev))
+      sb.toString
+    }
 
   /** Apply position edits (insertions at `pos` of `txt`) to `s`. Edits
     * sort by position; equal positions keep insertion order.
