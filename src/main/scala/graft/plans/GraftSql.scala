@@ -254,56 +254,43 @@ object GraftSql {
     * Both dialect (list_*) and Spark spellings, since arrows rewrite first.
     */
   private val hofNames = Set(
-    "transform", "filter", "exists", "forall", "aggregate", "reduce",
-    "zip_with", "map_filter", "map_zip_with", "transform_keys",
-    "transform_values", "array_sort", "sort_array",
-    "list_transform", "list_filter", "list_reduce", "list_aggregate",
-    "list_sort", "any_match", "all_match", "none_match")
+    "TRANSFORM", "FILTER", "EXISTS", "FORALL", "AGGREGATE", "REDUCE",
+    "ZIP_WITH", "MAP_FILTER", "MAP_ZIP_WITH", "TRANSFORM_KEYS",
+    "TRANSFORM_VALUES", "ARRAY_SORT", "SORT_ARRAY",
+    "LIST_TRANSFORM", "LIST_FILTER", "LIST_REDUCE", "LIST_AGGREGATE",
+    "LIST_SORT", "ANY_MATCH", "ALL_MATCH", "NONE_MATCH")
 
-  /** Name of the innermost function call enclosing position `pos` and the
-    * index of its opening paren, if any (backward scan, quote- and
-    * paren-aware).
+  /** True when token `tokIdx` sits inside a higher-order-function call —
+    * its innermost enclosing paren has an adjacent-or-spaced function
+    * name from [[hofNames]]. An arrow under a `filter`/`exists` call is
+    * only a lambda when that call is the HOF form, not SQL `FILTER
+    * (WHERE ...)` / `EXISTS (SELECT ...)` — those open with a keyword, a
+    * lambda never does.
     */
-  private def enclosingCall(s: String, pos: Int): Option[(String, Int)] = {
+  private def isHofContext(v: SqlTok.View, tokIdx: Int): Boolean = {
+    val t = v.toks
     var depth = 0
-    var i = pos - 1
+    var i = tokIdx - 1
     while (i >= 0) {
-      s.charAt(i) match {
-        case '\'' =>
-          i -= 1
-          while (i >= 0 && s.charAt(i) != '\'') i -= 1
-        case ')' => depth += 1
-        case '(' =>
-          if (depth == 0) {
-            var j = i - 1
-            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
-            val end = j
-            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
-            val name = s.substring(j + 1, end + 1)
-            return if (name.nonEmpty) Some((name.toLowerCase(java.util.Locale.ROOT), i)) else None
-          } else depth -= 1
-        case _ =>
+      t(i).kind match {
+        case SqlTok.RPar => depth += 1; i -= 1
+        case SqlTok.LPar if depth > 0 => depth -= 1; i -= 1
+        case SqlTok.LPar =>
+          // innermost enclosing paren: HOF iff its call name says so
+          return i > 0 && t(i - 1).kind == SqlTok.Word &&
+            hofNames.contains(t(i - 1).up) && {
+              val name = t(i - 1).up
+              if (name == "FILTER" || name == "EXISTS") {
+                val w = if (i + 1 < t.length && t(i + 1).kind == SqlTok.Word)
+                  t(i + 1).up else ""
+                w != "WHERE" && w != "SELECT"
+              } else true
+            }
+        case _ => i -= 1
       }
-      i -= 1
     }
-    None
+    false
   }
-
-  /** An arrow under a `filter`/`exists` call is only a lambda when that
-    * call is the HOF form, not SQL `FILTER (WHERE ...)` / `EXISTS
-    * (SELECT ...)` — those open with a keyword, a lambda never does.
-    */
-  private def isHofContext(s: String, pos: Int): Boolean =
-    enclosingCall(s, pos) match {
-      case Some((name, open)) if hofNames.contains(name) =>
-        if (name == "filter" || name == "exists") {
-          var j = open + 1
-          while (j < s.length && s.charAt(j).isWhitespace) j += 1
-          val word = s.drop(j).takeWhile(c => c.isLetter).toLowerCase(java.util.Locale.ROOT)
-          word != "where" && word != "select"
-        } else true
-      case _ => false
-    }
 
   /** Glob pattern → anchored regex (`*` → `.*`, `?` → `.`, classes kept,
     * regex metacharacters escaped).
@@ -894,39 +881,44 @@ object GraftSql {
     * execution-path callers retry without this rewrite (SQL semantics).
     */
   private def rewriteNotInSubquery(sqlIn: String): String = {
-    val pat = raw"(?i)([A-Za-z_][\w.]*(?:\s*\([^()]*\))?)\s+NOT\s+IN\s*\(".r
     var s = sqlIn
     var from = 0
     var n = 0
     var guard = 0
     while (guard < 100) {
       guard += 1
-      pat.findFirstMatchIn(s.substring(from)) match {
-        case None => return s
-        case Some(m) =>
-          val start = from + m.start
-          val open = from + m.end - 1
-          val close = if (inLiteral(s, start)) -1 else matchParen(s, open)
-          val inner = if (close > open) s.substring(open + 1, close).trim else ""
-          // the lhs must not be the TAIL of a larger expression
-          // (`x + y NOT IN (...)` would splice mid-expression) — skip
-          // when an operator char precedes it
-          val before = s.take(start).reverse.dropWhile(_.isWhitespace).headOption
-          val exprTail = before.exists(c => "+-*/%|&^~".contains(c))
-          if (close < 0 || exprTail ||
-              !inner.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT")) { from = from + m.end }
-          else {
-            val lhs = m.group(1).trim
-            // <=> not =: the reference's IN walks sqlEquals (JS ==,
-            // null == null TRUE — execute/utils.js:136-139), so a NULL
-            // probe DOES match a null-bearing list and NOT IN drops the
-            // row; plain = would read the pair as UNKNOWN and keep it
-            val repl = s"NOT EXISTS (SELECT 1 FROM ($inner) " +
-              s"AS __nin$n(__nin_c) WHERE __nin_c <=> $lhs)"
-            s = s.substring(0, start) + repl + s.substring(close + 1)
-            from = start + repl.length
-            n += 1
-          }
+      val v = new SqlTok.View(s)
+      val t = v.toks
+      var k = -1
+      var i = 0
+      while (k < 0 && i + 3 < t.length) {
+        if (t(i).is("NOT") && t(i).start >= from && t(i + 1).is("IN") &&
+            t(i + 2).kind == SqlTok.LPar && v.brk(i + 2) >= 0 &&
+            t(i + 3).is("SELECT")) k = i
+        else i += 1
+      }
+      if (k < 0) return s
+      val close = v.brk(k + 2)
+      val (pIdx, pStart, pEnd) = v.primaryBefore(k)
+      // the lhs must be a simple column/call primary, and not the TAIL
+      // of a larger expression (`x + y NOT IN (...)` would splice
+      // mid-expression) — skip when an operator precedes it
+      val headOk = pEnd > pStart && t(pIdx).kind == SqlTok.Word
+      val exprTail = pIdx > 0 && t(pIdx - 1).kind == SqlTok.Op &&
+        t(pIdx - 1).up.lastOption.exists(c => "+-*/%|&^~".contains(c))
+      if (!headOk || exprTail) from = t(k + 2).end
+      else {
+        val lhs = s.substring(pStart, pEnd)
+        val inner = s.substring(t(k + 2).end, t(close).start).trim
+        // <=> not =: the reference's IN walks sqlEquals (JS ==,
+        // null == null TRUE — execute/utils.js:136-139), so a NULL
+        // probe DOES match a null-bearing list and NOT IN drops the
+        // row; plain = would read the pair as UNKNOWN and keep it
+        val repl = s"NOT EXISTS (SELECT 1 FROM ($inner) " +
+          s"AS __nin$n(__nin_c) WHERE __nin_c <=> $lhs)"
+        s = s.substring(0, pStart) + repl + s.substring(t(close).end)
+        from = pStart + repl.length
+        n += 1
       }
     }
     s
@@ -944,75 +936,27 @@ object GraftSql {
     * comments (slash-star) are untouched.
     */
   private def rewriteZeroDivisors(sqlIn: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    def primaryEnd(from: Int): Int = {
-      var j = from
-      if (j < sqlIn.length && (sqlIn.charAt(j) == '-' || sqlIn.charAt(j) == '+')) j += 1
-      if (j >= sqlIn.length) return -1
-      val c = sqlIn.charAt(j)
-      if (c.isDigit) {
-        while (j < sqlIn.length && (sqlIn.charAt(j).isDigit || sqlIn.charAt(j) == '.')) j += 1
-        if (j < sqlIn.length && (sqlIn.charAt(j) == 'e' || sqlIn.charAt(j) == 'E')) {
-          var k = j + 1
-          if (k < sqlIn.length && (sqlIn.charAt(k) == '+' || sqlIn.charAt(k) == '-')) k += 1
-          if (k < sqlIn.length && sqlIn.charAt(k).isDigit) {
-            j = k
-            while (j < sqlIn.length && sqlIn.charAt(j).isDigit) j += 1
+    val v = new SqlTok.View(sqlIn)
+    val t = v.toks
+    val edits = Seq.newBuilder[(Int, String)]
+    var k = 0
+    while (k + 1 < t.length) {
+      if (t(k).kind == SqlTok.Op && (t(k).up == "/" || t(k).up == "%")) {
+        // denominator: optional sign, then one non-string primary (a
+        // CASE head is an expression keyword, not a wrappable primary)
+        var p = k + 1
+        if (t(p).isOp("-") || t(p).isOp("+")) p += 1
+        if (p < t.length && t(p).kind != SqlTok.Str && !t(p).is("CASE")) {
+          val end = v.forwardFrom(p)
+          if (end > 0) {
+            edits += ((t(k + 1).start, "nullif("))
+            edits += ((end, ", 0)"))
           }
         }
-        j
-      } else if (c == '(') {
-        val close = matchParen(sqlIn, j)
-        if (close < 0) -1 else close + 1
-      } else if (c.isLetter || c == '_') {
-        while (j < sqlIn.length &&
-          (sqlIn.charAt(j).isLetterOrDigit || sqlIn.charAt(j) == '_' || sqlIn.charAt(j) == '.')) j += 1
-        // call / index suffixes: f(x), arr[1], f(x)[2]
-        var done = false
-        while (!done && j < sqlIn.length) {
-          var k = j
-          while (k < sqlIn.length && sqlIn.charAt(k).isWhitespace) k += 1
-          if (k < sqlIn.length && sqlIn.charAt(k) == '(') {
-            val close = matchParen(sqlIn, k)
-            if (close < 0) return -1 else j = close + 1
-          } else if (k < sqlIn.length && sqlIn.charAt(k) == '[') {
-            var depth = 0
-            var m = k
-            var stop = -1
-            while (m < sqlIn.length && stop < 0) {
-              sqlIn.charAt(m) match {
-                case '[' => depth += 1
-                case ']' => depth -= 1; if (depth == 0) stop = m
-                case _ =>
-              }
-              m += 1
-            }
-            if (stop < 0) return -1 else j = stop + 1
-          } else done = true
-        }
-        j
-      } else -1
+      }
+      k += 1
     }
-    while (i < sqlIn.length) {
-      val c = sqlIn.charAt(i)
-      if (c == '\'') {
-        sb.append(c); i += 1
-        while (i < sqlIn.length && sqlIn.charAt(i) != '\'') { sb.append(sqlIn.charAt(i)); i += 1 }
-        if (i < sqlIn.length) { sb.append('\''); i += 1 }
-      } else if ((c == '/' || c == '%') &&
-          (i + 1 >= sqlIn.length || sqlIn.charAt(i + 1) != '*') &&
-          (i == 0 || sqlIn.charAt(i - 1) != '*')) {
-        var j = i + 1
-        while (j < sqlIn.length && sqlIn.charAt(j).isWhitespace) j += 1
-        val end = primaryEnd(j)
-        if (end > j) {
-          sb.append(c).append(" nullif(").append(sqlIn.substring(j, end)).append(", 0)")
-          i = end
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
+    SqlTok.applyInserts(sqlIn, edits.result())
   }
 
   /** Wrap the operands of `||` and ILIKE in graft_js_str — the
@@ -1519,76 +1463,28 @@ object GraftSql {
     * positions (a FROM directly at statement start / after `(` / after
     * UNION|INTERSECT|EXCEPT [ALL|DISTINCT] cannot be anything else).
     */
-  private def rewriteFromFirst(sqlIn: String): String = {
-    val pat = raw"(?i)\bFROM\b".r
-    var s = sqlIn
-    var search = 0
-    var guard = 0
-    while (guard < 200) {
-      guard += 1
-      pat.findFirstMatchIn(s.substring(search)) match {
-        case None => return s
-        case Some(m) =>
-          val pos = search + m.start
-          if (inLiteral(s, pos)) { search = pos + 4 }
-          else {
-            var i = pos - 1
-            while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
-            val selectStart =
-              if (i < 0) true
-              else if (s.charAt(i) == '(') true
-              else if (s.charAt(i) == ')') {
-                // `WITH c AS (SELECT …) FROM c` — a FROM right after a
-                // CTE body's close-paren is FROM-first (the reference
-                // accepts it); a close-paren whose opener is NOT
-                // preceded by AS (scalar subquery, function call) is a
-                // normal FROM. Parens INSIDE string literals don't
-                // count (quote-aware, like the forward matchParen).
-                var depth = 0
-                var j = i
-                var open = -1
-                while (j >= 0 && open < 0) {
-                  val ch = s.charAt(j)
-                  if ((ch == ')' || ch == '(') && !inLiteral(s, j)) {
-                    if (ch == ')') depth += 1
-                    else {
-                      depth -= 1
-                      if (depth == 0) open = j
-                    }
-                  }
-                  j -= 1
-                }
-                if (open < 0) false
-                else {
-                  var k = open - 1
-                  while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
-                  val e2 = k
-                  while (k >= 0 && s.charAt(k).isLetter) k -= 1
-                  s.substring(k + 1, e2 + 1).equalsIgnoreCase("AS")
-                }
-              }
-              else {
-                var j = i
-                while (j >= 0 && s.charAt(j).isLetter) j -= 1
-                var w = s.substring(j + 1, i + 1).toUpperCase(java.util.Locale.ROOT)
-                if (w == "ALL" || w == "DISTINCT") {
-                  var k = j
-                  while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
-                  val e = k
-                  while (k >= 0 && s.charAt(k).isLetter) k -= 1
-                  w = s.substring(k + 1, e + 1).toUpperCase(java.util.Locale.ROOT)
-                }
-                w == "UNION" || w == "INTERSECT" || w == "EXCEPT"
-              }
-            if (selectStart) {
-              s = s.substring(0, pos) + "SELECT * " + s.substring(pos)
-              search = pos + "SELECT * ".length + 4
-            } else search = pos + 4
-          }
+  private def rewriteFromFirst(sqlIn: String): String =
+    tokenEdit(sqlIn) { v =>
+      val t = v.toks
+      def setOp(i: Int): Boolean =
+        t(i).is("UNION") || t(i).is("INTERSECT") || t(i).is("EXCEPT")
+      t.indices.collect {
+        case k if t(k).is("FROM") && (k == 0 || (t(k - 1).kind match {
+          case SqlTok.LPar => true
+          case SqlTok.RPar =>
+            // `WITH c AS (SELECT …) FROM c` — a FROM right after a CTE
+            // body's close-paren is FROM-first (the reference accepts
+            // it); a close-paren whose opener is NOT preceded by AS
+            // (scalar subquery, function call) is a normal FROM
+            val open = v.brk(k - 1)
+            open > 0 && t(open - 1).is("AS")
+          case SqlTok.Word =>
+            setOp(k - 1) || ((t(k - 1).is("ALL") || t(k - 1).is("DISTINCT")) &&
+              k >= 2 && setOp(k - 2))
+          case _ => false
+        })) => (t(k).start, t(k).start, "SELECT * ")
       }
     }
-    s
-  }
 
   /** Coerce the LEFT operand of `expr ± INTERVAL ...` to a timestamp:
     * the reference runs date arithmetic over date STRINGS and
@@ -1703,19 +1599,79 @@ object GraftSql {
     * helper column never reaches the caller.
     */
   private def rewritePositionalJoin(sqlIn: String): String = {
-    val kwGuard = raw"(?!(?:FROM|JOIN|WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|ON|AND|OR|SELECT|CROSS|INNER|LEFT|RIGHT|FULL|POSITIONAL)\b)"
-    val pj = (raw"(?i)\b$kwGuard" +
-      raw"([A-Za-z_][\w\.]*)(?:\s+(?:AS\s+)?$kwGuard([A-Za-z_]\w*))?" +
-      raw"\s+POSITIONAL\s+JOIN\s+$kwGuard([A-Za-z_][\w\.]*)(?:\s+(?:AS\s+)?$kwGuard([A-Za-z_]\w*))?").r
-    if (pj.findFirstIn(sqlIn).isEmpty) return sqlIn
+    if (!sqlIn.toUpperCase(java.util.Locale.ROOT).contains("POSITIONAL")) return sqlIn
+    val kw = Set("FROM", "JOIN", "WHERE", "GROUP", "ORDER", "LIMIT",
+      "HAVING", "UNION", "ON", "AND", "OR", "SELECT", "CROSS", "INNER",
+      "LEFT", "RIGHT", "FULL", "POSITIONAL")
     def side(tbl: String, alias: String): String = {
-      val al = Option(alias).getOrElse(tbl.split('.').last)
+      val al = if (alias != null) alias else tbl.split('.').last
       s"(SELECT *, row_number() OVER (ORDER BY monotonically_increasing_id()) AS __gpos FROM $tbl) AS $al"
     }
-    var s = pj.replaceAllIn(sqlIn, m => scala.util.matching.Regex.quoteReplacement(
-      s"${side(m.group(1), m.group(2))} FULL JOIN ${side(m.group(3), m.group(4))} USING (__gpos)"))
+    val v = new SqlTok.View(sqlIn)
+    val t = v.toks
+    def tableWord(i: Int): Boolean = i >= 0 && i < t.length &&
+      t(i).kind == SqlTok.Word && !kw(t(i).up)
+    // start of the dotted chain ENDING at token i
+    def chainStart(i: Int): Int = {
+      var j = i
+      while (j >= 2 && t(j - 1).isOp(".") && t(j - 1).end == t(j).start &&
+          t(j - 2).end == t(j - 1).start && t(j - 2).kind == SqlTok.Word) j -= 2
+      j
+    }
+    def text(i: Int): String = sqlIn.substring(t(i).start, t(i).end)
+    val edits = Seq.newBuilder[(Int, Int, String)]
+    var lastEnd = -1
+    var rewrote = false
+    var k = 0
+    while (k + 1 < t.length) {
+      if (t(k).is("POSITIONAL") && t(k + 1).is("JOIN")) {
+        // LEFT side, backward from POSITIONAL: tbl | tbl alias | tbl AS alias
+        var lAlias: String = null
+        var lEnd = k - 1 // chain-end token of the left table
+        if (tableWord(lEnd)) {
+          if (lEnd >= 2 && t(lEnd - 1).is("AS") && tableWord(lEnd - 2)) {
+            lAlias = text(lEnd); lEnd -= 2
+          } else if (chainStart(lEnd) == lEnd && lEnd >= 1 && tableWord(lEnd - 1)) {
+            lAlias = text(lEnd); lEnd -= 1
+          }
+        }
+        val lStart = chainStart(lEnd)
+        // RIGHT side, forward from JOIN: tbl [AS] alias
+        val rStart = k + 2
+        if (tableWord(lStart) && tableWord(rStart) && t(lStart).start > lastEnd) {
+          var rTblEnd = rStart
+          while (rTblEnd + 2 < t.length && t(rTblEnd + 1).isOp(".") &&
+              t(rTblEnd).end == t(rTblEnd + 1).start &&
+              t(rTblEnd + 1).end == t(rTblEnd + 2).start &&
+              t(rTblEnd + 2).kind == SqlTok.Word) rTblEnd += 2
+          var rAlias: String = null
+          var rEnd = rTblEnd
+          if (rTblEnd + 2 < t.length && t(rTblEnd + 1).is("AS") &&
+              tableWord(rTblEnd + 2)) {
+            rAlias = text(rTblEnd + 2); rEnd = rTblEnd + 2
+          } else if (rTblEnd + 1 < t.length && tableWord(rTblEnd + 1)) {
+            rAlias = text(rTblEnd + 1); rEnd = rTblEnd + 1
+          }
+          val lTbl = sqlIn.substring(t(lStart).start, t(lEnd).end)
+          val rTbl = sqlIn.substring(t(rStart).start, t(rTblEnd).end)
+          edits += ((t(lStart).start, t(rEnd).end,
+            s"${side(lTbl, lAlias)} FULL JOIN ${side(rTbl, rAlias)} USING (__gpos)"))
+          lastEnd = t(rEnd).end
+          rewrote = true
+          k = rEnd
+        }
+      }
+      k += 1
+    }
+    var s = SqlTok.applyEdits(sqlIn, edits.result())
     // a bare star would surface __gpos — exclude it
-    s = raw"(?i)^(\s*SELECT\s+)\*(\s+FROM\b)".r.replaceAllIn(s, "$1* EXCEPT (__gpos)$2")
+    if (rewrote)
+      s = tokenEdit(s) { w =>
+        val u = w.toks
+        if (u.length > 2 && u(0).is("SELECT") && u(1).isOp("*") && u(2).is("FROM"))
+          Seq((u(1).end, u(1).end, " EXCEPT (__gpos)"))
+        else Seq.empty
+      }
     s
   }
 
@@ -1823,23 +1779,48 @@ object GraftSql {
 
     // ->> / -> json access chains (j -> 'a' ->> 0 ...) collapse into ONE
     // get_json_object with a combined path — both more efficient (one
-    // parse of the document) and regex-tractable (no nested parens).
+    // parse of the document) and single-pass-tractable. Base: a dotted
+    // identifier chain; steps: quoted field names or bare indices.
     // Guard: an arrow whose innermost enclosing call is a higher-order
     // function is a lambda body (list_transform(xs, x -> 'p' || x)), not
     // JSON access — left untouched.
-    val chain = raw"([A-Za-z_][A-Za-z0-9_\.]*)((?:\s*->>?\s*(?:'[^']*'|\d+))+)".r
-    val step = raw"->>?\s*('([^']*)'|(\d+))".r
-    s = chain.replaceSomeIn(s, m => {
-      if (inLiteral(m.source.toString, m.start) ||
-          isHofContext(m.source.toString, m.start)) None
-      else {
-        val path = step.findAllMatchIn(m.group(2)).map { st =>
-          if (st.group(2) != null) s".${st.group(2)}" else s"[${st.group(3)}]"
-        }.mkString
-        Some(scala.util.matching.Regex.quoteReplacement(
-          s"get_json_object(graft_json_input(${m.group(1)}), '$$$path')"))
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      val edits = Seq.newBuilder[(Int, Int, String)]
+      var k = 0
+      while (k < t.length) {
+        val headless = t(k).kind == SqlTok.Word &&
+          !(k > 0 && t(k - 1).isOp(".") && t(k - 1).end == t(k).start)
+        if (headless) {
+          // extend the dotted base: `.word` / `.123` segments, adjacent
+          var end = k
+          while (end + 2 < t.length && t(end + 1).isOp(".") &&
+              t(end).end == t(end + 1).start &&
+              t(end + 1).end == t(end + 2).start &&
+              (t(end + 2).kind == SqlTok.Word || t(end + 2).kind == SqlTok.Num)) end += 2
+          var j = end + 1
+          val path = new StringBuilder
+          var cont = true
+          while (cont && j + 1 < t.length && t(j).kind == SqlTok.Op &&
+              (t(j).up == "->" || t(j).up == "->>")) {
+            val a = t(j + 1)
+            if (a.kind == SqlTok.Str && a.up.length >= 2 && a.up.endsWith("'") &&
+                !a.up.substring(1, a.up.length - 1).contains("'")) {
+              path.append('.').append(a.up.substring(1, a.up.length - 1)); j += 2
+            } else if (a.kind == SqlTok.Num && a.up.forall(_.isDigit)) {
+              path.append('[').append(a.up).append(']'); j += 2
+            } else cont = false
+          }
+          if (path.nonEmpty && !isHofContext(v, k)) {
+            val base = v.s.substring(t(k).start, t(end).end)
+            edits += ((t(k).start, t(j - 1).end,
+              s"get_json_object(graft_json_input($base), '$$$path')"))
+          }
+          k = math.max(j, end + 1)
+        } else k += 1
       }
-    })
+      edits.result()
+    }
 
     // struct_pack(k := v, ...) → named_struct('k', v, ...)
     s = rewriteCall(s, "struct_pack", args => {
@@ -2566,30 +2547,31 @@ object GraftSql {
     // are NOT touched (an injected ORDER BY would shrink their default
     // frame to running-total semantics).
     locally {
-      val needOrder = Set("row_number", "rank", "dense_rank", "ntile",
-        "lag", "lead", "percent_rank", "cume_dist")
-      val pat = raw"(?i)\b([a-z_]+)\s*\(([^()]*)\)\s+OVER\s*\(".r
-      var search = 0
-      var continue = true
-      while (continue) {
-        pat.findFirstMatchIn(s.substring(search)) match {
-          case Some(m) if needOrder.contains(m.group(1).toLowerCase(java.util.Locale.ROOT)) &&
-              !inLiteral(s, search + m.start) =>
-            val open = search + m.end - 1
-            val close = matchParen(s, open)
-            if (close < 0) continue = false
-            else {
-              val inner = s.substring(open + 1, close)
-              if (raw"(?i)\bORDER\s+BY\b".r.findFirstIn(inner).isEmpty) {
-                val insert = (if (inner.trim.isEmpty) "" else " ") +
+      val needOrder = Set("ROW_NUMBER", "RANK", "DENSE_RANK", "NTILE",
+        "LAG", "LEAD", "PERCENT_RANK", "CUME_DIST")
+      s = tokenEdit(s) { v =>
+        val t = v.toks
+        val edits = Seq.newBuilder[(Int, Int, String)]
+        var k = 0
+        while (k + 1 < t.length) {
+          if (t(k).kind == SqlTok.Word && needOrder(t(k).up) &&
+              t(k + 1).kind == SqlTok.LPar && v.brk(k + 1) >= 0) {
+            val ac = v.brk(k + 1) // args close
+            if (ac + 2 < t.length && t(ac + 1).is("OVER") &&
+                t(ac + 2).kind == SqlTok.LPar && v.brk(ac + 2) >= 0) {
+              val sc = v.brk(ac + 2) // spec close
+              val hasOrder = (ac + 3 until sc).exists(i =>
+                t(i).is("ORDER") && i + 1 < sc && t(i + 1).is("BY"))
+              if (!hasOrder) {
+                val ins = (if (sc == ac + 3) "" else " ") +
                   "ORDER BY monotonically_increasing_id()"
-                s = s.substring(0, close) + insert + s.substring(close)
-                search = close + insert.length + 1
-              } else search = close + 1
+                edits += ((t(sc).start, t(sc).start, ins))
+              }
             }
-          case Some(m) => search = search + m.end
-          case None => continue = false
+          }
+          k += 1
         }
+        edits.result()
       }
     }
 
