@@ -32,12 +32,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSql {
 
   // ALL quote/paren/comment classification lives in the shared lexer —
-  // rewrite passes either consume its token stream or, for the
-  // remaining regex passes, its character-level guards. No pass keeps a
-  // private scanner (the per-rewrite guard stacks produced the
-  // alias-after-paren wrong-rows bugs of rounds 11-12).
-  import SqlTok.{inLiteral, maskDoubleQuoted, matchParen,
-    splitTopLevel, stripComments}
+  // every rewrite pass consumes its token stream (SqlTok.View); the
+  // only character-level helpers left are fragment utilities
+  // (splitTopLevel over an extracted argument list, matchParen for
+  // unwrapping one extracted primary, stripComments as the pipeline's
+  // first pass). No pass keeps a private scanner (the per-rewrite
+  // guard stacks produced the alias-after-paren wrong-rows bugs of
+  // rounds 11-12).
+  import SqlTok.{matchParen, splitTopLevel, stripComments}
 
   // The legal non-boundary followers of a `)` — each has its own
   // handling wherever a pass must decide whether a bare word after a
@@ -327,61 +329,40 @@ object GraftSql {
     * selectable from the base relation.
     */
   private def rewriteDistinctOn(sql: String): String = {
-    val head = raw"(?is)^(\s*SELECT\s+)DISTINCT\s+ON\s*\(".r
-    head.findFirstMatchIn(sql) match {
-      case None => sql
-      case Some(m) =>
-        val open = m.end - 1
-        val close = matchParen(sql, open)
-        if (close < 0) return sql
-        val onCols = sql.substring(open + 1, close).trim
-        val rest = sql.substring(close + 1)
-        // FIRST top-level occurrence of a keyword in `rest` — subqueries
-        // sit inside parens, string literals are skipped, and a true word
-        // boundary is enforced on the left (prefix-matching a substring
-        // would otherwise match 'offset' inside 'ts_offset')
-        def topLevelIdx(pat: scala.util.matching.Regex): Option[Int] = {
-          var i = 0
-          var depth = 0
-          while (i < rest.length) {
-            rest.charAt(i) match {
-              case '\'' =>
-                i += 1
-                while (i < rest.length && rest.charAt(i) != '\'') i += 1
-              case '(' => depth += 1
-              case ')' => depth -= 1
-              case c =>
-                val boundary = i == 0 || {
-                  val p = rest.charAt(i - 1); !(p.isLetterOrDigit || p == '_')
-                }
-                if (depth == 0 && boundary && c.isLetter &&
-                    pat.findPrefixMatchOf(rest.substring(i)).isDefined)
-                  return Some(i)
-            }
-            i += 1
-          }
-          None
+    val v = new SqlTok.View(sql)
+    val t = v.toks
+    val isHead = t.length > 4 && t(0).is("SELECT") && t(1).is("DISTINCT") &&
+      t(2).is("ON") && t(3).kind == SqlTok.LPar && v.brk(3) >= 0
+    if (!isHead) return sql
+    val close = v.brk(3)
+        val onCols = sql.substring(t(3).end, t(close).start).trim
+        // FIRST top-level occurrence of each clause keyword after the ON
+        // list — subqueries sit inside parens, handled by token depth
+        def topTok(kws: Set[String]): Int = v.topIdx(close + 1, t.length)(
+          x => x.kind == SqlTok.Word && kws(x.up))
+        val fromTok = topTok(Set("FROM"))
+        if (fromTok < 0) return sql
+        val orderTok = {
+          val i = topTok(Set("ORDER"))
+          if (i >= 0 && i + 1 < t.length && t(i + 1).is("BY")) i else -1
         }
-        val fromIdxOpt = topLevelIdx(raw"(?is)^FROM\b".r)
-        if (fromIdxOpt.isEmpty) return sql
-        val fromIdx = fromIdxOpt.get
-        val orderIdx = topLevelIdx(raw"(?is)^ORDER\s+BY\b".r)
         // a top-level LIMIT/OFFSET applies AFTER dedup even when there is
         // no ORDER BY — it must leave the inner body either way
-        val limitIdx = topLevelIdx(raw"(?is)^(LIMIT|OFFSET)\b".r)
-        val cutIdx = Seq(orderIdx, limitIdx).flatten.minOption
-        if (cutIdx.exists(_ <= fromIdx)) return sql
-        val body = cutIdx.map(rest.substring(0, _)).getOrElse(rest)
-        val windowOrder = orderIdx match {
-          case Some(oi) =>
-            val afterOrder = rest.substring(oi).replaceFirst(raw"(?is)^ORDER\s+BY\s*", "")
-            // strip a trailing LIMIT/OFFSET from the window order list
-            raw"(?is)\b(LIMIT|OFFSET)\b.*$$".r.replaceFirstIn(afterOrder, "").trim
-          case None => onCols
-        }
-        val limitTail = limitIdx.map(rest.substring).getOrElse("")
-        val proj = body.substring(0, fromIdx)
-        val fromPart = body.substring(fromIdx)
+        val limitTok = topTok(Set("LIMIT", "OFFSET"))
+        if ((orderTok >= 0 && orderTok <= fromTok) ||
+            (limitTok >= 0 && limitTok <= fromTok)) return sql
+        val cutChar = Seq(orderTok, limitTok).filter(_ >= 0)
+          .map(i => t(i).start).minOption.getOrElse(sql.length)
+        val windowOrder =
+          if (orderTok < 0) onCols
+          else if (orderTok + 2 >= t.length) ""
+          else {
+            val wEnd = if (limitTok >= 0) t(limitTok).start else sql.length
+            sql.substring(t(orderTok + 2).start, wEnd).trim
+          }
+        val limitTail = if (limitTok >= 0) sql.substring(t(limitTok).start) else ""
+        val proj = sql.substring(t(close).end, t(fromTok).start)
+        val fromPart = sql.substring(t(fromTok).start, cutChar)
         // ORDER BY expressions may reference base-table columns absent from
         // the projection (the idiomatic Postgres shape: SELECT DISTINCT ON
         // (k) payload ... ORDER BY k, ts DESC) — project each ordering
@@ -421,13 +402,12 @@ object GraftSql {
         val resolvedOn = splitTopLevel(onCols).map(resolveOrd).mkString(", ")
         val innerExtras = ordItems.map { case (e, _, a) => s"$e AS $a" }.mkString(", ")
         val outerOrder =
-          if (orderIdx.isEmpty) ""
+          if (orderTok < 0) ""
           else "ORDER BY " + ordItems.map { case (_, d, a) => s"$a $d".trim }.mkString(", ")
         val except = ("__rn" +: ordItems.map(_._3)).mkString(", ")
-        s"SELECT * EXCEPT ($except) FROM (${m.group(1)}$proj, $innerExtras, " +
+        s"SELECT * EXCEPT ($except) FROM (SELECT $proj, $innerExtras, " +
           s"row_number() OVER (PARTITION BY $resolvedOn ORDER BY $resolvedWindowOrder) AS __rn $fromPart) " +
           s"__distinct_on WHERE __rn = 1 $outerOrder $limitTail"
-    }
   }
 
   /** Comma-joined table functions — the reference's implicit CROSS JOIN
@@ -449,14 +429,13 @@ object GraftSql {
     // TVF alias with ONE output column also answers DOT/subscript
     // access to the element's fields (`tc.name` over exploded structs)
     // — the post-pass qualifies those through the column.
-    val pat = raw"(?i)(,|\bFROM\b|\b(?:(?:CROSS|INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\b)\s*(UNNEST|EXPLODE|JSON_EACH)\s*\(".r
-    val kw = Set("where", "group", "order", "limit", "offset", "join",
-      "inner", "left", "right", "full", "cross", "lateral", "union",
-      "intersect", "except", "on", "having")
-    val aliasRe =
-      raw"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?".r
-    val onRe = raw"(?is)^\s*ON\s+".r
-    val clauseEnd = raw"(?i)\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bJOIN\b|\bINNER\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bCROSS\b".r
+    val tvfNames = Set("UNNEST", "EXPLODE", "JSON_EACH")
+    val kw = Set("WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "JOIN",
+      "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "LATERAL", "UNION",
+      "INTERSECT", "EXCEPT", "ON", "HAVING")
+    val clauseEnd = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+      "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
+      "FULL", "CROSS")
     // TVF aliases that expose a single default column: dot/subscript
     // access through the alias must route through that column
     val singleCol = scala.collection.mutable.ListBuffer[(String, String)]()
@@ -466,162 +445,181 @@ object GraftSql {
     var continue = true
     while (continue && guard < 200) {
       guard += 1
-      pat.findFirstMatchIn(s.substring(from)) match {
-        case None => continue = false
-        case Some(m) =>
-          val start = from + m.start
-          if (inLiteral(s, start)) from = start + 1
-          else {
-            val sep = m.group(1).trim.toUpperCase(java.util.Locale.ROOT)
-            val fname = m.group(2).toUpperCase(java.util.Locale.ROOT)
-            val open = from + m.end - 1
-            val close = matchParen(s, open)
-            if (close < 0) continue = false
-            else {
-              val args = s.substring(open + 1, close)
-              val rest = s.substring(close + 1)
-              val (alias, cols, consumed0) = aliasRe.findFirstMatchIn(rest) match {
-                case Some(am) if !kw.contains(am.group(1).toLowerCase(java.util.Locale.ROOT)) =>
-                  val cs = Option(am.group(2)).map(_.stripPrefix("(").stripSuffix(")")
-                    .split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
-                  (am.group(1), cs, am.end)
-                case _ => (s"__tvf$guard", Seq.empty[String], 0)
-              }
-              // optional ON <cond> after a JOIN form — the condition runs
-              // to the next top-level clause keyword or comma
-              val afterAlias = rest.substring(consumed0)
-              // Option[(condition text, chars consumed from afterAlias)]
-              val onParsed: Option[(String, Int)] = onRe.findFirstMatchIn(afterAlias).map { om =>
-                val condStart = om.end
-                var i = condStart
-                var depth = 0
-                var end = afterAlias.length
-                var scanning = true
-                while (scanning && i < afterAlias.length) {
-                  afterAlias.charAt(i) match {
-                    case '\'' => i += 1; while (i < afterAlias.length && afterAlias.charAt(i) != '\'') i += 1
-                    case '(' => depth += 1
-                    case ')' => depth -= 1
-                    case ',' if depth == 0 => end = i; scanning = false
-                    case c if depth == 0 && c.isLetter =>
-                      clauseEnd.findPrefixMatchOf(afterAlias.subSequence(i, afterAlias.length)) match {
-                        case Some(_) if i > condStart => end = i; scanning = false
-                        case _ => while (i + 1 < afterAlias.length && afterAlias.charAt(i + 1).isLetterOrDigit) i += 1
-                      }
-                    case _ =>
-                  }
-                  if (scanning) i += 1
-                }
-                (afterAlias.substring(condStart, end).trim, end)
-              }
-              val onCond = onParsed.map(_._1)
-              val consumed = consumed0 + onParsed.map(_._2).getOrElse(0)
-              val defCols =
-                if (fname == "JSON_EACH") Seq("key", "value") else Seq(fname.toLowerCase(java.util.Locale.ROOT))
-              // a written alias list names the FIRST columns (the
-              // reference's j(k) form); the rest keep their defaults
-              val colList =
-                if (cols.isEmpty) defCols
-                else cols ++ defCols.drop(cols.length)
-              if (cols.isEmpty && colList.size == 1) singleCol += alias -> colList.head
-              // a LITERAL scalar argument ('42') is statically visible:
-              // the reference throws at execution (json.js JSON_EACH
-              // guard) — data columns stay lenient like the JSON family
-              val scalarErr =
-                if (fname == "JSON_EACH" && !hasTopLevelComma(args))
-                  jsonEachScalarErr(args)
-                else None
-              val inner =
-                if (scalarErr.isDefined)
-                  "explode(map_from_entries(array(struct(CAST(raise_error(" +
-                    s"'${scalarErr.get}') AS STRING), 'x'))))"
-                else if (fname == "JSON_EACH") {
-                  val x = s"graft_json_input($args)"
-                  s"explode(coalesce(from_json($x, 'map<string,string>'), " +
-                    s"map_from_entries(transform(from_json($x, 'array<string>'), " +
-                    s"(e, i) -> struct(cast(i AS string), e)))))"
-                } else s"explode($args)"
-              val aliased = s"$inner AS $alias(${colList.mkString(", ")})"
-              val replacement = sep match {
-                case "FROM" => s"FROM $aliased"
-                case "," => s", LATERAL $aliased"
-                case j if onCond.forall(_.equalsIgnoreCase("TRUE")) && !j.startsWith("LEFT") =>
-                  s", LATERAL $aliased" // inner join ON TRUE ≡ cross lateral
-                case j =>
-                  val prefix = if (j.startsWith("LEFT")) "LEFT " else ""
-                  s"${prefix}JOIN LATERAL (SELECT * FROM $aliased) AS $alias ON ${onCond.getOrElse("TRUE")}"
-              }
-              s = s.substring(0, start) + replacement + s.substring(close + 1 + consumed)
-              from = 0
+      val v = new SqlTok.View(s)
+      val t = v.toks
+      // site: Comma | FROM | [CROSS|INNER|LEFT [OUTER]] JOIN, then TVF (
+      var site = -1 // TVF name token
+      var sep = "" // ",", "FROM", or the JOIN spelling (normalized)
+      var sepTok = -1
+      var i = 1
+      while (site < 0 && i + 1 < t.length) {
+        if (t(i).kind == SqlTok.Word && tvfNames(t(i).up) &&
+            t(i).start >= from && t(i + 1).kind == SqlTok.LPar &&
+            v.brk(i + 1) >= 0) {
+          val p = t(i - 1)
+          if (p.kind == SqlTok.Comma) { site = i; sep = ","; sepTok = i - 1 }
+          else if (p.is("FROM")) { site = i; sep = "FROM"; sepTok = i - 1 }
+          else if (p.is("JOIN")) {
+            site = i; sep = "JOIN"; sepTok = i - 1
+            if (i >= 2 && (t(i - 2).is("CROSS") || t(i - 2).is("INNER"))) {
+              sep = t(i - 2).up + " JOIN"; sepTok = i - 2
+            } else if (i >= 2 && t(i - 2).is("OUTER") && i >= 3 && t(i - 3).is("LEFT")) {
+              sep = "LEFT OUTER JOIN"; sepTok = i - 3
+            } else if (i >= 2 && t(i - 2).is("LEFT")) {
+              sep = "LEFT JOIN"; sepTok = i - 2
             }
           }
+        }
+        if (site < 0) i += 1
+      }
+      if (site < 0) continue = false
+      else {
+        val close = v.brk(site + 1)
+        val fname = t(site).up
+        val args = s.substring(t(site + 1).end, t(close).start)
+        def text(k: Int): String = s.substring(t(k).start, t(k).end)
+        // [AS] alias [(col, ...)]
+        var j = close + 1
+        var alias = s"__tvf$guard"
+        var cols = Seq.empty[String]
+        val aliasIdx =
+          if (j < t.length && t(j).is("AS") && j + 1 < t.length &&
+              t(j + 1).kind == SqlTok.Word && !kw(t(j + 1).up)) j + 1
+          else if (j < t.length && t(j).kind == SqlTok.Word && !kw(t(j).up)) j
+          else -1
+        if (aliasIdx >= 0) {
+          alias = text(aliasIdx)
+          j = aliasIdx + 1
+          if (j < t.length && t(j).kind == SqlTok.LPar && v.brk(j) >= 0) {
+            val ce = v.brk(j)
+            val innerToks = (j + 1 until ce).map(t(_))
+            val clean = innerToks.nonEmpty && innerToks.zipWithIndex.forall {
+              case (x, n) => if (n % 2 == 0) x.kind == SqlTok.Word
+                             else x.kind == SqlTok.Comma
+            } && innerToks.length % 2 == 1
+            if (clean) {
+              cols = innerToks.collect { case x if x.kind == SqlTok.Word =>
+                s.substring(x.start, x.end) }.toSeq
+              j = ce + 1
+            }
+          }
+        }
+        // optional ON <cond> after a JOIN form — the condition runs to
+        // the next same-level clause keyword, comma, or closing paren
+        var onCond: Option[String] = None
+        if (j < t.length && t(j).is("ON")) {
+          var m = j + 1
+          var d = 0
+          var endTok = t.length
+          var scanning = true
+          while (scanning && m < t.length) {
+            t(m).kind match {
+              case SqlTok.LPar => d += 1
+              case SqlTok.RPar =>
+                d -= 1; if (d < 0) { endTok = m; scanning = false }
+              case SqlTok.Comma if d == 0 => endTok = m; scanning = false
+              case SqlTok.Word if d == 0 && m > j + 1 && clauseEnd(t(m).up) =>
+                endTok = m; scanning = false
+              case _ => ()
+            }
+            if (scanning) m += 1
+          }
+          val condEnd = if (endTok < t.length) t(endTok).start else s.length
+          onCond = Some(s.substring(t(j + 1).start, condEnd).trim)
+            .filter(_.nonEmpty)
+          j = endTok
+        }
+        val consumedEnd =
+          if (j > close + 1) t(j - 1).end else t(close).end
+        val defCols =
+          if (fname == "JSON_EACH") Seq("key", "value")
+          else Seq(fname.toLowerCase(java.util.Locale.ROOT))
+        // a written alias list names the FIRST columns (the
+        // reference's j(k) form); the rest keep their defaults
+        val colList =
+          if (cols.isEmpty) defCols
+          else cols ++ defCols.drop(cols.length)
+        if (cols.isEmpty && colList.size == 1) singleCol += alias -> colList.head
+        // a LITERAL scalar argument ('42') is statically visible:
+        // the reference throws at execution (json.js JSON_EACH
+        // guard) — data columns stay lenient like the JSON family
+        val scalarErr =
+          if (fname == "JSON_EACH" && !hasTopLevelComma(args))
+            jsonEachScalarErr(args)
+          else None
+        val inner =
+          if (scalarErr.isDefined)
+            "explode(map_from_entries(array(struct(CAST(raise_error(" +
+              s"'${scalarErr.get}') AS STRING), 'x'))))"
+          else if (fname == "JSON_EACH") {
+            val x = s"graft_json_input($args)"
+            s"explode(coalesce(from_json($x, 'map<string,string>'), " +
+              s"map_from_entries(transform(from_json($x, 'array<string>'), " +
+              s"(e, i) -> struct(cast(i AS string), e)))))"
+          } else s"explode($args)"
+        val aliased = s"$inner AS $alias(${colList.mkString(", ")})"
+        val replacement = sep match {
+          case "FROM" => s"FROM $aliased"
+          case "," => s", LATERAL $aliased"
+          case jn if onCond.forall(_.equalsIgnoreCase("TRUE")) && !jn.startsWith("LEFT") =>
+            s", LATERAL $aliased" // inner join ON TRUE ≡ cross lateral
+          case jn =>
+            val prefix = if (jn.startsWith("LEFT")) "LEFT " else ""
+            s"${prefix}JOIN LATERAL (SELECT * FROM $aliased) AS $alias ON ${onCond.getOrElse("TRUE")}"
+        }
+        val start = t(sepTok).start
+        s = s.substring(0, start) + replacement + s.substring(consumedEnd)
+        from = start + replacement.length
       }
     }
     // dot/subscript access through a single-column TVF alias: `tc.name`
     // over exploded structs means field access on the element column
     singleCol.foreach { case (alias, col) =>
-      s = raw"(?i)\b($alias)\.(?!$col\b)([A-Za-z_]\w*)".r.replaceSomeIn(s, m =>
-        if (inLiteral(m.source.toString, m.start)) None
-        else Some(scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.$col.${m.group(2)}")))
-      s = raw"(?i)\b($alias)\[".r.replaceSomeIn(s, m =>
-        if (inLiteral(m.source.toString, m.start)) None
-        else Some(scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}.$col[")))
+      val aliasUp = alias.toUpperCase(java.util.Locale.ROOT)
+      val colUp = col.toUpperCase(java.util.Locale.ROOT)
+      s = tokenEdit(s) { v =>
+        val t = v.toks
+        t.indices.flatMap { k =>
+          val isRef = t(k).kind == SqlTok.Word && t(k).up == aliasUp &&
+            !(k > 0 && t(k - 1).isOp(".") && t(k - 1).end == t(k).start)
+          if (!isRef) None
+          else if (k + 2 < t.length && t(k + 1).isOp(".") &&
+              t(k).end == t(k + 1).start && t(k + 1).end == t(k + 2).start &&
+              t(k + 2).kind == SqlTok.Word && t(k + 2).up != colUp)
+            Some((t(k).end, t(k).end, s".$col"))
+          else if (k + 1 < t.length && t(k + 1).kind == SqlTok.LBrk &&
+              t(k).end == t(k + 1).start)
+            Some((t(k).end, t(k).end, s".$col"))
+          else None
+        }
+      }
     }
     s
   }
 
-  /** The [start, end) span of the TOP-LEVEL select list (first SELECT at
-    * paren-depth 0 up to its FROM), or None for non-SELECT-headed text.
+  /** The [start, end) char span of the TOP-LEVEL select list (first
+    * SELECT at paren-depth 0 up to its FROM), or None for
+    * non-SELECT-headed text.
     */
   private def topSelectSpan(s: String): Option[(Int, Int)] = {
-    var i = 0
-    var depth = 0
-    var selStart = -1
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' =>
-          i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case c if depth == 0 && (c == 's' || c == 'S') && selStart < 0 &&
-            s.regionMatches(true, i, "SELECT", 0, 6) &&
-            (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) &&
-            (i + 6 >= s.length || !(s.charAt(i + 6).isLetterOrDigit || s.charAt(i + 6) == '_')) =>
-          selStart = i + 6
-          i += 5
-        case c if depth == 0 && selStart >= 0 && (c == 'f' || c == 'F') &&
-            s.regionMatches(true, i, "FROM", 0, 4) &&
-            (i == 0 || !(s.charAt(i - 1).isLetterOrDigit || s.charAt(i - 1) == '_')) &&
-            (i + 4 >= s.length || !(s.charAt(i + 4).isLetterOrDigit || s.charAt(i + 4) == '_')) =>
-          return Some((selStart, i))
-        case _ =>
-      }
-      i += 1
-    }
-    None
+    val v = new SqlTok.View(s)
+    val sel = v.topIdx(0, v.toks.length)(_.is("SELECT"))
+    if (sel < 0) return None
+    val from = v.topIdx(sel + 1, v.toks.length)(_.is("FROM"))
+    if (from < 0) None else Some((v.toks(sel).end, v.toks(from).start))
   }
 
-  /** First occurrence of any of `kws` as a whole word at paren depth 0,
-    * outside string literals and double-quoted identifiers, within
-    * `[from, to)`. Returns -1 when none.
+  /** Char position of the first of `kws` as a Word token at paren depth
+    * 0 within chars `[from, to0)`. Returns -1 when none.
     */
   private def topKwPos(s: String, from: Int, to0: Int, kws: Seq[String]): Int = {
-    def isW(c: Char) = c.isLetterOrDigit || c == '_'
+    val v = new SqlTok.View(s)
     val to = math.min(to0, s.length)
-    var i = from
-    var depth = 0
-    while (i < to) {
-      val c = s.charAt(i)
-      if (c == '\'' || c == '"') {
-        i += 1; while (i < to && s.charAt(i) != c) i += 1; i += 1
-      } else if (c == '(') { depth += 1; i += 1 }
-      else if (c == ')') { depth -= 1; i += 1 }
-      else if (depth == 0 && c.isLetter && (i == 0 || !isW(s.charAt(i - 1)))) {
-        if (kws.exists(k => s.regionMatches(true, i, k, 0, k.length) &&
-            (i + k.length >= to || !isW(s.charAt(i + k.length))))) return i
-        while (i < to && isW(s.charAt(i))) i += 1
-      } else i += 1
+    var i = v.tokAtOrAfter(from)
+    while (i < v.toks.length && v.toks(i).start < to) {
+      if (v.depth(i) == 0 && v.toks(i).kind == SqlTok.Word &&
+          kws.contains(v.toks(i).up)) return v.toks(i).start
+      i += 1
     }
     -1
   }
@@ -710,20 +708,27 @@ object GraftSql {
     // evaluates the cell once) — leave such references to Spark's
     // native lateral-alias resolution
     val nondet = raw"(?i)\b(RAND|RANDOM|NOW|UUID|CURRENT_DATE|CURRENT_TIME|CURRENT_TIMESTAMP)\b".r
-    def expand(e: String, allowed: Int, qualifyBlocked: Boolean): String =
-      raw"(?<![\w.])([A-Za-z_]\w*)(?![\w.])(?!\s*\()".r.replaceSomeIn(e, m => {
-        val k = m.group(1).toLowerCase(java.util.Locale.ROOT)
-        if (inLiteral(e, m.start)) None
-        else aliases.get(k) match {
+    def expand(e: String, allowed: Int, qualifyBlocked: Boolean): String = {
+      val v = new SqlTok.View(e)
+      val t = v.toks
+      val edits = Seq.newBuilder[(Int, Int, String)]
+      var k = 0
+      while (k < t.length) {
+        val isRef = t(k).kind == SqlTok.Word &&
+          !(k > 0 && t(k - 1).isOp(".")) &&
+          !(k + 1 < t.length && (t(k + 1).isOp(".") || t(k + 1).kind == SqlTok.LPar))
+        if (isRef) aliases.get(t(k).up.toLowerCase(java.util.Locale.ROOT)) match {
           case Some((ex, idx)) if idx < allowed && nondet.findFirstIn(ex).isEmpty =>
-            Some(scala.util.matching.Regex.quoteReplacement(
-              s"(${expand(ex, idx, qualifyBlocked)})"))
-          case Some((ex, idx)) if idx >= allowed && qualifyBlocked =>
-            fromQual.map(q =>
-              scala.util.matching.Regex.quoteReplacement(s"$q.${m.group(1)}"))
-          case _ => None
+            edits += ((t(k).start, t(k).end, s"(${expand(ex, idx, qualifyBlocked)})"))
+          case Some((_, idx)) if idx >= allowed && qualifyBlocked && fromQual.isDefined =>
+            edits += ((t(k).start, t(k).end,
+              s"${fromQual.get}.${e.substring(t(k).start, t(k).end)}"))
+          case _ => ()
         }
-      })
+        k += 1
+      }
+      SqlTok.applyEdits(e, edits.result())
+    }
     var s = sqlIn
     // 1) SELECT items: lateral / shadowing references to EARLIER
     //    aliases. Items containing a subquery are left alone — the
@@ -807,14 +812,30 @@ object GraftSql {
     //    for a bare (even nested) alias ref Spark's output-first sort
     //    resolution already matches the reference's substitution, but
     //    inside an aggregate the output ref is circular for a shadow
-    val obAggRe = raw"(?is)\b(ORDER\s+BY\s.*?)\b(sum|min|max|avg|count)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
-    s = obAggRe.replaceSomeIn(s, m => {
-      val name = m.group(3).toLowerCase(java.util.Locale.ROOT)
-      aliases.get(name).map { case (ex, idx) =>
-        scala.util.matching.Regex.quoteReplacement(
-          s"${m.group(1)}${m.group(2)}((${expand(ex, idx, qualifyBlocked = true)}))")
+    locally {
+      val aggNames = Set("SUM", "MIN", "MAX", "AVG", "COUNT")
+      val v = new SqlTok.View(s)
+      val t = v.toks
+      val firstOrder = t.indices.find(i =>
+        t(i).is("ORDER") && i + 1 < t.length && t(i + 1).is("BY"))
+      firstOrder.foreach { ob =>
+        val edits = Seq.newBuilder[(Int, Int, String)]
+        var k = ob + 2
+        while (k + 3 < t.length) {
+          if (t(k).kind == SqlTok.Word && aggNames(t(k).up) &&
+              t(k + 1).kind == SqlTok.LPar && t(k + 2).kind == SqlTok.Word &&
+              t(k + 3).kind == SqlTok.RPar) {
+            aliases.get(t(k + 2).up.toLowerCase(java.util.Locale.ROOT)).foreach {
+              case (ex, idx) =>
+                edits += ((t(k + 2).start, t(k + 2).end,
+                  s"(${expand(ex, idx, qualifyBlocked = true)})"))
+            }
+          }
+          k += 1
+        }
+        s = SqlTok.applyEdits(s, edits.result())
       }
-    })
+    }
     s
   }
 
@@ -1182,12 +1203,6 @@ object GraftSql {
     * dispatch rides on typeof(expr). Chained ops re-wrap the previous
     * call's timestamp output (space form → Date-object semantics).
     */
-  // the reference accepts any interval value Number() converts —
-  // quoted decimal text with padding ('  .5 ', '+1', '1e2') or a bare
-  // tokenizer number (.5, 1., 1e2) — src/parse/primary.js:388-393
-  private val IvlQ = raw"'(\s*[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\s*)'"
-  private val IvlB = raw"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
-
   // token-level interval-literal readers shared by the three interval
   // passes: value = '…numeric…' | [adjacent -]number (the reference
   // accepts any text Number() converts — src/parse/primary.js:388-393);
@@ -1360,17 +1375,20 @@ object GraftSql {
       // stay native when every subsequent interval op is
       // integral sub-month too
       def chainAllSubMonth(fromChar: Int): Boolean = {
-        val tail = (raw"(?i)^\s*[+\-]\s*INTERVAL\s+(?:$IvlQ|$IvlB)\s+" +
-          raw"(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)S?\b").r
-        var idx = fromChar
+        var idx = v.tokAtOrAfter(fromChar)
         var ok = true
         var cont = true
         while (cont && ok) {
-          tail.findPrefixMatchOf(s.substring(idx)) match {
-            case Some(mm) =>
-              val vv = Option(mm.group(1)).getOrElse(mm.group(2)).trim.toDouble
-              ok = subMonthIntegral(mm.group(3).toUpperCase(java.util.Locale.ROOT), vv)
-              idx += mm.end
+          val isTail = idx + 1 < toks.length && toks(idx).kind == SqlTok.Op &&
+            (toks(idx).up == "+" || toks(idx).up == "-") &&
+            toks(idx + 1).is("INTERVAL")
+          val step = if (isTail) ivlValueAt(v, idx + 2).flatMap { case (c, value) =>
+            ivlUnitAt(v, idx + 2 + c, allowWeek = false).map(u => (c, value, u))
+          } else None
+          step match {
+            case Some((c, value, u)) =>
+              ok = subMonthIntegral(u, value)
+              idx = idx + 3 + c
             case None => cont = false
           }
         }
@@ -2171,7 +2189,13 @@ object GraftSql {
         s"(__dow__(${args(1)}) - 1)"
       else s"__dpart__(${args.mkString(", ")})")
     s = s.replace("__dpart__(", "date_part(")
-    s = raw"(?i)\bEXTRACT\s*\(\s*DOW\s+FROM\s+".r.replaceAllIn(s, "__exdow__(")
+    s = tokenEdit(s) { v =>
+      val t = v.toks
+      t.indices.collect {
+        case k if v.at(k, "EXTRACT", "(", "DOW", "FROM") =>
+          (t(k).start, t(k + 3).end, "__exdow__(")
+      }
+    }
     s = rewriteCall(s, "__exdow__", args => s"(__dow__(${args.mkString(", ")}) - 1)")
     s = s.replace("__dow__(", "dayofweek(")
 
@@ -2187,8 +2211,7 @@ object GraftSql {
     // x GLOB 'pat' → x RLIKE '^…$' (literal patterns — the dialect form)
     s = tokenEdit(s) { v =>
       v.toks.indices.collect {
-        case k if v.toks(k).is("GLOB") && k + 1 < v.toks.length &&
-            v.toks(k + 1).kind == SqlTok.Str && v.toks(k + 1).up.endsWith("'") =>
+        case k if v.at(k, "GLOB", "'") && v.toks(k + 1).up.endsWith("'") =>
           val pat = v.toks(k + 1).up.stripPrefix("'").stripSuffix("'")
           (v.toks(k).start, v.toks(k + 1).end, s"RLIKE '${globToRegex(pat)}'")
       }
@@ -2202,8 +2225,7 @@ object GraftSql {
     s = tokenEdit(s) { v =>
       val t = v.toks
       t.indices.collect {
-        case k if t(k).is("EXTRACT") && k + 3 < t.length &&
-            t(k + 1).kind == SqlTok.LPar && t(k + 3).is("FROM") &&
+        case k if v.at(k, "EXTRACT", "(") && v.at(k + 3, "FROM") &&
             (t(k + 2).is("EPOCH") || t(k + 2).is("SECOND") || t(k + 2).is("SECONDS")) =>
           val marker = if (t(k + 2).is("EPOCH")) "__exepoch__(" else "__exsec__("
           (t(k).start, t(k + 3).end, marker)
@@ -2219,8 +2241,7 @@ object GraftSql {
       val t = v.toks
       t.indices.collect {
         case k if t(k).is("CURRENT_TIME") =>
-          val end = if (k + 2 < t.length && t(k + 1).kind == SqlTok.LPar &&
-            t(k + 2).kind == SqlTok.RPar) t(k + 2).end else t(k).end
+          val end = if (v.at(k + 1, "(", ")")) t(k + 2).end else t(k).end
           (t(k).start, end, "date_format(current_timestamp(), 'HH:mm:ss.SSS')")
       }
     }
@@ -2231,10 +2252,8 @@ object GraftSql {
     s = tokenEdit(s) { v =>
       val t = v.toks
       t.indices.collect {
-        case k if t(k).is("TIMESTAMP") && k + 1 < t.length &&
-            t(k + 1).kind == SqlTok.Str && t(k + 1).start > t(k).end =>
-          (t(k).start, t(k + 1).end,
-            s"try_cast(${t(k + 1).up} AS TIMESTAMP)")
+        case k if v.at(k, "TIMESTAMP", "'") && t(k + 1).start > t(k).end =>
+          (t(k).start, t(k + 1).end, s"try_cast(${t(k + 1).up} AS TIMESTAMP)")
       }
     }
 
@@ -2261,8 +2280,7 @@ object GraftSql {
       val t = v.toks
       t.indices.collect {
         case k if (t(k).is("DATE_DIFF") || t(k).is("DATEDIFF")) &&
-            k + 2 < t.length && t(k + 1).kind == SqlTok.LPar &&
-            t(k + 2).kind == SqlTok.Str =>
+            v.at(k + 1, "(", "'") =>
           (t(k).start, t(k).end, "graft_datediff")
       }
     }
@@ -2301,7 +2319,7 @@ object GraftSql {
       val t = v.toks
       t.indices.collect {
         case k if t(k).is("EXCLUDE") && k > 0 && t(k - 1).isOp("*") &&
-            k + 1 < t.length && t(k + 1).kind == SqlTok.LPar =>
+            v.at(k + 1, "(") =>
           (t(k).start, t(k).end, "EXCEPT")
       }
     }
@@ -2616,25 +2634,31 @@ object GraftSql {
     * Each would return an answer to a question the user didn't ask, so
     * the host-facing surfaces reject them up front.
     */
-  private val clauseKw = "WHERE|LIMIT|OFFSET|ORDER|GROUP|HAVING|BY|ON|AND|OR|AS|" +
-    "FROM|SELECT|UNION|INTERSECT|EXCEPT|JOIN|IN|NOT|DISTINCT|WHEN|THEN|ELSE|BETWEEN|LIKE"
+  private val clauseKw = Set("WHERE", "LIMIT", "OFFSET", "ORDER", "GROUP",
+    "HAVING", "BY", "ON", "AND", "OR", "AS", "FROM", "SELECT", "UNION",
+    "INTERSECT", "EXCEPT", "JOIN", "IN", "NOT", "DISTINCT", "WHEN",
+    "THEN", "ELSE", "BETWEEN", "LIKE")
+
+  private val aliasBanKw = Set("FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
+    "OFFSET", "HAVING", "JOIN", "ON", "UNION", "INTERSECT", "EXCEPT", "SELECT")
 
   private def strictLint(spark: SparkSession, sqlTextIn: String): Option[String] = {
     // comments can end a statement and double-quoted identifiers can
-    // contain keyword-shaped text; lint only the SQL itself (quote-
-    // aware strip — a regex strip would corrupt parity after '--x')
-    // the masked text feeds only the REGEX checks; the duplicate-CTE
-    // check parses the real text — masking would collapse two distinct
-    // double-quoted CTE names of equal length into the same xx…x and
-    // reject a valid query
+    // contain keyword-shaped text (`SELECT x AS "AS FROM"` is a legal
+    // quoted alias); the token stream classifies both, so the checks
+    // read Word tokens directly — no masking pass needed
     val unmasked = stripComments(sqlTextIn).stripTrailing()
-    val sqlText = maskDoubleQuoted(unmasked)
-    val dangling = raw"(?is)\b($clauseKw)\s*;?\s*$$".r
-    val aliasKw = raw"(?is)\bAS\s+(FROM|WHERE|GROUP|ORDER|LIMIT|OFFSET|HAVING|JOIN|ON|UNION|INTERSECT|EXCEPT|SELECT)\b".r
-    dangling.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
-      .map(m => s"query ends in a dangling ${m.group(1).toUpperCase(java.util.Locale.ROOT)} clause")
-      .orElse(aliasKw.findFirstMatchIn(sqlText).filterNot(m => inLiteral(sqlText, m.start))
-        .map(m => s"alias cannot be the clause keyword ${m.group(1).toUpperCase(java.util.Locale.ROOT)}"))
+    val v = new SqlTok.View(unmasked)
+    val t = v.toks
+    val lastWord = t.reverseIterator.dropWhile(_.kind == SqlTok.Semi)
+      .nextOption().filter(x => x.kind == SqlTok.Word && clauseKw(x.up))
+    lastWord
+      .map(w => s"query ends in a dangling ${w.up} clause")
+      .orElse(t.indices.collectFirst {
+        case k if t(k).is("AS") && k + 1 < t.length &&
+            t(k + 1).kind == SqlTok.Word && aliasBanKw(t(k + 1).up) =>
+          s"alias cannot be the clause keyword ${t(k + 1).up}"
+      })
       .orElse {
         // duplicate CTE names (case-insensitive) within one WITH list:
         // Spark would silently resolve to the last definition

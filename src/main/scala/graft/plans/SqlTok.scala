@@ -220,6 +220,26 @@ private[graft] object SqlTok {
       i
     }
 
+    /** True when the tokens from `k` match `pats` in order: an
+      * uppercase word matches that Word token, "(" ")" "[" "]" ","
+      * match those kinds, "'" any string literal, "0" any number.
+      */
+    def at(k: Int, pats: String*): Boolean =
+      k >= 0 && k + pats.length <= toks.length && pats.zipWithIndex.forall {
+        case (p, i) =>
+          val t = toks(k + i)
+          p match {
+            case "(" => t.kind == LPar
+            case ")" => t.kind == RPar
+            case "[" => t.kind == LBrk
+            case "]" => t.kind == RBrk
+            case "," => t.kind == Comma
+            case "'" => t.kind == Str
+            case "0" => t.kind == Num
+            case w => t.is(w)
+          }
+      }
+
     /** `(startTokIdx, charStart, charEnd)` of the primary expression
       * ENDING just before token index `endIdx`: a parenthesized group
       * with an adjacent function-name word, a string literal, or an
@@ -410,33 +430,4 @@ private[graft] object SqlTok {
     sb.toString
   }
 
-  /** True when `pos` sits inside a single-quoted SQL string literal
-    * (quote parity; DuckDB-style doubled '' counts as two, preserving
-    * parity correctly).
-    */
-  def inLiteral(s: String, pos: Int): Boolean = {
-    var i = 0
-    var quotes = 0
-    while (i < pos) { if (s.charAt(i) == '\'') quotes += 1; i += 1 }
-    quotes % 2 == 1
-  }
-
-  /** Blank the CONTENT of double-quoted identifiers (keeping the
-    * quotes) so lint regexes never match keyword-shaped identifier
-    * text — `SELECT x AS "AS FROM"` is a legal quoted alias.
-    */
-  def maskDoubleQuoted(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    var inQ = false
-    var inD = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\'' && !inD) { inQ = !inQ; sb.append(c) }
-      else if (c == '"' && !inQ) { inD = !inD; sb.append(c) }
-      else sb.append(if (inD) 'x' else c)
-      i += 1
-    }
-    sb.toString
-  }
 }

@@ -1182,9 +1182,9 @@ class GraftSqlSpec extends SparkSpec {
   }
 
   test("review-found: equal-length double-quoted CTE names are distinct to the lint") {
-    // maskDoubleQuoted blanks identifier content for the REGEX checks —
-    // the duplicate-CTE parse must see the real names or "AA"/"BB" both
-    // become "xx" and a valid query is rejected
+    // the lint's keyword checks skip double-quoted identifier tokens,
+    // but the duplicate-CTE parse must see the real names — "AA"/"BB"
+    // are distinct CTEs and the query is valid
     val ok = GraftSql.sql(spark,
       """WITH "AA" AS (SELECT 1 AS x), "BB" AS (SELECT 2 AS y)
         |SELECT x FROM "AA"""".stripMargin).collect()

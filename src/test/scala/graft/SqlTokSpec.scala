@@ -31,7 +31,7 @@ class SqlTokSpec extends AnyFunSuite {
 
   test("doubled '' reads as two adjacent literals (quote parity preserved)") {
     // the dialect has no backslash escapes: 'a''b' is two literals,
-    // exactly the parity inLiteral assumes
+    // exactly the parity the lexer preserves
     assert(kinds("'a''b'") == Vector(Str, Str))
     // an unterminated literal runs to end of input, never out of bounds
     val t = tokenize("x = 'open")
