@@ -651,6 +651,12 @@ object GraftSql {
     // GROUP BY k` groups by the ALIAS in the reference, the shadowed
     // column in Spark — wrong row count without the expansion.
     val implicitParenRe = raw"(?is)^(.*\))\s+([A-Za-z_]\w*)\s*$$".r
+    // `CASE … END ident` is an implicit alias too (probed live: dup
+    // names resolve to one column, and the alias substitutes laterally)
+    // — without this capture, expand() would read the trailing ident as
+    // a REFERENCE and splice an expression into alias position
+    // (seed-r14 mutation find: `… END c1` after an `AS c1` item)
+    val implicitEndRe = raw"(?is)^(.*\bEND)\s+([A-Za-z_]\w*)\s*$$".r
     val implicitColRe = raw"(?is)^([A-Za-z_][\w.]*)\s+([A-Za-z_]\w*)\s*$$".r
     // `DISTINCT x` / `ALL x` are quantified items and `NOT x` is a unary
     // predicate — the only ident-ident select shapes that are NOT an
@@ -667,6 +673,8 @@ object GraftSql {
       case (it, i) => it match {
         case aliasRe(e, a) => Some(a.toLowerCase(java.util.Locale.ROOT) -> (e.trim, i))
         case implicitParenRe(e, a) if !notAliasTail(a.toLowerCase(java.util.Locale.ROOT)) =>
+          Some(a.toLowerCase(java.util.Locale.ROOT) -> (e.trim, i))
+        case implicitEndRe(e, a) if !notAliasTail(a.toLowerCase(java.util.Locale.ROOT)) =>
           Some(a.toLowerCase(java.util.Locale.ROOT) -> (e.trim, i))
         case implicitColRe(e, a) if !notAliasHead(e.toLowerCase(java.util.Locale.ROOT)) &&
             !notAliasHead(a.toLowerCase(java.util.Locale.ROOT)) =>
@@ -901,6 +909,46 @@ object GraftSql {
     * a correlated subquery fails analysis inside the derived table, so
     * execution-path callers retry without this rewrite (SQL semantics).
     */
+  /** Mid-chain ORDER BY / LIMIT / OFFSET tails on a set-operation ARM:
+    * the reference parses each arm's own tail (probed live this round:
+    * `SELECT k FROM t ORDER BY k DESC LIMIT 2 UNION ALL SELECT …`
+    * slices the LEFT arm; the TRAILING tail binds the whole statement;
+    * parenthesized arms are parse errors there — "Expected SELECT but
+    * found ("). Spark rejects ORDER BY/LIMIT before UNION at parse, so
+    * a tail-carrying mid-chain arm wraps into a subquery. Top-level
+    * chains only (a set-op inside a derived table keeps Spark
+    * semantics). A false positive (a keyword-shaped identifier) wraps
+    * an arm without a tail — semantically an identity. INTERSECT
+    * precedence is untouched: wrapping never moves an arm boundary.
+    */
+  private def rewriteSetOpArmTails(sqlIn: String): String = {
+    val v = new SqlTok.View(sqlIn)
+    val t = v.toks
+    // top-level set-op keywords; `* EXCEPT (cols)` has an adjacent LPar
+    val armOps = t.indices.filter { i =>
+      v.depth(i) == 0 && t(i).kind == SqlTok.Word &&
+        (t(i).is("UNION") || t(i).is("INTERSECT") || t(i).is("EXCEPT")) &&
+        !(i + 1 < t.length && t(i + 1).kind == SqlTok.LPar)
+    }
+    if (armOps.isEmpty) return sqlIn
+    val tails = Set("ORDER", "LIMIT", "OFFSET")
+    val edits = Seq.newBuilder[(Int, String)]
+    var armStart = 0
+    var n = 0
+    for (op <- armOps) {
+      val sel = (armStart until op).find(i => v.depth(i) == 0 && t(i).is("SELECT"))
+      val tailed = sel.exists(s0 => (s0 until op).exists(i =>
+        v.depth(i) == 0 && t(i).kind == SqlTok.Word && tails(t(i).up)))
+      if (tailed) {
+        edits += ((t(sel.get).start, "SELECT * FROM ("))
+        edits += ((t(op).start, s") __setarm$n "))
+        n += 1
+      }
+      armStart = op + 1
+    }
+    SqlTok.applyInserts(sqlIn, edits.result())
+  }
+
   private def rewriteNotInSubquery(sqlIn: String): String = {
     var s = sqlIn
     var from = 0
@@ -1735,6 +1783,11 @@ object GraftSql {
     // FROM-first statements before anything — they restructure the
     // skeleton every later rewrite anchors on (a SELECT list)
     s = rewriteFromFirst(s)
+
+    // mid-chain set-op arm tails next (needs the SELECT the FROM-first
+    // pass just inserted; wraps tailed arms into subqueries BEFORE any
+    // pass that anchors on the statement skeleton)
+    s = rewriteSetOpArmTails(s)
 
     // bracket array literals first — they can appear inside any later
     // construct ([1,2,3] → array(1,2,3); subscripts like items[1] keep)

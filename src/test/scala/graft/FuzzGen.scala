@@ -535,6 +535,44 @@ object FuzzGen {
       s"ORDER BY c0 LIMIT ${20 + r.nextInt(60)}"
   }
 
+  private def setopNested(r: Random): String = {
+    // round-14 family (VERDICT r13 #4): unparenthesized set-op CHAINS
+    // with per-arm ORDER BY/LIMIT tails. The reference parses each
+    // arm's own tail (probed live: a mid-chain ORDER BY k DESC LIMIT 2
+    // slices THAT arm; the trailing tail binds the whole statement;
+    // parenthesized arms are parse errors there — "Expected SELECT but
+    // found ("), and INTERSECT binds tighter than UNION/EXCEPT in both
+    // engines. Determinism: arm sort keys are strictly monotone
+    // transforms of the unique table key, so every mid-chain LIMIT
+    // slice is exact; ties under the trailing sort are identical rows.
+    val ops = Seq("UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+      "EXCEPT", "EXCEPT ALL")
+    if (r.nextInt(4) == 0) {
+      // FROM-first arms: whole-row set ops over one table (arity must
+      // match across arms, so every arm reads the same relation)
+      val t = nation
+      def arm = s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}"
+      val chain = (1 until 2 + r.nextInt(2)).foldLeft(arm) {
+        (acc, _) => s"$acc ${pick(r, ops)} $arm"
+      }
+      s"$chain ORDER BY ${t.key}"
+    } else {
+      val nArms = 2 + r.nextInt(2)
+      val arms = (0 until nArms).map { i =>
+        val t = pick(r, tables)
+        val e = s"${t.key} ${pick(r, Seq("+", "-"))} ${r.nextInt(5)}"
+        val base = s"SELECT $e AS c0 FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}"
+        val last = i == nArms - 1
+        if (!last && r.nextInt(2) == 0)
+          s"$base ORDER BY c0${if (r.nextBoolean()) " DESC" else ""} LIMIT ${2 + r.nextInt(20)}"
+        else base
+      }
+      val chain = arms.tail.foldLeft(arms.head)((acc, a) => s"$acc ${pick(r, ops)} $a")
+      s"$chain ORDER BY c0" +
+        (if (r.nextBoolean()) s" LIMIT ${20 + r.nextInt(60)}" else "")
+    }
+  }
+
   private def subquery(r: Random): String = r.nextInt(4) match {
     case 0 =>
       val p = boolExpr(r, customer, "", 1)
@@ -979,7 +1017,7 @@ object FuzzGen {
   def queries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)
     (0 until n).map { _ =>
-      r.nextInt(12) match {
+      r.nextInt(13) match {
         case 0 | 1 | 2 => simple(r)
         case 3 | 4 => agg(r)
         case 5 => join(r)
@@ -987,6 +1025,7 @@ object FuzzGen {
         case 7 => setop(r)
         case 8 => subquery(r)
         case 11 => lateral(r)
+        case 12 => setopNested(r)
         case _ => r.nextInt(3) match {
           case 0 => cte(r)
           case 1 => distinct(r)

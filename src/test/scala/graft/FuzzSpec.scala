@@ -201,6 +201,14 @@ class FuzzSpec extends FuzzHarness {
           // real dialect gaps under DATATYPE_MISMATCH still flag.
           (e.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES") &&
             (e.contains(" OR ") || e.contains(" AND "))) ||
+          // the same typed-boolean family on a COMPARISON: a mutant
+          // landing `=` between a number and a boolean-returning call
+          // (`o_custkey = LIST_CONTAINS(...)`, r14 corpus find) runs
+          // under JS loose equality in the reference (number == boolean
+          // coerces); the typed engine rejects the mismatch — scoped to
+          // errors where one operand really is BOOLEAN
+          (e.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES") &&
+            e.contains("BOOLEAN")) ||
           // same family, same scope: two NON-BOOLEAN operands of the
           // SAME type inside AND/OR (`ROUND(SUM(x),3) OR ROUND(...)`,
           // seed-134777 find) — WRONG_TYPE, not DIFF_TYPES, but still

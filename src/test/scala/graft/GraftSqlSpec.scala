@@ -1302,6 +1302,59 @@ class GraftSqlSpec extends SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("mid-chain set-op arm tails: ORDER BY/LIMIT before UNION bind the ARM (r14, reference probed)") {
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("k").createOrReplaceTempView("soat_t")
+    // reference probes (this round, live): mid-chain ORDER BY+LIMIT
+    // slices the left arm; the trailing tail binds the whole statement
+    val a = GraftSql.sql(spark,
+      "SELECT k FROM soat_t ORDER BY k DESC LIMIT 2 UNION ALL " +
+        "SELECT k FROM soat_t WHERE k = 1").collect().map(_.getInt(0)).sorted
+    assert(a.toSeq == Seq(1, 3, 4), a.mkString(","))
+    val b = GraftSql.sql(spark,
+      "SELECT k FROM soat_t ORDER BY k DESC LIMIT 2 UNION ALL " +
+        "SELECT k FROM soat_t WHERE k = 1 ORDER BY k LIMIT 2")
+      .collect().map(_.getInt(0))
+    assert(b.toSeq == Seq(1, 3), b.mkString(","))
+    // mid-chain LIMIT alone; 3-op chain stays left-associative for
+    // UNION/EXCEPT (probed [1,1,3,4] at the reference)
+    val c = GraftSql.sql(spark,
+      "SELECT k FROM soat_t WHERE k<3 UNION SELECT k FROM soat_t WHERE k>2 " +
+        "EXCEPT SELECT k FROM soat_t WHERE k=2 UNION ALL " +
+        "SELECT k FROM soat_t WHERE k=1 ORDER BY k")
+      .collect().map(_.getInt(0))
+    assert(c.toSeq == Seq(1, 1, 3, 4), c.mkString(","))
+    // INTERSECT binds tighter in both engines (probed [1,2,3,4,4])
+    val d = GraftSql.sql(spark,
+      "SELECT k FROM soat_t UNION ALL SELECT k FROM soat_t WHERE k>3 " +
+        "INTERSECT SELECT k FROM soat_t WHERE k>3 ORDER BY k")
+      .collect().map(_.getInt(0))
+    assert(d.toSeq == Seq(1, 2, 3, 4, 4), d.mkString(","))
+    // star-EXCEPT is not a set-op boundary
+    val e = GraftSql.sql(spark,
+      "SELECT * EXCEPT (k) FROM (SELECT k, k+1 AS m FROM soat_t ORDER BY k LIMIT 1) x")
+      .collect()
+    assert(e.length == 1 && e.head.getInt(0) == 2, e.mkString(","))
+  }
+
+  test("CASE..END ident is an implicit alias, never an alias reference (r14 mutation find)") {
+    import spark.implicits._
+    Seq(1, 2).toDF("k").createOrReplaceTempView("iea_t")
+    // probed live: `END c9` aliases the CASE, and the alias substitutes
+    // laterally ({c9:6,d:16},{c9:5,d:15})
+    val r = GraftSql.sql(spark,
+      "SELECT CASE WHEN k>1 THEN 5 ELSE 6 END c9, c9 + 10 AS d FROM iea_t ORDER BY k")
+      .collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(6, 5), r.mkString(";"))
+    assert(r.map(_.getInt(1)).toSeq == Seq(16, 15), r.mkString(";"))
+    // a duplicate via END-tail alias must not splice an expression into
+    // alias position (the r14 corpus find: parse error before the fix)
+    val dup = GraftSql.sql(spark,
+      "SELECT k+1 AS c1, CASE WHEN k>1 THEN 5 ELSE 6 END c1, k FROM iea_t ORDER BY k")
+      .collect()
+    assert(dup.length == 2, dup.mkString(";"))
+  }
+
   test("type-strict guards null-check the VALUE before the type throw (advisor r13)") {
     import spark.implicits._
     // reference probed live this round: OCTET_LENGTH / JSON_VALUE over
