@@ -909,44 +909,101 @@ object GraftSql {
     * a correlated subquery fails analysis inside the derived table, so
     * execution-path callers retry without this rewrite (SQL semantics).
     */
-  /** Mid-chain ORDER BY / LIMIT / OFFSET tails on a set-operation ARM:
-    * the reference parses each arm's own tail (probed live this round:
-    * `SELECT k FROM t ORDER BY k DESC LIMIT 2 UNION ALL SELECT …`
-    * slices the LEFT arm; the TRAILING tail binds the whole statement;
-    * parenthesized arms are parse errors there — "Expected SELECT but
-    * found ("). Spark rejects ORDER BY/LIMIT before UNION at parse, so
-    * a tail-carrying mid-chain arm wraps into a subquery. Top-level
-    * chains only (a set-op inside a derived table keeps Spark
-    * semantics). A false positive (a keyword-shaped identifier) wraps
-    * an arm without a tail — semantically an identity. INTERSECT
-    * precedence is untouched: wrapping never moves an arm boundary.
+  /** Mid-chain ORDER BY / LIMIT / OFFSET tails on set-operation ARMS.
+    * The reference parses each SELECT's own tail, then LIFTS the tail
+    * of every RIGHT operand onto the compound node it just built —
+    * cascading up right spines (reference: src/parse/parse.js:110-181,
+    * parseSetOperations/parseIntersectOperations; probed live this
+    * round). So `A UNION B ORDER BY k LIMIT 2 UNION C` sorts and
+    * slices (A UNION B), `A UNION B ORDER BY k LIMIT 2 INTERSECT C`
+    * slices only B (B is the LEFT of the tighter INTERSECT), and a
+    * tail on the final arm binds the whole statement — while Spark
+    * rejects every mid-chain tail at parse. Rebuild the chain with the
+    * parser's exact grouping: fold INTERSECT runs first, lift each
+    * right operand's tail onto the growing compound, and wrap any LEFT
+    * operand that still carries a tail into a subquery that applies it.
+    * Parenthesized arms are parse errors in the reference ("Expected
+    * SELECT but found ("), so only unparenthesized top-level chains
+    * arrive here; a set-op inside a derived table keeps Spark
+    * semantics. INTERSECT precedence is identical in both engines, so
+    * the rebuilt text needs no grouping parens of its own.
     */
   private def rewriteSetOpArmTails(sqlIn: String): String = {
     val v = new SqlTok.View(sqlIn)
     val t = v.toks
     // top-level set-op keywords; `* EXCEPT (cols)` has an adjacent LPar
-    val armOps = t.indices.filter { i =>
+    val opIdx = t.indices.filter { i =>
       v.depth(i) == 0 && t(i).kind == SqlTok.Word &&
         (t(i).is("UNION") || t(i).is("INTERSECT") || t(i).is("EXCEPT")) &&
         !(i + 1 < t.length && t(i + 1).kind == SqlTok.LPar)
     }
-    if (armOps.isEmpty) return sqlIn
-    val tails = Set("ORDER", "LIMIT", "OFFSET")
-    val edits = Seq.newBuilder[(Int, String)]
-    var armStart = 0
-    var n = 0
-    for (op <- armOps) {
-      val sel = (armStart until op).find(i => v.depth(i) == 0 && t(i).is("SELECT"))
-      val tailed = sel.exists(s0 => (s0 until op).exists(i =>
-        v.depth(i) == 0 && t(i).kind == SqlTok.Word && tails(t(i).up)))
-      if (tailed) {
-        edits += ((t(sel.get).start, "SELECT * FROM ("))
-        edits += ((t(op).start, s") __setarm$n "))
-        n += 1
-      }
-      armStart = op + 1
+    if (opIdx.isEmpty) return sqlIn
+    val tailKw = Set("ORDER", "LIMIT", "OFFSET")
+    // arm token ranges and the joining op text (ALL/DISTINCT absorbed)
+    case class Arm(fromTok: Int, toTok: Int) {
+      val sel: Option[Int] =
+        (fromTok until toTok).find(i => v.depth(i) == 0 && t(i).is("SELECT"))
+      val tailTok: Option[Int] = sel.flatMap(s0 => (s0 until toTok).find(i =>
+        v.depth(i) == 0 && t(i).kind == SqlTok.Word && tailKw(t(i).up)))
     }
-    SqlTok.applyInserts(sqlIn, edits.result())
+    val arms = Seq.newBuilder[Arm]
+    val ops = Seq.newBuilder[String]
+    var armStart = 0
+    for (i <- opIdx) {
+      arms += Arm(armStart, i)
+      val mod = if (i + 1 < t.length && (t(i + 1).is("ALL") || t(i + 1).is("DISTINCT"))) 1 else 0
+      ops += (t(i).up + (if (mod == 1) " " + t(i + 1).up else ""))
+      armStart = i + 1 + mod
+    }
+    arms += Arm(armStart, t.length)
+    val armSeq = arms.result()
+    val opSeq = ops.result()
+    // every arm must have a SELECT, and some arm BEFORE the last must
+    // carry a tail — otherwise Spark already parses the text as-is
+    if (armSeq.exists(_.sel.isEmpty) || !armSeq.init.exists(_.tailTok.isDefined))
+      return sqlIn
+    def charEnd(a: Arm): Int = if (a.toTok < t.length) t(a.toTok).start else sqlIn.length
+    // core = the arm body without its tail; tail kept separately
+    final case class Node(core: String, tail: Option[String])
+    def armNode(a: Arm): Node = {
+      val bodyStart = t(a.sel.get).start
+      a.tailTok match {
+        case Some(tt) => Node(sqlIn.substring(bodyStart, t(tt).start).trim,
+          Some(sqlIn.substring(t(tt).start, charEnd(a)).trim))
+        case None => Node(sqlIn.substring(bodyStart, charEnd(a)).trim, None)
+      }
+    }
+    var wrapN = 0
+    // a LEFT operand carrying a tail applies it to ITSELF — as a
+    // subquery (the reference executes the arm's own orderBy/limit
+    // before the set op)
+    def leftText(n: Node): String = n.tail match {
+      case Some(tl) =>
+        wrapN += 1
+        s"SELECT * FROM (${n.core} $tl) __setarm$wrapN"
+      case None => n.core
+    }
+    // a RIGHT operand's tail lifts onto the compound (cascading — the
+    // new node carries it until IT becomes a left operand or the end)
+    def combine(l: Node, op: String, r: Node): Node =
+      Node(s"${leftText(l)} $op ${r.core}", r.tail)
+    var unionLeft: Option[Node] = None
+    var pendingOp = ""
+    var cur = armNode(armSeq.head)
+    for (k <- opSeq.indices) {
+      val rhs = armNode(armSeq(k + 1))
+      if (opSeq(k).startsWith("INTERSECT")) cur = combine(cur, opSeq(k), rhs)
+      else {
+        unionLeft = Some(unionLeft.fold(cur)(ul => combine(ul, pendingOp, cur)))
+        pendingOp = opSeq(k)
+        cur = rhs
+      }
+    }
+    val top = unionLeft.fold(cur)(ul => combine(ul, pendingOp, cur))
+    // the final (fully lifted) tail binds the whole statement — Spark's
+    // native trailing-clause semantics
+    val prefix = sqlIn.substring(0, t(armSeq.head.sel.get).start)
+    prefix + top.core + top.tail.map(" " + _).getOrElse("")
   }
 
   private def rewriteNotInSubquery(sqlIn: String): String = {

@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
   * with `"status":"failed"` rather than discarded.
   *
   * Env: SPARK_GRAFT_SF_DIR (default data/sf100),
-  *      SPARK_GRAFT_QUERIES (default q_tpch_q9,q_tpch_q18,q_tpch_q21),
+  *      SPARK_GRAFT_QUERIES (default q_tpch_q5,q_tpch_q9,q_tpch_q18,
+  *      q_tpch_q21 — q5 joined the probe set in r14 as the slowest
+  *      sf100 TPC-H query, so the heaviest shuffle shapes are all
+  *      characterized),
   *      SPARK_GRAFT_SCRATCH (default /tmp/graft_scratch_probe),
   *      SPARK_GRAFT_OUT (default SCRATCH_SF100.json; also merged into
   *      BENCH_SF100.json under "scratch_probe" when that file exists).
@@ -58,7 +61,8 @@ object ScratchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "data/sf100")
     val queries = sys.env.getOrElse("SPARK_GRAFT_QUERIES",
-      "q_tpch_q9,q_tpch_q18,q_tpch_q21").split(",").map(_.trim).filter(_.nonEmpty)
+      "q_tpch_q5,q_tpch_q9,q_tpch_q18,q_tpch_q21")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scratch_probe")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "SCRATCH_SF100.json")
     val scratchPath = java.nio.file.Paths.get(scratch)

@@ -209,6 +209,12 @@ class FuzzSpec extends FuzzHarness {
           // errors where one operand really is BOOLEAN
           (e.contains("DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES") &&
             e.contains("BOOLEAN")) ||
+          // ...and on a CASE condition: a mutant landing a NUMBER in
+          // the WHEN slot (`CASE WHEN 2 THEN …`, seed-140001 find) runs
+          // under JS truthiness in the reference; the typed engine
+          // rejects the non-boolean condition — scoped to CASE WHEN
+          (e.contains("DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE") &&
+            e.contains("CASE WHEN")) ||
           // same family, same scope: two NON-BOOLEAN operands of the
           // SAME type inside AND/OR (`ROUND(SUM(x),3) OR ROUND(...)`,
           // seed-134777 find) — WRONG_TYPE, not DIFF_TYPES, but still
@@ -248,6 +254,14 @@ class FuzzSpec extends FuzzHarness {
           // scoped to queries that actually contain the NOT-literal
           (e.contains("CAST_INVALID_INPUT") &&
             raw"(?i)\bNOT\s+'".r.findFirstIn(q).isDefined) ||
+          // the general boolean-coercion shape of the same family: a
+          // mutant landing a STRING column in a boolean slot (`NOT c0`
+          // over a JSON_EACH key, seed-141337 find) — JS truthiness in
+          // the reference, a runtime BOOLEAN cast failure here. Scoped
+          // to casts whose TARGET is BOOLEAN; numeric/date cast
+          // failures still flag.
+          (e.contains("CAST_INVALID_INPUT") &&
+            e.contains("cast to \"BOOLEAN\"")) ||
           // a truncated ON clause leaving a bare non-boolean join
           // condition (`ON a.o_custkey`, seed-88007 find): the
           // reference joins on per-pair JS truthiness of the key —

@@ -1335,6 +1335,32 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT * EXCEPT (k) FROM (SELECT k, k+1 AS m FROM soat_t ORDER BY k LIMIT 1) x")
       .collect()
     assert(e.length == 1 && e.head.getInt(0) == 2, e.mkString(","))
+    // a tail on arm 2+ binds the ACCUMULATED left chain (reference
+    // parse.js lifts the right operand's tail onto the compound;
+    // probed [4,3,2] / [1,2] / [1,2,3])
+    val f = GraftSql.sql(spark,
+      "SELECT k FROM soat_t WHERE k<2 UNION ALL SELECT k FROM soat_t WHERE k>2 " +
+        "ORDER BY k DESC LIMIT 2 UNION ALL SELECT k FROM soat_t WHERE k=2")
+      .collect().map(_.getInt(0))
+    assert(f.sorted.toSeq == Seq(2, 3, 4), f.mkString(","))
+    val g = GraftSql.sql(spark,
+      "SELECT k FROM soat_t WHERE k>2 ORDER BY k DESC LIMIT 1 UNION ALL " +
+        "SELECT k FROM soat_t WHERE k<3 ORDER BY k LIMIT 2 UNION ALL " +
+        "SELECT k FROM soat_t WHERE k=3").collect().map(_.getInt(0))
+    assert(g.sorted.toSeq == Seq(1, 2, 3), g.mkString(","))
+    // ...but a tail on the LEFT arm of a tighter INTERSECT applies to
+    // that arm alone (probed [1,3]), and a tail ending an INTERSECT run
+    // lifts through to the union level (probed [1,2,1])
+    val h = GraftSql.sql(spark,
+      "SELECT k FROM soat_t WHERE k<2 UNION SELECT k FROM soat_t WHERE k>1 " +
+        "ORDER BY k LIMIT 2 INTERSECT SELECT k FROM soat_t WHERE k>2")
+      .collect().map(_.getInt(0))
+    assert(h.sorted.toSeq == Seq(1, 3), h.mkString(","))
+    val i = GraftSql.sql(spark,
+      "SELECT k FROM soat_t UNION ALL SELECT k FROM soat_t WHERE k>3 " +
+        "INTERSECT SELECT k FROM soat_t WHERE k>2 ORDER BY k LIMIT 2 " +
+        "UNION ALL SELECT k FROM soat_t WHERE k=1").collect().map(_.getInt(0))
+    assert(i.sorted.toSeq == Seq(1, 1, 2), i.mkString(","))
   }
 
   test("CASE..END ident is an implicit alias, never an alias reference (r14 mutation find)") {
