@@ -1330,6 +1330,9 @@ object GraftSql {
     }
   }
 
+  // interval-unit keyword shape shared by the interval passes
+  private val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
+
   private def ivlUnitAt(v: SqlTok.View, i: Int, allowWeek: Boolean): Option[String] = {
     if (i >= v.toks.length) return None
     val t = v.toks(i)
@@ -1341,7 +1344,6 @@ object GraftSql {
   }
 
   private def rewriteJsIntervalArith(sqlIn: String): String = {
-    val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
     // per-row JS value-class of the operand (see the expression's kind param)
     def kindExpr(p: String): String =
       s"(CASE WHEN typeof($p) = 'string' THEN " +
@@ -1633,7 +1635,6 @@ object GraftSql {
   }
 
   private def rewriteIntervalOperands(sqlIn: String): String = {
-    val unitRe = raw"(?i)^(day|hour|minute|second|month|year|week|millisecond|microsecond)s?$$".r
     var s = sqlIn
     var from = 0
     var guard = 0

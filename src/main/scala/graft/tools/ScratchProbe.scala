@@ -34,24 +34,35 @@ object ScratchProbe {
     def shutdown(): Unit = stopped = true
     private def treeSize(p: java.nio.file.Path): Long = {
       var total = 0L
+      // files vanish mid-walk as shuffles release: walk/iterate throw
+      // UncheckedIOException (a RuntimeException, NOT IOException — an
+      // IOException-only catch let the thread DIE mid-probe and a later
+      // query read peak=0) — catch NonFatal at every level
       try {
         val s = java.nio.file.Files.walk(p)
         try {
           val it = s.iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            // files vanish mid-walk as shuffles release — skip, don't die
-            try if (java.nio.file.Files.isRegularFile(f)) total += java.nio.file.Files.size(f)
-            catch { case _: java.io.IOException => }
+          var more = true
+          while (more) {
+            try {
+              more = it.hasNext
+              if (more) {
+                val f = it.next()
+                if (java.nio.file.Files.isRegularFile(f))
+                  total += java.nio.file.Files.size(f)
+              }
+            } catch { case scala.util.control.NonFatal(_) => more = false }
           }
         } finally s.close()
-      } catch { case _: java.io.IOException => }
+      } catch { case scala.util.control.NonFatal(_) => }
       total
     }
     override def run(): Unit =
       while (!stopped) {
-        val n = treeSize(root)
-        if (n > peak) peak = n
+        try {
+          val n = treeSize(root)
+          if (n > peak) peak = n
+        } catch { case scala.util.control.NonFatal(_) => }
         Thread.sleep(1000)
       }
   }
@@ -80,10 +91,34 @@ object ScratchProbe {
     val sampler = new Sampler(scratchPath)
     sampler.start()
 
+    // current on-disk bytes (not the high-water mark) — used to WAIT for
+    // the previous query's shuffle files to actually unlink
+    def liveBytes(): Long = {
+      var total = 0L
+      try {
+        val s = java.nio.file.Files.walk(scratchPath)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            try if (java.nio.file.Files.isRegularFile(f)) total += java.nio.file.Files.size(f)
+            catch { case scala.util.control.NonFatal(_) => }
+          }
+        } finally s.close()
+      } catch { case scala.util.control.NonFatal(_) => }
+      total
+    }
+
     val results = queries.map { name =>
       // release the PREVIOUS query's shuffle files before measuring this
-      // one (ContextCleaner unlinks on GC), then zero the high-water mark
-      System.gc(); Thread.sleep(2000)
+      // one: ContextCleaner unlinks on GC, but one gc+2s was not always
+      // enough — an r14 run recorded q9 at q5's leftover high-water mark.
+      // GC repeatedly and wait until the live tree drains (or 60 s cap),
+      // then zero the high-water mark.
+      var settle = 0
+      while (settle < 30 && liveBytes() > (64L << 20)) {
+        System.gc(); Thread.sleep(2000); settle += 1
+      }
       sampler.snapshotAndReset()
       val t0 = System.nanoTime()
       val status =
