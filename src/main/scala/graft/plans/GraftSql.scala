@@ -506,8 +506,11 @@ object GraftSql {
         }
         // optional ON <cond> after a JOIN form — the condition runs to
         // the next same-level clause keyword, comma, or closing paren
+        // (a trailing bare ON with nothing after it is no condition —
+        // strictLint rejects it on host paths; direct rewrite callers
+        // must not crash)
         var onCond: Option[String] = None
-        if (j < t.length && t(j).is("ON")) {
+        if (j + 1 < t.length && t(j).is("ON")) {
           var m = j + 1
           var d = 0
           var endTok = t.length
@@ -824,25 +827,36 @@ object GraftSql {
       val aggNames = Set("SUM", "MIN", "MAX", "AVG", "COUNT")
       val v = new SqlTok.View(s)
       val t = v.toks
-      val firstOrder = t.indices.find(i =>
-        t(i).is("ORDER") && i + 1 < t.length && t(i + 1).is("BY"))
-      firstOrder.foreach { ob =>
-        val edits = Seq.newBuilder[(Int, Int, String)]
+      // only TOP-LEVEL (depth 0) ORDER BY clauses — a window-spec or
+      // subquery ORDER BY must not anchor the scan — and each scan
+      // stops at the clause end (the next depth-0 LIMIT/OFFSET or
+      // set-op keyword), never at-large to end-of-statement
+      val clauseStop = Set("LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+      val edits = Seq.newBuilder[(Int, Int, String)]
+      for (ob <- t.indices
+           if v.depth(ob) == 0 && t(ob).is("ORDER") &&
+             ob + 1 < t.length && t(ob + 1).is("BY")) {
         var k = ob + 2
-        while (k + 3 < t.length) {
-          if (t(k).kind == SqlTok.Word && aggNames(t(k).up) &&
-              t(k + 1).kind == SqlTok.LPar && t(k + 2).kind == SqlTok.Word &&
-              t(k + 3).kind == SqlTok.RPar) {
-            aliases.get(t(k + 2).up.toLowerCase(java.util.Locale.ROOT)).foreach {
-              case (ex, idx) =>
-                edits += ((t(k + 2).start, t(k + 2).end,
-                  s"(${expand(ex, idx, qualifyBlocked = true)})"))
+        var inClause = true
+        while (inClause && k < t.length) {
+          if (v.depth(k) == 0 && t(k).kind == SqlTok.Word &&
+              clauseStop(t(k).up)) inClause = false
+          else {
+            if (k + 3 < t.length &&
+                t(k).kind == SqlTok.Word && aggNames(t(k).up) &&
+                t(k + 1).kind == SqlTok.LPar && t(k + 2).kind == SqlTok.Word &&
+                t(k + 3).kind == SqlTok.RPar) {
+              aliases.get(t(k + 2).up.toLowerCase(java.util.Locale.ROOT)).foreach {
+                case (ex, idx) =>
+                  edits += ((t(k + 2).start, t(k + 2).end,
+                    s"(${expand(ex, idx, qualifyBlocked = true)})"))
+              }
             }
+            k += 1
           }
-          k += 1
         }
-        s = SqlTok.applyEdits(s, edits.result())
       }
+      s = SqlTok.applyEdits(s, edits.result())
     }
     s
   }
@@ -1264,10 +1278,16 @@ object GraftSql {
       val t = toks(k)
       if (t.kind == SqlTok.LBrk && v.brk(k) >= 0) {
         val prev = if (k > 0) toks(k - 1) else null
-        val subscript = prev != null && prev.end == t.start &&
-          (prev.kind == SqlTok.Word || prev.kind == SqlTok.Num ||
-            prev.kind == SqlTok.RPar || prev.kind == SqlTok.RBrk ||
-            prev.kind == SqlTok.DQuot || prev.kind == SqlTok.Str)
+        // whitespace allowed before a subscript `[` (`a [1]` == `a[1]`,
+        // token-based like the reference; probed) — but an operator /
+        // clause KEYWORD before `[` still opens a literal (`IN [1,2]`),
+        // and a string-literal base keeps the old adjacency rule
+        val subscript = prev != null &&
+          (((prev.kind == SqlTok.Word && !SqlTok.neverCallable(prev.up)) ||
+              prev.kind == SqlTok.Num ||
+              prev.kind == SqlTok.RPar || prev.kind == SqlTok.RBrk ||
+              prev.kind == SqlTok.DQuot) ||
+            (prev.kind == SqlTok.Str && prev.end == t.start))
         if (!subscript) {
           edits += ((t.start, t.end, "array("))
           val close = toks(v.brk(k))
@@ -1687,12 +1707,15 @@ object GraftSql {
       var site = -1
       while (site < 0 && k < toks.length) {
         val t = toks(k)
-        // same base set as the char scanner this replaces: a bracket
-        // straight after an ident/number/close-paren/close-bracket/
-        // double-quoted ident (NOT a string literal) is a subscript
+        // a bracket after an ident/number/close-paren/close-bracket/
+        // double-quoted ident (NOT a string literal) is a subscript —
+        // whitespace allowed (`a [1]` == `a[1]`, the reference parser
+        // is token-based; probed), but an operator/clause KEYWORD
+        // before `[` leaves an array literal (`IN [1,2]`, `THEN [x]`)
         if (t.kind == SqlTok.LBrk && t.start >= from && v.brk(k) >= 0 && k > 0 &&
-            toks(k - 1).end == t.start &&
-            (toks(k - 1).kind == SqlTok.Word || toks(k - 1).kind == SqlTok.Num ||
+            ((toks(k - 1).kind == SqlTok.Word &&
+               !SqlTok.neverCallable(toks(k - 1).up)) ||
+              toks(k - 1).kind == SqlTok.Num ||
               toks(k - 1).kind == SqlTok.RPar || toks(k - 1).kind == SqlTok.RBrk ||
               toks(k - 1).kind == SqlTok.DQuot)) site = k
         else k += 1

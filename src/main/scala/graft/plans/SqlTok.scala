@@ -58,6 +58,22 @@ private[graft] object SqlTok {
   private val multiOps = Array("||", "->>", "->", "::", ":=", "<=>",
     "<=", ">=", "!=", "<>", "!~")
 
+  /** Keywords that can never be a function NAME in the dialect — a
+    * `(` after one of these opens a group/subquery, not a call
+    * argument list (reference parse/expression.js consumes these as
+    * operators/clause heads before primary.js ever sees the paren).
+    * LEFT/RIGHT are absent on purpose: they are string functions in
+    * the reference (validation/functions.js) and a join keyword is
+    * always followed by JOIN, never directly by `(`.
+    */
+  private[plans] val neverCallable: Set[String] = Set(
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "HAVING",
+    "LIMIT", "OFFSET", "JOIN", "INNER", "OUTER", "CROSS", "FULL",
+    "UNION", "EXCEPT", "INTERSECT", "ALL", "DISTINCT", "VALUES",
+    "USING", "ON", "AS", "AND", "OR", "NOT", "IN", "IS", "LIKE",
+    "ILIKE", "BETWEEN", "EXISTS", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "OVER", "PARTITION", "ASC", "DESC", "WITH")
+
   /** Lex `s` into tokens. Comments are skipped as whitespace (quote
     * aware — `--` inside a literal is content). Never throws: any
     * malformed tail still tokenizes positionally.
@@ -252,20 +268,26 @@ private[graft] object SqlTok {
       val t = toks(k)
       t.kind match {
         case RPar =>
+          // the reference parser is token-based, so `f (x)` is the
+          // call `f(x)` — absorb a preceding function-name Word across
+          // whitespace, but never an operator/clause keyword (`x AND
+          // (y)` keeps AND outside the primary)
           val open = brk(k)
           if (open < 0) (0, 0, t.end)
           else if (open > 0 && toks(open - 1).kind == Word &&
-              toks(open - 1).end == toks(open).start)
+              !neverCallable(toks(open - 1).up))
             (open - 1, toks(open - 1).start, t.end)
           else (open, toks(open).start, t.end)
         case Str => (k, t.start, t.end)
         case Word | Num =>
+          // dot member access chains across whitespace too (`t . a`
+          // == `t.a` in the reference — probed)
           var i = k
           var cont = true
-          while (cont && i > 0) {
-            val prev = toks(i - 1)
-            val chained = prev.kind == Word || prev.kind == Num || prev.isOp(".")
-            if (chained && prev.end == toks(i).start) i -= 1 else cont = false
+          while (cont && i > 1) {
+            if (toks(i - 1).isOp(".") &&
+                (toks(i - 2).kind == Word || toks(i - 2).kind == Num)) i -= 2
+            else cont = false
           }
           (i, toks(i).start, t.end)
         case _ => (k, t.end, t.end)
@@ -287,25 +309,30 @@ private[graft] object SqlTok {
         case Str => fromIdx
         case LPar => brk(fromIdx)
         case Word | Num =>
+          // dot member access chains across whitespace (`t . a` ==
+          // `t.a` — the reference parser is token-based, probed)
           var i = fromIdx
           var cont = true
-          while (cont && i + 1 < toks.length) {
-            val nxt = toks(i + 1)
-            val chained = nxt.kind == Word || nxt.kind == Num || nxt.isOp(".")
-            if (chained && toks(i).end == nxt.start) i += 1 else cont = false
+          while (cont && i + 2 < toks.length) {
+            if (toks(i + 1).isOp(".") &&
+                (toks(i + 2).kind == Word || toks(i + 2).kind == Num)) i += 2
+            else cont = false
           }
           i
         case _ => -1
       }
       if (head < 0) return -1
-      // adjacent call-paren / subscript-bracket suffixes (a string
-      // literal head takes none — '...'[0] is not element access in
-      // the dialect, matching rewriteSubscripts' base set)
+      // call-paren / subscript-bracket suffixes, whitespace allowed
+      // (`f (x)` is a call, `a [1]` a subscript — token-based like the
+      // reference). A string literal head takes none — '...'[0] is not
+      // element access in the dialect, matching rewriteSubscripts'
+      // base set — and an operator/clause keyword never opens a call.
       var last = head
       var more = t.kind != Str
-      while (more && last + 1 < toks.length &&
-          toks(last + 1).start == toks(last).end) {
+      while (more && last + 1 < toks.length) {
         toks(last + 1).kind match {
+          case LPar if toks(last).kind == Word && neverCallable(toks(last).up) =>
+            more = false
           case LPar | LBrk =>
             val close = brk(last + 1)
             if (close < 0) return -1 else last = close

@@ -112,4 +112,56 @@ class SqlTokSpec extends AnyFunSuite {
     assert(src.contains("postParenKeywords = Set(\"ILIKE\", \"END\", \"OVER\")"))
     assert(!src.contains("w != \"ILIKE\""), "ad-hoc exclusion crept back under the guard")
   }
+
+  // ---- round-15 advisor findings: the reference parser is TOKEN-based,
+  // so whitespace between a primary and its call-paren / subscript /
+  // dot-member suffix is insignificant (`f (x)`, `a [1]`, `t . a` — all
+  // probed against the live reference). The old char scanners skipped
+  // whitespace; the first SqlTok cut required adjacency. ------------------
+
+  test("advisor r15: whitespace-separated call parens are calls (divisor + NOT IN)") {
+    assert(GraftSql.rewrite("SELECT a / abs (b) AS r FROM t") ==
+      "SELECT a / nullif(abs (b), 0) AS r FROM t")
+    // the NULL-semantics NOT-EXISTS rewrite must not silently drop when
+    // the lhs call has a spaced paren
+    val nin = GraftSql.rewrite(
+      "SELECT a FROM t WHERE abs (a) NOT IN (SELECT a FROM t WHERE a > 1)")
+    assert(nin.contains("NOT EXISTS") && nin.contains("<=> abs (a)"), nin)
+  }
+
+  test("advisor r15: spaced subscripts and dot chains; keywords never take suffixes") {
+    assert(GraftSql.rewrite("SELECT a [1] AS r FROM t") ==
+      "SELECT graft_get(a , (1)) AS r FROM t")
+    assert(GraftSql.rewrite("SELECT f(x) [0] AS r FROM t") ==
+      "SELECT graft_get(f(x) , (0)) AS r FROM t")
+    // dot member access chains across whitespace
+    val v = new View("x FROM t WHERE t2 . c3 + INTERVAL 1 DAY")
+    val plus = v.toks.indexWhere(_.isOp("+"))
+    val (_, s0, e0) = v.primaryBefore(plus)
+    assert(v.s.substring(s0, e0) == "t2 . c3")
+    // an operator/clause keyword before ( or [ is NOT a call/subscript
+    assert(GraftSql.rewrite("SELECT CASE WHEN a THEN [1] ELSE [2] END AS r FROM t") ==
+      "SELECT CASE WHEN a THEN array(1) ELSE array(2) END AS r FROM t")
+    assert(GraftSql.rewrite("SELECT x AND (a > 1) AS r FROM t") ==
+      "SELECT x AND (a > 1) AS r FROM t")
+  }
+
+  test("advisor r15: comma-TVF with a trailing bare ON no longer throws") {
+    // strictLint rejects this on host paths; direct rewrite() callers
+    // must get text back, not IndexOutOfBoundsException
+    val out = GraftSql.rewrite("SELECT * FROM t, UNNEST(x) a ON")
+    assert(out.contains("LATERAL"), out)
+  }
+
+  test("advisor r15: ORDER BY agg-alias expansion anchors only at top-level ORDER BY") {
+    // the window-spec ORDER BY must not anchor the scan: with a FIRST
+    // `ORDER BY` inside OVER(...), a later select-list agg(alias) must
+    // NOT be textually expanded from that anchor
+    val q = "SELECT price - 1 AS p, rank() OVER (ORDER BY q) AS rk, " +
+      "sum(p) AS s FROM t GROUP BY p, q"
+    val out = GraftSql.rewrite(q)
+    // exactly the GROUP-BY-phase expansions; no ORDER-BY-phase rewrite
+    // may touch the select list (no doubled expansion of sum(p))
+    assert(!out.contains("sum(graft_js_num((("), out)
+  }
 }
