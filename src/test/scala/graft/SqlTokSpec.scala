@@ -108,9 +108,12 @@ class SqlTokSpec extends AnyFunSuite {
     // legal follower is one entry, and this pin documents the contract:
     // every member must keep its own semantic case when following ')'
     val src = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("src/main/scala/graft/plans/GraftSql.scala"))
+      java.nio.file.Paths.get("src/main/scala/graft/plans/rewrite/RewriteSupport.scala"))
     assert(src.contains("postParenKeywords = Set(\"ILIKE\", \"END\", \"OVER\")"))
-    assert(!src.contains("w != \"ILIKE\""), "ad-hoc exclusion crept back under the guard")
+    val pipeline = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/plans/GraftSql.scala"))
+    for (s <- Seq(src, pipeline))
+      assert(!s.contains("w != \"ILIKE\""), "ad-hoc exclusion crept back under the guard")
   }
 
   // ---- round-15 advisor findings: the reference parser is TOKEN-based,
