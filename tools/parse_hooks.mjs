@@ -12,6 +12,7 @@ const WKT = pathToFileURL('/root/repo/tools/ref_wkt_wrap.mjs').href
 const GEO = pathToFileURL('/root/repo/tools/ref_geo_wrap.mjs').href
 const PLAN = pathToFileURL('/root/repo/tools/ref_plan_wrap.mjs').href
 const SOURCE = pathToFileURL('/root/repo/tools/ref_source_wrap.mjs').href
+const TOKENIZE = pathToFileURL('/root/repo/tools/ref_tokenize_wrap.mjs').href
 
 export function resolve(specifier, context, nextResolve) {
   if (specifier === 'vitest') {
@@ -23,6 +24,9 @@ export function resolve(specifier, context, nextResolve) {
   }
   if (fromRefTest && specifier.endsWith('/parse/extractTables.js')) {
     return { url: TABLES, shortCircuit: true }
+  }
+  if (fromRefTest && specifier.endsWith('/parse/tokenize.js')) {
+    return { url: TOKENIZE, shortCircuit: true }
   }
   if (fromRefTest && specifier.endsWith('/spatial/wkt.js')) {
     return { url: WKT, shortCircuit: true }
