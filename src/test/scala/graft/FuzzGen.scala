@@ -573,6 +573,95 @@ object FuzzGen {
     }
   }
 
+  private def setopCross(r: Random): String = {
+    // round-15 family (VERDICT r14 #5): CROSS-PRODUCTS of the set-op
+    // arm-tail machinery with the other rewrite passes — the
+    // interactions between rewriteSetOpArmTails and the JS-coercion /
+    // window / FROM-first passes are the untested surface. Probed
+    // live: window arms take mid-chain tails, `||`/zero-divisor arms
+    // coerce per-arm, FROM-first arms take their own tails. Spaced
+    // call parens (`abs (x)`) ride along to keep the token-suffix walk
+    // under differential pressure. Determinism: every arm projects ONE
+    // column; mid-chain LIMIT tails sort on expressions that are
+    // injective over the arm's unique key (a string of the key, or a
+    // row_number over it), so slices are exact and trailing-sort ties
+    // are identical rows.
+    val ops = Seq("UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+      "EXCEPT", "EXCEPT ALL")
+    val nArms = 2 + r.nextInt(2)
+    // one arm TYPE per chain: reference set-op keys are raw JS values
+    // (execute/utils.js:175 keyify → Map/Set SameValueZero), so a
+    // mixed number/string chain is a HETEROGENEOUS column — a JS-only
+    // shape Spark's unified column types cannot represent (documented
+    // boundary; Spark rejects it loudly at analysis/runtime, never a
+    // silent wrong answer)
+    val stringMode = r.nextBoolean()
+    def abs0(e: String): String =
+      if (r.nextInt(3) == 0) s"abs ($e)" else s"abs($e)"
+    val arms = (0 until nArms).map { i =>
+      val t = pick(r, tables)
+      val last = i == nArms - 1
+      def tailed(base: String, injective: Boolean): String =
+        if (injective && !last && r.nextInt(2) == 0)
+          s"$base ORDER BY c0${if (r.nextBoolean()) " DESC" else ""} LIMIT ${2 + r.nextInt(12)}"
+        else base
+      if (stringMode) r.nextInt(3) match {
+        case 0 =>
+          // JS concat coercion: '<c>' || key is injective (unique key
+          // stringifies uniquely), so a mid-chain tail slice is exact
+          tailed(s"SELECT '${('a' + r.nextInt(4)).toChar}' || (${t.key} + ${r.nextInt(4)})" +
+            s" AS c0 FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+        case 1 =>
+          // coercion × window in ONE arm: the || wrap must compose
+          // with the window spec inside a lifted set-op arm
+          tailed(s"SELECT 'w' || row_number() OVER (ORDER BY ${t.key}) AS c0 " +
+            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+        case _ =>
+          tailed(s"SELECT 's' || ${abs0(s"${t.key} + ${r.nextInt(5)}")} AS c0 " +
+            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+      } else r.nextInt(3) match {
+        case 0 =>
+          // divisor arm: exercises the nullif() zero-divisor wrap
+          // INSIDE a lifted arm; the denominator is kept nonzero
+          // (key%m + 1) because Infinity sorts LAST as a JS number
+          // where its null serialization sorts FIRST — an ordering
+          // divergence, not a value one (runtime zero division is
+          // covered by the scalar families)
+          val d = s"(${t.key} % ${2 + r.nextInt(4)} + 1)"
+          s"SELECT ${abs0(t.key)} / $d AS c0 FROM ${t.name} " +
+            s"WHERE ${boolExpr(r, t, "", 1)}"
+        case 1 =>
+          // window arm: row_number over the unique key is injective —
+          // tails allowed mid-chain
+          val dir = if (r.nextBoolean()) " DESC" else ""
+          tailed(s"SELECT row_number() OVER (ORDER BY ${t.key}$dir) AS c0 " +
+            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+        case _ =>
+          // plain arithmetic arm with an occasional spaced call paren
+          s"SELECT ${abs0(s"${t.key} - ${r.nextInt(9)}")} AS c0 " +
+            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}"
+      }
+    }
+    val chain = arms.tail.foldLeft(arms.head)((acc, a) => s"$acc ${pick(r, ops)} $a")
+    // FROM-first × set ops: 1/5 of the family rebuilds the chain over
+    // whole-row FROM-first arms with their own mid-chain tails
+    if (r.nextInt(5) == 0) {
+      def arm(last: Boolean) = {
+        val base = s"FROM ${nation.name} WHERE ${boolExpr(r, nation, "", 1)}"
+        if (!last && r.nextInt(2) == 0)
+          s"$base ORDER BY ${nation.key}${if (r.nextBoolean()) " DESC" else ""} LIMIT ${2 + r.nextInt(8)}"
+        else base
+      }
+      val n = 2 + r.nextInt(2)
+      val ffArms = (0 until n).map(i => arm(i == n - 1))
+      ffArms.tail.foldLeft(ffArms.head)((acc, a) => s"$acc ${pick(r, ops)} $a") +
+        s" ORDER BY ${nation.key}"
+    } else {
+      s"$chain ORDER BY c0" +
+        (if (r.nextBoolean()) s" LIMIT ${20 + r.nextInt(60)}" else "")
+    }
+  }
+
   private def subquery(r: Random): String = r.nextInt(4) match {
     case 0 =>
       val p = boolExpr(r, customer, "", 1)
@@ -1017,7 +1106,7 @@ object FuzzGen {
   def queries(seed: Long, n: Int): Seq[String] = {
     val r = new Random(seed)
     (0 until n).map { _ =>
-      r.nextInt(13) match {
+      r.nextInt(14) match {
         case 0 | 1 | 2 => simple(r)
         case 3 | 4 => agg(r)
         case 5 => join(r)
@@ -1026,6 +1115,7 @@ object FuzzGen {
         case 8 => subquery(r)
         case 11 => lateral(r)
         case 12 => setopNested(r)
+        case 13 => setopCross(r)
         case _ => r.nextInt(3) match {
           case 0 => cte(r)
           case 1 => distinct(r)
