@@ -79,28 +79,47 @@ object TpchQueries {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue_c DESC, n_name""".stripMargin) {
       (s, dir) => {
-        // nation⋈region pre-reduces to the ≤25-row ASIA nation dim and
-        // broadcasts; the fact-fact l⋈o shuffle happens exactly once
+        // nation⋈region pre-reduces to the ≤5-row ASIA nation dim; the
+        // dim pre-prunes BOTH fact inputs via broadcast joins BEFORE
+        // the one fact-fact shuffle, so the l⋈o orderkey exchange
+        // carries only ASIA-supplier lineitem rows (~1/5 of the table
+        // at uniform nation spread) and the custkey exchange only
+        // ASIA customers — r15 scratch experiment, both shapes
+        // measured at sf100 (SCRATCH_SF100 q5 row)
         val n = broadcast(
           t(s, dir, "nation").join(
               t(s, dir, "region").filter(col("r_name") === "ASIA"),
               col("n_regionkey") === col("r_regionkey"))
             .select("n_nationkey", "n_name"))
+        // ASIA suppliers: ≤ supplier/5 rows of two ints — broadcastable
+        // at any SF where supplier itself fits an executor (sf100: 200k
+        // rows ≈ 3 MB); prunes lineitem DURING its scan-side join
+        val suA = broadcast(
+          t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+            .join(n.select("n_nationkey"),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey"))
+        val cA = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(broadcast(n.select(col("n_nationkey").as("cn_key"))),
+            col("c_nationkey") === col("cn_key"))
+          .select("c_custkey", "c_nationkey")
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
             col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
           .select("o_orderkey", "o_custkey")
+        // narrow early: only (orderkey, nationkey, rev) ride the
+        // shuffles; n_name joins back over the 5-row dim at the end
         val l = t(s, dir, "lineitem")
           .selectExpr("l_orderkey", "l_suppkey", s"$revC AS rev")
-        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+          .join(suA, col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_orderkey"), col("s_nationkey"), col("rev"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(su, col("l_suppkey") === col("s_suppkey"))
-          .join(c, col("o_custkey") === col("c_custkey") &&
+          .join(cA, col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
-          .join(n, col("s_nationkey") === col("n_nationkey"))
-          .groupBy("n_name")
+          .groupBy("s_nationkey")
           .agg(expr("CAST(sum(rev) AS DOUBLE)").as("revenue_c"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .select("n_name", "revenue_c")
           .orderBy(col("revenue_c").desc, col("n_name"))
       }
     },

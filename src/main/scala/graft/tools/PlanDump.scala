@@ -35,6 +35,7 @@ object PlanDump {
     "q_feature_winsorize" -> "winsorize: per-group percentile agg broadcast back onto the rows — never a per-group window",
     "q_sample_shuffle" -> "deterministic corpus shuffle: hash(seed||id) order, LIMIT head plans as distributed TakeOrdered",
     "q_agg_corr" -> "correlation/regression: ONE partial+final aggregate carries the exact decimal moment sums; the closed forms run on the tiny grouped result",
+    "q_tpch_q5" -> "TPC-H Q5: ASIA dim pre-prunes BOTH fact inputs via broadcast joins before the one fact-fact orderkey shuffle (r15 scratch diet)",
     "q_funnel" -> "ordered-step funnel: one LINEAR chain (per-user agg, two left joins, one count row) — each pushed-filter scan referenced exactly once, no CTE re-inlining",
     "q_pagerank" -> "integer PageRank round: ranks equi-join onto edges + partial+final sum by dst — the Pregel message shape, BIGINT-exact",
     "q_ts_rolling" -> "trailing window metrics: key-partitioned RANGE frame over numeric epochs — per-key streaming pass, no self-join range probe",

@@ -177,8 +177,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(q3.contains("TakeOrderedAndProject"), q3.take(900))
     assert(q3.contains("PushedFilters:") &&
       q3.contains("EqualTo(c_mktsegment,BUILDING)"), q3.take(1500))
-    // Q5: the ≤25-row ASIA nation dim joins as a broadcast hash join
-    assert(planOf("q_tpch_q5").contains("BroadcastHashJoin"))
+    // Q5: the ASIA dim pre-prunes BOTH fact inputs via broadcast joins
+    // BEFORE the one fact-fact shuffle — the lineitem and customer
+    // scans each feed a BroadcastHashJoin with no Exchange in between,
+    // so only ASIA-supplier lineitem rows (~1/5) enter the orderkey
+    // exchange. This IS the measured winner: the r15 sf100 probe
+    // recorded 4.91 bytes/lineitem-row (2.9 GiB peak scratch, 73.4 s)
+    // vs 25.93 (15.6 GiB, 116.0 s) for the r14 unpruned shape — a 5.3x
+    // scratch diet (SCRATCH_SF100 q5 rows, r14 vs r15).
+    val q5 = planOf("q_tpch_q5")
+    assert(q5.contains("BroadcastHashJoin"), q5.take(1500))
+    locally {
+      val lines = q5.linesIterator.toSeq
+      val liScan = lines.indexWhere(l =>
+        l.contains("FileScan parquet") && l.contains("l_suppkey"))
+      assert(liScan >= 0, q5.take(1500))
+      // true parent chain: walking up, a node's parent is the nearest
+      // line above with strictly smaller indent. The FIRST
+      // join/exchange ancestor of the lineitem scan must be the
+      // ASIA-supplier BroadcastHashJoin — an Exchange there would mean
+      // the full unpruned table entered a shuffle.
+      val indentOf = (l: String) => l.indexWhere(_.isLetter)
+      var indent = indentOf(lines(liScan))
+      var i = liScan - 1
+      var firstOp = ""
+      while (firstOp.isEmpty && i >= 0) {
+        val l = lines(i)
+        if (indentOf(l) >= 0 && indentOf(l) < indent) {
+          indent = indentOf(l)
+          if (l.contains("Join") || l.contains("Exchange")) firstOp = l.trim
+        }
+        i -= 1
+      }
+      assert(firstOp.contains("BroadcastHashJoin"),
+        s"lineitem's first join/exchange ancestor is not the ASIA-supplier broadcast: $firstOp")
+    }
     // Q10: top-20 head is TakeOrdered; the returnflag filter is pushed
     val q10 = formatted("q_tpch_q10")
     assert(q10.contains("TakeOrderedAndProject"), q10.take(900))
