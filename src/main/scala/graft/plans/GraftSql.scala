@@ -1101,6 +1101,72 @@ object GraftSql {
           }
         } catch { case scala.util.control.NonFatal(_) => None } // parse errors surface later
       }
+      .orElse(setOpTypeGuard(spark, unmasked))
+  }
+
+  /** Reject set operations whose arms disagree on a column's TYPE
+    * GROUP (numeric vs string vs boolean vs datetime). The reference
+    * keys set-op rows by RAW JS value (execute/utils.js:175 keyify →
+    * Map/Set SameValueZero), so `SELECT 1 INTERSECT SELECT '1'` is
+    * EMPTY there (number 1 and string '1' are distinct keys) and a
+    * UNION of the two yields a heterogeneous column — while Spark
+    * widens both arms to one type and would MATCH them (probed: the
+    * reference returns [] / both rows). No Spark column type can carry
+    * the JS value-typed semantics, so the honest move is a loud,
+    * explained error instead of silently coerced set semantics.
+    * Within one group the coercion is harmless: JS numbers have no
+    * int/double split, so widening INT to DOUBLE preserves every key.
+    * Arms that cannot be analyzed in isolation (CTE references,
+    * correlated columns) are skipped — this guard only fires on a
+    * PROVEN group mismatch.
+    */
+  private def setOpTypeGuard(spark: SparkSession, unmasked: String): Option[String] = {
+    val up = unmasked.toUpperCase(java.util.Locale.ROOT)
+    if (!up.contains("INTERSECT") && !up.contains("EXCEPT") && !up.contains("UNION"))
+      return None
+    import org.apache.spark.sql.catalyst.plans.logical.{Except, Intersect, LogicalPlan, Union}
+    import org.apache.spark.sql.types._
+    def group(dt: DataType): String = dt match {
+      case _: NumericType => "numeric"
+      case _: StringType => "string"
+      case BooleanType => "boolean"
+      case DateType | TimestampType | TimestampNTZType => "datetime"
+      case NullType => "*"
+      case ArrayType(e, _) => s"array<${group(e)}>"
+      case other => other.simpleString
+    }
+    def armGroups(child: LogicalPlan): Option[Seq[(String, String)]] =
+      try Some(spark.sessionState.executePlan(child).analyzed.output
+        .map(a => (a.name, group(a.dataType))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def compatible(a: String, b: String): Boolean =
+      a == b || a == "*" || b == "*" ||
+        (a.startsWith("array<") && b.startsWith("array<") &&
+          (a.contains("<*>") || b.contains("<*>")))
+    try {
+      val parsed = spark.sessionState.sqlParser.parsePlan(rewrite(unmasked))
+      var err: Option[String] = None
+      parsed.foreach {
+        case so if err.isEmpty && (so.isInstanceOf[Union] ||
+            so.isInstanceOf[Intersect] || so.isInstanceOf[Except]) =>
+          val arms = so.children.flatMap(armGroups(_))
+          if (arms.size == so.children.size && arms.nonEmpty) {
+            val head = arms.head
+            for (arm <- arms.tail if err.isEmpty;
+                 i <- head.indices if i < arm.size && err.isEmpty) {
+              if (!compatible(head(i)._2, arm(i)._2))
+                err = Some(
+                  s"heterogeneous set operation: column ${head(i)._1} is " +
+                    s"${head(i)._2} in one arm and ${arm(i)._2} in another — " +
+                    "the reference keys set-op rows by raw JS value (1 and '1' " +
+                    "are distinct), which Spark's unified column types cannot " +
+                    "represent; cast the arms to one type explicitly")
+            }
+          }
+        case _ => ()
+      }
+      err
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   def sql(spark: SparkSession, sqlText: String): DataFrame = {

@@ -1401,4 +1401,38 @@ class GraftSqlSpec extends SparkSpec {
       assert(String.valueOf(e.getMessage).nonEmpty, q)
     }
   }
+
+  test("heterogeneous set-op arms raise loudly; same-group widening passes (r15 boundary)") {
+    // reference probed: SELECT 1 INTERSECT SELECT '1' is EMPTY there
+    // (keyify → Map keys are raw JS values: number 1 ≠ string '1'),
+    // and the UNION keeps BOTH rows as a heterogeneous column. Spark
+    // widens both arms to one type and would MATCH them — a silent
+    // wrong answer; graft refuses with the explained boundary error.
+    for (op <- Seq("INTERSECT", "UNION", "EXCEPT ALL")) {
+      val err = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, s"SELECT 1 AS c0 $op SELECT '1' AS c0")
+      }
+      assert(err.getMessage.contains("heterogeneous set operation"), s"$op: ${err.getMessage}")
+    }
+    // numeric↔numeric widening is harmless (JS numbers have no
+    // int/double split) — must NOT trip the guard
+    val n = GraftSql.sql(spark,
+      "SELECT 1 AS c0 UNION SELECT 2.5 AS c0 ORDER BY c0").collect()
+    assert(n.length == 2)
+    // NULL-typed arms are wildcard-compatible with any group
+    val z = GraftSql.sql(spark,
+      "SELECT NULL AS c0 UNION SELECT 'x' AS c0 ORDER BY c0").collect()
+    assert(z.length == 2)
+    // a nested set op inside a subquery is guarded too
+    val nested = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "SELECT * FROM (SELECT 1 AS c0 INTERSECT SELECT 'x' AS c0)")
+    }
+    assert(nested.getMessage.contains("heterogeneous set operation"))
+    // CTE-referencing arms can't analyze in isolation — the guard
+    // SKIPS them (never a false rejection on a valid query)
+    val cte = GraftSql.sql(spark,
+      "WITH a AS (SELECT 1 AS c0) SELECT c0 FROM a UNION SELECT 2 AS c0 ORDER BY c0").collect()
+    assert(cte.length == 2)
+  }
 }
