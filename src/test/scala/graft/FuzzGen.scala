@@ -596,11 +596,29 @@ object FuzzGen {
     // boundary; Spark rejects it loudly at analysis/runtime, never a
     // silent wrong answer)
     val stringMode = r.nextBoolean()
+    // WITH × set ops (probed: a CTE-reading arm takes its own
+    // mid-chain tail); all arms then share the CTE's base schema
+    val withMode = r.nextInt(4) == 0
+    val cteBase = pick(r, tables)
+    val prefix =
+      if (withMode)
+        s"WITH w0 AS (SELECT * FROM ${cteBase.name} WHERE ${boolExpr(r, cteBase, "", 1)}) "
+      else ""
     def abs0(e: String): String =
       if (r.nextInt(3) == 0) s"abs ($e)" else s"abs($e)"
     val arms = (0 until nArms).map { i =>
-      val t = pick(r, tables)
+      val t = if (withMode) cteBase else pick(r, tables)
+      val fromName = if (withMode && r.nextBoolean()) "w0" else t.name
       val last = i == nArms - 1
+      // subquery × set ops (probed: an IN-subquery predicate inside an
+      // arm composes with the tail lifting)
+      def pred(t: Table): String = {
+        val base = boolExpr(r, t, "", 1)
+        if (r.nextInt(5) == 0)
+          s"$base AND ${t.key} IN (SELECT ${t.key} FROM ${t.name} " +
+            s"WHERE ${boolExpr(r, t, "", 1)})"
+        else base
+      }
       def tailed(base: String, injective: Boolean): String =
         if (injective && !last && r.nextInt(2) == 0)
           s"$base ORDER BY c0${if (r.nextBoolean()) " DESC" else ""} LIMIT ${2 + r.nextInt(12)}"
@@ -610,15 +628,15 @@ object FuzzGen {
           // JS concat coercion: '<c>' || key is injective (unique key
           // stringifies uniquely), so a mid-chain tail slice is exact
           tailed(s"SELECT '${('a' + r.nextInt(4)).toChar}' || (${t.key} + ${r.nextInt(4)})" +
-            s" AS c0 FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+            s" AS c0 FROM $fromName WHERE ${pred(t)}", injective = true)
         case 1 =>
           // coercion × window in ONE arm: the || wrap must compose
           // with the window spec inside a lifted set-op arm
           tailed(s"SELECT 'w' || row_number() OVER (ORDER BY ${t.key}) AS c0 " +
-            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+            s"FROM $fromName WHERE ${pred(t)}", injective = true)
         case _ =>
           tailed(s"SELECT 's' || ${abs0(s"${t.key} + ${r.nextInt(5)}")} AS c0 " +
-            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+            s"FROM $fromName WHERE ${pred(t)}", injective = true)
       } else r.nextInt(3) match {
         case 0 =>
           // divisor arm: exercises the nullif() zero-divisor wrap
@@ -628,18 +646,18 @@ object FuzzGen {
           // divergence, not a value one (runtime zero division is
           // covered by the scalar families)
           val d = s"(${t.key} % ${2 + r.nextInt(4)} + 1)"
-          s"SELECT ${abs0(t.key)} / $d AS c0 FROM ${t.name} " +
-            s"WHERE ${boolExpr(r, t, "", 1)}"
+          s"SELECT ${abs0(t.key)} / $d AS c0 FROM $fromName " +
+            s"WHERE ${pred(t)}"
         case 1 =>
           // window arm: row_number over the unique key is injective —
           // tails allowed mid-chain
           val dir = if (r.nextBoolean()) " DESC" else ""
           tailed(s"SELECT row_number() OVER (ORDER BY ${t.key}$dir) AS c0 " +
-            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}", injective = true)
+            s"FROM $fromName WHERE ${pred(t)}", injective = true)
         case _ =>
           // plain arithmetic arm with an occasional spaced call paren
           s"SELECT ${abs0(s"${t.key} - ${r.nextInt(9)}")} AS c0 " +
-            s"FROM ${t.name} WHERE ${boolExpr(r, t, "", 1)}"
+            s"FROM $fromName WHERE ${pred(t)}"
       }
     }
     val chain = arms.tail.foldLeft(arms.head)((acc, a) => s"$acc ${pick(r, ops)} $a")
@@ -657,7 +675,7 @@ object FuzzGen {
       ffArms.tail.foldLeft(ffArms.head)((acc, a) => s"$acc ${pick(r, ops)} $a") +
         s" ORDER BY ${nation.key}"
     } else {
-      s"$chain ORDER BY c0" +
+      s"$prefix$chain ORDER BY c0" +
         (if (r.nextBoolean()) s" LIMIT ${20 + r.nextInt(60)}" else "")
     }
   }
