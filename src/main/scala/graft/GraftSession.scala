@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit graft_bloom_agg sizing (q21's orderkey pre-prune, the
+      // decontamination blooms) must be allowed to size for sf100-scale
+      // key sets: ~22M keys at 12 bits/key needs 2^28 bits, over the
+      // 4M-item/2^26-bit runtime-filter defaults. A 2^30-bit (128 MiB)
+      // ceiling keeps any single bloom broadcast-sized.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", (128L << 20).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (1L << 30).toString)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

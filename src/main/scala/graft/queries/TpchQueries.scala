@@ -296,11 +296,18 @@ object TpchQueries {
       (s, dir) => {
         // the lineitem aggregate pre-reduces to the handful of big
         // orders (partial agg map-side), which then BROADCASTS onto
-        // orders — the fact table is never shuffled for the join
+        // orders — the fact table is never shuffled for the join.
+        // r16 scratch diet: the partial-agg shuffle payload is BIGINT,
+        // not DECIMAL(38,0) — each term round(qty*100) is an integer
+        // ≤ 5000 and per-order sums stay far below 2^63, so the long
+        // sum is exact while the shuffle row drops from (long, 16-byte
+        // decimal) to (long, long). Measured at sf100: 12.33 → see
+        // SCRATCH_SF100_r16.json. The oracle still sums as DECIMAL;
+        // both sides cast to BIGINT at output, values identical.
         val big = t(s, dir, "lineitem")
           .groupBy("l_orderkey")
-          .agg(expr("sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0)))").as("qty_c"))
-          .filter(col("qty_c") > expr("CAST(25000 AS DECIMAL(38,0))"))
+          .agg(expr("sum(CAST(round(l_quantity * 100) AS BIGINT))").as("qty_c"))
+          .filter(col("qty_c") > lit(25000L))
         val o = t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         val c = t(s, dir, "customer").select("c_custkey", "c_name")
@@ -799,33 +806,64 @@ object TpchQueries {
         |                  AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) {
       (s, dir) => {
-        // `late` appears as probe side AND anti-join build side from the
-        // same val — the l⋈o shuffle exchanges underneath are
-        // canonical-identical and reused, so the fact-fact join runs once.
-        // EXISTS/NOT EXISTS are hash semi/anti joins on the order key with
-        // the supplier inequality as residual — never row-by-row.
+        // r16 bloom pre-prune (the r13 aggregate alternative measured
+        // WORSE, 55 B/row — this is the other lever). Only lines of
+        // NATION_1 suppliers can surface, so:
+        //  - the l1 leg pre-reduces lineitem to ~1/25 via a broadcast
+        //    join on the NATION_1 supplier keys BEFORE its l⋈o shuffle;
+        //  - the EXISTS/NOT-EXISTS legs only matter for l1's orderkeys,
+        //    so both are pre-filtered by a bloom of the SUPERSET keys
+        //    (any NATION_1-supplier line, no F/late condition — every
+        //    l1 orderkey is in the bloom by construction, so the bloom
+        //    has no false negatives and the exact semi/anti joins that
+        //    follow return identical rows; false positives only let a
+        //    few extra rows through to those exact joins).
+        // Bloom sizing derives from the input size (≈30 compressed
+        // B/lineitem-row; superset keys ≈ 4% of rows), 12 bits/key
+        // (~0.3% fp) — at sf100 that is ~22M keys in a 2^28-bit filter,
+        // built as one distributed aggregate over the DISTINCT keys
+        // (AQE-coalesced, so the per-partition partial blooms stay few)
+        // and broadcast as a scalar-subquery constant.
+        val liBytes = graft.GraftSession.dirBytes(s"$dir/lineitem.parquet")
+        val estKeys = math.max(1L << 12, liBytes / 30L * 4 / 100)
+        val numBits = math.min(1L << 30, math.max(1L << 16, estKeys * 12))
+        val n = broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_1").select("n_nationkey"))
+        val n1supp = broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name"))
+        val view = s"graft_q21_n1keys_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(n1supp.select(col("s_suppkey").as("bk")), col("l_suppkey") === col("bk"), "left_semi")
+          .select("l_orderkey").distinct()
+          .createOrReplaceTempView(view)
+        graft.operators.Caches.trackView(s, view)
+        def bloomed(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+          df.where(expr(s"graft_might_contain((SELECT graft_bloom_agg(l_orderkey, " +
+            s"CAST($estKeys AS BIGINT), CAST($numBits AS BIGINT)) FROM $view), $keyCol)"))
         val o = t(s, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val late = t(s, dir, "lineitem")
+        val l1 = t(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(n1supp.select(col("s_suppkey").as("n1k")), col("l_suppkey") === col("n1k"), "left_semi")
           .join(o, col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") > col("o_orderdate"))
           .select("l_orderkey", "l_suppkey")
-        val others = t(s, dir, "lineitem")
+        val others = bloomed(t(s, dir, "lineitem"), "l_orderkey")
           .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-        val lateOthers = late
+        val lateOthers = bloomed(t(s, dir, "lineitem"), "l_orderkey")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
           .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-        val su = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-        val n = broadcast(t(s, dir, "nation")
-          .filter(col("n_name") === "NATION_1").select("n_nationkey"))
-        late
+        l1
           .join(others, col("l_orderkey") === col("ok2") &&
             col("l_suppkey") =!= col("sk2"), "left_semi")
           .join(lateOthers, col("l_orderkey") === col("ok3") &&
             col("l_suppkey") =!= col("sk3"), "left_anti")
-          .join(su, col("l_suppkey") === col("s_suppkey"))
-          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(n1supp, col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).cast("bigint").as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))

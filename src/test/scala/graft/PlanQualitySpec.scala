@@ -231,6 +231,24 @@ class PlanQualitySpec extends SparkSpec {
     // Q18: the pre-reduced big-order set broadcasts; orders never shuffles
     val q18 = planOf("q_tpch_q18")
     assert(q18.contains("BroadcastHashJoin") && q18.contains("TakeOrderedAndProject"), q18.take(1500))
+    // r16 scratch diet: the per-orderkey quantity aggregate — Q18's one
+    // fact-sized shuffle — carries a BIGINT payload, not DECIMAL(38,0)
+    // (each term round(qty*100) is an integer, so the long sum is exact
+    // while the shuffle row narrows by 8+ bytes). sf100-probed:
+    // 12.33 → 10.36 bytes/lineitem-row. A DecimalType partial sum
+    // reappearing here is the regression this pin catches.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val agg = SparkEntry.queries("q_tpch_q18")(spark, dir)
+        .queryExecution.optimizedPlan.collectFirst {
+          case a: Aggregate if a.groupingExpressions.exists(_.references.exists(_.name == "l_orderkey")) => a
+        }
+      assert(agg.isDefined, "q18 lost its per-orderkey aggregate")
+      val qtyType = agg.get.aggregateExpressions
+        .find(_.name == "qty_c").map(_.dataType)
+      assert(qtyType.contains(org.apache.spark.sql.types.LongType),
+        s"q18 qty_c partial-agg payload must be LongType, was $qtyType")
+    }
   }
 
   test("source-overlap self-join shares one persisted token frame, sizes broadcast") {
@@ -273,16 +291,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(planOf("q_tpch_q20").contains("LeftSemi"))
     // Q21: EXISTS → semi, NOT EXISTS → anti, both hash joins on the order
     // key; the late-lines fact-fact join is never duplicated row-by-row.
-    // This IS the measured optimum: round 13 implemented the per-order
-    // min/max-aggregate alternative (EXISTS ⟺ min(sk)≠max(sk)) and
-    // sf100-probed it at 55.0 bytes/lineitem-row vs 36.8 for this shape
-    // — the ~150M-group partial aggregate folds only ~4 rows/key, so it
-    // spills more than the semi-join shuffle it replaces, while the
-    // anti side already rides a ReusedExchange. The fact-fact shuffle
-    // is inherent to the triple self-join at minimal (orderkey,
-    // suppkey[,shipdate]) width.
+    // r16 bloom pre-prune (the measured winner over both predecessors):
+    // the l1 leg pre-reduces to NATION_1-supplier lines via a broadcast
+    // semi join BEFORE its l⋈o shuffle, and the EXISTS/NOT-EXISTS legs
+    // pre-filter on a scalar-subquery bloom of the superset orderkeys
+    // (no false negatives ⇒ the exact semi/anti joins downstream are
+    // unchanged). sf100-probed: 8.89 bytes/lineitem-row, 5.0 GiB peak
+    // (r15 shape: 32.97 / 19.8 GiB; the r13 min/max-aggregate
+    // alternative: 55.0 — both predecessors pinned-negative).
     val q21 = planOf("q_tpch_q21")
     assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21.take(1500))
+    // the bloom probes must sit on the EXISTS/NOT-EXISTS lineitem legs
+    // (two scalar-subquery might_contain filters), and the l1 leg's
+    // first join ancestor must be the NATION_1-supplier broadcast semi
+    // join, not an exchange of the full table
+    assert(q21.linesIterator.count(_.contains("might_contain")) >= 2, q21.take(2000))
     // Q2: the correlated min-cost-per-part is a PARTITIONED window over
     // the joined candidates, dims broadcast — no pair-table re-scan
     val q2 = planOf("q_tpch_q2")
