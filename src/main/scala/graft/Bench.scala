@@ -54,6 +54,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // r16: AQE may re-plan cached-plan output partitioning — see the
+      // rationale in GraftSession.builder (same flag there); without it
+      // every pass over a persisted tiny intermediate costs
+      // shuffle.partitions tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session init and parquet footer reads

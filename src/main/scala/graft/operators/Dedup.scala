@@ -116,6 +116,20 @@ object Dedup {
                 k: Int = 8, bands: Int = 4): DataFrame =
     sigBands(shingleTable(df, idCol, textCol), idCol, k, bands)
 
+  /** Bucket count for a corpus band-table index, derived from the
+    * corpus's optimizer size estimate (~32 MiB of source text per
+    * bucket, floored at 8, capped at 4096). Every scan of a bucketed
+    * table costs exactly `buckets` tasks — a constant 64 was 8× too many
+    * tasks for an sf0.1 corpus (the r15 bench paid 64-task scans of a
+    * KB-sized index, 4 slices × 2 reads each) and would be 8× too FEW
+    * for a 100 TB one. Same derivation policy as
+    * [[graft.GraftSession.derivedShufflePartitions]] (r16, guide §2/§6).
+    */
+  private[graft] def adaptiveBuckets(corpus: DataFrame): Int = {
+    val target = corpus.queryExecution.optimizedPlan.stats.sizeInBytes / (32L << 20)
+    if (target > 4096) 4096 else math.max(8, target.toInt)
+  }
+
   /** Write the [[bandTable]] of a corpus as a bucketed + sorted catalog
     * table — the persistent LSH index layout for repeated ingest. A
     * bucketed scan exposes `hashpartitioning(band, bkey, buckets)`, so
@@ -123,13 +137,15 @@ object Dedup {
     * on the BATCH side only: the corpus index is read in place, never
     * re-hashed and never shuffled, no matter how many batches arrive.
     * (BucketingSpec pins the shuffle-free corpus side.)
+    * `buckets <= 0` (the default) derives the count from the corpus size
+    * via [[adaptiveBuckets]].
     */
   def saveBandTable(corpus: DataFrame, idCol: String, textCol: String,
-                    table: String, buckets: Int = 64,
+                    table: String, buckets: Int = 0,
                     k: Int = 8, bands: Int = 4): Unit =
     bandTable(corpus, idCol, textCol, k, bands)
       .write.mode("overwrite")
-      .bucketBy(buckets, "band", "bkey")
+      .bucketBy(if (buckets > 0) buckets else adaptiveBuckets(corpus), "band", "bkey")
       .sortBy("band", "bkey")
       .saveAsTable(table)
 
@@ -203,7 +219,7 @@ object Dedup {
     * union in one job just forces them all (`.map(_())`).
     */
   def minhashLshSliced(df: DataFrame, idCol: String, textCol: String,
-                       table: String, slices: Int = 8, buckets: Int = 64,
+                       table: String, slices: Int = 8, buckets: Int = 0,
                        k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
                        maxBucket: Int = 100000): Seq[() => DataFrame] = {
     require(slices >= 1, "slices must be positive")

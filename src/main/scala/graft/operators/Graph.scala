@@ -73,12 +73,17 @@ object Graph {
     val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // r16 shuffle diet (guide §2.4): outdeg rides ON the edge row, joined
+    // ONCE before the loop — the per-iteration plan was ranks⋈outdeg THEN
+    // edges⋈shares (two joins, two shuffles of rank-sized data per hop);
+    // with (src, dst, outdeg) pre-joined each hop is ONE equi-join of
+    // ranks onto the weighted edges plus the partial+final sum by dst.
+    // `r div outdeg` is unchanged BIGINT arithmetic — identical ranks.
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
-      val shares = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("node").as("u"), expr("r div outdeg").as("share"))
-      val inbound = e.join(shares, col("src") === col("u"))
+      val inbound = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy("dst").agg(sum("share").as("insum"))
         .withColumnRenamed("dst", "node")
       ranks = nodes.join(inbound, Seq("node"), "left")

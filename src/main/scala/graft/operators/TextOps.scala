@@ -552,18 +552,40 @@ object TextOps {
   def bloomDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
                          n: Int = 13, minHits: Int = 1,
-                         estimatedItems: Long = 4000000L,
-                         numBits: Long = 1L << 26): DataFrame = {
+                         estimatedItems: Long = 0L,
+                         numBits: Long = 0L): DataFrame = {
     require(n >= 1 && minHits >= 1, "need n >= 1 and minHits >= 1")
-    require(estimatedItems >= 1 && numBits >= 8, "bloom sizing must be positive")
+    // r16 (guide §1.2/§2): sizing is DERIVED by default instead of a 4M-
+    // item / 2^26-bit constant. The constant built and merged an 8 MiB
+    // bitset per partial aggregate no matter how small the benchmark —
+    // at sf0.1 a ~50k-gram bench paid 16.8 MILLION bits per real item.
+    // estimatedItems <= 0 counts the distinct bench grams exactly (one
+    // tiny aggregate job on the SMALL side — the count is the same
+    // shuffle the bloom agg itself pays, minus the bitset); numBits <= 0
+    // sizes at 16 bits/item rounded up to a power of two, clamped to
+    // [2^16, 2^26] (the ceiling is Spark's runtime-bloom default cap and
+    // the old constant — FPR only improves below it). False-positive
+    // rate stays one-sided: derivation can only ever RAISE bits/item vs
+    // the 8-bit floor below.
+    val items =
+      if (estimatedItems > 0) estimatedItems
+      else math.max(1L,
+        ngramHashes(bench.select(lit(1L).as("_bid"), col(benchTextCol)),
+            "_bid", benchTextCol, n)
+          .agg(count_distinct(col("gram_hash"))).head.getLong(0))
+    val bits =
+      if (numBits > 0) numBits
+      else math.min(1L << 26,
+        math.max(1L << 16, java.lang.Long.highestOneBit(16L * items - 1) << 1))
+    require(items >= 1 && bits >= 8, "bloom sizing must be positive")
     // a filter at capacity needs ~10+ bits/item for a useful FP rate;
     // below 8 bits/item (~2.2% FPR optimal-k) "occasionally over-flag a
     // clean doc" degrades toward "drop nearly everything" — refuse the
-    // silent version of that (the default is 2^26 bits = 16.8 bits/item
-    // at the default 4M items, ~0.4% FPR, and exactly Spark's
-    // runtime-bloom numBits ceiling)
-    require(numBits >= 8L * estimatedItems,
-      s"numBits=$numBits is ${numBits.toDouble / estimatedItems} bits per " +
+    // silent version of that (derived sizing is 16 bits/item by
+    // construction up to the 2^26 cap; an EXPLICIT starvation sizing is
+    // still refused loudly)
+    require(bits >= 8L * items,
+      s"numBits=$bits is ${bits.toDouble / items} bits per " +
         s"estimated item; need >= 8 bits/item (raise numBits or lower estimatedItems)")
     // the scalar-subquery spelling is forced by Spark: might_contain
     // accepts its bloom only as a constant or scalar subquery, so the
@@ -580,7 +602,7 @@ object TextOps {
     val hits = ngramHashes(corpus, idCol, textCol, n)
       .withColumn("_maybe", expr(
         s"graft_might_contain((SELECT graft_bloom_agg(gram_hash, " +
-          s"CAST($estimatedItems AS BIGINT), CAST($numBits AS BIGINT)) FROM $view), gram_hash)"))
+          s"CAST($items AS BIGINT), CAST($bits AS BIGINT)) FROM $view), gram_hash)"))
       .groupBy(idCol)
       .agg(sum(when(col("_maybe"), 1L).otherwise(0L)).as("bloom_hit_grams"))
     corpus.select(idCol)
