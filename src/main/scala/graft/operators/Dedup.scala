@@ -410,8 +410,11 @@ object Dedup {
       // so without lineage truncation the analyzed plan DOUBLES per round
       // and the driver OOMs just rendering/optimizing it by round ~12.
       // Checkpointing cuts each round to a LogicalRDD of the materialized
-      // labels — driver-side plan work stays O(1) per round.
-      val next = hopped.localCheckpoint(eager = true)
+      // labels — driver-side plan work stays O(1) per round. r16: the
+      // checkpoint is LAZY so the convergence sum is the round's ONE
+      // action — it materializes (and saves) the checkpoint partitions it
+      // scans; eager + sum was two jobs per round for the same work.
+      val next = hopped.localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -127,19 +127,26 @@ object Graph {
       .withColumn("hops", lit(0L))
       .localCheckpoint(eager = true)
     var frontier = dist
+    var frontierNonEmpty = true
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
+    while (h <= maxHops && frontierNonEmpty) {
       // explicit aliases: frontier/seeds often DERIVE from the edge frame
       // (seeds = some node subset), so the join is a self-join to the
-      // analyzer — qualified names keep it unambiguous
+      // analyzer — qualified names keep it unambiguous.
+      // r16: the round runs ONE action instead of three — `next` and the
+      // dist union are LAZY checkpoints whose partitions are saved when
+      // the single count() materializes them, and the count doubles as
+      // the empty-frontier probe. Lineage truncation is unchanged (both
+      // frames are checkpointed before the next round reads them).
       val next = frontier.select(col("node")).as("_bfs_f")
         .join(e.as("_bfs_e"), col("_bfs_f.node") === col("_bfs_e.src"))
         .select(col("_bfs_e.dst").as("node"))
         .distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
-        .localCheckpoint(eager = true)
-      dist = dist.union(next).localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
+      dist = dist.union(next).localCheckpoint(eager = false)
+      frontierNonEmpty = next.count() > 0
       frontier = next
       h += 1
     }

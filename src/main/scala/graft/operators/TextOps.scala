@@ -939,7 +939,28 @@ object TextOps {
     * text bytes scanned, so the operator rides the parquet scan at any
     * corpus size.
     */
-  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r16: counting moved into the native codegen'd GopherCounts kernel
+    // (one JVM pass per row — the HOF battery below was interpreted per
+    // lambda element, 1.3–2.0 s for 10k ~54-token docs at sf0.1). The
+    // quotient/round arithmetic stays HERE on the same Catalyst
+    // expression tree as before (same casts, same operand order), so
+    // every emitted double is bit-identical to the HOF formulation —
+    // pinned by GopherSpec's kernel-vs-HOF sweep.
+    df.withColumn("_c", expr(s"graft_gopher_counts(${tokensExpr(textCol)})"))
+      .select(col(idCol), col("_c.n_tok").as("n_tok"),
+        expr("round(CAST(_c.top3 * 3 AS DOUBLE) / _c.n_tok, 6)").as("top_trigram_frac"),
+        expr("round(least(CAST(1 AS DOUBLE), CAST(_c.dup5x * 5 AS DOUBLE) / _c.n_tok), 6)")
+          .as("dup_5gram_frac"),
+        expr("round(_c.sumlen / CAST(_c.n_tok AS DOUBLE), 6)").as("mean_word_len"),
+        expr("round(CAST(_c.n_alpha AS DOUBLE) / _c.n_tok, 6)").as("alpha_frac"))
+
+  /** The round-12 HOF formulation of [[gopherSignals]] — retained as the
+    * independent reference implementation GopherSpec sweeps the native
+    * kernel against (adversarial inputs: empty/1-token docs, non-ASCII,
+    * repeated grams). Not used in any query path.
+    */
+  private[graft] def gopherSignalsHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // EVERY intermediate (tk, s3, st, g5) is bound as a LAMBDA VARIABLE
     // via the single-element transform(array(x), v -> ...) trick, not a
     // withColumn alias: HOF lambdas are interpreted with no common-

@@ -1,27 +1,33 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed per-key top-k (the ANN merge kernel — reference:
   * similarity-search result assembly) without shuffling the scored corpus.
   *
-  * A plain `row_number() OVER (PARTITION BY key)` merge hash-partitions
-  * EVERY scored row by key — with a handful of query keys that is a
-  * handful of reducers no matter the cluster size. This operator instead
-  * runs two stages:
+  * A naive `row_number() OVER (PARTITION BY key)` merge would
+  * hash-partition EVERY scored row by key — with a handful of query keys
+  * that is a handful of reducers no matter the cluster size. Spark
+  * 3.5+'s rank-limit pushdown (SPARK-37099, `InsertWindowGroupLimit`)
+  * turns exactly this formulation into the two-stage shape instead:
   *
-  *  1. narrow partial pass: `sortWithinPartitions` (no exchange) then a
-  *     streaming first-k-per-key filter, so each input partition emits at
-  *     most distinctKeys×k rows;
-  *  2. tiny merge: a window over the ≤ partitions×keys×k survivors
-  *     assigns the final rank.
+  *  1. narrow partial pass: `WindowGroupLimit(Partial)` over each input
+  *     partition (local sort + streaming first-k-per-key), so at most
+  *     distinctKeys×k rows per partition reach the exchange;
+  *  2. tiny merge: the key exchange + final window rank over the
+  *     ≤ partitions×keys×k survivors.
   *
   * The only exchange therefore moves O(partitions×keys×k) rows — the
-  * shape that survives a 1000-executor scale-up. Per-partition state is
-  * one counter per distinct key seen in that partition; intended for
-  * moderate key cardinality (query batches), not per-row keys.
+  * shape that survives a 1000-executor scale-up. r16: this replaced a
+  * hand-rolled `sortWithinPartitions` + typed `mapPartitions` filter
+  * with the SAME topology — the typed pass paid a full
+  * InternalRow→Row→InternalRow encoder boundary over every scored row
+  * and broke whole-stage codegen; the native pushdown stays inside
+  * codegen end to end (PlanQualitySpec pins the Partial node and the
+  * shuffle count; requires k ≤
+  * spark.sql.optimizer.windowGroupLimitThreshold, default 1000).
   */
 object TopK {
 
@@ -32,20 +38,7 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int,
              rankCol: String = "rnk"): DataFrame = {
     require(k > 0, "k must be positive")
-    val schema = df.schema
-    val keyIdx = keyCols.map(schema.fieldIndex)
-    val partial = df
-      .sortWithinPartitions(orderCols: _*)
-      .mapPartitions { it =>
-        val seen = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
-        it.filter { r =>
-          val key = keyIdx.map(r.get)
-          val c = seen.getOrElse(key, 0)
-          if (c < k) { seen.update(key, c + 1); true } else false
-        }
-      }(Encoders.row(schema))
-    partial
-      .withColumn(rankCol, row_number().over(
+    df.withColumn(rankCol, row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
       .filter(col(rankCol) <= k)
   }

@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.vector.DotProduct(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_entropy"), info("graft_entropy"),
       (args: Seq[Expression]) => graft.functions.text.Entropy(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_gopher_counts"), info("graft_gopher_counts"),
+      (args: Seq[Expression]) => graft.functions.text.GopherCounts(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_js_str"), info("graft_js_str"),
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_js_cast_str"), info("graft_js_cast_str"),

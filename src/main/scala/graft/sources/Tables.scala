@@ -15,26 +15,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Per-(session, dir, table) memo of the UNRESOLVED read plan — i.e.
-    * the parquet schema inference (footer read + file listing), exactly
-    * what a catalog table registration would amortize in production.
-    * r16 (guide §1.2 per-task work): a 249-query bench session paid a
-    * fresh `spark.read.parquet` schema inference for every `Tables(...)`
-    * call — hundreds of driver-side footer reads per sweep. NO DATA is
-    * cached: the memo holds a lazy logical plan; every execution still
-    * scans the parquet files. Keyed on the live session object, so a new
-    * session (or a different data dir) always re-infers.
+  /** Per-(session, dir, table) memo of the inferred parquet SCHEMA —
+    * exactly the footer read a catalog table registration would amortize
+    * in production. r16 (guide §1.2 per-task work): a 249-query bench
+    * session paid a fresh schema inference for every `Tables(...)` call —
+    * hundreds of driver-side footer reads per sweep. Only the schema is
+    * memoized: each call still builds a FRESH read (fresh file index), so
+    * overwriting a path mid-session re-reads the new files (Round6Spec
+    * rewrites the same temp dir twice), and no data or file listing goes
+    * stale. A SCHEMA-changing rewrite of the same (session, dir, table)
+    * would read with the stale schema — none of the suite or the driver
+    * does that; a new session or dir always re-infers.
     */
-  private val readMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), org.apache.spark.sql.types.StructType]
 
   /** Read one table from an sf directory. Column pruning + predicate
     * pushdown reach the parquet scan because callers compose Columns on
     * the returned DataFrame (Catalyst handles pushdown declaratively).
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    readMemo.getOrElseUpdate((spark, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The events table's `ts` encoding differs across testdata generations:
     * older driver files store TIMESTAMP(NANOS) (which Spark's vectorized
@@ -46,38 +51,28 @@ object Tables {
     * `div` keeps the nanos arithmetic in exact longs (a double division
     * would lose precision above 2^53 ns).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    readMemo.getOrElseUpdate((spark, dir, "events:adapted"), {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/events.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case _ => // TIMESTAMP or TIMESTAMP_NTZ micros
-          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
-      }
-    })
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ micros
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` queries see the
-    * same names the DuckDB oracle uses. Idempotent per (session, dir):
-    * re-registering the identical view plan hundreds of times per bench
-    * sweep was pure catalog churn (r16).
+    * same names the DuckDB oracle uses. Deliberately NOT idempotent: the
+    * stored view plan freezes its file listing, so re-registering per
+    * call is what keeps mid-session overwrites of a data dir visible
+    * (several specs rewrite a temp dir and re-query). The per-call cost
+    * is one catalog put per table — the expensive part (schema
+    * inference) is memoized in [[apply]].
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (!registered.contains((spark, dir))) {
-      names.foreach { n =>
-        val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
-        df.createOrReplaceTempView(n)
-      }
-      // mark AFTER the views exist; a concurrent second caller would just
-      // re-register the same plans (createOrReplaceTempView is idempotent)
-      registered.put((spark, dir), ())
-      // a session can only have ONE live registration set: registering a
-      // different dir must re-register next time the first dir is asked for
-      registered.keys.filter(k => k._1 == spark && k._2 != dir)
-        .foreach(registered.remove)
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
     }
-
-  private val registered =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
 }

@@ -34,6 +34,14 @@ object BenchSubset {
     catch { case e: Throwable => System.err.println(s"[benchsub] warmup failed: $e") }
     val work = new graft.Bench.WorkStats
     spark.sparkContext.addSparkListener(work)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    })
     val names = if (args.nonEmpty) args.toSeq else Seq("q_scan_project")
     val out = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -44,12 +52,13 @@ object BenchSubset {
       }
       val warm = run()
       org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
-      work.reset()
+      work.reset(); jobs.set(0); stages.set(0)
       val steady = run()
       org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
       val w = work.snapshotJson()
+      val (nj, ns) = (jobs.get, stages.get)
       graft.operators.Caches.unpersistAll()
-      println(f"SUBSET $name%-28s warm=$warm%8.3f steady=$steady%8.3f work=$w")
+      println(f"SUBSET $name%-28s warm=$warm%8.3f steady=$steady%8.3f jobs=$nj%3d stages=$ns%3d work=$w")
       name -> steady
     }
     println(f"SUBSET_TOTAL steady=${out.map(_._2).sum}%8.3f")

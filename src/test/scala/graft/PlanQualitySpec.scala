@@ -452,14 +452,18 @@ class PlanQualitySpec extends SparkSpec {
 
   test("ANN top-k merge is two-stage: narrow partial pass, tiny key merge") {
     // the scored corpus must NOT be hash-partitioned by qid (|Q| reducers
-    // forever); TopK.perKey sorts within partitions (no exchange), filters
-    // to <= keys*k rows per partition via mapPartitions, and only then
-    // exchanges the survivors
+    // forever); r16: TopK.perKey is the plain rank-limit window, and
+    // Spark's InsertWindowGroupLimit (SPARK-37099) must plan the PARTIAL
+    // group-limit below the exchange — each scan partition emits at most
+    // keys*k rows into the key merge, all inside codegen (the r12–r15
+    // hand-rolled mapPartitions pass had the same topology but paid a
+    // full typed-encoder boundary over every scored row)
     for (q <- Seq("q_ann_brute", "q_ann_lsh", "q_ann_pq")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan
-      val nodes = collectNodes(plan).map(_.nodeName)
-      assert(nodes.exists(_.contains("MapPartitions")), s"$q: no partial top-k pass: $nodes")
+      val planStr = plan.toString
+      assert(planStr.contains("WindowGroupLimit") && planStr.contains("Partial"),
+        s"$q: no partial window group limit below the key exchange:\n${planStr.take(1500)}")
       val shuffles = countShuffles(plan)
       assert(shuffles <= 2, s"$q: expected <=2 shuffles (key merge + order-by), got $shuffles")
     }
@@ -469,13 +473,13 @@ class PlanQualitySpec extends SparkSpec {
     // a stopword's posting list is df-sized: collect_list over the raw
     // (token, doc_id) pairs would materialize it whole in one reducer's
     // aggregation buffer. The plan must bound the buffer, not just the
-    // output: TopK.perKey's narrow partial pass (MapPartitions) + rank
-    // filter must sit UPSTREAM of the collect_list aggregate.
+    // output: TopK.perKey's narrow partial pass (WindowGroupLimit
+    // Partial, r16) + rank filter must sit UPSTREAM of the collect_list
+    // aggregate.
     val df = SparkEntry.queries("q_inverted_index")(spark, dir)
     val plan = df.queryExecution.executedPlan
-    val nodes = collectNodes(plan).map(_.nodeName)
-    assert(nodes.exists(_.contains("MapPartitions")),
-      s"no partial top-k pass upstream of collect_list: $nodes")
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"no partial top-k pass upstream of collect_list:\n${plan.toString.take(1500)}")
     // the rank filter (rnk <= k) gates the aggregate input
     assert(plan.toString.contains("rnk"),
       s"expected TopK rank filter in plan:\n${plan.toString.take(1500)}")
