@@ -783,7 +783,16 @@ object TextOps {
     val counts = pairsCached.groupBy("win")
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    val hotPairs = pairsCached.join(counts.select("win"), Seq("win"), "left_semi")
+    // r16: the hot-window set must join as a BROADCAST semi — pinned
+    // explicitly because the rank-limit TopK downstream otherwise tempts
+    // the planner into a sort-merge semi that re-shuffles the ENTIRE
+    // (doc, win) table by win to share the window's exchange (measured:
+    // 675 KiB post-limit exchange with the broadcast vs 7.4 MiB
+    // full-table exchange without, at sf0.1 — and the full-table
+    // exchange is O(corpus windows) at 100 TB, exactly the shuffle this
+    // operator's hot-set design avoids; the hot set itself is bounded by
+    // boilerplate volume).
+    val hotPairs = pairsCached.join(broadcast(counts.select("win")), Seq("win"), "left_semi")
     val examples = TopK.perKey(hotPairs, Seq("win"), Seq(col(idCol)), exampleK)
       .groupBy("win")
       .agg(to_json(sort_array(collect_list(col(idCol)))).as("example_ids"))

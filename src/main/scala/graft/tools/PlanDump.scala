@@ -16,7 +16,7 @@ object PlanDump {
     "q_topk" -> "top-k: TakeOrderedAndProject (per-partition top-k + driver merge)",
     "q_dedup_minhash" -> "minhash signatures: one narrow codegen pipeline over the scan",
     "q_dedup_minhash_pairs" -> "LSH banding: shuffle keys are (band, 2 longs), candidates verified per bucket",
-    "q_ann_brute" -> "brute-force ANN: tiny query side broadcast, corpus scanned once; TopK.perKey merge — narrow partial top-k (sort-within-partitions + MapPartitions), window only over the survivors",
+    "q_ann_brute" -> "brute-force ANN: tiny query side broadcast, corpus scanned once; TopK.perKey merge — native WindowGroupLimit partial top-k below the key exchange (r16), window only over the survivors",
     "q_window_range" -> "bounded RANGE frame as a PARTITIONED bucket window (boundary rows spilled into the next bucket) — no single-partition Window",
     "q_sessionize" -> "sessionization: single hash-partition by user, two window passes",
     "q_salted_agg" -> "salted aggregation: partial per (key, salt) then combine per key",
@@ -28,7 +28,7 @@ object PlanDump {
     "q_text_repetition" -> "repetition signals: sorted-run-length HOFs over the token array — one narrow codegen pipeline, ZERO shuffle",
     "q_ts_resample" -> "time-series resample: tiny per-key bounds agg, narrow grid explode, then the as-of union-merge (one shuffle + sort)",
     "q_fuzzy_join" -> "fuzzy join: char-2gram LSH band equi-join for candidates, thresholded levenshtein verify — no cross join",
-    "q_sample_per_key" -> "per-key sample: TopK.perKey — narrow partial k-smallest pass, window only over survivors",
+    "q_sample_per_key" -> "per-key sample: TopK.perKey — WindowGroupLimit partial k-smallest pass (r16), window only over survivors",
     "q_text_decontam" -> "decontamination: corpus grams hashed map-side, matched against the BROADCAST benchmark gram set — only hits reach the counting shuffle",
     "q_dedup_containment" -> "containment: inverted gram index (equi-join on gram_hash) with a document-frequency cap — never all-pairs",
     "q_merge_upsert" -> "MERGE: one anti-join on the key (small updates side broadcasts) + union — no window, no collect",
@@ -48,7 +48,7 @@ object PlanDump {
     "q_tpch_q3" -> "TPC-H Q3: pushed segment/date filters, fact-fact shuffle once, TakeOrderedAndProject head",
     "q_pipeline_e2e" -> "end-to-end pipeline: persisted stage frames (quality/exact/LSH/decontam) so per-stage reports never re-run upstream lineage; broadcast benchmark grams",
     "q_weighted_median" -> "weighted median: one key-partitioned cumulative window + broadcast per-key totals — no global sort, no self-join",
-    "q_inverted_index" -> "bounded inverted index: TopK.perKey rank-caps posting lists BEFORE collect_list (narrow partial pass + rank filter), count branch partial-combines — no df-sized aggregation buffer",
+    "q_inverted_index" -> "bounded inverted index: TopK.perKey rank-caps posting lists BEFORE collect_list (WindowGroupLimit partial + rank filter), count branch partial-combines — no df-sized aggregation buffer",
     "q_custom_source" -> "custom DataSourceV2 scan: id predicates narrow the generated range before partition planning, columns prune to the projection",
     "q_custom_source_agg" -> "aggregate pushdown into the custom scan: COUNT/MIN/MAX answered in closed form by a one-row scan — no row generation at any scale",
     "q_async_score" -> "async batched scoring: mapPartitions pipeline (batch + bounded in-flight + FIFO drain), then partial+final per-source aggregate",
