@@ -42,6 +42,8 @@ object Bench {
       s"""{"in_rows":$inRows,"in_bytes":$inBytes,"sh_read":$shRead,""" +
         s""""sh_write":$shWrite,"tasks":$tasks,"peak_mem":$peakMem}"""
     }
+    def tasksNow(): Long = synchronized { tasks }
+    def shWriteNow(): Long = synchronized { shWrite }
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,13 +71,23 @@ object Bench {
     val work = new WorkStats
     spark.sparkContext.addSparkListener(work)
     val workJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val steadyRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    var tasksTotal = 0L
+    var shWriteTotal = 0L
     // a failed query is REPORTED and excluded, never silently timed as a
     // near-zero success
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces FULL query execution — count() would let Catalyst
       // prune the very projections being measured. First run warms
-      // (planning, codegen, file index), second run is the steady-state
-      // figure the reference comparison uses.
+      // (planning, codegen, file index); the steady-state figure is the
+      // MEDIAN of three timed runs (r17, measurement fix per guide §1:
+      // this host shows transient 5-40x single-query stalls — three
+      // rounds of verdicts litigated wall noise — and a single steady
+      // pass lands any stall straight in the committed number, e.g.
+      // q_dedup_sliced 50.8 s in BENCH_r16 vs 4.9 s in the same night's
+      // 8-core run). All three raw passes are kept in BENCH_FULL.json
+      // ("steady_runs") so the old single-steady figure (the first
+      // element) remains available for cross-round comparison.
       def run(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -88,14 +100,28 @@ object Bench {
         }
       }
       run()
-      // work metrics cover the STEADY run only (drain the async
+      // work metrics cover the FIRST steady run only (drain the async
       // listener queue on both sides of the window so the warm run's
-      // stragglers and the steady run's tail both land correctly)
+      // stragglers and the steady run's tail both land correctly).
+      // They are deterministic properties of the plan, identical across
+      // the three steady passes — one window keeps them comparable with
+      // the r12-r16 single-steady work numbers.
       org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
       work.reset()
-      val steady = run()
+      val s1 = run()
       org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
-      if (steady.isDefined) workJson(name) = work.snapshotJson()
+      if (s1.isDefined) {
+        workJson(name) = work.snapshotJson()
+        tasksTotal += work.tasksNow()
+        shWriteTotal += work.shWriteNow()
+      }
+      val passes = (Seq(s1) ++ (if (s1.isDefined) Seq(run(), run()) else Nil)).flatten
+      // median of 3; if a later pass fails (first succeeded), fall back
+      // to the first pass rather than dropping a query that does run
+      val steady =
+        if (passes.size == 3) Some(passes.sorted.apply(1))
+        else passes.headOption
+      if (passes.nonEmpty) steadyRuns(name) = passes
       // release operator-internal caches BETWEEN queries (not between a
       // query's warm and timed runs — those share cache entries by
       // canonicalized plan): a sweep otherwise accumulates every
@@ -119,10 +145,17 @@ object Bench {
     val top10 = jmap(timed.sortBy { case (k, v) => (-v, k) }.take(10))
     val total = math.round(results.flatMap(_._2).sum * 1000) / 1000.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // r17: the compact line carries the DETERMINISTIC work digest
+    // (total steady-run tasks + shuffle write bytes — properties of the
+    // plan, immune to host stalls) so the driver's 2000-char stdout tail
+    // has a noise-free round-over-round signal even when wall is stalled.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","queries":$top10,"note":"top10 heaviest; full map in BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","ok":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir","tasks_total":$tasksTotal,"shuffle_write_bytes":$shWriteTotal,"queries":$top10,"note":"top10 heaviest; median of 3 steady runs; full map in BENCH_FULL.json"}"""
     val workMap = workJson.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":$qs,"work":$workMap}"""
+    val runsMap = steadyRuns.map { case (k, vs) =>
+      s"\"$k\":" + vs.map(v => math.round(v * 1000) / 1000.0).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_full":$qs,"steady_runs":$runsMap,"work":$workMap}"""
     def writeFile(path: String, body: String): Unit =
       try {
         val w = new java.io.PrintWriter(path, "UTF-8")

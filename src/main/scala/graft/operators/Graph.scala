@@ -134,10 +134,16 @@ object Graph {
       // (seeds = some node subset), so the join is a self-join to the
       // analyzer — qualified names keep it unambiguous.
       // r16: the round runs ONE action instead of three — `next` and the
-      // dist union are LAZY checkpoints whose partitions are saved when
-      // the single count() materializes them, and the count doubles as
-      // the empty-frontier probe. Lineage truncation is unchanged (both
-      // frames are checkpointed before the next round reads them).
+      // dist union are LAZY checkpoints, and the count doubles as the
+      // empty-frontier probe. Plan truncation is immediate either way
+      // (both frames are LogicalRDDs from here on), but only `next`'s
+      // partitions are SAVED by this round's count: the dist union
+      // materializes during the NEXT round's single action (through the
+      // anti-join build side) — or never, if the loop exits first, in
+      // which case the caller's action computes it from `next`'s saved
+      // partitions. LocalRDDCheckpointData backfills missing partitions
+      // on first use; do not edit this loop assuming dist is already on
+      // disk at the bottom of the round.
       val next = frontier.select(col("node")).as("_bfs_f")
         .join(e.as("_bfs_e"), col("_bfs_f.node") === col("_bfs_e.src"))
         .select(col("_bfs_e.dst").as("node"))

@@ -412,7 +412,27 @@ object TextOps {
     * 100 TB is the corpus itself. Per-row cost is O(tokens·log tokens);
     * documents are bounded (chunk first if not).
     */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r17: counting moved into the native codegen'd RepetitionCounts
+    // kernel (one JVM pass per row — the HOF battery below was
+    // interpreted per lambda element; the GopherCounts pattern, VERDICT
+    // r16 #4). The quotient/round arithmetic stays HERE on the same
+    // Catalyst expression tree as before (same casts, same operand
+    // order), so every emitted double is bit-identical to the HOF
+    // formulation — pinned by RepetitionSpec's kernel-vs-HOF sweep.
+    df.withColumn("_c", expr(s"graft_repetition_counts(${tokensExpr(textCol)})"))
+      .select(col(idCol), col("_c.n_tok").as("n_tok"),
+        expr("round(1D - CAST(_c.n_distinct AS DOUBLE) / _c.n_tok, 6)")
+          .as("dup_token_frac"),
+        col("_c.top2").as("top_bigram_n"),
+        expr("round(IF(_c.n_bigrams = 0, 0D, CAST(_c.top2 AS DOUBLE) / _c.n_bigrams), 6)")
+          .as("top_bigram_frac"))
+
+  /** The round-12 HOF formulation of [[repetitionSignals]] — retained as
+    * the independent reference implementation RepetitionSpec sweeps the
+    * native kernel against. Not used in any query path.
+    */
+  private[graft] def repetitionSignalsHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // intermediates bound as lambda variables (single-element transform
     // wrap), NOT withColumn aliases — see [[gopherSignals]]: interpreted
     // HOFs have no CSE and project collapse substitutes the defining
@@ -561,12 +581,22 @@ object TextOps {
     // at sf0.1 a ~50k-gram bench paid 16.8 MILLION bits per real item.
     // estimatedItems <= 0 counts the distinct bench grams exactly (one
     // tiny aggregate job on the SMALL side — the count is the same
-    // shuffle the bloom agg itself pays, minus the bitset); numBits <= 0
-    // sizes at 16 bits/item rounded up to a power of two, clamped to
-    // [2^16, 2^26] (the ceiling is Spark's runtime-bloom default cap and
-    // the old constant — FPR only improves below it). False-positive
-    // rate stays one-sided: derivation can only ever RAISE bits/item vs
-    // the 8-bit floor below.
+    // shuffle the bloom agg itself pays, minus the bitset).
+    //
+    // r17 (VERDICT r16 #2 + ADVICE): derived sizing is now 24 bits/item
+    // rounded up to a power of two, clamped to [2^16, 2^30] — and the
+    // 8-bits/item starvation require applies ONLY to explicit caller
+    // sizing. The r16 derivation capped at 2^26 while still requiring
+    // 8 bits/item, so a benchmark with > 2^23 distinct grams made the
+    // DEFAULT call throw where the old constant ran. Worst-case FPR at
+    // derived sizing: >= 24 bits/item (pow2 roundup can only raise it),
+    // optimal k = round(24·ln2) = 17, FPR = (1 − e^(−17/24))^17 ≈ 1e−5 —
+    // ~10 false flags per MILLION distinct clean probe grams, and the
+    // declared outputs stay one-sided either way (covered_ok/flagged_ok
+    // hold under any FP). Above 2^30 bits (128 MiB — broadcast-sized,
+    // the GraftSession runtime-filter ceiling, ~44M items at 24 b/item)
+    // bits/item degrades gracefully like Spark's own runtime bloom cap
+    // instead of failing the job.
     val items =
       if (estimatedItems > 0) estimatedItems
       else math.max(1L,
@@ -575,16 +605,17 @@ object TextOps {
           .agg(count_distinct(col("gram_hash"))).head.getLong(0))
     val bits =
       if (numBits > 0) numBits
-      else math.min(1L << 26,
-        math.max(1L << 16, java.lang.Long.highestOneBit(16L * items - 1) << 1))
+      else math.min(1L << 30,
+        math.max(1L << 16, java.lang.Long.highestOneBit(24L * items - 1) << 1))
     require(items >= 1 && bits >= 8, "bloom sizing must be positive")
     // a filter at capacity needs ~10+ bits/item for a useful FP rate;
     // below 8 bits/item (~2.2% FPR optimal-k) "occasionally over-flag a
     // clean doc" degrades toward "drop nearly everything" — refuse the
-    // silent version of that (derived sizing is 16 bits/item by
-    // construction up to the 2^26 cap; an EXPLICIT starvation sizing is
-    // still refused loudly)
-    require(bits >= 8L * items,
+    // silent version of that for EXPLICIT sizing (derived sizing is
+    // 24 bits/item by construction and degrades only past the 2^30 cap,
+    // where failing the job would be strictly worse than extra FPs on a
+    // one-sided output)
+    require(numBits <= 0 || bits >= 8L * items,
       s"numBits=$bits is ${bits.toDouble / items} bits per " +
         s"estimated item; need >= 8 bits/item (raise numBits or lower estimatedItems)")
     // the scalar-subquery spelling is forced by Spark: might_contain
@@ -728,6 +759,26 @@ object TextOps {
     * corpus never moves.
     */
   def oovRate(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
+    // r17: scoring moved into the native codegen'd OovCount kernel
+    // (binary search over the sorted broadcast vocab — the HOF filter
+    // was interpreted per token AND array_contains re-scanned the whole
+    // vocab per token). The rate arithmetic stays on the same Catalyst
+    // tree; OovSpec sweeps kernel vs the retained HOF reference.
+    val vocabArr = vocab.toDF("_w").agg(sort_array(collect_set(col("_w"))).as("_vocab"))
+    df.join(broadcast(vocabArr))
+      .withColumn("_tk", expr(tokensExpr(textCol)))
+      .withColumn("n_tok", expr("CAST(size(_tk) AS BIGINT)"))
+      .withColumn("n_oov", expr("graft_oov_count(_tk, _vocab)"))
+      .withColumn("oov_rate",
+        expr("round(CAST(n_oov AS DOUBLE) / greatest(n_tok, CAST(1 AS BIGINT)), 6)"))
+      .drop("_tk", "_vocab")
+  }
+
+  /** The HOF formulation of [[oovRate]] — retained as the independent
+    * reference implementation OovSpec sweeps the native kernel against.
+    * Not used in any query path.
+    */
+  private[graft] def oovRateHof(df: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
     val vocabArr = vocab.toDF("_w").agg(sort_array(collect_set(col("_w"))).as("_vocab"))
     df.join(broadcast(vocabArr))
       .withColumn("_tk", expr(tokensExpr(textCol)))
@@ -767,7 +818,8 @@ object TextOps {
     */
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 7, minDocs: Int = 2,
-                      exampleK: Int = 3): DataFrame = {
+                      exampleK: Int = 3,
+                      maxBroadcastWindows: Long = 4000000L): DataFrame = {
     require(w >= 2, "window must span at least 2 tokens")
     require(minDocs >= 2, "a repeat needs at least 2 docs")
     val pairs0 = df
@@ -780,9 +832,14 @@ object TextOps {
       .select(col(idCol), col("win"))
       .distinct()
     val pairsCached = Caches.track(pairs0)
-    val counts = pairsCached.groupBy("win")
+    // r17: the hot-window set is persisted — it feeds BOTH the semi-join
+    // build side and the final counts⋈examples join, so r16's shape ran
+    // the groupBy aggregation over the pair table twice; one pass now.
+    // Its materialized count is also the broadcast guard below.
+    val counts = Caches.track(pairsCached.groupBy("win")
       .agg(count(lit(1)).cast("bigint").as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+      .filter(col("n_docs") >= minDocs))
+    val nHot = counts.count()
     // r16: the hot-window set must join as a BROADCAST semi — pinned
     // explicitly because the rank-limit TopK downstream otherwise tempts
     // the planner into a sort-merge semi that re-shuffles the ENTIRE
@@ -790,9 +847,24 @@ object TextOps {
     // 675 KiB post-limit exchange with the broadcast vs 7.4 MiB
     // full-table exchange without, at sf0.1 — and the full-table
     // exchange is O(corpus windows) at 100 TB, exactly the shuffle this
-    // operator's hot-set design avoids; the hot set itself is bounded by
-    // boilerplate volume).
-    val hotPairs = pairsCached.join(broadcast(counts.select("win")), Seq("win"), "left_semi")
+    // operator's hot-set design avoids).
+    // r17 (VERDICT r16 #5): "bounded by boilerplate volume" is an
+    // argument, not code — a pathological corpus (minDocs too low, a
+    // boilerplate-heavy crawl) could push the hot set past broadcast
+    // limits and OOM the driver. Guarded: above `maxBroadcastWindows`
+    // (default 4M windows ≈ 250 MB framed, safely inside the 8 GB /
+    // 512M-row broadcast cap) the semi falls back to the planner-chosen
+    // shuffle join — slower, but it completes, and the fallback is LOUD.
+    val hotSet =
+      if (nHot <= maxBroadcastWindows) broadcast(counts.select("win"))
+      else {
+        System.err.println(s"[graft] repeatedWindows: hot-window set has " +
+          s"$nHot entries (> maxBroadcastWindows=$maxBroadcastWindows); " +
+          "falling back to a shuffle semi-join instead of broadcasting — " +
+          "raise minDocs or maxBroadcastWindows if this is unexpected")
+        counts.select("win")
+      }
+    val hotPairs = pairsCached.join(hotSet, Seq("win"), "left_semi")
     val examples = TopK.perKey(hotPairs, Seq("win"), Seq(col(idCol)), exampleK)
       .groupBy("win")
       .agg(to_json(sort_array(collect_list(col(idCol)))).as("example_ids"))

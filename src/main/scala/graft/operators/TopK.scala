@@ -38,6 +38,18 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int,
              rankCol: String = "rnk"): DataFrame = {
     require(k > 0, "k must be positive")
+    // r17 (ADVICE r16): the two-stage scale shape exists only while
+    // InsertWindowGroupLimit fires — k above the threshold (default
+    // 1000) silently degrades to a full hash-partition-by-key window,
+    // the |keys|-reducer pathology this operator documents away. Enforce
+    // the documented precondition instead of silently losing it.
+    val threshold = df.sparkSession.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
+    require(threshold > 0 && k <= threshold, // -1 disables the rule outright
+      s"k=$k needs 0 < k <= spark.sql.optimizer.windowGroupLimitThreshold " +
+        s"(=$threshold): otherwise the rank-limit pushdown does not fire " +
+        "and the window hash-partitions every scored row by key (raise " +
+        "the threshold conf or lower k)")
     df.withColumn(rankCol, row_number().over(
         Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)))
       .filter(col(rankCol) <= k)

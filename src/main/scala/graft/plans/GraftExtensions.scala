@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.text.Entropy(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_gopher_counts"), info("graft_gopher_counts"),
       (args: Seq[Expression]) => graft.functions.text.GopherCounts(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_repetition_counts"), info("graft_repetition_counts"),
+      (args: Seq[Expression]) => graft.functions.text.RepetitionCounts(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_oov_count"), info("graft_oov_count"),
+      (args: Seq[Expression]) => graft.functions.text.OovCount(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("graft_js_str"), info("graft_js_str"),
       (args: Seq[Expression]) => graft.functions.text.JsStr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_js_cast_str"), info("graft_js_cast_str"),

@@ -132,24 +132,31 @@ object DistQueries {
       val ct = o.groupBy("source").agg(sum("nij").cast("bigint").as("nj"))
       val n = o.agg(sum("nij").cast("double").as("nn"),
         sum("nij").cast("bigint").as("nb"))
-      val mi = o.join(rt, Seq("lang")).join(ct, Seq("source"))
+      // r17 fold (VERDICT r16 #6): the MI terms and the joint-entropy
+      // terms are BOTH per-cell functions of the same joined frame, so
+      // they share ONE pass (r16 ran a separate o⋈n branch for h_joint);
+      // likewise the two marginal entropies share one pass over the
+      // unioned marginals. Each term keeps its exact r16 expression tree
+      // (same casts, operand order) and the BIGINT micro-unit sums are
+      // fold-order-invariant — identical outputs, 5 aggregate branches
+      // over the cached contingency table down to 3.
+      val mihj = o.join(rt, Seq("lang")).join(ct, Seq("source"))
         .crossJoin(broadcast(n))
         .selectExpr("""CAST(round(
           |    (CAST(nij AS DOUBLE) / nn)
           |      * ln((nn * CAST(nij AS DOUBLE)) / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
-          |    * 1000000) AS BIGINT) AS t6""".stripMargin)
-        .agg(sum("t6").cast("bigint").as("mi6"))
-      val hl = rt.crossJoin(broadcast(n))
-        .selectExpr("CAST(round(-(CAST(ni AS DOUBLE) / nn) * ln(CAST(ni AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
-        .agg(sum("t6").cast("bigint").as("hl6"))
-      val hs = ct.crossJoin(broadcast(n))
-        .selectExpr("CAST(round(-(CAST(nj AS DOUBLE) / nn) * ln(CAST(nj AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
-        .agg(sum("t6").cast("bigint").as("hs6"))
-      val hj = o.crossJoin(broadcast(n))
-        .selectExpr("CAST(round(-(CAST(nij AS DOUBLE) / nn) * ln(CAST(nij AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
-        .agg(sum("t6").cast("bigint").as("hj6"))
-      n.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
-        .crossJoin(broadcast(hs)).crossJoin(broadcast(hj))
+          |    * 1000000) AS BIGINT) AS t6""".stripMargin,
+          "CAST(round(-(CAST(nij AS DOUBLE) / nn) * ln(CAST(nij AS DOUBLE) / nn) * 1000000) AS BIGINT) AS j6")
+        .agg(sum("t6").cast("bigint").as("mi6"),
+          sum("j6").cast("bigint").as("hj6"))
+      val ent = rt.selectExpr("ni AS cnt", "0 AS wh")
+        .union(ct.selectExpr("nj AS cnt", "1 AS wh"))
+        .crossJoin(broadcast(n))
+        .selectExpr("wh",
+          "CAST(round(-(CAST(cnt AS DOUBLE) / nn) * ln(CAST(cnt AS DOUBLE) / nn) * 1000000) AS BIGINT) AS t6")
+        .agg(expr("CAST(sum(IF(wh = 0, t6, CAST(NULL AS BIGINT))) AS BIGINT)").as("hl6"),
+          expr("CAST(sum(IF(wh = 1, t6, CAST(NULL AS BIGINT))) AS BIGINT)").as("hs6"))
+      n.crossJoin(broadcast(mihj)).crossJoin(broadcast(ent))
         .selectExpr("nb AS n",
           "CAST(mi6 AS DOUBLE) / 1000000 AS mi",
           "CAST(hl6 AS DOUBLE) / 1000000 AS h_lang",

