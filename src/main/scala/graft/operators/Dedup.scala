@@ -142,12 +142,25 @@ object Dedup {
     */
   def saveBandTable(corpus: DataFrame, idCol: String, textCol: String,
                     table: String, buckets: Int = 0,
-                    k: Int = 8, bands: Int = 4): Unit =
+                    k: Int = 8, bands: Int = 4): Unit = {
+    val b =
+      if (buckets > 0) buckets
+      else {
+        val derived = adaptiveBuckets(corpus)
+        // r17 (VERDICT r16 #3): the derivation rides a driver-side size
+        // ESTIMATE that can be badly wrong without CBO stats — make every
+        // scale run's derived value auditable against the corpus it saw
+        System.err.println(s"[graft] saveBandTable($table): derived " +
+          s"$derived buckets from corpus size estimate " +
+          s"${corpus.queryExecution.optimizedPlan.stats.sizeInBytes} bytes")
+        derived
+      }
     bandTable(corpus, idCol, textCol, k, bands)
       .write.mode("overwrite")
-      .bucketBy(if (buckets > 0) buckets else adaptiveBuckets(corpus), "band", "bkey")
+      .bucketBy(b, "band", "bkey")
       .sortBy("band", "bkey")
       .saveAsTable(table)
+  }
 
   /** LSH candidate pairs of a new batch against a saved corpus band table
     * (usually `spark.table(...)` over a [[saveBandTable]] output).
